@@ -11,7 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from yuki_spark.queries import tpch
+from yuki_spark.queries import docs, sim, tpch
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -22,10 +22,14 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(tpch.QUERIES)
+    out.update(docs.QUERIES)
+    out.update(sim.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(tpch.ORACLE)
+    out.update(docs.ORACLE)
+    out.update(sim.ORACLE)
     return out

@@ -1,0 +1,220 @@
+"""Deduplication operators for the documents table.
+
+Scale design (100 TB):
+- *Exact* dedup is a hash-groupBy — one shuffle on the 128-bit text
+  hash, map-side partial aggregation.
+- *Near-dup candidate generation* never materializes the O(n²) pair
+  space: the Jaccard path uses a token inverted index (explode →
+  shuffle on token → per-pair intersection counts); the MinHash path
+  shuffles on LSH band keys only, and verification runs per candidate
+  pair. Both are the standard linear-ish MinHash/LSH pipeline
+  (Broder '97) expressed as DataFrame ops.
+- SimHash buckets on 16-bit chunks (Hamming ≤ 3 ⇒ some chunk equal
+  by pigeonhole over 4 chunks) — again a key-equality shuffle.
+
+Only MinHash signature generation and SimHash use Python: both are
+vectorized Pandas UDFs over Arrow batches (not row-at-a-time).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+from ..functions import tokens
+
+# ---- exact dedup --------------------------------------------------------
+
+
+def exact_dup_stats(docs: DataFrame) -> DataFrame:
+    """Per-source doc/unique-text counts via md5 hash-groupBy."""
+    return (
+        docs.withColumn("h", F.md5("text"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("h").alias("n_unique"),
+            (F.count(F.lit(1)) - F.countDistinct("h")).alias("n_dups"),
+        )
+    )
+
+
+# ---- token-set Jaccard via inverted index ------------------------------
+
+
+def token_sets(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", F.array_distinct(tokens("text")).alias("toks")
+    ).withColumn("set_size", F.size("toks").cast("bigint"))
+
+
+def jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+    """All doc pairs (a < b) with token-set Jaccard ≥ threshold.
+
+    Inverted-index join: pairs sharing ≥1 token get their intersection
+    counted by a groupBy — no cross join. Returns (doc_a, doc_b, jac).
+    """
+    ts = token_sets(docs)
+    posts = ts.select("doc_id", "set_size", F.explode("toks").alias("tok"))
+    a = posts.select(
+        F.col("tok"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("set_size").alias("size_a"),
+    )
+    b = posts.select(
+        F.col("tok"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("set_size").alias("size_b"),
+    )
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("inter")
+    ).cast("double")
+    return (
+        inter.withColumn("jac", jac)
+        .where(F.col("jac") >= threshold)
+        .select("doc_a", "doc_b", "jac")
+    )
+
+
+# ---- MinHash + LSH ------------------------------------------------------
+
+N_PERM = 64
+N_BANDS = 16  # 16 bands × 4 rows
+_MERSENNE = (1 << 61) - 1
+_rng = np.random.RandomState(42)
+_PERM_A = _rng.randint(1, _MERSENNE, size=N_PERM, dtype=np.int64)
+_PERM_B = _rng.randint(0, _MERSENNE, size=N_PERM, dtype=np.int64)
+
+
+@pandas_udf(ArrayType(LongType()))
+def _minhash_sig(tok_hashes: pd.Series) -> pd.Series:
+    """64-perm MinHash signature from pre-hashed tokens (tokens are
+    hashed JVM-side with xxhash64 — deterministic, no Python
+    hash-seed dependence). Vectorized numpy over Arrow batches."""
+    out = []
+    for ts in tok_hashes:
+        if ts is None or len(ts) == 0:
+            out.append([0] * N_PERM)
+            continue
+        h = np.asarray(ts, dtype=np.int64).astype(np.uint64) & np.uint64(
+            0x7FFFFFFFFFFFFFFF
+        )
+        # (a*h + b) mod p for each permutation, min over tokens
+        hm = (
+            h[None, :] * _PERM_A.astype(np.uint64)[:, None]
+            + _PERM_B.astype(np.uint64)[:, None]
+        ) % np.uint64(_MERSENNE)
+        out.append(hm.min(axis=1).astype(np.int64).tolist())
+    return pd.Series(out)
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """MinHash/LSH near-dup pairs, verified with exact Jaccard.
+
+    Candidates come from band-key equality only (shuffle on band key);
+    exact verification joins back the token sets for candidate pairs.
+    """
+    ts = token_sets(docs)
+    sig = ts.withColumn(
+        "tok_hashes", F.transform("toks", lambda t: F.xxhash64(t))
+    ).withColumn("sig", _minhash_sig("tok_hashes"))
+    rows_per_band = N_PERM // N_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.xxhash64(
+                    *[F.col("sig")[i * rows_per_band + j] for j in range(rows_per_band)]
+                ).alias("bkey"),
+            )
+            for i in range(N_BANDS)
+        ]
+    )
+    exploded = sig.select("doc_id", F.explode(bands).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    )
+    cand = (
+        exploded.alias("x")
+        .join(exploded.alias("y"), ["band", "bkey"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ta = ts.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"), F.col("set_size").alias("size_a"))
+    tb = ts.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"), F.col("set_size").alias("size_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("bigint")
+    jac = inter.cast("double") / (F.col("size_a") + F.col("size_b") - inter).cast("double")
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("jac", jac)
+        .where(F.col("jac") >= threshold)
+        .select("doc_a", "doc_b", "jac")
+    )
+
+
+# ---- SimHash ------------------------------------------------------------
+
+
+@pandas_udf(LongType())
+def _simhash64(tok_hashes: pd.Series) -> pd.Series:
+    """64-bit SimHash over JVM-pre-hashed tokens (vectorized)."""
+    out = np.zeros(len(tok_hashes), dtype=np.int64)
+    for i, ts in enumerate(tok_hashes):
+        if ts is None or len(ts) == 0:
+            continue
+        h = np.asarray(ts, dtype=np.int64).astype(np.uint64)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+            np.int32
+        )
+        v = np.where(bits.sum(axis=0) * 2 >= len(ts), 1, 0).astype(np.uint64)
+        out[i] = np.int64((v << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+    return pd.Series(out)
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance ≤ max_hamming.
+
+    Pigeonhole blocking: 4×16-bit chunks; any pair within Hamming ≤ 3
+    agrees on ≥1 chunk, so candidates join on chunk equality only.
+    """
+    ts = token_sets(docs)
+    sh = ts.select(
+        "doc_id",
+        _simhash64(F.transform("toks", lambda t: F.xxhash64(t))).alias("sh"),
+    )
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk"),
+                F.shiftrightunsigned(F.col("sh"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("ckey"),
+            )
+            for i in range(4)
+        ]
+    )
+    ex = sh.select("doc_id", "sh", F.explode(chunks).alias("c")).select(
+        "doc_id", "sh", F.col("c.chunk").alias("chunk"), F.col("c.ckey").alias("ckey")
+    )
+    xa = ex.select(F.col("chunk"), F.col("ckey"), F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    xb = ex.select(F.col("chunk"), F.col("ckey"), F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        xa.join(xb, ["chunk", "ckey"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn("hamming", ham.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

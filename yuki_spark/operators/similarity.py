@@ -1,0 +1,138 @@
+"""Similarity search over the embeddings table (array<float>, 64-d).
+
+Exactness strategy: float32 values are scaled to exact integers
+(``floor(x * 2^24)`` — float32 has a 24-bit mantissa so the product is
+exact in double space) and all dot products / norms are *integer*
+sums, which match DuckDB bit-for-bit. Cosine is then derived by
+identical IEEE double ops on identical integer operands.
+
+Scale design: brute-force top-k broadcasts the (small) query set and
+scans candidates once — a map-side join, no shuffle of the corpus.
+The LSH path buckets the corpus by random-hyperplane signs so each
+query only joins its bucket (shuffle on bucket key).
+"""
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+SCALE = float(1 << 24)
+
+
+def scaled(col: Column | str) -> Column:
+    """array<float> -> array<bigint> of floor(x * 2^24) (exact)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: F.floor(x.cast("double") * F.lit(SCALE)))
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two bigint arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+
+
+def cosine_from_ints(dot_i: Column, na_i: Column, nb_i: Column) -> Column:
+    return dot_i.cast("double") / (
+        F.sqrt(na_i.cast("double")) * F.sqrt(nb_i.cast("double"))
+    )
+
+
+def cosine_topk(
+    emb: DataFrame, k: int = 3, n_queries: int = 5
+) -> DataFrame:
+    """Brute-force cosine top-k: queries (vec_id < n_queries) against
+    all other vectors. Query side is broadcast."""
+    base = emb.select("vec_id", scaled("embedding").alias("sv")).withColumn(
+        "nrm", int_dot(F.col("sv"), F.col("sv"))
+    )
+    q = base.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("sv").alias("qv"), F.col("nrm").alias("qn")
+    )
+    c = base.select(
+        F.col("vec_id").alias("cid"), F.col("sv").alias("cv"), F.col("nrm").alias("cn")
+    )
+    dot_i = int_dot(F.col("qv"), F.col("cv"))
+    scored = (
+        c.join(broadcast(q), F.col("qid") != F.col("cid"))
+        .withColumn("cosine", F.round(cosine_from_ints(dot_i, F.col("qn"), F.col("cn")), 9))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col("cid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= k)
+        .select("qid", "rk", "cid", "cosine")
+        .orderBy("qid", "rk")
+    )
+
+
+def label_centroids(emb: DataFrame) -> DataFrame:
+    """Element-wise mean embedding per label, long format
+    (label, dim, centroid) — exact integer sums / count."""
+    ex = emb.select(
+        "label", F.posexplode(scaled("embedding")).alias("dim", "sx")
+    )
+    return (
+        ex.groupBy("label", F.col("dim").cast("bigint").alias("dim"))
+        .agg(
+            (F.sum("sx").cast("double") / (F.count("sx").cast("double") * F.lit(SCALE))).alias("centroid")
+        )
+        .orderBy("label", "dim")
+    )
+
+
+# ---- LSH ANN (scale path; rows-only check) ------------------------------
+
+N_PLANES = 8
+_rng = np.random.RandomState(7)
+_PLANES = _rng.standard_normal((N_PLANES, 64)).round(6)
+
+
+def _plane_lit(i: int) -> Column:
+    return F.array(*[F.lit(float(v)) for v in _PLANES[i]])
+
+
+def lsh_ann(emb: DataFrame, k: int = 3, n_queries: int = 20) -> DataFrame:
+    """Random-hyperplane LSH ANN: bucket by 8 sign bits (256 buckets),
+    then exact cosine only within the query's bucket."""
+    dv = F.transform("embedding", lambda x: x.cast("double"))
+    withv = emb.select("vec_id", dv.alias("v"))
+    sign_bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(F.col("v"), _plane_lit(i), lambda x, p: x * p),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+        for i in range(N_PLANES)
+    ]
+    bucketed = withv.withColumn("bucket", sum(sign_bits[1:], sign_bits[0]))
+    q = bucketed.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("bucket")
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("bucket")
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    nq = F.aggregate(F.transform("qv", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    nc = F.aggregate(F.transform("cv", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    scored = (
+        c.join(broadcast(q), "bucket")
+        .where(F.col("qid") != F.col("cid"))
+        .withColumn("cosine", dot / (F.sqrt(nq) * F.sqrt(nc)))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col("cid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= k)
+        .select("qid", "rk", "cid", "cosine")
+        .orderBy("qid", "rk")
+    )

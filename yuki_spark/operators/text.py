@@ -1,0 +1,97 @@
+"""Text-analysis operators for the documents table.
+
+All hot-path logic is built-in-function column algebra (JVM-side,
+whole-stage codegen) — no Python UDFs. Each operator has a
+deterministic DuckDB-SQL twin for the correctness gate.
+
+Determinism: counts and integer sums are exact; doubles are derived
+from exact integers by identical IEEE operations in both engines.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import DEC, tokens
+
+# Tiny per-language stopword lists (n-gram-heuristic style language ID;
+# deterministic and SQL-expressible — see SURVEY.md §2.3).
+STOPWORDS = {
+    "en": ("the", "a", "and", "of"),
+    "fr": ("le", "la", "et", "les"),
+    "de": ("der", "die", "und", "das"),
+    "es": ("el", "los", "y", "las"),
+}
+_LANG_ORDER = ("en", "fr", "de", "es")  # deterministic argmax tiebreak
+
+PUNCT_RE = r"[^a-zA-Z0-9\s]"
+
+
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("toks", tokens(text_col)).withColumn(
+        "n_tokens", F.size("toks").cast("bigint")
+    )
+
+
+def _hits(lang: str) -> Column:
+    words = list(STOPWORDS[lang])
+    return F.size(F.filter(F.col("toks"), lambda t: t.isin(*words))).cast("bigint")
+
+
+def lang_scores(df: DataFrame) -> DataFrame:
+    """Stopword-hit counts per language + deterministic argmax."""
+    out = with_tokens(df)
+    for lang in _LANG_ORDER:
+        out = out.withColumn(f"hits_{lang}", _hits(lang))
+    best = F.greatest(*[F.col(f"hits_{l}") for l in _LANG_ORDER])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in _LANG_ORDER:  # first language reaching the max wins
+        pred = pred.when(F.col(f"hits_{lang}") == best, F.lit(lang))
+    return out.withColumn("pred_lang", pred)
+
+
+def quality_features(df: DataFrame) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features and a
+    composite [0,1] score (all double math on exact integer inputs)."""
+    out = with_tokens(df)
+    n_chars = F.length("text").cast("bigint")
+    n_punct = (n_chars - F.length(F.regexp_replace("text", PUNCT_RE, ""))).cast("bigint")
+    sw = _hits("en")
+    nt = F.col("n_tokens").cast("double")
+    score = (
+        F.lit(0.4) * F.least(nt / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - n_punct.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double"))
+        + F.lit(0.3) * F.least(sw.cast("double") / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double") * F.lit(5.0), F.lit(1.0))
+    )
+    return (
+        out.withColumn("n_chars_txt", n_chars)
+        .withColumn("n_punct", n_punct)
+        .withColumn("sw_hits", sw)
+        .withColumn("quality", score)
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalized-text md5 document fingerprint (exact dedup key)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.withColumn("fp", F.md5(norm))
+
+
+# ---- SQL twins (DuckDB) -------------------------------------------------
+
+SQL_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+def sql_hits(lang: str, toks: str = "toks") -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"CAST(len(list_filter({toks}, t -> t IN ({words}))) AS BIGINT)"
+
+
+SQL_PRED_LANG = (
+    "CASE WHEN greatest(hits_en, hits_fr, hits_de, hits_es) <= 0 THEN 'und' "
+    + " ".join(
+        f"WHEN hits_{l} = greatest(hits_en, hits_fr, hits_de, hits_es) THEN '{l}'"
+        for l in _LANG_ORDER
+    )
+    + " END"
+)

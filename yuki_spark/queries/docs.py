@@ -1,0 +1,166 @@
+"""LLM-data-pipeline queries over the documents table (SURVEY §2.3).
+
+Oracle-matched where SQL-expressible; MinHash/SimHash/multimodal are
+rows-only (driver records the weaker check; exact twins d1/d2 cover
+the same semantics)."""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions import DEC
+from ..operators import dedup, multimodal, text
+
+# caps keep pairwise verification bounded at any sf (the candidate
+# generation itself is linear-ish; see operators/dedup.py)
+PAIR_CAP = 300
+FP_CAP = 50
+LANG_CAP = 10_000_000  # all docs
+
+
+def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dedup.exact_dup_stats(docs).orderBy("source")
+
+
+def d2_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < PAIR_CAP)
+    return dedup.jaccard_pairs(docs, threshold=0.95).orderBy("doc_a", "doc_b")
+
+
+def d3_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < PAIR_CAP)
+    return dedup.minhash_lsh_pairs(docs, threshold=0.95).orderBy("doc_a", "doc_b")
+
+
+def d4_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < PAIR_CAP)
+    return dedup.simhash_pairs(docs, max_hamming=3).orderBy("doc_a", "doc_b")
+
+
+def d5_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        text.lang_scores(docs)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+def d6_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    q = text.quality_features(docs)
+    return (
+        q.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum(F.col("quality").cast(DEC)).cast("double") / F.count("quality")).alias("avg_quality"),
+            F.sum("n_punct").alias("total_punct"),
+        )
+        .orderBy("source")
+    )
+
+
+def d7_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = text.with_tokens(docs)
+    return (
+        t.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (F.sum("n_tokens").cast("double") / F.count("n_tokens")).alias("avg_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def d8_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < FP_CAP)
+    return text.fingerprint(docs).select("doc_id", "fp").orderBy("doc_id")
+
+
+def m1_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < FP_CAP)
+    return multimodal.extract_features(multimodal.synth_media(docs)).orderBy("doc_id")
+
+
+QUERIES = {
+    "d1_exact_dedup": d1_exact_dedup,
+    "d2_ngram_jaccard_dups": d2_ngram_jaccard_dups,
+    "d3_minhash_lsh_dups": d3_minhash_lsh_dups,
+    "d4_simhash_dups": d4_simhash_dups,
+    "d5_lang_id": d5_lang_id,
+    "d6_quality_score": d6_quality_score,
+    "d7_token_stats": d7_token_stats,
+    "d8_fingerprint": d8_fingerprint,
+    "m1_multimodal_meta": m1_multimodal_meta,
+}
+
+_T = text.SQL_TOKS
+
+_HITS = {l: text.sql_hits(l) for l in ("en", "fr", "de", "es")}
+
+ORACLE = {
+    "d1_exact_dedup": """
+        SELECT source, COUNT(*) AS n_docs,
+               COUNT(DISTINCT md5(text)) AS n_unique,
+               COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dups
+        FROM documents GROUP BY source ORDER BY source
+    """,
+    "d2_ngram_jaccard_dups": f"""
+        WITH d AS (
+          SELECT doc_id, list_distinct({_T}) AS toks,
+                 CAST(len(list_distinct({_T})) AS BIGINT) AS set_size
+          FROM documents WHERE doc_id < {PAIR_CAP})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / CAST(a.set_size + b.set_size - len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS jac
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / CAST(a.set_size + b.set_size - len(list_intersect(a.toks, b.toks)) AS DOUBLE) >= 0.95
+        ORDER BY doc_a, doc_b
+    """,
+    "d5_lang_id": f"""
+        WITH t AS (SELECT lang, {_T} AS toks FROM documents),
+        h AS (SELECT lang,
+                {_HITS['en']} AS hits_en, {_HITS['fr']} AS hits_fr,
+                {_HITS['de']} AS hits_de, {_HITS['es']} AS hits_es
+              FROM t)
+        SELECT lang, {text.SQL_PRED_LANG} AS pred_lang, COUNT(*) AS n_docs
+        FROM h GROUP BY 1, 2 ORDER BY lang, pred_lang
+    """,
+    "d6_quality_score": f"""
+        WITH q AS (
+          SELECT source,
+                 CAST(len({_T}) AS BIGINT) AS n_tokens,
+                 CAST(length(text) AS BIGINT) AS n_chars_txt,
+                 CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct,
+                 {text.sql_hits('en', _T)} AS sw_hits
+          FROM documents),
+        s AS (
+          SELECT source, n_punct,
+                 0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+               + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars_txt, 1) AS DOUBLE))
+               + 0.3 * least(CAST(sw_hits AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) * 5.0, 1.0) AS quality
+          FROM q)
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / COUNT(quality) AS avg_quality,
+               SUM(n_punct) AS total_punct
+        FROM s GROUP BY source ORDER BY source
+    """,
+    "d7_token_stats": f"""
+        WITH t AS (SELECT source, CAST(len({_T}) AS BIGINT) AS n_tokens FROM documents)
+        SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+               CAST(SUM(n_tokens) AS DOUBLE) / COUNT(n_tokens) AS avg_tokens,
+               MAX(n_tokens) AS max_tokens
+        FROM t GROUP BY source ORDER BY source
+    """,
+    "d8_fingerprint": f"""
+        SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents WHERE doc_id < {FP_CAP} ORDER BY doc_id
+    """,
+}
