@@ -11,7 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from yuki_spark.queries import docs, sim, tpch
+from yuki_spark.queries import docs, events, sim, tpch
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -22,6 +22,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(tpch.QUERIES)
+    out.update(events.QUERIES)
     out.update(docs.QUERIES)
     out.update(sim.QUERIES)
     return out
@@ -30,6 +31,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(tpch.ORACLE)
+    out.update(events.ORACLE)
     out.update(docs.ORACLE)
     out.update(sim.ORACLE)
     return out

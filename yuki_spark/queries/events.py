@@ -1,0 +1,205 @@
+"""Event-stream analytics (batch twins of the streaming module).
+
+e2/e3 are the batch equivalents of the Structured Streaming
+sessionization / windowed rollup in ``yuki_spark/streaming`` — the
+driver-checkable form of the same semantics.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load
+from ..functions import DEC
+
+SESSION_GAP_MIN = 30
+
+
+def e1_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def e2_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag window."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    new_sess = F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0)
+    sess = (
+        ev.withColumn("new_sess", new_sess)
+        .withColumn(
+            "session_seq",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("session_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+def e3_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-hour rollup (batch twin of the streaming windowed agg)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+def e4_user_asof_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase picks the latest strictly-earlier
+    'view' value of the same user (window formulation — one shuffle on
+    user_id, no range join explosion)."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    view_val = F.when(F.col("event_type") == "view", F.col("value"))
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts"))
+    out = (
+        ev.withColumn("asof_view_value", F.last(view_val, ignorenulls=True).over(w))
+        .withColumn("asof_view_ts", F.last(view_ts, ignorenulls=True).over(w))
+        .where(F.col("event_type") == "purchase")
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "value", "asof_view_ts", "asof_view_value"
+    ).orderBy("event_id")
+
+
+def e5_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase per user."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    c = ev.where(F.col("event_type") == "click").alias("c")
+    first_click = (
+        c.join(v, "user_id")
+        .where(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = ev.where(F.col("event_type") == "purchase")
+    first_purchase = (
+        p.join(first_click, "user_id")
+        .where(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view_users"))
+        .crossJoin(first_click.agg(F.count(F.lit(1)).alias("n_click_users")))
+        .crossJoin(first_purchase.agg(F.count(F.lit(1)).alias("n_purchase_users")))
+    )
+
+
+def distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("day")
+    )
+
+
+QUERIES = {
+    "e1_event_counts": e1_event_counts,
+    "e2_sessionization": e2_sessionization,
+    "e3_hourly_rollup": e3_hourly_rollup,
+    "e4_user_asof_value": e4_user_asof_value,
+    "e5_funnel": e5_funnel,
+    "distinct_users_daily": distinct_users_daily,
+}
+
+ORACLE = {
+    "e1_event_counts": """
+        SELECT event_type, COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+               MIN(value) AS min_value, MAX(value) AS max_value
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "e2_sessionization": f"""
+        WITH flagged AS (
+          SELECT user_id, event_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_MIN * 60}
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+          SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+          FROM flagged)
+        SELECT user_id, session_seq, MIN(ts) AS session_start,
+               MAX(ts) AS session_end, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+        FROM sess GROUP BY user_id, session_seq
+        ORDER BY user_id, session_seq
+    """,
+    "e3_hourly_rollup": """
+        SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+    """,
+    "e4_user_asof_value": """
+        WITH marked AS (
+          SELECT event_id, user_id, ts, value, event_type,
+                 last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+                   OVER w AS asof_view_value,
+                 last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+                   OVER w AS asof_view_ts
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        SELECT event_id, user_id, ts, value, asof_view_ts, asof_view_value
+        FROM marked WHERE event_type = 'purchase' ORDER BY event_id
+    """,
+    "e5_funnel": """
+        WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+                   WHERE event_type = 'view' GROUP BY user_id),
+        fc AS (SELECT e.user_id, v.t_view, MIN(e.ts) AS t_click
+               FROM events e JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'click' AND e.ts >= v.t_view
+               GROUP BY e.user_id, v.t_view),
+        fp AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+               FROM events e JOIN fc ON e.user_id = fc.user_id
+               WHERE e.event_type = 'purchase' AND e.ts >= fc.t_click
+               GROUP BY e.user_id)
+        SELECT (SELECT COUNT(*) FROM v) AS n_view_users,
+               (SELECT COUNT(*) FROM fc) AS n_click_users,
+               (SELECT COUNT(*) FROM fp) AS n_purchase_users
+    """,
+    "distinct_users_daily": """
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1 ORDER BY day
+    """,
+}
