@@ -1,0 +1,84 @@
+"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query is executed to completion with a ``noop``-format write so
+the full physical plan runs (scan → shuffle → agg) without driver-side
+collect skew; a warm-up pass of the flagship query amortizes JVM/codegen
+startup out of the numbers.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from yuki_spark.session import get_spark
+
+# Headline set: spans scans/aggs, multi-joins, windows, sessionization,
+# as-of join, dedup (exact + minhash), similarity, and text analysis —
+# the operator families SURVEY.md §2 claims.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q18_large_orders",
+    "w1_top_customers_per_nation",
+    "w2_running_revenue",
+    "e2_sessionization",
+    "e4_user_asof_value",
+    "e5_funnel",
+    "d1_exact_dedup",
+    "d3_minhash_lsh_dups",
+    "d6_quality_score",
+    "d7_token_stats",
+    "s1_cosine_topk",
+]
+
+
+def _run(df) -> None:
+    """Materialize the full plan without pulling rows to the driver."""
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    from __spark_entry__ import queries
+
+    qs = queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    spark = get_spark("yuki_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    _run(qs["q1_pricing_summary"](spark, sf_dir))  # warm-up (JVM + codegen)
+
+    per_query: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        _run(qs[name](spark, sf_dir))
+        per_query[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,111 @@
+"""IO sources/sinks: multi-format staging (SURVEY O8) and
+partitioned/bucketed writes (O9)."""
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from yuki_spark.io.sinks import write_bucketed_table, write_csv, write_json, write_parquet
+from yuki_spark.io.sources import infer_format, read_many, read_source
+
+
+def test_infer_format():
+    assert infer_format("/x/a.parquet") == "parquet"
+    assert infer_format("/x/a.jsonl") == "json"
+    assert infer_format("/x/a.tsv") == "csv"
+    with pytest.raises(ValueError):
+        infer_format("/x/a.unknown")
+
+
+def test_roundtrip_csv_json_parquet(spark, tmp_path):
+    src = read_source(spark, f"{SF_SMOKE}/nation.parquet")
+    rows = {tuple(r) for r in src.collect()}
+
+    csv_path = str(tmp_path / "nation.csv")
+    write_csv(src, csv_path)
+    back = read_source(spark, csv_path, schema=src.schema)
+    assert {tuple(r) for r in back.collect()} == rows
+
+    json_path = str(tmp_path / "nation.json")
+    write_json(src, json_path)
+    back = read_source(spark, json_path, schema=src.schema)
+    assert {tuple(r) for r in back.collect()} == rows
+
+
+def test_column_projection_prunes_scan(spark):
+    df = read_source(
+        spark, f"{SF_SMOKE}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+    assert df.columns == ["l_orderkey", "l_quantity"]
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "l_extendedprice" not in plan  # scan pruned, not post-filtered
+
+
+def test_read_many_registers_views(spark):
+    out = read_many(
+        spark,
+        {
+            "v_nation": f"{SF_SMOKE}/nation.parquet",
+            "v_region": f"{SF_SMOKE}/region.parquet",
+        },
+        register=True,
+    )
+    assert set(out) == {"v_nation", "v_region"}
+    assert spark.table("v_nation").count() == 25
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    orders = read_source(spark, f"{SF_SMOKE}/orders.parquet")
+    path = str(tmp_path / "orders_part")
+    write_parquet(
+        orders.withColumn("year", F.year("o_orderdate")),
+        path,
+        partition_by=["year"],
+        target_files=2,
+    )
+    years = {d for d in os.listdir(path) if d.startswith("year=")}
+    assert len(years) > 1
+    pruned = spark.read.parquet(path).where(F.col("year") == 1995)
+    plan = pruned._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters: [isnotnull(year" in plan.replace("#", "").replace(
+        "year)", "year"
+    ) or "year = 1995" in plan  # partition pruning reached the scan
+    assert pruned.count() == orders.where(F.year("o_orderdate") == 1995).count()
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Bucketed tables on the join key: the sort-merge join must read
+    both sides without an Exchange (the co-located layout survives)."""
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    orders = read_source(spark, f"{SF_SMOKE}/orders.parquet")
+    lineitem = read_source(spark, f"{SF_SMOKE}/lineitem.parquet")
+    write_bucketed_table(
+        orders, "b_orders", ["o_orderkey"], 8, path=str(tmp_path / "b_orders")
+    )
+    write_bucketed_table(
+        lineitem, "b_lineitem", ["l_orderkey"], 8, path=str(tmp_path / "b_lineitem")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "Exchange" not in plan  # neither shuffle nor broadcast needed
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")

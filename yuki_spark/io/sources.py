@@ -1,0 +1,95 @@
+"""Multi-format source readers — the Spark-native analogue of Yuki's
+file staging (/root/reference/Yuki/server/routes/upload.py: files are
+staged into a workflow's storage and become job inputs).
+
+Here a "staged input" is any path readable by a Spark DataSource;
+format is inferred from the extension or given explicitly. Explicit
+schemas are supported (and recommended at scale — schema inference
+costs a full extra pass on CSV/JSON) plus column projection so only
+the needed columns reach the scan (``ReadSchema`` pruning)."""
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+_EXT_FORMAT = {
+    ".parquet": "parquet",
+    ".pq": "parquet",
+    ".csv": "csv",
+    ".tsv": "csv",
+    ".json": "json",
+    ".jsonl": "json",
+    ".ndjson": "json",
+    ".orc": "orc",
+    ".txt": "text",
+}
+
+
+def infer_format(path: str) -> str:
+    base = path.rstrip("/")
+    _, ext = os.path.splitext(base)
+    fmt = _EXT_FORMAT.get(ext.lower())
+    if fmt is None and os.path.isdir(base):
+        # a dataset directory (possibly hive-partitioned): infer from
+        # the first data file found up to two levels down
+        for root, _dirs, files in sorted(os.walk(base)):
+            for f in sorted(files):
+                if f.startswith(("_", ".")):
+                    continue  # _SUCCESS, checksums, hidden
+                fmt = _EXT_FORMAT.get(os.path.splitext(f)[1].lower())
+                if fmt:
+                    return fmt
+    if fmt is None:
+        raise ValueError(f"cannot infer format from {path!r}; pass format=")
+    return fmt
+
+
+def read_source(
+    spark: SparkSession,
+    path: str,
+    format: str | None = None,
+    schema: StructType | str | None = None,
+    columns: list[str] | None = None,
+    **options: str,
+) -> DataFrame:
+    """Read one staged input.
+
+    - ``schema``: StructType or DDL string; skips inference.
+    - ``columns``: projection applied immediately so Catalyst prunes
+      the scan to just those columns.
+    - ``options``: passed through (e.g. ``header='true'`` for csv,
+      ``sep='\\t'`` for tsv).
+    """
+    fmt = format or infer_format(path)
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt == "csv":
+        options.setdefault("inferSchema", "true")
+    if fmt == "csv":
+        options.setdefault("header", "true")
+        if path.rstrip("/").endswith(".tsv"):
+            options.setdefault("sep", "\t")
+    df = reader.options(**options).load(path)
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def read_many(
+    spark: SparkSession,
+    paths: dict[str, str],
+    register: bool = False,
+    **kwargs,
+) -> dict[str, DataFrame]:
+    """Stage several named inputs at once; optionally register each as
+    a temp view (the catalog pattern for ad-hoc sources)."""
+    out = {}
+    for name, path in paths.items():
+        df = read_source(spark, path, **kwargs)
+        if register:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,110 @@
+"""Execution backends for Pipeline — Yuki's DryWorkflow/ReanaWorkflow
+split re-expressed for Spark.
+
+- ``DryRunBackend`` (parity: /root/reference/Yuki/kernel/dry_workflow.py:15)
+  compiles every task's DataFrame and captures the *optimized physical
+  plan* without running a job — the Spark-native meaning of a dry run.
+- ``LocalBackend`` executes in dependency order. Tasks marked
+  ``persist`` materialize through the ImpressionStore; unchanged
+  subgraphs are reused (status ``reused``), mirroring Yuki's
+  deposited-impression skip (execution.py:44 "status not raw/failed →
+  skip").
+- Failure semantics (parity: VWorkflow.run error path): a failing task
+  is ``failed`` and every transitive dependent becomes
+  ``upstream_failed``; ``kill()`` marks the remainder failed, like
+  ImpressionStorage.kill.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .dag import Pipeline
+from .impressions import ImpressionStore, impression_id
+
+
+class DryRunBackend:
+    """Compile-only: returns {task: explain string}."""
+
+    def run(self, spark: SparkSession, pipe: Pipeline) -> dict[str, str]:
+        plans: dict[str, str] = {}
+        results: dict[str, DataFrame] = {}
+        for name in pipe.topo_order():
+            t = pipe.tasks[name]
+            t.status = "waiting"
+            inputs = {d: results[d] for d in t.deps}
+            df = t.fn(spark, inputs)
+            results[name] = df
+            plans[name] = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+            t.status = "finished"  # compiled, not executed
+        return plans
+
+
+class LocalBackend:
+    """Executes the DAG; optionally persists/reuses impressions."""
+
+    def __init__(self, store: ImpressionStore | None = None, persist: set[str] | None = None):
+        self.store = store
+        self.persist = persist or set()
+        self._killed = False
+
+    def kill(self, pipe: Pipeline) -> None:
+        """Parity: ImpressionStorage.kill — mark unfinished work failed."""
+        self._killed = True
+        for t in pipe.tasks.values():
+            if t.status in ("raw", "waiting", "running"):
+                t.status = "failed"
+
+    def run(self, spark: SparkSession, pipe: Pipeline) -> dict[str, Any]:
+        order = pipe.topo_order()
+        for n in order:
+            pipe.tasks[n].status = "waiting"
+        results: dict[str, DataFrame] = {}
+        imp_ids: dict[str, str] = {}
+        for name in order:
+            t = pipe.tasks[name]
+            if t.status == "upstream_failed" or self._killed:
+                continue
+            t.status = "running"
+            dep_ids = [imp_ids.get(d, f"{d}@{pipe.tasks[d].version}") for d in t.deps]
+            imp = impression_id(t.name, t.version, dep_ids)
+            imp_ids[name] = imp
+            try:
+                if (
+                    self.store is not None
+                    and name in self.persist
+                    and self.store.exists(imp)
+                ):
+                    results[name] = self.store.read(spark, imp)
+                    t.status = "reused"
+                    t.result = results[name]
+                    continue
+                inputs = {d: results[d] for d in t.deps}
+                df = t.fn(spark, inputs)
+                if self.store is not None and name in self.persist:
+                    self.store.write(
+                        imp,
+                        df,
+                        meta={"task": name, "pipeline": pipe.name, "deps": dep_ids},
+                    )
+                    df = self.store.read(spark, imp)
+                else:
+                    df.count()  # execute for status fidelity
+                results[name] = df
+                t.result = df
+                t.status = "finished"
+            except Exception as e:  # noqa: BLE001 — mirror Yuki's broad failure marking
+                t.status = "failed"
+                t.error = str(e)
+                for d in pipe.downstream(name):
+                    pipe.tasks[d].status = "upstream_failed"
+        return {
+            "statuses": pipe.statuses(),
+            "impressions": imp_ids,
+            "results": results,
+        }

@@ -1,0 +1,97 @@
+"""Impression store: content-addressed versioned parquet snapshots.
+
+Parity with Yuki's ImpressionStorage
+(/root/reference/Yuki/kernel/impression_storage.py:7): an
+"impression" is an immutable, addressable artifact of a task run. Here
+the address is a sha256 over (task name, task version, and the
+impression ids of its dependencies) — so any upstream change produces
+a new impression, and an unchanged subgraph is *reused* (Yuki's
+"deposited" state → our ``reused`` status) instead of recomputed.
+
+Storage layout::
+
+    <root>/<impression_id>/data.parquet   (snappy parquet, partitioned)
+    <root>/<impression_id>/meta.json      (lineage + schema + tags)
+
+``watermark`` tags an impression's metadata (Yuki's PIL watermark has
+no data-engine meaning; a metadata tag is the Spark-native analogue).
+"""
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def impression_id(task_name: str, version: str, dep_ids: list[str]) -> str:
+    payload = json.dumps(
+        {"task": task_name, "version": version, "deps": sorted(dep_ids)},
+        sort_keys=True,
+    )
+    return hashlib.sha256(payload.encode()).hexdigest()[:32]
+
+
+class ImpressionStore:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _dir(self, imp_id: str) -> str:
+        return os.path.join(self.root, imp_id)
+
+    def exists(self, imp_id: str) -> bool:
+        return os.path.exists(os.path.join(self._dir(imp_id), "meta.json"))
+
+    def write(
+        self,
+        imp_id: str,
+        df: DataFrame,
+        meta: dict[str, Any] | None = None,
+        partition_by: list[str] | None = None,
+    ) -> str:
+        """Materialize a DataFrame as an immutable impression."""
+        path = os.path.join(self._dir(imp_id), "data.parquet")
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        doc = {
+            "impression": imp_id,
+            "created_at": time.time(),
+            "schema": df.schema.jsonValue(),
+            "tags": {},
+            **(meta or {}),
+        }
+        with open(os.path.join(self._dir(imp_id), "meta.json"), "w") as f:
+            json.dump(doc, f, indent=2)
+        return path
+
+    def read(self, spark: SparkSession, imp_id: str) -> DataFrame:
+        """Yuki ``collect``: load a deposited impression."""
+        if not self.exists(imp_id):
+            raise FileNotFoundError(f"impression {imp_id} not deposited")
+        return spark.read.parquet(os.path.join(self._dir(imp_id), "data.parquet"))
+
+    def meta(self, imp_id: str) -> dict[str, Any]:
+        with open(os.path.join(self._dir(imp_id), "meta.json")) as f:
+            return json.load(f)
+
+    def watermark(self, imp_id: str, key: str, value: str) -> None:
+        """Tag an impression (Yuki watermark analogue)."""
+        m = self.meta(imp_id)
+        m.setdefault("tags", {})[key] = value
+        with open(os.path.join(self._dir(imp_id), "meta.json"), "w") as f:
+            json.dump(m, f, indent=2)
+
+    def list_ids(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.root) if self.exists(d)
+        )
+
+    def drop(self, imp_id: str) -> None:
+        shutil.rmtree(self._dir(imp_id), ignore_errors=True)

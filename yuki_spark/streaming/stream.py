@@ -1,0 +1,170 @@
+"""Structured Streaming over the events schema.
+
+The streaming twins of the batch queries in ``queries/events.py``:
+- ``windowed_counts``: tumbling-window counts per event_type with a
+  watermark for late data (twin of e3_hourly_rollup).
+- ``session_stats``: custom stateful gap-sessionization via
+  ``applyInPandasWithState`` (twin of e2_sessionization).
+
+At scale these run as ``readStream`` on an object-store file source
+(or Kafka) with checkpointing; tests drive them with the file source
+over a temp directory and a memory sink, then assert equivalence
+against the batch twin on the same rows.
+"""
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+SESSION_GAP_SEC = 30 * 60
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream with explicit schema (schema inference is
+    disabled for streams at scale; one file per micro-batch in tests)."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(path)
+    )
+
+
+def windowed_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour window counts/sums per event_type with
+    watermarked late-data handling."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+    ]
+)
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _session_fn(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Gap-based session accumulator with *event-time* closure: a
+    session is emitted when a later event from the same user exceeds
+    the gap, or when the watermark passes ``session_end + gap``
+    (event-time timeout). Processing speed never affects session
+    boundaries — only event time does."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        start_us, end_us, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(end_us, unit="us")],
+                "n_events": [n],
+            }
+        )
+        return
+
+    rows = pd.concat(list(pdfs)).sort_values("ts")
+    out = []
+    if state.exists:
+        start_us, end_us, n = state.get
+    else:
+        start_us = end_us = n = None
+    for ts in rows["ts"]:
+        t_us = int(pd.Timestamp(ts).value // 1000)
+        if start_us is None:
+            start_us, end_us, n = t_us, t_us, 1
+        elif t_us - end_us > SESSION_GAP_SEC * 1_000_000:
+            out.append((start_us, end_us, n))
+            start_us, end_us, n = t_us, t_us, 1
+        else:
+            end_us, n = t_us, n + 1
+    state.update((start_us, end_us, n))
+    # close when watermark passes the open session's end + gap
+    state.setTimeoutTimestamp(end_us // 1000 + SESSION_GAP_SEC * 1000)
+    if out:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(out),
+                "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in out],
+                "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in out],
+                "n_events": [c for _, _, c in out],
+            }
+        )
+
+
+def session_stats(stream: DataFrame, watermark: str = "0 seconds") -> DataFrame:
+    """Custom stateful operator: per-user gap sessionization.
+
+    Event-time timeouts require a watermark; the delay bounds how long
+    late events are accepted before an open session is finalized."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_to_memory(sdf: DataFrame, name: str, mode: str = "update"):
+    """Start a memory-sink query (tests/demos)."""
+    return (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
