@@ -84,6 +84,104 @@ def label_centroids(emb: DataFrame) -> DataFrame:
     )
 
 
+def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.35) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b) with a < b and
+    cosine(a, b) >= threshold. Exact scaled-integer arithmetic so the
+    DuckDB oracle matches bit-for-bit.
+
+    Scale path: this brute-force form is the correctness baseline; at
+    corpus scale the same scoring runs after an LSH band prefilter
+    (see :func:`lsh_ann` buckets / dedup.minhash_lsh_pairs banding)
+    so only bucket-local pairs are scored, never the full n²."""
+    base = emb.select("vec_id", scaled("embedding").alias("sv")).withColumn(
+        "nrm", int_dot(F.col("sv"), F.col("sv"))
+    )
+    a = base.select(
+        F.col("vec_id").alias("id_a"), F.col("sv").alias("va"), F.col("nrm").alias("na")
+    )
+    b = base.select(
+        F.col("vec_id").alias("id_b"), F.col("sv").alias("vb"), F.col("nrm").alias("nb")
+    )
+    cos = cosine_from_ints(int_dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cos, 9))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def ivf_ann(
+    emb: DataFrame, k: int = 3, n_queries: int = 20, nprobe: int = 3
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into cells (label
+    centroids as the codebook — at real scale a k-means pass), then
+    each query scores only the ``nprobe`` nearest cells.
+
+    Shuffle shape at 100 TB: the corpus partitions by cell id once;
+    queries broadcast with their probed cell list; scoring joins on
+    cell id only — no full-corpus scan per query."""
+    dv = F.transform("embedding", lambda x: x.cast("double"))
+    withv = emb.select("vec_id", "label", dv.alias("v"))
+
+    # codebook: element-wise mean per label, as one array per cell
+    cents = (
+        withv.select("label", F.posexplode("v").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cx"))).alias("pairs"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("pairs", lambda p: p["cx"]).alias("cv"),
+        )
+    )
+
+    dot_cv = F.aggregate(
+        F.zip_with("v", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    nv = F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    ncv = F.aggregate(F.transform("cv", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    affinity = dot_cv / (F.sqrt(nv) * F.sqrt(ncv))
+
+    scored_cells = withv.join(broadcast(cents)).withColumn("aff", affinity)
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("aff"), "cell")
+    assigned = (
+        scored_cells.withColumn("rk", F.row_number().over(w_assign))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "v", "cell")
+    )
+
+    probes = (
+        scored_cells.where(F.col("vec_id") < n_queries)
+        .withColumn("rk", F.row_number().over(w_assign))
+        .where(F.col("rk") <= nprobe)
+        .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "cell")
+    )
+
+    dot = F.aggregate(
+        F.zip_with("qv", "cv2", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    nq = F.aggregate(F.transform("qv", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    nc = F.aggregate(F.transform("cv2", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    cands = assigned.select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv2"), "cell"
+    )
+    scored = (
+        cands.join(broadcast(probes), "cell")
+        .where(F.col("qid") != F.col("cid"))
+        .withColumn("cosine", dot / (F.sqrt(nq) * F.sqrt(nc)))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col("cid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= k)
+        .select("qid", "rk", "cid", "cosine")
+        .orderBy("qid", "rk")
+    )
+
+
 # ---- LSH ANN (scale path; rows-only check) ------------------------------
 
 N_PLANES = 8

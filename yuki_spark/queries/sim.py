@@ -25,10 +25,27 @@ def s3_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_ann(emb, k=K, n_queries=20)
 
 
+NEARDUP_THRESHOLD = 0.35
+
+
+def d9_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup family)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_neardup_pairs(emb, threshold=NEARDUP_THRESHOLD)
+
+
+def s4_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (coarse cells + nprobe); rows-only check."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.ivf_ann(emb, k=K, n_queries=20, nprobe=3)
+
+
 QUERIES = {
     "s1_cosine_topk": s1_cosine_topk,
     "s2_label_centroids": s2_label_centroids,
     "s3_lsh_ann": s3_lsh_ann,
+    "s4_ivf_ann": s4_ivf_ann,
+    "d9_embedding_neardup": d9_embedding_neardup,
 }
 
 # scaled-integer arithmetic twin — see operators/similarity.py
@@ -38,6 +55,19 @@ _DOT = (
 )
 
 ORACLE = {
+    "d9_embedding_neardup": f"""
+        WITH base AS (
+          SELECT vec_id, {_SCALED} AS sv FROM embeddings),
+        normed AS (
+          SELECT vec_id, sv, {_DOT.format(a='sv', b='sv')} AS nrm FROM base)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(CAST({_DOT.format(a='a.sv', b='b.sv')} AS DOUBLE)
+                 / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))), 9) AS cosine
+        FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+        WHERE round(CAST({_DOT.format(a='a.sv', b='b.sv')} AS DOUBLE)
+                 / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))), 9) >= {NEARDUP_THRESHOLD}
+        ORDER BY id_a, id_b
+    """,
     "s1_cosine_topk": f"""
         WITH base AS (
           SELECT vec_id, {_SCALED} AS sv FROM embeddings),

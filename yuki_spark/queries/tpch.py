@@ -456,8 +456,170 @@ def union_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-cost supplier per part (TPC-H Q2 shape, adapted: the
+    supply relation is derived from lineitem since the generated
+    schema has no partsupp — cost = MIN(l_extendedprice) per
+    (part, supplier), an order-independent aggregate)."""
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    supp = load(spark, sf_dir, "supplier")
+    part = load(spark, sf_dir, "part").where(F.col("p_size") <= 15)
+    li = load(spark, sf_dir, "lineitem")
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("supplycost")
+    )
+    eligible = (
+        region.join(nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(supp, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(supply, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
+    )
+    w = Window.partitionBy("p_partkey").orderBy("supplycost", "s_suppkey")
+    return (
+        eligible.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("p_partkey", "p_brand", "s_name", "n_name", "supplycost", "s_acctbal")
+        .orderBy(F.desc("s_acctbal"), "p_partkey")
+        .limit(100)
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share per year: conditional-sum ratio over a
+    6-way join (TPC-H Q8 shape; no partsupp needed)."""
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n_cust = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    n_supp = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    part = load(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") <= "1997-12-31")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    vol = (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n_cust, F.col("cn_key") == F.col("c_nationkey"))
+        .join(region, F.col("r_regionkey") == F.col("cn_region"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n_supp, F.col("sn_key") == F.col("s_nationkey"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            _rev().alias("volume"),
+            F.col("supp_nation"),
+        )
+    )
+    china_vol = F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(0.0)
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            (
+                F.sum(china_vol.cast(DEC)).cast("double")
+                / F.sum(F.col("volume").cast(DEC)).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important stock (TPC-H Q11 shape, adapted): per-part shipped
+    value by CHINA-based suppliers, kept when above 1% of the total —
+    a scalar aggregate subquery broadcast against the grouped set."""
+    nation = load(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    supp = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem")
+    value_rows = (
+        nation.join(supp, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(li, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_partkey", "l_extendedprice")
+    )
+    per_part = value_rows.groupBy("l_partkey").agg(dsum("l_extendedprice", "part_value"))
+    total = value_rows.agg(
+        dsum("l_extendedprice", "total_value"),
+        F.countDistinct("l_partkey").cast("double").alias("n_parts"),
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("part_value") * F.col("n_parts") > F.col("total_value") * 2.0)
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+def q20_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers shipping excess volume of promo parts (TPC-H Q20
+    shape, adapted): per (part, supplier) shipped quantity above a
+    threshold → left-semi join back to suppliers in a nation."""
+    part = load(spark, sf_dir, "part").where(F.col("p_name").startswith("small"))
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    nation = load(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    supp = load(spark, sf_dir, "supplier")
+    heavy = (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("qty"))
+        .where(F.col("qty") > 40.0)
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who alone delayed multi-supplier orders (TPC-H Q21
+    shape; lateness proxy: last line shipped > 60 days after the order
+    date since the schema has no commit/receipt dates). Window counts
+    replace the classic EXISTS / NOT EXISTS pair — one shuffle on
+    o_orderkey instead of two correlated joins."""
+    orders = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    per_os = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)).cast("int")
+            ).alias("late")
+        )
+    )
+    w = Window.partitionBy("l_orderkey")
+    culprit = (
+        per_os.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum("late").over(w))
+        .where((F.col("late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    )
+    return (
+        culprit.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q8_market_share": q8_market_share,
+    "q11_important_stock": q11_important_stock,
+    "q20_excess_shipments": q20_excess_shipments,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
     "q3_shipping_priority": q3_shipping_priority,
     "q4_order_priority": q4_order_priority,
     "q5_local_supplier": q5_local_supplier,
@@ -485,6 +647,100 @@ QUERIES = {
 
 
 ORACLE = {
+    "q2_min_cost_supplier": """
+        WITH supply AS (
+          SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS supplycost
+          FROM lineitem GROUP BY l_partkey, l_suppkey),
+        eligible AS (
+          SELECT p_partkey, p_brand, s_name, n_name, supplycost, s_acctbal,
+                 ROW_NUMBER() OVER (PARTITION BY p_partkey
+                                    ORDER BY supplycost, s_suppkey) AS rk
+          FROM region
+          JOIN nation ON n_regionkey = r_regionkey
+          JOIN supplier ON s_nationkey = n_nationkey
+          JOIN supply ON l_suppkey = s_suppkey
+          JOIN part ON p_partkey = l_partkey
+          WHERE r_name = 'ASIA' AND p_size <= 15)
+        SELECT p_partkey, p_brand, s_name, n_name, supplycost, s_acctbal
+        FROM eligible WHERE rk = 1
+        ORDER BY s_acctbal DESC, p_partkey
+        LIMIT 100
+    """,
+    "q8_market_share": f"""
+        WITH vol AS (
+          SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                 {_REV} AS volume, n2.n_name AS supp_nation
+          FROM lineitem
+          JOIN part ON p_partkey = l_partkey
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation n1 ON n1.n_nationkey = c_nationkey
+          JOIN region ON r_regionkey = n1.n_regionkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation n2 ON n2.n_nationkey = s_nationkey
+          WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+            AND o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate <= TIMESTAMP '1997-12-31')
+        SELECT o_year,
+               CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                                  ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share
+        FROM vol GROUP BY o_year ORDER BY o_year
+    """,
+    "q11_important_stock": """
+        WITH value_rows AS (
+          SELECT l_partkey, l_extendedprice
+          FROM nation
+          JOIN supplier ON s_nationkey = n_nationkey
+          JOIN lineitem ON l_suppkey = s_suppkey
+          WHERE n_name = 'NATION_3'),
+        per_part AS (
+          SELECT l_partkey,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS part_value
+          FROM value_rows GROUP BY l_partkey),
+        total AS (
+          SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+                 CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) AS n_parts
+          FROM value_rows)
+        SELECT l_partkey, part_value
+        FROM per_part, total
+        WHERE part_value * n_parts > total_value * 2.0
+        ORDER BY part_value DESC, l_partkey
+    """,
+    "q20_excess_shipments": """
+        SELECT s_suppkey, s_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7'
+          AND s_suppkey IN (
+            SELECT l_suppkey
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_name LIKE 'small%'
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_suppkey, l_partkey
+            HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 40.0)
+        ORDER BY s_suppkey
+    """,
+    "q21_waiting_suppliers": """
+        WITH per_os AS (
+          SELECT l_orderkey, l_suppkey,
+                 MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                          THEN 1 ELSE 0 END) AS late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'
+          GROUP BY l_orderkey, l_suppkey),
+        flagged AS (
+          SELECT *, COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+                 SUM(late) OVER (PARTITION BY l_orderkey) AS n_late
+          FROM per_os)
+        SELECT s_name, COUNT(*) AS numwait
+        FROM flagged JOIN supplier ON s_suppkey = l_suppkey
+        WHERE late = 1 AND n_supp >= 2 AND n_late = 1
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+    """,
     "q1_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
                {sql_dsum('l_quantity', 'sum_qty')},
