@@ -28,6 +28,9 @@ HEADLINE = [
     "q9_product_profit",
     "q13_customer_distribution",
     "q18_large_orders",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q21_waiting_suppliers",
     "w1_top_customers_per_nation",
     "w2_running_revenue",
     "e2_sessionization",
@@ -37,6 +40,7 @@ HEADLINE = [
     "d3_minhash_lsh_dups",
     "d6_quality_score",
     "d7_token_stats",
+    "d9_embedding_neardup",
     "s1_cosine_topk",
 ]
 
@@ -59,6 +63,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     _run(qs["q1_pricing_summary"](spark, sf_dir))  # warm-up (JVM + codegen)
+
+    # warm the Python/Arrow worker pool so the first Pandas-UDF query
+    # isn't charged the one-time worker fork + import cost
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    def _noop(s):
+        return s
+
+    _run(spark.range(32).select(pandas_udf(_noop, "long")("id")))
 
     per_query: dict[str, float] = {}
     for name in names:

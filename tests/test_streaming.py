@@ -73,6 +73,59 @@ def test_windowed_counts_match_batch(spark, event_dir):
     assert got == want
 
 
+def test_sliding_counts_match_batch(spark, event_dir):
+    """Sliding windows (1h/30m): streaming result must equal the batch
+    explode-the-windows twin on the same rows."""
+    sdf = st.sliding_counts(st.read_event_stream(spark, event_dir))
+    q = st.run_to_memory(sdf, "slide_counts", mode="complete")
+    q.awaitTermination(120)
+    got = {
+        (r["w_start"], r["w_end"], r["event_type"]): r["n_events"]
+        for r in spark.table("slide_counts").collect()
+    }
+    batch = (
+        spark.read.parquet(event_dir)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start"), F.col("w.end"), "event_type", "n_events")
+    )
+    want = {(r["start"], r["end"], r["event_type"]): r["n_events"] for r in batch.collect()}
+    assert got == want
+
+
+def test_dedup_stream_drops_replayed_file(spark, event_dir, tmp_path):
+    """Replay one slice twice: the duplicate event_ids must be dropped
+    while unique rows all survive."""
+    import shutil
+
+    dup_dir = tmp_path / "dup_stream"
+    shutil.copytree(event_dir, dup_dir)
+    files = sorted(os.listdir(dup_dir))
+    shutil.copy(dup_dir / files[0], dup_dir / "part-9999.parquet")  # replay slice 0
+
+    deduped = st.dedup_stream(st.read_event_stream(spark, str(dup_dir)))
+    q = st.run_to_memory(deduped, "dedup_events", mode="append")
+    q.awaitTermination(120)
+    n_unique = spark.read.parquet(event_dir).select("event_id").distinct().count()
+    got = spark.table("dedup_events")
+    assert got.count() == n_unique
+    assert got.select("event_id").distinct().count() == n_unique
+
+
+def test_stream_static_join_enriches(spark, event_dir):
+    users = spark.range(0, 5).select(
+        F.col("id").alias("user_id"), F.concat(F.lit("u"), "id").alias("user_name")
+    )
+    enriched = st.enrich_with_users(st.read_event_stream(spark, event_dir), users)
+    q = st.run_to_memory(enriched, "enriched_events", mode="append")
+    q.awaitTermination(120)
+    got = spark.table("enriched_events")
+    assert got.count() == spark.read.parquet(event_dir).count()
+    named = got.where(F.col("user_name").isNotNull()).select("user_id").distinct()
+    assert {r["user_id"] for r in named.collect()} <= set(range(5))
+    assert named.count() > 0
+
+
 def test_stateful_sessionization_matches_batch(spark, event_dir):
     """Sessions emitted by applyInPandasWithState must be exactly the
     batch sessions that are *event-time closed*: either followed by a

@@ -14,6 +14,7 @@ query only joins its bucket (shuffle on bucket key).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
@@ -84,30 +85,62 @@ def label_centroids(emb: DataFrame) -> DataFrame:
     )
 
 
-def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.35) -> DataFrame:
+NEARDUP_OUT = "id_a bigint, id_b bigint, cosine double"
+
+
+def cosine_neardup_pairs(
+    emb: DataFrame, threshold: float = 0.35, block_size: int = 1024
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a, b) with a < b and
     cosine(a, b) >= threshold. Exact scaled-integer arithmetic so the
     DuckDB oracle matches bit-for-bit.
 
-    Scale path: this brute-force form is the correctness baseline; at
-    corpus scale the same scoring runs after an LSH band prefilter
-    (see :func:`lsh_ann` buckets / dedup.minhash_lsh_pairs banding)
-    so only bucket-local pairs are scored, never the full n²."""
-    base = emb.select("vec_id", scaled("embedding").alias("sv")).withColumn(
-        "nrm", int_dot(F.col("sv"), F.col("sv"))
+    Execution: vectors are grouped into blocks of ``block_size``;
+    every block pair (i <= j) is scored with one numpy int64 matmul
+    inside ``applyInPandas`` (exact: |scaled dot| <= 64·2^52 < 2^63),
+    then cosine is derived by the same IEEE double ops as the oracle.
+    One shuffle on block-pair keys; each task is a dense GEMM — no
+    per-element Catalyst expression over the n² pair space.
+
+    Scale path: at corpus scale the same scorer runs after an LSH
+    band prefilter (see :func:`lsh_ann` / dedup.minhash_lsh_pairs) so
+    only bucket-local block pairs are scored, never the full n²."""
+    base = emb.select(
+        "vec_id",
+        scaled("embedding").alias("sv"),
+        F.floor(F.col("vec_id") / block_size).alias("blk"),
     )
-    a = base.select(
-        F.col("vec_id").alias("id_a"), F.col("sv").alias("va"), F.col("nrm").alias("na")
+    blocks = base.groupBy("blk").agg(
+        F.collect_list(F.struct("vec_id", "sv")).alias("vecs")
     )
-    b = base.select(
-        F.col("vec_id").alias("id_b"), F.col("sv").alias("vb"), F.col("nrm").alias("nb")
-    )
-    cos = cosine_from_ints(int_dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb"))
+    left = blocks.select(F.col("blk").alias("blk_a"), F.col("vecs").alias("vecs_a"))
+    right = blocks.select(F.col("blk").alias("blk_b"), F.col("vecs").alias("vecs_b"))
+    pairs = left.join(right, F.col("blk_a") <= F.col("blk_b"))
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_c = [], [], []
+        for _, row in pdf.iterrows():
+            ids_a = np.array([v["vec_id"] for v in row["vecs_a"]], dtype=np.int64)
+            ids_b = np.array([v["vec_id"] for v in row["vecs_b"]], dtype=np.int64)
+            A = np.array([v["sv"] for v in row["vecs_a"]], dtype=np.int64)
+            B = np.array([v["sv"] for v in row["vecs_b"]], dtype=np.int64)
+            dots = A @ B.T  # exact int64
+            na = (A * A).sum(axis=1)
+            nb = (B * B).sum(axis=1)
+            cos = dots.astype(np.float64) / (
+                np.sqrt(na.astype(np.float64))[:, None]
+                * np.sqrt(nb.astype(np.float64))[None, :]
+            )
+            cos = np.round(cos, 9)
+            ia, ib = np.nonzero((cos >= threshold) & (ids_a[:, None] < ids_b[None, :]))
+            out_a.extend(ids_a[ia].tolist())
+            out_b.extend(ids_b[ib].tolist())
+            out_c.extend(cos[ia, ib].tolist())
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
+
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cos, 9))
-        .where(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        pairs.groupBy("blk_a", "blk_b")
+        .applyInPandas(lambda _, pdf: score(pdf), NEARDUP_OUT)
         .orderBy("id_a", "id_b")
     )
 

@@ -71,6 +71,44 @@ def windowed_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def sliding_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding-window counts per event_type: each event lands in
+    window/slide overlapping windows; state is bounded by the
+    watermark."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on event_id: duplicates arriving within
+    the watermark horizon are dropped; state for ids older than the
+    watermark is evicted (bounded memory — the piece a naive
+    ``dropDuplicates`` lacks at scale)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def enrich_with_users(stream: DataFrame, users: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with a static
+    dimension (broadcast each micro-batch; no stream-side state)."""
+    return stream.join(F.broadcast(users), "user_id", "left")
+
+
 SESSION_OUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
