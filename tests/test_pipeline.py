@@ -124,3 +124,48 @@ def test_kill(spark):
     be.kill(p)
     out = be.run(spark, p)
     assert all(s in ("failed", "waiting") for s in out["statuses"].values())
+
+
+def test_status_store_journal_and_snapshot(spark, tmp_path):
+    from yuki_spark.pipeline.status import InvalidTransition, StatusStore
+
+    ss = StatusStore(str(tmp_path / "status.jsonl"))
+    p = build_pipe()
+    LocalBackend(status_store=ss).run(spark, p)
+    snap = ss.snapshot("demo")
+    assert snap == {
+        "orders": "finished",
+        "customer": "finished",
+        "joined": "finished",
+        "by_segment": "finished",
+    }
+    hist = ss.history("demo")
+    # every task journals running before finished
+    for task in snap:
+        states = [r["status"] for r in hist if r["task"] == task]
+        assert states == ["running", "finished"]
+
+    with pytest.raises(InvalidTransition):
+        ss.record("demo", "orders", "running", prev="finished")
+    with pytest.raises(ValueError):
+        ss.record("demo", "orders", "not_a_status")
+
+
+def test_status_store_failure_and_kill(spark, tmp_path):
+    from yuki_spark.pipeline.status import StatusStore
+
+    ss = StatusStore(str(tmp_path / "status.jsonl"))
+    p = Pipeline("failing")
+    p.source("orders", lambda s, _: s.read.parquet(f"{SF_SMOKE}/orders.parquet"))
+    p.add("boom", lambda s, d: d["orders"].select("missing_col"), deps=("orders",))
+    p.add("after", lambda s, d: d["boom"], deps=("boom",))
+    LocalBackend(status_store=ss).run(spark, p)
+    snap = ss.snapshot("failing")
+    assert snap["boom"] == "failed"
+    assert snap["after"] == "upstream_failed"
+    assert "missing_col" in ss.failures("failing")["boom"]
+
+    p2 = build_pipe()
+    be = LocalBackend(status_store=ss)
+    be.kill(p2)
+    assert all(v == "failed" for v in ss.snapshot("demo").values())

@@ -77,6 +77,42 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fp", F.md5(norm))
 
 
+def winnow_fingerprint(
+    df: DataFrame, text_col: str = "text", k: int = 3, w: int = 4
+) -> DataFrame:
+    """Winnowing fingerprint (Schleimer et al., SIGMOD'03): hash every
+    k-gram of tokens, slide a window of ``w`` hashes, keep each
+    window's minimum — a robust near-dup/plagiarism signature that
+    survives local edits.
+
+    All JVM-side column algebra: the "rolling hash" is md5 of the
+    joined k-gram (identical hex in DuckDB), minima are string minima.
+    Emits the distinct sorted fingerprint set + a compact digest."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # greatest(...,1) keeps sequence ascending and slice indices >= 1
+    # for short docs; the final WHEN discards those rows' values
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+    )
+    m = n - k + 1  # number of k-grams
+    windows = F.transform(
+        F.sequence(F.lit(1), F.greatest(m - w + 1, F.lit(1))),
+        lambda j: F.array_min(F.slice(grams, j, w)),
+    )
+    fp = F.array_sort(F.array_distinct(windows))
+    # sequence(1, x) counts DOWN when x < 1 — guard short docs
+    return df.select(
+        "doc_id",
+        F.when(n >= k + w - 1, fp).otherwise(F.array().cast("array<string>")).alias("fp"),
+    ).select(
+        "doc_id",
+        F.size("fp").cast("bigint").alias("n_fp"),
+        F.md5(F.array_join("fp", ",")).alias("fp_digest"),
+    )
+
+
 # ---- SQL twins (DuckDB) -------------------------------------------------
 
 SQL_TOKS = "regexp_split_to_array(trim(text), '\\s+')"

@@ -48,14 +48,26 @@ class DryRunBackend:
 class LocalBackend:
     """Executes the DAG; optionally persists/reuses impressions."""
 
-    def __init__(self, store: ImpressionStore | None = None, persist: set[str] | None = None):
+    def __init__(
+        self,
+        store: ImpressionStore | None = None,
+        persist: set[str] | None = None,
+        status_store=None,
+    ):
         self.store = store
         self.persist = persist or set()
+        self.status_store = status_store
         self._killed = False
+
+    def _journal(self, pipe: Pipeline, task: str, status: str, error: str | None = None):
+        if self.status_store is not None:
+            self.status_store.record(pipe.name, task, status, error=error)
 
     def kill(self, pipe: Pipeline) -> None:
         """Parity: ImpressionStorage.kill — mark unfinished work failed."""
         self._killed = True
+        if self.status_store is not None:
+            self.status_store.mark_killed(pipe)
         for t in pipe.tasks.values():
             if t.status in ("raw", "waiting", "running"):
                 t.status = "failed"
@@ -71,6 +83,7 @@ class LocalBackend:
             if t.status == "upstream_failed" or self._killed:
                 continue
             t.status = "running"
+            self._journal(pipe, name, "running")
             dep_ids = [imp_ids.get(d, f"{d}@{pipe.tasks[d].version}") for d in t.deps]
             imp = impression_id(t.name, t.version, dep_ids)
             imp_ids[name] = imp
@@ -82,6 +95,7 @@ class LocalBackend:
                 ):
                     results[name] = self.store.read(spark, imp)
                     t.status = "reused"
+                    self._journal(pipe, name, "reused")
                     t.result = results[name]
                     continue
                 inputs = {d: results[d] for d in t.deps}
@@ -98,11 +112,14 @@ class LocalBackend:
                 results[name] = df
                 t.result = df
                 t.status = "finished"
+                self._journal(pipe, name, "finished")
             except Exception as e:  # noqa: BLE001 — mirror Yuki's broad failure marking
                 t.status = "failed"
                 t.error = str(e)
+                self._journal(pipe, name, "failed", error=t.error)
                 for d in pipe.downstream(name):
                     pipe.tasks[d].status = "upstream_failed"
+                    self._journal(pipe, d, "upstream_failed")
         return {
             "statuses": pipe.statuses(),
             "impressions": imp_ids,

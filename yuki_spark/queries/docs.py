@@ -83,6 +83,11 @@ def d8_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(docs).select("doc_id", "fp").orderBy("doc_id")
 
 
+def d10_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return text.winnow_fingerprint(docs, k=3, w=4).orderBy("doc_id")
+
+
 def m1_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < FP_CAP)
     return multimodal.extract_features(multimodal.synth_media(docs)).orderBy("doc_id")
@@ -97,6 +102,7 @@ QUERIES = {
     "d6_quality_score": d6_quality_score,
     "d7_token_stats": d7_token_stats,
     "d8_fingerprint": d8_fingerprint,
+    "d10_winnow_fingerprint": d10_winnow_fingerprint,
     "m1_multimodal_meta": m1_multimodal_meta,
 }
 
@@ -105,6 +111,30 @@ _T = text.SQL_TOKS
 _HITS = {l: text.sql_hits(l) for l in ("en", "fr", "de", "es")}
 
 ORACLE = {
+    "d10_winnow_fingerprint": f"""
+        WITH t AS (
+          SELECT doc_id, {_T} AS toks, CAST(len({_T}) AS BIGINT) AS n
+          FROM documents),
+        g AS (
+          SELECT doc_id, n,
+                 list_transform(range(1, greatest(n - 3 + 1, 1) + 1),
+                                i -> md5(array_to_string(toks[i:i+2], ' '))) AS grams
+          FROM t),
+        wmin AS (
+          SELECT doc_id, n,
+                 list_transform(range(1, greatest(len(grams) - 4 + 1, 1) + 1),
+                                j -> list_aggregate(grams[j:j+3], 'min')) AS wins
+          FROM g),
+        fp AS (
+          SELECT doc_id,
+                 CASE WHEN n >= 3 + 4 - 1
+                      THEN list_sort(list_distinct(wins))
+                      ELSE [] END AS fps
+          FROM wmin)
+        SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+               md5(array_to_string(fps, ',')) AS fp_digest
+        FROM fp ORDER BY doc_id
+    """,
     "d1_exact_dedup": """
         SELECT source, COUNT(*) AS n_docs,
                COUNT(DISTINCT md5(text)) AS n_unique,
