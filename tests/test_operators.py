@@ -120,3 +120,71 @@ def test_multimodal_roundtrip(spark, docs):
     assert feats[1]["checksum"] == feats[3]["checksum"]  # same text → same payload
     assert feats[1]["checksum"] != feats[2]["checksum"]
     assert 64 <= feats[1]["width"] <= 1024 + 64 and 64 <= feats[1]["height"] <= 1024 + 64
+
+
+def test_dedup_clusters_match_union_find(spark, docs):
+    """Components from min-label propagation must equal a driver-side
+    union-find over the same pairs (plus a chain forcing >1 round)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup.dedup_clusters(pairs).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)]:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    assert got == want
+    assert got[4] == 1 and got[22] == 20 and got[11] == 10
+
+
+def test_merge_upsert(spark):
+    from yuki_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id long, name string, v double"
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 21.0), (4, "d", 40.0)], "id long, name string, v double"
+    )
+    got = {r["id"]: (r["name"], r["v"]) for r in merge_upsert(target, updates, ["id"]).collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 21.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+    with pytest.raises(ValueError):
+        merge_upsert(target, updates, [])
+
+
+def test_merge_scd2_versions_history(spark):
+    from datetime import datetime
+
+    from yuki_spark.operators.merge import merge_scd2
+
+    t = lambda d: datetime(2024, 1, d)
+    current = spark.createDataFrame(
+        [(1, "x", t(1), None, True), (2, "y", t(1), None, True)],
+        "id long, attr string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [(1, "x2", t(5)), (3, "z", t(6))], "id long, attr string, valid_from timestamp"
+    )
+    out = merge_scd2(current, updates, ["id"], "valid_from").collect()
+    rows = {(r["id"], r["attr"]): r for r in out}
+    assert len(out) == 4
+    old = rows[(1, "x")]
+    assert old["is_current"] is False and old["valid_to"] == t(5)
+    new = rows[(1, "x2")]
+    assert new["is_current"] is True and new["valid_to"] is None
+    untouched = rows[(2, "y")]
+    assert untouched["is_current"] is True and untouched["valid_to"] is None
+    assert rows[(3, "z")]["is_current"] is True

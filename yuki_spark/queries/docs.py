@@ -88,6 +88,14 @@ def d10_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.winnow_fingerprint(docs, k=3, w=4).orderBy("doc_id")
 
 
+def d11_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: Jaccard pairs -> connected components ->
+    canonical representative per cluster (rows-only: iterative)."""
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < PAIR_CAP)
+    pairs = dedup.jaccard_pairs(docs, threshold=0.8)
+    return dedup.dedup_clusters(pairs).orderBy("doc_id")
+
+
 def m1_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < FP_CAP)
     return multimodal.extract_features(multimodal.synth_media(docs)).orderBy("doc_id")
@@ -103,6 +111,7 @@ QUERIES = {
     "d7_token_stats": d7_token_stats,
     "d8_fingerprint": d8_fingerprint,
     "d10_winnow_fingerprint": d10_winnow_fingerprint,
+    "d11_dedup_clusters": d11_dedup_clusters,
     "m1_multimodal_meta": m1_multimodal_meta,
 }
 

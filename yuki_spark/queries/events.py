@@ -130,8 +130,41 @@ def distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e6_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of event value per type (the
+    correctness twin of the percentile_approx/sketch scale path)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.9)").alias("p90"),
+            F.expr("percentile(value, 0.99)").alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def e7_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch path: percentile_approx (KLL-style) — at 100 TB the
+    exact sort-based percentile is replaced by this mergeable sketch;
+    rows-only check (approximate by construction)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", 0.5, 10000).alias("p50"),
+            F.percentile_approx("value", 0.99, 10000).alias("p99"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "e1_event_counts": e1_event_counts,
+    "e6_value_percentiles": e6_value_percentiles,
+    "e7_value_percentiles_approx": e7_value_percentiles_approx,
     "e2_sessionization": e2_sessionization,
     "e3_hourly_rollup": e3_hourly_rollup,
     "e4_user_asof_value": e4_user_asof_value,
@@ -140,6 +173,13 @@ QUERIES = {
 }
 
 ORACLE = {
+    "e6_value_percentiles": """
+        SELECT event_type,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.9) AS p90,
+               quantile_cont(value, 0.99) AS p99
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
     "e1_event_counts": """
         SELECT event_type, COUNT(*) AS n_events,
                COUNT(DISTINCT user_id) AS n_users,
