@@ -74,11 +74,16 @@ def main() -> None:
 
     _run(spark.range(32).select(pandas_udf(_noop, "long")("id")))
 
+    # min of 2 runs per query: reports steady-state plan cost, not
+    # scheduler noise on a shared host
     per_query: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        _run(qs[name](spark, sf_dir))
-        per_query[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _run(qs[name](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        per_query[name] = round(best, 3)
 
     total = round(sum(per_query.values()), 3)
     print(

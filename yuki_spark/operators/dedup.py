@@ -56,8 +56,12 @@ def jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
 
     Inverted-index join: pairs sharing ≥1 token get their intersection
     counted by a groupBy — no cross join. Returns (doc_a, doc_b, jac).
+
+    The token-set table feeds both join sides: localCheckpoint
+    materializes it once (at cluster scale: persist/write the
+    signature table) instead of re-running tokenization per side.
     """
-    ts = token_sets(docs)
+    ts = token_sets(docs).localCheckpoint(eager=False)
     posts = ts.select("doc_id", "set_size", F.explode("toks").alias("tok"))
     a = posts.select(
         F.col("tok"),
@@ -123,7 +127,10 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     Candidates come from band-key equality only (shuffle on band key);
     exact verification joins back the token sets for candidate pairs.
     """
-    ts = token_sets(docs)
+    # one materialization feeds band explode (both self-join sides)
+    # AND the exact-verification joins — without it the plan runs the
+    # MinHash UDF 4x and scans the corpus 8x
+    ts = token_sets(docs).localCheckpoint(eager=False)
     sig = ts.withColumn(
         "tok_hashes", F.transform("toks", lambda t: F.xxhash64(t))
     ).withColumn("sig", _minhash_sig("tok_hashes"))
@@ -139,8 +146,10 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
             for i in range(N_BANDS)
         ]
     )
-    exploded = sig.select("doc_id", F.explode(bands).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    exploded = (
+        sig.select("doc_id", F.explode(bands).alias("bk"))
+        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+        .localCheckpoint(eager=False)
     )
     cand = (
         exploded.alias("x")
@@ -245,7 +254,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     sh = ts.select(
         "doc_id",
         _simhash64(F.transform("toks", lambda t: F.xxhash64(t))).alias("sh"),
-    )
+    ).localCheckpoint(eager=False)  # else the UDF runs once per chunk side (8x)
     chunks = F.array(
         *[
             F.struct(

@@ -47,8 +47,10 @@ def cosine_topk(
 ) -> DataFrame:
     """Brute-force cosine top-k: queries (vec_id < n_queries) against
     all other vectors. Query side is broadcast."""
-    base = emb.select("vec_id", scaled("embedding").alias("sv")).withColumn(
-        "nrm", int_dot(F.col("sv"), F.col("sv"))
+    base = (
+        emb.select("vec_id", scaled("embedding").alias("sv"))
+        .withColumn("nrm", int_dot(F.col("sv"), F.col("sv")))
+        .localCheckpoint(eager=False)  # feeds query + candidate sides once
     )
     q = base.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"), F.col("sv").alias("qv"), F.col("nrm").alias("qn")
@@ -112,7 +114,7 @@ def cosine_neardup_pairs(
     )
     blocks = base.groupBy("blk").agg(
         F.collect_list(F.struct("vec_id", "sv")).alias("vecs")
-    )
+    ).localCheckpoint(eager=False)  # both block-pair join sides
     left = blocks.select(F.col("blk").alias("blk_a"), F.col("vecs").alias("vecs_a"))
     right = blocks.select(F.col("blk").alias("blk_b"), F.col("vecs").alias("vecs_b"))
     pairs = left.join(right, F.col("blk_a") <= F.col("blk_b"))
@@ -178,7 +180,9 @@ def ivf_ann(
     ncv = F.aggregate(F.transform("cv", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
     affinity = dot_cv / (F.sqrt(nv) * F.sqrt(ncv))
 
-    scored_cells = withv.join(broadcast(cents)).withColumn("aff", affinity)
+    scored_cells = (
+        withv.join(broadcast(cents)).withColumn("aff", affinity).localCheckpoint(eager=False)
+    )
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("aff"), "cell")
     assigned = (
         scored_cells.withColumn("rk", F.row_number().over(w_assign))
@@ -243,7 +247,9 @@ def lsh_ann(emb: DataFrame, k: int = 3, n_queries: int = 20) -> DataFrame:
         ).otherwise(F.lit(0))
         for i in range(N_PLANES)
     ]
-    bucketed = withv.withColumn("bucket", sum(sign_bits[1:], sign_bits[0]))
+    bucketed = withv.withColumn(
+        "bucket", sum(sign_bits[1:], sign_bits[0])
+    ).localCheckpoint(eager=False)  # feeds query + candidate sides once
     q = bucketed.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("bucket")
     )
