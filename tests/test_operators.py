@@ -188,3 +188,80 @@ def test_merge_scd2_versions_history(spark):
     untouched = rows[(2, "y")]
     assert untouched["is_current"] is True and untouched["valid_to"] is None
     assert rows[(3, "z")]["is_current"] is True
+
+
+def test_asof_join_matches_merge_asof(spark):
+    import pandas as pd
+
+    from yuki_spark.operators.joins import asof_join
+
+    rng = np.random.RandomState(3)
+    trades = pd.DataFrame(
+        {
+            "g": rng.randint(0, 3, 40),
+            "t": pd.to_datetime(rng.randint(0, 10_000, 40), unit="s"),
+        }
+    ).sort_values("t").reset_index(drop=True)
+    quotes = pd.DataFrame(
+        {
+            "g": rng.randint(0, 3, 25),
+            "t": pd.to_datetime(rng.randint(0, 10_000, 25), unit="s"),
+            "px": rng.uniform(1, 2, 25).round(4),
+        }
+    ).sort_values("t").reset_index(drop=True)
+    left = spark.createDataFrame(trades.assign(row=range(len(trades))))
+    right = spark.createDataFrame(quotes)
+
+    got = asof_join(left, right, on="t", by="g", value_cols=["px"], strict=True)
+    got_map = {r["row"]: r["asof_px"] for r in got.collect()}
+
+    want = pd.merge_asof(
+        trades.assign(row=range(len(trades))).sort_values("t"),
+        quotes.sort_values("t"),
+        on="t",
+        by="g",
+        allow_exact_matches=False,  # strict <
+    )
+    for _, r in want.iterrows():
+        g = got_map[r["row"]]
+        if pd.isna(r["px"]):
+            assert g is None, r
+        else:
+            assert g == pytest.approx(r["px"]), r
+
+
+def test_salted_join_equals_plain_join(spark):
+    from yuki_spark.operators.joins import salted_join
+
+    skewed = spark.range(0, 2000).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("payload")
+    )
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "k long, name string")
+    got = salted_join(skewed, small, "k", n_salts=8, tiebreak="payload")
+    plain = skewed.join(small, "k")
+    assert got.count() == plain.count() == 2000
+    assert got.exceptAll(plain).count() == 0
+    # salts actually spread the hot key across partitions
+    spread = (
+        skewed.withColumn("s", F.pmod(F.xxhash64("payload"), F.lit(8)))
+        .where("k = 0").select("s").distinct().count()
+    )
+    assert spread == 8
+
+
+def test_range_join_exactness(spark):
+    from yuki_spark.operators.joins import range_join
+
+    points = spark.createDataFrame(
+        [(i, float(i)) for i in range(0, 100)], "pid long, x double"
+    ).select("pid", F.timestamp_seconds("x").alias("t"))
+    intervals = spark.createDataFrame(
+        [(1, 10.0, 20.0), (2, 15.0, 15.0), (3, 95.0, 200.0)], "iid long, s double, e double"
+    ).select(
+        "iid", F.timestamp_seconds("s").alias("ts_s"), F.timestamp_seconds("e").alias("ts_e")
+    )
+    got = range_join(points, intervals, "t", "ts_s", "ts_e", bucket_sec=7)
+    counts = {r["iid"]: 0 for r in intervals.collect()}
+    for r in got.collect():
+        counts[r["iid"]] += 1
+    assert counts == {1: 11, 2: 1, 3: 5}  # inclusive bounds, clipped at 99

@@ -130,6 +130,31 @@ def distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e8_error_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: each 'error' event opens a 10-minute window; count
+    and sum all events landing in it (bucketized interval join — see
+    operators/joins.range_join)."""
+    from ..operators.joins import range_join
+
+    ev = load(spark, sf_dir, "events")
+    windows = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("w_end"),
+    )
+    joined = range_join(
+        ev.select("ts", "value"), windows, "ts", "w_start", "w_end", bucket_sec=600
+    )
+    return (
+        joined.groupBy("err_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("window_value"),
+        )
+        .orderBy("err_id")
+    )
+
+
 def e6_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of event value per type (the
     correctness twin of the percentile_approx/sketch scale path)."""
@@ -164,6 +189,7 @@ def e7_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "e1_event_counts": e1_event_counts,
     "e6_value_percentiles": e6_value_percentiles,
+    "e8_error_window_stats": e8_error_window_stats,
     "e7_value_percentiles_approx": e7_value_percentiles_approx,
     "e2_sessionization": e2_sessionization,
     "e3_hourly_rollup": e3_hourly_rollup,
@@ -173,6 +199,16 @@ QUERIES = {
 }
 
 ORACLE = {
+    "e8_error_window_stats": """
+        WITH w AS (
+          SELECT event_id AS err_id, ts AS w_start,
+                 ts + INTERVAL 10 MINUTE AS w_end
+          FROM events WHERE event_type = 'error')
+        SELECT err_id, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS window_value
+        FROM w JOIN events p ON p.ts >= w.w_start AND p.ts <= w.w_end
+        GROUP BY err_id ORDER BY err_id
+    """,
     "e6_value_percentiles": """
         SELECT event_type,
                quantile_cont(value, 0.5) AS p50,
