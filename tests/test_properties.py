@@ -1,0 +1,106 @@
+"""Property-based tests (hypothesis): operator semantics must hold on
+arbitrary inputs, not just the fixtures. Example counts are small —
+every example is a full Spark job."""
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as hst
+from pyspark.sql import functions as F
+
+from yuki_spark.operators import dedup
+from yuki_spark.operators.joins import asof_join
+from yuki_spark.operators.merge import merge_upsert
+
+_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@given(
+    left_ts=hst.lists(hst.integers(0, 500), min_size=1, max_size=20),
+    right_ts=hst.lists(hst.integers(0, 500), min_size=1, max_size=20),
+)
+@_SETTINGS
+def test_asof_join_matches_pandas(spark, left_ts, right_ts):
+    trades = pd.DataFrame(
+        {"g": [0] * len(left_ts), "t": pd.to_datetime(sorted(left_ts), unit="s")}
+    ).assign(row=range(len(left_ts)))
+    quotes = pd.DataFrame(
+        {
+            "g": [0] * len(right_ts),
+            "t": pd.to_datetime(sorted(right_ts), unit="s"),
+            "px": [float(i) for i in range(len(right_ts))],
+        }
+    )
+    # pandas merge_asof keeps the LAST row among equal timestamps; our
+    # window does the same via last() — dedupe ts to avoid ambiguity
+    quotes = quotes.drop_duplicates("t", keep="last")
+    got = asof_join(
+        spark.createDataFrame(trades),
+        spark.createDataFrame(quotes),
+        on="t",
+        by="g",
+        value_cols=["px"],
+        strict=True,
+    )
+    got_map = {r["row"]: r["asof_px"] for r in got.collect()}
+    want = pd.merge_asof(
+        trades.sort_values("t"), quotes.sort_values("t"), on="t", by="g",
+        allow_exact_matches=False,
+    )
+    for _, r in want.iterrows():
+        if pd.isna(r["px"]):
+            assert got_map[r["row"]] is None
+        else:
+            assert got_map[r["row"]] == r["px"]
+
+
+@given(
+    docs=hst.lists(
+        hst.text(alphabet="ab ", min_size=0, max_size=30), min_size=2, max_size=8
+    )
+)
+@_SETTINGS
+def test_jaccard_pairs_match_bruteforce(spark, docs):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jac"]
+        for r in dedup.jaccard_pairs(df, threshold=0.0).collect()
+    }
+    sets = [set(t.split()) for t in docs]
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if inter == 0:
+                assert (a, b) not in got  # no shared token → no candidate
+            else:
+                assert got[(a, b)] == pytest.approx(inter / union)
+
+
+@given(
+    target_keys=hst.lists(hst.integers(0, 20), min_size=0, max_size=15, unique=True),
+    update_keys=hst.lists(hst.integers(0, 20), min_size=0, max_size=15, unique=True),
+)
+@_SETTINGS
+def test_merge_upsert_properties(spark, target_keys, update_keys):
+    if not target_keys and not update_keys:
+        return
+    target = spark.createDataFrame(
+        [(k, "old") for k in target_keys] or [], "id long, src string"
+    )
+    updates = spark.createDataFrame(
+        [(k, "new") for k in update_keys] or [], "id long, src string"
+    )
+    got = {r["id"]: r["src"] for r in merge_upsert(target, updates, ["id"]).collect()}
+    assert set(got) == set(target_keys) | set(update_keys)
+    for k in update_keys:
+        assert got[k] == "new"  # updates win
+    for k in set(target_keys) - set(update_keys):
+        assert got[k] == "old"  # untouched rows pass through

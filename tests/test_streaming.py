@@ -152,3 +152,44 @@ def test_stateful_sessionization_matches_batch(spark, event_dir):
     )
     closed_set = {tuple(r) for r in closed.collect()}
     assert emitted_set == closed_set
+
+
+def test_parquet_sink_with_checkpoint_resumes(spark, event_dir, tmp_path):
+    """Write windowed counts to parquet with a checkpoint; re-running
+    the same query over the same source must be a no-op (offsets
+    committed), and new files must flow through on resume."""
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    sdf = st.windowed_counts(st.read_event_stream(spark, event_dir))
+    q = st.run_to_parquet(sdf, out, ckpt, mode="append")
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+    assert n1 > 0
+
+    # restart with no new data: nothing is re-emitted
+    q2 = st.run_to_parquet(
+        st.windowed_counts(st.read_event_stream(spark, event_dir)), out, ckpt
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n1
+
+
+def test_foreachbatch_upsert_snapshot(spark, event_dir, tmp_path):
+    """Stream upserts into a parquet snapshot keyed by event_id: the
+    final snapshot holds exactly the distinct events."""
+    snap = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ckpt2")
+    q = st.run_upsert_snapshot(
+        st.read_event_stream(spark, event_dir), snap, ckpt, keys=["event_id"]
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(snap)
+    src = spark.read.parquet(event_dir)
+    assert got.count() == src.count()
+    assert got.select("event_id").distinct().count() == src.count()
+    # restart with no new data: snapshot unchanged
+    q2 = st.run_upsert_snapshot(
+        st.read_event_stream(spark, event_dir), snap, ckpt, keys=["event_id"]
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(snap).count() == src.count()

@@ -46,8 +46,11 @@ def exact_dup_stats(docs: DataFrame) -> DataFrame:
 
 
 def token_sets(docs: DataFrame) -> DataFrame:
+    # array_remove drops the [''] artifact of splitting an empty/blank
+    # text — else two empty docs would score Jaccard 1.0
     return docs.select(
-        "doc_id", F.array_distinct(tokens("text")).alias("toks")
+        "doc_id",
+        F.array_remove(F.array_distinct(tokens("text")), "").alias("toks"),
     ).withColumn("set_size", F.size("toks").cast("bigint"))
 
 

@@ -48,11 +48,15 @@ def asof_join(
         if c not in rt.columns:
             rt = rt.withColumn(c, F.lit(None).cast(lt.schema[c].dataType))
     u = lt.select(*sorted(cols)).unionByName(rt.select(*sorted(cols)))
-    # right rows sort before left rows at the same timestamp iff <=
-    order = [F.col(on)] + ([F.col("__side")] if not strict else [])
+    # strict (<): same-ts right rows must sort AFTER left rows so the
+    # preceding-frame excludes them; non-strict (<=): before, and the
+    # frame extends to the current row (self is null-valued, ignored).
+    # Ties among right rows at identical `on` are arbitrary — dedupe
+    # the right side on (by, on) if that matters.
+    side_order = F.col("__side").desc() if strict else F.col("__side").asc()
     w = (
         Window.partitionBy(by)
-        .orderBy(*order, F.col("__side"))
+        .orderBy(F.col(on), side_order)
         .rowsBetween(Window.unboundedPreceding, -1 if strict else 0)
     )
     out = u

@@ -152,8 +152,9 @@ ORACLE = {
     """,
     "d2_ngram_jaccard_dups": f"""
         WITH d AS (
-          SELECT doc_id, list_distinct({_T}) AS toks,
-                 CAST(len(list_distinct({_T})) AS BIGINT) AS set_size
+          SELECT doc_id,
+                 list_filter(list_distinct({_T}), t -> t <> '') AS toks,
+                 CAST(len(list_filter(list_distinct({_T}), t -> t <> '')) AS BIGINT) AS set_size
           FROM documents WHERE doc_id < {PAIR_CAP})
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)

@@ -206,3 +206,51 @@ def run_to_memory(sdf: DataFrame, name: str, mode: str = "update"):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_to_parquet(sdf: DataFrame, path: str, checkpoint: str, mode: str = "append"):
+    """Durable parquet sink with a checkpoint directory: restarts
+    resume from the last committed offsets (source replay + sink
+    commit log = end-to-end exactly-once for file sinks)."""
+    return (
+        sdf.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_upsert_snapshot(
+    sdf: DataFrame, snapshot_path: str, checkpoint: str, keys: list[str]
+):
+    """Stream → MERGE INTO a parquet snapshot via foreachBatch.
+
+    Each micro-batch upserts into the snapshot (last-writer-wins on
+    ``keys``) with operators.merge.merge_upsert; the checkpoint makes
+    the batch ids stable so a re-delivered batch overwrites with the
+    same result (idempotent sink — the exactly-once recipe when the
+    sink itself has no transaction log)."""
+    from ..operators.merge import merge_upsert
+
+    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            target = spark.read.parquet(snapshot_path)
+            merged = merge_upsert(target, batch_df, keys)
+        except Exception:  # first batch: snapshot doesn't exist yet
+            merged = batch_df
+        # rewrite through a staging df: collect to driver is avoided,
+        # localCheckpoint materializes before the overwrite clobbers
+        # the files being read
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            snapshot_path
+        )
+
+    return (
+        sdf.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
