@@ -155,6 +155,25 @@ def e8_error_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e9_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the JSON `props` column
+    (from_json with explicit schema — scans stay columnar; no
+    per-row Python) and aggregate the extracted field."""
+    ev = load(spark, sf_dir, "events")
+    k = F.from_json("props", "k bigint")["k"]
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def e6_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of event value per type (the
     correctness twin of the percentile_approx/sketch scale path)."""
@@ -190,6 +209,7 @@ QUERIES = {
     "e1_event_counts": e1_event_counts,
     "e6_value_percentiles": e6_value_percentiles,
     "e8_error_window_stats": e8_error_window_stats,
+    "e9_json_props_stats": e9_json_props_stats,
     "e7_value_percentiles_approx": e7_value_percentiles_approx,
     "e2_sessionization": e2_sessionization,
     "e3_hourly_rollup": e3_hourly_rollup,
@@ -199,6 +219,14 @@ QUERIES = {
 }
 
 ORACLE = {
+    "e9_json_props_stats": """
+        SELECT event_type,
+               COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
+               SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+               MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
+               MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
     "e8_error_window_stats": """
         WITH w AS (
           SELECT event_id AS err_id, ts AS w_start,

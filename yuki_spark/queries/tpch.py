@@ -613,8 +613,21 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over returnflag x linestatus (all 4 levels
+    of subtotals in one pass — partial aggregation handles the
+    expansion map-side)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(dsum(_rev(), "revenue"), F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "cube_revenue": cube_revenue,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q8_market_share": q8_market_share,
     "q11_important_stock": q11_important_stock,
@@ -647,6 +660,13 @@ QUERIES = {
 
 
 ORACLE = {
+    "cube_revenue": f"""
+        SELECT l_returnflag, l_linestatus, {sql_dsum(_REV, 'revenue')},
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag, l_linestatus
+    """,
     "q2_min_cost_supplier": """
         WITH supply AS (
           SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS supplycost
