@@ -265,3 +265,19 @@ def test_range_join_exactness(spark):
     for r in got.collect():
         counts[r["iid"]] += 1
     assert counts == {1: 11, 2: 1, 3: 5}  # inclusive bounds, clipped at 99
+
+
+def test_resize_and_frame_sample_shapes(spark, docs):
+    media = multimodal.synth_media(docs.where("doc_id <= 3")).select("doc_id", "media")
+    resized = multimodal.resize(media, 64, 64)
+    rows = resized.collect()
+    assert all(len(bytes(r["media"])) == 64 * 64 for r in rows)
+    assert all(r["width"] == 64 and r["height"] == 64 for r in rows)
+
+    frames = multimodal.frame_sample(resized, n_frames=4, frame_bytes=64).collect()
+    assert len(frames) == 3 * 4  # 1 -> N fan-out
+    per_doc = {}
+    for r in frames:
+        per_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+        assert len(bytes(r["frame"])) <= 64
+    assert all(sorted(v) == [0, 1, 2, 3] for v in per_doc.values())

@@ -1,0 +1,96 @@
+"""Scale stress: blow the sf0.1 tables up K× (key-shifted copies) into
+a temp catalog and time headline operators — the local proxy for "does
+the plan survive a scale-up", catching super-linear cliffs that sf0.1
+can't show.
+
+Usage: python tools/stress.py [K] [out_dir]
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+KEYED = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+COPY = ["region", "nation", "supplier", "part"]  # dims stay dim-sized
+SHIFT = 10_000_000
+
+
+def build(spark, k: int, out: str) -> None:
+    from pyspark.sql import functions as F
+
+    from yuki_spark.catalog import load
+
+    os.makedirs(out, exist_ok=True)
+    for t in COPY:
+        shutil.copy(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
+    for t, keys in KEYED.items():
+        df = load(spark, SRC, t)
+        parts = []
+        for i in range(k):
+            p = df
+            for key in keys:
+                p = p.withColumn(key, F.col(key) + F.lit(i * SHIFT))
+            parts.append(p)
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        u.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/stress_sf{k}x"
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+
+    import __spark_entry__ as entry
+    from yuki_spark.session import get_spark
+
+    spark = get_spark("stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.exists(f"{out}/lineitem.parquet"):
+        t0 = time.perf_counter()
+        build(spark, k, out)
+        print(f"built {k}x catalog in {time.perf_counter()-t0:.1f}s -> {out}", file=sys.stderr)
+
+    qs = entry.queries()
+    names = [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier",
+        "q9_product_profit",
+        "q18_large_orders",
+        "q21_waiting_suppliers",
+        "w1_top_customers_per_nation",
+        "e2_sessionization",
+        "e4_user_asof_value",
+        "d1_exact_dedup",
+        "d3_minhash_lsh_dups",
+        "d6_quality_score",
+        "d9_embedding_neardup",
+        "s1_cosine_topk",
+        "e8_error_window_stats",
+    ]
+    qs["q1_pricing_summary"](spark, out).write.mode("overwrite").format("noop").save()
+    timings = {}
+    for n in names:
+        t0 = time.perf_counter()
+        qs[n](spark, out).write.mode("overwrite").format("noop").save()
+        timings[n] = round(time.perf_counter() - t0, 2)
+    print(json.dumps({"k": k, "queries": timings, "total": round(sum(timings.values()), 2)}))
+
+
+if __name__ == "__main__":
+    main()

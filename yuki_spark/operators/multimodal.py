@@ -81,3 +81,70 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media", BinaryType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+    ]
+)
+
+
+def resize(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Resize plumbing: batch-shape/schema are real; the pixel resample
+    is a deterministic fake (truncate/tile payload bytes to the target
+    area) — swap ``_fake_resample`` for PIL/torchvision on a cluster
+    with codecs installed."""
+
+    def _fake_resample(payload: bytes, area: int) -> bytes:
+        if not payload:
+            return b"\x00" * area
+        reps = area // len(payload) + 1
+        return (payload * reps)[:area]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        area = target_w * target_h
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "media": [_fake_resample(bytes(b), area) for b in pdf["media"]],
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    return media.mapInPandas(run, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def frame_sample(media: DataFrame, n_frames: int = 4, frame_bytes: int = 64) -> DataFrame:
+    """Video-style frame sampling: one input row fans out to
+    ``n_frames`` rows (the 1→N batch shape a real decoder produces).
+    Frames are evenly-spaced byte slices of the payload — a stand-in
+    for keyframe extraction; the row-explosion plumbing is real."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["media"]):
+                payload = bytes(b)
+                for i in range(n_frames):
+                    off = (len(payload) * i) // max(n_frames, 1)
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    frames.append(payload[off : off + frame_bytes])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media.mapInPandas(run, FRAME_SCHEMA)

@@ -101,6 +101,23 @@ def m1_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(multimodal.synth_media(docs)).orderBy("doc_id")
 
 
+def m2_resize_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal chain: synth media -> resize -> frame-sample; checks
+    the 1->N fan-out shape and per-frame sizes (rows-only)."""
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < FP_CAP)
+    media = multimodal.synth_media(docs)
+    resized = multimodal.resize(media.select("doc_id", "media"), 64, 64)
+    frames = multimodal.frame_sample(resized, n_frames=4, frame_bytes=64)
+    return (
+        frames.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum(F.length("frame")).alias("total_frame_bytes"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "d1_exact_dedup": d1_exact_dedup,
     "d2_ngram_jaccard_dups": d2_ngram_jaccard_dups,
@@ -113,6 +130,7 @@ QUERIES = {
     "d10_winnow_fingerprint": d10_winnow_fingerprint,
     "d11_dedup_clusters": d11_dedup_clusters,
     "m1_multimodal_meta": m1_multimodal_meta,
+    "m2_resize_framesample": m2_resize_framesample,
 }
 
 _T = text.SQL_TOKS

@@ -625,8 +625,27 @@ def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql1_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-API surface: same Catalyst plan as the DataFrame path,
+    entered through spark.sql over registered views (catalog
+    register_all) — the engine supports both front-ends."""
+    from ..catalog import register_all
+    from ..functions import sql_dsum
+
+    register_all(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT n_name, {sql_dsum(_REV, 'revenue')}, COUNT(*) AS n_lines
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """)
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "sql1_revenue_by_nation": sql1_revenue_by_nation,
     "cube_revenue": cube_revenue,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q8_market_share": q8_market_share,
@@ -660,6 +679,14 @@ QUERIES = {
 
 
 ORACLE = {
+    "sql1_revenue_by_nation": f"""
+        SELECT n_name, {sql_dsum(_REV, 'revenue')}, COUNT(*) AS n_lines
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
     "cube_revenue": f"""
         SELECT l_returnflag, l_linestatus, {sql_dsum(_REV, 'revenue')},
                COUNT(*) AS n_rows
