@@ -41,6 +41,9 @@ HEADLINE = [
     "d6_quality_score",
     "d7_token_stats",
     "d9_embedding_neardup",
+    "d10_winnow_fingerprint",
+    "e8_error_window_stats",
+    "e9_json_props_stats",
     "s1_cosine_topk",
 ]
 

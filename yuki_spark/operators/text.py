@@ -87,29 +87,38 @@ def winnow_fingerprint(
 
     All JVM-side column algebra: the "rolling hash" is md5 of the
     joined k-gram (identical hex in DuckDB), minima are string minima.
-    Emits the distinct sorted fingerprint set + a compact digest."""
-    toks = tokens(text_col)
-    n = F.size(toks)
-    # greatest(...,1) keeps sequence ascending and slice indices >= 1
-    # for short docs; the final WHEN discards those rows' values
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+    Emits the distinct sorted fingerprint set + a compact digest.
+
+    Formulated as window functions over posexploded tokens (gram =
+    md5 of tok + k-1 leads; window minimum over the next w grams):
+    one shuffle on doc_id, O(tokens) work per doc. The tempting
+    nested-``transform`` array formulation re-evaluates the captured
+    gram array per lambda element — O(tokens²) per doc — because
+    Catalyst doesn't hoist expressions out of higher-order lambdas."""
+    from pyspark.sql.window import Window
+
+    t = df.select("doc_id", F.posexplode(tokens(text_col)).alias("pos", "tok"))
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    gram_parts = ["tok"] + [F.lead("tok", i).over(w_ord) for i in range(1, k)]
+    g = (
+        t.withColumn("n", F.count("pos").over(Window.partitionBy("doc_id")))
+        .withColumn("gram", F.md5(F.concat_ws(" ", *gram_parts)))
+        .where(F.col("pos") <= F.col("n") - k)  # valid grams only
     )
-    m = n - k + 1  # number of k-grams
-    windows = F.transform(
-        F.sequence(F.lit(1), F.greatest(m - w + 1, F.lit(1))),
-        lambda j: F.array_min(F.slice(grams, j, w)),
+    h = (
+        g.withColumn("wmin", F.min("gram").over(w_ord.rowsBetween(0, w - 1)))
+        .where(F.col("pos") <= F.col("n") - k - w + 1)  # full windows only
     )
-    fp = F.array_sort(F.array_distinct(windows))
-    # sequence(1, x) counts DOWN when x < 1 — guard short docs
-    return df.select(
-        "doc_id",
-        F.when(n >= k + w - 1, fp).otherwise(F.array().cast("array<string>")).alias("fp"),
-    ).select(
-        "doc_id",
-        F.size("fp").cast("bigint").alias("n_fp"),
-        F.md5(F.array_join("fp", ",")).alias("fp_digest"),
+    fps = h.groupBy("doc_id").agg(F.array_sort(F.collect_set("wmin")).alias("fp"))
+    # docs shorter than k+w-1 tokens have no full window → empty set
+    return (
+        df.select("doc_id")
+        .join(fps, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.size("fp"), F.lit(0)).cast("bigint").alias("n_fp"),
+            F.md5(F.coalesce(F.array_join("fp", ","), F.lit(""))).alias("fp_digest"),
+        )
     )
 
 

@@ -4,6 +4,12 @@ Local testing runs on ``local[N]``; the same configuration is what we
 would ship to a 1000-executor cluster: AQE on (with skew-join
 handling), Arrow enabled for the few Pandas-UDF operators, and a
 shuffle-partition count that AQE coalesces at runtime.
+
+Relied-upon Spark 4.x defaults (verified on): runtime bloom-filter
+join pruning (`spark.sql.optimizer.runtime.bloomFilter.enabled`) —
+semi-join reduction of fact scans behind selective dim filters — and
+dynamic partition pruning for partitioned layouts written by
+io.sinks.
 """
 from __future__ import annotations
 
