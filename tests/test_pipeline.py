@@ -169,3 +169,42 @@ def test_status_store_failure_and_kill(spark, tmp_path):
     be = LocalBackend(status_store=ss)
     be.kill(p2)
     assert all(v == "failed" for v in ss.snapshot("demo").values())
+
+
+def test_external_cross_pipeline_dependency(spark, tmp_path):
+    """Pipeline B consumes pipeline A's deposited impression; running
+    B before A has deposited fails cleanly, after deposit it works."""
+    store = ImpressionStore(str(tmp_path / "imps"))
+
+    # upstream pipeline A deposits an aggregate
+    pa = Pipeline("upstream")
+    pa.source("orders", lambda s, _: s.read.parquet(f"{SF_SMOKE}/orders.parquet"))
+    pa.add(
+        "by_status",
+        lambda s, d: d["orders"].groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")),
+        deps=("orders",),
+    )
+    out_a = LocalBackend(store, persist={"by_status"}).run(spark, pa)
+    imp = out_a["impressions"]["by_status"]
+
+    # downstream pipeline B waits on A's impression
+    def build_b(imp_id):
+        pb = Pipeline("downstream")
+        pb.external("upstream_stats", store, imp_id)
+        pb.add(
+            "doubled",
+            lambda s, d: d["upstream_stats"].withColumn("n2", F.col("n") * 2),
+            deps=("upstream_stats",),
+        )
+        return pb
+
+    pb = build_b(imp)
+    out_b = LocalBackend().run(spark, pb)
+    assert out_b["statuses"] == {"upstream_stats": "finished", "doubled": "finished"}
+    assert out_b["results"]["doubled"].where("n2 != n * 2").count() == 0
+
+    # not-yet-deposited upstream -> clean failure + downstream marked
+    pb_missing = build_b("deadbeef" * 4)
+    out_m = LocalBackend().run(spark, pb_missing)
+    assert out_m["statuses"]["upstream_stats"] == "failed"
+    assert out_m["statuses"]["doubled"] == "upstream_failed"

@@ -80,8 +80,10 @@ def main() -> None:
         "d3_minhash_lsh_dups",
         "d6_quality_score",
         "d9_embedding_neardup",
+        "d10_winnow_fingerprint",
         "s1_cosine_topk",
         "e8_error_window_stats",
+        "e9_json_props_stats",
     ]
     qs["q1_pricing_summary"](spark, out).write.mode("overwrite").format("noop").save()
     timings = {}

@@ -80,6 +80,22 @@ class Pipeline:
     def source(self, name: str, fn, version: str = "1") -> Task:
         return self.add(name, fn, deps=(), is_input=True, version=version)
 
+    def external(self, name: str, store, imp_id: str) -> Task:
+        """Cross-pipeline dependency (parity: VWorkflow waiting on an
+        upstream workflow's deposited impressions —
+        /root/reference/Yuki/kernel/VWorkflow.py ``run`` wait loop).
+
+        The task resolves another pipeline's deposited impression at
+        execution time; if the upstream hasn't deposited yet it fails
+        (and downstream becomes ``upstream_failed``) — the batch
+        analogue of Yuki's wait-then-proceed. Version is pinned to the
+        impression id so reuse hashes stay content-addressed."""
+
+        def fn(spark, _deps):
+            return store.read(spark, imp_id)
+
+        return self.add(name, fn, deps=(), is_input=True, version=f"ext:{imp_id}")
+
     def topo_order(self) -> list[str]:
         """Kahn's algorithm; raises CycleError on cycles, KeyError on
         missing deps."""
