@@ -77,6 +77,23 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fp", F.md5(norm))
 
 
+# GPT-2-style pretokenizer shape: leading-space word chunks, number
+# runs, punctuation runs — the regex pass a BPE tokenizer applies
+# before merges, so counts approximate BPE token counts well.
+BPE_ISH_RE = r"( ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s)"
+
+
+def subword_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-ish subword token counting (JVM regexp_extract_all — no
+    Python): pretokenizer chunks stand in for real BPE merges, giving
+    the length signal an LLM-data pipeline budgets by."""
+    pieces = F.expr(f"regexp_extract_all({text_col}, '{BPE_ISH_RE}', 1)")
+    return df.withColumn("subword_toks", pieces).withColumn(
+        "n_subwords",
+        F.size(F.filter(F.col("subword_toks"), lambda t: F.trim(t) != "")).cast("bigint"),
+    )
+
+
 def winnow_fingerprint(
     df: DataFrame, text_col: str = "text", k: int = 3, w: int = 4
 ) -> DataFrame:

@@ -78,6 +78,22 @@ def d7_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d12_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword token counts per source (whitespace counts in
+    d7 are the cheap path; this is the budget-accurate one)."""
+    docs = load(spark, sf_dir, "documents")
+    t = text.subword_tokens(docs)
+    return (
+        t.groupBy("source")
+        .agg(
+            F.sum("n_subwords").alias("total_subwords"),
+            F.max("n_subwords").alias("max_subwords"),
+            (F.sum("n_subwords").cast("double") / F.count(F.lit(1))).alias("avg_subwords"),
+        )
+        .orderBy("source")
+    )
+
+
 def d8_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < FP_CAP)
     return text.fingerprint(docs).select("doc_id", "fp").orderBy("doc_id")
@@ -127,6 +143,7 @@ QUERIES = {
     "d6_quality_score": d6_quality_score,
     "d7_token_stats": d7_token_stats,
     "d8_fingerprint": d8_fingerprint,
+    "d12_subword_stats": d12_subword_stats,
     "d10_winnow_fingerprint": d10_winnow_fingerprint,
     "d11_dedup_clusters": d11_dedup_clusters,
     "m1_multimodal_meta": m1_multimodal_meta,
@@ -161,6 +178,18 @@ ORACLE = {
         SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
                md5(array_to_string(fps, ',')) AS fp_digest
         FROM fp ORDER BY doc_id
+    """,
+    "d12_subword_stats": r"""
+        WITH t AS (
+          SELECT source,
+                 CAST(len(list_filter(
+                   regexp_extract_all(text, '( ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s)', 1),
+                   p -> trim(p) <> '')) AS BIGINT) AS n_subwords
+          FROM documents)
+        SELECT source, SUM(n_subwords) AS total_subwords,
+               MAX(n_subwords) AS max_subwords,
+               CAST(SUM(n_subwords) AS DOUBLE) / COUNT(*) AS avg_subwords
+        FROM t GROUP BY source ORDER BY source
     """,
     "d1_exact_dedup": """
         SELECT source, COUNT(*) AS n_docs,
