@@ -37,6 +37,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pushes filters into the parquet reader downstream."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which a default
+        # session refuses to read — the engine must work with ANY
+        # caller-provided SparkSession, so set the (runtime-settable)
+        # escape hatch here, not only in our session factory
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanosAsLong=true surfaces the TIMESTAMP(NANOS) column as raw
