@@ -281,3 +281,34 @@ def test_resize_and_frame_sample_shapes(spark, docs):
         per_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
         assert len(bytes(r["frame"])) <= 64
     assert all(sorted(v) == [0, 1, 2, 3] for v in per_doc.values())
+
+
+def test_sampling_stable_and_disjoint(spark):
+    from yuki_spark.operators import sampling
+
+    df = spark.range(0, 10_000).select(F.col("id").alias("doc_id"))
+    s1 = {r["doc_id"] for r in sampling.hash_sample(df, "doc_id", 0.2).collect()}
+    s2 = {r["doc_id"] for r in sampling.hash_sample(df, "doc_id", 0.2).collect()}
+    assert s1 == s2  # stable across runs
+    assert 0.15 < len(s1) / 10_000 < 0.25  # near the asked fraction
+
+    train, ev = sampling.split_train_eval(df, "doc_id", 0.1)
+    t = {r["doc_id"] for r in train.collect()}
+    e = {r["doc_id"] for r in ev.collect()}
+    assert t.isdisjoint(e) and len(t) + len(e) == 10_000
+    # growing the sample keeps earlier members (nested by construction)
+    s_small = {r["doc_id"] for r in sampling.hash_sample(df, "doc_id", 0.1).collect()}
+    assert s_small <= s1
+
+
+def test_stratified_sample_counts(spark, docs):
+    from yuki_spark.operators import sampling
+
+    got = sampling.stratified_sample(docs, "lang", "doc_id", 2).collect()
+    per = {}
+    for r in got:
+        per.setdefault(r["lang"], 0)
+        per[r["lang"]] += 1
+    n_docs = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, n in per.items():
+        assert n == min(2, n_docs[lang])

@@ -1,0 +1,62 @@
+"""Reproducible sampling for training-data pipelines.
+
+Random sampling (``df.sample``) is not stable across runs, partition
+layouts, or engines — a training pipeline needs the SAME split every
+time anywhere. These operators hash a key column with a Knuth
+multiplicative hash (pure 64-bit arithmetic, bit-identical in any
+engine — no dependence on Spark's xxhash or DuckDB's hash), so
+membership is a pure function of the key:
+
+- ``hash_sample``: keep rows whose hash bucket falls under the
+  fraction (stable Bernoulli-style sample).
+- ``split_train_eval``: disjoint stable train/eval split.
+- ``stratified_sample``: exactly n rows per stratum, chosen by hash
+  order (deterministic reservoir equivalent; one shuffle on strata).
+
+Scale: hash_sample is a pure map (filter pushes into the scan);
+stratified is one window shuffle on the strata key.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+KNUTH = 2654435761  # 2^32 / golden ratio, Knuth multiplicative hashing
+MOD = 1 << 32
+
+
+def bucket(key: Column | str) -> Column:
+    """Deterministic hash bucket in [0, 2^32): (key * KNUTH) mod 2^32."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.pmod(c.cast("bigint") * F.lit(KNUTH), F.lit(MOD))
+
+
+def sql_bucket(key: str) -> str:
+    """DuckDB twin of :func:`bucket` (identical integer arithmetic)."""
+    return f"((CAST({key} AS BIGINT) * {KNUTH}) % {MOD} + {MOD}) % {MOD}"
+
+
+def hash_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
+    """Stable sample: keeps rows with bucket < fraction * 2^32."""
+    return df.where(bucket(key) < int(fraction * MOD))
+
+
+def split_train_eval(df: DataFrame, key: str, eval_fraction: float):
+    """Disjoint, stable (train, eval) split on the hashed key."""
+    cut = int(eval_fraction * MOD)
+    b = bucket(key)
+    return df.where(b >= cut), df.where(b < cut)
+
+
+def stratified_sample(
+    df: DataFrame, strata: str, key: str, n_per_stratum: int
+) -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum, selected by hash
+    order — a deterministic reservoir sample per group."""
+    w = Window.partitionBy(strata).orderBy(bucket(key), F.col(key))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= n_per_stratum)
+        .drop("__rk")
+    )

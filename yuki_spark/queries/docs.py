@@ -112,6 +112,32 @@ def d11_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_clusters(pairs).orderBy("doc_id")
 
 
+def d13_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 10% sample of documents, summarized per source —
+    identical membership in any engine (operators/sampling.py)."""
+    from ..operators.sampling import hash_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        hash_sample(docs, "doc_id", 0.1)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"), F.sum("doc_id").alias("id_sum"))
+        .orderBy("source")
+    )
+
+
+def d14_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-per-language stratified sample."""
+    from ..operators.sampling import stratified_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        stratified_sample(docs, "lang", "doc_id", 5)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
+
+
 def m1_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < FP_CAP)
     return multimodal.extract_features(multimodal.synth_media(docs)).orderBy("doc_id")
@@ -144,6 +170,8 @@ QUERIES = {
     "d7_token_stats": d7_token_stats,
     "d8_fingerprint": d8_fingerprint,
     "d12_subword_stats": d12_subword_stats,
+    "d13_hash_sample": d13_hash_sample,
+    "d14_stratified_sample": d14_stratified_sample,
     "d10_winnow_fingerprint": d10_winnow_fingerprint,
     "d11_dedup_clusters": d11_dedup_clusters,
     "m1_multimodal_meta": m1_multimodal_meta,
@@ -178,6 +206,21 @@ ORACLE = {
         SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
                md5(array_to_string(fps, ',')) AS fp_digest
         FROM fp ORDER BY doc_id
+    """,
+    "d13_hash_sample": """
+        SELECT source, COUNT(*) AS n_sampled, SUM(doc_id) AS id_sum
+        FROM documents
+        WHERE ((CAST(doc_id AS BIGINT) * 2654435761) % 4294967296 + 4294967296) % 4294967296 < 429496729
+        GROUP BY source ORDER BY source
+    """,
+    "d14_stratified_sample": """
+        SELECT lang, doc_id FROM (
+          SELECT lang, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY ((CAST(doc_id AS BIGINT) * 2654435761) % 4294967296 + 4294967296) % 4294967296,
+                            doc_id) AS rk
+          FROM documents)
+        WHERE rk <= 5 ORDER BY lang, doc_id
     """,
     "d12_subword_stats": r"""
         WITH t AS (
