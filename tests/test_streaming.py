@@ -193,3 +193,27 @@ def test_foreachbatch_upsert_snapshot(spark, event_dir, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(snap).count() == src.count()
+
+
+def test_native_session_window_matches_custom_batch(spark, event_dir):
+    """Spark's built-in session_window (streaming) must produce the
+    same sessions as the lag/cumsum batch formulation, modulo the
+    session_end convention (built-in end = last_event + gap)."""
+    sdf = st.session_window_stats(st.read_event_stream(spark, event_dir))
+    q = st.run_to_memory(sdf, "native_sessions", mode="complete")
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in spark.table("native_sessions").collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in _batch_sessions(spark, event_dir).collect()
+    }
+    assert got == want
+    # batch mode of the same operator agrees too
+    batch_native = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in st.session_window_stats(spark.read.parquet(event_dir)).collect()
+    }
+    assert batch_native == want

@@ -109,6 +109,25 @@ def enrich_with_users(stream: DataFrame, users: DataFrame) -> DataFrame:
     return stream.join(F.broadcast(users), "user_id", "left")
 
 
+def session_window_stats(stream: DataFrame, watermark: str = "0 seconds") -> DataFrame:
+    """Built-in session windows: Spark's native gap-merging aggregate
+    (``F.session_window``) — the managed-state counterpart to the
+    custom ``applyInPandasWithState`` sessionizer below. Works on both
+    batch and streaming inputs with identical semantics."""
+    gap = f"{SESSION_GAP_SEC} seconds"
+    src = stream.withWatermark("ts", watermark) if stream.isStreaming else stream
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 SESSION_OUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
