@@ -138,6 +138,14 @@ def d14_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d15_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of the documents table (nulls, cardinality,
+    ranges) — the ingest-guard every pipeline runs first."""
+    from ..operators.profile import profile
+
+    return profile(load(spark, sf_dir, "documents"))
+
+
 def m1_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < FP_CAP)
     return multimodal.extract_features(multimodal.synth_media(docs)).orderBy("doc_id")
@@ -172,6 +180,7 @@ QUERIES = {
     "d12_subword_stats": d12_subword_stats,
     "d13_hash_sample": d13_hash_sample,
     "d14_stratified_sample": d14_stratified_sample,
+    "d15_profile": d15_profile,
     "d10_winnow_fingerprint": d10_winnow_fingerprint,
     "d11_dedup_clusters": d11_dedup_clusters,
     "m1_multimodal_meta": m1_multimodal_meta,
@@ -221,6 +230,29 @@ ORACLE = {
                             doc_id) AS rk
           FROM documents)
         WHERE rk <= 5 ORDER BY lang, doc_id
+    """,
+    "d15_profile": """
+        WITH n AS (SELECT COUNT(*) AS n_rows FROM documents),
+        per AS (
+          SELECT 'doc_id' AS "column", COUNT(doc_id) AS n_non_null,
+                 COUNT(DISTINCT doc_id) AS n_distinct,
+                 CAST(MIN(doc_id) AS VARCHAR) AS min_repr, CAST(MAX(doc_id) AS VARCHAR) AS max_repr
+          FROM documents
+          UNION ALL
+          SELECT 'text', COUNT(text), COUNT(DISTINCT text),
+                 CAST(MIN(text) AS VARCHAR), CAST(MAX(text) AS VARCHAR) FROM documents
+          UNION ALL
+          SELECT 'lang', COUNT(lang), COUNT(DISTINCT lang),
+                 CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR) FROM documents
+          UNION ALL
+          SELECT 'source', COUNT(source), COUNT(DISTINCT source),
+                 CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR) FROM documents
+          UNION ALL
+          SELECT 'n_chars', COUNT(n_chars), COUNT(DISTINCT n_chars),
+                 CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR) FROM documents)
+        SELECT "column", n_rows, n_rows - n_non_null AS n_nulls,
+               n_distinct, min_repr, max_repr
+        FROM per, n ORDER BY "column"
     """,
     "d12_subword_stats": r"""
         WITH t AS (

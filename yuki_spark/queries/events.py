@@ -174,6 +174,24 @@ def e9_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e10_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bound histogram of event values per type — a pure map +
+    one agg; the bucket arithmetic (floor(v/50)) is written with the
+    identical double ops in both engines."""
+    ev = load(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < 0.0, F.lit(0))
+        .when(F.col("value") >= 500.0, F.lit(11))
+        .otherwise(F.floor(F.col("value") / F.lit(50.0)) + 1)
+    ).cast("bigint")
+    return (
+        ev.withColumn("bucket", bucket)
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "bucket")
+    )
+
+
 def e6_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of event value per type (the
     correctness twin of the percentile_approx/sketch scale path)."""
@@ -210,6 +228,7 @@ QUERIES = {
     "e6_value_percentiles": e6_value_percentiles,
     "e8_error_window_stats": e8_error_window_stats,
     "e9_json_props_stats": e9_json_props_stats,
+    "e10_value_histogram": e10_value_histogram,
     "e7_value_percentiles_approx": e7_value_percentiles_approx,
     "e2_sessionization": e2_sessionization,
     "e3_hourly_rollup": e3_hourly_rollup,
@@ -219,6 +238,14 @@ QUERIES = {
 }
 
 ORACLE = {
+    "e10_value_histogram": """
+        SELECT event_type,
+               CAST(CASE WHEN value < 0.0 THEN 0
+                         WHEN value >= 500.0 THEN 11
+                         ELSE floor(value / 50.0) + 1 END AS BIGINT) AS bucket,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type, bucket ORDER BY event_type, bucket
+    """,
     "e9_json_props_stats": """
         SELECT event_type,
                COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
