@@ -312,3 +312,35 @@ def test_stratified_sample_counts(spark, docs):
     n_docs = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
     for lang, n in per.items():
         assert n == min(2, n_docs[lang])
+
+
+def test_incremental_agg_equals_full_recompute(spark):
+    """Maintaining state over three arriving chunks must equal the
+    one-shot aggregate over all rows."""
+    from yuki_spark.operators import incremental as inc
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    spec = {
+        "revenue": ("sum", "l_extendedprice"),
+        "n_lines": ("count", "l_extendedprice"),
+        "max_qty": ("max", "l_quantity"),
+        "avg_disc": ("avg", "l_discount"),
+    }
+    keys = ["l_returnflag"]
+
+    chunks = [
+        li.where("l_orderkey % 3 = 0"),
+        li.where("l_orderkey % 3 = 1"),
+        li.where("l_orderkey % 3 = 2"),
+    ]
+    state = None
+    for ch in chunks:
+        state = inc.merge_states(state, inc.compute_state(ch, keys, spec), keys, spec)
+        state = state.localCheckpoint()  # simulate persisted state table
+    got = {tuple(r) for r in inc.finalize(state, keys, spec).collect()}
+
+    want = {
+        tuple(r)
+        for r in inc.finalize(inc.compute_state(li, keys, spec), keys, spec).collect()
+    }
+    assert got == want  # exact: decimal state makes merge order irrelevant
