@@ -208,3 +208,27 @@ def test_external_cross_pipeline_dependency(spark, tmp_path):
     out_m = LocalBackend().run(spark, pb_missing)
     assert out_m["statuses"]["upstream_stats"] == "failed"
     assert out_m["statuses"]["doubled"] == "upstream_failed"
+
+
+def test_retries_recover_transient_failures(spark):
+    attempts = {"n": 0}
+
+    def flaky(s, d):
+        attempts["n"] += 1
+        if attempts["n"] < 3:
+            raise RuntimeError("transient")
+        return d["orders"].limit(5)
+
+    p = Pipeline("flaky")
+    p.source("orders", lambda s, _: s.read.parquet(f"{SF_SMOKE}/orders.parquet"))
+    p.add("maybe", flaky, deps=("orders",))
+    out = LocalBackend(max_retries=2).run(spark, p)
+    assert out["statuses"]["maybe"] == "finished"
+    assert attempts["n"] == 3
+
+    attempts["n"] = -10  # needs 13 attempts; only 3 allowed -> fails
+    p2 = Pipeline("flaky")
+    p2.source("orders", lambda s, _: s.read.parquet(f"{SF_SMOKE}/orders.parquet"))
+    p2.add("maybe", flaky, deps=("orders",))
+    out2 = LocalBackend(max_retries=2).run(spark, p2)
+    assert out2["statuses"]["maybe"] == "failed"

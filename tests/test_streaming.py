@@ -217,3 +217,33 @@ def test_native_session_window_matches_custom_batch(spark, event_dir):
         for r in st.session_window_stats(spark.read.parquet(event_dir)).collect()
     }
     assert batch_native == want
+
+
+def test_stream_stream_attribution_matches_batch(spark, event_dir):
+    """Watermarked stream-stream purchase←view attribution must equal
+    the batch interval join on the same rows."""
+    ev = st.read_event_stream(spark, event_dir)
+    q = st.run_to_memory(st.attribute_purchases(ev), "attrib", mode="append")
+    q.awaitTermination(180)
+    got = {
+        (r["event_id"], r["view_id"]) for r in spark.table("attrib").collect()
+    }
+
+    b = spark.read.parquet(event_dir)
+    v = b.where("event_type = 'view'").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = b.where("event_type = 'purchase'").select(
+        "user_id", F.col("ts").alias("purchase_ts"), "event_id"
+    )
+    want = {
+        (r["event_id"], r["view_id"])
+        for r in p.join(
+            v,
+            (F.col("v_user") == F.col("user_id"))
+            & (F.col("view_ts") <= F.col("purchase_ts"))
+            & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert got == want and len(want) > 0

@@ -53,10 +53,12 @@ class LocalBackend:
         store: ImpressionStore | None = None,
         persist: set[str] | None = None,
         status_store=None,
+        max_retries: int = 0,
     ):
         self.store = store
         self.persist = persist or set()
         self.status_store = status_store
+        self.max_retries = max_retries
         self._killed = False
 
     def _journal(self, pipe: Pipeline, task: str, status: str, error: str | None = None):
@@ -87,39 +89,47 @@ class LocalBackend:
             dep_ids = [imp_ids.get(d, f"{d}@{pipe.tasks[d].version}") for d in t.deps]
             imp = impression_id(t.name, t.version, dep_ids)
             imp_ids[name] = imp
-            try:
-                if (
-                    self.store is not None
-                    and name in self.persist
-                    and self.store.exists(imp)
-                ):
-                    results[name] = self.store.read(spark, imp)
-                    t.status = "reused"
-                    self._journal(pipe, name, "reused")
-                    t.result = results[name]
-                    continue
-                inputs = {d: results[d] for d in t.deps}
-                df = t.fn(spark, inputs)
-                if self.store is not None and name in self.persist:
-                    self.store.write(
-                        imp,
-                        df,
-                        meta={"task": name, "pipeline": pipe.name, "deps": dep_ids},
-                    )
-                    df = self.store.read(spark, imp)
-                else:
-                    df.count()  # execute for status fidelity
-                results[name] = df
-                t.result = df
-                t.status = "finished"
-                self._journal(pipe, name, "finished")
-            except Exception as e:  # noqa: BLE001 — mirror Yuki's broad failure marking
-                t.status = "failed"
-                t.error = str(e)
-                self._journal(pipe, name, "failed", error=t.error)
-                for d in pipe.downstream(name):
-                    pipe.tasks[d].status = "upstream_failed"
-                    self._journal(pipe, d, "upstream_failed")
+            # transient-failure tolerance: a long pipeline shouldn't
+            # die to one flaky task attempt (Yuki reruns failed jobs
+            # on resubmit; here attempts are in-process)
+            for attempt in range(self.max_retries + 1):
+                try:
+                    if (
+                        self.store is not None
+                        and name in self.persist
+                        and self.store.exists(imp)
+                    ):
+                        results[name] = self.store.read(spark, imp)
+                        t.status = "reused"
+                        self._journal(pipe, name, "reused")
+                        t.result = results[name]
+                        break
+                    inputs = {d: results[d] for d in t.deps}
+                    df = t.fn(spark, inputs)
+                    if self.store is not None and name in self.persist:
+                        self.store.write(
+                            imp,
+                            df,
+                            meta={"task": name, "pipeline": pipe.name, "deps": dep_ids},
+                        )
+                        df = self.store.read(spark, imp)
+                    else:
+                        df.count()  # execute for status fidelity
+                    results[name] = df
+                    t.result = df
+                    t.status = "finished"
+                    self._journal(pipe, name, "finished")
+                    break
+                except Exception as e:  # noqa: BLE001 — mirror Yuki's broad failure marking
+                    if attempt < self.max_retries:
+                        self._journal(pipe, name, "running", error=f"retry {attempt + 1}: {e}")
+                        continue
+                    t.status = "failed"
+                    t.error = str(e)
+                    self._journal(pipe, name, "failed", error=t.error)
+                    for d in pipe.downstream(name):
+                        pipe.tasks[d].status = "upstream_failed"
+                        self._journal(pipe, d, "upstream_failed")
         return {
             "statuses": pipe.statuses(),
             "impressions": imp_ids,

@@ -643,8 +643,29 @@ def sql1_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def setops_customer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operations: customers appearing in both
+    early and late order periods vs early-only."""
+    orders = load(spark, sf_dir, "orders")
+    early = orders.where(F.col("o_orderdate") < "1997-01-01").select("o_custkey")
+    late = orders.where(F.col("o_orderdate") >= "1997-01-01").select("o_custkey")
+    both = early.intersect(late).select(F.lit("both").alias("bucket"), "o_custkey")
+    # subtract == SQL EXCEPT (set semantics); exceptAll would leave
+    # multi-order customers behind (multiset difference)
+    only_early = early.subtract(late).select(
+        F.lit("early_only").alias("bucket"), "o_custkey"
+    )
+    return (
+        both.unionByName(only_early)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_customers"), F.sum("o_custkey").alias("key_sum"))
+        .orderBy("bucket")
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "setops_customer_activity": setops_customer_activity,
     "sql1_revenue_by_nation": sql1_revenue_by_nation,
     "cube_revenue": cube_revenue,
     "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -679,6 +700,20 @@ QUERIES = {
 
 
 ORACLE = {
+    "setops_customer_activity": """
+        WITH early AS (
+          SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+        late AS (
+          SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'),
+        tagged AS (
+          SELECT 'both' AS bucket, o_custkey FROM
+            (SELECT o_custkey FROM early INTERSECT SELECT o_custkey FROM late)
+          UNION ALL
+          SELECT 'early_only', o_custkey FROM
+            (SELECT o_custkey FROM early EXCEPT SELECT o_custkey FROM late))
+        SELECT bucket, COUNT(*) AS n_customers, SUM(o_custkey) AS key_sum
+        FROM tagged GROUP BY bucket ORDER BY bucket
+    """,
     "sql1_revenue_by_nation": f"""
         SELECT n_name, {sql_dsum(_REV, 'revenue')}, COUNT(*) AS n_lines
         FROM lineitem

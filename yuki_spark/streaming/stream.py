@@ -109,6 +109,36 @@ def enrich_with_users(stream: DataFrame, users: DataFrame) -> DataFrame:
     return stream.join(F.broadcast(users), "user_id", "left")
 
 
+def attribute_purchases(
+    events: DataFrame, attribution_window: str = "1 hour", watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream join: attribute each purchase to same-user views
+    within the preceding attribution window. Both sides carry
+    watermarks and the join has a time-range predicate, so Spark
+    bounds the buffered state on each side (the required shape for a
+    stream-stream join to be runnable at all)."""
+    views = (
+        events.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("purchase_ts"), "event_id", "value")
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        views,
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {attribution_window}")),
+    ).select("user_id", "event_id", "purchase_ts", "value", "view_id", "view_ts")
+
+
 def session_window_stats(stream: DataFrame, watermark: str = "0 seconds") -> DataFrame:
     """Built-in session windows: Spark's native gap-merging aggregate
     (``F.session_window``) — the managed-state counterpart to the
