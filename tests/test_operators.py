@@ -344,3 +344,23 @@ def test_incremental_agg_equals_full_recompute(spark):
         for r in inc.finalize(inc.compute_state(li, keys, spec), keys, spec).collect()
     }
     assert got == want  # exact: decimal state makes merge order irrelevant
+
+
+def test_sketches_error_bounds(spark):
+    from yuki_spark.operators import sketches
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+
+    # HLL within its stated relative error on every group
+    approx = {r["event_type"]: r["approx_distinct"] for r in sketches.hll_distinct(ev, "event_type", "user_id", rsd=0.05).collect()}
+    exact = {r["event_type"]: r["n"] for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()}
+    for t, n in exact.items():
+        assert abs(approx[t] - n) <= max(3, 0.15 * n), (t, approx[t], n)
+
+    # Count-Min: upper-biased, within eps*N of truth
+    cmp = sketches.topk_exact_vs_sketch(ev, "event_type", k=5, eps=0.001).collect()
+    n_total = ev.count()
+    assert len(cmp) == 5
+    for r in cmp:
+        assert r["est_count"] >= r["true_count"]  # CM never undercounts
+        assert r["est_count"] - r["true_count"] <= 0.001 * n_total + 1

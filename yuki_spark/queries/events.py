@@ -192,6 +192,15 @@ def e10_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e12_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters: exact top-5 event types beside their
+    one-pass sketch estimates (rows-only: sketch-based)."""
+    from ..operators.sketches import topk_exact_vs_sketch
+
+    ev = load(spark, sf_dir, "events")
+    return topk_exact_vs_sketch(ev, "event_type", k=5, eps=0.001)
+
+
 def e6_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of event value per type (the
     correctness twin of the percentile_approx/sketch scale path)."""
@@ -229,6 +238,7 @@ QUERIES = {
     "e8_error_window_stats": e8_error_window_stats,
     "e9_json_props_stats": e9_json_props_stats,
     "e10_value_histogram": e10_value_histogram,
+    "e12_heavy_hitters": e12_heavy_hitters,
     "e7_value_percentiles_approx": e7_value_percentiles_approx,
     "e2_sessionization": e2_sessionization,
     "e3_hourly_rollup": e3_hourly_rollup,
