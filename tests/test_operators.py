@@ -364,3 +364,57 @@ def test_sketches_error_bounds(spark):
     for r in cmp:
         assert r["est_count"] >= r["true_count"]  # CM never undercounts
         assert r["est_count"] - r["true_count"] <= 0.001 * n_total + 1
+
+
+def test_repetition_features_known_values(spark):
+    rows = [
+        (1, "a b a b a", "en", "s"),   # bigrams: ab ba ab ba -> 2 distinct of 4
+        (2, "x y z", "en", "s"),        # bigrams: xy yz -> all distinct
+        (3, "w", "en", "s"),            # no bigram -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    got = {r["doc_id"]: r for r in text.repetition_features(df).collect()}
+    assert set(got) == {1, 2}
+    assert (got[1]["n_bigrams"], got[1]["n_distinct"], got[1]["max_ct"]) == (4, 2, 2)
+    assert got[1]["top_frac"] == pytest.approx(0.5)
+    assert (got[2]["n_bigrams"], got[2]["n_distinct"], got[2]["max_ct"]) == (2, 2, 1)
+
+
+def test_ngram_contamination_known_values(spark):
+    # doc 0 is the eval split (0 % 17 == 0); docs 1-2 are training.
+    rows = [
+        (0, "a b c d", "en", "s"),      # eval trigrams: {abc, bcd}
+        (1, "a b c x", "en", "s"),      # trigrams {abc, bcx}: 1/2 contaminated
+        (2, "p q r s", "en", "s"),      # {pqr, qrs}: 0/2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    got = {r["doc_id"]: r for r in text.ngram_contamination(df, n=3, eval_mod=17).collect()}
+    assert set(got) == {1, 2}  # eval doc excluded from the scored corpus
+    assert (got[1]["n_grams"], got[1]["n_hits"]) == (2, 1)
+    assert got[1]["contamination"] == pytest.approx(0.5)
+    assert (got[2]["n_grams"], got[2]["n_hits"]) == (2, 0)
+
+
+def test_quantize_error_bounds_and_exactness(spark):
+    # vectors whose max-abs element must quantize to exactly ±127 and
+    # whose error numerators stay below m/2 (round-half-away bound)
+    rows = [
+        (1, [0.5, -0.25, 0.125, 0.0], 0),
+        (2, [-1.0, 0.5, 0.333, 0.1], 0),
+        (3, [0.0, 0.0, 0.0, 0.0], 1),  # all-zero: m=0, excluded
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["label"]: r for r in similarity.quantize_error(df).collect()}
+    assert 1 not in out  # zero vector contributes nothing
+    r = out[0]
+    assert (r["n_vecs"], r["n_elems"]) == (2, 8)
+    # error numerator per element is < m/2 with m <= 2^20 -> sse bound
+    assert 0 <= r["sse_num"] < 8 * (2**19) ** 2
+    assert r["mse_num"] == pytest.approx(r["sse_num"] / 8)
+    # exact representable values: 0.5*2^20 etc. quantize with zero error
+    one = similarity.quantize_error(
+        df.where("vec_id = 1")
+    ).collect()[0]
+    # m = 0.5*2^20; q for 0.5 is 127, err = 127*m - 127*m = 0; for
+    # -0.25 -> q = -(127/2 rounded) = -64 -> err = -64m + 63.5m != 0
+    assert one["sse_num"] > 0

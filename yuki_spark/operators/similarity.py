@@ -273,3 +273,61 @@ def lsh_ann(emb: DataFrame, k: int = 3, n_queries: int = 20) -> DataFrame:
         .select("qid", "rk", "cid", "cosine")
         .orderBy("qid", "rk")
     )
+
+
+# ---- int8 quantization --------------------------------------------------
+
+Q_SCALE = 1 << 20  # 2^20: float32*2^20 is exact; keeps err² sums in int64
+
+
+def quantize_error(emb: DataFrame) -> DataFrame:
+    """Symmetric int8 quantization of embeddings with *exact* integer
+    error accounting (the compression step an ANN index / training
+    store applies before shipping vectors).
+
+    Per vector: xi = floor(x·2^20) (exact), m = max|xi|, and each
+    element quantizes to q = sign·((2·127·|xi| + m) div (2·m)) —
+    round-half-away in pure int64 arithmetic, so any engine reproduces
+    it bit-for-bit. The reconstruction error numerator q·m − 127·xi
+    (i.e. 127·m·(q/127 − xi/m)) is an exact int64; we report its sum
+    of squares per label plus the derived mean — one narrow shuffle
+    of 4 longs per vector, no floats until the final division.
+    """
+    x = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda v: F.floor(v.cast("double") * F.lit(float(Q_SCALE))).cast("long"),
+        ).alias("xi"),
+    )
+    withm = x.withColumn(
+        "m", F.greatest(F.array_max("xi"), -F.array_min("xi"))
+    ).where(F.col("m") > 0)
+    # m is a plain attribute by now — re-evaluating it inside the
+    # lambda is a constant-time ref, not an O(dim) recompute.
+    err = F.expr(
+        "transform(xi, v -> CASE WHEN v >= 0"
+        " THEN ((2*127*v + m) div (2*m))*m - 127*v"
+        " ELSE -(((2*127*(-v) + m) div (2*m))*m) - 127*v END)"
+    )
+    per_vec = withm.select(
+        "vec_id",
+        "label",
+        F.size("xi").cast("bigint").alias("n_elems"),
+        F.aggregate(
+            err, F.lit(0).cast("bigint"), lambda acc, e: acc + e * e
+        ).alias("sse_num"),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("n_elems").alias("n_elems"),
+            F.sum("sse_num").alias("sse_num"),
+        )
+        .withColumn(
+            "mse_num",
+            F.col("sse_num").cast("double") / F.col("n_elems").cast("double"),
+        )
+    )

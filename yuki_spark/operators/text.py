@@ -139,6 +139,93 @@ def winnow_fingerprint(
     )
 
 
+def _zip_ngrams(toks_col: str, n: int) -> Column:
+    """Build the array of token ``n``-grams from an array column.
+
+    Uses ``zip_with`` over shifted slices — the arrays sit in
+    *argument* position, so Catalyst evaluates each slice once per row
+    (capturing an array inside a lambda body would re-evaluate it per
+    element: O(tokens²); see winnow_fingerprint's note)."""
+    ln = f"greatest(size({toks_col}) - {n - 1}, 0)"
+    expr = f"slice({toks_col}, 1, {ln})"
+    for i in range(2, n + 1):
+        expr = (
+            f"zip_with({expr}, slice({toks_col}, {i}, {ln}), "
+            f"(a, b) -> concat(a, ' ', b))"
+        )
+    return F.expr(expr)
+
+
+def repetition_features(df: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality signals per document (Rae et
+    al. 2021 §A1.1, adapted to token bigrams — the synthetic docs have
+    no line structure): duplicate-bigram count and most-frequent-bigram
+    share, computed distributively (explode → two hash aggregations;
+    no per-doc n² array work, no Python).
+
+    Returns one row per doc with >=1 bigram: ``n_bigrams``,
+    ``n_distinct``, ``max_ct`` (all exact BIGINT) and ``top_frac``
+    (double from one exact int division — engine-portable)."""
+    bg = with_tokens(df).select(
+        "doc_id",
+        "source",
+        F.explode(_zip_ngrams("toks", 2)).alias("bigram"),
+    )
+    per_bigram = bg.groupBy("doc_id", "source", "bigram").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    return (
+        per_bigram.groupBy("doc_id", "source")
+        .agg(
+            F.sum("ct").alias("n_bigrams"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("ct").alias("max_ct"),
+        )
+        .withColumn(
+            "top_frac",
+            F.col("max_ct").cast("double") / F.col("n_bigrams").cast("double"),
+        )
+    )
+
+
+def ngram_contamination(
+    df: DataFrame, n: int = 3, eval_mod: int = 17
+) -> DataFrame:
+    """Benchmark-contamination scan: docs with ``doc_id % eval_mod
+    == 0`` form a held-out eval split; for every other (training) doc,
+    measure what fraction of its distinct token ``n``-grams appear in
+    the eval split's n-gram set (the standard pretraining
+    decontamination check, cf. GPT-3 appendix C).
+
+    Scale path: the eval n-gram set is orders smaller than the corpus
+    → deduplicate it and *broadcast* the membership join; the corpus
+    side stays a linear explode + one hash aggregation per doc."""
+    g = with_tokens(df).select(
+        "doc_id",
+        "lang",
+        F.explode(F.array_distinct(_zip_ngrams("toks", n))).alias("gram"),
+    )
+    bench = (
+        g.where(F.col("doc_id") % eval_mod == 0)
+        .select("gram")
+        .distinct()
+        .withColumn("hit", F.lit(1).cast("bigint"))
+    )
+    corpus = g.where(F.col("doc_id") % eval_mod != 0)
+    per_doc = (
+        corpus.join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+        )
+    )
+    return per_doc.withColumn(
+        "contamination",
+        F.col("n_hits").cast("double") / F.col("n_grams").cast("double"),
+    )
+
+
 # ---- SQL twins (DuckDB) -------------------------------------------------
 
 SQL_TOKS = "regexp_split_to_array(trim(text), '\\s+')"

@@ -146,6 +146,49 @@ def d15_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile(load(spark, sf_dir, "documents"))
 
 
+def d16_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals rolled up per source: duplicate
+    bigram share + worst single-bigram dominance (operators/text.py)."""
+    docs = load(spark, sf_dir, "documents")
+    per_doc = text.repetition_features(docs)
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").alias("total_bigrams"),
+            (
+                (F.sum("n_bigrams") - F.sum("n_distinct")).cast("double")
+                / F.sum("n_bigrams").cast("double")
+            ).alias("dup_frac"),
+            F.max("top_frac").alias("max_top_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+def d17_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination rollup per language: trigram overlap of
+    training docs against the held-out eval split (doc_id % 17 == 0)."""
+    docs = load(spark, sf_dir, "documents")
+    per_doc = text.ngram_contamination(docs, n=3, eval_mod=17)
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_grams").alias("total_grams"),
+            F.sum("n_hits").alias("total_hits"),
+            (F.sum("n_hits").cast("double") / F.sum("n_grams").cast("double")).alias(
+                "overall_rate"
+            ),
+            # flagged: contamination >= 0.5, tested in exact ints
+            F.sum(
+                F.when(F.col("n_hits") * 2 >= F.col("n_grams"), 1).otherwise(0)
+            ).cast("bigint").alias("n_flagged"),
+        )
+        .orderBy("lang")
+    )
+
+
 def m1_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < FP_CAP)
     return multimodal.extract_features(multimodal.synth_media(docs)).orderBy("doc_id")
@@ -183,6 +226,8 @@ QUERIES = {
     "d15_profile": d15_profile,
     "d10_winnow_fingerprint": d10_winnow_fingerprint,
     "d11_dedup_clusters": d11_dedup_clusters,
+    "d16_repetition": d16_repetition,
+    "d17_contamination": d17_contamination,
     "m1_multimodal_meta": m1_multimodal_meta,
     "m2_resize_framesample": m2_resize_framesample,
 }
@@ -265,6 +310,47 @@ ORACLE = {
                MAX(n_subwords) AS max_subwords,
                CAST(SUM(n_subwords) AS DOUBLE) / COUNT(*) AS avg_subwords
         FROM t GROUP BY source ORDER BY source
+    """,
+    "d16_repetition": f"""
+        WITH t AS (SELECT doc_id, source, {_T} AS toks FROM documents),
+        b AS (
+          SELECT doc_id, source,
+                 unnest(list_transform(range(1, greatest(len(toks), 1)),
+                        i -> toks[i] || ' ' || toks[i+1])) AS bigram
+          FROM t),
+        pb AS (SELECT doc_id, source, bigram, COUNT(*) AS ct
+               FROM b GROUP BY 1, 2, 3),
+        pd AS (SELECT doc_id, source, SUM(ct) AS n_bigrams,
+                      COUNT(*) AS n_distinct, MAX(ct) AS max_ct
+               FROM pb GROUP BY 1, 2)
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_bigrams) AS BIGINT) AS total_bigrams,
+               CAST(SUM(n_bigrams) - SUM(n_distinct) AS DOUBLE)
+                 / CAST(SUM(n_bigrams) AS DOUBLE) AS dup_frac,
+               MAX(CAST(max_ct AS DOUBLE) / CAST(n_bigrams AS DOUBLE)) AS max_top_frac
+        FROM pd GROUP BY source ORDER BY source
+    """,
+    "d17_contamination": f"""
+        WITH t AS (SELECT doc_id, lang, {_T} AS toks FROM documents),
+        g AS (
+          SELECT doc_id, lang,
+                 unnest(list_distinct(list_transform(
+                        range(1, greatest(len(toks) - 1, 1)),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+          FROM t),
+        bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0),
+        pd AS (
+          SELECT c.doc_id, c.lang, COUNT(*) AS n_grams,
+                 SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+          FROM (SELECT * FROM g WHERE doc_id % 17 <> 0) c
+          LEFT JOIN bench b USING (gram)
+          GROUP BY 1, 2)
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_grams) AS BIGINT) AS total_grams,
+               CAST(SUM(n_hits) AS BIGINT) AS total_hits,
+               CAST(SUM(n_hits) AS DOUBLE) / CAST(SUM(n_grams) AS DOUBLE) AS overall_rate,
+               CAST(SUM(CASE WHEN n_hits * 2 >= n_grams THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        FROM pd GROUP BY lang ORDER BY lang
     """,
     "d1_exact_dedup": """
         SELECT source, COUNT(*) AS n_docs,

@@ -40,11 +40,19 @@ def s4_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_ann(emb, k=K, n_queries=20, nprobe=3)
 
 
+def s5_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 quantization error per label, exact integer accounting
+    (operators/similarity.py::quantize_error)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.quantize_error(emb).orderBy("label")
+
+
 QUERIES = {
     "s1_cosine_topk": s1_cosine_topk,
     "s2_label_centroids": s2_label_centroids,
     "s3_lsh_ann": s3_lsh_ann,
     "s4_ivf_ann": s4_ivf_ann,
+    "s5_quantize_error": s5_quantize_error,
     "d9_embedding_neardup": d9_embedding_neardup,
 }
 
@@ -83,6 +91,33 @@ ORACLE = {
           FROM scored)
         WHERE rk <= {K}
         ORDER BY qid, rk
+    """,
+    "s5_quantize_error": """
+        WITH x AS (
+          SELECT vec_id, label,
+                 list_transform(embedding,
+                   v -> CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT)) AS xi
+          FROM embeddings),
+        mm AS (
+          SELECT vec_id, label, xi,
+                 greatest(list_aggregate(xi, 'max'),
+                          -list_aggregate(xi, 'min')) AS m
+          FROM x),
+        pv AS (
+          SELECT vec_id, label, CAST(len(xi) AS BIGINT) AS n_elems,
+                 CAST(list_aggregate(list_transform(xi, v ->
+                   CASE WHEN v >= 0
+                     THEN (((2*127*v + m) // (2*m))*m - 127*v)
+                        * (((2*127*v + m) // (2*m))*m - 127*v)
+                     ELSE (-(((2*127*(-v) + m) // (2*m))*m) - 127*v)
+                        * (-(((2*127*(-v) + m) // (2*m))*m) - 127*v) END),
+                 'sum') AS BIGINT) AS sse_num
+          FROM mm WHERE m > 0)
+        SELECT label, COUNT(*) AS n_vecs,
+               CAST(SUM(n_elems) AS BIGINT) AS n_elems,
+               CAST(SUM(sse_num) AS BIGINT) AS sse_num,
+               CAST(SUM(sse_num) AS DOUBLE) / CAST(SUM(n_elems) AS DOUBLE) AS mse_num
+        FROM pv GROUP BY label ORDER BY label
     """,
     "s2_label_centroids": f"""
         WITH ex AS (
