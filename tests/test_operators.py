@@ -418,3 +418,21 @@ def test_quantize_error_bounds_and_exactness(spark):
     # m = 0.5*2^20; q for 0.5 is 127, err = 127*m - 127*m = 0; for
     # -0.25 -> q = -(127/2 rounded) = -64 -> err = -64m + 63.5m != 0
     assert one["sse_num"] > 0
+
+
+def test_pii_scan_counts_and_redaction(spark):
+    rows = [
+        (1, "mail bob@example.com or call +1 (555) 123-4567 now", "en", "s"),
+        (2, "ssn 123-45-6789 from host 192.168.0.1", "en", "s"),
+        (3, "no pii here at all", "en", "s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    got = {r["doc_id"]: r for r in text.pii_scan(df).collect()}
+    assert (got[1]["n_email"], got[1]["n_phone"]) == (1, 1)
+    assert "<EMAIL>" in got[1]["redacted"] and "<PHONE>" in got[1]["redacted"]
+    assert "bob@" not in got[1]["redacted"]
+    # disjoint categories: the SSN is not also counted as a phone,
+    # the IP is not a phone either
+    assert (got[2]["n_ssn"], got[2]["n_ipv4"], got[2]["n_phone"]) == (1, 1, 0)
+    assert got[2]["redacted"] == "ssn <SSN> from host <IPV4>"
+    assert got[3]["n_pii"] == 0 and got[3]["redacted"] == got[3]["text"]

@@ -104,3 +104,81 @@ def test_merge_upsert_properties(spark, target_keys, update_keys):
         assert got[k] == "new"  # updates win
     for k in set(target_keys) - set(update_keys):
         assert got[k] == "old"  # untouched rows pass through
+
+
+@given(
+    texts=hst.lists(
+        hst.text(alphabet="ab ", min_size=0, max_size=30), min_size=1, max_size=6
+    )
+)
+@_SETTINGS
+def test_repetition_matches_python_reference(spark, texts):
+    from collections import Counter
+
+    from yuki_spark.operators import text as text_ops
+
+    rows = [(i, t, "en", "s") for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    got = {r["doc_id"]: r for r in text_ops.repetition_features(df).collect()}
+    for i, t in enumerate(texts):
+        toks = t.strip().split() if t.strip() else [""]
+        # split(trim(x), '\s+') of all-space text yields [''] — one
+        # token, no bigram, matching the Spark/DuckDB tokenizer
+        grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        if not grams:
+            assert i not in got
+            continue
+        c = Counter(grams)
+        r = got[i]
+        assert r["n_bigrams"] == len(grams)
+        assert r["n_distinct"] == len(c)
+        assert r["max_ct"] == max(c.values())
+
+
+@given(
+    vecs=hst.lists(
+        hst.lists(
+            hst.floats(-2.0, 2.0, allow_nan=False, width=32), min_size=4, max_size=8
+        ).map(tuple),
+        min_size=1,
+        max_size=6,
+    )
+)
+@_SETTINGS
+def test_quantize_error_matches_python_reference(spark, vecs):
+    import math
+
+    from yuki_spark.operators.similarity import Q_SCALE, quantize_error
+
+    # pad/truncate to uniform dim 4 so createDataFrame schema is stable
+    vecs = [v[:4] for v in vecs if len(v) >= 4]
+    if not vecs:
+        return
+    rows = [(i, list(v), 0) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = quantize_error(df).collect()
+
+    import struct
+
+    def f32(x):  # value after float32 storage
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    exp_sse, exp_elems, exp_vecs = 0, 0, 0
+    for v in vecs:
+        xi = [math.floor(f32(x) * Q_SCALE) for x in v]
+        m = max(abs(e) for e in xi)
+        if m == 0:
+            continue
+        exp_vecs += 1
+        exp_elems += len(xi)
+        for e in xi:
+            q = (2 * 127 * abs(e) + m) // (2 * m) * (1 if e >= 0 else -1)
+            assert abs(q) <= 127
+            exp_sse += (q * m - 127 * e) ** 2
+    if exp_vecs == 0:
+        assert not out
+        return
+    r = out[0]
+    assert (r["n_vecs"], r["n_elems"], r["sse_num"]) == (exp_vecs, exp_elems, exp_sse)

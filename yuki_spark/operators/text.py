@@ -226,6 +226,41 @@ def ngram_contamination(
     )
 
 
+# PII patterns: RE2/Java-compatible subset (no backreferences) so the
+# same pattern runs JVM-side here and in any SQL twin.
+# Ordered most-specific first: each category is matched against the
+# text with earlier categories already redacted, so counts are
+# disjoint (an SSN is not also a phone; an IP is not a phone).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}"),
+    ("ipv4", r"([0-9]{1,3}\.){3}[0-9]{1,3}"),
+    ("phone", r"\+?[0-9][0-9()\-. ]{7,}[0-9]"),
+)
+
+
+def pii_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Count PII-looking spans per document and emit a redacted text
+    (each match replaced by ``<CATEGORY>``), entirely with JVM
+    regexps (RE2-compatible subset, no backreferences) — the scrub
+    step every pretraining pipeline runs before tokenization.
+
+    The synthetic corpus contains no digits/@-signs, so this operator
+    is exercised by unit tests on hand-built rows rather than an
+    oracle query; the counts/redaction are deterministic either way."""
+    out = df.withColumn("redacted", F.col(text_col))
+    for name, pat in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(
+                F.regexp_extract_all("redacted", F.lit(pat), F.lit(0))
+            ).cast("bigint"),
+        ).withColumn("redacted", F.regexp_replace("redacted", pat, f"<{name.upper()}>"))
+    return out.withColumn(
+        "n_pii", sum(F.col(f"n_{n}") for n, _ in PII_PATTERNS).cast("bigint")
+    )
+
+
 # ---- SQL twins (DuckDB) -------------------------------------------------
 
 SQL_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
