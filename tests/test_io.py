@@ -109,3 +109,18 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_read_binary_files_glob_and_size_cap(spark, tmp_path):
+    from yuki_spark.io.sources import read_binary_files
+
+    (tmp_path / "a.jpg").write_bytes(b"\xff\xd8tiny")
+    (tmp_path / "b.jpg").write_bytes(b"\xff\xd8" + b"x" * 1000)
+    (tmp_path / "c.txt").write_bytes(b"not media")
+    df = read_binary_files(spark, str(tmp_path), glob="*.jpg")
+    rows = {os.path.basename(r["path"]): r for r in df.collect()}
+    assert set(rows) == {"a.jpg", "b.jpg"}  # glob excluded c.txt
+    assert rows["a.jpg"]["content"] == b"\xff\xd8tiny"
+    assert rows["a.jpg"]["length"] == 6
+    capped = read_binary_files(spark, str(tmp_path), glob="*.jpg", max_bytes=100)
+    assert [os.path.basename(r["path"]) for r in capped.collect()] == ["a.jpg"]

@@ -436,3 +436,15 @@ def test_pii_scan_counts_and_redaction(spark):
     assert (got[2]["n_ssn"], got[2]["n_ipv4"], got[2]["n_phone"]) == (1, 1, 0)
     assert got[2]["redacted"] == "ssn <SSN> from host <IPV4>"
     assert got[3]["n_pii"] == 0 and got[3]["redacted"] == got[3]["text"]
+
+
+def test_ann_recall_sane(spark):
+    from yuki_spark.queries.sim import s6_ann_recall
+
+    out = {r["index"]: r for r in s6_ann_recall(spark, "/root/testdata/sf0.001").collect()}
+    assert set(out) == {"ivf", "lsh"}
+    for r in out.values():
+        assert 0.0 <= r["recall"] <= 1.0
+        assert r["n_possible"] == 60
+    # probing 3 of 10 cells must beat random chance by a wide margin
+    assert out["ivf"]["recall"] > 0.3

@@ -78,6 +78,30 @@ def read_source(
     return df
 
 
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Ingest raw media/blob files as rows via Spark's ``binaryFile``
+    source — the staging step for multimodal (image/audio/video)
+    corpora before the mapInPandas decode operators
+    (operators/multimodal.py) take over.
+
+    Columns: ``path``, ``modificationTime``, ``length``, ``content``
+    (binary). ``glob`` filters filenames (e.g. ``*.jpg``);
+    ``max_bytes`` drops oversized blobs *at the scan* via the
+    length column so the filter prunes before content is shipped."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.where(df["length"] <= max_bytes)
+    return df
+
+
 def read_many(
     spark: SparkSession,
     paths: dict[str, str],

@@ -47,8 +47,34 @@ def s5_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.quantize_error(emb).orderBy("label")
 
 
+def s6_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the approximate indexes against exact brute force —
+    the evaluation loop any ANN deployment runs before trusting the
+    scale path (rows-only: the indexes use seeded random projections /
+    coarse cells that SQL can't reproduce).
+
+    Returns one row per index with hits / possible / recall@k."""
+    from pyspark.sql import functions as F
+
+    emb = load(spark, sf_dir, "embeddings")
+    nq = 20
+    exact = similarity.cosine_topk(emb, k=K, n_queries=nq).select("qid", "cid")
+    out = []
+    for name, approx in (
+        ("ivf", similarity.ivf_ann(emb, k=K, n_queries=nq, nprobe=3)),
+        ("lsh", similarity.lsh_ann(emb, k=K, n_queries=nq)),
+    ):
+        hits = approx.select("qid", "cid").join(exact, ["qid", "cid"]).count()
+        possible = nq * K
+        out.append((name, hits, possible, hits / possible))
+    return spark.createDataFrame(
+        out, "index string, n_hits long, n_possible long, recall double"
+    ).orderBy("index")
+
+
 QUERIES = {
     "s1_cosine_topk": s1_cosine_topk,
+    "s6_ann_recall": s6_ann_recall,
     "s2_label_centroids": s2_label_centroids,
     "s3_lsh_ann": s3_lsh_ann,
     "s4_ivf_ann": s4_ivf_ann,
