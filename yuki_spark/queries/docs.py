@@ -189,6 +189,83 @@ def d17_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_BUDGET = 512  # tokens per training sequence
+
+
+def d18_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing for pretraining batches: docs stream in
+    doc_id order per language and fill fixed token-budget sequences; a
+    doc belongs to the sequence where its first token lands (contiguous
+    fill, no splitting). One window shuffle per language partition —
+    at 100 TB the same plan runs per (lang, shard) key.
+
+    Reports per-language packing efficiency: sequences produced, docs
+    and tokens packed, and fill ratio vs budget (exact int division)."""
+    from pyspark.sql.window import Window
+
+    docs = text.with_tokens(load(spark, sf_dir, "documents"))
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    packed = docs.select(
+        "lang",
+        "doc_id",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("cum0"),
+        # integer div, not double-divide-then-cast: DuckDB's
+        # double->int cast rounds while Spark's truncates
+    ).withColumn("seq_id", F.expr(f"cum0 div {PACK_BUDGET}"))
+    per_seq = packed.groupBy("lang", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("seq_tokens")
+    )
+    return (
+        per_seq.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("seq_tokens").alias("total_tokens"),
+            F.max("seq_tokens").alias("max_seq_tokens"),
+            (
+                F.sum("seq_tokens").cast("double")
+                / (F.count(F.lit(1)) * PACK_BUDGET).cast("double")
+            ).alias("fill_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+TFIDF_TOP = 5
+
+
+def d19_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top tf-idf terms per source with a log-free portable score:
+    score = term_tf_in_source × n_docs_total / doc_freq (same ranking
+    as tf·idf for fixed tf since x ↦ ln(x) is monotone, but exact
+    integer→double math both engines reproduce bit-for-bit).
+
+    Two hash aggregations over the exploded token stream + a broadcast
+    of the (tiny) doc-frequency-joined term list; no n² anywhere."""
+    from pyspark.sql.window import Window
+
+    toks = text.with_tokens(load(spark, sf_dir, "documents")).select(
+        "doc_id", "source", F.explode("toks").alias("term")
+    )
+    n_total = load(spark, sf_dir, "documents").count()
+    df_ = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("doc_freq")
+    )
+    tf = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    scored = tf.join(F.broadcast(df_), "term").withColumn(
+        "score",
+        (F.col("tf") * F.lit(n_total)).cast("double") / F.col("doc_freq").cast("double"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= TFIDF_TOP)
+        .select("source", "rk", "term", "tf", "doc_freq", "score")
+        .orderBy("source", "rk")
+    )
+
+
 def m1_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < FP_CAP)
     return multimodal.extract_features(multimodal.synth_media(docs)).orderBy("doc_id")
@@ -228,6 +305,8 @@ QUERIES = {
     "d11_dedup_clusters": d11_dedup_clusters,
     "d16_repetition": d16_repetition,
     "d17_contamination": d17_contamination,
+    "d18_sequence_packing": d18_sequence_packing,
+    "d19_tfidf_top_terms": d19_tfidf_top_terms,
     "m1_multimodal_meta": m1_multimodal_meta,
     "m2_resize_framesample": m2_resize_framesample,
 }
@@ -310,6 +389,41 @@ ORACLE = {
                MAX(n_subwords) AS max_subwords,
                CAST(SUM(n_subwords) AS DOUBLE) / COUNT(*) AS avg_subwords
         FROM t GROUP BY source ORDER BY source
+    """,
+    "d18_sequence_packing": f"""
+        WITH t AS (SELECT lang, doc_id, CAST(len({_T}) AS BIGINT) AS n_tokens
+                   FROM documents),
+        p AS (
+          SELECT lang, doc_id, n_tokens,
+                 (SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n_tokens) // {PACK_BUDGET} AS seq_id
+          FROM t),
+        per_seq AS (
+          SELECT lang, seq_id, COUNT(*) AS n_docs, SUM(n_tokens) AS seq_tokens
+          FROM p GROUP BY 1, 2)
+        SELECT lang, COUNT(*) AS n_seqs,
+               CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+               CAST(SUM(seq_tokens) AS BIGINT) AS total_tokens,
+               CAST(MAX(seq_tokens) AS BIGINT) AS max_seq_tokens,
+               CAST(SUM(seq_tokens) AS DOUBLE)
+                 / CAST(COUNT(*) * {PACK_BUDGET} AS DOUBLE) AS fill_ratio
+        FROM per_seq GROUP BY lang ORDER BY lang
+    """,
+    "d19_tfidf_top_terms": f"""
+        WITH toks AS (SELECT doc_id, source, unnest({_T}) AS term FROM documents),
+        n AS (SELECT COUNT(*) AS n_total FROM documents),
+        dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS doc_freq
+                  FROM toks GROUP BY term),
+        tf AS (SELECT source, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        s AS (SELECT source, term, tf, doc_freq,
+                     CAST(tf * n_total AS DOUBLE) / CAST(doc_freq AS DOUBLE) AS score
+              FROM tf JOIN dfreq USING (term), n)
+        SELECT source, rk, term, tf, doc_freq, score FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+                      ORDER BY score DESC, term) AS BIGINT) AS rk
+          FROM s)
+        WHERE rk <= {TFIDF_TOP} ORDER BY source, rk
     """,
     "d16_repetition": f"""
         WITH t AS (SELECT doc_id, source, {_T} AS toks FROM documents),

@@ -663,9 +663,26 @@ def setops_customer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def setops_multiset_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference): per-customer order
+    occurrences in the early period minus late-period occurrences —
+    a customer with 3 early + 1 late orders keeps 2 rows (contrast
+    with ``subtract``'s set semantics in setops_customer_activity)."""
+    orders = load(spark, sf_dir, "orders")
+    early = orders.where(F.col("o_orderdate") < "1997-01-01").select("o_custkey")
+    late = orders.where(F.col("o_orderdate") >= "1997-01-01").select("o_custkey")
+    return (
+        early.exceptAll(late)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_excess"))
+        .orderBy("o_custkey")
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "setops_customer_activity": setops_customer_activity,
+    "setops_multiset_except": setops_multiset_except,
     "sql1_revenue_by_nation": sql1_revenue_by_nation,
     "cube_revenue": cube_revenue,
     "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -700,6 +717,14 @@ QUERIES = {
 
 
 ORACLE = {
+    "setops_multiset_except": """
+        WITH diff AS (
+          SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+          EXCEPT ALL
+          SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01')
+        SELECT o_custkey, COUNT(*) AS n_excess
+        FROM diff GROUP BY o_custkey ORDER BY o_custkey
+    """,
     "setops_customer_activity": """
         WITH early AS (
           SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'),
