@@ -232,7 +232,48 @@ def e7_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e13_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly detection: per-type z-score outliers (|z| > 3).
+
+    Portable math: moments via exact decimal sums; mean/var/std/z by
+    the same IEEE double expression tree in both engines (var =
+    s2/n − mean², std = sqrt — correctly-rounded per IEEE, so
+    bit-identical). The per-type stats broadcast back onto the fact
+    scan: one shuffle for the moments, a map-side join for scoring."""
+    ev = load(spark, sf_dir, "events")
+    st = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("s1"),
+            F.sum((F.col("value") * F.col("value")).cast(DEC)).cast("double").alias("s2"),
+        )
+        .withColumn("mean_value", F.col("s1") / F.col("n_events"))
+        .withColumn(
+            "var_value",
+            F.col("s2") / F.col("n_events") - F.col("mean_value") * F.col("mean_value"),
+        )
+        .where(F.col("var_value") > 0)
+        .withColumn("std_value", F.sqrt("var_value"))
+    )
+    z = F.abs((F.col("value") - F.col("mean_value")) / F.col("std_value"))
+    return (
+        ev.join(F.broadcast(st), "event_type")
+        .withColumn("abs_z", z)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("mean_value").alias("mean_value"),
+            F.max("std_value").alias("std_value"),
+            F.sum(F.when(F.col("abs_z") > 3.0, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+            F.max("abs_z").alias("max_abs_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
+    "e13_zscore_outliers": e13_zscore_outliers,
     "e1_event_counts": e1_event_counts,
     "e6_value_percentiles": e6_value_percentiles,
     "e8_error_window_stats": e8_error_window_stats,
@@ -248,6 +289,28 @@ QUERIES = {
 }
 
 ORACLE = {
+    "e13_zscore_outliers": """
+        WITH st AS (
+          SELECT event_type, COUNT(*) AS n_events,
+                 CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+                 CAST(SUM(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS s2
+          FROM events GROUP BY event_type),
+        m AS (
+          SELECT event_type, n_events, s1 / n_events AS mean_value,
+                 s2 / n_events - (s1 / n_events) * (s1 / n_events) AS var_value
+          FROM st),
+        sd AS (
+          SELECT event_type, mean_value, sqrt(var_value) AS std_value
+          FROM m WHERE var_value > 0)
+        SELECT e.event_type, COUNT(*) AS n_events,
+               MAX(mean_value) AS mean_value,
+               MAX(std_value) AS std_value,
+               CAST(SUM(CASE WHEN abs((e.value - mean_value) / std_value) > 3.0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               MAX(abs((e.value - mean_value) / std_value)) AS max_abs_z
+        FROM events e JOIN sd USING (event_type)
+        GROUP BY e.event_type ORDER BY e.event_type
+    """,
     "e10_value_histogram": """
         SELECT event_type,
                CAST(CASE WHEN value < 0.0 THEN 0
