@@ -84,6 +84,12 @@ def main() -> None:
         "s1_cosine_topk",
         "e8_error_window_stats",
         "e9_json_props_stats",
+        "e13_zscore_outliers",
+        "d16_repetition",
+        "d17_contamination",
+        "d18_sequence_packing",
+        "d19_tfidf_top_terms",
+        "s5_quantize_error",
     ]
     qs["q1_pricing_summary"](spark, out).write.mode("overwrite").format("noop").save()
     timings = {}

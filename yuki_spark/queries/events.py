@@ -272,8 +272,45 @@ def e13_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EWMA_SPAN = 16  # lookback rows; alpha = 1/2 so weights are exact 2^-k
+
+
+def e14_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue-like
+    value per event type (trend smoothing with alpha = 1/2).
+
+    Portability trick: 2^-k weights are exact binary fractions, and
+    daily totals come out of the decimal-exact sum as integral
+    micro-units, so the weighted numerator is a pure int64 sum —
+    order-independent and bit-identical in any engine. The window is
+    a lag-chain per type: one shuffle on event_type, O(span) columns,
+    no per-row Python."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.sum(F.col("value").cast(DEC)).alias("dval"))
+        # DECIMAL(…,6) × 10^6 is integral: exact micro-units
+        .withColumn("di", (F.col("dval") * 1_000_000).cast("long"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    num = None
+    for k in range(EWMA_SPAN):
+        term = F.coalesce(F.lag("di", k).over(w), F.lit(0)) * F.lit(
+            1 << (EWMA_SPAN - 1 - k)
+        )
+        num = term if num is None else num + term
+    # EWMA = Σ di_{t-k}·2^{S-1-k} / (2^S − 1), back to units via 10^6
+    denom = float(((1 << EWMA_SPAN) - 1)) * 1_000_000.0
+    return (
+        daily.withColumn("ewma", num.cast("double") / F.lit(denom))
+        .select("event_type", "day", "di", "ewma")
+        .orderBy("event_type", "day")
+    )
+
+
 QUERIES = {
     "e13_zscore_outliers": e13_zscore_outliers,
+    "e14_ewma_daily": e14_ewma_daily,
     "e1_event_counts": e1_event_counts,
     "e6_value_percentiles": e6_value_percentiles,
     "e8_error_window_stats": e8_error_window_stats,
@@ -288,7 +325,25 @@ QUERIES = {
     "distinct_users_daily": distinct_users_daily,
 }
 
+_EWMA_TERMS = " + ".join(
+    f"COALESCE(lag(di, {k}) OVER w, 0) * {1 << (EWMA_SPAN - 1 - k)}"
+    for k in range(EWMA_SPAN)
+)
+
 ORACLE = {
+    "e14_ewma_daily": f"""
+        WITH daily AS (
+          SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                 SUM(CAST(value AS DECIMAL(18,6))) AS dval
+          FROM events GROUP BY 1, 2),
+        d2 AS (SELECT event_type, day, CAST(dval * 1000000 AS BIGINT) AS di
+               FROM daily),
+        l AS (SELECT event_type, day, di, {_EWMA_TERMS} AS num
+              FROM d2 WINDOW w AS (PARTITION BY event_type ORDER BY day))
+        SELECT event_type, day, di,
+               CAST(num AS DOUBLE) / {float((1 << EWMA_SPAN) - 1) * 1_000_000.0} AS ewma
+        FROM l ORDER BY event_type, day
+    """,
     "e13_zscore_outliers": """
         WITH st AS (
           SELECT event_type, COUNT(*) AS n_events,
