@@ -377,6 +377,48 @@ def w2_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w4_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: lag window over the monthly
+    aggregate; growth ratio from two decimal-exact doubles."""
+    orders = load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_dec"))
+    w = Window.orderBy("month")
+    return (
+        monthly.withColumn("monthly_revenue", F.col("rev_dec").cast("double"))
+        .withColumn("prev_revenue", F.lag("rev_dec").over(w).cast("double"))
+        .withColumn(
+            "mom_growth",
+            F.when(
+                F.col("prev_revenue").isNotNull(),
+                (F.col("monthly_revenue") - F.col("prev_revenue"))
+                / F.col("prev_revenue"),
+            ),
+        )
+        .select("month", "monthly_revenue", "prev_revenue", "mom_growth")
+        .orderBy("month")
+    )
+
+
+def gsets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (not the rollup/cube lattice): totals
+    by returnflag alone, by linestatus alone, and the grand total, in
+    one pass via the SQL front-end."""
+    from ..catalog import register_all
+    from ..functions import sql_dsum
+
+    register_all(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT l_returnflag, l_linestatus,
+               {sql_dsum('l_extendedprice', 'revenue')},
+               COUNT(*) AS n_lines
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """)
+
+
 def w3_moving_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user moving average over the last 4 events (rows frame)."""
     ev = load(spark, sf_dir, "events")
@@ -708,6 +750,8 @@ QUERIES = {
     "q22_global_sales_opp": q22_global_sales_opp,
     "w1_top_customers_per_nation": w1_top_customers_per_nation,
     "w2_running_revenue": w2_running_revenue,
+    "w4_mom_growth": w4_mom_growth,
+    "gsets_revenue": gsets_revenue,
     "w3_moving_avg_events": w3_moving_avg_events,
     "pivot_returnflag": pivot_returnflag,
     "rollup_revenue": rollup_revenue,
@@ -717,6 +761,30 @@ QUERIES = {
 
 
 ORACLE = {
+    "w4_mom_growth": """
+        WITH monthly AS (
+          SELECT date_trunc('month', o_orderdate) AS month,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev_dec
+          FROM orders GROUP BY 1
+        )
+        SELECT CAST(month AS TIMESTAMP) AS month,
+               CAST(rev_dec AS DOUBLE) AS monthly_revenue,
+               CAST(lag(rev_dec) OVER (ORDER BY month) AS DOUBLE) AS prev_revenue,
+               CASE WHEN lag(rev_dec) OVER (ORDER BY month) IS NOT NULL
+                    THEN (CAST(rev_dec AS DOUBLE)
+                          - CAST(lag(rev_dec) OVER (ORDER BY month) AS DOUBLE))
+                         / CAST(lag(rev_dec) OVER (ORDER BY month) AS DOUBLE)
+               END AS mom_growth
+        FROM monthly ORDER BY month
+    """,
+    "gsets_revenue": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
     "setops_multiset_except": """
         WITH diff AS (
           SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
