@@ -1,0 +1,52 @@
+"""Robustness: every queries() entry must execute on an EMPTY catalog
+(zero-row tables, real schemas). At 100 TB a partition-pruned read or
+a fresh pipeline regularly presents empty inputs; operators must not
+divide by zero, index into nothing, or hang in iterative loops."""
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+QUERIES = entrymod.queries()
+
+
+@pytest.fixture(scope="module")
+def empty_dir(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("empty_catalog")
+    from yuki_spark.catalog import load
+
+    for t in TABLES:
+        load(spark, "/root/testdata/sf0.001", t).limit(0).write.mode(
+            "overwrite"
+        ).parquet(str(out / f"{t}.parquet"))
+    return str(out)
+
+
+# global aggregates correctly emit one row (NULL/0 measures) on empty
+# input; everything else must emit none
+_GLOBAL_AGG = {
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
+    "q17_small_qty_revenue",
+    "q19_disjunct_filter",
+    "e5_funnel",
+    "union_dedup_keys",  # counts both branches: one summary row
+    "d15_profile",  # one profile row per column, even when empty
+    "s6_ann_recall",  # one evaluation row per index
+}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_runs_on_empty(spark, empty_dir, name):
+    df = QUERIES[name](spark, empty_dir)
+    n = df.count()
+    if name in _GLOBAL_AGG:
+        assert n >= 1  # summary rows, never an exception
+    else:
+        assert n == 0
