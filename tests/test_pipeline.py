@@ -232,3 +232,45 @@ def test_retries_recover_transient_failures(spark):
     p2.add("maybe", flaky, deps=("orders",))
     out2 = LocalBackend(max_retries=2).run(spark, p2)
     assert out2["statuses"]["maybe"] == "failed"
+
+
+def test_observed_metrics(spark, tmp_path):
+    """observe=True collects row counts + custom aggregates during the
+    task's own action; reused impressions report metrics=None."""
+    from pyspark.sql import functions as F
+
+    from yuki_spark.pipeline.backends import LocalBackend
+    from yuki_spark.pipeline.dag import Pipeline
+    from yuki_spark.pipeline.impressions import ImpressionStore
+
+    def src(s, _):
+        return s.range(100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+
+    def double(s, inp):
+        return inp["src"].where(F.col("id") < 10)
+
+    pipe = Pipeline("obs")
+    pipe.add("src", src)
+    pipe.add("filtered", double, deps=("src",))
+    store = ImpressionStore(str(tmp_path / "imp"))
+    backend = LocalBackend(
+        store=store,
+        persist={"filtered"},
+        observe=True,
+        metrics={"filtered": [F.sum("v").alias("sum_v")]},
+    )
+    out = backend.run(spark, pipe)
+    assert out["metrics"]["src"]["n_rows"] == 100
+    assert out["metrics"]["filtered"]["n_rows"] == 10
+    assert out["metrics"]["filtered"]["sum_v"] == sum(2 * i for i in range(10))
+
+    # second run: 'filtered' reuses its impression -> no recompute,
+    # metrics None; 'src' recomputes and observes again
+    pipe2 = Pipeline("obs")
+    pipe2.add("src", src)
+    pipe2.add("filtered", double, deps=("src",))
+    backend2 = LocalBackend(store=store, persist={"filtered"}, observe=True)
+    out2 = backend2.run(spark, pipe2)
+    assert pipe2.tasks["filtered"].status == "reused"
+    assert out2["metrics"]["filtered"] is None
+    assert out2["metrics"]["src"]["n_rows"] == 100

@@ -54,11 +54,21 @@ class LocalBackend:
         persist: set[str] | None = None,
         status_store=None,
         max_retries: int = 0,
+        observe: bool = False,
+        metrics: dict[str, list] | None = None,
     ):
+        """``observe=True`` attaches a :class:`pyspark.sql.Observation`
+        to every executed task: row count plus any extra aggregate
+        Columns from ``metrics[task_name]``, collected *during* the
+        task's action (Yuki's status routes report per-job progress;
+        here Spark itself accumulates the numbers — zero extra jobs).
+        Reused impressions skip recompute, so their metrics are None."""
         self.store = store
         self.persist = persist or set()
         self.status_store = status_store
         self.max_retries = max_retries
+        self.observe = observe
+        self.metrics = metrics or {}
         self._killed = False
 
     def _journal(self, pipe: Pipeline, task: str, status: str, error: str | None = None):
@@ -106,6 +116,17 @@ class LocalBackend:
                         break
                     inputs = {d: results[d] for d in t.deps}
                     df = t.fn(spark, inputs)
+                    obs = None
+                    if self.observe:
+                        from pyspark.sql import Observation
+                        from pyspark.sql import functions as F
+
+                        obs = Observation(f"{pipe.name}.{name}#{attempt}")
+                        df = df.observe(
+                            obs,
+                            F.count(F.lit(1)).alias("n_rows"),
+                            *self.metrics.get(name, []),
+                        )
                     if self.store is not None and name in self.persist:
                         self.store.write(
                             imp,
@@ -117,6 +138,8 @@ class LocalBackend:
                         df.count()  # execute for status fidelity
                     results[name] = df
                     t.result = df
+                    if obs is not None:
+                        t.metrics = obs.get
                     t.status = "finished"
                     self._journal(pipe, name, "finished")
                     break
@@ -134,4 +157,5 @@ class LocalBackend:
             "statuses": pipe.statuses(),
             "impressions": imp_ids,
             "results": results,
+            "metrics": {n: pipe.tasks[n].metrics for n in order},
         }

@@ -50,6 +50,9 @@ class Task:
     status: str = "raw"
     error: str | None = None
     result: DataFrame | None = field(default=None, repr=False)
+    # observed runtime metrics (LocalBackend observe=True): collected
+    # by Spark during the task's own action — no extra pass
+    metrics: dict | None = field(default=None, repr=False)
 
 
 class CycleError(ValueError):
