@@ -274,3 +274,37 @@ def test_observed_metrics(spark, tmp_path):
     assert pipe2.tasks["filtered"].status == "reused"
     assert out2["metrics"]["filtered"] is None
     assert out2["metrics"]["src"]["n_rows"] == 100
+
+
+def test_impression_gc_and_archive(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from yuki_spark.pipeline.backends import LocalBackend
+    from yuki_spark.pipeline.dag import Pipeline
+    from yuki_spark.pipeline.impressions import ImpressionStore
+
+    store = ImpressionStore(str(tmp_path / "imp"))
+
+    def mk(name):
+        p = Pipeline(name)
+        p.add("t", lambda s, _: s.range(5).select(F.col("id")))
+        return p
+
+    out1 = LocalBackend(store=store, persist={"t"}).run(spark, mk("p1"))
+    imp = out1["impressions"]["t"]
+    assert store.list_ids() == [imp]
+
+    # archived impressions are skipped for reuse but survive gc
+    store.archive(imp)
+    p2 = mk("p2")
+    LocalBackend(store=store, persist={"t"}).run(spark, p2)
+    assert p2.tasks["t"].status == "finished"  # recomputed, not reused
+    assert store.gc() == []  # archive shields from collection
+    assert store.is_archived(imp)
+
+    # unarchive via watermark, then gc with empty keep-set removes it
+    store.watermark(imp, "archived", "false")
+    assert store.gc(dry_run=True) == [imp]
+    assert store.exists(imp)  # dry run touched nothing
+    assert store.gc(keep=set()) == [imp]
+    assert store.list_ids() == []

@@ -108,6 +108,7 @@ class LocalBackend:
                         self.store is not None
                         and name in self.persist
                         and self.store.exists(imp)
+                        and not self.store.is_archived(imp)
                     ):
                         results[name] = self.store.read(spark, imp)
                         t.status = "reused"
@@ -127,7 +128,11 @@ class LocalBackend:
                             F.count(F.lit(1)).alias("n_rows"),
                             *self.metrics.get(name, []),
                         )
-                    if self.store is not None and name in self.persist:
+                    if (
+                        self.store is not None
+                        and name in self.persist
+                        and not (self.store.exists(imp) and self.store.is_archived(imp))
+                    ):
                         self.store.write(
                             imp,
                             df,
@@ -135,6 +140,8 @@ class LocalBackend:
                         )
                         df = self.store.read(spark, imp)
                     else:
+                        # plain task — or an archived deposit, which
+                        # stays untouched: recompute without re-deposit
                         df.count()  # execute for status fidelity
                     results[name] = df
                     t.result = df

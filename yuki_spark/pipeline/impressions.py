@@ -95,3 +95,40 @@ class ImpressionStore:
 
     def drop(self, imp_id: str) -> None:
         shutil.rmtree(self._dir(imp_id), ignore_errors=True)
+
+    def archive(self, imp_id: str) -> None:
+        """Mark an impression archived (Yuki's `archived` status):
+        kept on disk, excluded from reuse until unarchived."""
+        self.watermark(imp_id, "archived", "true")
+
+    def is_archived(self, imp_id: str) -> bool:
+        return self.exists(imp_id) and self.meta(imp_id).get("tags", {}).get(
+            "archived"
+        ) == "true"
+
+    def gc(
+        self,
+        keep: set[str] | None = None,
+        max_age_s: float | None = None,
+        dry_run: bool = False,
+    ) -> list[str]:
+        """Retention sweep: delete impressions not in ``keep`` and/or
+        older than ``max_age_s`` (Yuki deletes deposited impressions
+        when their workflow is retired). Archived impressions are
+        never collected. Returns the ids removed (or would-remove
+        under ``dry_run``)."""
+        now = time.time()
+        victims = []
+        for imp_id in self.list_ids():
+            if keep is not None and imp_id in keep:
+                continue
+            if self.is_archived(imp_id):
+                continue
+            if max_age_s is not None:
+                if now - self.meta(imp_id).get("created_at", now) < max_age_s:
+                    continue
+            victims.append(imp_id)
+        if not dry_run:
+            for imp_id in victims:
+                shutil.rmtree(self._dir(imp_id))
+        return victims
