@@ -44,7 +44,13 @@ HEADLINE = [
     "d10_winnow_fingerprint",
     "e8_error_window_stats",
     "e9_json_props_stats",
+    "e13_zscore_outliers",
     "s1_cosine_topk",
+    "s5_quantize_error",
+    "d16_repetition",
+    "d17_contamination",
+    "d18_sequence_packing",
+    "d19_tfidf_top_terms",
 ]
 
 
