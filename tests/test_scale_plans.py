@@ -130,3 +130,51 @@ def test_sessionization_single_shuffle(spark, qs):
         if line.strip().startswith("Arguments: hashpartitioning(user_id")
     )
     assert n_user_exchanges == 1, plan
+
+
+def test_d17_contamination_broadcasts_bench_set(spark, qs):
+    """The eval n-gram membership join must be a broadcast (the eval
+    split is orders smaller than the corpus) — a shuffle here would
+    move the whole exploded corpus at 100 TB."""
+    plan = fmt_plan(spark, qs["d17_contamination"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_d19_tfidf_broadcasts_term_frequencies(spark, qs):
+    """The doc-frequency side (distinct terms) broadcasts onto the
+    per-source tf aggregate; no row-at-a-time Python anywhere."""
+    plan = fmt_plan(spark, qs["d19_tfidf_top_terms"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_e13_zscore_broadcasts_stats(spark, qs):
+    """Per-type moments (5 rows) must broadcast back onto the events
+    scan — re-shuffling the fact table to join 5 rows is the classic
+    scale mistake."""
+    plan = fmt_plan(spark, qs["e13_zscore_outliers"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_d16_and_d18_partial_aggregate(spark, qs):
+    """The exploded-bigram and packing aggregations must partial-agg
+    map-side (HashAggregate pairs), and stay Python-free."""
+    for name in ("d16_repetition", "d18_sequence_packing"):
+        plan = fmt_plan(spark, qs[name](spark, SF_SMOKE))
+        assert plan.count("HashAggregate") >= 2, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_s5_quantize_single_shuffle(spark, qs):
+    """Quantization error: all per-vector math is map-side; the only
+    shuffle is the 4-long-per-vector label aggregation (plus the
+    final sort)."""
+    plan = fmt_plan(spark, qs["s5_quantize_error"](spark, SF_SMOKE))
+    # formatted output lists each node twice (tree + details):
+    # count tree occurrences only
+    assert plan.count("+- Exchange") <= 2
+    assert "BatchEvalPython" not in plan
