@@ -448,3 +448,24 @@ def test_ann_recall_sane(spark):
         assert r["n_possible"] == 60
     # probing 3 of 10 cells must beat random chance by a wide margin
     assert out["ivf"]["recall"] > 0.3
+
+
+def test_sequence_packing_boundary_semantics(spark, tmp_path):
+    """A doc belongs to the sequence where its first token lands:
+    token counts 300,300,300 with budget 512 pack as [d0,d1],[d2]."""
+    from yuki_spark.queries.docs import PACK_BUDGET, d18_sequence_packing
+
+    assert PACK_BUDGET == 512
+    rows = [
+        (i, " ".join(["w"] * 300), "en", "s") for i in range(3)
+    ] + [(10, " ".join(["w"] * 600), "fr", "s")]  # oversize doc: own seq
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r["lang"]: r for r in d18_sequence_packing(spark, str(tmp_path)).collect()}
+    en = got["en"]
+    # cum-before: 0, 300, 600 -> seq ids 0, 0, 1
+    assert (en["n_seqs"], en["n_docs"], en["total_tokens"]) == (2, 3, 900)
+    assert en["max_seq_tokens"] == 600  # two 300s share seq 0
+    fr = got["fr"]
+    assert (fr["n_seqs"], fr["n_docs"], fr["max_seq_tokens"]) == (1, 1, 600)
