@@ -11,20 +11,67 @@ import math
 from typing import Any
 
 import duckdb
+import pyarrow as pa
 from pyspark.sql import SparkSession
 
 from .catalog import TABLES, table_path
 
 
-def run_oracle(sql: str, sf_dir: str) -> tuple[list[str], list[tuple]]:
+def run_oracle(
+    sql: str, sf_dir: str
+) -> tuple[list[str], list[tuple], pa.Schema]:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'")
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    rows = cur.fetchall()
+    arrow = con.execute(sql).arrow()
+    cols = arrow.schema.names
+    rows = [tuple(r) for r in con.execute(sql).fetchall()]
     con.close()
-    return cols, rows
+    return list(cols), rows, arrow.schema
+
+
+def _norm_type(t: pa.DataType) -> pa.DataType:
+    """Normalize an Arrow type for cross-engine comparison.
+
+    Keeps the distinctions that make the driver's value hash dtype-sensitive
+    (int64 vs decimal128, float32 vs float64) while dropping the ones the
+    driver tolerates: timestamp timezone (Spark stamps tz=UTC, DuckDB does
+    not) and string width (large_string vs string).
+    """
+    if pa.types.is_timestamp(t):
+        return pa.timestamp(t.unit)
+    if pa.types.is_large_string(t):
+        return pa.string()
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return pa.list_(_norm_type(t.value_type))
+    if pa.types.is_struct(t):
+        return pa.struct([pa.field(f.name, _norm_type(f.type)) for f in t])
+    return t
+
+
+def _spark_arrow_schema(sdf) -> pa.Schema:
+    """Arrow schema a Spark DataFrame would produce, without executing it."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(sdf.schema)
+
+
+def arrow_schema_problems(spark_schema: pa.Schema, oracle_schema: pa.Schema) -> list[str]:
+    """Dtype drift between engines that the driver's value hash would flag.
+
+    Compares per-column Arrow types (sorted by column name, nullability
+    ignored) after :func:`_norm_type` normalization.
+    """
+    problems = []
+    s_fields = {f.name: _norm_type(f.type) for f in spark_schema}
+    o_fields = {f.name: _norm_type(f.type) for f in oracle_schema}
+    for name in sorted(set(s_fields) & set(o_fields)):
+        if s_fields[name] != o_fields[name]:
+            problems.append(
+                f"arrow dtype differs for {name!r}: "
+                f"spark={s_fields[name]} oracle={o_fields[name]}"
+            )
+    return problems
 
 
 def _norm(v: Any) -> Any:
@@ -52,14 +99,16 @@ def compare(
 ) -> list[str]:
     """Return a list of mismatch descriptions (empty == pass)."""
     sdf = query_fn(spark, sf_dir)
+    s_schema = _spark_arrow_schema(sdf)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
-    o_cols, o_rows = run_oracle(oracle_sql, sf_dir)
+    o_cols, o_rows, o_schema = run_oracle(oracle_sql, sf_dir)
 
     problems: list[str] = []
     if sorted(s_cols) != sorted(o_cols):
         problems.append(f"columns differ: spark={sorted(s_cols)} oracle={sorted(o_cols)}")
         return problems
+    problems.extend(arrow_schema_problems(s_schema, o_schema))
     if len(s_rows) != len(o_rows):
         problems.append(f"row count differs: spark={len(s_rows)} oracle={len(o_rows)}")
     sc = _canon(s_cols, s_rows)

@@ -341,7 +341,7 @@ ORACLE = {
         FROM fp ORDER BY doc_id
     """,
     "d13_hash_sample": """
-        SELECT source, COUNT(*) AS n_sampled, SUM(doc_id) AS id_sum
+        SELECT source, COUNT(*) AS n_sampled, CAST(SUM(doc_id) AS BIGINT) AS id_sum
         FROM documents
         WHERE ((CAST(doc_id AS BIGINT) * 2654435761) % 4294967296 + 4294967296) % 4294967296 < 429496729
         GROUP BY source ORDER BY source
@@ -385,7 +385,7 @@ ORACLE = {
                    regexp_extract_all(text, '( ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s)', 1),
                    p -> trim(p) <> '')) AS BIGINT) AS n_subwords
           FROM documents)
-        SELECT source, SUM(n_subwords) AS total_subwords,
+        SELECT source, CAST(SUM(n_subwords) AS BIGINT) AS total_subwords,
                MAX(n_subwords) AS max_subwords,
                CAST(SUM(n_subwords) AS DOUBLE) / COUNT(*) AS avg_subwords
         FROM t GROUP BY source ORDER BY source
@@ -511,12 +511,12 @@ ORACLE = {
           FROM q)
         SELECT source, COUNT(*) AS n_docs,
                CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / COUNT(quality) AS avg_quality,
-               SUM(n_punct) AS total_punct
+               CAST(SUM(n_punct) AS BIGINT) AS total_punct
         FROM s GROUP BY source ORDER BY source
     """,
     "d7_token_stats": f"""
         WITH t AS (SELECT source, CAST(len({_T}) AS BIGINT) AS n_tokens FROM documents)
-        SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+        SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
                CAST(SUM(n_tokens) AS DOUBLE) / COUNT(n_tokens) AS avg_tokens,
                MAX(n_tokens) AS max_tokens
         FROM t GROUP BY source ORDER BY source

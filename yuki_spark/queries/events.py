@@ -377,7 +377,7 @@ ORACLE = {
     "e9_json_props_stats": """
         SELECT event_type,
                COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
-               SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
                MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
                MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
         FROM events GROUP BY event_type ORDER BY event_type
@@ -415,8 +415,8 @@ ORACLE = {
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         sess AS (
-          SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+          SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
           FROM flagged)
         SELECT user_id, session_seq, MIN(ts) AS session_start,
                MAX(ts) AS session_end, COUNT(*) AS n_events,

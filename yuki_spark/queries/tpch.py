@@ -804,7 +804,7 @@ ORACLE = {
           UNION ALL
           SELECT 'early_only', o_custkey FROM
             (SELECT o_custkey FROM early EXCEPT SELECT o_custkey FROM late))
-        SELECT bucket, COUNT(*) AS n_customers, SUM(o_custkey) AS key_sum
+        SELECT bucket, COUNT(*) AS n_customers, CAST(SUM(o_custkey) AS BIGINT) AS key_sum
         FROM tagged GROUP BY bucket ORDER BY bucket
     """,
     "sql1_revenue_by_nation": f"""
@@ -1025,8 +1025,8 @@ ORACLE = {
     """,
     "q12_priority_shipping": """
         SELECT l_returnflag,
-               SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-               SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE l_shipdate >= TIMESTAMP '2000-01-01'
           AND l_shipdate < TIMESTAMP '2001-01-01'
@@ -1178,7 +1178,7 @@ ORACLE = {
         ) GROUP BY bucket ORDER BY bucket
     """,
     "union_dedup_keys": """
-        SELECT COUNT(*) AS n_keys, SUM(k) AS key_sum FROM (
+        SELECT COUNT(*) AS n_keys, CAST(SUM(k) AS BIGINT) AS key_sum FROM (
           SELECT DISTINCT k FROM (
             SELECT c_custkey AS k FROM customer
             UNION ALL SELECT o_custkey AS k FROM orders))
