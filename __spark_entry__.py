@@ -20,18 +20,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Insertion order is gate order: the LLM-data-pipeline families (docs,
+    # sim) lead so they are validated first if the driver caps its sweep;
+    # the relational families follow.
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    out.update(tpch.QUERIES)
-    out.update(events.QUERIES)
     out.update(docs.QUERIES)
     out.update(sim.QUERIES)
+    out.update(events.QUERIES)
+    out.update(tpch.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
-    out.update(tpch.ORACLE)
-    out.update(events.ORACLE)
     out.update(docs.ORACLE)
     out.update(sim.ORACLE)
+    out.update(events.ORACLE)
+    out.update(tpch.ORACLE)
     return out
