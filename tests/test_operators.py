@@ -103,6 +103,23 @@ def test_neardup_pairs_finds_colinear(spark, emb):
     assert pairs[(0, 7)] == pytest.approx(1.0, abs=1e-6)
 
 
+def test_neardup_lsh_subset_and_recall_of_exact(spark, emb):
+    """The LSH path emits only true pairs (subset of exact, identical
+    cosines) and recalls most of them at the shipped threshold."""
+    df, _ = emb
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.cosine_neardup_pairs(df, 0.3).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.cosine_neardup_pairs_exact(df, 0.3).collect()
+    }
+    assert set(lsh) <= set(exact)
+    assert all(lsh[k] == exact[k] for k in lsh)  # verification is exact
+    assert len(exact) > 0 and len(lsh) / len(exact) >= 0.7
+
+
 def test_ivf_ann_shape_and_self_exclusion(spark, emb):
     df, _ = emb
     got = similarity.ivf_ann(df, k=2, n_queries=3, nprobe=3).collect()

@@ -72,6 +72,7 @@ def test_q1_partial_aggregation(spark, qs):
         "e5_funnel",
         "d2_ngram_jaccard_dups",
         "d3_minhash_lsh_dups",
+        "d9_embedding_neardup",
         "s1_cosine_topk",
     ],
 )

@@ -89,24 +89,114 @@ def label_centroids(emb: DataFrame) -> DataFrame:
 
 NEARDUP_OUT = "id_a bigint, id_b bigint, cosine double"
 
+# Banded sign-LSH for the near-dup scale path: NEARDUP_BANDS hash
+# tables of NEARDUP_BITS sign bits each (OR-amplification). Planes are
+# deterministic ±1 vectors so the sign of the *integer* dot product is
+# engine-portable (the DuckDB twin reproduces every bucket exactly).
+# At corpus scale, bits-per-band grows with log(n) to keep buckets
+# bounded; bands trade recall against candidate volume.
+NEARDUP_BITS = 4
+NEARDUP_BANDS = 16
+_ND_PLANES = np.where(
+    np.random.RandomState(11).standard_normal((NEARDUP_BANDS * NEARDUP_BITS, 64)) >= 0,
+    1,
+    -1,
+).astype(np.int64)
 
-def cosine_neardup_pairs(
-    emb: DataFrame, threshold: float = 0.35, block_size: int = 1024
-) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: (a, b) with a < b and
+
+def _nd_plane_lit(j: int) -> Column:
+    return F.array(*[F.lit(int(v)) for v in _ND_PLANES[j]])
+
+
+def neardup_band_buckets(base: DataFrame) -> DataFrame:
+    """(vec_id, band, bucket) LSH table from scaled-int vectors.
+
+    bucket = NEARDUP_BITS sign bits of exact int64 hyperplane dots —
+    deterministic, so any engine derives identical buckets. Only ids
+    ride the band explode (3 longs/row); vectors stay behind."""
+    signs = [
+        F.when(int_dot(F.col("sv"), _nd_plane_lit(j)) >= 0, F.lit(1)).otherwise(F.lit(0))
+        for j in range(NEARDUP_BANDS * NEARDUP_BITS)
+    ]
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                sum(
+                    (signs[b * NEARDUP_BITS + i] * F.lit(1 << i) for i in range(1, NEARDUP_BITS)),
+                    signs[b * NEARDUP_BITS],
+                ).alias("bucket"),
+            )
+            for b in range(NEARDUP_BANDS)
+        ]
+    )
+    return base.select("vec_id", F.explode(bands).alias("bb")).select(
+        "vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.35) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs among LSH candidates:
+    (a, b) with a < b, some band bucket in common, and
     cosine(a, b) >= threshold. Exact scaled-integer arithmetic so the
     DuckDB oracle matches bit-for-bit.
 
-    Execution: vectors are grouped into blocks of ``block_size``;
-    every block pair (i <= j) is scored with one numpy int64 matmul
-    inside ``applyInPandas`` (exact: |scaled dot| <= 64·2^52 < 2^63),
-    then cosine is derived by the same IEEE double ops as the oracle.
-    One shuffle on block-pair keys; each task is a dense GEMM — no
-    per-element Catalyst expression over the n² pair space.
+    Execution (the 100 TB shape — no cartesian anywhere):
+    1. candidate generation: self-join of the (vec_id, band, bucket)
+       table on band+bucket equality — a key shuffle, like the MinHash
+       band join (dedup.minhash_lsh_pairs);
+    2. distinct candidate pairs;
+    3. exact verification: join the scaled vectors back per side and
+       score cosine from int64 dots (identical IEEE ops to the twin).
 
-    Scale path: at corpus scale the same scorer runs after an LSH
-    band prefilter (see :func:`lsh_ann` / dedup.minhash_lsh_pairs) so
-    only bucket-local block pairs are scored, never the full n²."""
+    Recall vs the exact all-pairs result is probabilistic (asserted in
+    tests against :func:`cosine_neardup_pairs_exact`); correctness of
+    the produced pairs is exact."""
+    base = (
+        emb.select("vec_id", scaled("embedding").alias("sv"))
+        .withColumn("nrm", int_dot(F.col("sv"), F.col("sv")))
+        .localCheckpoint(eager=False)  # feeds bucket table + both verify sides
+    )
+    bt = neardup_band_buckets(base).localCheckpoint(eager=False)
+    cand = (
+        bt.alias("x")
+        .join(bt.alias("y"), ["band", "bucket"])
+        .where(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b"))
+        .distinct()
+    )
+    va = base.select(
+        F.col("vec_id").alias("id_a"), F.col("sv").alias("sv_a"), F.col("nrm").alias("nrm_a")
+    )
+    vb = base.select(
+        F.col("vec_id").alias("id_b"), F.col("sv").alias("sv_b"), F.col("nrm").alias("nrm_b")
+    )
+    cos = F.round(
+        cosine_from_ints(
+            int_dot(F.col("sv_a"), F.col("sv_b")), F.col("nrm_a"), F.col("nrm_b")
+        ),
+        9,
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def cosine_neardup_pairs_exact(
+    emb: DataFrame, threshold: float = 0.35, block_size: int = 1024
+) -> DataFrame:
+    """Exact all-pairs near-dup baseline (test-time oracle for the LSH
+    path's recall; not the shipped scale path — O(n²) by definition).
+
+    Vectors are grouped into blocks of ``block_size``; every block
+    pair (i <= j) is scored with one numpy int64 matmul inside
+    ``applyInPandas`` (exact: |scaled dot| <= 64·2^52 < 2^63), then
+    cosine is derived by the same IEEE double ops as the oracle."""
     base = emb.select(
         "vec_id",
         scaled("embedding").alias("sv"),

@@ -88,20 +88,58 @@ _DOT = (
     "list_reduce(list_transform(range(1, 65), i -> {a}[i] * {b}[i]), (acc, x) -> acc + x)"
 )
 
-ORACLE = {
-    "d9_embedding_neardup": f"""
+
+def _d9_oracle() -> str:
+    """LSH twin of cosine_neardup_pairs: identical ±1 hyperplane sign
+    bits (exact int64 dots), identical band buckets, identical exact
+    verification — so DuckDB reproduces the candidate set bit-for-bit."""
+    nb, nbits = similarity.NEARDUP_BANDS, similarity.NEARDUP_BITS
+
+    def dot(j: int) -> str:
+        arr = "[" + ",".join(str(int(v)) for v in similarity._ND_PLANES[j]) + "]"
+        return f"list_reduce(list_transform(range(1, 65), i -> sv[i] * ({arr})[i]), (acc, x) -> acc + x)"
+
+    signs = ",\n                 ".join(
+        f"CASE WHEN {dot(j)} >= 0 THEN 1 ELSE 0 END AS s{j}"
+        for j in range(nb * nbits)
+    )
+    bands = "\n          UNION ALL ".join(
+        "SELECT vec_id, {b} AS band, {expr} AS bucket FROM sb".format(
+            b=b,
+            expr=" + ".join(
+                f"{1 << i} * s{b * nbits + i}" for i in range(nbits)
+            ),
+        )
+        for b in range(nb)
+    )
+    return f"""
         WITH base AS (
           SELECT vec_id, {_SCALED} AS sv FROM embeddings),
         normed AS (
-          SELECT vec_id, sv, {_DOT.format(a='sv', b='sv')} AS nrm FROM base)
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round(CAST({_DOT.format(a='a.sv', b='b.sv')} AS DOUBLE)
-                 / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))), 9) AS cosine
-        FROM normed a JOIN normed b ON a.vec_id < b.vec_id
-        WHERE round(CAST({_DOT.format(a='a.sv', b='b.sv')} AS DOUBLE)
-                 / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))), 9) >= {NEARDUP_THRESHOLD}
+          SELECT vec_id, sv, {_DOT.format(a='sv', b='sv')} AS nrm FROM base),
+        sb AS (
+          SELECT vec_id, {signs}
+          FROM base),
+        buckets AS (
+          {bands}),
+        cand AS (
+          SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+          FROM buckets x JOIN buckets y
+            ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+        scored AS (
+          SELECT id_a, id_b,
+                 round(CAST({_DOT.format(a='a.sv', b='b.sv')} AS DOUBLE)
+                   / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))), 9) AS cosine
+          FROM cand JOIN normed a ON a.vec_id = id_a
+                    JOIN normed b ON b.vec_id = id_b)
+        SELECT id_a, id_b, cosine FROM scored
+        WHERE cosine >= {NEARDUP_THRESHOLD}
         ORDER BY id_a, id_b
-    """,
+    """
+
+
+ORACLE = {
+    "d9_embedding_neardup": _d9_oracle(),
     "s1_cosine_topk": f"""
         WITH base AS (
           SELECT vec_id, {_SCALED} AS sv FROM embeddings),
