@@ -85,6 +85,52 @@ def test_jaccard_pairs_match_bruteforce(spark, docs):
 
 
 @given(
+    docs=hst.lists(
+        hst.text(alphabet="ab ", min_size=0, max_size=30), min_size=2, max_size=8
+    )
+)
+@_SETTINGS
+def test_jaccard_prefix_filter_exact_at_threshold(spark, docs):
+    """Prefix filtering must lose no pair at the shipped threshold:
+    results == brute force, value and membership."""
+    t = 0.8
+    df = spark.createDataFrame(
+        [(i, txt) for i, txt in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jac"]
+        for r in dedup.jaccard_pairs(df, threshold=t).collect()
+    }
+    sets = [set(txt.split()) for txt in docs]
+    want = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            jac = inter / len(sets[a] | sets[b])
+            if jac >= t:
+                want[(a, b)] = jac
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v)
+
+
+def test_jaccard_hot_token_generates_no_candidates(spark):
+    """One stopword-grade token shared by every doc must not blow up
+    candidate generation: the hot token lands outside every prefix
+    (rarest-first order), so the candidate count stays ~linear, not
+    f² in the token's document frequency."""
+    n = 60
+    rows = [(i, f"the u{i}a u{i}b u{i}c u{i}d") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ts = dedup.token_sets(df)
+    n_cand = dedup.jaccard_candidates(ts, threshold=0.8).count()
+    assert n_cand == 0  # plain inverted index would give n*(n-1)/2 = 1770
+    assert dedup.jaccard_pairs(df, threshold=0.8).count() == 0
+
+
+@given(
     target_keys=hst.lists(hst.integers(0, 20), min_size=0, max_size=15, unique=True),
     update_keys=hst.lists(hst.integers(0, 20), min_size=0, max_size=15, unique=True),
 )

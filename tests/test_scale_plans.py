@@ -81,8 +81,8 @@ def test_no_cartesian_products(spark, qs, name):
     join with a non-trivial build side (s1/d2 pair generation is the
     deliberate exception: bounded candidate join, not a full cross)."""
     plan = fmt_plan(spark, qs[name](spark, SF_SMOKE))
-    if name in ("d2_ngram_jaccard_dups", "s1_cosine_topk"):
-        return  # documented bounded pair-joins; audited separately below
+    if name == "s1_cosine_topk":
+        return  # documented bounded pair-join; audited separately below
     assert "CartesianProduct" not in plan
 
 

@@ -55,40 +55,94 @@ def token_sets(docs: DataFrame) -> DataFrame:
 
 
 def jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
-    """All doc pairs (a < b) with token-set Jaccard ≥ threshold.
+    """All doc pairs (a < b) with token-set Jaccard ≥ threshold —
+    exact, via prefix-filtered candidate generation (Chaudhuri et al.
+    '06 / PPJoin family). Returns (doc_a, doc_b, jac).
 
-    Inverted-index join: pairs sharing ≥1 token get their intersection
-    counted by a groupBy — no cross join. Returns (doc_a, doc_b, jac).
+    Why not a plain inverted-index join: candidate rows scale with
+    Σ df(token)², so one stopword-grade token shared by f docs yields
+    f² rows. Prefix filtering bounds that: J(a,b) ≥ t implies
+    |a∩b| ≥ ⌈t·max(|a|,|b|)⌉, so under any global token order the two
+    docs must share a token within each one's first
+    |d| − ⌈t·|d|⌉ + 1 tokens. Ordering tokens rarest-first (ascending
+    document frequency) puts only low-df tokens in prefixes — hot
+    tokens never generate candidates, and the result is still exact
+    because every candidate is verified on the full token sets.
 
-    The token-set table feeds both join sides: localCheckpoint
-    materializes it once (at cluster scale: persist/write the
-    signature table) instead of re-running tokenization per side.
+    Shuffle shape: df aggregation (tok) → prefix re-group (doc_id) →
+    candidate join (prefix tok only) → verification joins (doc id).
+    The token-set table feeds posting and verification sides:
+    localCheckpoint materializes it once (at cluster scale:
+    persist/write the signature table).
     """
     ts = token_sets(docs).localCheckpoint(eager=False)
+    cand = jaccard_candidates(ts, threshold)
+    ta = ts.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("set_size").alias("size_a"),
+    )
+    tb = ts.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("set_size").alias("size_b"),
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("bigint")
+    jac = inter.cast("double") / (
+        F.col("size_a") + F.col("size_b") - inter
+    ).cast("double")
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("jac", jac)
+        .where(F.col("jac") >= threshold)
+        .select("doc_a", "doc_b", "jac")
+    )
+
+
+def jaccard_candidates(ts: DataFrame, threshold: float) -> DataFrame:
+    """Prefix-filtered candidate pairs (doc_a < doc_b) from a
+    token_sets table — every pair with Jaccard ≥ threshold is included
+    (no false negatives); callers verify on the full sets."""
     posts = ts.select("doc_id", "set_size", F.explode("toks").alias("tok"))
-    a = posts.select(
+    df_tbl = posts.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # canonical rarest-first order; floor() (not ceil) keeps the prefix
+    # one-safe against IEEE rounding of threshold*size at boundaries
+    prefix_len = (
+        F.col("set_size") - F.floor(F.lit(threshold) * F.col("set_size")) + 1
+    ).cast("int")
+    pre = (
+        posts.join(df_tbl, "tok")
+        .groupBy("doc_id", "set_size")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("ranked"))
+        .select(
+            "doc_id",
+            "set_size",
+            F.explode(
+                F.slice(F.transform("ranked", lambda s: s["tok"]), F.lit(1), prefix_len)
+            ).alias("tok"),
+        )
+    )
+    a = pre.select(
         F.col("tok"),
         F.col("doc_id").alias("doc_a"),
         F.col("set_size").alias("size_a"),
     )
-    b = posts.select(
+    b = pre.select(
         F.col("tok"),
         F.col("doc_id").alias("doc_b"),
         F.col("set_size").alias("size_b"),
     )
-    inter = (
-        a.join(b, "tok")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "size_a", "size_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    jac = F.col("inter").cast("double") / (
-        F.col("size_a") + F.col("size_b") - F.col("inter")
-    ).cast("double")
+    # length filter: J ≥ t forces t·|a| ≤ |b| and t·|b| ≤ |a|
     return (
-        inter.withColumn("jac", jac)
-        .where(F.col("jac") >= threshold)
-        .select("doc_a", "doc_b", "jac")
+        a.join(b, "tok")
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("size_b").cast("double") >= F.lit(threshold) * F.col("size_a"))
+            & (F.col("size_a").cast("double") >= F.lit(threshold) * F.col("size_b"))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
     )
 
 
