@@ -61,14 +61,20 @@ def test_dry_run_produces_plans(spark):
     plans = DryRunBackend().run(spark, p)
     assert set(plans) == set(p.tasks)
     assert "Physical Plan" in plans["by_segment"]
-    assert all(t.status == "finished" for t in p.tasks.values())
+    assert all(t.status == "compiled" for t in p.tasks.values())
 
 
 def test_local_run_and_statuses(spark):
     p = build_pipe()
     out = LocalBackend().run(spark, p)
-    assert all(s == "finished" for s in out["statuses"].values())
+    # lazy by default: no action ran, every task is compiled and the
+    # caller's own action executes the whole chain exactly once
+    assert all(s == "compiled" for s in out["statuses"].values())
     assert out["results"]["by_segment"].count() == 5
+    # eager opt-in restores executed-per-task statuses
+    p_e = build_pipe()
+    out_e = LocalBackend(eager=True).run(spark, p_e)
+    assert all(s == "finished" for s in out_e["statuses"].values())
 
 
 def test_failure_propagation(spark):
@@ -82,7 +88,7 @@ def test_failure_propagation(spark):
     out = LocalBackend().run(spark, p)
     assert out["statuses"]["boom"] == "failed"
     assert out["statuses"]["after_boom"] == "upstream_failed"
-    assert out["statuses"]["by_segment"] == "finished"
+    assert out["statuses"]["by_segment"] == "compiled"
 
 
 def test_impression_reuse(spark, tmp_path):
@@ -134,16 +140,16 @@ def test_status_store_journal_and_snapshot(spark, tmp_path):
     LocalBackend(status_store=ss).run(spark, p)
     snap = ss.snapshot("demo")
     assert snap == {
-        "orders": "finished",
-        "customer": "finished",
-        "joined": "finished",
-        "by_segment": "finished",
+        "orders": "compiled",
+        "customer": "compiled",
+        "joined": "compiled",
+        "by_segment": "compiled",
     }
     hist = ss.history("demo")
-    # every task journals running before finished
+    # every task journals running before its terminal state
     for task in snap:
         states = [r["status"] for r in hist if r["task"] == task]
-        assert states == ["running", "finished"]
+        assert states == ["running", "compiled"]
 
     with pytest.raises(InvalidTransition):
         ss.record("demo", "orders", "running", prev="finished")
@@ -200,7 +206,7 @@ def test_external_cross_pipeline_dependency(spark, tmp_path):
 
     pb = build_b(imp)
     out_b = LocalBackend().run(spark, pb)
-    assert out_b["statuses"] == {"upstream_stats": "finished", "doubled": "finished"}
+    assert out_b["statuses"] == {"upstream_stats": "compiled", "doubled": "compiled"}
     assert out_b["results"]["doubled"].where("n2 != n * 2").count() == 0
 
     # not-yet-deposited upstream -> clean failure + downstream marked
@@ -223,7 +229,7 @@ def test_retries_recover_transient_failures(spark):
     p.source("orders", lambda s, _: s.read.parquet(f"{SF_SMOKE}/orders.parquet"))
     p.add("maybe", flaky, deps=("orders",))
     out = LocalBackend(max_retries=2).run(spark, p)
-    assert out["statuses"]["maybe"] == "finished"
+    assert out["statuses"]["maybe"] == "compiled"
     assert attempts["n"] == 3
 
     attempts["n"] = -10  # needs 13 attempts; only 3 allowed -> fails
@@ -273,7 +279,55 @@ def test_observed_metrics(spark, tmp_path):
     out2 = backend2.run(spark, pipe2)
     assert pipe2.tasks["filtered"].status == "reused"
     assert out2["metrics"]["filtered"] is None
-    assert out2["metrics"]["src"]["n_rows"] == 100
+    # lazy: the reused deposit satisfies downstream, so src never
+    # re-executes - exactly the recompute the lazy backend avoids
+    assert pipe2.tasks["src"].status == "compiled"
+    assert out2["metrics"]["src"] is None
+
+    # eager opt-in recomputes and observes src again
+    pipe3 = Pipeline("obs")
+    pipe3.add("src", src)
+    pipe3.add("filtered", double, deps=("src",))
+    out3 = LocalBackend(store=store, persist={"filtered"}, observe=True, eager=True).run(spark, pipe3)
+    assert pipe3.tasks["filtered"].status == "reused"
+    assert out3["metrics"]["src"]["n_rows"] == 100
+
+
+def test_lazy_chain_executes_each_stage_once(spark, tmp_path):
+    """A 5-deep chain with one persisted sink runs exactly one action
+    (the deposit): every upstream stage executes once inside it, shown
+    by all observations resolving off that single pass. The old eager
+    backend counted every stage, re-executing stage 0's lineage five
+    times (O(depth²) scans)."""
+    from pyspark.sql import functions as F
+
+    def build_chain(name):
+        p = Pipeline(name)
+        p.add("t0", lambda s, _: s.range(1000).select(F.col("id")))
+        for i in range(1, 5):
+            p.add(
+                f"t{i}",
+                (lambda j: lambda s, d: d[f"t{j - 1}"].withColumn(f"v{j}", F.col("id") + j))(i),
+                deps=(f"t{i - 1}",),
+            )
+        return p
+
+    store = ImpressionStore(str(tmp_path / "imps"))
+    out = LocalBackend(store=store, persist={"t4"}, observe=True).run(
+        spark, build_chain("chain")
+    )
+    assert out["statuses"]["t4"] == "finished"
+    for i in range(4):
+        assert out["statuses"][f"t{i}"] == "compiled"
+        # resolved from the single deposit action — stage ran (once)
+        assert out["metrics"][f"t{i}"]["n_rows"] == 1000
+    assert out["metrics"]["t4"]["n_rows"] == 1000
+
+    # with no persisted sink the run triggers zero jobs: every
+    # observation stays unresolved until the caller acts
+    out2 = LocalBackend(observe=True).run(spark, build_chain("chain2"))
+    assert all(v is None for v in out2["metrics"].values())
+    assert out2["results"]["t4"].count() == 1000  # caller's own action
 
 
 def test_impression_gc_and_archive(spark, tmp_path):
@@ -298,7 +352,9 @@ def test_impression_gc_and_archive(spark, tmp_path):
     store.archive(imp)
     p2 = mk("p2")
     LocalBackend(store=store, persist={"t"}).run(spark, p2)
-    assert p2.tasks["t"].status == "finished"  # recomputed, not reused
+    # archived deposit is not reused and not overwritten; the task is
+    # recompiled for downstream consumers (no action of its own)
+    assert p2.tasks["t"].status == "compiled"
     assert store.gc() == []  # archive shields from collection
     assert store.is_archived(imp)
 

@@ -41,7 +41,7 @@ class DryRunBackend:
                     "formatted"
                 )
             )
-            t.status = "finished"  # compiled, not executed
+            t.status = "compiled"  # plan built, not executed
         return plans
 
 
@@ -56,19 +56,29 @@ class LocalBackend:
         max_retries: int = 0,
         observe: bool = False,
         metrics: dict[str, list] | None = None,
+        eager: bool = False,
     ):
         """``observe=True`` attaches a :class:`pyspark.sql.Observation`
         to every executed task: row count plus any extra aggregate
         Columns from ``metrics[task_name]``, collected *during* the
         task's action (Yuki's status routes report per-job progress;
         here Spark itself accumulates the numbers — zero extra jobs).
-        Reused impressions skip recompute, so their metrics are None."""
+        Reused impressions skip recompute, so their metrics are None.
+
+        Execution is lazy by default: only tasks in ``persist`` run an
+        action; everything else is compiled into its consumers' plans
+        (status ``compiled``) and executes exactly once, inside the
+        action that finally needs it. ``eager=True`` restores
+        count-per-task semantics (per-task failure isolation at the
+        price of re-executing a k-deep lineage k times — never use it
+        on large inputs)."""
         self.store = store
         self.persist = persist or set()
         self.status_store = status_store
         self.max_retries = max_retries
         self.observe = observe
         self.metrics = metrics or {}
+        self.eager = eager
         self._killed = False
 
     def _journal(self, pipe: Pipeline, task: str, status: str, error: str | None = None):
@@ -90,6 +100,7 @@ class LocalBackend:
             pipe.tasks[n].status = "waiting"
         results: dict[str, DataFrame] = {}
         imp_ids: dict[str, str] = {}
+        pending_obs: dict[str, Any] = {}
         for name in order:
             t = pipe.tasks[name]
             if t.status == "upstream_failed" or self._killed:
@@ -128,6 +139,7 @@ class LocalBackend:
                             F.count(F.lit(1)).alias("n_rows"),
                             *self.metrics.get(name, []),
                         )
+                    executed = False
                     if (
                         self.store is not None
                         and name in self.persist
@@ -139,16 +151,22 @@ class LocalBackend:
                             meta={"task": name, "pipeline": pipe.name, "deps": dep_ids},
                         )
                         df = self.store.read(spark, imp)
-                    else:
-                        # plain task — or an archived deposit, which
-                        # stays untouched: recompute without re-deposit
-                        df.count()  # execute for status fidelity
+                        executed = True
+                    elif self.eager:
+                        # opt-in: execute every task for per-task
+                        # status/failure fidelity (costs O(depth²)
+                        # recompute on deep chains — small inputs only)
+                        df.count()
+                        executed = True
                     results[name] = df
                     t.result = df
                     if obs is not None:
-                        t.metrics = obs.get
-                    t.status = "finished"
-                    self._journal(pipe, name, "finished")
+                        if executed:
+                            t.metrics = obs.get
+                        else:
+                            pending_obs[name] = obs
+                    t.status = "finished" if executed else "compiled"
+                    self._journal(pipe, name, t.status)
                     break
                 except Exception as e:  # noqa: BLE001 — mirror Yuki's broad failure marking
                     if attempt < self.max_retries:
@@ -160,6 +178,12 @@ class LocalBackend:
                     for d in pipe.downstream(name):
                         pipe.tasks[d].status = "upstream_failed"
                         self._journal(pipe, d, "upstream_failed")
+        # a compiled task's observation resolves iff some downstream
+        # action (an impression write, or a caller action) executed its
+        # plan — read non-blockingly so unexecuted tasks stay None
+        for name, obs in pending_obs.items():
+            if not obs._jo.getRowOrEmpty().isEmpty():
+                pipe.tasks[name].metrics = obs.get
         return {
             "statuses": pipe.statuses(),
             "impressions": imp_ids,

@@ -31,6 +31,7 @@ STATUSES = (
     "raw",
     "waiting",
     "running",
+    "compiled",  # plan built, no action run (lazy tasks / dry runs)
     "finished",
     "failed",
     "upstream_failed",

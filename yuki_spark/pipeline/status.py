@@ -28,7 +28,8 @@ from .dag import STATUSES, Pipeline
 _TRANSITIONS: dict[str, set[str]] = {
     "raw": {"waiting", "running", "failed", "upstream_failed"},
     "waiting": {"running", "failed", "upstream_failed", "reused"},
-    "running": {"finished", "failed"},
+    "running": {"finished", "compiled", "failed"},
+    "compiled": set(),
     "finished": set(),
     "failed": set(),
     "upstream_failed": set(),
