@@ -216,6 +216,54 @@ def test_external_cross_pipeline_dependency(spark, tmp_path):
     assert out_m["statuses"]["doubled"] == "upstream_failed"
 
 
+def test_external_wait_for_upstream(spark, tmp_path):
+    """wait=True polls the store like Yuki's _wait_for_dependencies:
+    a deposit landing mid-wait unblocks the downstream pipeline; an
+    exhausted budget raises UpstreamTimeout -> failed/upstream_failed."""
+    import threading
+    import time
+
+    from pyspark.sql import functions as F
+
+    from yuki_spark.pipeline.impressions import impression_id
+
+    store = ImpressionStore(str(tmp_path / "imps"))
+    imp = impression_id("late", "1", [])
+
+    def build_waiting(name, **kw):
+        pb = Pipeline(name)
+        pb.external("upstream_stats", store, imp, wait=True, **kw)
+        pb.add(
+            "doubled",
+            lambda s, d: d["upstream_stats"].withColumn("n2", F.col("n") * 2),
+            deps=("upstream_stats",),
+        )
+        return pb
+
+    def deposit_late():
+        time.sleep(0.5)
+        store.write(imp, spark.range(5).select(F.col("id").alias("n")))
+
+    t = threading.Thread(target=deposit_late)
+    t.start()
+    out = LocalBackend().run(
+        spark, build_waiting("waiter", max_tries=50, poll_interval_s=0.1)
+    )
+    t.join()
+    assert out["statuses"] == {"upstream_stats": "compiled", "doubled": "compiled"}
+    assert out["results"]["doubled"].where("n2 != n * 2").count() == 0
+
+    # timeout path: budget exhausted before any deposit
+    imp2 = impression_id("never", "1", [])
+    pb2 = Pipeline("timeout")
+    pb2.external("upstream_stats", store, imp2, wait=True, max_tries=3, poll_interval_s=0.02)
+    pb2.add("doubled", lambda s, d: d["upstream_stats"], deps=("upstream_stats",))
+    out2 = LocalBackend().run(spark, pb2)
+    assert out2["statuses"]["upstream_stats"] == "failed"
+    assert out2["statuses"]["doubled"] == "upstream_failed"
+    assert "not deposited" in pb2.tasks["upstream_stats"].error
+
+
 def test_retries_recover_transient_failures(spark):
     attempts = {"n": 0}
 

@@ -60,6 +60,10 @@ class CycleError(ValueError):
     pass
 
 
+class UpstreamTimeout(RuntimeError):
+    """An external dependency was not deposited within the wait budget."""
+
+
 class Pipeline:
     """A named DAG of Spark transformations with Yuki-style lifecycle."""
 
@@ -84,18 +88,45 @@ class Pipeline:
     def source(self, name: str, fn, version: str = "1") -> Task:
         return self.add(name, fn, deps=(), is_input=True, version=version)
 
-    def external(self, name: str, store, imp_id: str) -> Task:
+    def external(
+        self,
+        name: str,
+        store,
+        imp_id: str,
+        wait: bool = False,
+        max_tries: int = 60,
+        poll_interval_s: float = 10.0,
+    ) -> Task:
         """Cross-pipeline dependency (parity: VWorkflow waiting on an
         upstream workflow's deposited impressions —
-        /root/reference/Yuki/kernel/VWorkflow.py ``run`` wait loop).
+        /root/reference/Yuki/kernel/VWorkflow.py:188
+        ``_wait_for_dependencies``, 60 tries × 10 s).
 
         The task resolves another pipeline's deposited impression at
-        execution time; if the upstream hasn't deposited yet it fails
-        (and downstream becomes ``upstream_failed``) — the batch
-        analogue of Yuki's wait-then-proceed. Version is pinned to the
-        impression id so reuse hashes stay content-addressed."""
+        execution time. With ``wait=False`` it fails fast if the
+        upstream hasn't deposited (and downstream becomes
+        ``upstream_failed``). With ``wait=True`` it polls the store up
+        to ``max_tries`` × ``poll_interval_s`` — the concurrent-
+        pipelines mode the reference was built for — and raises
+        :class:`UpstreamTimeout` when the budget runs out, which marks
+        this task ``failed`` so a later re-run re-polls from scratch
+        (the analogue of Yuki's status reset on timeout). Version is
+        pinned to the impression id so reuse hashes stay
+        content-addressed."""
 
         def fn(spark, _deps):
+            if wait:
+                import time as _time
+
+                for attempt in range(max_tries):
+                    if store.exists(imp_id) and not store.is_archived(imp_id):
+                        break
+                    if attempt == max_tries - 1:
+                        raise UpstreamTimeout(
+                            f"{name}: impression {imp_id} not deposited after "
+                            f"{max_tries} tries x {poll_interval_s}s"
+                        )
+                    _time.sleep(poll_interval_s)
             return store.read(spark, imp_id)
 
         return self.add(name, fn, deps=(), is_input=True, version=f"ext:{imp_id}")
