@@ -88,3 +88,34 @@ def test_corpus_curation_end_to_end(spark, tmp_path):
     assert [r["status"] for r in hist if r["task"] == "source_stats"] == [
         "running", "finished", "running", "reused", "running", "finished",
     ]
+
+
+def test_per_task_log_collection(spark, tmp_path):
+    """Every run deposits a logs.json artifact at each task's content
+    address — explain string + observed metrics for executed tasks,
+    the error for failed ones (parity: impression_storage.collect_logs)."""
+    store = ImpressionStore(str(tmp_path / "imps"))
+
+    p = build(SF_SMOKE)
+    out = LocalBackend(store, persist={"source_stats"}, observe=True).run(spark, p)
+
+    logs = store.logs(out["impressions"]["source_stats"])
+    assert logs["status"] == "finished"
+    assert "Physical Plan" in logs["explain"]
+    assert logs["metrics"]["n_rows"] > 0
+    assert logs["error"] is None
+    # compiled upstream tasks get artifacts too (metrics resolved off
+    # the sink's single action)
+    dlogs = store.logs(out["impressions"]["deduped"])
+    assert dlogs["status"] == "compiled"
+    assert dlogs["metrics"]["n_rows"] > 0
+
+    # failed task: logs.json records the error at the task's address
+    # even though no data was deposited there
+    pf = build(SF_SMOKE)
+    pf.add("boom", lambda s, d: d["source_stats"].select("no_such_col"), deps=("source_stats",))
+    outf = LocalBackend(store, persist={"source_stats"}).run(spark, pf)
+    flogs = store.logs(outf["impressions"]["boom"])
+    assert flogs["status"] == "failed"
+    assert "no_such_col" in flogs["error"]
+    assert not store.exists(outf["impressions"]["boom"])  # logs-only dir

@@ -57,6 +57,7 @@ class LocalBackend:
         observe: bool = False,
         metrics: dict[str, list] | None = None,
         eager: bool = False,
+        collect_logs: bool = True,
     ):
         """``observe=True`` attaches a :class:`pyspark.sql.Observation`
         to every executed task: row count plus any extra aggregate
@@ -79,6 +80,9 @@ class LocalBackend:
         self.observe = observe
         self.metrics = metrics or {}
         self.eager = eager
+        # parity: impression_storage.collect_logs — deposit each run's
+        # explain/metrics/error artifact next to the impression data
+        self.collect_logs = collect_logs
         self._killed = False
 
     def _journal(self, pipe: Pipeline, task: str, status: str, error: str | None = None):
@@ -101,6 +105,7 @@ class LocalBackend:
         results: dict[str, DataFrame] = {}
         imp_ids: dict[str, str] = {}
         pending_obs: dict[str, Any] = {}
+        explains: dict[str, str] = {}
         for name in order:
             t = pipe.tasks[name]
             if t.status == "upstream_failed" or self._killed:
@@ -128,6 +133,12 @@ class LocalBackend:
                         break
                     inputs = {d: results[d] for d in t.deps}
                     df = t.fn(spark, inputs)
+                    if self.store is not None and self.collect_logs:
+                        explains[name] = df._jdf.queryExecution().explainString(
+                            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                                "formatted"
+                            )
+                        )
                     obs = None
                     if self.observe:
                         from pyspark.sql import Observation
@@ -184,6 +195,23 @@ class LocalBackend:
         for name, obs in pending_obs.items():
             if not obs._jo.getRowOrEmpty().isEmpty():
                 pipe.tasks[name].metrics = obs.get
+        if self.store is not None and self.collect_logs:
+            import time
+
+            for name, imp in imp_ids.items():
+                t = pipe.tasks[name]
+                self.store.write_logs(
+                    imp,
+                    {
+                        "task": name,
+                        "pipeline": pipe.name,
+                        "status": t.status,
+                        "error": t.error,
+                        "explain": explains.get(name),
+                        "metrics": t.metrics,
+                        "logged_at": time.time(),
+                    },
+                )
         return {
             "statuses": pipe.statuses(),
             "impressions": imp_ids,

@@ -81,6 +81,29 @@ class ImpressionStore:
         with open(os.path.join(self._dir(imp_id), "meta.json")) as f:
             return json.load(f)
 
+    def write_logs(self, imp_id: str, logs: dict[str, Any]) -> str:
+        """Deposit a task's run artifacts (explain string, observed
+        metrics, error) next to its data — parity with Yuki's per-job
+        log collection into the impression
+        (/root/reference/Yuki/kernel/impression_storage.py:57
+        ``collect_logs``; VJob.py:199 ``_write_step_logs``). Works for
+        failed tasks too: the directory is created even when no data
+        was deposited, so the failure artifact is findable at the
+        task's content address. A logs-only directory is not a
+        deposited impression (``exists`` stays False)."""
+        os.makedirs(self._dir(imp_id), exist_ok=True)
+        path = os.path.join(self._dir(imp_id), "logs.json")
+        with open(path, "w") as f:
+            json.dump(logs, f, indent=2, default=str)
+        return path
+
+    def logs(self, imp_id: str) -> dict[str, Any] | None:
+        path = os.path.join(self._dir(imp_id), "logs.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
     def watermark(self, imp_id: str, key: str, value: str) -> None:
         """Tag an impression (Yuki watermark analogue)."""
         m = self.meta(imp_id)
