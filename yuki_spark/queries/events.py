@@ -193,12 +193,25 @@ def e10_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def e12_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-Min heavy hitters: exact top-5 event types beside their
-    one-pass sketch estimates (rows-only: sketch-based)."""
+    """Count-Min heavy hitters, made deterministic for the oracle:
+    exact top-5 counts plus ``est_ok`` asserting the sketch estimate
+    obeys the CM guarantee (true ≤ est ≤ true + ⌈eps·N⌉). The oracle
+    recomputes the exact side and expects the flag TRUE — a sketch
+    regression flips the flag and fails the value hash."""
     from ..operators.sketches import topk_exact_vs_sketch
 
+    eps = 0.001
     ev = load(spark, sf_dir, "events")
-    return topk_exact_vs_sketch(ev, "event_type", k=5, eps=0.001)
+    n_total = ev.count()
+    r = topk_exact_vs_sketch(ev, "event_type", k=5, eps=eps)
+    bound = F.col("true_count") + F.lit(int(eps * n_total) + 1)
+    return r.select(
+        "event_type",
+        "true_count",
+        (
+            (F.col("est_count") >= F.col("true_count")) & (F.col("est_count") <= bound)
+        ).alias("est_ok"),
+    ).orderBy(F.desc("true_count"), "event_type")
 
 
 def e6_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -217,19 +230,53 @@ def e6_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def e7_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch path: percentile_approx (KLL-style) — at 100 TB the
-    exact sort-based percentile is replaced by this mergeable sketch;
-    rows-only check (approximate by construction)."""
+    """Sketch path: percentile_approx (KLL-style) + HLL distinct — at
+    100 TB these mergeable sketches replace exact sort/distinct. Made
+    deterministic for the oracle: emit the *exact* percentiles and
+    user count alongside boolean flags asserting each sketch lands
+    within its published tolerance (rank error ≤ n/accuracy for
+    percentile_approx; rsd-scaled relative error for HLL). The oracle
+    recomputes the exact columns and expects TRUE flags, so a sketch
+    accuracy regression fails the value hash."""
+    accuracy = 10000
     ev = load(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.percentile_approx("value", 0.5, 10000).alias("p50"),
-            F.percentile_approx("value", 0.99, 10000).alias("p99"),
-            F.approx_count_distinct("user_id").alias("approx_users"),
-        )
-        .orderBy("event_type")
+    approx = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, accuracy).alias("a50"),
+        F.percentile_approx("value", 0.99, accuracy).alias("a99"),
+        F.approx_count_distinct("user_id").alias("au"),
     )
+    per = (
+        ev.join(F.broadcast(approx), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("value") <= F.col("a50"), 1).otherwise(0)).alias("r50"),
+            F.sum(F.when(F.col("value") <= F.col("a99"), 1).otherwise(0)).alias("r99"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.99)").alias("p99"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.first("au").alias("au"),
+        )
+    )
+    # percentile_approx returns a real element whose rank is within
+    # n/accuracy of the target rank; +1 absorbs duplicate-value ties
+    rank_tol = F.col("n").cast("double") / accuracy + 1.0
+    return per.select(
+        "event_type",
+        "p50",
+        "p99",
+        "n_users",
+        (F.abs(F.col("r50").cast("double") - 0.5 * F.col("n")) <= rank_tol).alias(
+            "p50_rank_ok"
+        ),
+        (F.abs(F.col("r99").cast("double") - 0.99 * F.col("n")) <= rank_tol).alias(
+            "p99_rank_ok"
+        ),
+        (
+            F.abs(F.col("au").cast("double") - F.col("n_users").cast("double"))
+            <= 0.15 * F.col("n_users").cast("double")
+        ).alias("users_ok"),
+    ).orderBy("event_type")
 
 
 def e13_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -391,6 +438,22 @@ ORACLE = {
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS window_value
         FROM w JOIN events p ON p.ts >= w.w_start AND p.ts <= w.w_end
         GROUP BY err_id ORDER BY err_id
+    """,
+    # e7/e12 twins recompute the exact columns and pin the tolerance
+    # flags TRUE — the Spark side computes the flags from the live
+    # sketches, so an accuracy regression breaks the value hash
+    "e7_value_percentiles_approx": """
+        SELECT event_type,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.99) AS p99,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               TRUE AS p50_rank_ok, TRUE AS p99_rank_ok, TRUE AS users_ok
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "e12_heavy_hitters": """
+        SELECT event_type, COUNT(*) AS true_count, TRUE AS est_ok
+        FROM events GROUP BY event_type
+        ORDER BY true_count DESC, event_type LIMIT 5
     """,
     "e6_value_percentiles": """
         SELECT event_type,
