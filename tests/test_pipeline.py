@@ -341,6 +341,37 @@ def test_observed_metrics(spark, tmp_path):
     assert out3["metrics"]["src"]["n_rows"] == 100
 
 
+def test_impression_addressing_contracts(spark, tmp_path):
+    """Default addressing covers (name, version, deps) ONLY: a changed
+    fn with an unbumped version reuses the stale deposit — that is the
+    documented contract, version bumps are mandatory on semantic
+    change. plan_hash=True folds the canonicalized logical plan into
+    the address, so the same change recomputes automatically."""
+    from pyspark.sql import functions as F
+
+    def mk(n_rows):
+        p = Pipeline("addr")
+        p.add("t", lambda s, _: s.range(n_rows).select(F.col("id")))
+        return p
+
+    # default contract: stale reuse on unbumped fn change
+    store = ImpressionStore(str(tmp_path / "default"))
+    LocalBackend(store=store, persist={"t"}).run(spark, mk(5))
+    out = LocalBackend(store=store, persist={"t"}).run(spark, mk(7))
+    assert mk(0).tasks  # sanity
+    assert out["results"]["t"].count() == 5  # stale: version not bumped
+
+    # plan_hash contract: fn change -> new address -> recompute
+    store2 = ImpressionStore(str(tmp_path / "planhash"))
+    LocalBackend(store=store2, persist={"t"}, plan_hash=True).run(spark, mk(5))
+    out2 = LocalBackend(store=store2, persist={"t"}, plan_hash=True).run(spark, mk(7))
+    assert out2["results"]["t"].count() == 7  # recomputed
+    # unchanged fn still reuses under plan_hash
+    p3 = mk(7)
+    LocalBackend(store=store2, persist={"t"}, plan_hash=True).run(spark, p3)
+    assert p3.tasks["t"].status == "reused"
+
+
 def test_lazy_chain_executes_each_stage_once(spark, tmp_path):
     """A 5-deep chain with one persisted sink runs exactly one action
     (the deposit): every upstream stage executes once inside it, shown

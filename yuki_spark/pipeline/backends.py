@@ -58,6 +58,7 @@ class LocalBackend:
         metrics: dict[str, list] | None = None,
         eager: bool = False,
         collect_logs: bool = True,
+        plan_hash: bool = False,
     ):
         """``observe=True`` attaches a :class:`pyspark.sql.Observation`
         to every executed task: row count plus any extra aggregate
@@ -83,6 +84,10 @@ class LocalBackend:
         # parity: impression_storage.collect_logs — deposit each run's
         # explain/metrics/error artifact next to the impression data
         self.collect_logs = collect_logs
+        # plan_hash=True folds each task's canonicalized logical plan
+        # into its impression address, so a changed fn invalidates the
+        # deposit without a version bump (see impression_id docstring)
+        self.plan_hash = plan_hash
         self._killed = False
 
     def _journal(self, pipe: Pipeline, task: str, status: str, error: str | None = None):
@@ -113,7 +118,21 @@ class LocalBackend:
             t.status = "running"
             self._journal(pipe, name, "running")
             dep_ids = [imp_ids.get(d, f"{d}@{pipe.tasks[d].version}") for d in t.deps]
-            imp = impression_id(t.name, t.version, dep_ids)
+            plan_str = None
+            if self.plan_hash:
+                # compile once (no action) purely for addressing; a
+                # compile failure here is deferred to the attempt loop,
+                # which re-raises it with full failure handling
+                try:
+                    plan_str = (
+                        t.fn(spark, {d: results[d] for d in t.deps})
+                        ._jdf.queryExecution()
+                        .logical()
+                        .toString()
+                    )
+                except Exception:  # noqa: BLE001
+                    plan_str = None
+            imp = impression_id(t.name, t.version, dep_ids, plan=plan_str)
             imp_ids[name] = imp
             # transient-failure tolerance: a long pipeline shouldn't
             # die to one flaky task attempt (Yuki reruns failed jobs

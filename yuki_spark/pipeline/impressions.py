@@ -21,6 +21,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
 import shutil
 import time
 from typing import Any
@@ -28,11 +29,25 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 
-def impression_id(task_name: str, version: str, dep_ids: list[str]) -> str:
-    payload = json.dumps(
-        {"task": task_name, "version": version, "deps": sorted(dep_ids)},
-        sort_keys=True,
-    )
+def impression_id(
+    task_name: str, version: str, dep_ids: list[str], plan: str | None = None
+) -> str:
+    """Content address of a task run.
+
+    Default contract: the address covers (name, version, dep
+    addresses) only — a changed ``fn`` body with an unbumped
+    ``version`` resolves to the SAME address and reuses the old
+    deposit. Bump ``Task.version`` on any semantic change, or run the
+    backend with ``plan_hash=True`` to fold the task's canonicalized
+    logical plan into the address so code changes invalidate
+    automatically (plan strings are canonicalized by stripping the
+    session-local expression ids Spark appends as ``#<n>``)."""
+    doc = {"task": task_name, "version": version, "deps": sorted(dep_ids)}
+    if plan is not None:
+        doc["plan"] = hashlib.sha256(
+            re.sub(r"#\d+", "#", plan).encode()
+        ).hexdigest()
+    payload = json.dumps(doc, sort_keys=True)
     return hashlib.sha256(payload.encode()).hexdigest()[:32]
 
 
