@@ -207,6 +207,63 @@ def test_merge_scd2_versions_history(spark):
     assert rows[(3, "z")]["is_current"] is True
 
 
+def test_merge_scd2_multi_version_batch_single_open_row(spark):
+    """Two updates to the same key in one batch: the earlier version
+    is closed by the later one — exactly one open row per key."""
+    from datetime import datetime
+
+    from yuki_spark.operators.merge import merge_scd2
+
+    t = lambda d: datetime(2024, 1, d)
+    current = spark.createDataFrame(
+        [(1, "x", t(1), None, True)],
+        "id long, attr string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [(1, "x2", t(5)), (1, "x3", t(9))], "id long, attr string, valid_from timestamp"
+    )
+    out = merge_scd2(current, updates, ["id"], "valid_from").collect()
+    rows = {r["attr"]: r for r in out}
+    assert len(out) == 3
+    assert rows["x"]["is_current"] is False and rows["x"]["valid_to"] == t(5)
+    assert rows["x2"]["is_current"] is False and rows["x2"]["valid_to"] == t(9)
+    assert rows["x3"]["is_current"] is True and rows["x3"]["valid_to"] is None
+    assert sum(1 for r in out if r["is_current"]) == 1
+
+
+def test_range_join_left_keeps_unmatched_points(spark):
+    from yuki_spark.operators.joins import range_join
+
+    points = spark.createDataFrame(
+        [(i, float(i)) for i in range(0, 40)], "pid long, x double"
+    ).select("pid", F.timestamp_seconds("x").alias("t"))
+    intervals = spark.createDataFrame(
+        [(1, 10.0, 20.0)], "iid long, s double, e double"
+    ).select(
+        "iid", F.timestamp_seconds("s").alias("ts_s"), F.timestamp_seconds("e").alias("ts_e")
+    )
+    got = range_join(points, intervals, "t", "ts_s", "ts_e", bucket_sec=7, how="left")
+    rows = got.collect()
+    assert len(rows) == 40  # every point survives exactly once
+    matched = {r["pid"] for r in rows if r["iid"] is not None}
+    assert matched == set(range(10, 21))
+    with pytest.raises(ValueError):
+        range_join(points, intervals, "t", "ts_s", "ts_e", how="full")
+
+
+def test_simhash_packs_top_bit_without_overflow():
+    """All-ones majority vector sets bit 63; packing must reinterpret
+    (uint64 view) rather than convert — NumPy 2.x raises on overflow."""
+    import pandas as pd
+
+    from yuki_spark.operators.dedup import _simhash64
+
+    fn = _simhash64.func  # unwrap the pandas_udf
+    out = fn(pd.Series([[-1, -1, -1], None, []]))
+    assert int(out.iloc[0]) == -1  # 0xFFFF... reinterpreted as int64
+    assert int(out.iloc[1]) == 0 and int(out.iloc[2]) == 0
+
+
 def test_asof_join_matches_merge_asof(spark):
     import pandas as pd
 

@@ -434,8 +434,12 @@ def test_impression_gc_and_archive(spark, tmp_path):
     # archived deposit is not reused and not overwritten; the task is
     # recompiled for downstream consumers (no action of its own)
     assert p2.tasks["t"].status == "compiled"
-    assert store.gc() == []  # archive shields from collection
+    assert store.gc(keep=set()) == []  # archive shields from collection
     assert store.is_archived(imp)
+    # a bare destructive sweep (no retention policy) must refuse
+    with pytest.raises(ValueError):
+        store.gc()
+    assert store.gc(dry_run=True) == []  # preview stays allowed
 
     # unarchive via watermark, then gc with empty keep-set removes it
     store.watermark(imp, "archived", "false")

@@ -297,7 +297,11 @@ def _simhash64(tok_hashes: pd.Series) -> pd.Series:
             np.int32
         )
         v = np.where(bits.sum(axis=0) * 2 >= len(ts), 1, 0).astype(np.uint64)
-        out[i] = np.int64((v << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+        packed = (v << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
+        # reinterpret, don't convert: bit 63 set makes the uint64 value
+        # exceed int64 range, and NumPy 2.x raises on out-of-range
+        # scalar conversion where 1.x silently wrapped
+        out[i] = np.array(packed, dtype=np.uint64).view(np.int64)
     return pd.Series(out)
 
 

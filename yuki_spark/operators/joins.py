@@ -95,11 +95,13 @@ def range_join(
     normal shuffle join and the exact range predicate prunes the
     residue. Choose ``bucket_sec`` ≈ typical interval length so the
     explode factor stays ~2."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"range_join supports how='inner'|'left', got {how!r}")
     p = points.withColumn(
         "__bucket", F.floor(F.col(point_col).cast("long") / bucket_sec)
     )
     iv = intervals.withColumn(
-        "__bucket",
+        "__bucket_iv",
         F.explode(
             F.sequence(
                 F.floor(F.col(start_col).cast("long") / bucket_sec),
@@ -107,11 +109,17 @@ def range_join(
             )
         ),
     )
+    # the range predicate joins the bucket equality INSIDE the join
+    # condition (not as a post-filter, which would silently turn an
+    # outer join back into inner by dropping the null-extended rows);
+    # a point has exactly one bucket, so each (point, interval) match
+    # appears once and 'left' needs no dedup
     cond = (
-        (F.col(point_col) >= F.col(start_col))
+        (F.col("__bucket") == F.col("__bucket_iv"))
+        & (F.col(point_col) >= F.col(start_col))
         & (F.col(point_col) <= F.col(end_col))
     )
-    return p.join(iv, "__bucket", how).where(cond).drop("__bucket")
+    return p.join(iv, cond, how).drop("__bucket", "__bucket_iv")
 
 
 def salted_join(

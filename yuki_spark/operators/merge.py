@@ -43,14 +43,23 @@ def merge_scd2(
     ``current`` rows carry (effective_col, end_col, current_flag);
     an update for an existing key closes the open row (end_col :=
     update's effective time, flag := false) and appends the new
-    version as the open row. New keys just append."""
-    upd = updates.select(
-        *[F.col(c) for c in updates.columns],
-    ).withColumns(
-        {
-            end_col: F.lit(None).cast(current.schema[end_col].dataType),
-            current_flag: F.lit(True),
-        }
+    version as the open row. New keys just append.
+
+    A batch may carry several versions of one key: each non-latest
+    update row is closed by its successor (lead over effective_col),
+    so exactly one open row per key survives — the SCD2 invariant."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(effective_col)
+    upd = (
+        updates.withColumn("__next_eff", F.lead(effective_col).over(w))
+        .withColumns(
+            {
+                end_col: F.col("__next_eff").cast(current.schema[end_col].dataType),
+                current_flag: F.col("__next_eff").isNull(),
+            }
+        )
+        .drop("__next_eff")
     )
     new_eff = updates.groupBy(*keys).agg(F.min(effective_col).alias("__new_eff"))
     closed = (

@@ -154,7 +154,18 @@ class ImpressionStore:
         older than ``max_age_s`` (Yuki deletes deposited impressions
         when their workflow is retired). Archived impressions are
         never collected. Returns the ids removed (or would-remove
-        under ``dry_run``)."""
+        under ``dry_run``).
+
+        A destructive sweep requires an explicit retention policy:
+        calling with neither ``keep`` nor ``max_age_s`` raises unless
+        ``dry_run=True`` (a bare ``gc()`` would otherwise delete every
+        non-archived impression in the store)."""
+        if keep is None and max_age_s is None and not dry_run:
+            raise ValueError(
+                "gc() with no retention policy would delete every "
+                "non-archived impression; pass keep= and/or max_age_s= "
+                "(or dry_run=True to preview)"
+            )
         now = time.time()
         victims = []
         for imp_id in self.list_ids():

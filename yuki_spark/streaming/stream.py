@@ -16,6 +16,7 @@ from __future__ import annotations
 from collections.abc import Iterable, Iterator
 
 import pandas as pd
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -288,7 +289,13 @@ def run_upsert_snapshot(
         try:
             target = spark.read.parquet(snapshot_path)
             merged = merge_upsert(target, batch_df, keys)
-        except Exception:  # first batch: snapshot doesn't exist yet
+        except AnalysisException as e:
+            # ONLY path-not-found means "first batch". Anything else —
+            # transient read error, schema mismatch, corrupt snapshot —
+            # must fail the query rather than overwrite the snapshot
+            # with a single micro-batch (silent data loss).
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
             merged = batch_df
         # rewrite through a staging df: collect to driver is avoided,
         # localCheckpoint materializes before the overwrite clobbers
