@@ -17,7 +17,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import broadcast
+from pyspark.sql.functions import broadcast, pandas_udf
+from pyspark.sql.types import ArrayType, IntegerType
 from pyspark.sql.window import Window
 
 SCALE = float(1 << 24)
@@ -104,35 +105,19 @@ _ND_PLANES = np.where(
 ).astype(np.int64)
 
 
-def _nd_plane_lit(j: int) -> Column:
-    return F.array(*[F.lit(int(v)) for v in _ND_PLANES[j]])
-
-
-def neardup_band_buckets(base: DataFrame) -> DataFrame:
-    """(vec_id, band, bucket) LSH table from scaled-int vectors.
-
-    bucket = NEARDUP_BITS sign bits of exact int64 hyperplane dots —
-    deterministic, so any engine derives identical buckets. Only ids
-    ride the band explode (3 longs/row); vectors stay behind."""
-    signs = [
-        F.when(int_dot(F.col("sv"), _nd_plane_lit(j)) >= 0, F.lit(1)).otherwise(F.lit(0))
-        for j in range(NEARDUP_BANDS * NEARDUP_BITS)
-    ]
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                sum(
-                    (signs[b * NEARDUP_BITS + i] * F.lit(1 << i) for i in range(1, NEARDUP_BITS)),
-                    signs[b * NEARDUP_BITS],
-                ).alias("bucket"),
-            )
-            for b in range(NEARDUP_BANDS)
-        ]
-    )
-    return base.select("vec_id", F.explode(bands).alias("bb")).select(
-        "vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+@pandas_udf(ArrayType(IntegerType()))
+def _nd_buckets(svs: pd.Series) -> pd.Series:
+    """Per-vector band buckets: one int64 GEMM against the ±1 plane
+    matrix (exact — |dot| ≤ 64·2^26), sign bits packed per band.
+    Vectorized over Arrow batches; identical to the DuckDB twin's
+    per-plane sign CASEs."""
+    if len(svs) == 0:
+        return pd.Series([], dtype=object)
+    V = np.stack([np.asarray(v, dtype=np.int64) for v in svs])
+    S = (V @ _ND_PLANES.T >= 0).astype(np.int64)  # n × (bands·bits)
+    weights = 1 << np.arange(NEARDUP_BITS, dtype=np.int64)
+    B = (S.reshape(len(svs), NEARDUP_BANDS, NEARDUP_BITS) * weights).sum(axis=2)
+    return pd.Series(B.astype(np.int32).tolist())
 
 
 def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.35) -> DataFrame:
@@ -142,47 +127,43 @@ def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.35) -> DataFrame:
     DuckDB oracle matches bit-for-bit.
 
     Execution (the 100 TB shape — no cartesian anywhere):
-    1. candidate generation: self-join of the (vec_id, band, bucket)
-       table on band+bucket equality — a key shuffle, like the MinHash
-       band join (dedup.minhash_lsh_pairs);
-    2. distinct candidate pairs;
-    3. exact verification: join the scaled vectors back per side and
-       score cosine from int64 dots (identical IEEE ops to the twin).
+    1. signatures: one vectorized GEMM assigns each vector its
+       NEARDUP_BANDS bucket ids;
+    2. band explode + shuffle on (band, bucket) — a key shuffle, like
+       the MinHash band join (dedup.minhash_lsh_pairs);
+    3. bucket-local exact scoring: one numpy int64 GEMM per bucket
+       group inside ``applyInPandas`` (same arithmetic as the twin —
+       no per-pair Catalyst lambdas, no join-backs);
+    4. distinct over (id_a, id_b, cosine) — duplicates from pairs
+       sharing several band buckets collapse exactly because the
+       scoring is deterministic.
 
     Recall vs the exact all-pairs result is probabilistic (asserted in
     tests against :func:`cosine_neardup_pairs_exact`); correctness of
     the produced pairs is exact."""
-    base = (
+    sig = (
         emb.select("vec_id", scaled("embedding").alias("sv"))
-        .withColumn("nrm", int_dot(F.col("sv"), F.col("sv")))
-        .localCheckpoint(eager=False)  # feeds bucket table + both verify sides
+        .withColumn("buckets", _nd_buckets("sv"))
+        .select("vec_id", "sv", F.posexplode("buckets").alias("band", "bucket"))
     )
-    bt = neardup_band_buckets(base).localCheckpoint(eager=False)
-    cand = (
-        bt.alias("x")
-        .join(bt.alias("y"), ["band", "bucket"])
-        .where(F.col("x.vec_id") < F.col("y.vec_id"))
-        .select(F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b"))
-        .distinct()
-    )
-    va = base.select(
-        F.col("vec_id").alias("id_a"), F.col("sv").alias("sv_a"), F.col("nrm").alias("nrm_a")
-    )
-    vb = base.select(
-        F.col("vec_id").alias("id_b"), F.col("sv").alias("sv_b"), F.col("nrm").alias("nrm_b")
-    )
-    cos = F.round(
-        cosine_from_ints(
-            int_dot(F.col("sv_a"), F.col("sv_b")), F.col("nrm_a"), F.col("nrm_b")
-        ),
-        9,
-    )
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        V = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["sv"]])
+        dots = V @ V.T  # exact int64: |scaled dot| <= 64·2^52 < 2^63
+        rt = np.sqrt(np.diag(dots).astype(np.float64))
+        # sqrt(na)·sqrt(nb), NOT sqrt(na·nb): must match the twin's
+        # IEEE op sequence exactly for bit-identical cosines
+        cos = np.round(dots.astype(np.float64) / (rt[:, None] * rt[None, :]), 9)
+        ia, ib = np.nonzero((cos >= threshold) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame(
+            {"id_a": ids[ia], "id_b": ids[ib], "cosine": cos[ia, ib]}
+        )
+
     return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn("cosine", cos)
-        .where(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        sig.groupBy("band", "bucket")
+        .applyInPandas(lambda _, pdf: score(pdf), NEARDUP_OUT)
+        .distinct()
         .orderBy("id_a", "id_b")
     )
 
