@@ -341,6 +341,32 @@ def test_observed_metrics(spark, tmp_path):
     assert out3["metrics"]["src"]["n_rows"] == 100
 
 
+def test_per_task_runner_conf(spark, tmp_path):
+    """A task's conf annotation (Yuki runner-context parity) applies
+    during its own compile+action and is restored afterwards; it is
+    exported in the plan and the impression logs."""
+    from pyspark.sql import functions as F
+
+    seen = {}
+
+    def fn(s, _):
+        seen["during"] = s.conf.get("spark.sql.shuffle.partitions")
+        return s.range(100).groupBy((F.col("id") % 5).alias("k")).count()
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    assert before != "7"
+    p = Pipeline("runnerconf")
+    p.add("t", fn, conf={"spark.sql.shuffle.partitions": "7"})
+    store = ImpressionStore(str(tmp_path / "imps"))
+    out = LocalBackend(store=store, persist={"t"}).run(spark, p)
+    assert seen["during"] == "7"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    assert p.to_plan()["tasks"][0]["conf"] == {"spark.sql.shuffle.partitions": "7"}
+    assert store.logs(out["impressions"]["t"])["conf"] == {
+        "spark.sql.shuffle.partitions": "7"
+    }
+
+
 def test_impression_addressing_contracts(spark, tmp_path):
     """Default addressing covers (name, version, deps) ONLY: a changed
     fn with an unbumped version reuses the stale deposit — that is the

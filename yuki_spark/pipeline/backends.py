@@ -16,12 +16,36 @@ split re-expressed for Spark.
 """
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
 from .dag import Pipeline
 from .impressions import ImpressionStore, impression_id
+
+
+@contextmanager
+def _task_conf(spark: SparkSession, conf: dict[str, str]):
+    """Apply a task's runner context (Spark SQL conf) around its
+    compile + action, restoring the previous values afterwards —
+    parity with Yuki's per-job environment/runner registration
+    (/root/reference/Yuki/kernel/VJob.py:117 ``environment``,
+    impression_storage.py:21 ``_get_runner_contexts``)."""
+    if not conf:
+        yield
+        return
+    saved = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, old in saved.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
 
 
 class DryRunBackend:
@@ -150,44 +174,45 @@ class LocalBackend:
                         self._journal(pipe, name, "reused")
                         t.result = results[name]
                         break
-                    inputs = {d: results[d] for d in t.deps}
-                    df = t.fn(spark, inputs)
-                    if self.store is not None and self.collect_logs:
-                        explains[name] = df._jdf.queryExecution().explainString(
-                            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                                "formatted"
+                    with _task_conf(spark, t.conf):
+                        inputs = {d: results[d] for d in t.deps}
+                        df = t.fn(spark, inputs)
+                        if self.store is not None and self.collect_logs:
+                            explains[name] = df._jdf.queryExecution().explainString(
+                                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                                    "formatted"
+                                )
                             )
-                        )
-                    obs = None
-                    if self.observe:
-                        from pyspark.sql import Observation
-                        from pyspark.sql import functions as F
+                        obs = None
+                        if self.observe:
+                            from pyspark.sql import Observation
+                            from pyspark.sql import functions as F
 
-                        obs = Observation(f"{pipe.name}.{name}#{attempt}")
-                        df = df.observe(
-                            obs,
-                            F.count(F.lit(1)).alias("n_rows"),
-                            *self.metrics.get(name, []),
-                        )
-                    executed = False
-                    if (
-                        self.store is not None
-                        and name in self.persist
-                        and not (self.store.exists(imp) and self.store.is_archived(imp))
-                    ):
-                        self.store.write(
-                            imp,
-                            df,
-                            meta={"task": name, "pipeline": pipe.name, "deps": dep_ids},
-                        )
-                        df = self.store.read(spark, imp)
-                        executed = True
-                    elif self.eager:
-                        # opt-in: execute every task for per-task
-                        # status/failure fidelity (costs O(depth²)
-                        # recompute on deep chains — small inputs only)
-                        df.count()
-                        executed = True
+                            obs = Observation(f"{pipe.name}.{name}#{attempt}")
+                            df = df.observe(
+                                obs,
+                                F.count(F.lit(1)).alias("n_rows"),
+                                *self.metrics.get(name, []),
+                            )
+                        executed = False
+                        if (
+                            self.store is not None
+                            and name in self.persist
+                            and not (self.store.exists(imp) and self.store.is_archived(imp))
+                        ):
+                            self.store.write(
+                                imp,
+                                df,
+                                meta={"task": name, "pipeline": pipe.name, "deps": dep_ids},
+                            )
+                            df = self.store.read(spark, imp)
+                            executed = True
+                        elif self.eager:
+                            # opt-in: execute every task for per-task
+                            # status/failure fidelity (costs O(depth²)
+                            # recompute on deep chains — small inputs only)
+                            df.count()
+                            executed = True
                     results[name] = df
                     t.result = df
                     if obs is not None:
@@ -226,6 +251,7 @@ class LocalBackend:
                         "pipeline": pipe.name,
                         "status": t.status,
                         "error": t.error,
+                        "conf": t.conf,
                         "explain": explains.get(name),
                         "metrics": t.metrics,
                         "logged_at": time.time(),

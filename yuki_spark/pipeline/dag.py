@@ -48,6 +48,15 @@ class Task:
     deps: tuple[str, ...] = ()
     is_input: bool = False  # Yuki "rawdata" jobs
     version: str = "1"  # bump to invalidate cached impressions
+    # per-task runner context (parity: VJob.environment / runner
+    # registration, /root/reference/Yuki/kernel/VJob.py:117): Spark SQL
+    # conf applied around this task's own compile+action — e.g.
+    # {"spark.sql.shuffle.partitions": "2000"} for a task whose shuffle
+    # dwarfs the pipeline default. Lazy (non-persisted) tasks compile
+    # under their conf but execute inside a consumer's action, which
+    # runs under the consumer's conf — runtime conf belongs on the
+    # task that acts.
+    conf: dict[str, str] = field(default_factory=dict)
     status: str = "raw"
     error: str | None = None
     result: DataFrame | None = field(default=None, repr=False)
@@ -78,10 +87,18 @@ class Pipeline:
         deps: tuple[str, ...] | list[str] = (),
         is_input: bool = False,
         version: str = "1",
+        conf: dict[str, str] | None = None,
     ) -> Task:
         if name in self.tasks:
             raise ValueError(f"duplicate task {name!r}")
-        t = Task(name=name, fn=fn, deps=tuple(deps), is_input=is_input, version=version)
+        t = Task(
+            name=name,
+            fn=fn,
+            deps=tuple(deps),
+            is_input=is_input,
+            version=version,
+            conf=dict(conf or {}),
+        )
         self.tasks[name] = t
         return t
 
@@ -178,6 +195,7 @@ class Pipeline:
                     "deps": list(t.deps),
                     "is_input": t.is_input,
                     "version": t.version,
+                    "conf": t.conf,
                     "status": t.status,
                 }
                 for t in (self.tasks[n] for n in self.topo_order())
