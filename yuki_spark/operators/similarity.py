@@ -290,52 +290,64 @@ def ivf_ann(
     )
 
 
-# ---- LSH ANN (scale path; rows-only check) ------------------------------
+# ---- LSH ANN (scale path) ------------------------------------------------
 
 N_PLANES = 8
-_rng = np.random.RandomState(7)
-_PLANES = _rng.standard_normal((N_PLANES, 64)).round(6)
+# first 8 near-dup planes double as the ANN bucket hash: ±1 entries so
+# the bucket derives from exact int64 dot signs — engine-portable, and
+# the DuckDB twin reproduces every bucket (no rows-only check needed)
+_ANN_PLANES = _ND_PLANES[:N_PLANES]
 
 
 def _plane_lit(i: int) -> Column:
-    return F.array(*[F.lit(float(v)) for v in _PLANES[i]])
+    return F.array(*[F.lit(int(v)) for v in _ANN_PLANES[i]])
 
 
 def lsh_ann(emb: DataFrame, k: int = 3, n_queries: int = 20) -> DataFrame:
-    """Random-hyperplane LSH ANN: bucket by 8 sign bits (256 buckets),
-    then exact cosine only within the query's bucket."""
-    dv = F.transform("embedding", lambda x: x.cast("double"))
-    withv = emb.select("vec_id", dv.alias("v"))
+    """Multi-probe random-hyperplane LSH ANN: bucket by 8 sign bits
+    (256 buckets); each query probes its own bucket plus every bucket
+    at Hamming distance 1 (Lv et al.'s multi-probe trick — 9 probe
+    buckets instead of 9 hash tables), then exact cosine only within
+    probed buckets. The probe explode stays an equi-join on bucket id.
+    All arithmetic is scaled-integer (signs from exact int64 dots,
+    cosine from int dots rounded to 9 places) so results match the SQL
+    twin bit-for-bit."""
+    base = (
+        emb.select("vec_id", scaled("embedding").alias("sv"))
+        .withColumn("nrm", int_dot(F.col("sv"), F.col("sv")))
+    )
     sign_bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(F.col("v"), _plane_lit(i), lambda x, p: x * p),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            >= 0,
-            F.lit(1 << i),
-        ).otherwise(F.lit(0))
+        F.when(int_dot(F.col("sv"), _plane_lit(i)) >= 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
         for i in range(N_PLANES)
     ]
-    bucketed = withv.withColumn(
+    bucketed = base.withColumn(
         "bucket", sum(sign_bits[1:], sign_bits[0])
     ).localCheckpoint(eager=False)  # feeds query + candidate sides once
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(N_PLANES)],
+    )
     q = bucketed.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("bucket")
+        F.col("vec_id").alias("qid"),
+        F.col("sv").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.explode(probes).alias("bucket"),
     )
     c = bucketed.select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("bucket")
+        F.col("vec_id").alias("cid"),
+        F.col("sv").alias("cv"),
+        F.col("nrm").alias("cn"),
+        F.col("bucket"),
     )
-    dot = F.aggregate(
-        F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    cos = F.round(
+        cosine_from_ints(int_dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")), 9
     )
-    nq = F.aggregate(F.transform("qv", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
-    nc = F.aggregate(F.transform("cv", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
     scored = (
         c.join(broadcast(q), "bucket")
         .where(F.col("qid") != F.col("cid"))
-        .withColumn("cosine", dot / (F.sqrt(nq) * F.sqrt(nc)))
+        .withColumn("cosine", cos)
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col("cid"))
     return (

@@ -472,6 +472,31 @@ ORACLE = {
                COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dups
         FROM documents GROUP BY source ORDER BY source
     """,
+    # connected components over the 0.8-Jaccard pair graph: the
+    # recursive CTE computes transitive closure (UNION = set semantics
+    # -> fixpoint), then MIN over reachable nodes = the same canonical
+    # label dedup_clusters' min-label propagation converges to
+    "d11_dedup_clusters": f"""
+        WITH RECURSIVE d AS (
+          SELECT doc_id,
+                 list_filter(list_distinct({_T}), t -> t <> '') AS toks,
+                 CAST(len(list_filter(list_distinct({_T}), t -> t <> '')) AS BIGINT) AS set_size
+          FROM documents WHERE doc_id < {PAIR_CAP}),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM d a JOIN d b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                  / CAST(a.set_size + b.set_size - len(list_intersect(a.toks, b.toks)) AS DOUBLE) >= 0.8),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+        reach(doc, lbl) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.doc)
+        SELECT doc AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY doc ORDER BY doc_id
+    """,
     "d2_ngram_jaccard_dups": f"""
         WITH d AS (
           SELECT doc_id,

@@ -138,8 +138,49 @@ def _d9_oracle() -> str:
     """
 
 
+def _s3_oracle() -> str:
+    """Twin of lsh_ann: identical ±1-plane sign buckets (exact int64
+    dots), identical Hamming-1 multi-probe set, identical int-cosine
+    scoring within probed buckets."""
+
+    def dot(j: int) -> str:
+        arr = "[" + ",".join(str(int(v)) for v in similarity._ANN_PLANES[j]) + "]"
+        return f"list_reduce(list_transform(range(1, 65), i -> sv[i] * ({arr})[i]), (acc, x) -> acc + x)"
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot(j)} >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(similarity.N_PLANES)
+    )
+    probe_list = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(similarity.N_PLANES)]
+    )
+    return f"""
+        WITH base AS (
+          SELECT vec_id, {_SCALED} AS sv FROM embeddings),
+        b AS (
+          SELECT vec_id, sv, {_DOT.format(a='sv', b='sv')} AS nrm,
+                 {bucket} AS bucket
+          FROM base),
+        qp AS (
+          SELECT vec_id, sv, nrm, unnest([{probe_list}]) AS bucket
+          FROM b WHERE vec_id < 20),
+        scored AS (
+          SELECT q.vec_id AS qid, c.vec_id AS cid,
+                 round(CAST({_DOT.format(a='q.sv', b='c.sv')} AS DOUBLE)
+                   / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))), 9) AS cosine
+          FROM qp q JOIN b c
+            ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
+        SELECT qid, rk, cid, cosine FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS BIGINT) AS rk
+          FROM scored)
+        WHERE rk <= {K}
+        ORDER BY qid, rk
+    """
+
+
 ORACLE = {
     "d9_embedding_neardup": _d9_oracle(),
+    "s3_lsh_ann": _s3_oracle(),
     "s1_cosine_topk": f"""
         WITH base AS (
           SELECT vec_id, {_SCALED} AS sv FROM embeddings),
