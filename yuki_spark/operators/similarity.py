@@ -225,61 +225,84 @@ def ivf_ann(
     centroids as the codebook — at real scale a k-means pass), then
     each query scores only the ``nprobe`` nearest cells.
 
+    Deterministic in every engine: the codebook cell is the exact
+    int64 per-dim SUM of scaled vectors (cosine is scale-invariant, so
+    cos(v, Σ) ≡ cos(v, mean) — no float division whose rounding could
+    drift); cell affinity folds those identical integers through the
+    identical IEEE double op sequence (left fold, like DuckDB's
+    list_reduce); final candidate scores are exact int-cosines. That
+    makes the full result SQL-twinnable — no rows-only escape hatch.
+
     Shuffle shape at 100 TB: the corpus partitions by cell id once;
     queries broadcast with their probed cell list; scoring joins on
     cell id only — no full-corpus scan per query."""
-    dv = F.transform("embedding", lambda x: x.cast("double"))
-    withv = emb.select("vec_id", "label", dv.alias("v"))
+    base = emb.select("vec_id", "label", scaled("embedding").alias("sv")).withColumn(
+        "nrm", int_dot(F.col("sv"), F.col("sv"))
+    )
 
-    # codebook: element-wise mean per label, as one array per cell
+    # codebook: exact integer per-dim sums per label, one array per cell
     cents = (
-        withv.select("label", F.posexplode("v").alias("dim", "x"))
+        base.select("label", F.posexplode("sv").alias("dim", "sx"))
         .groupBy("label", "dim")
-        .agg(F.avg("x").alias("cx"))
+        .agg(F.sum("sx").alias("cs"))
         .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "cx"))).alias("pairs"))
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cs"))).alias("pairs"))
         .select(
             F.col("label").alias("cell"),
-            F.transform("pairs", lambda p: p["cx"]).alias("cv"),
+            F.transform("pairs", lambda p: p["cs"]).alias("cv"),
         )
     )
 
+    # double-fold affinity: products can exceed 2^53 so they round,
+    # but both engines run the same IEEE ops in the same order
     dot_cv = F.aggregate(
-        F.zip_with("v", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        F.zip_with("sv", "cv", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
     )
-    nv = F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
-    ncv = F.aggregate(F.transform("cv", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
-    affinity = dot_cv / (F.sqrt(nv) * F.sqrt(ncv))
+    ncv = F.aggregate(
+        F.transform("cv", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    affinity = dot_cv / (F.sqrt(F.col("nrm").cast("double")) * F.sqrt(ncv))
 
     scored_cells = (
-        withv.join(broadcast(cents)).withColumn("aff", affinity).localCheckpoint(eager=False)
+        base.join(broadcast(cents)).withColumn("aff", affinity).localCheckpoint(eager=False)
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("aff"), "cell")
     assigned = (
         scored_cells.withColumn("rk", F.row_number().over(w_assign))
         .where(F.col("rk") == 1)
-        .select("vec_id", "v", "cell")
+        .select("vec_id", "sv", "nrm", "cell")
     )
 
     probes = (
         scored_cells.where(F.col("vec_id") < n_queries)
         .withColumn("rk", F.row_number().over(w_assign))
         .where(F.col("rk") <= nprobe)
-        .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "cell")
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("sv").alias("qv"),
+            F.col("nrm").alias("qn"),
+            "cell",
+        )
     )
 
-    dot = F.aggregate(
-        F.zip_with("qv", "cv2", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-    )
-    nq = F.aggregate(F.transform("qv", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
-    nc = F.aggregate(F.transform("cv2", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
     cands = assigned.select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv2"), "cell"
+        F.col("vec_id").alias("cid"),
+        F.col("sv").alias("cv2"),
+        F.col("nrm").alias("cn"),
+        "cell",
+    )
+    cos = F.round(
+        cosine_from_ints(int_dot(F.col("qv"), F.col("cv2")), F.col("qn"), F.col("cn")),
+        9,
     )
     scored = (
         cands.join(broadcast(probes), "cell")
         .where(F.col("qid") != F.col("cid"))
-        .withColumn("cosine", dot / (F.sqrt(nq) * F.sqrt(nc)))
+        .withColumn("cosine", cos)
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col("cid"))
     return (

@@ -178,10 +178,9 @@ def _s3_oracle() -> str:
     """
 
 
-ORACLE = {
-    "d9_embedding_neardup": _d9_oracle(),
-    "s3_lsh_ann": _s3_oracle(),
-    "s1_cosine_topk": f"""
+def _s1_sql(nq: int) -> str:
+    """Parameterized brute-force top-k twin (used by s1 and s6)."""
+    return f"""
         WITH base AS (
           SELECT vec_id, {_SCALED} AS sv FROM embeddings),
         normed AS (
@@ -190,13 +189,96 @@ ORACLE = {
           SELECT q.vec_id AS qid, c.vec_id AS cid,
                  round(CAST({_DOT.format(a='q.sv', b='c.sv')} AS DOUBLE)
                    / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))), 9) AS cosine
-          FROM normed q JOIN normed c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id)
+          FROM normed q JOIN normed c ON q.vec_id < {nq} AND q.vec_id <> c.vec_id)
         SELECT qid, rk, cid, cosine FROM (
           SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS BIGINT) AS rk
           FROM scored)
         WHERE rk <= {K}
         ORDER BY qid, rk
-    """,
+    """
+
+
+_DDOT = (
+    "list_reduce(list_transform(range(1, 65),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (acc, x) -> acc + x)"
+)
+
+
+def _s4_oracle(nq: int = 20, nprobe: int = 3) -> str:
+    """Twin of ivf_ann: identical exact-int centroid sums per label,
+    identical double-fold affinity (same IEEE op order as Spark's
+    aggregate/zip_with left fold), identical int-cosine candidate
+    scores."""
+    return f"""
+        WITH base AS (
+          SELECT vec_id, label, {_SCALED} AS sv FROM embeddings),
+        b AS (
+          SELECT vec_id, label, sv, {_DOT.format(a='sv', b='sv')} AS nrm FROM base),
+        ex AS (
+          SELECT label,
+                 CAST(generate_subscripts(sv, 1) AS INT) AS dim,
+                 unnest(sv) AS sx
+          FROM base),
+        cd AS (
+          SELECT label, dim, CAST(SUM(sx) AS BIGINT) AS cs
+          FROM ex GROUP BY label, dim),
+        cents AS (
+          SELECT label AS cell, list(cs ORDER BY dim) AS cv
+          FROM cd GROUP BY label),
+        aff AS (
+          SELECT v.vec_id, v.sv, v.nrm, c.cell,
+                 {_DDOT.format(a='v.sv', b='c.cv')}
+                   / (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt({_DDOT.format(a='c.cv', b='c.cv')})) AS a
+          FROM b v CROSS JOIN cents c),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY a DESC, cell) AS ark
+          FROM aff),
+        assigned AS (
+          SELECT vec_id AS cid, sv AS cv2, nrm AS cn, cell FROM ranked WHERE ark = 1),
+        probes AS (
+          SELECT vec_id AS qid, sv AS qv, nrm AS qn, cell
+          FROM ranked WHERE ark <= {nprobe} AND vec_id < {nq}),
+        scored AS (
+          SELECT qid, cid,
+                 round(CAST({_DOT.format(a='q.qv', b='c.cv2')} AS DOUBLE)
+                   / (sqrt(CAST(q.qn AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))), 9) AS cosine
+          FROM probes q JOIN assigned c USING (cell)
+          WHERE q.qid <> c.cid)
+        SELECT qid, rk, cid, cosine FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS BIGINT) AS rk
+          FROM scored)
+        WHERE rk <= {K}
+        ORDER BY qid, rk
+    """
+
+
+def _s6_oracle() -> str:
+    """Twin of the recall harness: every index twin is deterministic,
+    so the whole evaluation composes in SQL (nested-WITH CTEs)."""
+    nq = 20
+    return f"""
+        WITH exact AS ({_s1_sql(nq)}),
+        ivfq AS ({_s4_oracle(nq)}),
+        lshq AS ({_s3_oracle()}),
+        h AS (
+          SELECT 'ivf' AS idx, CAST(COUNT(*) AS BIGINT) AS n_hits
+          FROM ivfq a JOIN exact e ON a.qid = e.qid AND a.cid = e.cid
+          UNION ALL
+          SELECT 'lsh', CAST(COUNT(*) AS BIGINT)
+          FROM lshq a JOIN exact e ON a.qid = e.qid AND a.cid = e.cid)
+        SELECT idx AS "index", n_hits,
+               CAST({nq * K} AS BIGINT) AS n_possible,
+               CAST(n_hits AS DOUBLE) / CAST({nq * K} AS DOUBLE) AS recall
+        FROM h ORDER BY "index"
+    """
+
+
+ORACLE = {
+    "d9_embedding_neardup": _d9_oracle(),
+    "s3_lsh_ann": _s3_oracle(),
+    "s4_ivf_ann": _s4_oracle(),
+    "s6_ann_recall": _s6_oracle(),
+    "s1_cosine_topk": _s1_sql(N_QUERIES),
     "s5_quantize_error": """
         WITH x AS (
           SELECT vec_id, label,
