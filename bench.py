@@ -51,6 +51,12 @@ HEADLINE = [
     "d17_contamination",
     "d18_sequence_packing",
     "d19_tfidf_top_terms",
+    "d2_ngram_jaccard_dups",
+    "d11_dedup_clusters",
+    "s3_lsh_ann",
+    "s4_ivf_ann",
+    "e7_value_percentiles_approx",
+    "e12_heavy_hitters",
 ]
 
 

@@ -247,37 +247,44 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
+        # every round joins edges: materialize the (expensive) pair
+        # pipeline once instead of once per round
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
     )
-    for _ in range(max_iter):
+    for i in range(max_iter):
+        from pyspark.sql import Observation
+
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
-            .select(
-                "doc_id",
+        stepped = labels.join(
+            neighbor_min, labels.doc_id == neighbor_min.src, "left"
+        ).select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+            ).alias("cluster_id"),
+            (
                 F.least(
                     F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
-                ).alias("cluster_id"),
-            )
-            .localCheckpoint()
+                )
+                != F.col("cluster_id")
+            ).cast("long").alias("__changed"),
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        # convergence count rides the checkpoint materialization as an
+        # observed metric — one job per round, not two
+        obs = Observation(f"cc_round_{i}")
+        new_labels = stepped.observe(obs, F.sum("__changed").alias("n")).localCheckpoint()
+        changed = obs.get["n"]
+        labels = new_labels.drop("__changed")
+        if not changed:
             break
     return labels
 
