@@ -195,6 +195,34 @@ def test_foreachbatch_upsert_snapshot(spark, event_dir, tmp_path):
     assert spark.read.parquet(snap).count() == src.count()
 
 
+def test_upsert_snapshot_unreadable_snapshot_fails_not_clobbers(spark, event_dir, tmp_path):
+    """A snapshot that exists but cannot be read must FAIL the stream,
+    not be treated as 'first batch' and overwritten with one
+    micro-batch (silent data loss). Only path-not-found means first
+    batch."""
+    import os
+
+    snap = str(tmp_path / "snap")
+    os.makedirs(snap)
+    with open(os.path.join(snap, "part-00000.txt"), "w") as f:
+        f.write("not parquet at all")
+    q = st.run_upsert_snapshot(
+        st.read_event_stream(spark, event_dir),
+        snap,
+        str(tmp_path / "ckpt_bad"),
+        keys=["event_id"],
+    )
+    failed = False
+    try:
+        q.awaitTermination(120)
+        failed = q.exception() is not None
+    except Exception:
+        failed = True
+    assert failed, "query should fail on an unreadable snapshot"
+    # the broken snapshot file is still there, untouched
+    assert open(os.path.join(snap, "part-00000.txt")).read() == "not parquet at all"
+
+
 def test_native_session_window_matches_custom_batch(spark, event_dir):
     """Spark's built-in session_window (streaming) must produce the
     same sessions as the lag/cumsum batch formulation, modulo the
