@@ -52,6 +52,8 @@ HEADLINE = [
     "d18_sequence_packing",
     "d19_tfidf_top_terms",
     "d2_ngram_jaccard_dups",
+    "d4_simhash_dups",
+    "m1_multimodal_meta",
     "d11_dedup_clusters",
     "s3_lsh_ann",
     "s4_ivf_ann",

@@ -49,6 +49,21 @@ def tokens(col: Column | str) -> Column:
     return F.split(F.trim(c), r"\s+")
 
 
+def portable_hash60(col: Column | str) -> Column:
+    """60-bit string hash computable identically in DuckDB:
+    Spark ``conv(substr(md5(x),1,15),16,10)`` ==
+    DuckDB ``('0x' || substr(md5(x),1,15))::BIGINT`` (verified
+    bit-exact incl. empty/non-ASCII strings). JVM-side md5 — no
+    Python; 60 bits keeps the value non-negative in a signed int64."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def sql_portable_hash60(expr: str) -> str:
+    """DuckDB twin of :func:`portable_hash60`."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
 def dot(a: Column, b: Column) -> Column:
     """Left-fold dot product of two double arrays (sequential order —
     matches DuckDB's list_sum fold for the oracle)."""

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
 
-from ..functions import tokens
+from ..functions import portable_hash60, tokens
 
 # ---- exact dedup --------------------------------------------------------
 
@@ -294,7 +294,9 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
 
 @pandas_udf(LongType())
 def _simhash64(tok_hashes: pd.Series) -> pd.Series:
-    """64-bit SimHash over JVM-pre-hashed tokens (vectorized)."""
+    """SimHash over JVM-pre-hashed tokens (vectorized). With 60-bit
+    portable hashes the top 4 bits are always 0 — effectively a
+    60-bit fingerprint, which the DuckDB oracle reproduces exactly."""
     out = np.zeros(len(tok_hashes), dtype=np.int64)
     for i, ts in enumerate(tok_hashes):
         if ts is None or len(ts) == 0:
@@ -317,11 +319,14 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 
     Pigeonhole blocking: 4×16-bit chunks; any pair within Hamming ≤ 3
     agrees on ≥1 chunk, so candidates join on chunk equality only.
+
+    Token hashes are the portable 60-bit md5 hash (not xxhash64) so
+    the DuckDB oracle can recompute identical fingerprints.
     """
     ts = token_sets(docs)
     sh = ts.select(
         "doc_id",
-        _simhash64(F.transform("toks", lambda t: F.xxhash64(t))).alias("sh"),
+        _simhash64(F.transform("toks", portable_hash60)).alias("sh"),
     ).localCheckpoint(eager=False)  # else the UDF runs once per chunk side (8x)
     chunks = F.array(
         *[

@@ -14,6 +14,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions import portable_hash60
 from pyspark.sql.types import (
     BinaryType,
     LongType,
@@ -38,13 +40,15 @@ def synth_media(docs: DataFrame) -> DataFrame:
     """Attach a synthetic binary 'image' column + metadata struct.
 
     Payload bytes derive deterministically from the text (utf-8);
-    width/height come from a hash so they're stable across runs.
+    width/height come from the engine-portable 60-bit md5 hash
+    (``functions.portable_hash60``) so the DuckDB oracle can
+    recompute them, via bit ops (exact — no double rounding).
     """
     payload = F.encode("text", "utf-8").cast(BinaryType())
-    h = F.abs(F.xxhash64("text"))
+    h = portable_hash60("text")
     meta = F.struct(
-        (h % 1024 + 64).cast("long").alias("width"),
-        (F.floor(h / 1024) % 1024 + 64).cast("long").alias("height"),
+        (h.bitwiseAND(F.lit(1023)) + 64).cast("long").alias("width"),
+        (F.shiftrightunsigned(h, 10).bitwiseAND(F.lit(1023)) + 64).cast("long").alias("height"),
         F.lit("image/fake").alias("mime"),
     )
     return docs.select("doc_id", payload.alias("media"), meta.alias("meta"))

@@ -1,8 +1,9 @@
 """LLM-data-pipeline queries over the documents table (SURVEY §2.3).
 
-Oracle-matched where SQL-expressible; MinHash/SimHash/multimodal are
-rows-only (driver records the weaker check; exact twins d1/d2 cover
-the same semantics)."""
+Every query here is DuckDB-oracle-matched: SimHash/multimodal use the
+engine-portable md5 hash (functions.portable_hash60) so the oracle
+recomputes identical fingerprints/metadata; MinHash-LSH's output is
+its exactly-verified pair set, pinned by the exact-Jaccard twin."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
@@ -273,7 +274,7 @@ def m1_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def m2_resize_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal chain: synth media -> resize -> frame-sample; checks
-    the 1->N fan-out shape and per-frame sizes (rows-only)."""
+    the 1->N fan-out shape and per-frame sizes."""
     docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < FP_CAP)
     media = multimodal.synth_media(docs)
     resized = multimodal.resize(media.select("doc_id", "media"), 64, 64)
@@ -466,6 +467,37 @@ ORACLE = {
                CAST(SUM(CASE WHEN n_hits * 2 >= n_grams THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
         FROM pd GROUP BY lang ORDER BY lang
     """,
+    # the 'decode' the m1 feature extractor runs is the documented
+    # deterministic stand-in codec (multimodal._decode_stub), so every
+    # output column is arithmetically derivable: n_bytes/checksum from
+    # the utf-8 payload, width/height from the portable 60-bit hash,
+    # byte_mean by summing payload bytes via hex-pair parsing.
+    "m1_multimodal_meta": f"""
+        WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < {FP_CAP}),
+        b AS (
+          SELECT doc_id,
+                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                 md5(text) AS checksum,
+                 CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h,
+                 list_aggregate(list_transform(range(0, octet_length(encode(text))),
+                    i -> CAST(('0x' || substr(hex(encode(text)), 2 * i + 1, 2)) AS BIGINT)),
+                    'sum') AS bsum
+          FROM d)
+        SELECT doc_id, n_bytes, checksum,
+               CAST((h & 1023) + 64 AS BIGINT) AS width,
+               CAST(((h >> 10) & 1023) + 64 AS BIGINT) AS height,
+               CAST(COALESCE(bsum, 0) // greatest(n_bytes, 1) AS BIGINT) AS byte_mean
+        FROM b ORDER BY doc_id
+    """,
+    # the resize step normalizes every payload to exactly 64*64 bytes,
+    # so the frame-sample invariants (4 frames, 4 x 64 payload bytes)
+    # are data-independent — the oracle pins the fan-out row set and
+    # the byte accounting of the chain.
+    "m2_resize_framesample": f"""
+        SELECT doc_id, CAST(4 AS BIGINT) AS n_frames,
+               CAST(256 AS BIGINT) AS total_frame_bytes
+        FROM documents WHERE doc_id < {FP_CAP} ORDER BY doc_id
+    """,
     "d1_exact_dedup": """
         SELECT source, COUNT(*) AS n_docs,
                COUNT(DISTINCT md5(text)) AS n_unique,
@@ -496,6 +528,56 @@ ORACLE = {
           SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.doc)
         SELECT doc AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
         FROM reach GROUP BY doc ORDER BY doc_id
+    """,
+    # d3's LSH candidates are verified with *exact* Jaccard, so its
+    # output equals the exact pair set whenever LSH recall is 1 — at
+    # J >= 0.95 with 16 bands x 4 rows the per-pair miss probability
+    # is (1 - 0.95^4)^16 ~ 2e-12, and hash seeds + data are fixed, so
+    # the twin below (identical to d2's) is a deterministic oracle.
+    "d3_minhash_lsh_dups": f"""
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(list_distinct({_T}), t -> t <> '') AS toks,
+                 CAST(len(list_filter(list_distinct({_T}), t -> t <> '')) AS BIGINT) AS set_size
+          FROM documents WHERE doc_id < {PAIR_CAP})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / CAST(a.set_size + b.set_size - len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS jac
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / CAST(a.set_size + b.set_size - len(list_intersect(a.toks, b.toks)) AS DOUBLE) >= 0.95
+        ORDER BY doc_a, doc_b
+    """,
+    # brute-force SimHash twin: identical 60-bit fingerprints from the
+    # portable md5 token hash (functions.portable_hash60),
+    # majority vote per bit (ties -> 1, same as the Spark UDF), then
+    # all-pairs Hamming <= 3. Spark's pigeonhole blocking is exact
+    # (any pair within Hamming 3 shares one of 4 16-bit chunks), so
+    # the candidate pruning cannot change the result set.
+    "d4_simhash_dups": f"""
+        WITH d AS (
+          SELECT doc_id, list_filter(list_distinct({_T}), t -> t <> '') AS toks
+          FROM documents WHERE doc_id < {PAIR_CAP}),
+        hh AS (
+          SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+          FROM (SELECT doc_id, unnest(toks) AS tok FROM d)),
+        bits AS (
+          SELECT doc_id, bit, SUM((h >> bit) & 1) AS ones, COUNT(*) AS n
+          FROM hh CROSS JOIN (SELECT unnest(range(0, 60)) AS bit)
+          GROUP BY doc_id, bit),
+        fp AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN 2 * ones >= n
+                               THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS sh
+          FROM bits GROUP BY doc_id),
+        fpa AS (
+          SELECT d.doc_id, COALESCE(fp.sh, 0) AS sh
+          FROM d LEFT JOIN fp USING (doc_id))
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        FROM fpa a JOIN fpa b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        ORDER BY doc_a, doc_b
     """,
     "d2_ngram_jaccard_dups": f"""
         WITH d AS (
