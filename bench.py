@@ -55,6 +55,8 @@ HEADLINE = [
     "d4_simhash_dups",
     "m1_multimodal_meta",
     "d11_dedup_clusters",
+    "d20_dedup_apply",
+    "d21_corpus_split",
     "s3_lsh_ann",
     "s4_ivf_ann",
     "e7_value_percentiles_approx",

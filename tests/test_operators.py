@@ -166,6 +166,52 @@ def test_dedup_clusters_match_union_find(spark, docs):
     assert got[4] == 1 and got[22] == 20 and got[11] == 10
 
 
+def test_apply_dedup_keeps_canonical_only(spark):
+    """Unclustered docs survive; inside a cluster only the min-id
+    representative does."""
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in (1, 2, 3, 7, 9)], "doc_id long, text string"
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (9, 3)], "doc_id long, cluster_id long"
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup.apply_dedup(docs, clusters).collect()
+    )
+    assert kept == [1, 3, 7]  # 2 and 9 are non-canonical members
+
+
+def test_corpus_split_is_content_keyed(spark):
+    """Byte-identical texts must land in the same split (dup-leakage
+    guard), splits partition the corpus, and the assignment is the
+    portable hash mod 100 — recomputed driver-side for a spot doc."""
+    import hashlib
+
+    from yuki_spark.queries.docs import d21_corpus_split
+    from tests.conftest import SF_SMOKE
+
+    out = d21_corpus_split(spark, SF_SMOKE).collect()
+    n_total = sum(r["n_docs"] for r in out)
+    from yuki_spark.catalog import load
+
+    docs = load(spark, SF_SMOKE, "documents")
+    assert n_total == docs.count()
+    assert {r["split"] for r in out} <= {"train", "val", "test"}
+
+    one = docs.select("text").first()["text"]
+    h = int(hashlib.md5(one.encode()).hexdigest()[:15], 16) % 100
+    want = "train" if h < 90 else ("val" if h < 95 else "test")
+    from pyspark.sql import functions as F
+    from yuki_spark.functions import portable_hash60
+
+    got = (
+        docs.where(F.col("text") == one)
+        .select((portable_hash60("text") % 100).alias("b"))
+        .first()["b"]
+    )
+    assert ("train" if got < 90 else ("val" if got < 95 else "test")) == want
+
+
 def test_merge_upsert(spark):
     from yuki_spark.operators.merge import merge_upsert
 

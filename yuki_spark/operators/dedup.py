@@ -289,6 +289,20 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels
 
 
+def apply_dedup(docs: DataFrame, clusters: DataFrame) -> DataFrame:
+    """Materialize the deduplicated corpus: docs outside any near-dup
+    cluster survive untouched; clustered docs survive only as the
+    canonical (min-doc_id) representative.
+
+    This is the step an actual training pipeline runs downstream of
+    clustering — the result feeds tokenization/packing. The drop set
+    (non-canonical members) is a left-anti join on doc_id: tiny next
+    to the corpus (only docs inside dup clusters), so AQE broadcasts
+    it; at worst it's one keyed shuffle. No full-corpus recompute."""
+    drop = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return docs.join(drop, "doc_id", "left_anti")
+
+
 # ---- SimHash ------------------------------------------------------------
 
 

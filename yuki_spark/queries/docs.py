@@ -113,6 +113,47 @@ def d11_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_clusters(pairs).orderBy("doc_id")
 
 
+def d20_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup materialization: Jaccard pairs -> connected
+    components -> keep one representative per cluster -> surviving
+    corpus, rolled up per source (kept counts + id-sum so the oracle
+    pins exactly *which* docs survived, not just how many)."""
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < PAIR_CAP)
+    pairs = dedup.jaccard_pairs(docs, threshold=0.8)
+    kept = dedup.apply_dedup(docs, dedup.dedup_clusters(pairs))
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("kept_id_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+def d21_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split keyed on the *content* hash
+    (portable_hash60 of text), not doc_id — byte-identical duplicates
+    always land in the same split, so exact dups can never leak from
+    train into eval. 90/5/5; pure column algebra, one shuffle."""
+    from ..functions import portable_hash60
+
+    docs = load(spark, sf_dir, "documents")
+    bucket = portable_hash60("text") % 100
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
 def d13_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible 10% sample of documents, summarized per source —
     identical membership in any engine (operators/sampling.py)."""
@@ -308,6 +349,8 @@ QUERIES = {
     "d17_contamination": d17_contamination,
     "d18_sequence_packing": d18_sequence_packing,
     "d19_tfidf_top_terms": d19_tfidf_top_terms,
+    "d20_dedup_apply": d20_dedup_apply,
+    "d21_corpus_split": d21_corpus_split,
     "m1_multimodal_meta": m1_multimodal_meta,
     "m2_resize_framesample": m2_resize_framesample,
 }
@@ -528,6 +571,47 @@ ORACLE = {
           SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.doc)
         SELECT doc AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
         FROM reach GROUP BY doc ORDER BY doc_id
+    """,
+    # same component labels as d11's recursive-CTE closure; survivors
+    # = docs that are not a non-canonical member of any component.
+    "d20_dedup_apply": f"""
+        WITH RECURSIVE d AS (
+          SELECT doc_id,
+                 list_filter(list_distinct({_T}), t -> t <> '') AS toks,
+                 CAST(len(list_filter(list_distinct({_T}), t -> t <> '')) AS BIGINT) AS set_size
+          FROM documents WHERE doc_id < {PAIR_CAP}),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM d a JOIN d b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                  / CAST(a.set_size + b.set_size - len(list_intersect(a.toks, b.toks)) AS DOUBLE) >= 0.8),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+        reach(doc, lbl) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.doc),
+        lab AS (SELECT doc, MIN(lbl) AS cluster_id FROM reach GROUP BY doc),
+        dropped AS (SELECT doc FROM lab WHERE doc <> cluster_id)
+        SELECT source, COUNT(*) AS n_kept,
+               CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
+        FROM documents
+        WHERE doc_id < {PAIR_CAP}
+          AND doc_id NOT IN (SELECT doc FROM dropped)
+        GROUP BY source ORDER BY source
+    """,
+    "d21_corpus_split": """
+        WITH s AS (
+          SELECT CASE
+                   WHEN CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 100 < 90 THEN 'train'
+                   WHEN CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 100 < 95 THEN 'val'
+                   ELSE 'test' END AS split,
+                 lang, doc_id
+          FROM documents)
+        SELECT split, lang, COUNT(*) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM s GROUP BY split, lang ORDER BY split, lang
     """,
     # d3's LSH candidates are verified with *exact* Jaccard, so its
     # output equals the exact pair set whenever LSH recall is 1 — at
