@@ -277,6 +277,43 @@ def test_merge_scd2_multi_version_batch_single_open_row(spark):
     assert sum(1 for r in out if r["is_current"]) == 1
 
 
+def test_merge_scd2_equal_timestamps_deterministic(spark):
+    """Two same-key updates with identical effective timestamps must
+    resolve the same way on every run: ties break on the remaining
+    columns, the lexicographically greatest row stays open."""
+    from datetime import datetime
+
+    from yuki_spark.operators.merge import merge_scd2
+
+    t = lambda d: datetime(2024, 1, d)
+    current = spark.createDataFrame(
+        [(1, "x", t(1), None, True)],
+        "id long, attr string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [(1, "a", t(5)), (1, "b", t(5))], "id long, attr string, valid_from timestamp"
+    )
+    for _ in range(3):
+        out = merge_scd2(
+            current, updates.repartition(4), ["id"], "valid_from"
+        ).collect()
+        open_rows = [r for r in out if r["is_current"]]
+        assert len(open_rows) == 1
+        assert open_rows[0]["attr"] == "b"  # greatest tiebreak wins, every run
+
+
+def test_dedup_clusters_raises_on_non_convergence(spark):
+    """A chain whose diameter exceeds max_iter must fail loudly, not
+    return a silently non-minimal labeling."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="not converged"):
+        dedup.dedup_clusters(chain, max_iter=2)
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup.dedup_clusters(chain).collect()}
+    assert set(got.values()) == {1}  # ample budget: one component, label 1
+
+
 def test_range_join_left_keeps_unmatched_points(spark):
     from yuki_spark.operators.joins import range_join
 

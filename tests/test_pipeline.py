@@ -473,3 +473,78 @@ def test_impression_gc_and_archive(spark, tmp_path):
     assert store.exists(imp)  # dry run touched nothing
     assert store.gc(keep=set()) == [imp]
     assert store.list_ids() == []
+
+
+def test_plan_hash_compiles_fn_exactly_once(spark, tmp_path):
+    """plan_hash addressing must reuse its addressing compile for
+    execution — fn running twice per task would double the cost of
+    every compile (and re-run an external task's whole wait budget)."""
+    calls = {"n": 0}
+
+    def fn(s, _):
+        calls["n"] += 1
+        return s.range(4).select(F.col("id"))
+
+    p = Pipeline("once")
+    p.add("t", fn)
+    LocalBackend(plan_hash=True).run(spark, p)
+    assert calls["n"] == 1
+    assert p.tasks["t"].status == "compiled"
+
+
+def test_external_wait_accepts_archived_deposit(spark, tmp_path):
+    """Archiving shields a deposit from gc/overwrite — it must still
+    satisfy a downstream wait (wait=False reads archived fine, and the
+    two modes have to agree on what 'deposited' means)."""
+    store = ImpressionStore(str(tmp_path / "imps"))
+
+    up = Pipeline("up")
+    up.add("src", lambda s, _: s.range(3).select(F.col("id")))
+    out = LocalBackend(store=store, persist={"src"}).run(spark, up)
+    imp = out["impressions"]["src"]
+    store.archive(imp)
+
+    down = Pipeline("down")
+    down.external("dep", store, imp, wait=True, max_tries=2, poll_interval_s=0.01)
+    down.add("use", lambda s, d: d["dep"], deps=("dep",))
+    res = LocalBackend().run(spark, down)
+    assert res["results"]["use"].count() == 3
+    assert down.tasks["dep"].status == "compiled"
+
+
+def test_reused_task_keeps_original_run_logs(spark, tmp_path):
+    """A reused deposit must not have its logs.json clobbered with
+    explain=None — the artifact from the run that produced the data
+    is the whole point of log collection."""
+    store = ImpressionStore(str(tmp_path / "imps"))
+
+    def mk():
+        p = Pipeline("logs")
+        p.add("t", lambda s, _: s.range(5).select(F.col("id")))
+        return p
+
+    out1 = LocalBackend(store=store, persist={"t"}).run(spark, mk())
+    imp = out1["impressions"]["t"]
+    first = store.logs(imp)
+    assert first["explain"]  # producing run deposited its plan
+
+    p2 = mk()
+    LocalBackend(store=store, persist={"t"}).run(spark, p2)
+    assert p2.tasks["t"].status == "reused"
+    after = store.logs(imp)
+    assert after["status"] == "reused"
+    assert after["explain"] == first["explain"]  # preserved, not None
+
+
+def test_status_transition_table_models_backends():
+    """Transitions the two backends actually produce must be legal:
+    dry-run's waiting->compiled, and re-run resets back to waiting."""
+    from yuki_spark.pipeline.status import StatusStore, InvalidTransition
+
+    ss = StatusStore("/tmp/_yuki_status_probe.jsonl")
+    ss.record("p", "t", "compiled", prev="waiting")
+    ss.record("p", "t", "waiting", prev="compiled")
+    ss.record("p", "t", "waiting", prev="finished")
+    ss.record("p", "t", "waiting", prev="failed")
+    with pytest.raises(InvalidTransition):
+        ss.record("p", "t", "finished", prev="failed")

@@ -25,7 +25,9 @@ def run_oracle(
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'")
     arrow = con.execute(sql).arrow()
     cols = arrow.schema.names
-    rows = [tuple(r) for r in con.execute(sql).fetchall()]
+    # derive rows from the Arrow table already fetched — the recursive-
+    # CTE / ANN twins are expensive, don't execute them a second time
+    rows = [tuple(d[c] for c in cols) for d in arrow.to_pylist()]
     con.close()
     return list(cols), rows, arrow.schema
 

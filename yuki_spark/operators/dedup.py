@@ -286,6 +286,14 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new_labels.drop("__changed")
         if not changed:
             break
+    else:
+        # a silent non-converged result would surface only as a wrong
+        # cluster_id downstream (apply_dedup keeping a duplicate, an
+        # oracle hash mismatch with nothing pointing here) — fail loud
+        raise RuntimeError(
+            f"dedup_clusters: not converged after {max_iter} rounds; "
+            "a component's diameter exceeds max_iter — raise max_iter"
+        )
     return labels
 
 

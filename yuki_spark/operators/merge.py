@@ -47,10 +47,15 @@ def merge_scd2(
 
     A batch may carry several versions of one key: each non-latest
     update row is closed by its successor (lead over effective_col),
-    so exactly one open row per key survives — the SCD2 invariant."""
+    so exactly one open row per key survives — the SCD2 invariant.
+    Ties on effective_col are broken by the remaining columns, so
+    which version stays open is deterministic across shuffles (the
+    lexicographically greatest row wins); byte-identical duplicate
+    rows are interchangeable either way."""
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(*keys).orderBy(effective_col)
+    tiebreak = [c for c in updates.columns if c not in keys and c != effective_col]
+    w = Window.partitionBy(*keys).orderBy(effective_col, *tiebreak)
     upd = (
         updates.withColumn("__next_eff", F.lead(effective_col).over(w))
         .withColumns(

@@ -143,19 +143,24 @@ class LocalBackend:
             self._journal(pipe, name, "running")
             dep_ids = [imp_ids.get(d, f"{d}@{pipe.tasks[d].version}") for d in t.deps]
             plan_str = None
+            precompiled: DataFrame | None = None
+            compile_err: Exception | None = None
             if self.plan_hash:
-                # compile once (no action) purely for addressing; a
-                # compile failure here is deferred to the attempt loop,
-                # which re-raises it with full failure handling
+                # compile ONCE for addressing, under the task's own
+                # conf (conf-sensitive plans must hash as they
+                # execute); the DataFrame is reused by the first
+                # attempt below so fn never runs twice for one
+                # attempt, and a compile failure is re-raised inside
+                # the attempt loop (full failure handling) without
+                # invoking fn again
                 try:
+                    with _task_conf(spark, t.conf):
+                        precompiled = t.fn(spark, {d: results[d] for d in t.deps})
                     plan_str = (
-                        t.fn(spark, {d: results[d] for d in t.deps})
-                        ._jdf.queryExecution()
-                        .logical()
-                        .toString()
+                        precompiled._jdf.queryExecution().logical().toString()
                     )
-                except Exception:  # noqa: BLE001
-                    plan_str = None
+                except Exception as e:  # noqa: BLE001
+                    compile_err = e
             imp = impression_id(t.name, t.version, dep_ids, plan=plan_str)
             imp_ids[name] = imp
             # transient-failure tolerance: a long pipeline shouldn't
@@ -163,6 +168,9 @@ class LocalBackend:
             # on resubmit; here attempts are in-process)
             for attempt in range(self.max_retries + 1):
                 try:
+                    if compile_err is not None:
+                        e, compile_err = compile_err, None
+                        raise e
                     if (
                         self.store is not None
                         and name in self.persist
@@ -175,8 +183,11 @@ class LocalBackend:
                         t.result = results[name]
                         break
                     with _task_conf(spark, t.conf):
-                        inputs = {d: results[d] for d in t.deps}
-                        df = t.fn(spark, inputs)
+                        if precompiled is not None:
+                            df, precompiled = precompiled, None
+                        else:
+                            inputs = {d: results[d] for d in t.deps}
+                            df = t.fn(spark, inputs)
                         if self.store is not None and self.collect_logs:
                             explains[name] = df._jdf.queryExecution().explainString(
                                 spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
@@ -244,19 +255,27 @@ class LocalBackend:
 
             for name, imp in imp_ids.items():
                 t = pipe.tasks[name]
-                self.store.write_logs(
-                    imp,
-                    {
-                        "task": name,
-                        "pipeline": pipe.name,
-                        "status": t.status,
-                        "error": t.error,
-                        "conf": t.conf,
-                        "explain": explains.get(name),
-                        "metrics": t.metrics,
-                        "logged_at": time.time(),
-                    },
-                )
+                entry = {
+                    "task": name,
+                    "pipeline": pipe.name,
+                    "status": t.status,
+                    "error": t.error,
+                    "conf": t.conf,
+                    "explain": explains.get(name),
+                    "metrics": t.metrics,
+                    "logged_at": time.time(),
+                }
+                # a reused task never recompiled, so this run has no
+                # explain/metrics for it — keep the artifact from the
+                # run that actually produced the deposit instead of
+                # clobbering it with Nones
+                if t.status == "reused":
+                    prev = self.store.logs(imp)
+                    if prev is not None:
+                        entry["explain"] = prev.get("explain")
+                        if entry["metrics"] is None:
+                            entry["metrics"] = prev.get("metrics")
+                self.store.write_logs(imp, entry)
         return {
             "statuses": pipe.statuses(),
             "impressions": imp_ids,

@@ -136,7 +136,12 @@ class Pipeline:
                 import time as _time
 
                 for attempt in range(max_tries):
-                    if store.exists(imp_id) and not store.is_archived(imp_id):
+                    # archived deposits satisfy the wait: archiving
+                    # shields an impression from gc/overwrite, it does
+                    # not make the data unreadable — and the wait=False
+                    # path reads archived deposits fine, so the two
+                    # modes must agree on what "deposited" means
+                    if store.exists(imp_id):
                         break
                     if attempt == max_tries - 1:
                         raise UpstreamTimeout(

@@ -27,13 +27,18 @@ from .dag import STATUSES, Pipeline
 # deposited-impression skip, "upstream_failed" our failure fan-out)
 _TRANSITIONS: dict[str, set[str]] = {
     "raw": {"waiting", "running", "failed", "upstream_failed"},
-    "waiting": {"running", "failed", "upstream_failed", "reused"},
+    # waiting -> compiled: DryRunBackend builds the plan without
+    # passing through running
+    "waiting": {"running", "compiled", "failed", "upstream_failed", "reused"},
     "running": {"finished", "compiled", "failed"},
-    "compiled": set(),
-    "finished": set(),
-    "failed": set(),
-    "upstream_failed": set(),
-    "reused": set(),
+    # every outcome resets to waiting when a backend re-runs the
+    # pipeline (both backends do this at run start); a compiled plan
+    # may also execute directly on the same run's later action
+    "compiled": {"waiting", "running", "finished"},
+    "finished": {"waiting"},
+    "failed": {"waiting"},
+    "upstream_failed": {"waiting"},
+    "reused": {"waiting"},
 }
 
 

@@ -202,16 +202,28 @@ def e12_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     eps = 0.001
     ev = load(spark, sf_dir, "events")
-    n_total = ev.count()
+    # total row count stays in-plan (single-row broadcast, the same
+    # benign scalar pattern as e5/q11) — building this query must not
+    # trigger an eager full-scan job for plan-only consumers
+    tot = ev.agg(F.count(F.lit(1)).alias("__n_total"))
     r = topk_exact_vs_sketch(ev, "event_type", k=5, eps=eps)
-    bound = F.col("true_count") + F.lit(int(eps * n_total) + 1)
-    return r.select(
-        "event_type",
-        "true_count",
-        (
-            (F.col("est_count") >= F.col("true_count")) & (F.col("est_count") <= bound)
-        ).alias("est_ok"),
-    ).orderBy(F.desc("true_count"), "event_type")
+    bound = (
+        F.col("true_count")
+        + (F.lit(eps) * F.col("__n_total").cast("double")).cast("bigint")
+        + F.lit(1)
+    )
+    return (
+        r.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "true_count",
+            (
+                (F.col("est_count") >= F.col("true_count"))
+                & (F.col("est_count") <= bound)
+            ).alias("est_ok"),
+        )
+        .orderBy(F.desc("true_count"), "event_type")
+    )
 
 
 def e6_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -252,6 +264,8 @@ def e7_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum(F.when(F.col("value") <= F.col("a50"), 1).otherwise(0)).alias("r50"),
             F.sum(F.when(F.col("value") <= F.col("a99"), 1).otherwise(0)).alias("r99"),
+            F.sum(F.when(F.col("value") < F.col("a50"), 1).otherwise(0)).alias("r50lt"),
+            F.sum(F.when(F.col("value") < F.col("a99"), 1).otherwise(0)).alias("r99lt"),
             F.expr("percentile(value, 0.5)").alias("p50"),
             F.expr("percentile(value, 0.99)").alias("p99"),
             F.countDistinct("user_id").alias("n_users"),
@@ -259,19 +273,26 @@ def e7_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # percentile_approx returns a real element whose rank is within
-    # n/accuracy of the target rank; +1 absorbs duplicate-value ties
+    # n/accuracy of the target rank. A tied value occupies the rank
+    # interval [r_lt+1, r_le]; the sketch met its guarantee iff that
+    # interval overlaps [target - tol, target + tol] — checking only
+    # r_le would flag correct sketches on heavily-tied data (a value
+    # with 1000 duplicates puts r_le ~1000 past the target).
     rank_tol = F.col("n").cast("double") / accuracy + 1.0
+
+    def _rank_ok(r_le: str, r_lt: str, q: float):
+        target = F.lit(q) * F.col("n").cast("double")
+        return (F.col(r_le).cast("double") >= target - rank_tol) & (
+            F.col(r_lt).cast("double") + 1.0 <= target + rank_tol
+        )
+
     return per.select(
         "event_type",
         "p50",
         "p99",
         "n_users",
-        (F.abs(F.col("r50").cast("double") - 0.5 * F.col("n")) <= rank_tol).alias(
-            "p50_rank_ok"
-        ),
-        (F.abs(F.col("r99").cast("double") - 0.99 * F.col("n")) <= rank_tol).alias(
-            "p99_rank_ok"
-        ),
+        _rank_ok("r50", "r50lt", 0.5).alias("p50_rank_ok"),
+        _rank_ok("r99", "r99lt", 0.99).alias("p99_rank_ok"),
         (
             F.abs(F.col("au").cast("double") - F.col("n_users").cast("double"))
             <= 0.15 * F.col("n_users").cast("double")

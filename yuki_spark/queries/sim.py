@@ -35,7 +35,9 @@ def d9_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def s4_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN (coarse cells + nprobe); rows-only check."""
+    """IVF-bucketed ANN (coarse cells + nprobe). Deterministic by
+    construction (exact int64 centroid sums, seeded assignment), so
+    the DuckDB twin reproduces it bit-for-bit."""
     emb = load(spark, sf_dir, "embeddings")
     return similarity.ivf_ann(emb, k=K, n_queries=20, nprobe=3)
 
@@ -50,25 +52,36 @@ def s5_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s6_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the approximate indexes against exact brute force —
     the evaluation loop any ANN deployment runs before trusting the
-    scale path (rows-only: the indexes use seeded random projections /
-    coarse cells that SQL can't reproduce).
+    scale path. Both indexes are engine-deterministic (seeded ±1
+    hyperplanes, exact int64 centroids), so the composed DuckDB twin
+    reproduces the recall numbers exactly.
 
+    Fully lazy: the per-index hit counts are in-plan aggregates
+    unioned together — constructing the query runs no Spark job.
     Returns one row per index with hits / possible / recall@k."""
     from pyspark.sql import functions as F
 
     emb = load(spark, sf_dir, "embeddings")
     nq = 20
+    possible = nq * K
     exact = similarity.cosine_topk(emb, k=K, n_queries=nq).select("qid", "cid")
-    out = []
-    for name, approx in (
-        ("ivf", similarity.ivf_ann(emb, k=K, n_queries=nq, nprobe=3)),
-        ("lsh", similarity.lsh_ann(emb, k=K, n_queries=nq)),
-    ):
-        hits = approx.select("qid", "cid").join(exact, ["qid", "cid"]).count()
-        possible = nq * K
-        out.append((name, hits, possible, hits / possible))
-    return spark.createDataFrame(
-        out, "index string, n_hits long, n_possible long, recall double"
+
+    def one(name: str, approx: DataFrame) -> DataFrame:
+        return (
+            approx.select("qid", "cid")
+            .join(exact, ["qid", "cid"])
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(F.lit(name).alias("index"), "n_hits")
+        )
+
+    u = one("ivf", similarity.ivf_ann(emb, k=K, n_queries=nq, nprobe=3)).unionByName(
+        one("lsh", similarity.lsh_ann(emb, k=K, n_queries=nq))
+    )
+    return u.select(
+        "index",
+        "n_hits",
+        F.lit(possible).cast("bigint").alias("n_possible"),
+        (F.col("n_hits").cast("double") / F.lit(float(possible))).alias("recall"),
     ).orderBy("index")
 
 
