@@ -228,3 +228,37 @@ def test_quantize_error_matches_python_reference(spark, vecs):
         return
     r = out[0]
     assert (r["n_vecs"], r["n_elems"], r["sse_num"]) == (exp_vecs, exp_elems, exp_sse)
+
+
+@given(
+    batch=hst.lists(
+        hst.tuples(hst.integers(1, 4), hst.integers(1, 6), hst.sampled_from("abcd")),
+        min_size=1,
+        max_size=12,
+    )
+)
+@_SETTINGS
+def test_merge_scd2_single_open_row_invariant(spark, batch):
+    """For ANY update batch (multi-version, tied timestamps, dup rows):
+    every key ends with exactly one open row, and history closure is
+    consistent (closed rows have valid_to set)."""
+    from datetime import datetime
+
+    from yuki_spark.operators.merge import merge_scd2
+
+    current = spark.createDataFrame(
+        [(1, "base", datetime(2023, 1, 1), None, True)],
+        "id long, attr string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [(k, a, datetime(2024, 1, d)) for k, d, a in batch],
+        "id long, attr string, valid_from timestamp",
+    )
+    out = merge_scd2(current, updates, ["id"], "valid_from").collect()
+    open_per_key: dict[int, int] = {}
+    for r in out:
+        if r["is_current"]:
+            open_per_key[r["id"]] = open_per_key.get(r["id"], 0) + 1
+            assert r["valid_to"] is None
+    for k in {k for k, _, _ in batch} | {1}:
+        assert open_per_key.get(k, 0) == 1, (k, out)

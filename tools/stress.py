@@ -3,6 +3,17 @@ a temp catalog and time headline operators — the local proxy for "does
 the plan survive a scale-up", catching super-linear cliffs that sf0.1
 can't show.
 
+Copies are *content-decorrelated* so overlap-shaped operators keep
+realistic output growth (otherwise identical copies make dup pairs /
+window matches grow K² — a harness artifact, not an operator flaw):
+- documents: each copy appends a copy-tag token, so cross-copy texts
+  are no longer byte-identical (intra-copy dup structure preserved);
+- events: each copy shifts timestamps into its own decade, so
+  time-range joins never match across copies;
+- embeddings: each copy applies a fixed sign-flip pattern — flipping
+  the SAME coordinates of both vectors preserves every intra-copy dot
+  product exactly while decorrelating cross-copy cosines.
+
 Usage: python tools/stress.py [K] [out_dir]
 """
 from __future__ import annotations
@@ -43,6 +54,27 @@ def build(spark, k: int, out: str) -> None:
             p = df
             for key in keys:
                 p = p.withColumn(key, F.col(key) + F.lit(i * SHIFT))
+            if i > 0 and t == "documents":
+                p = p.withColumn("text", F.concat(F.col("text"), F.lit(f" qcopy{i}q")))
+            if i > 0 and t == "events":
+                # one decade per copy; ts may surface as TIMESTAMP or
+                # as long nanos depending on the reader conf
+                if dict(df.dtypes)["ts"] in ("bigint", "long"):
+                    p = p.withColumn(
+                        "ts", F.col("ts") + F.lit(i * 3650 * 86400 * 1_000_000_000)
+                    )
+                else:
+                    p = p.withColumn(
+                        "ts", F.col("ts") + F.expr(f"INTERVAL {i * 3650} DAYS")
+                    )
+            if i > 0 and t == "embeddings":
+                p = p.withColumn(
+                    "embedding",
+                    F.transform(
+                        "embedding",
+                        lambda x, j: F.when((j + F.lit(i)) % 7 < 3, -x).otherwise(x),
+                    ),
+                )
             parts.append(p)
         u = parts[0]
         for p in parts[1:]:
