@@ -54,7 +54,18 @@ def merge_scd2(
     rows are interchangeable either way."""
     from pyspark.sql.window import Window
 
-    tiebreak = [c for c in updates.columns if c not in keys and c != effective_col]
+    from pyspark.sql.types import MapType
+
+    # maps are unorderable in Spark — excluding them keeps the merge
+    # working for payloads that carry one (ties then break on the
+    # orderable columns only)
+    tiebreak = [
+        c
+        for c in updates.columns
+        if c not in keys
+        and c != effective_col
+        and not isinstance(updates.schema[c].dataType, MapType)
+    ]
     w = Window.partitionBy(*keys).orderBy(effective_col, *tiebreak)
     upd = (
         updates.withColumn("__next_eff", F.lead(effective_col).over(w))

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions import DEC
+from ..functions import DEC, sql_portable_hash60
 from ..operators import dedup, multimodal, text
 
 # caps keep pairwise verification bounded at any sf (the candidate
@@ -359,6 +359,30 @@ _T = text.SQL_TOKS
 
 _HITS = {l: text.sql_hits(l) for l in ("en", "fr", "de", "es")}
 
+# connected components over the 0.8-Jaccard pair graph, shared by the
+# d11 and d20 twins (ONE source of truth for the threshold and the
+# closure logic): the recursive CTE computes transitive closure
+# (UNION = set semantics -> fixpoint); MIN over reachable nodes is the
+# canonical label dedup_clusters' min-label propagation converges to.
+_CC_CTES = f"""
+        WITH RECURSIVE d AS (
+          SELECT doc_id,
+                 list_filter(list_distinct({_T}), t -> t <> '') AS toks,
+                 CAST(len(list_filter(list_distinct({_T}), t -> t <> '')) AS BIGINT) AS set_size
+          FROM documents WHERE doc_id < {PAIR_CAP}),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM d a JOIN d b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                  / CAST(a.set_size + b.set_size - len(list_intersect(a.toks, b.toks)) AS DOUBLE) >= 0.8),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+        reach(doc, lbl) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.doc)"""
+
 ORACLE = {
     "d10_winnow_fingerprint": f"""
         WITH t AS (
@@ -521,7 +545,7 @@ ORACLE = {
           SELECT doc_id,
                  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                  md5(text) AS checksum,
-                 CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h,
+                 {sql_portable_hash60('text')} AS h,
                  list_aggregate(list_transform(range(0, octet_length(encode(text))),
                     i -> CAST(('0x' || substr(hex(encode(text)), 2 * i + 1, 2)) AS BIGINT)),
                     'sum') AS bsum
@@ -547,51 +571,13 @@ ORACLE = {
                COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dups
         FROM documents GROUP BY source ORDER BY source
     """,
-    # connected components over the 0.8-Jaccard pair graph: the
-    # recursive CTE computes transitive closure (UNION = set semantics
-    # -> fixpoint), then MIN over reachable nodes = the same canonical
-    # label dedup_clusters' min-label propagation converges to
-    "d11_dedup_clusters": f"""
-        WITH RECURSIVE d AS (
-          SELECT doc_id,
-                 list_filter(list_distinct({_T}), t -> t <> '') AS toks,
-                 CAST(len(list_filter(list_distinct({_T}), t -> t <> '')) AS BIGINT) AS set_size
-          FROM documents WHERE doc_id < {PAIR_CAP}),
-        pairs AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM d a JOIN d b ON a.doc_id < b.doc_id
-          WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-                  / CAST(a.set_size + b.set_size - len(list_intersect(a.toks, b.toks)) AS DOUBLE) >= 0.8),
-        edges AS (
-          SELECT doc_a AS a, doc_b AS b FROM pairs
-          UNION SELECT doc_b, doc_a FROM pairs),
-        reach(doc, lbl) AS (
-          SELECT a, a FROM edges
-          UNION
-          SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.doc)
+    "d11_dedup_clusters": _CC_CTES + """
         SELECT doc AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
         FROM reach GROUP BY doc ORDER BY doc_id
     """,
-    # same component labels as d11's recursive-CTE closure; survivors
-    # = docs that are not a non-canonical member of any component.
-    "d20_dedup_apply": f"""
-        WITH RECURSIVE d AS (
-          SELECT doc_id,
-                 list_filter(list_distinct({_T}), t -> t <> '') AS toks,
-                 CAST(len(list_filter(list_distinct({_T}), t -> t <> '')) AS BIGINT) AS set_size
-          FROM documents WHERE doc_id < {PAIR_CAP}),
-        pairs AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM d a JOIN d b ON a.doc_id < b.doc_id
-          WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-                  / CAST(a.set_size + b.set_size - len(list_intersect(a.toks, b.toks)) AS DOUBLE) >= 0.8),
-        edges AS (
-          SELECT doc_a AS a, doc_b AS b FROM pairs
-          UNION SELECT doc_b, doc_a FROM pairs),
-        reach(doc, lbl) AS (
-          SELECT a, a FROM edges
-          UNION
-          SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.doc),
+    # survivors = docs that are not a non-canonical member of any
+    # component (labels from the shared closure CTEs above)
+    "d20_dedup_apply": _CC_CTES + f""",
         lab AS (SELECT doc, MIN(lbl) AS cluster_id FROM reach GROUP BY doc),
         dropped AS (SELECT doc FROM lab WHERE doc <> cluster_id)
         SELECT source, COUNT(*) AS n_kept,
@@ -601,11 +587,11 @@ ORACLE = {
           AND doc_id NOT IN (SELECT doc FROM dropped)
         GROUP BY source ORDER BY source
     """,
-    "d21_corpus_split": """
+    "d21_corpus_split": f"""
         WITH s AS (
           SELECT CASE
-                   WHEN CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 100 < 90 THEN 'train'
-                   WHEN CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 100 < 95 THEN 'val'
+                   WHEN {sql_portable_hash60('text')} % 100 < 90 THEN 'train'
+                   WHEN {sql_portable_hash60('text')} % 100 < 95 THEN 'val'
                    ELSE 'test' END AS split,
                  lang, doc_id
           FROM documents)
@@ -643,7 +629,7 @@ ORACLE = {
           SELECT doc_id, list_filter(list_distinct({_T}), t -> t <> '') AS toks
           FROM documents WHERE doc_id < {PAIR_CAP}),
         hh AS (
-          SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+          SELECT doc_id, {sql_portable_hash60('tok')} AS h
           FROM (SELECT doc_id, unnest(toks) AS tok FROM d)),
         bits AS (
           SELECT doc_id, bit, SUM((h >> bit) & 1) AS ones, COUNT(*) AS n

@@ -203,8 +203,12 @@ def e12_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     eps = 0.001
     ev = load(spark, sf_dir, "events")
     # total row count stays in-plan (single-row broadcast, the same
-    # benign scalar pattern as e5/q11) — building this query must not
-    # trigger an eager full-scan job for plan-only consumers
+    # benign scalar pattern as e5/q11) so the tolerance bound adds no
+    # extra eager scan. NOTE: construction still runs the sketch
+    # build + candidate probe eagerly (topk_exact_vs_sketch) — probing
+    # a CM sketch needs the JVM sketch object, there is no SQL probe
+    # expression; that cost is inherent to the operator, this fix just
+    # removed the third full-scan job.
     tot = ev.agg(F.count(F.lit(1)).alias("__n_total"))
     r = topk_exact_vs_sketch(ev, "event_type", k=5, eps=eps)
     bound = (

@@ -64,7 +64,13 @@ def s6_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     nq = 20
     possible = nq * K
-    exact = similarity.cosine_topk(emb, k=K, n_queries=nq).select("qid", "cid")
+    # both union branches join against the exact top-k: materialize it
+    # once (the dual-consumer idiom used across dedup/similarity)
+    exact = (
+        similarity.cosine_topk(emb, k=K, n_queries=nq)
+        .select("qid", "cid")
+        .localCheckpoint(eager=False)
+    )
 
     def one(name: str, approx: DataFrame) -> DataFrame:
         return (
