@@ -124,3 +124,14 @@ def test_read_binary_files_glob_and_size_cap(spark, tmp_path):
     assert rows["a.jpg"]["length"] == 6
     capped = read_binary_files(spark, str(tmp_path), glob="*.jpg", max_bytes=100)
     assert [os.path.basename(r["path"]) for r in capped.collect()] == ["a.jpg"]
+
+
+def test_tsv_directory_gets_tab_separator(spark, tmp_path):
+    """A directory of .tsv part files infers csv AND tab separator —
+    the top-level path carries no extension."""
+    d = tmp_path / "tsv_ds"
+    d.mkdir()
+    (d / "part-0000.tsv").write_text("a\tb\n1\tx\n2\ty\n")
+    df = read_source(spark, str(d))
+    assert df.columns == ["a", "b"]
+    assert {(r["a"], r["b"]) for r in df.collect()} == {(1, "x"), (2, "y")}

@@ -548,3 +548,39 @@ def test_status_transition_table_models_backends():
     ss.record("p", "t", "waiting", prev="failed")
     with pytest.raises(InvalidTransition):
         ss.record("p", "t", "finished", prev="failed")
+
+
+def test_dry_run_compiles_under_task_conf(spark):
+    """Dry-run plans must reflect the task's runner conf — previewing
+    a different plan than LocalBackend would execute defeats the
+    point of a dry run."""
+    seen = {}
+
+    def fn(s, _):
+        seen["v"] = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        return s.range(3).select(F.col("id"))
+
+    p = Pipeline("dryconf")
+    p.add("t", fn, conf={"spark.sql.autoBroadcastJoinThreshold": "-1"})
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    DryRunBackend().run(spark, p)
+    assert seen["v"] == "-1"
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+
+
+def test_gc_collects_aged_logs_only_dirs(spark, tmp_path):
+    """Failure artifacts (logs.json with no deposited data) obey the
+    same retention sweep — they must not accumulate forever."""
+    store = ImpressionStore(str(tmp_path / "imps"))
+
+    def boom(s, _):
+        raise RuntimeError("task exploded")
+
+    p = Pipeline("fail")
+    p.add("t", boom)
+    LocalBackend(store=store).run(spark, p)
+    imp = [d for d in __import__("os").listdir(store.root)][0]
+    assert store.logs(imp) is not None and not store.exists(imp)
+    assert store.gc(max_age_s=3600) == []  # too fresh
+    assert store.gc(max_age_s=0) == [imp]  # aged out -> swept
+    assert store.logs(imp) is None

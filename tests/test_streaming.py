@@ -275,3 +275,92 @@ def test_stream_stream_attribution_matches_batch(spark, event_dir):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def _mini_stream(tmp_path, name, slices):
+    """Write slices of (event_id, ts_iso, user_id) as time-ordered
+    stream part files with the events schema."""
+    import datetime as dt
+
+    d = tmp_path / name
+    d.mkdir()
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us", tz="UTC")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    for i, rows in enumerate(slices):
+        tbl = pa.table(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": [dt.datetime.fromisoformat(r[1] + "+00:00") for r in rows],
+                "user_id": [r[2] for r in rows],
+                "event_type": ["view"] * len(rows),
+                "value": [1.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            },
+            schema=schema,
+        )
+        pq.write_table(tbl, d / f"part-{i:04d}.parquet")
+        time.sleep(0.05)
+    return str(d)
+
+
+def test_sessionization_merges_in_watermark_late_event(spark, tmp_path):
+    """An admissible late event BEFORE the open session's start must
+    extend the session backward (one session), not regress end_us and
+    split it into two with session_end < session_start."""
+    d = _mini_stream(
+        tmp_path,
+        "late_stream",
+        [
+            [(1, "2024-01-01T10:00:00", 7)],
+            [(2, "2024-01-01T09:50:00", 7)],  # late but within watermark
+            [(3, "2024-01-01T13:00:00", 7)],  # beyond gap: splits + emits
+        ],
+    )
+    sdf = st.session_stats(st.read_event_stream(spark, d), watermark="2 hours")
+    q = st.run_to_memory(sdf, "late_sessions", mode="append")
+    q.awaitTermination(120)
+    rows = spark.table("late_sessions").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["session_start"] <= r["session_end"]
+    assert r["n_events"] == 2
+    assert r["session_start"].strftime("%H:%M") == "09:50"
+    assert r["session_end"].strftime("%H:%M") == "10:00"
+
+
+def test_upsert_snapshot_dedupes_intra_batch_duplicates(spark, tmp_path):
+    """Two rows for one key inside a single micro-batch: the snapshot
+    must hold exactly one row per key (the order_col-latest)."""
+    d = _mini_stream(
+        tmp_path,
+        "dup_batch",
+        [
+            [
+                (10, "2024-01-01T10:00:00", 1),
+                (10, "2024-01-01T11:00:00", 1),  # same key, later ts
+                (11, "2024-01-01T10:30:00", 2),
+            ]
+        ],
+    )
+    snap = str(tmp_path / "snap_dup")
+    q = st.run_upsert_snapshot(
+        st.read_event_stream(spark, d),
+        snap,
+        str(tmp_path / "ckpt_dup"),
+        keys=["event_id"],
+        order_col="ts",
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(snap)
+    assert got.count() == 2
+    r10 = got.where("event_id = 10").collect()
+    assert len(r10) == 1
+    assert r10[0]["ts"].strftime("%H:%M") == "11:00"

@@ -97,9 +97,12 @@ def compare(
     query_fn,
     oracle_sql: str,
     sf_dir: str,
-    float_tol: float = 0.0,
 ) -> list[str]:
-    """Return a list of mismatch descriptions (empty == pass)."""
+    """Return a list of mismatch descriptions (empty == pass).
+
+    Strictly bit-exact by design (the driver's hash is too): a float
+    tolerance would need order-insensitive row PAIRING to be sound,
+    and every oracle is engineered for exactness instead."""
     sdf = query_fn(spark, sf_dir)
     s_schema = _spark_arrow_schema(sdf)
     s_cols = sdf.columns
@@ -118,18 +121,6 @@ def compare(
     for i, (a, b) in enumerate(zip(sc, oc)):
         if a == b:
             continue
-        if float_tol > 0 and len(a) == len(b):
-            ok = all(
-                (x == y)
-                or (
-                    isinstance(x, float)
-                    and isinstance(y, float)
-                    and abs(x - y) <= float_tol * max(1.0, abs(y))
-                )
-                for x, y in zip(a, b)
-            )
-            if ok:
-                continue
         problems.append(f"row {i} differs:\n  spark : {a}\n  oracle: {b}")
         if len(problems) >= 5:
             break

@@ -27,23 +27,30 @@ _EXT_FORMAT = {
 }
 
 
-def infer_format(path: str) -> str:
+def _infer_ext(path: str) -> str | None:
+    """Extension that drives format inference: the path's own, or the
+    first data file's when ``path`` is a dataset directory (possibly
+    hive-partitioned)."""
     base = path.rstrip("/")
     _, ext = os.path.splitext(base)
-    fmt = _EXT_FORMAT.get(ext.lower())
-    if fmt is None and os.path.isdir(base):
-        # a dataset directory (possibly hive-partitioned): infer from
-        # the first data file found up to two levels down
-        for root, _dirs, files in sorted(os.walk(base)):
+    if ext and ext.lower() in _EXT_FORMAT:
+        return ext.lower()
+    if os.path.isdir(base):
+        for _root, _dirs, files in sorted(os.walk(base)):
             for f in sorted(files):
                 if f.startswith(("_", ".")):
                     continue  # _SUCCESS, checksums, hidden
-                fmt = _EXT_FORMAT.get(os.path.splitext(f)[1].lower())
-                if fmt:
-                    return fmt
-    if fmt is None:
+                fext = os.path.splitext(f)[1].lower()
+                if fext in _EXT_FORMAT:
+                    return fext
+    return None
+
+
+def infer_format(path: str) -> str:
+    ext = _infer_ext(path)
+    if ext is None:
         raise ValueError(f"cannot infer format from {path!r}; pass format=")
-    return fmt
+    return _EXT_FORMAT[ext]
 
 
 def read_source(
@@ -70,7 +77,10 @@ def read_source(
         options.setdefault("inferSchema", "true")
     if fmt == "csv":
         options.setdefault("header", "true")
-        if path.rstrip("/").endswith(".tsv"):
+        # a directory of .tsv part files infers 'csv' too — decide the
+        # separator from the same extension inference, not just the
+        # top-level path string
+        if _infer_ext(path) == ".tsv":
             options.setdefault("sep", "\t")
     df = reader.options(**options).load(path)
     if columns:

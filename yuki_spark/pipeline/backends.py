@@ -58,13 +58,17 @@ class DryRunBackend:
             t = pipe.tasks[name]
             t.status = "waiting"
             inputs = {d: results[d] for d in t.deps}
-            df = t.fn(spark, inputs)
-            results[name] = df
-            plans[name] = df._jdf.queryExecution().explainString(
-                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                    "formatted"
+            # compile under the task's runner conf — the dry run's job
+            # is to preview the plan the LocalBackend would execute,
+            # and conf like autoBroadcastJoinThreshold changes it
+            with _task_conf(spark, t.conf):
+                df = t.fn(spark, inputs)
+                results[name] = df
+                plans[name] = df._jdf.queryExecution().explainString(
+                    spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                        "formatted"
+                    )
                 )
-            )
             t.status = "compiled"  # plan built, not executed
         return plans
 

@@ -177,6 +177,22 @@ class ImpressionStore:
                 if now - self.meta(imp_id).get("created_at", now) < max_age_s:
                     continue
             victims.append(imp_id)
+        # logs-only directories (failure artifacts from write_logs with
+        # no deposited data — exists() is False for them) obey the same
+        # retention rules, by logs.json mtime; without this a
+        # repeatedly-failing pipeline grows the store without bound
+        deposited = set(self.list_ids())
+        for d in sorted(os.listdir(self.root)):
+            if d in deposited:
+                continue
+            lp = os.path.join(self._dir(d), "logs.json")
+            if not os.path.exists(lp):
+                continue
+            if keep is not None and d in keep:
+                continue
+            if max_age_s is not None and now - os.path.getmtime(lp) < max_age_s:
+                continue
+            victims.append(d)
         if not dry_run:
             for imp_id in victims:
                 shutil.rmtree(self._dir(imp_id))

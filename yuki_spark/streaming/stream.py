@@ -201,20 +201,32 @@ def _session_fn(
         return
 
     rows = pd.concat(list(pdfs)).sort_values("ts")
-    out = []
+    gap_us = SESSION_GAP_SEC * 1_000_000
+    # interval-merge, not a running end pointer: an in-watermark late
+    # event may land BEFORE the open session (extend start backward)
+    # or bridge two intervals — comparing only against end_us would
+    # regress end below start and split one session into two
+    intervals: list[list[int]] = []
     if state.exists:
-        start_us, end_us, n = state.get
-    else:
-        start_us = end_us = n = None
+        s0, e0, n0 = state.get
+        intervals = [[s0, e0, n0]]
     for ts in rows["ts"]:
         t_us = int(pd.Timestamp(ts).value // 1000)
-        if start_us is None:
-            start_us, end_us, n = t_us, t_us, 1
-        elif t_us - end_us > SESSION_GAP_SEC * 1_000_000:
-            out.append((start_us, end_us, n))
-            start_us, end_us, n = t_us, t_us, 1
-        else:
-            end_us, n = t_us, n + 1
+        merged = [t_us, t_us, 1]
+        keep = []
+        for s, e, c in intervals:
+            if t_us < s - gap_us or t_us > e + gap_us:
+                keep.append([s, e, c])
+            else:
+                merged = [min(merged[0], s), max(merged[1], e), merged[2] + c]
+        keep.append(merged)
+        keep.sort()
+        intervals = keep
+    # every interval but the latest is gap-closed by construction —
+    # emit them now (same eager-split semantics as in-order input);
+    # only the latest stays open in state
+    out = [tuple(iv) for iv in intervals[:-1]]
+    start_us, end_us, n = intervals[-1]
     state.update((start_us, end_us, n))
     # close when watermark passes the open session's end + gap
     state.setTimeoutTimestamp(end_us // 1000 + SESSION_GAP_SEC * 1000)
@@ -273,7 +285,8 @@ def run_to_parquet(sdf: DataFrame, path: str, checkpoint: str, mode: str = "appe
 
 
 def run_upsert_snapshot(
-    sdf: DataFrame, snapshot_path: str, checkpoint: str, keys: list[str]
+    sdf: DataFrame, snapshot_path: str, checkpoint: str, keys: list[str],
+    order_col: str | None = None,
 ):
     """Stream → MERGE INTO a parquet snapshot via foreachBatch.
 
@@ -281,11 +294,32 @@ def run_upsert_snapshot(
     ``keys``) with operators.merge.merge_upsert; the checkpoint makes
     the batch ids stable so a re-delivered batch overwrites with the
     same result (idempotent sink — the exactly-once recipe when the
-    sink itself has no transaction log)."""
+    sink itself has no transaction log).
+
+    A micro-batch can carry several rows for one key (replay landing
+    beside the original) — merge_upsert keeps whatever it is given, so
+    the batch is deduplicated per key first: by ``order_col``
+    descending when given (e.g. an event timestamp — the true last
+    writer), else by the non-key columns descending (deterministic
+    across shuffles, unlike dropDuplicates)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
     from ..operators.merge import merge_upsert
 
     def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
         spark = batch_df.sparkSession
+        ordering = (
+            [F.col(order_col).desc()]
+            if order_col
+            else [F.col(c).desc() for c in batch_df.columns if c not in keys]
+        ) or [F.lit(1)]
+        w = Window.partitionBy(*keys).orderBy(*ordering)
+        batch_df = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
         try:
             target = spark.read.parquet(snapshot_path)
             merged = merge_upsert(target, batch_df, keys)
