@@ -152,3 +152,41 @@ def frame_sample(media: DataFrame, n_frames: int = 4, frame_bytes: int = 64) -> 
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
     return media.mapInPandas(run, FRAME_SCHEMA)
+
+
+WINDOW_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("win_idx", LongType()),
+        StructField("win", BinaryType()),
+    ]
+)
+
+
+def frame_windows(
+    media: DataFrame, frame_bytes: int = 64, hop_bytes: int = 32
+) -> DataFrame:
+    """Audio-style sliding-window framing: the payload is sliced into
+    overlapping windows of ``frame_bytes`` advancing by ``hop_bytes``
+    (the STFT/feature-frame batch shape an audio pipeline produces).
+    Every byte offset < len(payload) starts a window; the final
+    windows are ragged (shorter than ``frame_bytes``) exactly as a
+    real framer emits them. The 1→N fan-out runs inside one
+    ``mapInPandas`` iterator — Arrow batches in, Arrow batches out,
+    no Python-per-row serialization."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, wins = [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["media"]):
+                payload = bytes(b)
+                start, i = 0, 0
+                while start < len(payload):
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    wins.append(payload[start : start + frame_bytes])
+                    start += hop_bytes
+                    i += 1
+            yield pd.DataFrame({"doc_id": ids, "win_idx": idxs, "win": wins})
+
+    return media.mapInPandas(run, WINDOW_SCHEMA)

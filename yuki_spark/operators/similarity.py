@@ -218,24 +218,11 @@ def cosine_neardup_pairs_exact(
     )
 
 
-def ivf_ann(
-    emb: DataFrame, k: int = 3, n_queries: int = 20, nprobe: int = 3
-) -> DataFrame:
-    """IVF-style ANN: coarse-quantize the corpus into cells (label
-    centroids as the codebook — at real scale a k-means pass), then
-    each query scores only the ``nprobe`` nearest cells.
-
-    Deterministic in every engine: the codebook cell is the exact
-    int64 per-dim SUM of scaled vectors (cosine is scale-invariant, so
-    cos(v, Σ) ≡ cos(v, mean) — no float division whose rounding could
-    drift); cell affinity folds those identical integers through the
-    identical IEEE double op sequence (left fold, like DuckDB's
-    list_reduce); final candidate scores are exact int-cosines. That
-    makes the full result SQL-twinnable — no rows-only escape hatch.
-
-    Shuffle shape at 100 TB: the corpus partitions by cell id once;
-    queries broadcast with their probed cell list; scoring joins on
-    cell id only — no full-corpus scan per query."""
+def _ivf_assignment(emb: DataFrame):
+    """Exact-int IVF cell assignment shared by :func:`ivf_ann` and
+    :func:`semdedup`: returns ``(scored_cells, w_assign)`` where
+    ``scored_cells`` carries every (vector, cell, affinity) row and
+    ``w_assign`` ranks cells per vector (deterministic tiebreak)."""
     base = emb.select("vec_id", "label", scaled("embedding").alias("sv")).withColumn(
         "nrm", int_dot(F.col("sv"), F.col("sv"))
     )
@@ -271,6 +258,28 @@ def ivf_ann(
         base.join(broadcast(cents)).withColumn("aff", affinity).localCheckpoint(eager=False)
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("aff"), "cell")
+    return scored_cells, w_assign
+
+
+def ivf_ann(
+    emb: DataFrame, k: int = 3, n_queries: int = 20, nprobe: int = 3
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into cells (label
+    centroids as the codebook — at real scale a k-means pass), then
+    each query scores only the ``nprobe`` nearest cells.
+
+    Deterministic in every engine: the codebook cell is the exact
+    int64 per-dim SUM of scaled vectors (cosine is scale-invariant, so
+    cos(v, Σ) ≡ cos(v, mean) — no float division whose rounding could
+    drift); cell affinity folds those identical integers through the
+    identical IEEE double op sequence (left fold, like DuckDB's
+    list_reduce); final candidate scores are exact int-cosines. That
+    makes the full result SQL-twinnable — no rows-only escape hatch.
+
+    Shuffle shape at 100 TB: the corpus partitions by cell id once;
+    queries broadcast with their probed cell list; scoring joins on
+    cell id only — no full-corpus scan per query."""
+    scored_cells, w_assign = _ivf_assignment(emb)
     assigned = (
         scored_cells.withColumn("rk", F.row_number().over(w_assign))
         .where(F.col("rk") == 1)

@@ -308,6 +308,123 @@ def d19_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPAN = 8  # tokens per span for substring-level dedup
+
+
+def d22_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication scan (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): every 8-token span is
+    fingerprinted; a span appearing in ≥2 distinct documents is a
+    duplicated passage. Reports, per source: distinct (doc, span)
+    entries, how many are corpus-wide duplicates, the duplicated
+    fraction, and how many docs carry at least one duplicated span.
+
+    Scale shape: linear explode of spans (n_tokens − 7 per doc), one
+    hash-agg for span document-frequency, one keyed join back, one
+    rollup — the same two-aggregation profile as d19's tf-idf; no n²
+    pair work anywhere (contrast d2, which scores candidate *pairs*)."""
+    t = text.with_tokens(load(spark, sf_dir, "documents"))
+    spans = F.expr(
+        f"transform(sequence(1, cast(n_tokens as int) - {SPAN - 1}),"
+        f" i -> array_join(slice(toks, i, {SPAN}), ' '))"
+    )
+    grams = t.where(F.col("n_tokens") >= SPAN).select(
+        "doc_id", "source", F.explode(spans).alias("gram")
+    )
+    per_doc = grams.distinct()
+    gram_df = per_doc.groupBy("gram").agg(
+        F.countDistinct("doc_id").alias("n_docs_g")
+    )
+    flagged = per_doc.join(gram_df, "gram")
+    dup = F.when(F.col("n_docs_g") >= 2, 1).otherwise(0)
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(dup).cast("bigint").alias("n_dup_spans"),
+            (F.sum(dup).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "dup_frac"
+            ),
+            F.countDistinct(
+                F.when(F.col("n_docs_g") >= 2, F.col("doc_id"))
+            ).alias("n_docs_hit"),
+        )
+        .orderBy("source")
+    )
+
+
+# Gopher-style rule thresholds (Rae et al. 2021 §A1.1), tuned to this
+# corpus's ranges (tokens 10–99, mean word length 3.7–5.3) so every
+# rule discriminates. All comparisons are exact-integer (cross-
+# multiplied) — no double rounding can flip a flag.
+GOPHER_WC = (20, 80)  # token count bounds
+GOPHER_MWL = (4, 10)  # mean word length bounds
+GOPHER_MIN_STOP = 2  # ≥2 English stopword hits
+GOPHER_MAX_DUP10 = 1  # dup-bigram fraction ≤ 1/10
+
+
+def d23_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality filter matrix: per-document pass/fail for
+    word-count bounds, mean-word-length bounds, stopword presence, and
+    duplicate-bigram share, rolled up per source with an all-rules
+    pass count. Map-only per-doc array algebra (JVM, no explode for
+    the first three rules) + one broadcast-sized rollup."""
+    t = text.with_tokens(load(spark, sf_dir, "documents"))
+    sum_len = F.aggregate(
+        F.transform("toks", lambda x: F.length(x).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    hits = F.size(
+        F.filter(F.col("toks"), lambda x: x.isin(*text.STOPWORDS["en"]))
+    ).cast("bigint")
+    bigrams = text._zip_ngrams("toks", 2)
+    q = t.select(
+        "source",
+        F.col("n_tokens").alias("nt"),
+        sum_len.alias("sl"),
+        hits.alias("sw"),
+        F.size(bigrams).cast("bigint").alias("nb"),
+        F.size(F.array_distinct(bigrams)).cast("bigint").alias("nd"),
+    )
+    wc_ok = (F.col("nt") >= GOPHER_WC[0]) & (F.col("nt") <= GOPHER_WC[1])
+    mwl_ok = (F.col("sl") >= GOPHER_MWL[0] * F.col("nt")) & (
+        F.col("sl") <= GOPHER_MWL[1] * F.col("nt")
+    )
+    stop_ok = F.col("sw") >= GOPHER_MIN_STOP
+    rep_ok = (F.col("nb") - F.col("nd")) * 10 <= F.col("nb") * GOPHER_MAX_DUP10
+    flags = q.select(
+        "source",
+        wc_ok.alias("wc_ok"),
+        mwl_ok.alias("mwl_ok"),
+        stop_ok.alias("stop_ok"),
+        rep_ok.alias("rep_ok"),
+    )
+
+    def n(c):  # exact BIGINT rule counters
+        return F.sum(F.when(F.col(c), 1).otherwise(0)).cast("bigint")
+
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            n("wc_ok").alias("n_wc_ok"),
+            n("mwl_ok").alias("n_mwl_ok"),
+            n("stop_ok").alias("n_stop_ok"),
+            n("rep_ok").alias("n_rep_ok"),
+            F.sum(
+                F.when(
+                    F.col("wc_ok") & F.col("mwl_ok") & F.col("stop_ok") & F.col("rep_ok"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_pass_all"),
+        )
+        .orderBy("source")
+    )
+
+
 def m1_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < FP_CAP)
     return multimodal.extract_features(multimodal.synth_media(docs)).orderBy("doc_id")
@@ -330,8 +447,35 @@ def m2_resize_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+M3_FRAME = 64
+M3_HOP = 32
+
+
+def m3_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality chain: synth payload → sliding-window framing
+    (frame 64 B, hop 32 B) → per-doc window accounting. The fan-out and
+    ragged-tail behavior of the framer is pinned by exact byte math the
+    oracle recomputes from the payload length."""
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < FP_CAP)
+    media = multimodal.synth_media(docs)
+    wins = multimodal.frame_windows(
+        media.select("doc_id", "media"), frame_bytes=M3_FRAME, hop_bytes=M3_HOP
+    )
+    return (
+        wins.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.length("win")).alias("total_win_bytes"),
+            F.min(F.length("win")).cast("bigint").alias("min_win_bytes"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "d1_exact_dedup": d1_exact_dedup,
+    "d22_dup_spans": d22_dup_spans,
+    "d23_gopher_filter": d23_gopher_filter,
     "d2_ngram_jaccard_dups": d2_ngram_jaccard_dups,
     "d3_minhash_lsh_dups": d3_minhash_lsh_dups,
     "d4_simhash_dups": d4_simhash_dups,
@@ -353,6 +497,7 @@ QUERIES = {
     "d21_corpus_split": d21_corpus_split,
     "m1_multimodal_meta": m1_multimodal_meta,
     "m2_resize_framesample": m2_resize_framesample,
+    "m3_audio_windows": m3_audio_windows,
 }
 
 _T = text.SQL_TOKS
@@ -384,6 +529,77 @@ _CC_CTES = f"""
           SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.doc)"""
 
 ORACLE = {
+    "d22_dup_spans": f"""
+        WITH t AS (
+          SELECT doc_id, source, {_T} AS toks,
+                 CAST(len({_T}) AS BIGINT) AS n
+          FROM documents),
+        g AS (
+          SELECT DISTINCT doc_id, source, gram FROM (
+            SELECT doc_id, source,
+                   unnest(list_transform(range(1, n - {SPAN} + 2),
+                          i -> array_to_string(toks[i:i+{SPAN - 1}], ' '))) AS gram
+            FROM t WHERE n >= {SPAN})),
+        gd AS (SELECT gram, COUNT(DISTINCT doc_id) AS n_docs_g
+               FROM g GROUP BY gram)
+        SELECT source, COUNT(*) AS n_spans,
+               CAST(SUM(CASE WHEN n_docs_g >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_spans,
+               CAST(SUM(CASE WHEN n_docs_g >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS dup_frac,
+               COUNT(DISTINCT CASE WHEN n_docs_g >= 2 THEN doc_id END)
+                 AS n_docs_hit
+        FROM g JOIN gd USING (gram)
+        GROUP BY source ORDER BY source
+    """,
+    "d23_gopher_filter": f"""
+        WITH t AS (SELECT source, {_T} AS toks FROM documents),
+        b AS (
+          SELECT source, toks,
+                 list_transform(range(1, greatest(len(toks), 1)),
+                                i -> toks[i] || ' ' || toks[i+1]) AS bg
+          FROM t),
+        q AS (
+          SELECT source,
+                 CAST(len(toks) AS BIGINT) AS nt,
+                 CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                   AS BIGINT) AS sl,
+                 {text.sql_hits('en', 'toks')} AS sw,
+                 CAST(len(bg) AS BIGINT) AS nb,
+                 CAST(len(list_distinct(bg)) AS BIGINT) AS nd
+          FROM b),
+        f AS (
+          SELECT source,
+                 (nt >= {GOPHER_WC[0]} AND nt <= {GOPHER_WC[1]}) AS wc_ok,
+                 (sl >= {GOPHER_MWL[0]} * nt AND sl <= {GOPHER_MWL[1]} * nt) AS mwl_ok,
+                 (sw >= {GOPHER_MIN_STOP}) AS stop_ok,
+                 ((nb - nd) * 10 <= nb * {GOPHER_MAX_DUP10}) AS rep_ok
+          FROM q)
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN wc_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_wc_ok,
+               CAST(SUM(CASE WHEN mwl_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_mwl_ok,
+               CAST(SUM(CASE WHEN stop_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_ok,
+               CAST(SUM(CASE WHEN rep_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_rep_ok,
+               CAST(SUM(CASE WHEN wc_ok AND mwl_ok AND stop_ok AND rep_ok
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+        FROM f GROUP BY source ORDER BY source
+    """,
+    # framing invariants derive from the payload length alone: windows
+    # start at every hop offset < n, each covers min(frame, n - start)
+    # bytes, and sizes are nonincreasing so the last window is the min.
+    "m3_audio_windows": f"""
+        WITH b AS (
+          SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n
+          FROM documents WHERE doc_id < {FP_CAP}),
+        w AS (SELECT doc_id, n, ((n - 1) // {M3_HOP}) + 1 AS nw FROM b)
+        SELECT doc_id, CAST(nw AS BIGINT) AS n_windows,
+               CAST(list_aggregate(list_transform(range(0, nw),
+                      i -> least({M3_FRAME}, n - i * {M3_HOP})), 'sum') AS BIGINT)
+                 AS total_win_bytes,
+               CAST(least({M3_FRAME}, n - (nw - 1) * {M3_HOP}) AS BIGINT)
+                 AS min_win_bytes
+        FROM w ORDER BY doc_id
+    """,
     "d10_winnow_fingerprint": f"""
         WITH t AS (
           SELECT doc_id, {_T} AS toks, CAST(len({_T}) AS BIGINT) AS n

@@ -380,8 +380,70 @@ def e14_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e15_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the (Monday-truncated)
+    week of their first event; for each (cohort_week, weeks elapsed)
+    the distinct users still active, plus the retention fraction vs
+    the cohort's week-0 size.
+
+    Scale shape: one shuffle to find each user's first week, one
+    user-keyed join (co-partitioned with the distinct), one final
+    rollup — the cohort matrix itself is tiny (weeks²). week_idx is
+    exact: both engines Monday-truncate, so the day delta is always a
+    multiple of 7."""
+    ev = load(spark, sf_dir, "events")
+    weeks = ev.select("user_id", F.date_trunc("week", "ts").alias("week"))
+    first = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    act = weeks.distinct().join(first, "user_id")
+    per = (
+        act.withColumn(
+            "week_idx", (F.datediff("week", "cohort_week") / 7).cast("bigint")
+        )
+        .groupBy("cohort_week", "week_idx")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+    wc = Window.partitionBy("cohort_week")
+    cohort_size = F.max(F.when(F.col("week_idx") == 0, F.col("n_users"))).over(wc)
+    return (
+        per.withColumn("cohort_size", cohort_size)
+        .withColumn(
+            "retention",
+            F.col("n_users").cast("double") / F.col("cohort_size").cast("double"),
+        )
+        .orderBy("cohort_week", "week_idx")
+    )
+
+
+def e16_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over event types: per user, each event
+    transitions from the previous event's type (lag window, ties broken
+    by event_id so the chain is deterministic). Reports transition
+    counts, distinct users making the transition, and the row-normalized
+    transition fraction. One shuffle on user_id + one rollup."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.withColumn("from_type", F.lag("event_type").over(w)).where(
+        F.col("from_type").isNotNull()
+    )
+    per = t.groupBy("from_type", F.col("event_type").alias("to_type")).agg(
+        F.count(F.lit(1)).alias("n_trans"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    wf = Window.partitionBy("from_type")
+    return (
+        per.withColumn(
+            "frac",
+            F.col("n_trans").cast("double")
+            / F.sum("n_trans").over(wf).cast("double"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
 QUERIES = {
     "e13_zscore_outliers": e13_zscore_outliers,
+    "e15_retention_cohorts": e15_retention_cohorts,
+    "e16_event_transitions": e16_event_transitions,
     "e14_ewma_daily": e14_ewma_daily,
     "e1_event_counts": e1_event_counts,
     "e6_value_percentiles": e6_value_percentiles,
@@ -403,6 +465,43 @@ _EWMA_TERMS = " + ".join(
 )
 
 ORACLE = {
+    "e15_retention_cohorts": """
+        WITH weeks AS (
+          SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+          FROM events),
+        first AS (
+          SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY user_id),
+        act AS (
+          SELECT DISTINCT w.user_id, w.week, f.cohort_week
+          FROM weeks w JOIN first f USING (user_id)),
+        per AS (
+          SELECT cohort_week,
+                 CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT) AS week_idx,
+                 COUNT(DISTINCT user_id) AS n_users
+          FROM act GROUP BY 1, 2)
+        SELECT cohort_week, week_idx, n_users,
+               CAST(MAX(CASE WHEN week_idx = 0 THEN n_users END)
+                 OVER (PARTITION BY cohort_week) AS BIGINT) AS cohort_size,
+               CAST(n_users AS DOUBLE)
+                 / CAST(MAX(CASE WHEN week_idx = 0 THEN n_users END)
+                     OVER (PARTITION BY cohort_week) AS DOUBLE) AS retention
+        FROM per ORDER BY cohort_week, week_idx
+    """,
+    "e16_event_transitions": """
+        WITH t AS (
+          SELECT user_id, event_type AS to_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS from_type
+          FROM events),
+        per AS (
+          SELECT from_type, to_type, COUNT(*) AS n_trans,
+                 COUNT(DISTINCT user_id) AS n_users
+          FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        SELECT from_type, to_type, n_trans, n_users,
+               CAST(n_trans AS DOUBLE)
+                 / CAST(SUM(n_trans) OVER (PARTITION BY from_type) AS DOUBLE) AS frac
+        FROM per ORDER BY from_type, to_type
+    """,
     "e14_ewma_daily": f"""
         WITH daily AS (
           SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

@@ -721,8 +721,38 @@ def setops_multiset_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w5_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: per market segment, rank every
+    customer's balance with ntile(4)/percent_rank/cume_dist (ordering
+    fully tie-broken by c_custkey so every rank is deterministic),
+    then summarize each quartile. One shuffle on c_mktsegment; the
+    per-quartile rollup reuses the same partitioning."""
+    cust = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    r = cust.select(
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return (
+        r.groupBy("c_mktsegment", F.col("quartile").cast("bigint").alias("quartile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.min("c_acctbal").alias("min_acctbal"),
+            F.max("c_acctbal").alias("max_acctbal"),
+            F.min("pr").alias("min_pr"),
+            F.max("pr").alias("max_pr"),
+            F.max("cd").alias("max_cd"),
+        )
+        .orderBy("c_mktsegment", "quartile")
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "w5_rank_distribution": w5_rank_distribution,
     "setops_customer_activity": setops_customer_activity,
     "setops_multiset_except": setops_multiset_except,
     "sql1_revenue_by_nation": sql1_revenue_by_nation,
@@ -761,6 +791,20 @@ QUERIES = {
 
 
 ORACLE = {
+    "w5_rank_distribution": """
+        WITH r AS (
+          SELECT c_mktsegment, c_acctbal,
+                 CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                 percent_rank() OVER w AS pr,
+                 cume_dist() OVER w AS cd
+          FROM customer
+          WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey))
+        SELECT c_mktsegment, quartile, COUNT(*) AS n_cust,
+               MIN(c_acctbal) AS min_acctbal, MAX(c_acctbal) AS max_acctbal,
+               MIN(pr) AS min_pr, MAX(pr) AS max_pr, MAX(cd) AS max_cd
+        FROM r GROUP BY c_mktsegment, quartile
+        ORDER BY c_mktsegment, quartile
+    """,
     "w4_mom_growth": """
         WITH monthly AS (
           SELECT date_trunc('month', o_orderdate) AS month,
