@@ -38,16 +38,26 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which a default
-        # session refuses to read — the engine must work with ANY
-        # caller-provided SparkSession, so set the (runtime-settable)
-        # escape hatch here, not only in our session factory
+        # events.parquet has shipped as TIMESTAMP(NANOS) (which a
+        # default session refuses to read) and as plain µs-without-tz
+        # (which Spark 4 infers as TIMESTAMP_NTZ, breaking epoch
+        # casts). The engine must behave identically under ANY
+        # caller-provided SparkSession and either file flavor, so set
+        # the (runtime-settable) escape hatches here, not only in our
+        # session factory.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if name == "events" and ts_type == "bigint":
         # nanosAsLong=true surfaces the TIMESTAMP(NANOS) column as raw
         # nanos; truncate to µs exactly like DuckDB does on read.
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif name == "events" and ts_type == "timestamp_ntz":
+        # a session that pre-cached NTZ inference: reinterpret the
+        # naive µs value as a session-tz instant (sessions run UTC),
+        # restoring the single TIMESTAMP type every operator assumes
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

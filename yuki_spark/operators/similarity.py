@@ -322,6 +322,69 @@ def ivf_ann(
     )
 
 
+SEMDEDUP_OUT = (
+    "vec_id bigint, cell bigint, pos bigint, max_prior_cos double, kept boolean"
+)
+
+
+def semdedup(emb: DataFrame, threshold: float = 0.3) -> DataFrame:
+    """Semantic deduplication (Abbas et al. 2023, "SemDeDup"): coarse-
+    cluster the corpus, then within each cell greedily keep the member
+    *farthest from the centroid* and drop any later member whose cosine
+    to an already-kept/earlier member reaches ``threshold`` — the
+    paper's low-centroid-similarity keep rule made deterministic
+    (ties broken by vec_id).
+
+    Shares the exact-int IVF assignment with :func:`ivf_ann` (cells =
+    nearest exact-int centroid), so the whole decision — cell, greedy
+    order, pairwise cosines — is engine-portable and SQL-twinnable.
+    Per-cell pair scoring is one int64 GEMM inside ``applyInPandas``
+    (same arithmetic as :func:`cosine_neardup_pairs`).
+
+    Scale shape: one shuffle partitions the corpus by cell; all pair
+    work is cell-local (at 100 TB the codebook's k grows with n so
+    cell populations stay bounded — the paper's regime). No global
+    all-pairs stage anywhere."""
+    scored_cells, w_assign = _ivf_assignment(emb)
+    assigned = (
+        scored_cells.withColumn("rk", F.row_number().over(w_assign))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "sv", F.col("cell").cast("bigint").alias("cell"), "aff")
+    )
+
+    def greedy(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        # greedy order: ascending Spark-computed affinity (the fold is
+        # bit-identical across engines — see _ivf_assignment), vec_id
+        # tiebreak. numpy must NOT recompute aff: its pairwise-summed
+        # dot would round differently from the left fold.
+        order = np.lexsort((pdf["vec_id"].to_numpy(), pdf["aff"].to_numpy()))
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)[order]
+        V = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["sv"]])[order]
+        dots = V @ V.T  # exact int64: |scaled dot| <= 64·2^52 < 2^63
+        rt = np.sqrt(np.diag(dots).astype(np.float64))
+        cos = np.round(dots.astype(np.float64) / (rt[:, None] * rt[None, :]), 9)
+        n = len(ids)
+        prior = np.where(
+            np.arange(n)[None, :] < np.arange(n)[:, None], cos, -np.inf
+        )
+        mx = prior.max(axis=1)  # row j: max cosine to any earlier member
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell": np.full(n, key[0], dtype=np.int64),
+                "pos": np.arange(1, n + 1, dtype=np.int64),
+                "max_prior_cos": np.where(np.isfinite(mx), mx, np.nan),
+                "kept": ~(mx >= threshold),
+            }
+        )
+
+    return (
+        assigned.groupBy("cell")
+        .applyInPandas(greedy, SEMDEDUP_OUT)
+        .orderBy("vec_id")
+    )
+
+
 # ---- LSH ANN (scale path) ------------------------------------------------
 
 N_PLANES = 8
