@@ -19,15 +19,27 @@ def entry(spark: SparkSession) -> DataFrame:
     return tpch.q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+# Insertion order is gate order (the driver caps its sweep at 50 rows).
+# Round-3 rotation: the three queries whose last driver row is a stale
+# r1 FAIL (fixed in ee50a9d, local-pass since) lead, followed by
+# queries new this round, then the relational family (no r2 row — r2's
+# window covered the LLM families), then events/docs/sim (all r2-green).
+_PRIORITY = [
+    "q12_priority_shipping",
+    "setops_customer_activity",
+    "union_dedup_keys",
+    "s7_semdedup",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Insertion order is gate order: the LLM-data-pipeline families (docs,
-    # sim) lead so they are validated first if the driver caps its sweep;
-    # the relational families follow.
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    out.update(docs.QUERIES)
-    out.update(sim.QUERIES)
-    out.update(events.QUERIES)
-    out.update(tpch.QUERIES)
+    merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    merged.update(tpch.QUERIES)
+    merged.update(events.QUERIES)
+    merged.update(docs.QUERIES)
+    merged.update(sim.QUERIES)
+    out = {k: merged[k] for k in _PRIORITY if k in merged}
+    out.update(merged)
     return out
 
 

@@ -130,6 +130,24 @@ def test_ivf_ann_shape_and_self_exclusion(spark, emb):
         assert len(rows) <= 2
 
 
+def test_semdedup_greedy_drop_rule(spark, emb):
+    """Known answer: the colinear pair (0, 7) is the only cosine ≥ 0.95
+    pair, so the later-in-greedy-order member is dropped and everything
+    else survives; cell leaders carry a NULL prior cosine."""
+    df, _ = emb
+    rows = {r["vec_id"]: r for r in similarity.semdedup(df, threshold=0.95).collect()}
+    assert len(rows) == 30
+    a, b = rows[0], rows[7]
+    assert a["cell"] == b["cell"]  # colinear ⇒ identical affinities ⇒ same cell
+    later, earlier = (b, a) if b["pos"] > a["pos"] else (a, b)
+    assert earlier["kept"] and not later["kept"]
+    assert later["max_prior_cos"] >= 0.95
+    for r in rows.values():
+        if r["pos"] == 1:
+            assert r["max_prior_cos"] is None and r["kept"]
+    assert sum(not r["kept"] for r in rows.values()) == 1
+
+
 def test_multimodal_roundtrip(spark, docs):
     media = multimodal.synth_media(docs.where("doc_id <= 3"))
     feats = {r["doc_id"]: r for r in multimodal.extract_features(media).collect()}

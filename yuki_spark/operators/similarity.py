@@ -331,9 +331,12 @@ def semdedup(emb: DataFrame, threshold: float = 0.3) -> DataFrame:
     """Semantic deduplication (Abbas et al. 2023, "SemDeDup"): coarse-
     cluster the corpus, then within each cell greedily keep the member
     *farthest from the centroid* and drop any later member whose cosine
-    to an already-kept/earlier member reaches ``threshold`` — the
-    paper's low-centroid-similarity keep rule made deterministic
-    (ties broken by vec_id).
+    to **any earlier member in greedy order — kept or dropped** reaches
+    ``threshold`` (the prior-triangle max, exactly as in the reference
+    SemDeDup implementation; NOT a kept-only transitive-closure-free
+    variant — a twin implementing that rule produces different keep
+    sets). The paper's low-centroid-similarity keep rule is made
+    deterministic (ties broken by vec_id).
 
     Shares the exact-int IVF assignment with :func:`ivf_ann` (cells =
     nearest exact-int centroid), so the whole decision — cell, greedy

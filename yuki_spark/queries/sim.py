@@ -91,6 +91,17 @@ def s6_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("index")
 
 
+SEMDEDUP_THRESHOLD = 0.3
+
+
+def s7_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) keep/drop decision per vector —
+    deterministic greedy rule over exact-int IVF cells, so the DuckDB
+    twin reproduces the whole decision bit-for-bit."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.semdedup(emb, threshold=SEMDEDUP_THRESHOLD)
+
+
 QUERIES = {
     "s1_cosine_topk": s1_cosine_topk,
     "s6_ann_recall": s6_ann_recall,
@@ -98,6 +109,7 @@ QUERIES = {
     "s3_lsh_ann": s3_lsh_ann,
     "s4_ivf_ann": s4_ivf_ann,
     "s5_quantize_error": s5_quantize_error,
+    "s7_semdedup": s7_semdedup,
     "d9_embedding_neardup": d9_embedding_neardup,
 }
 
@@ -223,13 +235,12 @@ _DDOT = (
 )
 
 
-def _s4_oracle(nq: int = 20, nprobe: int = 3) -> str:
-    """Twin of ivf_ann: identical exact-int centroid sums per label,
-    identical double-fold affinity (same IEEE op order as Spark's
-    aggregate/zip_with left fold), identical int-cosine candidate
-    scores."""
-    return f"""
-        WITH base AS (
+def _ivf_prefix() -> str:
+    """Shared CTE chain (base → ranked) of the exact-int IVF assignment —
+    mirrors ``similarity._ivf_assignment`` and feeds both the s4_ivf_ann
+    and s7_semdedup twins (identical exact-int centroid sums, identical
+    double-fold affinity in Spark's left-fold IEEE op order)."""
+    return f"""base AS (
           SELECT vec_id, label, {_SCALED} AS sv FROM embeddings),
         b AS (
           SELECT vec_id, label, sv, {_DOT.format(a='sv', b='sv')} AS nrm FROM base),
@@ -251,7 +262,16 @@ def _s4_oracle(nq: int = 20, nprobe: int = 3) -> str:
           FROM b v CROSS JOIN cents c),
         ranked AS (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY a DESC, cell) AS ark
-          FROM aff),
+          FROM aff)"""
+
+
+def _s4_oracle(nq: int = 20, nprobe: int = 3) -> str:
+    """Twin of ivf_ann: identical exact-int centroid sums per label,
+    identical double-fold affinity (same IEEE op order as Spark's
+    aggregate/zip_with left fold), identical int-cosine candidate
+    scores."""
+    return f"""
+        WITH {_ivf_prefix()},
         assigned AS (
           SELECT vec_id AS cid, sv AS cv2, nrm AS cn, cell FROM ranked WHERE ark = 1),
         probes AS (
@@ -292,8 +312,40 @@ def _s6_oracle() -> str:
     """
 
 
+def _s7_oracle(threshold: float = SEMDEDUP_THRESHOLD) -> str:
+    """Twin of semdedup: identical cell assignment (IVF prefix), greedy
+    order = ascending affinity with vec_id tiebreak, and the prior-
+    triangle max — ``max_prior_cos`` is the max int-cosine to ANY
+    earlier member in greedy order (kept or dropped), NULL for the cell
+    leader. ``kept`` follows: NULL >= t is NULL → ELSE TRUE."""
+    cos = (
+        f"round(CAST({_DOT.format(a='x.sv', b='y.sv')} AS DOUBLE)"
+        " / (sqrt(CAST(x.nrm AS DOUBLE)) * sqrt(CAST(y.nrm AS DOUBLE))), 9)"
+    )
+    return f"""
+        WITH {_ivf_prefix()},
+        assigned AS (
+          SELECT vec_id, sv, nrm, CAST(cell AS BIGINT) AS cell, a
+          FROM ranked WHERE ark = 1),
+        ordered AS (
+          SELECT vec_id, sv, nrm, cell,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY cell ORDER BY a ASC, vec_id) AS BIGINT) AS pos
+          FROM assigned),
+        mx AS (
+          SELECT y.vec_id, MAX({cos}) AS max_prior_cos
+          FROM ordered x JOIN ordered y
+            ON x.cell = y.cell AND x.pos < y.pos
+          GROUP BY y.vec_id)
+        SELECT o.vec_id, o.cell, o.pos, m.max_prior_cos,
+               CASE WHEN m.max_prior_cos >= {threshold} THEN FALSE ELSE TRUE END AS kept
+        FROM ordered o LEFT JOIN mx m ON o.vec_id = m.vec_id
+        ORDER BY o.vec_id
+    """
+
+
 ORACLE = {
     "d9_embedding_neardup": _d9_oracle(),
+    "s7_semdedup": _s7_oracle(),
     "s3_lsh_ann": _s3_oracle(),
     "s4_ivf_ann": _s4_oracle(),
     "s6_ann_recall": _s6_oracle(),
