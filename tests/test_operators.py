@@ -148,6 +148,36 @@ def test_semdedup_greedy_drop_rule(spark, emb):
     assert sum(not r["kept"] for r in rows.values()) == 1
 
 
+def test_semdedup_cell_resplit_bounds_groups(spark, emb):
+    """Oversized cells split deterministically: subcell stays 0 when
+    cells fit the cap, engages under a tiny cap and bounds group sizes,
+    and colinear vectors (identical sign bits) never separate."""
+    from collections import Counter
+
+    df, _ = emb
+    base = similarity.semdedup(df, threshold=0.95, max_cell=256).collect()
+    assert all(r["subcell"] == 0 for r in base)
+    out = similarity.semdedup(df, threshold=0.95, max_cell=4).collect()
+    assert len(out) == 30
+    assert any(r["subcell"] > 0 for r in out)
+    sizes = Counter((r["cell"], r["subcell"]) for r in out)
+    assert max(sizes.values()) <= 8  # unsplit cells hold 10+
+    pair = [r for r in out if r["vec_id"] in (0, 7)]
+    assert (pair[0]["cell"], pair[0]["subcell"]) == (pair[1]["cell"], pair[1]["subcell"])
+    assert sum(not r["kept"] for r in pair) == 1
+
+
+def test_adaptive_lsh_parameters():
+    """Integer-exact scaling formulas and prefix-stable plane stream."""
+    assert similarity.adaptive_bits(500) == 4
+    assert similarity.adaptive_bits(128 << 4) == 4
+    assert similarity.adaptive_bits((128 << 4) + 1) == 5
+    assert similarity.adaptive_bits(20000) == 8
+    assert similarity.adaptive_planes(500) == 8
+    assert similarity.adaptive_planes(20000) == 12
+    assert (similarity.lsh_planes(64) == similarity.lsh_planes(128)[:64]).all()
+
+
 def test_multimodal_roundtrip(spark, docs):
     media = multimodal.synth_media(docs.where("doc_id <= 3"))
     feats = {r["doc_id"]: r for r in multimodal.extract_features(media).collect()}
@@ -539,6 +569,26 @@ def test_sketches_error_bounds(spark):
     for r in cmp:
         assert r["est_count"] >= r["true_count"]  # CM never undercounts
         assert r["est_count"] - r["true_count"] <= 0.001 * n_total + 1
+
+
+def test_cm_python_probe_matches_jvm(spark):
+    """The broadcast-table pandas-UDF probe reimplements the JVM
+    CountMinSketch string path (layout parse + double murmur3);
+    lock bit-equality against the real JVM sketch, including unseen,
+    unicode, empty, and >4-byte-tail keys."""
+    from yuki_spark.operators import sketches
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    sk = sketches.cm_sketch(ev, "event_type", 0.001, 0.99)
+    d, w, t = sketches.parse_cm_sketch(sk)
+    jvm = spark.sparkContext._jvm
+    jcms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytearray(sk))
+    )
+    keys = [r[0] for r in ev.select("event_type").distinct().collect()]
+    keys += ["missing_key", "äöü✓", "", "abc", "a" * 37]
+    for k in keys:
+        assert sketches.cm_estimate_string(d, w, t, k) == int(jcms.estimateCount(k)), k
 
 
 def test_repetition_features_known_values(spark):

@@ -179,3 +179,14 @@ def test_s5_quantize_single_shuffle(spark, qs):
     # count tree occurrences only
     assert plan.count("+- Exchange") <= 2
     assert "BatchEvalPython" not in plan
+
+
+def test_e12_probe_stays_in_plan(spark, qs):
+    """The CM candidate probe must ride the plan (broadcast table +
+    pandas UDF): no nested-loop join and no cartesian — the r2 shape
+    (driver collect + createDataFrame + scalar cross-join) is gone."""
+    df = qs["e12_heavy_hitters"](spark, SF_SMOKE)
+    plan = fmt_plan(spark, df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" in plan  # the executor-side probe UDF

@@ -129,7 +129,74 @@ def main() -> None:
         t0 = time.perf_counter()
         qs[n](spark, out).write.mode("overwrite").format("noop").save()
         timings[n] = round(time.perf_counter() - t0, 2)
-    print(json.dumps({"k": k, "queries": timings, "total": round(sum(timings.values()), 2)}))
+    audit = lsh_population_audit(spark, out)
+    print(
+        json.dumps(
+            {
+                "k": k,
+                "queries": timings,
+                "total": round(sum(timings.values()), 2),
+                "lsh_audit": audit,
+            }
+        )
+    )
+
+
+def lsh_population_audit(spark, sf_dir: str) -> dict:
+    """Assert the adaptive LSH parameters keep per-bucket / per-cell
+    populations bounded as the corpus grows (the fixed-bucket-count
+    quantization this replaces made bucket-local quadratic work grow
+    O(n²/buckets)). Bounds are multiples of the design targets with
+    skew headroom — a regression to fixed parameters blows them up by
+    the data-growth factor and fails loudly."""
+    from pyspark.sql import functions as F
+
+    from yuki_spark.catalog import load, table_rows
+    from yuki_spark.operators import similarity as S
+
+    n = table_rows(sf_dir, "embeddings")
+    bits, n_planes = S.adaptive_bits(n), S.adaptive_planes(n)
+    emb = load(spark, sf_dir, "embeddings")
+    sv = emb.select("vec_id", S.scaled("embedding").alias("sv"))
+
+    sig = sv.withColumn(
+        "buckets", S._nd_bucket_udf(S.lsh_planes(S.NEARDUP_BANDS * bits), S.NEARDUP_BANDS, bits)("sv")
+    ).select(F.posexplode("buckets").alias("band", "bucket"))
+    nd_max = (
+        sig.groupBy("band", "bucket").count().agg(F.max("count")).first()[0]
+    )
+
+    # ANN bucket population: recompute the bucket column exactly as lsh_ann
+    ann_planes = S.lsh_planes(n_planes)
+    sign_bits = [
+        F.when(S.int_dot(F.col("sv"), S._plane_lit(ann_planes, i)) >= 0, F.lit(1 << i))
+        .otherwise(F.lit(0))
+        for i in range(n_planes)
+    ]
+    ann_max = (
+        sv.select(sum(sign_bits[1:], sign_bits[0]).alias("bucket"))
+        .groupBy("bucket")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+
+    sem_sizes = (
+        S.semdedup(emb).groupBy("cell", "subcell").count().agg(F.max("count")).first()[0]
+    )
+
+    out = {
+        "n": n,
+        "nd_bits": bits,
+        "nd_max_bucket": nd_max,
+        "ann_planes": n_planes,
+        "ann_max_bucket": ann_max,
+        "semdedup_max_group": sem_sizes,
+    }
+    assert nd_max <= 32 * S.NEARDUP_TARGET_BUCKET, f"near-dup bucket blew the cap: {out}"
+    assert ann_max <= 64 * S.ANN_TARGET_BUCKET, f"ANN bucket blew the cap: {out}"
+    assert sem_sizes <= 8 * 256, f"semdedup group blew the cap: {out}"
+    return out
 
 
 if __name__ == "__main__":

@@ -32,6 +32,23 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def table_rows(sf_dir: str, name: str) -> int:
+    """Row count from parquet footers only (no Spark job) — the
+    catalog-statistics estimate the adaptive LSH parameters consume
+    (on a cluster this is the table-stats lookup). Handles a single
+    file or a directory of part files."""
+    import pyarrow.parquet as pq
+
+    path = table_path(sf_dir, name)
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table. Declarative scan: Catalyst prunes columns and
     pushes filters into the parquet reader downstream."""

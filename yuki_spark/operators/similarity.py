@@ -91,36 +91,64 @@ def label_centroids(emb: DataFrame) -> DataFrame:
 NEARDUP_OUT = "id_a bigint, id_b bigint, cosine double"
 
 # Banded sign-LSH for the near-dup scale path: NEARDUP_BANDS hash
-# tables of NEARDUP_BITS sign bits each (OR-amplification). Planes are
+# tables of `bits` sign bits each (OR-amplification). Planes are
 # deterministic ±1 vectors so the sign of the *integer* dot product is
 # engine-portable (the DuckDB twin reproduces every bucket exactly).
-# At corpus scale, bits-per-band grows with log(n) to keep buckets
-# bounded; bands trade recall against candidate volume.
-NEARDUP_BITS = 4
+# Bits-per-band are corpus-adaptive (adaptive_bits): the bucket count
+# grows with n so the expected band-bucket population stays near
+# NEARDUP_TARGET_BUCKET, keeping the bucket-local GEMM's quadratic
+# work bounded at any scale. Bands trade recall vs candidate volume.
+NEARDUP_MIN_BITS = 4
 NEARDUP_BANDS = 16
-_ND_PLANES = np.where(
-    np.random.RandomState(11).standard_normal((NEARDUP_BANDS * NEARDUP_BITS, 64)) >= 0,
-    1,
-    -1,
-).astype(np.int64)
+NEARDUP_TARGET_BUCKET = 128
 
 
-@pandas_udf(ArrayType(IntegerType()))
-def _nd_buckets(svs: pd.Series) -> pd.Series:
-    """Per-vector band buckets: one int64 GEMM against the ±1 plane
-    matrix (exact — |dot| ≤ 64·2^26), sign bits packed per band.
-    Vectorized over Arrow batches; identical to the DuckDB twin's
-    per-plane sign CASEs."""
-    if len(svs) == 0:
-        return pd.Series([], dtype=object)
-    V = np.stack([np.asarray(v, dtype=np.int64) for v in svs])
-    S = (V @ _ND_PLANES.T >= 0).astype(np.int64)  # n × (bands·bits)
-    weights = 1 << np.arange(NEARDUP_BITS, dtype=np.int64)
-    B = (S.reshape(len(svs), NEARDUP_BANDS, NEARDUP_BITS) * weights).sum(axis=2)
-    return pd.Series(B.astype(np.int32).tolist())
+def lsh_planes(total: int) -> np.ndarray:
+    """First ``total`` deterministic ±1 hyperplanes (seeded stream —
+    a prefix of any longer request, so growing the plane budget never
+    perturbs existing buckets)."""
+    return np.where(
+        np.random.RandomState(11).standard_normal((total, 64)) >= 0, 1, -1
+    ).astype(np.int64)
 
 
-def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.35) -> DataFrame:
+def adaptive_bits(
+    n: int, target: int = NEARDUP_TARGET_BUCKET, lo: int = NEARDUP_MIN_BITS
+) -> int:
+    """Smallest bits-per-band keeping the expected band-bucket
+    population ``n / 2^bits`` at or under ``target`` (integer-exact —
+    no float log whose libm rounding could differ across hosts)."""
+    bits = lo
+    while n > (target << bits):
+        bits += 1
+    return bits
+
+
+def _nd_bucket_udf(planes: np.ndarray, bands: int, bits: int):
+    """Build the per-vector band-bucket UDF for a given plane matrix:
+    one int64 GEMM against the ±1 planes (exact — |dot| ≤ 64·2^26),
+    sign bits packed per band. Vectorized over Arrow batches;
+    identical to the DuckDB twin's per-plane sign CASEs."""
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def nd_buckets(svs: pd.Series) -> pd.Series:
+        if len(svs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack([np.asarray(v, dtype=np.int64) for v in svs])
+        S = (V @ planes.T >= 0).astype(np.int64)  # n × (bands·bits)
+        weights = 1 << np.arange(bits, dtype=np.int64)
+        B = (S.reshape(len(svs), bands, bits) * weights).sum(axis=2)
+        return pd.Series(B.astype(np.int32).tolist())
+
+    return nd_buckets
+
+
+def cosine_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    bits: int | None = None,
+    n_est: int | None = None,
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs among LSH candidates:
     (a, b) with a < b, some band bucket in common, and
     cosine(a, b) >= threshold. Exact scaled-integer arithmetic so the
@@ -140,10 +168,19 @@ def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.35) -> DataFrame:
 
     Recall vs the exact all-pairs result is probabilistic (asserted in
     tests against :func:`cosine_neardup_pairs_exact`); correctness of
-    the produced pairs is exact."""
+    the produced pairs is exact.
+
+    ``bits`` (sign bits per band) defaults to :func:`adaptive_bits` of
+    the corpus size — ``n_est`` lets callers pass a catalog/footer
+    estimate so no counting job runs; otherwise one ``count()`` does.
+    The DuckDB twin must be generated with the same bit count
+    (`queries/sim.py` derives both from the same footer count)."""
+    if bits is None:
+        bits = adaptive_bits(n_est if n_est is not None else emb.count())
+    planes = lsh_planes(NEARDUP_BANDS * bits)
     sig = (
         emb.select("vec_id", scaled("embedding").alias("sv"))
-        .withColumn("buckets", _nd_buckets("sv"))
+        .withColumn("buckets", _nd_bucket_udf(planes, NEARDUP_BANDS, bits)("sv"))
         .select("vec_id", "sv", F.posexplode("buckets").alias("band", "bucket"))
     )
 
@@ -323,11 +360,22 @@ def ivf_ann(
 
 
 SEMDEDUP_OUT = (
-    "vec_id bigint, cell bigint, pos bigint, max_prior_cos double, kept boolean"
+    "vec_id bigint, cell bigint, subcell bigint, pos bigint,"
+    " max_prior_cos double, kept boolean"
 )
 
+# sub-cell split planes: a ±1 stream seeded apart from the bucket
+# planes (seed 13) so cell refinement is uncorrelated with d9/s3 LSH
+SEMDEDUP_MAX_SPLIT_BITS = 8
 
-def semdedup(emb: DataFrame, threshold: float = 0.3) -> DataFrame:
+
+def _split_planes(total: int) -> np.ndarray:
+    return np.where(
+        np.random.RandomState(13).standard_normal((total, 64)) >= 0, 1, -1
+    ).astype(np.int64)
+
+
+def semdedup(emb: DataFrame, threshold: float = 0.3, max_cell: int = 256) -> DataFrame:
     """Semantic deduplication (Abbas et al. 2023, "SemDeDup"): coarse-
     cluster the corpus, then within each cell greedily keep the member
     *farthest from the centroid* and drop any later member whose cosine
@@ -345,14 +393,47 @@ def semdedup(emb: DataFrame, threshold: float = 0.3) -> DataFrame:
     (same arithmetic as :func:`cosine_neardup_pairs`).
 
     Scale shape: one shuffle partitions the corpus by cell; all pair
-    work is cell-local (at 100 TB the codebook's k grows with n so
-    cell populations stay bounded — the paper's regime). No global
-    all-pairs stage anywhere."""
+    work is cell-local, and cells whose population exceeds ``max_cell``
+    are deterministically re-split by ±1 sign-plane bisection
+    (``ceil(log2(ceil(pop / max_cell)))`` extra bits, capped at
+    :data:`SEMDEDUP_MAX_SPLIT_BITS`) so the per-group GEMM's quadratic
+    work stays bounded as n grows — the codebook's k effectively grows
+    with n, the paper's regime. The split-bit count is a pure integer
+    function of the cell population and the sign bits come from exact
+    int64 dots, so the refinement is engine-portable and the twin
+    reproduces it. No global all-pairs stage anywhere. Output ``pos``/
+    ``kept`` are per (cell, subcell); ``subcell`` is 0 wherever no
+    split was needed."""
     scored_cells, w_assign = _ivf_assignment(emb)
     assigned = (
         scored_cells.withColumn("rk", F.row_number().over(w_assign))
         .where(F.col("rk") == 1)
         .select("vec_id", "sv", F.col("cell").cast("bigint").alias("cell"), "aff")
+    )
+
+    # split-bit count per cell: eb = #{i : ceil(pop/max_cell) > 2^i} —
+    # integer-exact ceil(log2(ceil(pop/max_cell))), same unrolled
+    # comparison chain the SQL twin runs
+    pops = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("pop"))
+    m = F.floor((F.col("pop") + F.lit(max_cell) - 1) / F.lit(max_cell))
+    eb_terms = [
+        F.when(m > F.lit(1 << i), F.lit(1)).otherwise(F.lit(0))
+        for i in range(SEMDEDUP_MAX_SPLIT_BITS)
+    ]
+    eb = sum(eb_terms[1:], eb_terms[0]).alias("eb")
+    cell_bits = pops.select("cell", eb)
+
+    sp = _split_planes(SEMDEDUP_MAX_SPLIT_BITS)
+    sub_bits = [
+        F.when(
+            (F.lit(i) < F.col("eb"))
+            & (int_dot(F.col("sv"), _plane_lit(sp, i)) >= 0),
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+        for i in range(SEMDEDUP_MAX_SPLIT_BITS)
+    ]
+    refined = assigned.join(cell_bits, "cell").withColumn(
+        "subcell", sum(sub_bits[1:], sub_bits[0]).cast("bigint")
     )
 
     def greedy(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -375,6 +456,7 @@ def semdedup(emb: DataFrame, threshold: float = 0.3) -> DataFrame:
             {
                 "vec_id": ids,
                 "cell": np.full(n, key[0], dtype=np.int64),
+                "subcell": np.full(n, key[1], dtype=np.int64),
                 "pos": np.arange(1, n + 1, dtype=np.int64),
                 "max_prior_cos": np.where(np.isfinite(mx), mx, np.nan),
                 "kept": ~(mx >= threshold),
@@ -382,7 +464,7 @@ def semdedup(emb: DataFrame, threshold: float = 0.3) -> DataFrame:
         )
 
     return (
-        assigned.groupBy("cell")
+        refined.groupBy("cell", "subcell")
         .applyInPandas(greedy, SEMDEDUP_OUT)
         .orderBy("vec_id")
     )
@@ -390,42 +472,64 @@ def semdedup(emb: DataFrame, threshold: float = 0.3) -> DataFrame:
 
 # ---- LSH ANN (scale path) ------------------------------------------------
 
-N_PLANES = 8
-# first 8 near-dup planes double as the ANN bucket hash: ±1 entries so
-# the bucket derives from exact int64 dot signs — engine-portable, and
-# the DuckDB twin reproduces every bucket (no rows-only check needed)
-_ANN_PLANES = _ND_PLANES[:N_PLANES]
+# The ANN bucket hash reuses the deterministic ±1 plane stream: the
+# bucket derives from exact int64 dot signs — engine-portable, and the
+# DuckDB twin reproduces every bucket (no rows-only check needed).
+ANN_MIN_PLANES = 8
+ANN_TARGET_BUCKET = 8
 
 
-def _plane_lit(i: int) -> Column:
-    return F.array(*[F.lit(int(v)) for v in _ANN_PLANES[i]])
+def adaptive_planes(
+    n: int, target: int = ANN_TARGET_BUCKET, lo: int = ANN_MIN_PLANES
+) -> int:
+    """Smallest plane count keeping the expected ANN bucket population
+    ``n / 2^planes`` at or under ``target`` (integer-exact)."""
+    return adaptive_bits(n, target=target, lo=lo)
 
 
-def lsh_ann(emb: DataFrame, k: int = 3, n_queries: int = 20) -> DataFrame:
-    """Multi-probe random-hyperplane LSH ANN: bucket by 8 sign bits
-    (256 buckets); each query probes its own bucket plus every bucket
-    at Hamming distance 1 (Lv et al.'s multi-probe trick — 9 probe
-    buckets instead of 9 hash tables), then exact cosine only within
-    probed buckets. The probe explode stays an equi-join on bucket id.
-    All arithmetic is scaled-integer (signs from exact int64 dots,
-    cosine from int dots rounded to 9 places) so results match the SQL
-    twin bit-for-bit."""
+def _plane_lit(planes: np.ndarray, i: int) -> Column:
+    return F.array(*[F.lit(int(v)) for v in planes[i]])
+
+
+def lsh_ann(
+    emb: DataFrame,
+    k: int = 3,
+    n_queries: int = 20,
+    n_planes: int | None = None,
+    n_est: int | None = None,
+) -> DataFrame:
+    """Multi-probe random-hyperplane LSH ANN: bucket by ``n_planes``
+    sign bits (2^n_planes buckets); each query probes its own bucket
+    plus every bucket at Hamming distance 1 (Lv et al.'s multi-probe
+    trick — n_planes+1 probe buckets instead of as many hash tables),
+    then exact cosine only within probed buckets. The probe explode
+    stays an equi-join on bucket id. All arithmetic is scaled-integer
+    (signs from exact int64 dots, cosine from int dots rounded to 9
+    places) so results match the SQL twin bit-for-bit.
+
+    ``n_planes`` defaults to :func:`adaptive_planes` of the corpus
+    size (``n_est`` avoids the counting job), so the bucket count
+    scales with n and per-bucket join work stays bounded; the twin
+    must be generated with the same plane count."""
+    if n_planes is None:
+        n_planes = adaptive_planes(n_est if n_est is not None else emb.count())
+    planes = lsh_planes(n_planes)
     base = (
         emb.select("vec_id", scaled("embedding").alias("sv"))
         .withColumn("nrm", int_dot(F.col("sv"), F.col("sv")))
     )
     sign_bits = [
-        F.when(int_dot(F.col("sv"), _plane_lit(i)) >= 0, F.lit(1 << i)).otherwise(
+        F.when(int_dot(F.col("sv"), _plane_lit(planes, i)) >= 0, F.lit(1 << i)).otherwise(
             F.lit(0)
         )
-        for i in range(N_PLANES)
+        for i in range(n_planes)
     ]
     bucketed = base.withColumn(
         "bucket", sum(sign_bits[1:], sign_bits[0])
     ).localCheckpoint(eager=False)  # feeds query + candidate sides once
     probes = F.array(
         F.col("bucket"),
-        *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(N_PLANES)],
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
     )
     q = bucketed.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"),

@@ -14,6 +14,7 @@ state.
 """
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -37,23 +38,118 @@ def cm_sketch(df: DataFrame, key: str, eps: float = 0.001, confidence: float = 0
     return bytes(row["cms"])
 
 
+def parse_cm_sketch(data: bytes):
+    """Decode ``org.apache.spark.util.sketch.CountMinSketch`` V1 bytes
+    (big-endian: version, totalCount, depth, width, hashA[depth],
+    table[depth][width]) into ``(depth, width, table)`` — the pieces
+    the string-key probe needs (strings hash via double murmur3, not
+    hashA). Layout is locked by ``test_cm_python_probe_matches_jvm``."""
+    import struct
+
+    import numpy as np
+
+    ver, _total, depth, width = struct.unpack_from(">iqii", data, 0)
+    if ver != 1:
+        raise ValueError(f"unsupported CountMinSketch version {ver}")
+    off = 4 + 8 + 4 + 4 + 8 * depth  # skip hashA (long-key path only)
+    expected = off + 8 * depth * width
+    if len(data) != expected:
+        raise ValueError(f"CM sketch length {len(data)} != expected {expected}")
+    table = (
+        np.frombuffer(data, dtype=">i8", count=depth * width, offset=off)
+        .reshape(depth, width)
+        .astype("int64")
+    )
+    return depth, width, table
+
+
+_M32 = 0xFFFFFFFF
+
+
+def _mm3_bytes(b: bytes, seed: int) -> int:
+    """Spark's Murmur3_x86_32.hashUnsafeBytes: little-endian 4-byte
+    words, then each tail byte (signed) mixed as a full word; returns
+    a signed int32. Mirrors catalyst's hash used by the CM string
+    probe (public Spark algorithm)."""
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (32 - r))) & _M32
+
+    def mix(h1: int, k1: int) -> int:
+        k1 = (k1 * 0xCC9E2D51) & _M32
+        k1 = rotl(k1, 15)
+        k1 = (k1 * 0x1B873593) & _M32
+        h1 ^= k1
+        h1 = rotl(h1, 13)
+        return (h1 * 5 + 0xE6546B64) & _M32
+
+    h1 = seed & _M32
+    aligned = len(b) - len(b) % 4
+    for i in range(0, aligned, 4):
+        h1 = mix(h1, int.from_bytes(b[i : i + 4], "little"))
+    for i in range(aligned, len(b)):
+        byte = b[i] - 256 if b[i] >= 128 else b[i]  # signed byte
+        h1 = mix(h1, byte & _M32)
+    h1 ^= len(b)
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & _M32
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & _M32
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def cm_estimate_string(depth: int, width: int, table, key: str) -> int:
+    """estimateCount for a string key: double hashing
+    ``abs((hash1 + i*hash2) % width)`` with Java int32 wraparound and
+    truncating remainder, min over the depth rows."""
+    b = key.encode("utf-8")
+    h1 = _mm3_bytes(b, 0)
+    h2 = _mm3_bytes(b, h1)
+    est = None
+    for i in range(depth):
+        v = (h1 + i * h2) & _M32
+        if v >= 1 << 31:
+            v -= 1 << 32
+        r = v - int(v / width) * width  # Java %: sign of dividend
+        cell = int(table[i][abs(r)])
+        est = cell if est is None else min(est, cell)
+    return est
+
+
 def heavy_hitters(df: DataFrame, key: str, candidates: DataFrame, eps: float = 0.001, confidence: float = 0.99) -> DataFrame:
     """Estimate frequencies of candidate keys from a single CM sketch
     pass. The candidate set typically comes from a cheap per-partition
-    pre-top-k; estimates are upper bounds within eps*N."""
+    pre-top-k; estimates are upper bounds within eps*N.
+
+    The sketch is built once (single-row aggregate — the only
+    driver-side materialization), then its table is *broadcast* and
+    probed inside an Arrow-batched pandas UDF over the candidate
+    DataFrame: no candidate collect, no createDataFrame, so the
+    candidate set can itself be a distributed DataFrame at scale."""
+    from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import LongType
 
-    sketch = cm_sketch(df, key, eps, confidence)
-    spark = df.sparkSession
-    sc = spark.sparkContext
-    jvm = sc._jvm
-    in_stream = jvm.java.io.ByteArrayInputStream(bytearray(sketch))
-    jcms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(in_stream)
+    import struct
 
-    rows = candidates.collect()  # candidate set is small by contract
-    ests = [(r[0], int(jcms.estimateCount(r[0]))) for r in rows]
-    return spark.createDataFrame(ests, f"{key} string, est_count long").withColumn(
-        "est_count", F.col("est_count").cast(LongType())
+    sketch = cm_sketch(df, key, eps, confidence)
+    depth, width, table = parse_cm_sketch(sketch)
+    bc = df.sparkSession.sparkContext.broadcast((depth, width, table))
+
+    @pandas_udf(LongType())
+    def probe(keys: pd.Series) -> pd.Series:
+        d, w, t = bc.value
+        return pd.Series(
+            [cm_estimate_string(d, w, t, k) for k in keys], dtype="int64"
+        )
+
+    # the sketch's totalCount is the exact stream length N — expose it
+    # as a literal so CM-bound checks need no extra scan or scalar join
+    total = struct.unpack_from(">q", sketch, 4)[0]
+    return candidates.select(
+        F.col(key),
+        probe(F.col(key)).alias("est_count"),
+        F.lit(total).cast("bigint").alias("n_total"),
     )
 
 
@@ -65,6 +161,7 @@ def topk_exact_vs_sketch(df: DataFrame, key: str, k: int = 5, eps: float = 0.001
         .agg(F.count(F.lit(1)).alias("true_count"))
         .orderBy(F.desc("true_count"), key)
         .limit(k)
+        .localCheckpoint(eager=False)  # feeds candidate + join sides once
     )
     est = heavy_hitters(df, key, exact.select(key), eps=eps)
     return exact.join(est, key).orderBy(F.desc("true_count"), key)

@@ -202,32 +202,26 @@ def e12_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     eps = 0.001
     ev = load(spark, sf_dir, "events")
-    # total row count stays in-plan (single-row broadcast, the same
-    # benign scalar pattern as e5/q11) so the tolerance bound adds no
-    # extra eager scan. NOTE: construction still runs the sketch
-    # build + candidate probe eagerly (topk_exact_vs_sketch) — probing
-    # a CM sketch needs the JVM sketch object, there is no SQL probe
-    # expression; that cost is inherent to the operator, this fix just
-    # removed the third full-scan job.
-    tot = ev.agg(F.count(F.lit(1)).alias("__n_total"))
+    # NOTE: construction runs the sketch build eagerly (one single-row
+    # aggregate collect — the sketch bytes must reach the broadcast);
+    # the candidate probe itself rides an executor-side pandas UDF and
+    # the stream length N comes from the sketch's own totalCount, so
+    # the query path has no candidate collect, no createDataFrame and
+    # no scalar cross-join.
     r = topk_exact_vs_sketch(ev, "event_type", k=5, eps=eps)
     bound = (
         F.col("true_count")
-        + (F.lit(eps) * F.col("__n_total").cast("double")).cast("bigint")
+        + (F.lit(eps) * F.col("n_total").cast("double")).cast("bigint")
         + F.lit(1)
     )
-    return (
-        r.crossJoin(F.broadcast(tot))
-        .select(
-            "event_type",
-            "true_count",
-            (
-                (F.col("est_count") >= F.col("true_count"))
-                & (F.col("est_count") <= bound)
-            ).alias("est_ok"),
-        )
-        .orderBy(F.desc("true_count"), "event_type")
-    )
+    return r.select(
+        "event_type",
+        "true_count",
+        (
+            (F.col("est_count") >= F.col("true_count"))
+            & (F.col("est_count") <= bound)
+        ).alias("est_ok"),
+    ).orderBy(F.desc("true_count"), "event_type")
 
 
 def e6_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:

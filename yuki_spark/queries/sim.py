@@ -1,13 +1,28 @@
 """Similarity-search queries over the embeddings table (SURVEY §2.3)."""
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
-from ..catalog import load
+from ..catalog import load, table_rows
 from ..operators import similarity
 
 K = 3
 N_QUERIES = 5
+
+# the driver's correctness gate runs at sf0.01; the adaptive LSH
+# parameters in the (static) ORACLE strings are derived from that
+# catalog's footer count, and the Spark queries derive theirs from the
+# actual sf_dir — identical at the gate, scale-adaptive everywhere else
+_ORACLE_SF = os.environ.get("YUKI_SPARK_TEST_SF", "/root/testdata/sf0.01")
+
+
+def _emb_rows(sf_dir: str) -> int | None:
+    try:
+        return table_rows(sf_dir, "embeddings")
+    except Exception:
+        return None  # operators fall back to a count() job
 
 
 def s1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -22,7 +37,7 @@ def s2_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def s3_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    return similarity.lsh_ann(emb, k=K, n_queries=20)
+    return similarity.lsh_ann(emb, k=K, n_queries=20, n_est=_emb_rows(sf_dir))
 
 
 NEARDUP_THRESHOLD = 0.35
@@ -31,7 +46,9 @@ NEARDUP_THRESHOLD = 0.35
 def d9_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup family)."""
     emb = load(spark, sf_dir, "embeddings")
-    return similarity.cosine_neardup_pairs(emb, threshold=NEARDUP_THRESHOLD)
+    return similarity.cosine_neardup_pairs(
+        emb, threshold=NEARDUP_THRESHOLD, n_est=_emb_rows(sf_dir)
+    )
 
 
 def s4_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -81,7 +98,7 @@ def s6_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     u = one("ivf", similarity.ivf_ann(emb, k=K, n_queries=nq, nprobe=3)).unionByName(
-        one("lsh", similarity.lsh_ann(emb, k=K, n_queries=nq))
+        one("lsh", similarity.lsh_ann(emb, k=K, n_queries=nq, n_est=_emb_rows(sf_dir)))
     )
     return u.select(
         "index",
@@ -120,14 +137,25 @@ _DOT = (
 )
 
 
+def _oracle_emb_rows() -> int:
+    """Embedding count of the gate catalog (footer-only read); the
+    adaptive twins bake in the parameters this count implies."""
+    n = _emb_rows(_ORACLE_SF)
+    return 500 if n is None else n  # 500 = sf0.01 shipped count
+
+
 def _d9_oracle() -> str:
     """LSH twin of cosine_neardup_pairs: identical ±1 hyperplane sign
-    bits (exact int64 dots), identical band buckets, identical exact
-    verification — so DuckDB reproduces the candidate set bit-for-bit."""
-    nb, nbits = similarity.NEARDUP_BANDS, similarity.NEARDUP_BITS
+    bits (exact int64 dots), identical band buckets (bits-per-band
+    from the same adaptive_bits(count) the Spark side derives),
+    identical exact verification — so DuckDB reproduces the candidate
+    set bit-for-bit."""
+    nb = similarity.NEARDUP_BANDS
+    nbits = similarity.adaptive_bits(_oracle_emb_rows())
+    nd_planes = similarity.lsh_planes(nb * nbits)
 
     def dot(j: int) -> str:
-        arr = "[" + ",".join(str(int(v)) for v in similarity._ND_PLANES[j]) + "]"
+        arr = "[" + ",".join(str(int(v)) for v in nd_planes[j]) + "]"
         return f"list_reduce(list_transform(range(1, 65), i -> sv[i] * ({arr})[i]), (acc, x) -> acc + x)"
 
     signs = ",\n                 ".join(
@@ -171,19 +199,22 @@ def _d9_oracle() -> str:
 
 def _s3_oracle() -> str:
     """Twin of lsh_ann: identical ±1-plane sign buckets (exact int64
-    dots), identical Hamming-1 multi-probe set, identical int-cosine
-    scoring within probed buckets."""
+    dots, plane count from the same adaptive_planes(count) as the
+    Spark side), identical Hamming-1 multi-probe set, identical
+    int-cosine scoring within probed buckets."""
+    n_planes = similarity.adaptive_planes(_oracle_emb_rows())
+    ann_planes = similarity.lsh_planes(n_planes)
 
     def dot(j: int) -> str:
-        arr = "[" + ",".join(str(int(v)) for v in similarity._ANN_PLANES[j]) + "]"
+        arr = "[" + ",".join(str(int(v)) for v in ann_planes[j]) + "]"
         return f"list_reduce(list_transform(range(1, 65), i -> sv[i] * ({arr})[i]), (acc, x) -> acc + x)"
 
     bucket = " + ".join(
         f"(CASE WHEN {dot(j)} >= 0 THEN {1 << j} ELSE 0 END)"
-        for j in range(similarity.N_PLANES)
+        for j in range(n_planes)
     )
     probe_list = ", ".join(
-        ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(similarity.N_PLANES)]
+        ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(n_planes)]
     )
     return f"""
         WITH base AS (
@@ -312,31 +343,60 @@ def _s6_oracle() -> str:
     """
 
 
-def _s7_oracle(threshold: float = SEMDEDUP_THRESHOLD) -> str:
-    """Twin of semdedup: identical cell assignment (IVF prefix), greedy
-    order = ascending affinity with vec_id tiebreak, and the prior-
-    triangle max — ``max_prior_cos`` is the max int-cosine to ANY
-    earlier member in greedy order (kept or dropped), NULL for the cell
-    leader. ``kept`` follows: NULL >= t is NULL → ELSE TRUE."""
+def _s7_oracle(threshold: float = SEMDEDUP_THRESHOLD, max_cell: int = 256) -> str:
+    """Twin of semdedup: identical cell assignment (IVF prefix), the
+    same integer-exact re-split of oversized cells (eb = unrolled
+    comparison chain = ceil(log2(ceil(pop/max_cell))), ±1 split-plane
+    sign bits), greedy order = ascending affinity with vec_id tiebreak,
+    and the prior-triangle max — ``max_prior_cos`` is the max
+    int-cosine to ANY earlier member in greedy order (kept or
+    dropped), NULL for the (sub)cell leader. ``kept`` follows:
+    NULL >= t is NULL → ELSE TRUE."""
     cos = (
         f"round(CAST({_DOT.format(a='x.sv', b='y.sv')} AS DOUBLE)"
         " / (sqrt(CAST(x.nrm AS DOUBLE)) * sqrt(CAST(y.nrm AS DOUBLE))), 9)"
+    )
+    msb = similarity.SEMDEDUP_MAX_SPLIT_BITS
+    sp = similarity._split_planes(msb)
+    eb_expr = " + ".join(
+        f"(CASE WHEN m > {1 << i} THEN 1 ELSE 0 END)" for i in range(msb)
+    )
+
+    def sdot(j: int) -> str:
+        arr = "[" + ",".join(str(int(v)) for v in sp[j]) + "]"
+        return (
+            "list_reduce(list_transform(range(1, 65),"
+            f" i -> g.sv[i] * ({arr})[i]), (acc, x) -> acc + x)"
+        )
+
+    subcell = " + ".join(
+        f"(CASE WHEN {i} < e.eb AND {sdot(i)} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(msb)
     )
     return f"""
         WITH {_ivf_prefix()},
         assigned AS (
           SELECT vec_id, sv, nrm, CAST(cell AS BIGINT) AS cell, a
           FROM ranked WHERE ark = 1),
+        pops AS (
+          SELECT cell, (COUNT(*) + {max_cell - 1}) // {max_cell} AS m
+          FROM assigned GROUP BY cell),
+        ebs AS (
+          SELECT cell, {eb_expr} AS eb FROM pops),
+        refined AS (
+          SELECT g.vec_id, g.sv, g.nrm, g.cell, g.a,
+                 CAST({subcell} AS BIGINT) AS subcell
+          FROM assigned g JOIN ebs e ON g.cell = e.cell),
         ordered AS (
-          SELECT vec_id, sv, nrm, cell,
-                 CAST(ROW_NUMBER() OVER (PARTITION BY cell ORDER BY a ASC, vec_id) AS BIGINT) AS pos
-          FROM assigned),
+          SELECT vec_id, sv, nrm, cell, subcell,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY cell, subcell ORDER BY a ASC, vec_id) AS BIGINT) AS pos
+          FROM refined),
         mx AS (
           SELECT y.vec_id, MAX({cos}) AS max_prior_cos
           FROM ordered x JOIN ordered y
-            ON x.cell = y.cell AND x.pos < y.pos
+            ON x.cell = y.cell AND x.subcell = y.subcell AND x.pos < y.pos
           GROUP BY y.vec_id)
-        SELECT o.vec_id, o.cell, o.pos, m.max_prior_cos,
+        SELECT o.vec_id, o.cell, o.subcell, o.pos, m.max_prior_cos,
                CASE WHEN m.max_prior_cos >= {threshold} THEN FALSE ELSE TRUE END AS kept
         FROM ordered o LEFT JOIN mx m ON o.vec_id = m.vec_id
         ORDER BY o.vec_id
