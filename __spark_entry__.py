@@ -29,6 +29,7 @@ _PRIORITY = [
     "setops_customer_activity",
     "union_dedup_keys",
     "s7_semdedup",
+    "e17_session_window_stats",
 ]
 
 

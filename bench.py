@@ -59,6 +59,7 @@ HEADLINE = [
     "d21_corpus_split",
     "s3_lsh_ann",
     "s4_ivf_ann",
+    "s7_semdedup",
     "e7_value_percentiles_approx",
     "e12_heavy_hitters",
 ]
@@ -93,16 +94,22 @@ def main() -> None:
 
     _run(spark.range(32).select(pandas_udf(_noop, "long")("id")))
 
-    # min of 2 runs per query: reports steady-state plan cost, not
-    # scheduler noise on a shared host
+    # min of 3 runs per query (min = steady-state plan cost; the
+    # per-query medians ride along so a noisy host is tellable from a
+    # real regression without re-running — the r2 report burned a
+    # session chasing four phantom regressions)
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     per_query: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in names:
-        best = float("inf")
-        for _ in range(2):
+        times = []
+        for _ in range(runs):
             t0 = time.perf_counter()
             _run(qs[name](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        per_query[name] = round(best, 3)
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        per_query[name] = round(times[0], 3)
+        medians[name] = round(times[len(times) // 2], 3)
 
     total = round(sum(per_query.values()), 3)
     print(
@@ -112,6 +119,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "medians": medians,
                 "sf": sf,
             }
         )

@@ -135,3 +135,26 @@ def test_tsv_directory_gets_tab_separator(spark, tmp_path):
     df = read_source(spark, str(d))
     assert df.columns == ["a", "b"]
     assert {(r["a"], r["b"]) for r in df.collect()} == {(1, "x"), (2, "y")}
+
+
+def test_ntz_reinterpretation_is_session_tz_invariant(spark):
+    """catalog's NTZ fallback must interpret naive micros as UTC
+    instants under ANY session timezone (a bare cast shifts the
+    instant by the session offset)."""
+    from yuki_spark.catalog import ntz_as_utc_instant
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("Asia/Tokyo", "America/New_York", "UTC"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            ntz = spark.createDataFrame(
+                [("2024-03-01 12:00:00",)], "raw string"
+            ).select(F.col("raw").cast("timestamp_ntz").alias("ts"))
+            got = (
+                ntz.withColumn("ts", ntz_as_utc_instant(F.col("ts")))
+                .select(F.unix_timestamp("ts"))
+                .first()[0]
+            )
+            assert got == 1709294400, tz  # 2024-03-01T12:00:00Z
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

@@ -584,3 +584,65 @@ def test_gc_collects_aged_logs_only_dirs(spark, tmp_path):
     assert store.gc(max_age_s=3600) == []  # too fresh
     assert store.gc(max_age_s=0) == [imp]  # aged out -> swept
     assert store.logs(imp) is None
+
+
+def test_workflow_status_rollup(spark):
+    """Parity: one workflow-level status derived from task statuses
+    (VWorkflow.status / update_workflow_status)."""
+    p = build_pipe()
+    assert p.status() == "raw"
+    LocalBackend().run(spark, p)
+    assert p.status() == "finished"  # lazy: all compiled = satisfied
+
+    # failure (incl. upstream fan-out) dominates
+    pf = build_pipe()
+    pf.add("boom", lambda s, d: s.read.parquet("/nonexistent/nope.parquet"), deps=("by_segment",))
+    pf.add("after_boom", lambda s, d: d["boom"], deps=("boom",))
+    LocalBackend().run(spark, pf)
+    assert pf.statuses()["after_boom"] == "upstream_failed"
+    assert pf.status() == "failed"
+
+    # a killed run rolls up failed
+    pk = build_pipe()
+    be = LocalBackend()
+    be.kill(pk)
+    be.run(spark, pk)
+    assert pk.status() == "failed"
+
+    # in-flight mix reads running; satisfied+untouched reads partial
+    pr = build_pipe()
+    pr.tasks["orders"].status = "running"
+    assert pr.status() == "running"
+    pp = build_pipe()
+    pp.tasks["orders"].status = "finished"
+    assert pp.status() == "partial"
+
+
+def test_store_purge_keeps_reachable(spark, tmp_path):
+    """purge() drops everything not reachable from the given
+    pipelines: stale deposits and logs-only failure artifacts go,
+    current addresses / external references / archived deposits stay."""
+    store = ImpressionStore(str(tmp_path / "imps"))
+    p = build_pipe()
+    LocalBackend(store, persist={"by_segment"}).run(spark, p)
+    current = set(p.impression_ids().values())
+    kept_id = p.impression_ids()["by_segment"]
+    assert store.exists(kept_id)
+
+    # stale deposit (retired pipeline), logs-only artifact, archive
+    store.write("deadbeef" * 4, spark.range(1))
+    store.write_logs("cafebabe" * 4, {"error": "boom"})
+    store.write("feedface" * 4, spark.range(1))
+    store.archive("feedface" * 4)
+
+    # an external reference into another store id must survive too
+    ext_id = "12345678" * 4
+    store.write(ext_id, spark.range(2))
+    p2 = Pipeline("consumer")
+    p2.external("upstream", store, ext_id)
+
+    removed = store.purge([p, p2])
+    assert "deadbeef" * 4 in removed and "cafebabe" * 4 in removed
+    assert store.exists(kept_id) and store.exists(ext_id)
+    assert store.is_archived("feedface" * 4)
+    assert not set(removed) & current

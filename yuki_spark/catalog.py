@@ -72,10 +72,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     elif name == "events" and ts_type == "timestamp_ntz":
         # a session that pre-cached NTZ inference: reinterpret the
-        # naive µs value as a session-tz instant (sessions run UTC),
-        # restoring the single TIMESTAMP type every operator assumes
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        # naive µs value as a *UTC* instant regardless of the caller
+        # session's timezone
+        df = df.withColumn("ts", ntz_as_utc_instant(F.col("ts")))
     return df
+
+
+def ntz_as_utc_instant(col):
+    """Reinterpret a TIMESTAMP_NTZ column as UTC instants under ANY
+    session timezone. A bare cast interprets the naive value in the
+    session tz (shifting the instant by the tz offset vs the
+    nanos-as-long path when the session is not UTC);
+    ``from_utc_timestamp`` adds that offset back, pinning the result
+    to the same instants DuckDB reads. (Direction verified: naive
+    12:00 under an Asia/Tokyo session lands on epoch 12:00Z only via
+    from_utc_timestamp — to_utc_timestamp doubles the shift.)"""
+    return F.from_utc_timestamp(col.cast("timestamp"), F.expr("current_timezone()"))
 
 
 def register_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

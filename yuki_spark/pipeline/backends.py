@@ -142,6 +142,11 @@ class LocalBackend:
         for name in order:
             t = pipe.tasks[name]
             if t.status == "upstream_failed" or self._killed:
+                if self._killed and t.status in ("raw", "waiting", "running"):
+                    # parity: kill marks unfinished work failed — a task
+                    # skipped because of the kill must not look in-flight
+                    t.status = "failed"
+                    self._journal(pipe, name, "failed")
                 continue
             t.status = "running"
             self._journal(pipe, name, "running")

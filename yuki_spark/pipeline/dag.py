@@ -212,3 +212,46 @@ class Pipeline:
 
     def statuses(self) -> dict[str, str]:
         return {n: t.status for n, t in self.tasks.items()}
+
+    # statuses that mean "this task's work is satisfied" for the
+    # workflow rollup: executed, compiled-into-a-consumer, or reused
+    SUCCESS_STATUSES = frozenset({"finished", "compiled", "reused"})
+
+    def status(self) -> str:
+        """Single rolled-up workflow status derived from the tasks —
+        the value a monitoring surface polls (parity: the reference
+        derives one workflow status from its jobs' done-ness,
+        /root/reference/Yuki/kernel/VWorkflow.py:454 ``status``,
+        :546 ``update_workflow_status``; dry_workflow.py:163).
+
+        Precedence: any failed/upstream_failed task ⇒ ``failed`` (a
+        kill marks in-flight tasks failed, so a killed run rolls up
+        failed); else any waiting/running ⇒ ``running``; else all
+        satisfied ⇒ ``finished``; untouched ⇒ ``raw``; a mix of
+        satisfied and untouched ⇒ ``partial``."""
+        sts = [t.status for t in self.tasks.values()]
+        if not sts or all(s == "raw" for s in sts):
+            return "raw"
+        if any(s in ("failed", "upstream_failed") for s in sts):
+            return "failed"
+        if any(s in ("waiting", "running") for s in sts):
+            return "running"
+        if all(s in self.SUCCESS_STATUSES for s in sts):
+            return "finished"
+        return "partial"
+
+    def impression_ids(self) -> dict[str, str]:
+        """Structural impression address of every task — the same
+        derivation ``LocalBackend`` uses when ``plan_hash=False`` —
+        so maintenance sweeps can compute a pipeline's keep-set
+        without compiling or running anything."""
+        from .impressions import impression_id
+
+        ids: dict[str, str] = {}
+        for name in self.topo_order():
+            t = self.tasks[name]
+            dep_ids = [
+                ids.get(d, f"{d}@{self.tasks[d].version}") for d in t.deps
+            ]
+            ids[name] = impression_id(t.name, t.version, dep_ids)
+        return ids

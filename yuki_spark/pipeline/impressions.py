@@ -197,3 +197,31 @@ class ImpressionStore:
             for imp_id in victims:
                 shutil.rmtree(self._dir(imp_id))
         return victims
+
+    def purge(
+        self,
+        pipelines,
+        extra_keep: set[str] | None = None,
+        dry_run: bool = False,
+    ) -> list[str]:
+        """Store-wide maintenance sweep: drop every impression (and
+        logs-only failure artifact) not reachable from any of the
+        given pipelines (parity: Yuki's purge route and bookkeeping
+        sweep — /root/reference/Yuki/server/routes/execution.py:81
+        ``purge``, routes/status.py:397 ``bookkeeping``).
+
+        Reachability = each pipeline's structural addresses
+        (:meth:`Pipeline.impression_ids`) plus any cross-pipeline
+        ``external`` reference (version ``ext:<imp_id>``). Archived
+        impressions always survive (same shield as :meth:`gc`).
+        Pipelines run with ``plan_hash=True`` have plan-dependent
+        addresses this derivation cannot recompute — pass their
+        recorded ids (the backend's ``impressions`` result) via
+        ``extra_keep``."""
+        keep: set[str] = set(extra_keep or ())
+        for p in pipelines:
+            keep.update(p.impression_ids().values())
+            for t in p.tasks.values():
+                if t.version.startswith("ext:"):
+                    keep.add(t.version[len("ext:"):])
+        return self.gc(keep=keep, dry_run=dry_run)

@@ -56,6 +56,20 @@ def e2_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e17_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` gap aggregate on the batch path — the
+    SAME operator ``streaming/stream.py::session_window_stats`` runs
+    on a stream (stream/batch equivalence is pytest-asserted in
+    tests/test_streaming.py), so this row is the streaming family's
+    hard-signal anchor. Merge rule differs from e2 at the boundary:
+    an event at exactly start+gap opens a NEW session (native strict-
+    overlap semantics) where e2's strict-``>`` keeps it."""
+    from ..streaming.stream import session_window_stats
+
+    ev = load(spark, sf_dir, "events")
+    return session_window_stats(ev).orderBy("user_id", "session_start")
+
+
 def e3_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-hour rollup (batch twin of the streaming windowed agg)."""
     ev = load(spark, sf_dir, "events")
@@ -447,6 +461,7 @@ QUERIES = {
     "e12_heavy_hitters": e12_heavy_hitters,
     "e7_value_percentiles_approx": e7_value_percentiles_approx,
     "e2_sessionization": e2_sessionization,
+    "e17_session_window_stats": e17_session_window_stats,
     "e3_hourly_rollup": e3_hourly_rollup,
     "e4_user_asof_value": e4_user_asof_value,
     "e5_funnel": e5_funnel,
@@ -604,6 +619,27 @@ ORACLE = {
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
         FROM sess GROUP BY user_id, session_seq
         ORDER BY user_id, session_seq
+    """,
+    # twin of the native session_window merge rule: a new session opens
+    # when the inter-event delta reaches the gap (>=, unlike e2's >)
+    # and session_end = last event + gap
+    "e17_session_window_stats": """
+        WITH flagged AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+          SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+          FROM flagged)
+        SELECT user_id, MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 1800 SECOND AS session_end,
+               COUNT(*) AS n_events
+        FROM sess GROUP BY user_id, seq
+        ORDER BY user_id, session_start
     """,
     "e3_hourly_rollup": """
         SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n_events,
