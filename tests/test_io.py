@@ -139,22 +139,30 @@ def test_tsv_directory_gets_tab_separator(spark, tmp_path):
 
 def test_ntz_reinterpretation_is_session_tz_invariant(spark):
     """catalog's NTZ fallback must interpret naive micros as UTC
-    instants under ANY session timezone (a bare cast shifts the
-    instant by the session offset)."""
+    instants under ANY session timezone — including a wall time
+    inside a DST spring-forward gap, where a session-tz cast would
+    shift the instant (the local mapping isn't total there)."""
     from yuki_spark.catalog import ntz_as_utc_instant
 
+    cases = [
+        ("2024-03-01 12:00:00", 1709294400),  # plain noon
+        ("2024-03-10 02:30:00", 1710037800),  # inside the US spring-forward gap
+    ]
     prev = spark.conf.get("spark.sql.session.timeZone")
     try:
         for tz in ("Asia/Tokyo", "America/New_York", "UTC"):
             spark.conf.set("spark.sql.session.timeZone", tz)
-            ntz = spark.createDataFrame(
-                [("2024-03-01 12:00:00",)], "raw string"
-            ).select(F.col("raw").cast("timestamp_ntz").alias("ts"))
-            got = (
-                ntz.withColumn("ts", ntz_as_utc_instant(F.col("ts")))
-                .select(F.unix_timestamp("ts"))
-                .first()[0]
-            )
-            assert got == 1709294400, tz  # 2024-03-01T12:00:00Z
+            for raw, want in cases:
+                ntz = spark.createDataFrame([(raw,)], "raw string").select(
+                    F.col("raw").cast("timestamp_ntz").alias("ts")
+                )
+                got = (
+                    ntz_as_utc_instant(ntz, "ts")
+                    .select(F.unix_timestamp("ts"))
+                    .first()[0]
+                )
+                assert got == want, (tz, raw)
+            # the helper restores the caller's session tz
+            assert spark.conf.get("spark.sql.session.timeZone") == tz
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)

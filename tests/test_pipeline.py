@@ -646,3 +646,17 @@ def test_store_purge_keeps_reachable(spark, tmp_path):
     assert store.exists(kept_id) and store.exists(ext_id)
     assert store.is_archived("feedface" * 4)
     assert not set(removed) & current
+
+
+def test_store_purge_keeps_plan_hashed_deposits(spark, tmp_path):
+    """plan_hash=True deposits live at plan-folded addresses the
+    structural derivation can't reproduce; purge must keep them via
+    the recorded Task.impression."""
+    store = ImpressionStore(str(tmp_path / "imps"))
+    p = build_pipe()
+    LocalBackend(store, persist={"by_segment"}, plan_hash=True).run(spark, p)
+    dep = p.tasks["by_segment"].impression
+    assert dep is not None and store.exists(dep)
+    assert dep != p.impression_ids()["by_segment"]  # address is plan-folded
+    removed = store.purge([p])
+    assert store.exists(dep) and dep not in removed

@@ -129,7 +129,9 @@ def main() -> None:
         t0 = time.perf_counter()
         qs[n](spark, out).write.mode("overwrite").format("noop").save()
         timings[n] = round(time.perf_counter() - t0, 2)
-    audit = lsh_population_audit(spark, out)
+    audit, violations = lsh_population_audit(spark, out)
+    # print BEFORE asserting: an audit failure must not discard the
+    # timings this (long) run already paid for
     print(
         json.dumps(
             {
@@ -137,9 +139,11 @@ def main() -> None:
                 "queries": timings,
                 "total": round(sum(timings.values()), 2),
                 "lsh_audit": audit,
+                "lsh_violations": violations,
             }
         )
     )
+    assert not violations, f"LSH population caps blown: {violations}"
 
 
 def lsh_population_audit(spark, sf_dir: str) -> dict:
@@ -193,10 +197,16 @@ def lsh_population_audit(spark, sf_dir: str) -> dict:
         "ann_max_bucket": ann_max,
         "semdedup_max_group": sem_sizes,
     }
-    assert nd_max <= 32 * S.NEARDUP_TARGET_BUCKET, f"near-dup bucket blew the cap: {out}"
-    assert ann_max <= 64 * S.ANN_TARGET_BUCKET, f"ANN bucket blew the cap: {out}"
-    assert sem_sizes <= 8 * 256, f"semdedup group blew the cap: {out}"
-    return out
+    # caps = design target × skew headroom; a regression to fixed
+    # parameters blows them by the data-growth factor
+    violations = []
+    if nd_max > 32 * S.NEARDUP_TARGET_BUCKET:
+        violations.append(f"near-dup bucket {nd_max}")
+    if ann_max > 64 * S.ANN_TARGET_BUCKET:
+        violations.append(f"ANN bucket {ann_max}")
+    if sem_sizes > 8 * 256:
+        violations.append(f"semdedup group {sem_sizes}")
+    return out, violations
 
 
 if __name__ == "__main__":

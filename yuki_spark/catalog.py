@@ -36,17 +36,24 @@ def table_rows(sf_dir: str, name: str) -> int:
     """Row count from parquet footers only (no Spark job) — the
     catalog-statistics estimate the adaptive LSH parameters consume
     (on a cluster this is the table-stats lookup). Handles a single
-    file or a directory of part files."""
+    file or a (possibly partitioned/nested) directory of part files;
+    raises rather than return 0 for a layout with no parquet files —
+    a silent 0 would collapse the adaptive parameters back to their
+    minimums, reinstating the fixed-bucket blowup they prevent."""
     import pyarrow.parquet as pq
 
     path = table_path(sf_dir, name)
-    if os.path.isdir(path):
-        return sum(
-            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-            for f in os.listdir(path)
-            if f.endswith(".parquet")
-        )
-    return pq.ParquetFile(path).metadata.num_rows
+    if not os.path.isdir(path):
+        return pq.ParquetFile(path).metadata.num_rows
+    total, found = 0, False
+    for dirpath, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                found = True
+                total += pq.ParquetFile(os.path.join(dirpath, f)).metadata.num_rows
+    if not found:
+        raise FileNotFoundError(f"no parquet part files under {path}")
+    return total
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -74,20 +81,28 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # a session that pre-cached NTZ inference: reinterpret the
         # naive µs value as a *UTC* instant regardless of the caller
         # session's timezone
-        df = df.withColumn("ts", ntz_as_utc_instant(F.col("ts")))
+        df = ntz_as_utc_instant(df, "ts")
     return df
 
 
-def ntz_as_utc_instant(col):
+def ntz_as_utc_instant(df: DataFrame, colname: str) -> DataFrame:
     """Reinterpret a TIMESTAMP_NTZ column as UTC instants under ANY
     session timezone. A bare cast interprets the naive value in the
-    session tz (shifting the instant by the tz offset vs the
-    nanos-as-long path when the session is not UTC);
-    ``from_utc_timestamp`` adds that offset back, pinning the result
-    to the same instants DuckDB reads. (Direction verified: naive
-    12:00 under an Asia/Tokyo session lands on epoch 12:00Z only via
-    from_utc_timestamp — to_utc_timestamp doubles the shift.)"""
-    return F.from_utc_timestamp(col.cast("timestamp"), F.expr("current_timezone()"))
+    *session* tz - which both shifts the instant by the tz offset and,
+    in DST zones, mangles wall times inside a spring-forward gap (the
+    local-time mapping is not total there). Instead the cast is
+    analyzed while the session tz is pinned to UTC: Spark's
+    ResolveTimeZone stamps the zone into the Cast expression at
+    analysis time (withColumn analyzes eagerly), so execution uses
+    UTC - offset-free, DST-free, total - no matter what the session
+    tz is by then."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        return df.withColumn(colname, F.col(colname).cast("timestamp"))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
 
 
 def register_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

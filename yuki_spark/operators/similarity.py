@@ -103,13 +103,19 @@ NEARDUP_BANDS = 16
 NEARDUP_TARGET_BUCKET = 128
 
 
-def lsh_planes(total: int) -> np.ndarray:
-    """First ``total`` deterministic ±1 hyperplanes (seeded stream —
-    a prefix of any longer request, so growing the plane budget never
-    perturbs existing buckets)."""
+def plane_stream(total: int, seed: int) -> np.ndarray:
+    """First ``total`` deterministic ±1 hyperplanes of the seeded
+    stream — a prefix of any longer request, so growing the plane
+    budget never perturbs existing buckets."""
     return np.where(
-        np.random.RandomState(11).standard_normal((total, 64)) >= 0, 1, -1
+        np.random.RandomState(seed).standard_normal((total, 64)) >= 0, 1, -1
     ).astype(np.int64)
+
+
+def lsh_planes(total: int) -> np.ndarray:
+    """Bucket-hash planes shared by the near-dup bands and the ANN
+    index (seed 11)."""
+    return plane_stream(total, 11)
 
 
 def adaptive_bits(
@@ -370,9 +376,7 @@ SEMDEDUP_MAX_SPLIT_BITS = 8
 
 
 def _split_planes(total: int) -> np.ndarray:
-    return np.where(
-        np.random.RandomState(13).standard_normal((total, 64)) >= 0, 1, -1
-    ).astype(np.int64)
+    return plane_stream(total, 13)
 
 
 def semdedup(emb: DataFrame, threshold: float = 0.3, max_cell: int = 256) -> DataFrame:
@@ -409,6 +413,7 @@ def semdedup(emb: DataFrame, threshold: float = 0.3, max_cell: int = 256) -> Dat
         scored_cells.withColumn("rk", F.row_number().over(w_assign))
         .where(F.col("rk") == 1)
         .select("vec_id", "sv", F.col("cell").cast("bigint").alias("cell"), "aff")
+        .localCheckpoint(eager=False)  # feeds pops + refined sides once
     )
 
     # split-bit count per cell: eb = #{i : ceil(pop/max_cell) > 2^i} —

@@ -172,6 +172,7 @@ class LocalBackend:
                     compile_err = e
             imp = impression_id(t.name, t.version, dep_ids, plan=plan_str)
             imp_ids[name] = imp
+            t.impression = imp  # purge's keep-set must see the real address
             # transient-failure tolerance: a long pipeline shouldn't
             # die to one flaky task attempt (Yuki reruns failed jobs
             # on resubmit; here attempts are in-process)

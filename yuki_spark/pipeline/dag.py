@@ -63,6 +63,10 @@ class Task:
     # observed runtime metrics (LocalBackend observe=True): collected
     # by Spark during the task's own action — no extra pass
     metrics: dict | None = field(default=None, repr=False)
+    # the impression address the last backend run actually used —
+    # differs from the structural derivation when plan_hash=True, so
+    # maintenance sweeps (ImpressionStore.purge) must keep it too
+    impression: str | None = None
 
 
 class CycleError(ValueError):

@@ -211,17 +211,22 @@ class ImpressionStore:
         ``purge``, routes/status.py:397 ``bookkeeping``).
 
         Reachability = each pipeline's structural addresses
-        (:meth:`Pipeline.impression_ids`) plus any cross-pipeline
-        ``external`` reference (version ``ext:<imp_id>``). Archived
-        impressions always survive (same shield as :meth:`gc`).
-        Pipelines run with ``plan_hash=True`` have plan-dependent
-        addresses this derivation cannot recompute — pass their
-        recorded ids (the backend's ``impressions`` result) via
-        ``extra_keep``."""
+        (:meth:`Pipeline.impression_ids`), every address a backend run
+        actually recorded on a task (``Task.impression`` — this is how
+        ``plan_hash=True`` deposits stay reachable), and any
+        cross-pipeline ``external`` reference (version
+        ``ext:<imp_id>``). Archived impressions always survive (same
+        shield as :meth:`gc`). For a plan-hashed pipeline that has NOT
+        run in this process, the recorded addresses are absent — pass
+        the backend's persisted ``impressions`` result via
+        ``extra_keep`` before purging, or the deposits count as
+        unreachable."""
         keep: set[str] = set(extra_keep or ())
         for p in pipelines:
             keep.update(p.impression_ids().values())
             for t in p.tasks.values():
+                if t.impression:
+                    keep.add(t.impression)
                 if t.version.startswith("ext:"):
                     keep.add(t.version[len("ext:"):])
         return self.gc(keep=keep, dry_run=dry_run)
