@@ -262,3 +262,36 @@ def test_merge_scd2_single_open_row_invariant(spark, batch):
             assert r["valid_to"] is None
     for k in {k for k, _, _ in batch} | {1}:
         assert open_per_key.get(k, 0) == 1, (k, out)
+
+
+@pytest.fixture(scope="module")
+def cm_fixture(spark):
+    """One CM sketch + its JVM twin, built once — each probe example
+    is then JVM-call + pure Python, no Spark job."""
+    from yuki_spark.operators import sketches
+
+    df = spark.createDataFrame([(f"key{i % 7}",) for i in range(100)], "key string")
+    sk = sketches.cm_sketch(df, "key", 0.01, 0.9)
+    d, w, t = sketches.parse_cm_sketch(sk)
+    jvm = spark.sparkContext._jvm
+    jcms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytearray(sk))
+    )
+    return d, w, t, jcms
+
+
+@given(key=hst.text(max_size=40))
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_cm_probe_matches_jvm_on_arbitrary_strings(cm_fixture, key):
+    """The pure-Python CountMinSketch string probe must equal the JVM
+    estimateCount for ANY string — multi-byte UTF-8 exercises the
+    signed-byte tail mixing, long strings the word loop, '' the
+    zero-length fmix."""
+    from yuki_spark.operators import sketches
+
+    d, w, t, jcms = cm_fixture
+    assert sketches.cm_estimate_string(d, w, t, key) == int(jcms.estimateCount(key))

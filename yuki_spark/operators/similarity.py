@@ -371,8 +371,11 @@ SEMDEDUP_OUT = (
 )
 
 # sub-cell split planes: a ±1 stream seeded apart from the bucket
-# planes (seed 13) so cell refinement is uncorrelated with d9/s3 LSH
-SEMDEDUP_MAX_SPLIT_BITS = 8
+# planes (seed 13) so cell refinement is uncorrelated with d9/s3 LSH.
+# 16 bits absorb up to 65536× cell overflow; past that the codebook
+# itself must grow (k-means with k ~ n/max_cell — the paper's regime;
+# the label codebook here is its deterministic stand-in)
+SEMDEDUP_MAX_SPLIT_BITS = 16
 
 
 def _split_planes(total: int) -> np.ndarray:
