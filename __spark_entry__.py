@@ -30,6 +30,7 @@ _PRIORITY = [
     "union_dedup_keys",
     "s7_semdedup",
     "e17_session_window_stats",
+    "q23_skyline_parts",
 ]
 
 

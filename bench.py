@@ -31,6 +31,7 @@ HEADLINE = [
     "q2_min_cost_supplier",
     "q8_market_share",
     "q21_waiting_suppliers",
+    "q23_skyline_parts",
     "w1_top_customers_per_nation",
     "w2_running_revenue",
     "e2_sessionization",

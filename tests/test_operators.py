@@ -694,3 +694,22 @@ def test_sequence_packing_boundary_semantics(spark, tmp_path):
     assert en["max_seq_tokens"] == 600  # two 300s share seq 0
     fr = got["fr"]
     assert (fr["n_seqs"], fr["n_docs"], fr["max_seq_tokens"]) == (1, 1, 600)
+
+
+def test_skyline_known_answer(spark):
+    """Duplicates on the criteria both survive; dominated rows drop."""
+    from yuki_spark.operators.skyline import skyline
+
+    rows = [
+        (1, 10.0, 5),   # frontier: cheapest
+        (2, 20.0, 9),   # frontier: bigger
+        (3, 20.0, 9),   # duplicate criteria of 2 → also survives
+        (4, 25.0, 9),   # dominated by 2 (same size, pricier)
+        (5, 30.0, 10),  # frontier: largest
+        (6, 30.0, 3),   # dominated by 1
+    ]
+    df = spark.createDataFrame(rows, "id long, price double, size int")
+    got = sorted(
+        r["id"] for r in skyline(df, minimize=("price",), maximize=("size",)).collect()
+    )
+    assert got == [1, 2, 3, 5]

@@ -295,3 +295,28 @@ def test_cm_probe_matches_jvm_on_arbitrary_strings(cm_fixture, key):
 
     d, w, t, jcms = cm_fixture
     assert sketches.cm_estimate_string(d, w, t, key) == int(jcms.estimateCount(key))
+
+
+@given(
+    pts=hst.lists(
+        hst.tuples(hst.integers(0, 8), hst.integers(0, 8)), min_size=1, max_size=25
+    )
+)
+@_SETTINGS
+def test_skyline_matches_bruteforce(spark, pts):
+    """Skyline over arbitrary points (many criterion ties/duplicates)
+    equals the O(n²) dominance definition, under multi-partition
+    execution."""
+    from yuki_spark.operators.skyline import skyline
+
+    rows = [(i, float(p), s) for i, (p, s) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, price double, size long").repartition(3)
+    got = sorted(
+        r["id"] for r in skyline(df, minimize=("price",), maximize=("size",)).collect()
+    )
+
+    def dom(q, p):
+        return q[1] <= p[1] and q[2] >= p[2] and (q[1] < p[1] or q[2] > p[2])
+
+    want = sorted(r[0] for r in rows if not any(dom(q, r) for q in rows))
+    assert got == want

@@ -750,8 +750,23 @@ def w5_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q23_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline over parts: the price/size tradeoff frontier —
+    no other part is both cheaper-or-equal and larger-or-equal with
+    one strict. Distributed two-phase plan in operators/skyline.py
+    (per-batch local skyline prune → tiny global resolve; the O(n²)
+    NOT EXISTS formulation survives only as the DuckDB twin)."""
+    from ..operators.skyline import skyline
+
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_size", "p_retailprice")
+    return skyline(
+        part, minimize=("p_retailprice",), maximize=("p_size",)
+    ).orderBy("p_partkey")
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "q23_skyline_parts": q23_skyline_parts,
     "w5_rank_distribution": w5_rank_distribution,
     "setops_customer_activity": setops_customer_activity,
     "setops_multiset_except": setops_multiset_except,
@@ -791,6 +806,16 @@ QUERIES = {
 
 
 ORACLE = {
+    "q23_skyline_parts": """
+        SELECT p_partkey, p_size, p_retailprice
+        FROM part p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM part q
+          WHERE q.p_retailprice <= p.p_retailprice
+            AND q.p_size >= p.p_size
+            AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        ORDER BY p_partkey
+    """,
     "w5_rank_distribution": """
         WITH r AS (
           SELECT c_mktsegment, c_acctbal,
