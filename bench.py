@@ -98,17 +98,25 @@ def main() -> None:
     # min of 3 runs per query (min = steady-state plan cost; the
     # per-query medians ride along so a noisy host is tellable from a
     # real regression without re-running — the r2 report burned a
-    # session chasing four phantom regressions)
+    # session chasing four phantom regressions). Passes are
+    # round-robin under a wall-clock budget: every query gets its
+    # first run before any gets a second, so a slow host degrades
+    # gracefully to fewer samples instead of a missing BENCH row.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "540"))
+    t_start = time.perf_counter()
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for rnd in range(runs):
+        for name in names:
+            if rnd > 0 and time.perf_counter() - t_start > budget_s:
+                break
+            t0 = time.perf_counter()
+            _run(qs[name](spark, sf_dir))
+            samples[name].append(time.perf_counter() - t0)
     per_query: dict[str, float] = {}
     medians: dict[str, float] = {}
     for name in names:
-        times = []
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            _run(qs[name](spark, sf_dir))
-            times.append(time.perf_counter() - t0)
-        times.sort()
+        times = sorted(samples[name])
         per_query[name] = round(times[0], 3)
         medians[name] = round(times[len(times) // 2], 3)
 
