@@ -117,8 +117,13 @@ def main() -> None:
     medians: dict[str, float] = {}
     for name in names:
         times = sorted(samples[name])
+        n = len(times)
+        # true median (avg of middles when even) — taking the upper
+        # middle would report the WORSE of 2 samples on exactly the
+        # budget-truncated hosts the medians are meant to de-noise
+        med = times[n // 2] if n % 2 else (times[n // 2 - 1] + times[n // 2]) / 2
         per_query[name] = round(times[0], 3)
-        medians[name] = round(times[len(times) // 2], 3)
+        medians[name] = round(med, 3)
 
     total = round(sum(per_query.values()), 3)
     print(

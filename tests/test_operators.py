@@ -713,3 +713,26 @@ def test_skyline_known_answer(spark):
         r["id"] for r in skyline(df, minimize=("price",), maximize=("size",)).collect()
     )
     assert got == [1, 2, 3, 5]
+
+
+def test_skyline_global_resolve_spans_arrow_batches(spark):
+    """The resolve phase must see ALL candidates at once: with tiny
+    Arrow batches, two per-batch frontiers reach the resolve task in
+    separate batches — a per-batch resolve would keep all 8 rows,
+    the true skyline is the 4 dominating ones."""
+    from yuki_spark.operators.skyline import skyline
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+        rows = [(i, 20.0 + i, i) for i in range(4)] + [
+            (4 + i, float(i), 10 + i) for i in range(4)
+        ]  # each half is internally anti-correlated; second half dominates first
+        df = spark.createDataFrame(rows, "id long, price double, size long").coalesce(1)
+        got = sorted(
+            r["id"]
+            for r in skyline(df, minimize=("price",), maximize=("size",)).collect()
+        )
+        assert got == [4, 5, 6, 7]
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)

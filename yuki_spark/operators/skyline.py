@@ -49,18 +49,28 @@ def _batch_skyline(
     order = np.lexsort(crit.T[::-1])  # lexicographic by criteria
     sorted_crit = crit[order]
     kept_rows: list[int] = []
-    sky: np.ndarray | None = None  # accumulated skyline criteria (s × d)
+    # accumulated skyline criteria: geometric growth keeps the scan
+    # amortized O(s·d) instead of an O(s²·d) per-row vstack copy
+    cap = 16
+    sky = np.empty((cap, sorted_crit.shape[1]))
+    s = 0
     for i in range(len(sorted_crit)):
         row = sorted_crit[i]
-        if sky is not None:
+        if s:
             # dominated ⇔ some kept row ≤ everywhere and < somewhere;
             # lexicographic order guarantees dominators appear earlier
-            le = (sky <= row).all(axis=1)
-            lt = (sky < row).any(axis=1)
+            le = (sky[:s] <= row).all(axis=1)
+            lt = (sky[:s] < row).any(axis=1)
             if bool((le & lt).any()):
                 continue
+        if s == cap:
+            cap *= 2
+            grown = np.empty((cap, sky.shape[1]))
+            grown[:s] = sky[:s]
+            sky = grown
+        sky[s] = row
+        s += 1
         kept_rows.append(order[i])
-        sky = sorted_crit[[i]] if sky is None else np.vstack([sky, sorted_crit[i]])
     return pdf.iloc[sorted(kept_rows)]
 
 
@@ -83,7 +93,16 @@ def skyline(
         for pdf in batches:
             yield _batch_skyline(pdf, mins, maxs)
 
+    def resolve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # the resolve MUST see all candidates at once: Arrow re-batches
+        # the single partition, and a per-batch scan would let a row
+        # dominated from another batch survive
+        pdfs = [pdf for pdf in batches if len(pdf)]
+        if pdfs:
+            yield _batch_skyline(pd.concat(pdfs), mins, maxs)
+
     candidates = df.mapInPandas(local, df.schema)
-    # global resolve over the (small) candidate set — a single final
-    # task; the full input never re-shuffles
-    return candidates.coalesce(1).mapInPandas(local, df.schema)
+    # repartition (not coalesce — coalesce would fuse the local prune
+    # into the same single task, serializing the parallel phase) so
+    # only the small candidate set shuffles to the one resolve task
+    return candidates.repartition(1).mapInPandas(resolve, df.schema)
