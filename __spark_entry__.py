@@ -31,6 +31,7 @@ _PRIORITY = [
     "s7_semdedup",
     "e17_session_window_stats",
     "q23_skyline_parts",
+    "d24_weighted_sample",
 ]
 
 

@@ -58,6 +58,7 @@ HEADLINE = [
     "d11_dedup_clusters",
     "d20_dedup_apply",
     "d21_corpus_split",
+    "d24_weighted_sample",
     "s3_lsh_ann",
     "s4_ivf_ann",
     "s7_semdedup",

@@ -736,3 +736,25 @@ def test_skyline_global_resolve_spans_arrow_batches(spark):
         assert got == [4, 5, 6, 7]
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """A-Res: 1000x-weighted rows dominate the sample; selection
+    matches the exact Python twin of the hash/ln/round pipeline."""
+    import math
+
+    from yuki_spark.operators.sampling import KNUTH, MOD, weighted_sample
+
+    rows = [(i, 1000 if i % 2 == 0 else 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = weighted_sample(df, "doc_id", F.col("w"), 20).collect()
+    ids = [r["doc_id"] for r in got]
+    assert len(ids) == 20
+    assert sum(1 for i in ids if i % 2 == 0) >= 16
+
+    def key(i, w):
+        u = ((i * KNUTH) % MOD + 1) / MOD
+        return round(math.log(u) / w, 9)
+
+    want = [i for i, w in sorted(rows, key=lambda r: (-key(*r), r[0]))[:20]]
+    assert sorted(ids) == sorted(want)

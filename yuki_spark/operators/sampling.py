@@ -49,6 +49,30 @@ def split_train_eval(df: DataFrame, key: str, eval_fraction: float):
     return df.where(b >= cut), df.where(b < cut)
 
 
+def weighted_sample(
+    df: DataFrame, key: str, weight: Column, n: int
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-Res): each row draws u ∈ (0, 1] from the
+    portable hash of its key and scores ``ares_key = ln(u)/w`` — the
+    top-n scores win, so heavier rows systematically draw better
+    scores while every row keeps a chance (the exact A-Res
+    ``u^(1/w)`` order, taken in log space).
+
+    Engine-portable: the hash is exact integer arithmetic and the
+    ln/÷ result rounds to 9 places before ranking (the same ulp-kill
+    trick as the cosine operators), ties broken by key. Scale: a pure
+    map + distributed top-n (TakeOrdered) — no global sort, no
+    single-partition window."""
+    u = (bucket(key) + F.lit(1)).cast("double") / F.lit(float(MOD))
+    k = F.round(F.log(u) / weight.cast("double"), 9)
+    return (
+        df.withColumn("ares_key", k)
+        .orderBy(F.desc("ares_key"), F.col(key))
+        .limit(n)
+    )
+
+
 def stratified_sample(
     df: DataFrame, strata: str, key: str, n_per_stratum: int
 ) -> DataFrame:

@@ -154,6 +154,24 @@ def d21_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d24_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus sampling (Efraimidis–Spirakis A-Res,
+    deterministic): top-25 documents by ``ln(u)/w`` with w = token
+    count + 1 — the curation step that oversamples long/high-signal
+    documents without dropping short ones entirely. Pure map +
+    distributed top-n (operators/sampling.py::weighted_sample)."""
+    from ..operators.sampling import weighted_sample
+
+    docs = load(spark, sf_dir, "documents")
+    t = text.with_tokens(docs)
+    picked = weighted_sample(
+        t, "doc_id", F.col("n_tokens") + F.lit(1), 25
+    )
+    return picked.select("doc_id", "n_tokens", "ares_key").orderBy(
+        F.desc("ares_key"), "doc_id"
+    )
+
+
 def d13_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible 10% sample of documents, summarized per source —
     identical membership in any engine (operators/sampling.py)."""
@@ -485,6 +503,7 @@ QUERIES = {
     "d8_fingerprint": d8_fingerprint,
     "d12_subword_stats": d12_subword_stats,
     "d13_hash_sample": d13_hash_sample,
+    "d24_weighted_sample": d24_weighted_sample,
     "d14_stratified_sample": d14_stratified_sample,
     "d15_profile": d15_profile,
     "d10_winnow_fingerprint": d10_winnow_fingerprint,
@@ -629,6 +648,20 @@ ORACLE = {
         FROM documents
         WHERE ((CAST(doc_id AS BIGINT) * 2654435761) % 4294967296 + 4294967296) % 4294967296 < 429496729
         GROUP BY source ORDER BY source
+    """,
+    # A-Res twin: identical integer hash -> u, identical ln/divide in
+    # double, rounded to 9 places before ranking (ulp-kill), doc_id ties
+    "d24_weighted_sample": f"""
+        WITH t AS (
+          SELECT doc_id, CAST(len({_T}) AS BIGINT) AS n_tokens FROM documents),
+        k AS (
+          SELECT doc_id, n_tokens,
+                 round(ln(CAST(((CAST(doc_id AS BIGINT) * 2654435761) % 4294967296
+                                + 4294967296) % 4294967296 + 1 AS DOUBLE) / 4294967296.0)
+                       / CAST(n_tokens + 1 AS DOUBLE), 9) AS ares_key
+          FROM t)
+        SELECT doc_id, n_tokens, ares_key FROM k
+        ORDER BY ares_key DESC, doc_id LIMIT 25
     """,
     "d14_stratified_sample": """
         SELECT lang, doc_id FROM (
