@@ -190,3 +190,12 @@ def test_e12_probe_stays_in_plan(spark, qs):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "ArrowEvalPython" in plan  # the executor-side probe UDF
+
+
+def test_d24_weighted_sample_is_pure_topn(spark, qs):
+    """A-Res sampling must stay a map + distributed top-n: no shuffle
+    exchange, no Python stage — the whole score rides codegen."""
+    plan = fmt_plan(spark, qs["d24_weighted_sample"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan

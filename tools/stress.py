@@ -122,6 +122,10 @@ def main() -> None:
         "d18_sequence_packing",
         "d19_tfidf_top_terms",
         "s5_quantize_error",
+        "s7_semdedup",
+        "q23_skyline_parts",
+        "e17_session_window_stats",
+        "d24_weighted_sample",
     ]
     qs["q1_pricing_summary"](spark, out).write.mode("overwrite").format("noop").save()
     timings = {}
