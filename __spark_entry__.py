@@ -32,6 +32,7 @@ _PRIORITY = [
     "e17_session_window_stats",
     "q23_skyline_parts",
     "d24_weighted_sample",
+    "d25_domain_mix",
 ]
 
 

@@ -758,3 +758,26 @@ def test_weighted_sample_prefers_heavy_rows(spark):
 
     want = [i for i, w in sorted(rows, key=lambda r: (-key(*r), r[0]))[:20]]
     assert sorted(ids) == sorted(want)
+
+
+def test_domain_mix_quotas_and_shortfall(spark):
+    """Largest-remainder apportionment is deterministic (101 slots:
+    en gets the leftover via its .5 fraction); a stratum smaller than
+    its quota contributes all it has; unweighted strata contribute
+    nothing."""
+    from yuki_spark.operators.sampling import allocate_quotas, domain_mix
+
+    q = allocate_quotas({"en": 0.5, "de": 0.15, "fr": 0.15, "es": 0.1, "zh": 0.1}, 101)
+    assert q == {"en": 51, "de": 15, "fr": 15, "es": 10, "zh": 10}
+    # tie on fractional part (both 0.5) → name order wins
+    assert allocate_quotas({"a": 0.5, "b": 0.5}, 3) == {"a": 2, "b": 1}
+
+    rows = [(i, "en" if i < 20 else ("de" if i < 23 else "xx")) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = domain_mix(df, "lang", "doc_id", {"en": 0.5, "de": 0.5}, 10).collect()
+    per = {}
+    for r in got:
+        per[r["lang"]] = per.get(r["lang"], 0) + 1
+    assert per.get("en") == 5
+    assert per.get("de") == 3  # only 3 exist — shortfall, no reallocation
+    assert "xx" not in per

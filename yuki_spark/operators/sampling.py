@@ -73,6 +73,50 @@ def weighted_sample(
     )
 
 
+def allocate_quotas(weights: dict[str, float], budget: int) -> dict[str, int]:
+    """Largest-remainder apportionment of ``budget`` slots across
+    strata by weight — deterministic: floors first, then the leftover
+    slots go to the largest fractional parts (ties by stratum name).
+    Pure driver-side arithmetic; the SQL twin inlines the SAME quotas,
+    so both engines select identical rows."""
+    exact = {k: budget * w for k, w in weights.items()}
+    floors = {k: int(v) for k, v in exact.items()}
+    leftover = budget - sum(floors.values())
+    by_frac = sorted(weights, key=lambda k: (-(exact[k] - floors[k]), k))
+    for k in by_frac[:leftover]:
+        floors[k] += 1
+    return floors
+
+
+def domain_mix(
+    df: DataFrame,
+    stratum: str,
+    key: str,
+    weights: dict[str, float],
+    budget: int,
+) -> DataFrame:
+    """Deterministic mixture sampling (the domain/language re-weighting
+    step of a pretraining data pipeline): allocate ``budget`` slots
+    across strata by ``weights`` (largest-remainder), then fill each
+    stratum's quota in portable-hash order. A stratum smaller than its
+    quota contributes everything it has (no reallocation — shortfalls
+    surface in the output counts rather than silently skewing other
+    strata). Strata absent from ``weights`` contribute nothing.
+
+    Scale: one shuffle on the stratum key; the per-stratum rank is a
+    window over that partitioning."""
+    quotas = allocate_quotas(weights, budget)
+    qmap = F.create_map(
+        *[x for k, v in sorted(quotas.items()) for x in (F.lit(k), F.lit(v))]
+    )
+    w = Window.partitionBy(stratum).orderBy(bucket(key), F.col(key))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= F.coalesce(qmap[F.col(stratum)], F.lit(0)))
+        .drop("__rk")
+    )
+
+
 def stratified_sample(
     df: DataFrame, strata: str, key: str, n_per_stratum: int
 ) -> DataFrame:

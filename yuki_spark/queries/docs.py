@@ -172,6 +172,23 @@ def d24_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_WEIGHTS = {"en": 0.5, "de": 0.15, "fr": 0.15, "es": 0.1, "zh": 0.1}
+MIX_BUDGET = 101  # odd budget: exercises the largest-remainder slot
+
+
+def d25_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language/domain mixture sampling: re-weight the corpus to a
+    target mix (the Pile-style mixing step) — 101 slots apportioned
+    over languages by largest remainder, each language's quota filled
+    in portable-hash order (operators/sampling.py::domain_mix)."""
+    from ..operators.sampling import domain_mix
+
+    docs = load(spark, sf_dir, "documents")
+    return domain_mix(docs, "lang", "doc_id", MIX_WEIGHTS, MIX_BUDGET).select(
+        "lang", "doc_id"
+    ).orderBy("lang", "doc_id")
+
+
 def d13_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible 10% sample of documents, summarized per source —
     identical membership in any engine (operators/sampling.py)."""
@@ -504,6 +521,7 @@ QUERIES = {
     "d12_subword_stats": d12_subword_stats,
     "d13_hash_sample": d13_hash_sample,
     "d24_weighted_sample": d24_weighted_sample,
+    "d25_domain_mix": d25_domain_mix,
     "d14_stratified_sample": d14_stratified_sample,
     "d15_profile": d15_profile,
     "d10_winnow_fingerprint": d10_winnow_fingerprint,
@@ -546,6 +564,25 @@ _CC_CTES = f"""
           SELECT a, a FROM edges
           UNION
           SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.doc)"""
+
+def _d25_oracle() -> str:
+    """Mixture twin: quotas inlined from the SAME allocate_quotas call
+    the Spark side makes; selection by the identical integer hash."""
+    from ..operators.sampling import allocate_quotas
+
+    q = allocate_quotas(MIX_WEIGHTS, MIX_BUDGET)
+    cases = " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(q.items()))
+    return f"""
+        SELECT lang, doc_id FROM (
+          SELECT lang, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY ((CAST(doc_id AS BIGINT) * 2654435761) % 4294967296
+                             + 4294967296) % 4294967296, doc_id) AS rk
+          FROM documents)
+        WHERE rk <= CASE lang {cases} ELSE 0 END
+        ORDER BY lang, doc_id
+    """
+
 
 ORACLE = {
     "d22_dup_spans": f"""
@@ -649,6 +686,7 @@ ORACLE = {
         WHERE ((CAST(doc_id AS BIGINT) * 2654435761) % 4294967296 + 4294967296) % 4294967296 < 429496729
         GROUP BY source ORDER BY source
     """,
+    "d25_domain_mix": _d25_oracle(),
     # A-Res twin: identical integer hash -> u, identical ln/divide in
     # double, rounded to 9 places before ranking (ulp-kill), doc_id ties
     "d24_weighted_sample": f"""
