@@ -771,6 +771,11 @@ def test_domain_mix_quotas_and_shortfall(spark):
     assert q == {"en": 51, "de": 15, "fr": 15, "es": 10, "zh": 10}
     # tie on fractional part (both 0.5) → name order wins
     assert allocate_quotas({"a": 0.5, "b": 0.5}, 3) == {"a": 2, "b": 1}
+    # off-sum or negative weight vectors are rejected, not misallocated
+    with pytest.raises(ValueError):
+        allocate_quotas({"a": 0.5, "b": 0.5, "c": 0.1}, 10)
+    with pytest.raises(ValueError):
+        allocate_quotas({"a": -0.1, "b": 1.1}, 10)
 
     rows = [(i, "en" if i < 20 else ("de" if i < 23 else "xx")) for i in range(30)]
     df = spark.createDataFrame(rows, "doc_id long, lang string")

@@ -59,6 +59,14 @@ def weighted_sample(
     scores while every row keeps a chance (the exact A-Res
     ``u^(1/w)`` order, taken in log space).
 
+    Rows with ``weight <= 0`` are excluded (A-Res is defined for
+    positive weights; without the guard a zero weight scores NaN,
+    which Spark's descending sort ranks above every finite key while
+    DuckDB errors — an engine-twin break). Weights should stay below
+    ~1e6: the 9-place rounding that makes scores engine-portable
+    quantizes ``ln(u)/w`` away for huge w — A-Res order is invariant
+    under scaling all weights by a constant, so pre-scale instead.
+
     Engine-portable: the hash is exact integer arithmetic and the
     ln/÷ result rounds to 9 places before ranking (the same ulp-kill
     trick as the cosine operators), ties broken by key. Scale: a pure
@@ -67,7 +75,8 @@ def weighted_sample(
     u = (bucket(key) + F.lit(1)).cast("double") / F.lit(float(MOD))
     k = F.round(F.log(u) / weight.cast("double"), 9)
     return (
-        df.withColumn("ares_key", k)
+        df.where(weight > F.lit(0))
+        .withColumn("ares_key", k)
         .orderBy(F.desc("ares_key"), F.col(key))
         .limit(n)
     )
@@ -78,7 +87,17 @@ def allocate_quotas(weights: dict[str, float], budget: int) -> dict[str, int]:
     strata by weight — deterministic: floors first, then the leftover
     slots go to the largest fractional parts (ties by stratum name).
     Pure driver-side arithmetic; the SQL twin inlines the SAME quotas,
-    so both engines select identical rows."""
+    so both engines select identical rows.
+
+    Weights must be non-negative and sum to 1 (within fp tolerance):
+    the floors-plus-remainder step only corrects a shortfall of at
+    most one slot per stratum, so an off-sum weight vector would
+    silently over- or under-allocate the budget."""
+    if any(w < 0 for w in weights.values()):
+        raise ValueError(f"negative weight in {weights}")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights sum to {total}, expected 1")
     exact = {k: budget * w for k, w in weights.items()}
     floors = {k: int(v) for k, v in exact.items()}
     leftover = budget - sum(floors.values())
@@ -109,10 +128,21 @@ def domain_mix(
     qmap = F.create_map(
         *[x for k, v in sorted(quotas.items()) for x in (F.lit(k), F.lit(v))]
     )
+    return _take_hash_ranked(
+        df, stratum, key, F.coalesce(qmap[F.col(stratum)], F.lit(0))
+    )
+
+
+def _take_hash_ranked(
+    df: DataFrame, stratum: str, key: str, quota: Column
+) -> DataFrame:
+    """Per-stratum hash-order rank filter shared by
+    :func:`stratified_sample` (constant quota) and :func:`domain_mix`
+    (weight-apportioned quota)."""
     w = Window.partitionBy(stratum).orderBy(bucket(key), F.col(key))
     return (
         df.withColumn("__rk", F.row_number().over(w))
-        .where(F.col("__rk") <= F.coalesce(qmap[F.col(stratum)], F.lit(0)))
+        .where(F.col("__rk") <= quota)
         .drop("__rk")
     )
 
@@ -122,9 +152,4 @@ def stratified_sample(
 ) -> DataFrame:
     """Exactly min(n, |stratum|) rows per stratum, selected by hash
     order — a deterministic reservoir sample per group."""
-    w = Window.partitionBy(strata).orderBy(bucket(key), F.col(key))
-    return (
-        df.withColumn("__rk", F.row_number().over(w))
-        .where(F.col("__rk") <= n_per_stratum)
-        .drop("__rk")
-    )
+    return _take_hash_ranked(df, strata, key, F.lit(n_per_stratum))

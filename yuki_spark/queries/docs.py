@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..functions import DEC, sql_portable_hash60
-from ..operators import dedup, multimodal, text
+from ..operators import dedup, multimodal, sampling, text
 
 # caps keep pairwise verification bounded at any sf (the candidate
 # generation itself is linear-ish; see operators/dedup.py)
@@ -538,6 +538,7 @@ QUERIES = {
 }
 
 _T = text.SQL_TOKS
+_SB = sampling.sql_bucket("doc_id")
 
 _HITS = {l: text.sql_hits(l) for l in ("en", "fr", "de", "es")}
 
@@ -568,16 +569,16 @@ _CC_CTES = f"""
 def _d25_oracle() -> str:
     """Mixture twin: quotas inlined from the SAME allocate_quotas call
     the Spark side makes; selection by the identical integer hash."""
-    from ..operators.sampling import allocate_quotas
+    from ..operators.sampling import allocate_quotas, sql_bucket
 
+    b = sql_bucket("doc_id")
     q = allocate_quotas(MIX_WEIGHTS, MIX_BUDGET)
     cases = " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(q.items()))
     return f"""
         SELECT lang, doc_id FROM (
           SELECT lang, doc_id,
                  ROW_NUMBER() OVER (PARTITION BY lang
-                   ORDER BY ((CAST(doc_id AS BIGINT) * 2654435761) % 4294967296
-                             + 4294967296) % 4294967296, doc_id) AS rk
+                   ORDER BY {b}, doc_id) AS rk
           FROM documents)
         WHERE rk <= CASE lang {cases} ELSE 0 END
         ORDER BY lang, doc_id
@@ -694,8 +695,7 @@ ORACLE = {
           SELECT doc_id, CAST(len({_T}) AS BIGINT) AS n_tokens FROM documents),
         k AS (
           SELECT doc_id, n_tokens,
-                 round(ln(CAST(((CAST(doc_id AS BIGINT) * 2654435761) % 4294967296
-                                + 4294967296) % 4294967296 + 1 AS DOUBLE) / 4294967296.0)
+                 round(ln(CAST({_SB} + 1 AS DOUBLE) / 4294967296.0)
                        / CAST(n_tokens + 1 AS DOUBLE), 9) AS ares_key
           FROM t)
         SELECT doc_id, n_tokens, ares_key FROM k
