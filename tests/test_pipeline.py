@@ -593,6 +593,7 @@ def test_workflow_status_rollup(spark):
     assert p.status() == "raw"
     LocalBackend().run(spark, p)
     assert p.status() == "finished"  # lazy: all compiled = satisfied
+    assert p.to_plan()["status"] == "finished"  # rollup rides the plan export
 
     # failure (incl. upstream fan-out) dominates
     pf = build_pipe()

@@ -195,9 +195,12 @@ class Pipeline:
         return out
 
     def to_plan(self) -> dict[str, Any]:
-        """JSON-able dependency plan (Snakefile equivalent)."""
+        """JSON-able dependency plan (Snakefile equivalent). Carries
+        the workflow-level rollup alongside per-task statuses — the
+        reference's results.json stores exactly this pair."""
         return {
             "pipeline": self.name,
+            "status": self.status(),
             "tasks": [
                 {
                     "name": t.name,
