@@ -103,7 +103,7 @@ def main() -> None:
     # round-robin under a wall-clock budget: every query gets its
     # first run before any gets a second, so a slow host degrades
     # gracefully to fewer samples instead of a missing BENCH row.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "540"))
     t_start = time.perf_counter()
     samples: dict[str, list[float]] = {n: [] for n in names}

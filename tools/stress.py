@@ -150,7 +150,7 @@ def main() -> None:
     assert not violations, f"LSH population caps blown: {violations}"
 
 
-def lsh_population_audit(spark, sf_dir: str) -> dict:
+def lsh_population_audit(spark, sf_dir: str) -> tuple[dict, list[str]]:
     """Assert the adaptive LSH parameters keep per-bucket / per-cell
     populations bounded as the corpus grows (the fixed-bucket-count
     quantization this replaces made bucket-local quadratic work grow

@@ -117,6 +117,22 @@ def cm_estimate_string(depth: int, width: int, table, key: str) -> int:
     return est
 
 
+# one-slot broadcast cache: re-constructing the same query (bench runs
+# it 3x per process) must not accumulate identical broadcast blocks in
+# the block manager for the session's lifetime
+_BC_CACHE: dict = {"key": None, "bc": None}
+
+
+def _sketch_broadcast(sc, sketch: bytes, payload):
+    import hashlib
+
+    cache_key = (id(sc), hashlib.sha256(sketch).hexdigest())
+    if _BC_CACHE["key"] != cache_key:
+        _BC_CACHE["key"] = cache_key
+        _BC_CACHE["bc"] = sc.broadcast(payload)
+    return _BC_CACHE["bc"]
+
+
 def heavy_hitters(df: DataFrame, key: str, candidates: DataFrame, eps: float = 0.001, confidence: float = 0.99) -> DataFrame:
     """Estimate frequencies of candidate keys from a single CM sketch
     pass. The candidate set typically comes from a cheap per-partition
@@ -134,7 +150,7 @@ def heavy_hitters(df: DataFrame, key: str, candidates: DataFrame, eps: float = 0
 
     sketch = cm_sketch(df, key, eps, confidence)
     depth, width, table = parse_cm_sketch(sketch)
-    bc = df.sparkSession.sparkContext.broadcast((depth, width, table))
+    bc = _sketch_broadcast(df.sparkSession.sparkContext, sketch, (depth, width, table))
 
     @pandas_udf(LongType())
     def probe(keys: pd.Series) -> pd.Series:

@@ -81,10 +81,13 @@ def skyline(
 ) -> DataFrame:
     """Rows of ``df`` not Pareto-dominated under the given criteria.
 
-    Criteria columns must be numeric and non-null; all other columns
-    pass through untouched (duplicate criterion vectors all survive —
-    standard skyline semantics, and what keeps the result exactly
-    equal to the SQL twin)."""
+    Criteria columns must be numeric, non-null, and exactly
+    representable in float64 (|v| ≤ 2^53 for integer criteria — the
+    dominance scan compares float64 views, so wider integers would
+    collapse near-equal values and diverge from an exact-integer SQL
+    twin); all other columns pass through untouched (duplicate
+    criterion vectors all survive — standard skyline semantics, and
+    what keeps the result exactly equal to the SQL twin)."""
     mins, maxs = list(minimize), list(maximize)
     if not mins and not maxs:
         raise ValueError("skyline needs at least one criterion")

@@ -257,8 +257,8 @@ class Pipeline:
         ids: dict[str, str] = {}
         for name in self.topo_order():
             t = self.tasks[name]
-            dep_ids = [
-                ids.get(d, f"{d}@{self.tasks[d].version}") for d in t.deps
-            ]
+            # topo order guarantees every dep is already derived — a
+            # fallback here would silently produce wrong addresses
+            dep_ids = [ids[d] for d in t.deps]
             ids[name] = impression_id(t.name, t.version, dep_ids)
         return ids
