@@ -20,19 +20,57 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Insertion order is gate order (the driver caps its sweep at 50 rows).
-# Round-3 rotation: the three queries whose last driver row is a stale
-# r1 FAIL (fixed in ee50a9d, local-pass since) lead, followed by
-# queries new this round, then the relational family (no r2 row — r2's
-# window covered the LLM families), then events/docs/sim (all r2-green).
+# Round-4 rotation: the six queries whose machinery changed in r3 after
+# their last driver row (adaptive-LSH planes/bits, executor-side CM
+# probe) lead, then the guard-hardened samplers, then the new p1 PII
+# row, then every remaining key whose freshest driver row is r2 (the
+# r3 sweep covered the relational family). 40 stale keys total — all
+# fit inside one 50-row sweep with the r3-green keys trailing.
 _PRIORITY = [
-    "q12_priority_shipping",
-    "setops_customer_activity",
-    "union_dedup_keys",
-    "s7_semdedup",
-    "e17_session_window_stats",
-    "q23_skyline_parts",
-    "d24_weighted_sample",
-    "d25_domain_mix",
+    # r3-changed machinery, driver row still r2
+    "d9_embedding_neardup",
+    "s3_lsh_ann",
+    "s4_ivf_ann",
+    "s6_ann_recall",
+    "e7_value_percentiles_approx",
+    "e12_heavy_hitters",
+    # r3 guard-hardened samplers
+    "d13_hash_sample",
+    "d14_stratified_sample",
+    "d15_profile",
+    # new this round
+    "p1_pii_scan",
+    # last driver row r2, code unchanged — refresh while slots allow
+    "distinct_users_daily",
+    "e2_sessionization",
+    "e3_hourly_rollup",
+    "e4_user_asof_value",
+    "e5_funnel",
+    "d1_exact_dedup",
+    "d2_ngram_jaccard_dups",
+    "d3_minhash_lsh_dups",
+    "d4_simhash_dups",
+    "d5_lang_id",
+    "d6_quality_score",
+    "d7_token_stats",
+    "d8_fingerprint",
+    "d10_winnow_fingerprint",
+    "d11_dedup_clusters",
+    "d12_subword_stats",
+    "d16_repetition",
+    "d17_contamination",
+    "d18_sequence_packing",
+    "d19_tfidf_top_terms",
+    "d20_dedup_apply",
+    "d21_corpus_split",
+    "d22_dup_spans",
+    "d23_gopher_filter",
+    "s1_cosine_topk",
+    "s2_label_centroids",
+    "s5_quantize_error",
+    "m1_multimodal_meta",
+    "m2_resize_framesample",
+    "m3_audio_windows",
 ]
 
 
