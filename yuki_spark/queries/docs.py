@@ -507,7 +507,55 @@ def m3_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- p1: PII scan hard-signal row --------------------------------------
+# The synthetic corpus contains no digits or @-signs by construction
+# (TESTDATA.md), so pii_scan over the raw table would be a vacuous
+# all-zeros check. Testdata is read-only; instead both engines union
+# the SAME deterministic literal PII rows into the corpus, so the real
+# table is scanned (its sources must roll up to exact zeros and their
+# redacted md5s must equal the raw-text md5s) AND the operator's
+# counting/redaction gets non-trivial, oracle-pinned rows.
+# Texts avoid apostrophes (they are inlined into SQL literals).
+PII_DOC_ROWS = [
+    (1_000_001, "contact alice.smith+spam@example.com or bob@sub.domain.org today", "synth_pii"),
+    (1_000_002, "ssn 123-45-6789 on file with backup 987-65-4321 recorded", "synth_pii"),
+    (1_000_003, "server at 192.168.1.254 and 10.0.0.1 responded to ping", "synth_pii"),
+    (1_000_004, "call +1 (415) 555-2671 or 020 7946 0958 before noon", "synth_pii"),
+    (1_000_005, "mixed bag: eve@corp.io, 321-54-9876, 172.16.254.3, +44 161 496 0000", "synth_pii"),
+    (1_000_006, "nothing sensitive in this row at all just plain words", "synth_clean"),
+]
+
+
+def p1_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan (email/ssn/ipv4/phone) with redaction, rolled up per
+    source: disjoint category counts (each category matched with the
+    earlier ones already redacted) plus md5 of every redacted text
+    (min/max per source) so the oracle pins the exact redacted strings,
+    not just the counts. Parity: the scrub pass of reference-style
+    ingest validation (Yuki stages inputs opaquely; this is the
+    content-level analogue a pretraining pipeline needs)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    synth = spark.createDataFrame(PII_DOC_ROWS, "doc_id bigint, text string, source string")
+    scanned = text.pii_scan(docs.unionByName(synth))
+    return (
+        scanned.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_email").alias("n_email"),
+            F.sum("n_ssn").alias("n_ssn"),
+            F.sum("n_ipv4").alias("n_ipv4"),
+            F.sum("n_phone").alias("n_phone"),
+            F.sum("n_pii").alias("n_pii"),
+            F.sum(F.length("redacted")).cast("bigint").alias("redacted_chars"),
+            F.min(F.md5("redacted")).alias("redacted_md5_min"),
+            F.max(F.md5("redacted")).alias("redacted_md5_max"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
+    "p1_pii_scan": p1_pii_scan,
     "d1_exact_dedup": d1_exact_dedup,
     "d22_dup_spans": d22_dup_spans,
     "d23_gopher_filter": d23_gopher_filter,
@@ -566,6 +614,50 @@ _CC_CTES = f"""
           UNION
           SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.doc)"""
 
+def _p1_oracle() -> str:
+    """PII-scan twin: the SAME patterns from text.PII_PATTERNS (one
+    source of truth; RE2-compatible subset so Java and DuckDB agree),
+    applied in the same order with earlier categories already redacted
+    (counts stay disjoint). regexp_replace needs the 'g' flag in
+    DuckDB — Spark replaces all matches by default."""
+    values = ",\n          ".join(
+        f"({i}, '{t}', '{s}')" for i, t, s in PII_DOC_ROWS
+    )
+    ctes = [
+        f"""synth(doc_id, text, source) AS (
+          VALUES {values}),
+        r0 AS (
+          SELECT source, text AS red FROM documents
+          UNION ALL SELECT source, text FROM synth)"""
+    ]
+    for step, (name, pat) in enumerate(text.PII_PATTERNS, start=1):
+        ctes.append(
+            f"""r{step} AS (
+          SELECT source,
+            {", ".join(f"n_{n}" for n, _ in text.PII_PATTERNS[: step - 1]) + "," if step > 1 else ""}
+            CAST(len(regexp_extract_all(red, '{pat}')) AS BIGINT) AS n_{name},
+            regexp_replace(red, '{pat}', '<{name.upper()}>', 'g') AS red
+          FROM r{step - 1})"""
+        )
+    last = len(text.PII_PATTERNS)
+    sums = "\n          ".join(
+        f"CAST(SUM(n_{n}) AS BIGINT) AS n_{n}," for n, _ in text.PII_PATTERNS
+    )
+    total = " + ".join(f"n_{n}" for n, _ in text.PII_PATTERNS)
+    return f"""
+        WITH {",".join(ctes)}
+        SELECT source,
+          COUNT(*) AS n_docs,
+          {sums}
+          CAST(SUM({total}) AS BIGINT) AS n_pii,
+          CAST(SUM(length(red)) AS BIGINT) AS redacted_chars,
+          MIN(md5(red)) AS redacted_md5_min,
+          MAX(md5(red)) AS redacted_md5_max
+        FROM r{last}
+        GROUP BY source ORDER BY source
+    """
+
+
 def _d25_oracle() -> str:
     """Mixture twin: quotas inlined from the SAME allocate_quotas call
     the Spark side makes; selection by the identical integer hash."""
@@ -586,6 +678,7 @@ def _d25_oracle() -> str:
 
 
 ORACLE = {
+    "p1_pii_scan": _p1_oracle(),
     "d22_dup_spans": f"""
         WITH t AS (
           SELECT doc_id, source, {_T} AS toks,
