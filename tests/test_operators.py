@@ -176,6 +176,11 @@ def test_adaptive_lsh_parameters():
     assert similarity.adaptive_planes(500) == 8
     assert similarity.adaptive_planes(20000) == 12
     assert (similarity.lsh_planes(64) == similarity.lsh_planes(128)[:64]).all()
+    # int32 bucket-id budget: past 31 bits the packed ids would wrap
+    # negative and silently diverge from the exact-sum twins
+    assert similarity.adaptive_bits(128 << 31) == 31
+    with pytest.raises(ValueError, match="int32 bucket-id budget"):
+        similarity.adaptive_bits((128 << 31) + 1)
 
 
 def test_multimodal_roundtrip(spark, docs):
@@ -569,6 +574,31 @@ def test_sketches_error_bounds(spark):
     for r in cmp:
         assert r["est_count"] >= r["true_count"]  # CM never undercounts
         assert r["est_count"] - r["true_count"] <= 0.001 * n_total + 1
+
+
+def test_heavy_hitters_key_type_and_nulls(spark):
+    """Non-string key columns are refused loudly (the probe replays
+    the JVM's STRING murmur3 path only); null candidate keys estimate
+    as NULL (count_min_sketch skips nulls when building)."""
+    from yuki_spark.operators import sketches
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    with pytest.raises(TypeError, match="only string key columns"):
+        sketches.heavy_hitters(
+            ev.select(F.col("user_id").alias("k")),
+            "k",
+            ev.select(F.col("user_id").alias("k")).limit(3),
+        )
+
+    cands = spark.createDataFrame(
+        [("view",), (None,)], "event_type string"
+    )
+    got = {
+        r["event_type"]: r["est_count"]
+        for r in sketches.heavy_hitters(ev, "event_type", cands).collect()
+    }
+    assert got[None] is None
+    assert got["view"] >= 1
 
 
 def test_cm_python_probe_matches_jvm(spark):

@@ -124,6 +124,36 @@ def test_impression_watermark_and_meta(spark, tmp_path):
     assert imp in store.list_ids()
 
 
+def test_impression_preview(spark, tmp_path):
+    """impview parity: schema + head rows + file listing + logs pointer."""
+    store = ImpressionStore(str(tmp_path / "imps"))
+    imp = impression_id("t", "1", [])
+    df = spark.range(25).withColumn("v", F.col("id") * 2)
+    store.write(imp, df)
+    store.watermark(imp, "quality", "gold")
+
+    view = store.preview(spark, imp, n=5)
+    assert view["impression"] == imp
+    assert view["tags"] == {"quality": "gold"}
+    assert view["schema"] == [("id", "long"), ("v", "long")]
+    assert len(view["head"]) == 5
+    assert {r["v"] for r in view["head"]} == {2 * r["id"] for r in view["head"]}
+    paths = [f["path"] for f in view["files"]]
+    assert "meta.json" in paths
+    assert any(p.startswith("data.parquet") for p in paths)
+    assert paths == sorted(paths)
+    assert all(f["bytes"] >= 0 for f in view["files"])
+    assert view["logs"] is None  # no logs deposited yet
+
+    store.write_logs(imp, {"explain": "plan", "error": None})
+    view2 = store.preview(spark, imp, n=50)
+    assert view2["logs"] and view2["logs"].endswith("logs.json")
+    assert len(view2["head"]) == 25  # n caps at actual rows
+
+    with pytest.raises(FileNotFoundError):
+        store.preview(spark, "deadbeef" * 4)
+
+
 def test_kill(spark):
     p = build_pipe()
     be = LocalBackend()

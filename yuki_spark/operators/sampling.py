@@ -69,9 +69,16 @@ def weighted_sample(
 
     Engine-portable: the hash is exact integer arithmetic and the
     ln/÷ result rounds to 9 places before ranking (the same ulp-kill
-    trick as the cosine operators), ties broken by key. Scale: a pure
-    map + distributed top-n (TakeOrdered) — no global sort, no
-    single-partition window."""
+    trick as the cosine operators), ties broken by key. Residual
+    portability risk (accepted, documented): unlike sqrt/divide, ln is
+    NOT IEEE-correctly-rounded, so Java's Math.log and DuckDB's libm
+    log may differ by 1 ulp; the 9-place round suppresses that except
+    when ln(u)/w lands within ~1 ulp of a 0.5e-9 decimal rounding
+    boundary AND the flipped 9th decimal changes the order exactly at
+    the LIMIT cutoff — a ~1e-9-per-row coincidence that an exact
+    cross-engine comparison cannot eliminate without bignum ln on both
+    sides. Scale: a pure map + distributed top-n (TakeOrdered) — no
+    global sort, no single-partition window."""
     u = (bucket(key) + F.lit(1)).cast("double") / F.lit(float(MOD))
     k = F.round(F.log(u) / weight.cast("double"), 9)
     return (

@@ -127,6 +127,17 @@ def adaptive_bits(
     bits = lo
     while n > (target << bits):
         bits += 1
+    # bucket ids are packed as int32 downstream (_nd_bucket_udf's
+    # ArrayType(IntegerType), lsh_ann's `1 << i` literals): past 31
+    # bits they would silently wrap negative and diverge from the
+    # exact-sum twin. 31 bits ≈ 2^31·target rows (~275 G at the
+    # near-dup default) — refuse loudly beyond that rather than
+    # degrade quietly; widening to LongType buckets is the upgrade.
+    if bits > 31:
+        raise ValueError(
+            f"adaptive bits={bits} exceeds the int32 bucket-id budget "
+            f"(n={n}, target={target}); widen bucket ids to long"
+        )
     return bits
 
 
@@ -135,6 +146,9 @@ def _nd_bucket_udf(planes: np.ndarray, bands: int, bits: int):
     one int64 GEMM against the ±1 planes (exact — |dot| ≤ 64·2^26),
     sign bits packed per band. Vectorized over Arrow batches;
     identical to the DuckDB twin's per-plane sign CASEs."""
+
+    if bits > 31:  # guards the explicit-bits path too (int32 packing)
+        raise ValueError(f"bits={bits} exceeds the int32 bucket-id budget")
 
     @pandas_udf(ArrayType(IntegerType()))
     def nd_buckets(svs: pd.Series) -> pd.Series:
@@ -521,6 +535,10 @@ def lsh_ann(
     must be generated with the same plane count."""
     if n_planes is None:
         n_planes = adaptive_planes(n_est if n_est is not None else emb.count())
+    if n_planes > 31:  # bucket id / probe XOR literals assume int32
+        raise ValueError(
+            f"n_planes={n_planes} exceeds the int32 bucket-id budget"
+        )
     planes = lsh_planes(n_planes)
     base = (
         emb.select("vec_id", scaled("embedding").alias("sv"))

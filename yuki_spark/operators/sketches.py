@@ -126,8 +126,19 @@ _BC_CACHE: dict = {"key": None, "bc": None}
 def _sketch_broadcast(sc, sketch: bytes, payload):
     import hashlib
 
-    cache_key = (id(sc), hashlib.sha256(sketch).hexdigest())
+    # key on applicationId, not id(sc): CPython can recycle an id after
+    # a stopped context is garbage-collected, which would hand back a
+    # broadcast from a dead context
+    cache_key = (sc.applicationId, hashlib.sha256(sketch).hexdigest())
     if _BC_CACHE["key"] != cache_key:
+        old = _BC_CACHE["bc"]
+        if old is not None and _BC_CACHE["key"] and _BC_CACHE["key"][0] == sc.applicationId:
+            # evicted broadcast from the SAME live app: release its
+            # blocks instead of leaking them for the session lifetime
+            try:
+                old.unpersist()
+            except Exception:
+                pass  # already destroyed / context torn down mid-call
         _BC_CACHE["key"] = cache_key
         _BC_CACHE["bc"] = sc.broadcast(payload)
     return _BC_CACHE["bc"]
@@ -144,9 +155,23 @@ def heavy_hitters(df: DataFrame, key: str, candidates: DataFrame, eps: float = 0
     DataFrame: no candidate collect, no createDataFrame, so the
     candidate set can itself be a distributed DataFrame at scale."""
     from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, StringType
 
     import struct
+
+    # the probe replays Spark's STRING murmur3 double-hash path; a
+    # long/int key column would silently hash differently (JVM uses
+    # hashA for longs), so refuse it loudly instead of returning wrong
+    # estimates or an opaque AttributeError inside the UDF
+    for side, sdf in (("df", df), ("candidates", candidates)):
+        dt = sdf.schema[key].dataType
+        if not isinstance(dt, StringType):
+            raise TypeError(
+                f"heavy_hitters: {side}[{key!r}] has type {dt.simpleString()}; "
+                "only string key columns are supported (cast the column to "
+                "string on BOTH sides, or extend the probe with the hashA "
+                "long-key path)"
+            )
 
     sketch = cm_sketch(df, key, eps, confidence)
     depth, width, table = parse_cm_sketch(sketch)
@@ -155,8 +180,16 @@ def heavy_hitters(df: DataFrame, key: str, candidates: DataFrame, eps: float = 0
     @pandas_udf(LongType())
     def probe(keys: pd.Series) -> pd.Series:
         d, w, t = bc.value
+        # null candidate keys estimate as NULL: count_min_sketch skips
+        # nulls when building, so the sketch holds no count for them
         return pd.Series(
-            [cm_estimate_string(d, w, t, k) for k in keys], dtype="int64"
+            pd.array(
+                [
+                    None if k is None else cm_estimate_string(d, w, t, k)
+                    for k in keys
+                ],
+                dtype="Int64",
+            )
         )
 
     # the sketch's totalCount is the exact stream length N — expose it

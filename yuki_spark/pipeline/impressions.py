@@ -119,6 +119,55 @@ class ImpressionStore:
         with open(path) as f:
             return json.load(f)
 
+    def preview(
+        self, spark: SparkSession, imp_id: str, n: int = 10
+    ) -> dict[str, Any]:
+        """Human-readable monitoring view of a deposited impression —
+        parity with Yuki's ``impview`` route
+        (/root/reference/Yuki/server/routes/status.py:220), which
+        renders an impression's files with capped previews. Returns::
+
+            {"impression": id, "created_at": ts, "tags": {...},
+             "schema": [(name, type), ...],
+             "head": [ {col: val, ...}, ... ],          # first n rows
+             "files": [ {"path": rel, "bytes": sz}, ...],  # sorted
+             "logs": <logs.json path or None>}
+
+        The head is a bounded ``limit(n)`` collect (the only
+        driver-side rows; a preview is inherently driver-sized), the
+        file listing is a local walk of the impression directory, and
+        the logs pointer mirrors impview's logs section without
+        inlining potentially-large artifacts."""
+        m = self.meta(imp_id)  # raises if not deposited
+        head = [
+            r.asDict(recursive=True)
+            for r in self.read(spark, imp_id).limit(n).collect()
+        ]
+        base = self._dir(imp_id)
+        files = sorted(
+            (
+                {
+                    "path": os.path.relpath(os.path.join(dp, fn), base),
+                    "bytes": os.path.getsize(os.path.join(dp, fn)),
+                }
+                for dp, _, fns in os.walk(base)
+                for fn in fns
+            ),
+            key=lambda f: f["path"],
+        )
+        logs_path = os.path.join(base, "logs.json")
+        return {
+            "impression": imp_id,
+            "created_at": m.get("created_at"),
+            "tags": m.get("tags", {}),
+            "schema": [
+                (f["name"], f["type"]) for f in m["schema"]["fields"]
+            ],
+            "head": head,
+            "files": files,
+            "logs": logs_path if os.path.exists(logs_path) else None,
+        }
+
     def watermark(self, imp_id: str, key: str, value: str) -> None:
         """Tag an impression (Yuki watermark analogue)."""
         m = self.meta(imp_id)

@@ -12,10 +12,14 @@ K = 3
 N_QUERIES = 5
 
 # the driver's correctness gate runs at sf0.01; the adaptive LSH
-# parameters in the (static) ORACLE strings are derived from that
-# catalog's footer count, and the Spark queries derive theirs from the
-# actual sf_dir — identical at the gate, scale-adaptive everywhere else
-_ORACLE_SF = os.environ.get("YUKI_SPARK_TEST_SF", "/root/testdata/sf0.01")
+# parameters in the ORACLE twins are derived from that catalog's
+# footer count, and the Spark queries derive theirs from the actual
+# sf_dir — identical at the gate, scale-adaptive everywhere else.
+# The env is read at CALL time (build_oracle/_oracle_sf), not baked at
+# import, so a gate run at another scale only needs the env var set
+# before oracle_sql() is invoked.
+def _oracle_sf() -> str:
+    return os.environ.get("YUKI_SPARK_TEST_SF", "/root/testdata/sf0.01")
 
 
 def _emb_rows(sf_dir: str) -> int | None:
@@ -139,9 +143,24 @@ _DOT = (
 
 def _oracle_emb_rows() -> int:
     """Embedding count of the gate catalog (footer-only read); the
-    adaptive twins bake in the parameters this count implies."""
-    n = _emb_rows(_ORACLE_SF)
-    return 500 if n is None else n  # 500 = sf0.01 shipped count
+    adaptive twins bake in the parameters this count implies. A failed
+    read warns LOUDLY before falling back — a silent fallback at a
+    non-sf0.01 gate would produce guaranteed-diverging buckets that
+    look like operator bugs."""
+    sf = _oracle_sf()
+    n = _emb_rows(sf)
+    if n is None:
+        import warnings
+
+        warnings.warn(
+            f"sim oracles: embeddings row count unreadable from {sf!r}; "
+            "falling back to 500 (the shipped sf0.01 count). Adaptive "
+            "twins WILL diverge from Spark if the gate runs at another "
+            "scale — set YUKI_SPARK_TEST_SF to the gate's sf_dir.",
+            stacklevel=2,
+        )
+        return 500
+    return n
 
 
 def _d9_oracle() -> str:
@@ -403,12 +422,25 @@ def _s7_oracle(threshold: float = SEMDEDUP_THRESHOLD, max_cell: int = 256) -> st
     """
 
 
-ORACLE = {
-    "d9_embedding_neardup": _d9_oracle(),
-    "s7_semdedup": _s7_oracle(),
-    "s3_lsh_ann": _s3_oracle(),
-    "s4_ivf_ann": _s4_oracle(),
-    "s6_ann_recall": _s6_oracle(),
+def build_oracle() -> dict[str, str]:
+    """Build the twin dict with adaptive parameters derived from the
+    CURRENT gate catalog (env read now, not at import) — the canonical
+    entry point for __spark_entry__.oracle_sql(). The module-level
+    ``ORACLE`` snapshot below exists for direct imports and tests."""
+    out = dict(_STATIC_ORACLE)
+    out.update(
+        {
+            "d9_embedding_neardup": _d9_oracle(),
+            "s7_semdedup": _s7_oracle(),
+            "s3_lsh_ann": _s3_oracle(),
+            "s4_ivf_ann": _s4_oracle(),
+            "s6_ann_recall": _s6_oracle(),
+        }
+    )
+    return out
+
+
+_STATIC_ORACLE = {
     "s1_cosine_topk": _s1_sql(N_QUERIES),
     "s5_quantize_error": """
         WITH x AS (
@@ -448,3 +480,5 @@ ORACLE = {
         FROM ex GROUP BY label, dim ORDER BY label, dim
     """,
 }
+
+ORACLE = build_oracle()
