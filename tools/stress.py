@@ -134,6 +134,7 @@ def main() -> None:
         qs[n](spark, out).write.mode("overwrite").format("noop").save()
         timings[n] = round(time.perf_counter() - t0, 2)
     audit, violations = lsh_population_audit(spark, out)
+    skew = skew_join_audit(spark)
     # print BEFORE asserting: an audit failure must not discard the
     # timings this (long) run already paid for
     print(
@@ -144,10 +145,80 @@ def main() -> None:
                 "total": round(sum(timings.values()), 2),
                 "lsh_audit": audit,
                 "lsh_violations": violations,
+                "skew_join": skew,
             }
         )
     )
     assert not violations, f"LSH population caps blown: {violations}"
+    assert skew["skew_splits"] > 0, f"AQE skew-join split did not fire: {skew}"
+
+
+def skew_join_audit(spark) -> dict:
+    """Demonstrate AQE skew-join resilience — the mechanism the 100 TB
+    design leans on for hot keys (SURVEY §4). Builds a join whose left
+    side puts 50% of rows on ONE key (the straggler shape: one shuffle
+    partition ~n/2 while the median is tiny), runs it with the
+    skew-join optimizer on and off, and verifies the optimizer split
+    the oversized partition (``skew=true`` on the SortMergeJoin in the
+    final adaptive plan — only present after an action; AQE finalizes
+    lazily). Thresholds are lowered to local-mode data sizes; on a
+    real cluster the 256 MB default plays the same role. Both
+    wall-clocks are reported so the run shows the straggler cost the
+    split removes."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    lowered = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1m",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in lowered}
+    saved["spark.sql.adaptive.skewJoin.enabled"] = spark.conf.get(
+        "spark.sql.adaptive.skewJoin.enabled", None
+    )
+
+    def run(enabled: bool) -> tuple[float, int]:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", str(enabled).lower())
+        n = 2_000_000
+        left = spark.range(n).select(
+            F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("payload-payload-payload-"), F.col("id")).alias("pl"),
+        )
+        right = spark.range(200_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        j = (
+            left.join(right, "k")
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("s"))
+        )
+        t0 = time.perf_counter()
+        row = j.collect()[0]
+        dt = time.perf_counter() - t0
+        assert row["n_rows"] == 1_100_000, row  # same answer either mode
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        return dt, len(re.findall(r"skew=true", plan))
+
+    try:
+        for key, val in lowered.items():
+            spark.conf.set(key, val)
+        t_off, splits_off = run(False)
+        t_on, splits_on = run(True)
+    finally:
+        for key, val in saved.items():
+            if val is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, val)
+    return {
+        "skew_splits": splits_on,
+        "skew_splits_disabled": splits_off,
+        "wall_s_skewjoin_on": round(t_on, 2),
+        "wall_s_skewjoin_off": round(t_off, 2),
+    }
 
 
 def lsh_population_audit(spark, sf_dir: str) -> tuple[dict, list[str]]:
