@@ -40,6 +40,8 @@ _PRIORITY = [
     "d15_profile",
     # new this round
     "p1_pii_scan",
+    "d26_quality_buckets",
+    "e18_rolling_active_users",
     # last driver row r2, code unchanged — refresh while slots allow
     "distinct_users_daily",
     "e2_sessionization",

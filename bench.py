@@ -64,6 +64,9 @@ HEADLINE = [
     "s7_semdedup",
     "e7_value_percentiles_approx",
     "e12_heavy_hitters",
+    "p1_pii_scan",
+    "d26_quality_buckets",
+    "e18_rolling_active_users",
 ]
 
 

@@ -39,6 +39,9 @@ _GLOBAL_AGG = {
     "union_dedup_keys",  # counts both branches: one summary row
     "d15_profile",  # one profile row per column, even when empty
     "s6_ann_recall",  # one evaluation row per index
+    "p1_pii_scan",  # unions deterministic literal PII rows into the
+    # scan (the corpus is PII-free by design), so an empty corpus
+    # still yields the two synthetic source groups
 }
 
 

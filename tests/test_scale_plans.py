@@ -199,3 +199,47 @@ def test_d24_weighted_sample_is_pure_topn(spark, qs):
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+# The only queries allowed a BroadcastNestedLoopJoin: each broadcasts
+# a SINGLE-ROW scalar aggregate (q11/q22 scalar subquery, e5's two
+# per-stage count scalars, s1's bounded query-set build side, d26's
+# tercile-cutoff row) — a constant-size build at any corpus scale,
+# not an O(n) cross join.
+ALLOWED_BNLJ = {
+    "e5_funnel": 2,
+    "q11_important_stock": 1,
+    "q22_global_sales_opp": 1,
+    "s1_cosine_topk": 1,
+    "d26_quality_buckets": 1,
+}
+
+
+def test_every_query_plan_scale_safe(spark, qs):
+    """The PLANS.md audit as a gate, over EVERY queries() entry:
+    zero row-at-a-time Python stages (BatchEvalPython) anywhere, zero
+    CartesianProduct, and BroadcastNestedLoopJoin only in the four
+    documented single-row-broadcast cells at exactly their counts.
+    One test (not parametrized): plan compilation for all ~90 keys
+    shares a session and takes ~40 s total; a per-key test would pay
+    fixture overhead 90 times."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "plan_audit.py"),
+    )
+    pa = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pa)
+
+    offenders = {}
+    for name, fn in sorted(qs.items()):
+        a = pa.audit(fmt_plan(spark, fn(spark, SF_SMOKE)))
+        if (
+            a["row_python"]
+            or a["cartesian"]
+            or a["bnlj"] != ALLOWED_BNLJ.get(name, 0)
+        ):
+            offenders[name] = a
+    assert not offenders, f"scale-unsafe plans: {offenders}"

@@ -507,6 +507,39 @@ def m3_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d26_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020): cut the
+    corpus at the exact quality-score terciles into head/middle/tail
+    and report per (source, bucket) populations — the partition a
+    pretraining mix samples from at different rates. Cutoffs are exact
+    interpolated percentiles (identical interpolation in DuckDB's
+    quantile_cont — the e6-proven pairing) computed as ONE single-row
+    aggregate broadcast back over the corpus (the q11/q22 scalar
+    pattern); assignment is then a pure map. The score is the d6
+    composite: double math on exact integer inputs with identical op
+    order on both engines, so boundary comparisons agree bit-for-bit."""
+    docs = load(spark, sf_dir, "documents")
+    q = text.quality_features(docs).select("source", "quality")
+    cuts = q.agg(
+        F.expr("percentile(quality, 1.0D/3.0D)").alias("c_lo"),
+        F.expr("percentile(quality, 2.0D/3.0D)").alias("c_hi"),
+    )
+    bucketed = q.crossJoin(F.broadcast(cuts)).withColumn(
+        "bucket",
+        F.when(F.col("quality") >= F.col("c_hi"), F.lit("head"))
+        .when(F.col("quality") >= F.col("c_lo"), F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+    return (
+        bucketed.groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("quality").cast(DEC)).cast("double").alias("sum_quality"),
+        )
+        .orderBy("source", "bucket")
+    )
+
+
 # ---- p1: PII scan hard-signal row --------------------------------------
 # The synthetic corpus contains no digits or @-signs by construction
 # (TESTDATA.md), so pii_scan over the raw table would be a vacuous
@@ -556,6 +589,7 @@ def p1_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "p1_pii_scan": p1_pii_scan,
+    "d26_quality_buckets": d26_quality_buckets,
     "d1_exact_dedup": d1_exact_dedup,
     "d22_dup_spans": d22_dup_spans,
     "d23_gopher_filter": d23_gopher_filter,
@@ -679,6 +713,35 @@ def _d25_oracle() -> str:
 
 ORACLE = {
     "p1_pii_scan": _p1_oracle(),
+    "d26_quality_buckets": f"""
+        WITH q AS (
+          SELECT source,
+                 CAST(len({_T}) AS BIGINT) AS n_tokens,
+                 CAST(length(text) AS BIGINT) AS n_chars_txt,
+                 CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct,
+                 {text.sql_hits('en', _T)} AS sw_hits
+          FROM documents),
+        s AS (
+          SELECT source,
+                 0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+               + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars_txt, 1) AS DOUBLE))
+               + 0.3 * least(CAST(sw_hits AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) * 5.0, 1.0) AS quality
+          FROM q),
+        c AS (
+          SELECT quantile_cont(quality, 1.0/3.0) AS c_lo,
+                 quantile_cont(quality, 2.0/3.0) AS c_hi
+          FROM s),
+        b AS (
+          SELECT source,
+                 CASE WHEN quality >= c_hi THEN 'head'
+                      WHEN quality >= c_lo THEN 'middle'
+                      ELSE 'tail' END AS bucket,
+                 quality
+          FROM s, c)
+        SELECT source, bucket, COUNT(*) AS n_docs,
+               CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality
+        FROM b GROUP BY source, bucket ORDER BY source, bucket
+    """,
     "d22_dup_spans": f"""
         WITH t AS (
           SELECT doc_id, source, {_T} AS toks,

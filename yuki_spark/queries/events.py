@@ -144,6 +144,33 @@ def distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e18_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU) beside daily actives (DAU),
+    one row per observed day — the retention dashboard's backbone
+    metric. A rolling COUNT(DISTINCT) cannot ride a window frame
+    (distinct doesn't decompose), and the naive day×day range join is
+    O(days²): instead each (day, user) pair *contributes itself
+    forward* into the ≤7 target days it makes active
+    (explode(sequence(day, day+6)) — a pure map), then one
+    shuffle-on-day distinct count. The target-day set is pinned back
+    to observed days with a broadcast join (days is a tiny dimension
+    at any corpus scale — O(calendar), not O(rows))."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = daily.select("day").distinct()
+    dau = daily.groupBy("day").agg(F.countDistinct("user_id").alias("n_users_1d"))
+    contrib = daily.select(
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias("day"),
+        "user_id",
+    )
+    wau = (
+        contrib.join(F.broadcast(days), "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("n_users_7d"))
+    )
+    return dau.join(wau, "day").orderBy("day")
+
+
 def e8_error_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join: each 'error' event opens a 10-minute window; count
     and sum all events landing in it (bucketized interval join — see
@@ -465,6 +492,7 @@ QUERIES = {
     "e3_hourly_rollup": e3_hourly_rollup,
     "e4_user_asof_value": e4_user_asof_value,
     "e5_funnel": e5_funnel,
+    "e18_rolling_active_users": e18_rolling_active_users,
     "distinct_users_daily": distinct_users_daily,
 }
 
@@ -677,5 +705,20 @@ ORACLE = {
     "distinct_users_daily": """
         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, COUNT(DISTINCT user_id) AS n_users
         FROM events GROUP BY 1 ORDER BY day
+    """,
+    "e18_rolling_active_users": """
+        WITH daily AS (
+          SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        days AS (SELECT DISTINCT day FROM daily),
+        dau AS (
+          SELECT day, COUNT(DISTINCT user_id) AS n_users_1d
+          FROM daily GROUP BY day),
+        wau AS (
+          SELECT d.day AS day, COUNT(DISTINCT u.user_id) AS n_users_7d
+          FROM days d JOIN daily u ON u.day BETWEEN d.day - 6 AND d.day
+          GROUP BY d.day)
+        SELECT dau.day AS day, n_users_1d, n_users_7d
+        FROM dau JOIN wau ON dau.day = wau.day
+        ORDER BY day
     """,
 }
