@@ -156,7 +156,13 @@ def e18_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     to observed days with a broadcast join (days is a tiny dimension
     at any corpus scale — O(calendar), not O(rows))."""
     ev = load(spark, sf_dir, "events")
-    daily = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    # daily feeds three consumers (dau, days, contrib): materialize the
+    # distinct once instead of re-scanning + re-shuffling per consumer
+    daily = (
+        ev.select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     days = daily.select("day").distinct()
     dau = daily.groupBy("day").agg(F.countDistinct("user_id").alias("n_users_1d"))
     contrib = daily.select(
