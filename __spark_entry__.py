@@ -42,6 +42,9 @@ _PRIORITY = [
     "p1_pii_scan",
     "d26_quality_buckets",
     "e18_rolling_active_users",
+    "e19_gap_fill",
+    "e20_mad_outliers",
+    "d27_bloom_contamination",
     # last driver row r2, code unchanged — refresh while slots allow
     "distinct_users_daily",
     "e2_sessionization",

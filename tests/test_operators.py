@@ -816,3 +816,29 @@ def test_domain_mix_quotas_and_shortfall(spark):
     assert per.get("en") == 5
     assert per.get("de") == 3  # only 3 exist — shortfall, no reallocation
     assert "xx" not in per
+
+
+def test_bloom_membership_semantics(spark):
+    """Every build key probes as a candidate (zero false negatives by
+    construction); non-members stay below the designed false-positive
+    rate with wide margin; the probe preserves row multiplicity-free
+    distinct rows and appends exactly one boolean column."""
+    from pyspark.sql import functions as F
+
+    from yuki_spark.operators.sketches import bloom_membership
+
+    build = spark.createDataFrame(
+        [(f"member-{i}",) for i in range(200)], "gram string"
+    )
+    probe = spark.createDataFrame(
+        [(i, f"member-{i}" if i < 200 else f"other-{i}") for i in range(1200)],
+        "rid long, gram string",
+    )
+    out = bloom_membership(probe, build, "gram")
+    assert out.columns == ["rid", "gram", "bloom_candidate"]
+    rows = {r["rid"]: r["bloom_candidate"] for r in out.collect()}
+    assert len(rows) == 1200
+    assert all(rows[i] for i in range(200)), "false negative: bloom broke"
+    fps = sum(1 for i in range(200, 1200) if rows[i])
+    # designed fpp ~0.8% at 10 bits/key, k=7; allow 3% on 1000 probes
+    assert fps <= 30, f"false-positive rate blew the design: {fps}/1000"

@@ -188,30 +188,38 @@ def repetition_features(df: DataFrame) -> DataFrame:
     )
 
 
-def ngram_contamination(
+def split_ngrams(
     df: DataFrame, n: int = 3, eval_mod: int = 17
-) -> DataFrame:
-    """Benchmark-contamination scan: docs with ``doc_id % eval_mod
-    == 0`` form a held-out eval split; for every other (training) doc,
-    measure what fraction of its distinct token ``n``-grams appear in
-    the eval split's n-gram set (the standard pretraining
-    decontamination check, cf. GPT-3 appendix C).
-
-    Scale path: the eval n-gram set is orders smaller than the corpus
-    → deduplicate it and *broadcast* the membership join; the corpus
-    side stays a linear explode + one hash aggregation per doc."""
+) -> tuple[DataFrame, DataFrame]:
+    """Shared front end of the contamination scans: docs with
+    ``doc_id % eval_mod == 0`` form a held-out eval split. Returns
+    ``(corpus_grams, eval_grams)`` — per-doc *distinct* token
+    ``n``-grams of the training docs, and the deduplicated gram set of
+    the eval split (orders smaller than the corpus: the broadcastable
+    side)."""
     g = with_tokens(df).select(
         "doc_id",
         "lang",
         F.explode(F.array_distinct(_zip_ngrams("toks", n))).alias("gram"),
     )
-    bench = (
-        g.where(F.col("doc_id") % eval_mod == 0)
-        .select("gram")
-        .distinct()
-        .withColumn("hit", F.lit(1).cast("bigint"))
-    )
+    bench = g.where(F.col("doc_id") % eval_mod == 0).select("gram").distinct()
     corpus = g.where(F.col("doc_id") % eval_mod != 0)
+    return corpus, bench
+
+
+def ngram_contamination(
+    df: DataFrame, n: int = 3, eval_mod: int = 17
+) -> DataFrame:
+    """Benchmark-contamination scan: for every training doc, the
+    fraction of its distinct token ``n``-grams appearing in the eval
+    split's n-gram set (the standard pretraining decontamination
+    check, cf. GPT-3 appendix C).
+
+    Scale path: the eval n-gram set is deduplicated and *broadcast*
+    into the membership join; the corpus side stays a linear explode
+    + one hash aggregation per doc."""
+    corpus, bench_set = split_ngrams(df, n=n, eval_mod=eval_mod)
+    bench = bench_set.withColumn("hit", F.lit(1).cast("bigint"))
     per_doc = (
         corpus.join(F.broadcast(bench), "gram", "left")
         .groupBy("doc_id", "lang")

@@ -266,6 +266,55 @@ def d17_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOOM_FP_BOUND = 0.05  # generous vs the designed ~0.8% fpp at 10 bits/key
+
+
+def d27_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination scan at the 100 TB grain: the eval-split trigram
+    set is probed through a Bloom filter (operators/sketches.py
+    ``bloom_membership``) instead of broadcasting the full gram set —
+    ~10 bits per key travels to executors regardless of gram width.
+
+    Oracle binding: the hashed columns are the *exact* contamination
+    math (identical to d17's twin) plus two flags the bloom
+    guarantees — ``no_false_negatives`` (structural: every exact hit
+    is a candidate) and ``fp_within_bound`` (false-positive share of
+    clean grams <= 5%, 6x headroom over the designed rate). The raw
+    candidate count is hash-dependent, so it stays out of the bound
+    schema; tests/test_operators.py pins its behavior directly."""
+    from ..operators import sketches
+
+    docs = load(spark, sf_dir, "documents")
+    corpus, bench = text.split_ngrams(docs, n=3, eval_mod=17)
+    flagged = sketches.bloom_membership(corpus, bench, "gram")
+    exact = flagged.join(
+        F.broadcast(bench.withColumn("hit", F.lit(1).cast("bigint"))), "gram", "left"
+    )
+    is_fp = F.col("bloom_candidate") & F.col("hit").isNull()
+    missed = F.when(
+        (F.col("hit") == 1) & ~F.col("bloom_candidate"), 1
+    ).otherwise(0)
+    return (
+        exact.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("total_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("total_hits"),
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("overall_rate"),
+            (F.sum(missed) == 0).alias("no_false_negatives"),
+            (
+                F.sum(F.when(is_fp, 1).otherwise(0)).cast("double")
+                <= F.lit(BLOOM_FP_BOUND)
+                * F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0)).cast("double")
+            ).alias("fp_within_bound"),
+        )
+        .orderBy("lang")
+    )
+
+
 PACK_BUDGET = 512  # tokens per training sequence
 
 
@@ -610,6 +659,7 @@ QUERIES = {
     "d11_dedup_clusters": d11_dedup_clusters,
     "d16_repetition": d16_repetition,
     "d17_contamination": d17_contamination,
+    "d27_bloom_contamination": d27_bloom_contamination,
     "d18_sequence_packing": d18_sequence_packing,
     "d19_tfidf_top_terms": d19_tfidf_top_terms,
     "d20_dedup_apply": d20_dedup_apply,
@@ -976,6 +1026,28 @@ ORACLE = {
                CAST(SUM(n_hits) AS DOUBLE) / CAST(SUM(n_grams) AS DOUBLE) AS overall_rate,
                CAST(SUM(CASE WHEN n_hits * 2 >= n_grams THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
         FROM pd GROUP BY lang ORDER BY lang
+    """,
+    "d27_bloom_contamination": f"""
+        WITH t AS (SELECT doc_id, lang, {_T} AS toks FROM documents),
+        g AS (
+          SELECT doc_id, lang,
+                 unnest(list_distinct(list_transform(
+                        range(1, greatest(len(toks) - 1, 1)),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+          FROM t),
+        bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0),
+        c AS (
+          SELECT cg.doc_id, cg.lang,
+                 CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END AS hit
+          FROM (SELECT * FROM g WHERE doc_id % 17 <> 0) cg
+          LEFT JOIN bench b USING (gram))
+        SELECT lang, COUNT(DISTINCT doc_id) AS n_docs,
+               COUNT(*) AS total_grams,
+               CAST(SUM(hit) AS BIGINT) AS total_hits,
+               CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS overall_rate,
+               TRUE AS no_false_negatives,
+               TRUE AS fp_within_bound
+        FROM c GROUP BY lang ORDER BY lang
     """,
     # the 'decode' the m1 feature extractor runs is the documented
     # deterministic stand-in codec (multimodal._decode_stub), so every

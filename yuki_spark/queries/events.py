@@ -177,6 +177,99 @@ def e18_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dau.join(wau, "day").orderBy("day")
 
 
+GAP_FILL_MIN_VALUE = 300.0  # tail threshold -> genuinely sparse daily series
+
+
+def e19_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densify + forward fill: the daily high-value total
+    per event type is a sparse series (most days have no tail event);
+    emit one row per calendar day in each type's observed span, with
+    missing days carried forward from the last observed value.
+
+    Portable forward fill without IGNORE NULLS (dialect-dependent):
+    ``grp`` counts non-null observations up to each row, so every gap
+    row shares its grp with the last observed day, and a per-(type,
+    grp) MAX recovers that value. Daily totals ride the exact decimal
+    sum as integral micro-units (int64 — bit-identical everywhere).
+
+    Scale shape: one shuffle to the daily grain, then the calendar is
+    O(span) per type (a tiny dimension at any corpus scale); the two
+    windows share one partitioning on event_type. No per-row Python."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("value") > GAP_FILL_MIN_VALUE)
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(F.col("value").cast(DEC)).alias("dval"))
+        .withColumn("di", (F.col("dval") * 1_000_000).cast("long"))
+        .drop("dval")
+    )
+    cal = (
+        daily.groupBy("event_type")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("event_type", F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    filled = cal.join(daily, ["event_type", "day"], "left").withColumn(
+        "grp", F.count("di").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    wg = Window.partitionBy("event_type", "grp")
+    return (
+        filled.withColumn("filled_di", F.max("di").over(wg))
+        .withColumn("is_gap", F.col("di").isNull())
+        .select("event_type", "day", "di", "filled_di", "is_gap")
+        .orderBy("event_type", "day")
+    )
+
+
+MAD_K = 3.0 * 1.4826  # ~3 sigma under normality; inlined identically both sides
+
+
+def e20_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median absolute
+    deviation (MAD) instead of e13's moment-based z-score — the
+    estimator a heavy-tailed value column actually needs (one wild
+    point shifts mean/std but not median/MAD).
+
+    Portable math: exact interpolated medians (percentile /
+    quantile_cont share the (n-1)p rank definition), and the cutoff
+    multiplies by one Python-repr'd constant inlined into both
+    engines, so every comparison is the same IEEE expression tree.
+
+    Scale shape: two median shuffles on event_type (5 groups) with the
+    per-type stats broadcast back onto the fact scan each pass —
+    map-side scoring, no sort of the full data."""
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .withColumn("adev", F.abs(F.col("value") - F.col("med")))
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(adev, 0.5)").alias("mad"),
+            F.max("med").alias("med"),
+        )
+        .where(F.col("mad") > 0)
+    )
+    cutoff = F.col("mad") * F.lit(MAD_K)
+    adev = F.abs(F.col("value") - F.col("med"))
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.sum(F.when(adev > cutoff, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.max(adev / F.col("mad")).alias("max_score"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def e8_error_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join: each 'error' event opens a 10-minute window; count
     and sum all events landing in it (bucketized interval join — see
@@ -499,6 +592,8 @@ QUERIES = {
     "e4_user_asof_value": e4_user_asof_value,
     "e5_funnel": e5_funnel,
     "e18_rolling_active_users": e18_rolling_active_users,
+    "e19_gap_fill": e19_gap_fill,
+    "e20_mad_outliers": e20_mad_outliers,
     "distinct_users_daily": distinct_users_daily,
 }
 
@@ -726,5 +821,51 @@ ORACLE = {
         SELECT dau.day AS day, n_users_1d, n_users_7d
         FROM dau JOIN wau ON dau.day = wau.day
         ORDER BY day
+    """,
+    "e19_gap_fill": f"""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS di
+          FROM events WHERE value > {GAP_FILL_MIN_VALUE!r} GROUP BY 1, 2),
+        span AS (
+          SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+          FROM daily GROUP BY 1),
+        cal AS (
+          SELECT event_type,
+                 CAST(UNNEST(generate_series(CAST(d0 AS TIMESTAMP),
+                                             CAST(d1 AS TIMESTAMP),
+                                             INTERVAL 1 DAY)) AS DATE) AS day
+          FROM span),
+        j AS (
+          SELECT c.event_type, c.day, d.di
+          FROM cal c LEFT JOIN daily d
+            ON c.event_type = d.event_type AND c.day = d.day),
+        g AS (
+          SELECT *, COUNT(di) OVER (PARTITION BY event_type ORDER BY day
+                      ROWS UNBOUNDED PRECEDING) AS grp
+          FROM j)
+        SELECT event_type, day, di,
+               MAX(di) OVER (PARTITION BY event_type, grp) AS filled_di,
+               di IS NULL AS is_gap
+        FROM g ORDER BY event_type, day
+    """,
+    "e20_mad_outliers": f"""
+        WITH med AS (
+          SELECT event_type, quantile_cont(value, 0.5) AS med
+          FROM events GROUP BY 1),
+        mad AS (
+          SELECT e.event_type,
+                 quantile_cont(abs(e.value - m.med), 0.5) AS mad,
+                 MAX(m.med) AS med
+          FROM events e JOIN med m ON e.event_type = m.event_type
+          GROUP BY 1)
+        SELECT e.event_type, COUNT(*) AS n_events,
+               MAX(m.med) AS med, MAX(m.mad) AS mad,
+               CAST(SUM(CASE WHEN abs(e.value - m.med) > m.mad * {MAD_K!r}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               MAX(abs(e.value - m.med) / m.mad) AS max_score
+        FROM events e JOIN mad m ON e.event_type = m.event_type
+        WHERE m.mad > 0
+        GROUP BY e.event_type ORDER BY e.event_type
     """,
 }
