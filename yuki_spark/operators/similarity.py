@@ -642,3 +642,127 @@ def quantize_error(emb: DataFrame) -> DataFrame:
             F.col("sse_num").cast("double") / F.col("n_elems").cast("double"),
         )
     )
+
+
+# ---- Product quantization ANN (s8) ------------------------------------
+# m subspaces x 4 sign bits: a 64-d float32 vector compresses to
+# PQ_M * PQ_BITS = 32 bits of codes — the memory-bounded residency an
+# ANN index carries at 100 TB (raw vectors stay in cold storage and
+# only the shortlist is fetched for exact re-rank).
+PQ_M = 8           # subspaces
+PQ_SUBDIM = 8      # dims per subspace (PQ_M * PQ_SUBDIM = 64)
+PQ_BITS = 4        # sign bits -> 16 cells per subspace
+PQ_SHORTLIST = 12  # ADC shortlist per query before exact re-rank
+
+
+def pq_shift(n: int) -> int:
+    """Centroid down-shift keeping the ADC int64 arithmetic exact at
+    any corpus size: per-dim products are bounded by 2^48 * cnt and
+    the 64-term fold adds 6 bits, so cells must stay under ~2^8
+    effective members. shiftright (arithmetic, floors negatives the
+    same way in Spark and DuckDB) trades <= shift bits of centroid
+    precision — ranking noise, recovered by the exact re-rank."""
+    return max(0, int(n).bit_length() - 8)
+
+
+def _pq_coded(base: DataFrame) -> DataFrame:
+    """(vec_id, sub, subv, code): subspace slices + 4-bit sign cell.
+    Zero-centered embeddings make sign cells balanced; the code is
+    pure comparison algebra — identical in any engine."""
+    sub_arr = F.array(
+        *[F.slice("sv", s * PQ_SUBDIM + 1, PQ_SUBDIM) for s in range(PQ_M)]
+    )
+    subs = base.select("vec_id", F.posexplode(sub_arr).alias("sub", "subv"))
+    code = None
+    for j in range(PQ_BITS):
+        bit = F.when(F.element_at("subv", j + 1) >= 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
+        )
+        code = bit if code is None else code + bit
+    return subs.withColumn("code", code.cast("int"))
+
+
+def pq_ann(
+    emb: DataFrame,
+    k: int = 3,
+    n_queries: int = 20,
+    shortlist: int = PQ_SHORTLIST,
+    n_est: int | None = None,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011 shape): each vector
+    is coded per subspace by a 4-bit sign cell; the codebook entry is
+    the cell's exact int64 per-dim sum (down-shifted by
+    :func:`pq_shift`); queries precompute an asymmetric-distance LUT
+    (query-subvector x codebook dots, exact ints) and every candidate
+    is scored by the pure int64 sum of its 8 LUT entries — no float
+    appears until the final exact re-rank, so groupBy addition order
+    cannot perturb the shortlist and the DuckDB twin reproduces it
+    bit-for-bit.
+
+    The ADC score ranks by approximate *inner product* against cell
+    sums (unnormalized — standard for IP-metric PQ); shortlist recall
+    is guarded by the exact int-cosine re-rank of the top
+    ``shortlist`` and measured in s6's recall harness.
+
+    Scale shape: codes are PQ_M*PQ_BITS = 32 bits/vector (64x less
+    than raw float32); the LUT (n_queries x PQ_M x 2^PQ_BITS longs)
+    broadcasts; the ADC pass reads codes only. At 100 TB stack s4's
+    IVF cell pruning in front so the linear ADC scan touches probed
+    cells only."""
+    n = n_est if n_est is not None else emb.count()
+    shift = pq_shift(n)
+    base = (
+        emb.select("vec_id", scaled("embedding").alias("sv"))
+        .withColumn("nrm", int_dot(F.col("sv"), F.col("sv")))
+        .localCheckpoint(eager=False)  # feeds codes + both re-rank sides
+    )
+    coded = _pq_coded(base).localCheckpoint(eager=False)  # codebook+cand+LUT
+    cb = (
+        coded.select("sub", "code", F.posexplode("subv").alias("dim", "sx"))
+        .groupBy("sub", "code", "dim")
+        .agg(F.sum("sx").alias("cs"))
+        .groupBy("sub", "code")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", F.shiftright("cs", shift).alias("cs")))
+            ).alias("pairs")
+        )
+        .select("sub", "code", F.transform("pairs", lambda p: p["cs"]).alias("cv"))
+    )
+    lut = (
+        coded.where(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("qid"), "sub", "subv")
+        .join(broadcast(cb), "sub")
+        .select("qid", "sub", "code", int_dot(F.col("subv"), F.col("cv")).alias("part"))
+    )
+    adc = (
+        coded.select(F.col("vec_id").alias("cid"), "sub", "code")
+        .join(broadcast(lut), ["sub", "code"])
+        .where(F.col("qid") != F.col("cid"))
+        .groupBy("qid", "cid")
+        .agg(F.sum("part").alias("adc"))
+    )
+    wsl = Window.partitionBy("qid").orderBy(F.desc("adc"), "cid")
+    sl = adc.withColumn("ark", F.row_number().over(wsl)).where(
+        F.col("ark") <= shortlist
+    )
+    q = base.select(
+        F.col("vec_id").alias("qid"), F.col("sv").alias("qv"), F.col("nrm").alias("qn")
+    )
+    c = base.select(
+        F.col("vec_id").alias("cid"), F.col("sv").alias("cv2"), F.col("nrm").alias("cn")
+    )
+    cos = F.round(
+        cosine_from_ints(int_dot(F.col("qv"), F.col("cv2")), F.col("qn"), F.col("cn")),
+        9,
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "cid")
+    return (
+        sl.join(broadcast(q), "qid")
+        .join(c, "cid")
+        .withColumn("cosine", cos)
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= k)
+        .select("qid", "rk", "cid", "cosine", "adc")
+        .orderBy("qid", "rk")
+    )

@@ -63,6 +63,15 @@ def s4_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_ann(emb, k=K, n_queries=20, nprobe=3)
 
 
+def s8_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: 32-bit codes + exact-int ADC shortlist
+    + exact re-rank (operators/similarity.py::pq_ann). Deterministic
+    end-to-end (sign-cell codes, int64 codebook sums, int64 LUT
+    scores), so the DuckDB twin reproduces it bit-for-bit."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.pq_ann(emb, k=K, n_queries=20, n_est=_emb_rows(sf_dir))
+
+
 def s5_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 quantization error per label, exact integer accounting
     (operators/similarity.py::quantize_error)."""
@@ -101,8 +110,20 @@ def s6_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(name).alias("index"), "n_hits")
         )
 
-    u = one("ivf", similarity.ivf_ann(emb, k=K, n_queries=nq, nprobe=3)).unionByName(
-        one("lsh", similarity.lsh_ann(emb, k=K, n_queries=nq, n_est=_emb_rows(sf_dir)))
+    u = (
+        one("ivf", similarity.ivf_ann(emb, k=K, n_queries=nq, nprobe=3))
+        .unionByName(
+            one(
+                "lsh",
+                similarity.lsh_ann(emb, k=K, n_queries=nq, n_est=_emb_rows(sf_dir)),
+            )
+        )
+        .unionByName(
+            one(
+                "pq",
+                similarity.pq_ann(emb, k=K, n_queries=nq, n_est=_emb_rows(sf_dir)),
+            )
+        )
     )
     return u.select(
         "index",
@@ -129,6 +150,7 @@ QUERIES = {
     "s2_label_centroids": s2_label_centroids,
     "s3_lsh_ann": s3_lsh_ann,
     "s4_ivf_ann": s4_ivf_ann,
+    "s8_pq_ann": s8_pq_ann,
     "s5_quantize_error": s5_quantize_error,
     "s7_semdedup": s7_semdedup,
     "d9_embedding_neardup": d9_embedding_neardup,
@@ -341,6 +363,71 @@ def _s4_oracle(nq: int = 20, nprobe: int = 3) -> str:
     """
 
 
+_SUBDOT = (
+    "list_reduce(list_transform(range(1, {d}), i -> {{a}}[i] * {{b}}[i]),"
+    " (acc, x) -> acc + x)"
+).format(d=similarity.PQ_SUBDIM + 1)
+
+
+def _s8_oracle(nq: int = 20) -> str:
+    """Twin of pq_ann: identical sign-cell codes per subspace,
+    identical down-shifted exact-int codebook sums (>> is arithmetic
+    shift in both engines, so negatives floor the same way),
+    identical int64 LUT/ADC scores, identical exact-cosine re-rank."""
+    m, sd, bits = similarity.PQ_M, similarity.PQ_SUBDIM, similarity.PQ_BITS
+    shift = similarity.pq_shift(_oracle_emb_rows())
+    code = " + ".join(
+        f"(CASE WHEN subv[{j + 1}] >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"""
+        WITH base AS (
+          SELECT vec_id, {_SCALED} AS sv FROM embeddings),
+        b AS (
+          SELECT vec_id, sv, {_DOT.format(a='sv', b='sv')} AS nrm FROM base),
+        subs AS (
+          SELECT vec_id, s.sub AS sub,
+                 list_slice(sv, s.sub * {sd} + 1, s.sub * {sd} + {sd}) AS subv
+          FROM base CROSS JOIN (SELECT unnest(range(0, {m})) AS sub) s),
+        coded AS (
+          SELECT vec_id, sub, subv, ({code}) AS code FROM subs),
+        ex AS (
+          SELECT sub, code, CAST(generate_subscripts(subv, 1) AS INT) AS dim,
+                 unnest(subv) AS sx
+          FROM coded),
+        cbd AS (
+          SELECT sub, code, dim, CAST(SUM(sx) AS BIGINT) >> {shift} AS cs
+          FROM ex GROUP BY sub, code, dim),
+        cb AS (
+          SELECT sub, code, list(cs ORDER BY dim) AS cv
+          FROM cbd GROUP BY sub, code),
+        lut AS (
+          SELECT q.vec_id AS qid, q.sub, c.code,
+                 {_SUBDOT.format(a='q.subv', b='c.cv')} AS part
+          FROM coded q JOIN cb c ON q.sub = c.sub
+          WHERE q.vec_id < {nq}),
+        adc AS (
+          SELECT l.qid, d.vec_id AS cid, CAST(SUM(l.part) AS BIGINT) AS adc
+          FROM coded d JOIN lut l ON d.sub = l.sub AND d.code = l.code
+          WHERE l.qid <> d.vec_id
+          GROUP BY l.qid, d.vec_id),
+        sl AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc DESC, cid) AS ark
+          FROM adc),
+        rescored AS (
+          SELECT s.qid, s.cid, s.adc,
+                 round(CAST({_DOT.format(a='q.sv', b='c.sv')} AS DOUBLE)
+                   / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))), 9) AS cosine
+          FROM sl s JOIN b q ON q.vec_id = s.qid JOIN b c ON c.vec_id = s.cid
+          WHERE s.ark <= {similarity.PQ_SHORTLIST})
+        SELECT qid, rk, cid, cosine, adc FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS BIGINT) AS rk
+          FROM rescored)
+        WHERE rk <= {K}
+        ORDER BY qid, rk
+    """
+
+
 def _s6_oracle() -> str:
     """Twin of the recall harness: every index twin is deterministic,
     so the whole evaluation composes in SQL (nested-WITH CTEs)."""
@@ -349,12 +436,16 @@ def _s6_oracle() -> str:
         WITH exact AS ({_s1_sql(nq)}),
         ivfq AS ({_s4_oracle(nq)}),
         lshq AS ({_s3_oracle()}),
+        pqq AS ({_s8_oracle(nq)}),
         h AS (
           SELECT 'ivf' AS idx, CAST(COUNT(*) AS BIGINT) AS n_hits
           FROM ivfq a JOIN exact e ON a.qid = e.qid AND a.cid = e.cid
           UNION ALL
           SELECT 'lsh', CAST(COUNT(*) AS BIGINT)
-          FROM lshq a JOIN exact e ON a.qid = e.qid AND a.cid = e.cid)
+          FROM lshq a JOIN exact e ON a.qid = e.qid AND a.cid = e.cid
+          UNION ALL
+          SELECT 'pq', CAST(COUNT(*) AS BIGINT)
+          FROM pqq a JOIN exact e ON a.qid = e.qid AND a.cid = e.cid)
         SELECT idx AS "index", n_hits,
                CAST({nq * K} AS BIGINT) AS n_possible,
                CAST(n_hits AS DOUBLE) / CAST({nq * K} AS DOUBLE) AS recall
@@ -434,6 +525,7 @@ def build_oracle() -> dict[str, str]:
             "s7_semdedup": _s7_oracle(),
             "s3_lsh_ann": _s3_oracle(),
             "s4_ivf_ann": _s4_oracle(),
+            "s8_pq_ann": _s8_oracle(),
             "s6_ann_recall": _s6_oracle(),
         }
     )
