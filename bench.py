@@ -67,6 +67,10 @@ HEADLINE = [
     "p1_pii_scan",
     "d26_quality_buckets",
     "e18_rolling_active_users",
+    "e19_gap_fill",
+    "e20_mad_outliers",
+    "d27_bloom_contamination",
+    "s8_pq_ann",
 ]
 
 

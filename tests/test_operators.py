@@ -697,7 +697,7 @@ def test_ann_recall_sane(spark):
     from yuki_spark.queries.sim import s6_ann_recall
 
     out = {r["index"]: r for r in s6_ann_recall(spark, "/root/testdata/sf0.001").collect()}
-    assert set(out) == {"ivf", "lsh"}
+    assert set(out) == {"ivf", "lsh", "pq"}
     for r in out.values():
         assert 0.0 <= r["recall"] <= 1.0
         assert r["n_possible"] == 60

@@ -126,6 +126,10 @@ def main() -> None:
         "q23_skyline_parts",
         "e17_session_window_stats",
         "d24_weighted_sample",
+        "e19_gap_fill",
+        "e20_mad_outliers",
+        "d27_bloom_contamination",
+        "s8_pq_ann",
     ]
     qs["q1_pricing_summary"](spark, out).write.mode("overwrite").format("noop").save()
     timings = {}

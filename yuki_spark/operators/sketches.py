@@ -31,7 +31,12 @@ def hll_distinct(df: DataFrame, group: str, key: str, rsd: float = 0.05) -> Data
 
 def cm_sketch(df: DataFrame, key: str, eps: float = 0.001, confidence: float = 0.99):
     """Build one Count-Min sketch over ``key`` (binary, mergeable).
-    Returns the sketch bytes (driver-side: tiny, O(1/eps * ln(1/conf)))."""
+    Returns the sketch bytes (driver-side: tiny, O(1/eps * ln(1/conf))).
+
+    The single-row collect here is a whole-stream aggregate — fine at
+    any scale, but callers must NOT invoke it inside a per-group loop
+    (that would serialize one Spark job per group); sketch per-group
+    instead via ``count_min_sketch`` in a groupBy agg."""
     row = df.agg(
         F.count_min_sketch(F.col(key), F.lit(eps), F.lit(confidence), F.lit(42)).alias("cms")
     ).collect()[0]
