@@ -364,3 +364,56 @@ def test_upsert_snapshot_dedupes_intra_batch_duplicates(spark, tmp_path):
     r10 = got.where("event_id = 10").collect()
     assert len(r10) == 1
     assert r10[0]["ts"].strftime("%H:%M") == "11:00"
+
+
+def test_sketch_accumulator_matches_one_shot(spark, event_dir, tmp_path):
+    """CM-sketch maintenance across micro-batches is exact: merging
+    per-batch sketches reproduces the one-shot sketch over all rows
+    BIT-FOR-BIT (linearity), and a replayed batch id is skipped, not
+    double-counted."""
+    from yuki_spark.operators import sketches
+
+    state = str(tmp_path / "state" / "cm.bin")
+    q = st.run_sketch_accumulator(
+        st.read_event_stream(spark, event_dir),
+        "event_type",
+        state,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    applied, acc = st.read_sketch_state(state)
+    assert applied >= 0 and acc
+
+    batch = sketches.cm_sketch(spark.read.parquet(event_dir), "event_type")
+    assert acc == batch, "accumulated sketch must equal one-shot bytes"
+
+    # estimates flow through the probe path on the merged bytes
+    d, w, t = sketches.parse_cm_sketch(acc)
+    n_click = spark.read.parquet(event_dir).where(F.col("event_type") == "click").count()
+    est = sketches.cm_estimate_string(d, w, t, "click")
+    assert est >= n_click  # CM upper bias
+
+    # replay: re-running the whole stream with the same checkpoint
+    # must not change the state (same batch ids -> all skipped)
+    q2 = st.run_sketch_accumulator(
+        st.read_event_stream(spark, event_dir),
+        "event_type",
+        state,
+        str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(120)
+    applied2, acc2 = st.read_sketch_state(state)
+    assert (applied2, acc2) == (applied, acc)
+
+
+def test_merge_cm_bytes_linearity_and_guards(spark):
+    from yuki_spark.operators import sketches
+
+    a = spark.createDataFrame([(f"k{i % 7}",) for i in range(300)], "k string")
+    b = spark.createDataFrame([(f"k{i % 5}",) for i in range(200)], "k string")
+    sa = sketches.cm_sketch(a, "k")
+    sb = sketches.cm_sketch(b, "k")
+    sab = sketches.cm_sketch(a.unionAll(b), "k")
+    assert sketches.merge_cm_bytes(sa, sb) == sab
+    with pytest.raises(ValueError, match="incompatible"):
+        sketches.merge_cm_bytes(sa, sketches.cm_sketch(b, "k", eps=0.01))

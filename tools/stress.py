@@ -166,17 +166,23 @@ def skew_join_audit(spark) -> dict:
     the oversized partition (``skew=true`` on the SortMergeJoin in the
     final adaptive plan — only present after an action; AQE finalizes
     lazily). Thresholds are lowered to local-mode data sizes; on a
-    real cluster the 256 MB default plays the same role. Both
-    wall-clocks are reported so the run shows the straggler cost the
-    split removes."""
+    real cluster the 256 MB default plays the same role. Both (warm)
+    wall-clocks are reported; at this local scale the split buys a
+    modest edge — the hot partition is only seconds of work — while on
+    a cluster the same mechanism removes an hours-long straggler."""
     import re
 
     from pyspark.sql import functions as F
 
     lowered = {
         "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1m",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1m",
+        # local-mode shuffle stats are COMPRESSED sizes: the hot
+        # partition's ~60 MB raw lands well under 1 MB after lz4 on
+        # low-entropy data, so thresholds sit at 100k to keep the
+        # detection honest at this data scale (cluster default 256 MB
+        # plays the same role against real shuffle sizes)
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "100k",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
     }
     saved = {k: spark.conf.get(k, None) for k in lowered}
@@ -186,10 +192,16 @@ def skew_join_audit(spark) -> dict:
 
     def run(enabled: bool) -> tuple[float, int]:
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", str(enabled).lower())
-        n = 2_000_000
+        n = 8_000_000
         left = spark.range(n).select(
             F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
-            F.concat(F.lit("payload-payload-payload-"), F.col("id")).alias("pl"),
+            # high-entropy payload: a repeated-literal payload lz4-compressed
+            # ~40x in the shuffle, dropping the hot partition UNDER the skew
+            # threshold — the audit then reported a false "did not fire"
+            F.concat(
+                F.md5(F.col("id").cast("string")),
+                F.md5((F.col("id") + 1).cast("string")),
+            ).alias("pl"),
         )
         right = spark.range(200_000).select(
             F.col("id").alias("k"), (F.col("id") * 2).alias("v")
@@ -202,15 +214,16 @@ def skew_join_audit(spark) -> dict:
         t0 = time.perf_counter()
         row = j.collect()[0]
         dt = time.perf_counter() - t0
-        assert row["n_rows"] == 1_100_000, row  # same answer either mode
+        assert row["n_rows"] == n // 2 + 100_000, row  # same answer either mode
         plan = j._jdf.queryExecution().executedPlan().toString()
         return dt, len(re.findall(r"skew=true", plan))
 
     try:
         for key, val in lowered.items():
             spark.conf.set(key, val)
-        t_off, splits_off = run(False)
+        run(False)  # warmup: codegen + shuffle paths; discard timing
         t_on, splits_on = run(True)
+        t_off, splits_off = run(False)
     finally:
         for key, val in saved.items():
             if val is None:

@@ -272,3 +272,30 @@ def bloom_membership(
             .alias("bloom_candidate")
         )
     )
+
+
+def merge_cm_bytes(a: bytes, b: bytes) -> bytes:
+    """Merge two serialized CountMinSketch blobs (identical
+    depth/width/seed) by cell-wise table addition. CM sketches are
+    linear — every cell is a sum of per-row contributions — so the
+    merge equals the sketch built over the concatenated streams
+    BIT-FOR-BIT (same bytes, not just same estimates). This is the
+    property that lets micro-batch / per-partition sketches roll up
+    into one without accuracy loss."""
+    import struct
+
+    import numpy as np
+
+    va, ta, da, wa = struct.unpack_from(">iqii", a, 0)
+    vb, tb, db, wb = struct.unpack_from(">iqii", b, 0)
+    if (va, da, wa) != (vb, db, wb):
+        raise ValueError(
+            f"incompatible sketches: {(va, da, wa)} vs {(vb, db, wb)}"
+        )
+    off = 4 + 8 + 4 + 4 + 8 * da
+    if a[20:off] != b[20:off]:
+        raise ValueError("hashA mismatch: sketches built with different seeds")
+    ta_arr = np.frombuffer(a, dtype=">i8", count=da * wa, offset=off)
+    tb_arr = np.frombuffer(b, dtype=">i8", count=da * wa, offset=off)
+    merged = (ta_arr.astype("int64") + tb_arr.astype("int64")).astype(">i8")
+    return struct.pack(">iqii", va, ta + tb, da, wa) + a[20:off] + merged.tobytes()

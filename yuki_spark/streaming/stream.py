@@ -344,3 +344,77 @@ def run_upsert_snapshot(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_sketch_accumulator(
+    sdf: DataFrame,
+    key: str,
+    state_path: str,
+    checkpoint: str,
+    eps: float = 0.001,
+    confidence: float = 0.99,
+):
+    """Stream → maintained Count-Min sketch via foreachBatch merge.
+
+    Each micro-batch builds its own CM sketch (one whole-batch
+    aggregate) and folds it into the persisted sketch by cell-wise
+    table addition (operators/sketches.merge_cm_bytes). CM sketches
+    are linear, so after any batch split the accumulated sketch equals
+    the one-shot batch sketch over the same rows BIT-FOR-BIT — the
+    mergeable-state property that makes sketch maintenance exactly as
+    accurate as a full recompute, at O(1/eps·ln 1/δ) state.
+
+    Replay safety: the state file carries the last applied batch id in
+    an 8-byte header and is replaced atomically, so a re-delivered
+    micro-batch (checkpoint makes ids stable) is skipped instead of
+    double-counted — the same idempotent-sink recipe as
+    :func:`run_upsert_snapshot`."""
+    import os
+    import struct
+
+    from ..operators import sketches
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        applied = -1
+        prev = b""
+        if os.path.exists(state_path):
+            with open(state_path, "rb") as fh:
+                raw = fh.read()
+            applied = struct.unpack_from(">q", raw, 0)[0]
+            prev = raw[8:]
+        if batch_id <= applied:
+            return  # replayed batch: already folded in
+        part = None
+        if not batch_df.isEmpty():
+            part = sketches.cm_sketch(batch_df, key, eps, confidence)
+        merged = (
+            part
+            if not prev
+            else (prev if part is None else sketches.merge_cm_bytes(prev, part))
+        )
+        os.makedirs(os.path.dirname(state_path) or ".", exist_ok=True)
+        tmp = f"{state_path}.tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(struct.pack(">q", batch_id))
+            fh.write(merged or b"")
+        os.replace(tmp, state_path)  # id + sketch move together
+
+    return (
+        sdf.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_sketch_state(state_path: str) -> tuple[int, bytes]:
+    """(last applied batch id, sketch bytes) from an accumulator's
+    state file; (-1, b"") when nothing has been applied yet."""
+    import os
+    import struct
+
+    if not os.path.exists(state_path):
+        return -1, b""
+    with open(state_path, "rb") as fh:
+        raw = fh.read()
+    return struct.unpack_from(">q", raw, 0)[0], raw[8:]
