@@ -46,6 +46,7 @@ _PRIORITY = [
     "e20_mad_outliers",
     "d27_bloom_contamination",
     "s8_pq_ann",
+    "s9_kmeans_refine",
     # last driver row r2, code unchanged — refresh while slots allow
     "distinct_users_daily",
     "e2_sessionization",

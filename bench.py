@@ -71,6 +71,7 @@ HEADLINE = [
     "e20_mad_outliers",
     "d27_bloom_contamination",
     "s8_pq_ann",
+    "s9_kmeans_refine",
 ]
 
 

