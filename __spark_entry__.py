@@ -47,6 +47,9 @@ _PRIORITY = [
     "d27_bloom_contamination",
     "s8_pq_ann",
     "s9_kmeans_refine",
+    # similarity.py/sketches.py gained code this round; their existing
+    # query paths are untouched but the freshness rule is conservative
+    "s7_semdedup",
     # last driver row r2, code unchanged — refresh while slots allow
     "distinct_users_daily",
     "e2_sessionization",
