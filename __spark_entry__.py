@@ -47,6 +47,7 @@ _PRIORITY = [
     "d27_bloom_contamination",
     "s8_pq_ann",
     "s9_kmeans_refine",
+    "d28_token_zipf",
     # similarity.py/sketches.py gained code this round; their existing
     # query paths are untouched but the freshness rule is conservative
     "s7_semdedup",

@@ -72,6 +72,7 @@ HEADLINE = [
     "d27_bloom_contamination",
     "s8_pq_ann",
     "s9_kmeans_refine",
+    "d28_token_zipf",
 ]
 
 

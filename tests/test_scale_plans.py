@@ -212,6 +212,7 @@ ALLOWED_BNLJ = {
     "q22_global_sales_opp": 1,
     "s1_cosine_topk": 1,
     "d26_quality_buckets": 1,
+    "d28_token_zipf": 1,  # single-row corpus-total broadcast (q11 pattern)
     # k-means assignment IS an n x k product with a k-row (10) broadcast
     # side — one per Lloyd round. The same shape inside s4/s7's IVF
     # assignment hides behind its lazy checkpoint boundary; s9's is

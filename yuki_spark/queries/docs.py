@@ -266,6 +266,56 @@ def d17_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ZIPF_TOP = 50
+
+
+def d28_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary-coverage table (Zipf head): the top-50 tokens
+    by corpus frequency with rank, share, and cumulative share — the
+    "how much of the corpus do the k most frequent tokens cover"
+    curve a tokenizer/vocab design starts from.
+
+    Scale shape: one explode + hash aggregation to the vocabulary
+    grain (vocabulary ≪ corpus), then a single-partition ordered
+    window over the *aggregated* vocab for rank + cumulative sums —
+    exact ints until the final share divisions. Deterministic: rank
+    ties break on the token string."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    freq = (
+        text.with_tokens(docs)
+        .select(F.explode("toks").alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), "tok")
+    total = freq.agg(F.sum("freq").alias("total"))
+    ranked = (
+        freq.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .withColumn(
+            "cumfreq", F.sum("freq").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .where(F.col("rank") <= ZIPF_TOP)
+    )
+    return (
+        ranked.join(F.broadcast(total))
+        .select(
+            "tok",
+            "rank",
+            "freq",
+            (F.col("freq").cast("double") / F.col("total").cast("double")).alias(
+                "share"
+            ),
+            (F.col("cumfreq").cast("double") / F.col("total").cast("double")).alias(
+                "cum_share"
+            ),
+        )
+        .orderBy("rank")
+    )
+
+
 BLOOM_FP_BOUND = 0.05  # generous vs the designed ~0.8% fpp at 10 bits/key
 
 
@@ -660,6 +710,7 @@ QUERIES = {
     "d16_repetition": d16_repetition,
     "d17_contamination": d17_contamination,
     "d27_bloom_contamination": d27_bloom_contamination,
+    "d28_token_zipf": d28_token_zipf,
     "d18_sequence_packing": d18_sequence_packing,
     "d19_tfidf_top_terms": d19_tfidf_top_terms,
     "d20_dedup_apply": d20_dedup_apply,
@@ -1026,6 +1077,24 @@ ORACLE = {
                CAST(SUM(n_hits) AS DOUBLE) / CAST(SUM(n_grams) AS DOUBLE) AS overall_rate,
                CAST(SUM(CASE WHEN n_hits * 2 >= n_grams THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
         FROM pd GROUP BY lang ORDER BY lang
+    """,
+    "d28_token_zipf": f"""
+        WITH t AS (SELECT {_T} AS toks FROM documents),
+        tok AS (
+          SELECT tk AS tok FROM (SELECT unnest(toks) AS tk FROM t)
+          WHERE tk <> ''),
+        freq AS (SELECT tok, COUNT(*) AS freq FROM tok GROUP BY tok),
+        tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM freq),
+        r AS (
+          SELECT tok, freq,
+                 CAST(ROW_NUMBER() OVER w AS BIGINT) AS rank,
+                 CAST(SUM(freq) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cumfreq
+          FROM freq WINDOW w AS (ORDER BY freq DESC, tok))
+        SELECT tok, rank, freq,
+               CAST(freq AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+               CAST(cumfreq AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
+        FROM r, tot WHERE rank <= {ZIPF_TOP} ORDER BY rank
     """,
     "d27_bloom_contamination": f"""
         WITH t AS (SELECT doc_id, lang, {_T} AS toks FROM documents),
