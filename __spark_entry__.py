@@ -27,6 +27,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # r3 sweep covered the relational family). 40 stale keys total — all
 # fit inside one 50-row sweep with the r3-green keys trailing.
 _PRIORITY = [
+    # new this session (freshness rule: new keys lead the sweep)
+    "e21_cusum_drift",
+    "d29_dsir_weights",
+    "s10_cluster_balance",
     # r3-changed machinery, driver row still r2
     "d9_embedding_neardup",
     "s3_lsh_ann",

@@ -73,6 +73,9 @@ HEADLINE = [
     "s8_pq_ann",
     "s9_kmeans_refine",
     "d28_token_zipf",
+    "e21_cusum_drift",
+    "d29_dsir_weights",
+    "s10_cluster_balance",
 ]
 
 

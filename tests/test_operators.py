@@ -899,3 +899,41 @@ def test_kmeans_refine_partition_properties(spark):
     for r in out:
         assert sizes[r["cell"]] == r["cluster_size"]
         assert -1.0 <= r["affinity"] <= 1.0
+
+
+def test_cusum_drift_known_answer(spark, tmp_path):
+    """e21's CUSUM math on a hand-built rate shift: a type jumping
+    10→30 events/day at day 16 must flag exactly the excursion days
+    (cross-multiplied threshold 100·S² > T·D³), and a perfectly flat
+    type must stay at dev = cusum = 0 with no flags."""
+    import datetime as dt
+
+    from yuki_spark.queries import events as ev
+
+    rows = []
+    eid = 0
+    for day in range(1, 31):
+        for i in range(10 if day <= 15 else 30):
+            rows.append((eid, dt.datetime(2024, 1, day, i % 24), 1, "shift", 0.0, "{}"))
+            eid += 1
+        for i in range(10):
+            rows.append((eid, dt.datetime(2024, 1, day, i), 1, "flat", 0.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = str(tmp_path / "cat")
+    df.coalesce(1).write.parquet(out + "/events.parquet")
+    res = ev.e21_cusum_drift(spark, out).collect()
+    flat = [r for r in res if r["event_type"] == "flat"]
+    assert len(flat) == 30
+    assert all(r["dev"] == 0 and r["cusum"] == 0 and not r["drift"] for r in flat)
+    shift = {r["day"].day: r for r in res if r["event_type"] == "shift"}
+    # T=600, D=30: dev = ∓300 around the shift; S bottoms at -4500 on
+    # day 15 and returns to 0 on day 30; threshold |S| > sqrt(T·D³/100)
+    # = 402.49 → exactly days 2..28 flag
+    assert shift[15]["cusum"] == -4500
+    assert shift[30]["cusum"] == 0
+    assert sorted(d for d, r in shift.items() if r["drift"]) == list(range(2, 29))

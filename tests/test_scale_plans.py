@@ -218,6 +218,11 @@ ALLOWED_BNLJ = {
     # assignment hides behind its lazy checkpoint boundary; s9's is
     # visible because round-2 centroids derive from round-1 in-plan.
     "s9_kmeans_refine": 2,
+    "d29_dsir_weights": 1,  # single-row (Rtot, Ttot) totals broadcast
+    # s10's fit hides behind its lazy checkpoint boundary (computed
+    # once for both consumers); the visible BNLJ is the single-row
+    # k_active broadcast for the quota
+    "s10_cluster_balance": 1,
 }
 
 

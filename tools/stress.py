@@ -131,6 +131,9 @@ def main() -> None:
         "d27_bloom_contamination",
         "s8_pq_ann",
         "s9_kmeans_refine",
+        "e21_cusum_drift",
+        "d29_dsir_weights",
+        "s10_cluster_balance",
     ]
     qs["q1_pricing_summary"](spark, out).write.mode("overwrite").format("noop").save()
     timings = {}

@@ -365,6 +365,77 @@ def d27_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DSIR_TARGET_MOD = 13  # held-out target-domain sample: doc_id % 13 == 0
+DSIR_TOP = 25
+DSIR_SCALE = 1_000_000
+
+
+def d29_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023 shape): score
+    each raw document by how much more its tokens look like a held-out
+    target-domain sample than like the corpus at large, and surface
+    the top re-sampling candidates. Feature grain = word unigrams (at
+    the 100 TB grain DSIR hashes n-grams into buckets; this vocab is
+    far below any bucket budget, so the un-hashed grain is the same
+    computation).
+
+    Portability: instead of the paper's per-token log-ratio sum (ln is
+    the one op ADVICE.md flags as not bit-identical across engines),
+    the ratio of the doc's average target-frequency to its average
+    corpus-frequency is kept as ONE exact rational — num = Σ_occ
+    tc(tok) × Rtot, den = Σ_occ rc(tok) × Ttot — and the reported
+    score is the exact integer (num × SCALE) div den, so ordering and
+    the LIMIT cutoff are bit-identical in any engine.
+
+    Scale shape: one explode → vocab-grain agg (vocab ≪ corpus; both
+    distributions in a single pass via conditional sums), a token-keyed
+    join back (partial aggs + AQE; the vocab table broadcasts at any
+    realistic vocab size), per-doc agg, distributed top-k. int64 bound:
+    n_toks_doc × Ttot × SCALE — at larger corpora drop SCALE digits
+    (the same down-shift note as s8's ADC LUT)."""
+    docs = load(spark, sf_dir, "documents")
+    occ = (
+        text.with_tokens(docs)
+        .select(
+            "doc_id",
+            "source",
+            (F.col("doc_id") % DSIR_TARGET_MOD == 0).alias("is_target"),
+            F.explode("toks").alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    grams = occ.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("rc"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("tc"),
+    )
+    tot = grams.agg(F.sum("rc").alias("rtot"), F.sum("tc").alias("ttot"))
+    scored = (
+        occ.where(~F.col("is_target"))
+        .join(grams, "tok")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("tc").alias("tnum"),
+            F.sum("rc").alias("rden"),
+        )
+    )
+    return (
+        scored.join(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "source",
+            "n_grams",
+            "tnum",
+            "rden",
+            F.expr(f"(tnum * rtot * {DSIR_SCALE}) div (rden * ttot)").alias(
+                "score_ppm"
+            ),
+        )
+        .orderBy(F.desc("score_ppm"), "doc_id")
+        .limit(DSIR_TOP)
+    )
+
+
 PACK_BUDGET = 512  # tokens per training sequence
 
 
@@ -711,6 +782,7 @@ QUERIES = {
     "d17_contamination": d17_contamination,
     "d27_bloom_contamination": d27_bloom_contamination,
     "d28_token_zipf": d28_token_zipf,
+    "d29_dsir_weights": d29_dsir_weights,
     "d18_sequence_packing": d18_sequence_packing,
     "d19_tfidf_top_terms": d19_tfidf_top_terms,
     "d20_dedup_apply": d20_dedup_apply,
@@ -1095,6 +1167,31 @@ ORACLE = {
                CAST(freq AS DOUBLE) / CAST(total AS DOUBLE) AS share,
                CAST(cumfreq AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
         FROM r, tot WHERE rank <= {ZIPF_TOP} ORDER BY rank
+    """,
+    "d29_dsir_weights": f"""
+        WITH tk AS (
+          SELECT doc_id, source, (doc_id % {DSIR_TARGET_MOD} = 0) AS is_t,
+                 unnest({_T}) AS tok
+          FROM documents),
+        occ AS (SELECT * FROM tk WHERE tok <> ''),
+        g AS (
+          SELECT tok, CAST(COUNT(*) AS BIGINT) AS rc,
+                 CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS tc
+          FROM occ GROUP BY tok),
+        tot AS (
+          SELECT CAST(SUM(rc) AS BIGINT) AS rtot,
+                 CAST(SUM(tc) AS BIGINT) AS ttot
+          FROM g),
+        sc AS (
+          SELECT doc_id, source, COUNT(*) AS n_grams,
+                 CAST(SUM(tc) AS BIGINT) AS tnum,
+                 CAST(SUM(rc) AS BIGINT) AS rden
+          FROM occ JOIN g USING (tok) WHERE NOT is_t
+          GROUP BY doc_id, source)
+        SELECT doc_id, source, n_grams, tnum, rden,
+               CAST((tnum * rtot * {DSIR_SCALE}) // (rden * ttot) AS BIGINT)
+                 AS score_ppm
+        FROM sc, tot ORDER BY score_ppm DESC, doc_id LIMIT {DSIR_TOP}
     """,
     "d27_bloom_contamination": f"""
         WITH t AS (SELECT doc_id, lang, {_T} AS toks FROM documents),

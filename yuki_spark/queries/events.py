@@ -574,6 +574,68 @@ def e16_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CUSUM drift flag fires when |S_t| > D*sqrt(T*D) / 10, tested in the
+# cross-multiplied exact-int form  100*S^2 > T*D^3  (no sqrt, no
+# float).  The sqrt(T) scaling keeps the threshold relative to the
+# random walk's natural Poisson magnitude at any volume, and the /10
+# sensitivity is calibrated so ordinary fluctuation occasionally
+# crosses it — both flag branches are exercised at every test sf.
+CUSUM_NUM = 100  # (10)^2 from the cross-multiplied /10
+
+
+def e21_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan over daily event volume per type (Page
+    1954): the running sum of each day's deviation from the
+    partition mean drifts away from zero when the underlying rate
+    shifts — the standard drift detector a pipeline runs over its
+    ingest volumes.
+
+    Portability: the day-mean T/D is rational, so deviations are kept
+    ×D — ``dev = n*D - T`` — making the running sum an exact int64
+    chain whose sign/threshold comparisons are bit-identical in any
+    engine (no float mean, no rounding). The flag threshold
+    |S_t| > D*sqrt(T*D)/10 is likewise tested sqrt-free in the
+    cross-multiplied exact-int form 100*S^2 > T*D^3.
+
+    Scale shape: one shuffle to the (type, day) grain (partial
+    count map-side), then two windows over the *aggregated* daily
+    table (types × days rows — tiny) on one partitioning. int64
+    bounds: S^2 <= (T*D)^2, fine through the 10x stress grain; at
+    true 100 TB volumes pre-divide the daily counts by a common
+    factor before scaling (noted, not needed at any test sf)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    wp = Window.partitionBy("event_type")
+    wr = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        daily.withColumn("total", F.sum("n_events").over(wp))
+        .withColumn("n_days", F.count(F.lit(1)).over(wp))
+        .withColumn("dev", F.col("n_events") * F.col("n_days") - F.col("total"))
+        .withColumn("cusum", F.sum("dev").over(wr))
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            "dev",
+            "cusum",
+            (
+                F.col("cusum") * F.col("cusum") * CUSUM_NUM
+                > F.col("total")
+                * F.col("n_days")
+                * F.col("n_days")
+                * F.col("n_days")
+            ).alias("drift"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
 QUERIES = {
     "e13_zscore_outliers": e13_zscore_outliers,
     "e15_retention_cohorts": e15_retention_cohorts,
@@ -594,6 +656,7 @@ QUERIES = {
     "e18_rolling_active_users": e18_rolling_active_users,
     "e19_gap_fill": e19_gap_fill,
     "e20_mad_outliers": e20_mad_outliers,
+    "e21_cusum_drift": e21_cusum_drift,
     "distinct_users_daily": distinct_users_daily,
 }
 
@@ -652,6 +715,30 @@ ORACLE = {
         SELECT event_type, day, di,
                CAST(num AS DOUBLE) / {float((1 << EWMA_SPAN) - 1) * 1_000_000.0} AS ewma
         FROM l ORDER BY event_type, day
+    """,
+    "e21_cusum_drift": f"""
+        WITH daily AS (
+          SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                 COUNT(*) AS n_events
+          FROM events GROUP BY 1, 2),
+        d AS (
+          SELECT event_type, day, n_events,
+                 SUM(n_events) OVER (PARTITION BY event_type) AS total,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n_days
+          FROM daily),
+        c AS (
+          SELECT event_type, day, n_events,
+                 CAST(n_events * n_days - total AS BIGINT) AS dev,
+                 CAST(SUM(n_events * n_days - total) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cusum,
+                 total, n_days
+          FROM d)
+        SELECT event_type, day, n_events, dev, cusum,
+               cusum * cusum * {CUSUM_NUM} > total * n_days * n_days * n_days
+                 AS drift
+        FROM c ORDER BY event_type, day
     """,
     "e13_zscore_outliers": """
         WITH st AS (

@@ -81,6 +81,60 @@ def s9_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.kmeans_refine(emb)
 
 
+BALANCE_BUDGET = 200  # selection budget for the balanced subset
+
+
+def s10_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced subset selection (topic balancing): cap every
+    k-means cluster at an equal share of the selection budget and fill
+    each cluster's quota in portable-hash order — the de-skewing step
+    a pretraining mix runs after clustering (over-represented topics
+    are capped; rare topics survive whole). Composes the s9 fit with
+    d25's deterministic quota-fill machinery.
+
+    Quota rule: budget div k_active per cluster, capped at the
+    cluster's own size (one-shot cap, no iterative water-filling —
+    the under-fill is the point: it is the mass removed from
+    over-represented clusters). Fill order is the Knuth multiplicative
+    hash of vec_id (sampling.bucket), vec_id tiebreak — deterministic
+    in any engine.
+
+    Scale shape: the fit is s9's (broadcast centroids, map-side
+    assignment); the balance adds one single-row broadcast (k_active)
+    and one row_number window per cell on the already-cell-partitioned
+    fit — no extra corpus shuffle beyond the fit's own."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ..operators import sampling
+
+    emb = load(spark, sf_dir, "embeddings")
+    # lazy checkpoint: the fit feeds both the k_active scalar and the
+    # main branch — compute it once, not once per consumer (same
+    # pattern as the IVF assignment inside s4/s7)
+    fit = (
+        similarity.kmeans_refine(emb)
+        .select("vec_id", "cell", "cluster_size")
+        .localCheckpoint(eager=False)
+    )
+    kact = fit.agg(F.countDistinct("cell").alias("k_active"))
+    w = Window.partitionBy("cell").orderBy(sampling.bucket("vec_id"), "vec_id")
+    return (
+        fit.join(F.broadcast(kact))
+        .withColumn(
+            "quota",
+            F.least(
+                F.col("cluster_size"),
+                F.expr(f"{BALANCE_BUDGET} div k_active").cast("bigint"),
+            ),
+        )
+        .withColumn("pick_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("pick_rank") <= F.col("quota"))
+        .select("vec_id", "cell", "cluster_size", "quota", "pick_rank")
+        .orderBy("vec_id")
+    )
+
+
 def s5_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 quantization error per label, exact integer accounting
     (operators/similarity.py::quantize_error)."""
@@ -161,6 +215,7 @@ QUERIES = {
     "s4_ivf_ann": s4_ivf_ann,
     "s8_pq_ann": s8_pq_ann,
     "s9_kmeans_refine": s9_kmeans_refine,
+    "s10_cluster_balance": s10_cluster_balance,
     "s5_quantize_error": s5_quantize_error,
     "s7_semdedup": s7_semdedup,
     "d9_embedding_neardup": d9_embedding_neardup,
@@ -438,12 +493,10 @@ def _s8_oracle(nq: int = 20) -> str:
     """
 
 
-def _s9_oracle() -> str:
-    """Twin of kmeans_refine (k=10, 2 rounds): seed centroids are the
-    raw scaled vectors of vec_id < k; round-2 centroids are exact-int
-    per-dim member sums; assignment = max double-fold affinity with
-    cell tiebreak — every piece already proven exact by the s4/s7
-    twins."""
+def _s9_ctes() -> str:
+    """The k-means fit as a CTE chain ending at ``as2`` (vec_id, cell,
+    a) — shared by the s9 twin and s10's balanced-selection twin (ONE
+    source of truth for the fit)."""
     k, rounds = similarity.KMEANS_K, similarity.KMEANS_ROUNDS
     assert rounds == 2, "twin is written for exactly 2 Lloyd rounds"
     aff = (
@@ -452,8 +505,7 @@ def _s9_oracle() -> str:
         + _DDOT.format(a="c.cv", b="c.cv")
         + "))"
     )
-    return f"""
-        WITH base AS (
+    return f"""base AS (
           SELECT vec_id, {_SCALED} AS sv FROM embeddings),
         b AS (
           SELECT vec_id, sv, {_DOT.format(a='sv', b='sv')} AS nrm FROM base),
@@ -483,10 +535,48 @@ def _s9_oracle() -> str:
           SELECT vec_id, cell, a FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                        ORDER BY a DESC, cell) AS rk
-            FROM a2) WHERE rk = 1)
+            FROM a2) WHERE rk = 1)"""
+
+
+def _s9_oracle() -> str:
+    """Twin of kmeans_refine (k=10, 2 rounds): seed centroids are the
+    raw scaled vectors of vec_id < k; round-2 centroids are exact-int
+    per-dim member sums; assignment = max double-fold affinity with
+    cell tiebreak — every piece already proven exact by the s4/s7
+    twins."""
+    return f"""
+        WITH {_s9_ctes()}
         SELECT vec_id, cell, round(a, 9) AS affinity,
                COUNT(*) OVER (PARTITION BY cell) AS cluster_size
         FROM as2 ORDER BY vec_id
+    """
+
+
+def _s10_oracle() -> str:
+    """Twin of s10_cluster_balance: the s9 fit CTEs verbatim, then the
+    same one-shot quota (budget div k_active, capped at cluster size)
+    filled in Knuth-hash order — all-integer, engine-identical."""
+    from ..operators import sampling
+
+    return f"""
+        WITH {_s9_ctes()},
+        fit AS (
+          SELECT vec_id, cell,
+                 COUNT(*) OVER (PARTITION BY cell) AS cluster_size
+          FROM as2),
+        ka AS (
+          SELECT CAST(COUNT(DISTINCT cell) AS BIGINT) AS k_active
+          FROM fit),
+        q AS (
+          SELECT f.vec_id, f.cell, f.cluster_size,
+                 least(f.cluster_size,
+                       CAST({BALANCE_BUDGET} // k_active AS BIGINT)) AS quota,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY f.cell
+                      ORDER BY {sampling.sql_bucket('f.vec_id')}, f.vec_id)
+                   AS BIGINT) AS pick_rank
+          FROM fit f, ka)
+        SELECT vec_id, cell, cluster_size, quota, pick_rank
+        FROM q WHERE pick_rank <= quota ORDER BY vec_id
     """
 
 
@@ -589,6 +679,7 @@ def build_oracle() -> dict[str, str]:
             "s4_ivf_ann": _s4_oracle(),
             "s8_pq_ann": _s8_oracle(),
             "s9_kmeans_refine": _s9_oracle(),
+            "s10_cluster_balance": _s10_oracle(),
             "s6_ann_recall": _s6_oracle(),
         }
     )
