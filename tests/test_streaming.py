@@ -406,6 +406,43 @@ def test_sketch_accumulator_matches_one_shot(spark, event_dir, tmp_path):
     assert (applied2, acc2) == (applied, acc)
 
 
+def test_hll_accumulator_matches_one_shot(spark, event_dir, tmp_path):
+    """HLL maintenance across micro-batches: register-MAX union makes
+    the accumulated sketch's ESTIMATE equal the one-shot sketch's over
+    all rows (bytes may differ — union can densify a sparse sketch),
+    the estimate is near-exact at this cardinality, and replayed batch
+    ids are skipped."""
+    from yuki_spark.operators import sketches
+
+    state = str(tmp_path / "state" / "hll.bin")
+    q = st.run_hll_accumulator(
+        st.read_event_stream(spark, event_dir),
+        "user_id",
+        state,
+        str(tmp_path / "ckpt_hll"),
+    )
+    q.awaitTermination(120)
+    applied, acc = st.read_sketch_state(state)
+    assert applied >= 0 and acc
+
+    one_shot = sketches.hll_sketch(spark.read.parquet(event_dir), "user_id")
+    est_acc = sketches.hll_estimate(spark, acc)
+    assert est_acc == sketches.hll_estimate(spark, one_shot)
+
+    exact = spark.read.parquet(event_dir).select("user_id").distinct().count()
+    # 2^12 registers: sparse-mode exact far beyond this cardinality
+    assert abs(est_acc - exact) <= max(2, 0.02 * exact)
+
+    q2 = st.run_hll_accumulator(
+        st.read_event_stream(spark, event_dir),
+        "user_id",
+        state,
+        str(tmp_path / "ckpt_hll"),
+    )
+    q2.awaitTermination(120)
+    assert st.read_sketch_state(state) == (applied, acc)
+
+
 def test_merge_cm_bytes_linearity_and_guards(spark):
     from yuki_spark.operators import sketches
 

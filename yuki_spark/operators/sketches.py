@@ -29,6 +29,38 @@ def hll_distinct(df: DataFrame, group: str, key: str, rsd: float = 0.05) -> Data
     )
 
 
+HLL_LGK = 12  # DataSketches lgConfigK: 2^12 registers, ~0.8% rse
+
+
+def hll_sketch(df: DataFrame, key: str, lgk: int = HLL_LGK) -> bytes:
+    """Build one DataSketches HLL sketch over ``key`` (binary,
+    mergeable). Same single-row-collect contract as :func:`cm_sketch`:
+    a whole-stream aggregate, never inside a per-group loop."""
+    row = df.agg(F.hll_sketch_agg(F.col(key), F.lit(lgk)).alias("s")).collect()[0]
+    return bytes(row["s"])
+
+
+def merge_hll_bytes(spark, a: bytes, b: bytes) -> bytes:
+    """Union two serialized HLL sketches (same lgConfigK). HLL merge
+    is register-wise MAX — idempotent and order-independent — so the
+    union's ESTIMATE equals the one-shot sketch's over the
+    concatenated streams (the serialized bytes may differ: the union
+    can densify a sparse sketch). One-row JVM job via ``hll_union``;
+    no Python-side parsing of the DataSketches binary format."""
+    row = spark.range(1).select(F.hll_union(F.lit(a), F.lit(b)).alias("m")).collect()[0]
+    return bytes(row["m"])
+
+
+def hll_estimate(spark, sketch: bytes) -> int:
+    """Distinct-count estimate of a serialized HLL sketch."""
+    row = (
+        spark.range(1)
+        .select(F.hll_sketch_estimate(F.lit(sketch)).alias("e"))
+        .collect()[0]
+    )
+    return int(row["e"])
+
+
 def cm_sketch(df: DataFrame, key: str, eps: float = 0.001, confidence: float = 0.99):
     """Build one Count-Min sketch over ``key`` (binary, mergeable).
     Returns the sketch bytes (driver-side: tiny, O(1/eps * ln(1/conf))).

@@ -369,10 +369,52 @@ def run_sketch_accumulator(
     micro-batch (checkpoint makes ids stable) is skipped instead of
     double-counted — the same idempotent-sink recipe as
     :func:`run_upsert_snapshot`."""
+    from ..operators import sketches
+
+    return _run_state_accumulator(
+        sdf,
+        state_path,
+        checkpoint,
+        build=lambda bdf: sketches.cm_sketch(bdf, key, eps, confidence),
+        merge=sketches.merge_cm_bytes,
+    )
+
+
+def run_hll_accumulator(
+    sdf: DataFrame,
+    key: str,
+    state_path: str,
+    checkpoint: str,
+    lgk: int | None = None,
+):
+    """Stream → maintained HLL distinct-count sketch via foreachBatch
+    union — the CM accumulator's twin for the OTHER mergeable-state
+    family: CM cells merge by addition (linear), HLL registers merge
+    by MAX (idempotent), so the accumulated union's estimate equals
+    the one-shot batch sketch's over the same rows (asserted in
+    tests/test_streaming.py; serialized bytes may legitimately differ
+    when the union densifies a sparse sketch). Same batch-id header /
+    atomic-replace replay safety as :func:`run_sketch_accumulator`."""
+    from ..operators import sketches
+
+    spark = sdf.sparkSession
+    k = sketches.HLL_LGK if lgk is None else lgk
+    return _run_state_accumulator(
+        sdf,
+        state_path,
+        checkpoint,
+        build=lambda bdf: sketches.hll_sketch(bdf, key, k),
+        merge=lambda a, b: sketches.merge_hll_bytes(spark, a, b),
+    )
+
+
+def _run_state_accumulator(sdf: DataFrame, state_path: str, checkpoint: str, build, merge):
+    """Shared mergeable-sketch maintenance loop: per micro-batch,
+    ``build`` one sketch over the batch and ``merge`` it into the
+    persisted bytes, guarded by the last-applied-batch-id header so
+    replays are skipped (see run_sketch_accumulator's docstring)."""
     import os
     import struct
-
-    from ..operators import sketches
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         applied = -1
@@ -386,11 +428,9 @@ def run_sketch_accumulator(
             return  # replayed batch: already folded in
         part = None
         if not batch_df.isEmpty():
-            part = sketches.cm_sketch(batch_df, key, eps, confidence)
+            part = build(batch_df)
         merged = (
-            part
-            if not prev
-            else (prev if part is None else sketches.merge_cm_bytes(prev, part))
+            part if not prev else (prev if part is None else merge(prev, part))
         )
         os.makedirs(os.path.dirname(state_path) or ".", exist_ok=True)
         tmp = f"{state_path}.tmp"
