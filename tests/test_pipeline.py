@@ -691,3 +691,99 @@ def test_store_purge_keeps_plan_hashed_deposits(spark, tmp_path):
     assert dep != p.impression_ids()["by_segment"]  # address is plan-folded
     removed = store.purge([p])
     assert store.exists(dep) and dep not in removed
+
+
+def test_topo_levels_partition_and_cycles():
+    p = build_pipe()
+    levels = p.topo_levels()
+    assert levels == [["customer", "orders"], ["joined"], ["by_segment"]]
+    assert [n for lvl in levels for n in lvl] != [] and sorted(
+        n for lvl in levels for n in lvl
+    ) == sorted(p.tasks)
+    c = Pipeline("cyc")
+    c.add("a", lambda s, d: None, deps=("b",))
+    c.add("b", lambda s, d: None, deps=("a",))
+    with pytest.raises(CycleError):
+        c.topo_levels()
+
+
+def test_run_parallel_matches_sequential(spark, tmp_path):
+    """Level-parallel execution (O20) must reproduce the sequential
+    backend's statuses, impressions, and results — including failure
+    fan-out from one branch while a sibling branch finishes."""
+    store = ImpressionStore(str(tmp_path / "imps"))
+    seq = LocalBackend(ImpressionStore(str(tmp_path / "imps_seq")), persist={"by_segment"}).run(
+        spark, build_pipe()
+    )
+    p = build_pipe()
+    par = LocalBackend(store, persist={"by_segment"}).run_parallel(spark, p, max_workers=4)
+    assert par["statuses"] == seq["statuses"]
+    assert sorted(par["impressions"]) == sorted(seq["impressions"])
+    a = {r["c_mktsegment"]: r["n"] for r in par["results"]["by_segment"].collect()}
+    b = {r["c_mktsegment"]: r["n"] for r in seq["results"]["by_segment"].collect()}
+    assert a == b
+
+    # failure in one branch: sibling level-mates still finish, and the
+    # fan-out lands before the next level starts
+    p2 = build_pipe()
+    p2.add("boom", lambda s, d: s.read.parquet("/nonexistent/nope.parquet"),
+           deps=("orders",))
+    p2.add("after_boom", lambda s, d: d["boom"], deps=("boom",))
+    out = LocalBackend().run_parallel(spark, p2, max_workers=4)
+    assert out["statuses"]["boom"] == "failed"
+    assert out["statuses"]["after_boom"] == "upstream_failed"
+    assert out["statuses"]["by_segment"] == "compiled"
+
+
+def test_run_async_dispatch_and_poll(spark):
+    """O20's Celery-parity surface: dispatch returns immediately with
+    a pollable handle; join() returns the backend result; statuses are
+    live during execution."""
+    import time
+
+    p = build_pipe()
+
+    def slow(s, d):
+        time.sleep(1.0)
+        return d["by_segment"]
+
+    p.add("slow_tail", slow, deps=("by_segment",))
+    be = LocalBackend(eager=True)
+    h = be.run_async(spark, p)
+    # the handle exists before completion; poll until done
+    deadline = time.time() + 120
+    saw_live = False
+    while not h.done():
+        saw_live = True
+        assert h.status() in ("raw", "running", "partial", "finished")
+        if time.time() > deadline:
+            raise AssertionError("async run never completed")
+        time.sleep(0.05)
+    out = h.join()
+    assert out["statuses"]["slow_tail"] == "finished"
+    assert saw_live, "run finished before a single poll — not async-observable"
+    assert h.status() == "finished"
+
+
+def test_run_async_join_timeout_and_kill(spark):
+    import time
+
+    p = build_pipe()
+
+    def sleepy(s, d):
+        time.sleep(3.0)
+        return d["by_segment"]
+
+    p.add("sleepy", sleepy, deps=("by_segment",))
+    be = LocalBackend(eager=True)
+    h = be.run_async(spark, p)
+    with pytest.raises(TimeoutError):
+        h.join(timeout=0.2)
+    h.kill()
+    out = h.join(timeout=120)
+    # the in-flight task finishes or is marked failed by the kill;
+    # nothing may be left in a live state
+    assert all(
+        s in ("finished", "compiled", "failed", "reused")
+        for s in out["statuses"].values()
+    )

@@ -117,10 +117,17 @@ class LocalBackend:
         # deposit without a version bump (see impression_id docstring)
         self.plan_hash = plan_hash
         self._killed = False
+        import threading
+
+        # run_parallel: serialize journal appends across worker
+        # threads (session-conf overrides never run concurrently —
+        # run_parallel serializes any level carrying task conf)
+        self._journal_lock = threading.Lock()
 
     def _journal(self, pipe: Pipeline, task: str, status: str, error: str | None = None):
         if self.status_store is not None:
-            self.status_store.record(pipe.name, task, status, error=error)
+            with self._journal_lock:
+                self.status_store.record(pipe.name, task, status, error=error)
 
     def kill(self, pipe: Pipeline) -> None:
         """Parity: ImpressionStorage.kill — mark unfinished work failed."""
@@ -140,120 +147,225 @@ class LocalBackend:
         pending_obs: dict[str, Any] = {}
         explains: dict[str, str] = {}
         for name in order:
-            t = pipe.tasks[name]
-            if t.status == "upstream_failed" or self._killed:
-                if self._killed and t.status in ("raw", "waiting", "running"):
-                    # parity: kill marks unfinished work failed — a task
-                    # skipped because of the kill must not look in-flight
-                    t.status = "failed"
-                    self._journal(pipe, name, "failed")
-                continue
-            t.status = "running"
-            self._journal(pipe, name, "running")
-            dep_ids = [imp_ids.get(d, f"{d}@{pipe.tasks[d].version}") for d in t.deps]
-            plan_str = None
-            precompiled: DataFrame | None = None
-            compile_err: Exception | None = None
-            if self.plan_hash:
-                # compile ONCE for addressing, under the task's own
-                # conf (conf-sensitive plans must hash as they
-                # execute); the DataFrame is reused by the first
-                # attempt below so fn never runs twice for one
-                # attempt, and a compile failure is re-raised inside
-                # the attempt loop (full failure handling) without
-                # invoking fn again
-                try:
-                    with _task_conf(spark, t.conf):
-                        precompiled = t.fn(spark, {d: results[d] for d in t.deps})
-                    plan_str = (
-                        precompiled._jdf.queryExecution().logical().toString()
+            self._run_one(spark, pipe, name, results, imp_ids, pending_obs, explains)
+        return self._finalize(spark, pipe, order, results, imp_ids, pending_obs, explains)
+
+    def run_parallel(
+        self, spark: SparkSession, pipe: Pipeline, max_workers: int = 4
+    ) -> dict[str, Any]:
+        """Level-parallel execution (parity: Yuki's Snakemake backend
+        runs independent jobs concurrently; Spark schedules jobs
+        submitted from multiple threads across the same executors —
+        the standard way to overlap DAG branches whose individual
+        jobs underutilize the cluster).
+
+        Tasks within one Kahn level share no dependency, so each level
+        runs on a thread pool with a barrier between levels — failure
+        fan-out (``upstream_failed``) from level N is visible before
+        level N+1 starts, exactly like the sequential backend. A level
+        containing any task with runner ``conf`` runs sequentially:
+        Spark SQL conf is session-global, so a concurrent override
+        would leak into sibling tasks' compiles."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        levels = pipe.topo_levels()
+        order = [n for lvl in levels for n in lvl]
+        for n in order:
+            pipe.tasks[n].status = "waiting"
+        results: dict[str, DataFrame] = {}
+        imp_ids: dict[str, str] = {}
+        pending_obs: dict[str, Any] = {}
+        explains: dict[str, str] = {}
+        with ThreadPoolExecutor(max_workers=max_workers) as ex:
+            for lvl in levels:
+                if len(lvl) == 1 or any(pipe.tasks[n].conf for n in lvl):
+                    for name in lvl:
+                        self._run_one(
+                            spark, pipe, name, results, imp_ids, pending_obs, explains
+                        )
+                    continue
+                futs = [
+                    ex.submit(
+                        self._run_one,
+                        spark,
+                        pipe,
+                        name,
+                        results,
+                        imp_ids,
+                        pending_obs,
+                        explains,
                     )
-                except Exception as e:  # noqa: BLE001
-                    compile_err = e
-            imp = impression_id(t.name, t.version, dep_ids, plan=plan_str)
-            imp_ids[name] = imp
-            t.impression = imp  # purge's keep-set must see the real address
-            # transient-failure tolerance: a long pipeline shouldn't
-            # die to one flaky task attempt (Yuki reruns failed jobs
-            # on resubmit; here attempts are in-process)
-            for attempt in range(self.max_retries + 1):
-                try:
-                    if compile_err is not None:
-                        e, compile_err = compile_err, None
-                        raise e
+                    for name in lvl
+                ]
+                for f in futs:
+                    f.result()  # barrier; surfaces unexpected errors
+        return self._finalize(spark, pipe, order, results, imp_ids, pending_obs, explains)
+
+    def run_async(
+        self,
+        spark: SparkSession,
+        pipe: Pipeline,
+        max_workers: int = 0,
+    ) -> "AsyncRun":
+        """Dispatch a run in a background thread and return a pollable
+        handle (parity: Yuki's Celery ``task_exec_impression`` —
+        /root/reference/Yuki/server/tasks.py:30 — dispatches execution
+        and clients poll the status routes). ``max_workers > 0`` uses
+        :meth:`run_parallel` inside the dispatched thread."""
+        import threading
+
+        handle = AsyncRun(pipe, self)
+
+        def _target() -> None:
+            try:
+                handle._result = (
+                    self.run_parallel(spark, pipe, max_workers)
+                    if max_workers > 0
+                    else self.run(spark, pipe)
+                )
+            except BaseException as e:  # noqa: BLE001 — surface via join()
+                handle._error = e
+
+        t = threading.Thread(target=_target, name=f"pipeline-{pipe.name}", daemon=True)
+        handle._thread = t
+        t.start()
+        return handle
+
+    def _run_one(
+        self,
+        spark: SparkSession,
+        pipe: Pipeline,
+        name: str,
+        results: dict[str, DataFrame],
+        imp_ids: dict[str, str],
+        pending_obs: dict[str, Any],
+        explains: dict[str, str],
+    ) -> None:
+        t = pipe.tasks[name]
+        if t.status == "upstream_failed" or self._killed:
+            if self._killed and t.status in ("raw", "waiting", "running"):
+                # parity: kill marks unfinished work failed — a task
+                # skipped because of the kill must not look in-flight
+                t.status = "failed"
+                self._journal(pipe, name, "failed")
+            return
+        t.status = "running"
+        self._journal(pipe, name, "running")
+        dep_ids = [imp_ids.get(d, f"{d}@{pipe.tasks[d].version}") for d in t.deps]
+        plan_str = None
+        precompiled: DataFrame | None = None
+        compile_err: Exception | None = None
+        if self.plan_hash:
+            # compile ONCE for addressing, under the task's own
+            # conf (conf-sensitive plans must hash as they
+            # execute); the DataFrame is reused by the first
+            # attempt below so fn never runs twice for one
+            # attempt, and a compile failure is re-raised inside
+            # the attempt loop (full failure handling) without
+            # invoking fn again
+            try:
+                with _task_conf(spark, t.conf):
+                    precompiled = t.fn(spark, {d: results[d] for d in t.deps})
+                plan_str = (
+                    precompiled._jdf.queryExecution().logical().toString()
+                )
+            except Exception as e:  # noqa: BLE001
+                compile_err = e
+        imp = impression_id(t.name, t.version, dep_ids, plan=plan_str)
+        imp_ids[name] = imp
+        t.impression = imp  # purge's keep-set must see the real address
+        # transient-failure tolerance: a long pipeline shouldn't
+        # die to one flaky task attempt (Yuki reruns failed jobs
+        # on resubmit; here attempts are in-process)
+        for attempt in range(self.max_retries + 1):
+            try:
+                if compile_err is not None:
+                    e, compile_err = compile_err, None
+                    raise e
+                if (
+                    self.store is not None
+                    and name in self.persist
+                    and self.store.exists(imp)
+                    and not self.store.is_archived(imp)
+                ):
+                    results[name] = self.store.read(spark, imp)
+                    t.status = "reused"
+                    self._journal(pipe, name, "reused")
+                    t.result = results[name]
+                    break
+                with _task_conf(spark, t.conf):
+                    if precompiled is not None:
+                        df, precompiled = precompiled, None
+                    else:
+                        inputs = {d: results[d] for d in t.deps}
+                        df = t.fn(spark, inputs)
+                    if self.store is not None and self.collect_logs:
+                        explains[name] = df._jdf.queryExecution().explainString(
+                            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                                "formatted"
+                            )
+                        )
+                    obs = None
+                    if self.observe:
+                        from pyspark.sql import Observation
+                        from pyspark.sql import functions as F
+
+                        obs = Observation(f"{pipe.name}.{name}#{attempt}")
+                        df = df.observe(
+                            obs,
+                            F.count(F.lit(1)).alias("n_rows"),
+                            *self.metrics.get(name, []),
+                        )
+                    executed = False
                     if (
                         self.store is not None
                         and name in self.persist
-                        and self.store.exists(imp)
-                        and not self.store.is_archived(imp)
+                        and not (self.store.exists(imp) and self.store.is_archived(imp))
                     ):
-                        results[name] = self.store.read(spark, imp)
-                        t.status = "reused"
-                        self._journal(pipe, name, "reused")
-                        t.result = results[name]
-                        break
-                    with _task_conf(spark, t.conf):
-                        if precompiled is not None:
-                            df, precompiled = precompiled, None
-                        else:
-                            inputs = {d: results[d] for d in t.deps}
-                            df = t.fn(spark, inputs)
-                        if self.store is not None and self.collect_logs:
-                            explains[name] = df._jdf.queryExecution().explainString(
-                                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                                    "formatted"
-                                )
-                            )
-                        obs = None
-                        if self.observe:
-                            from pyspark.sql import Observation
-                            from pyspark.sql import functions as F
+                        self.store.write(
+                            imp,
+                            df,
+                            meta={"task": name, "pipeline": pipe.name, "deps": dep_ids},
+                        )
+                        df = self.store.read(spark, imp)
+                        executed = True
+                    elif self.eager:
+                        # opt-in: execute every task for per-task
+                        # status/failure fidelity (costs O(depth²)
+                        # recompute on deep chains — small inputs only)
+                        df.count()
+                        executed = True
+                results[name] = df
+                t.result = df
+                if obs is not None:
+                    if executed:
+                        t.metrics = obs.get
+                    else:
+                        pending_obs[name] = obs
+                t.status = "finished" if executed else "compiled"
+                self._journal(pipe, name, t.status)
+                break
+            except Exception as e:  # noqa: BLE001 — mirror Yuki's broad failure marking
+                if attempt < self.max_retries:
+                    self._journal(pipe, name, "running", error=f"retry {attempt + 1}: {e}")
+                    continue
+                t.status = "failed"
+                t.error = str(e)
+                self._journal(pipe, name, "failed", error=t.error)
+                for d in pipe.downstream(name):
+                    pipe.tasks[d].status = "upstream_failed"
+                    self._journal(pipe, d, "upstream_failed")
 
-                            obs = Observation(f"{pipe.name}.{name}#{attempt}")
-                            df = df.observe(
-                                obs,
-                                F.count(F.lit(1)).alias("n_rows"),
-                                *self.metrics.get(name, []),
-                            )
-                        executed = False
-                        if (
-                            self.store is not None
-                            and name in self.persist
-                            and not (self.store.exists(imp) and self.store.is_archived(imp))
-                        ):
-                            self.store.write(
-                                imp,
-                                df,
-                                meta={"task": name, "pipeline": pipe.name, "deps": dep_ids},
-                            )
-                            df = self.store.read(spark, imp)
-                            executed = True
-                        elif self.eager:
-                            # opt-in: execute every task for per-task
-                            # status/failure fidelity (costs O(depth²)
-                            # recompute on deep chains — small inputs only)
-                            df.count()
-                            executed = True
-                    results[name] = df
-                    t.result = df
-                    if obs is not None:
-                        if executed:
-                            t.metrics = obs.get
-                        else:
-                            pending_obs[name] = obs
-                    t.status = "finished" if executed else "compiled"
-                    self._journal(pipe, name, t.status)
-                    break
-                except Exception as e:  # noqa: BLE001 — mirror Yuki's broad failure marking
-                    if attempt < self.max_retries:
-                        self._journal(pipe, name, "running", error=f"retry {attempt + 1}: {e}")
-                        continue
-                    t.status = "failed"
-                    t.error = str(e)
-                    self._journal(pipe, name, "failed", error=t.error)
-                    for d in pipe.downstream(name):
-                        pipe.tasks[d].status = "upstream_failed"
-                        self._journal(pipe, d, "upstream_failed")
+    def _finalize(
+        self,
+        spark: SparkSession,
+        pipe: Pipeline,
+        order: list[str],
+        results: dict[str, DataFrame],
+        imp_ids: dict[str, str],
+        pending_obs: dict[str, Any],
+        explains: dict[str, str],
+    ) -> dict[str, Any]:
         # a compiled task's observation resolves iff some downstream
         # action (an impression write, or a caller action) executed its
         # plan — read non-blockingly so unexecuted tasks stay None
@@ -292,3 +404,42 @@ class LocalBackend:
             "results": results,
             "metrics": {n: pipe.tasks[n].metrics for n in order},
         }
+
+
+class AsyncRun:
+    """Pollable handle for a dispatched pipeline run (parity: Yuki
+    dispatches via Celery — server/tasks.py:30 — and clients poll the
+    status routes while it executes; here the pipeline's own statuses
+    ARE the pollable surface, live-updated by the worker thread)."""
+
+    def __init__(self, pipe: Pipeline, backend: "LocalBackend"):
+        self._pipe = pipe
+        self._backend = backend
+        self._thread = None
+        self._result: dict[str, Any] | None = None
+        self._error: BaseException | None = None
+
+    def status(self) -> str:
+        """Workflow-level rollup, readable while the run is live."""
+        return self._pipe.status()
+
+    def statuses(self) -> dict[str, str]:
+        return self._pipe.statuses()
+
+    def done(self) -> bool:
+        return self._thread is not None and not self._thread.is_alive()
+
+    def kill(self) -> None:
+        """Parity: the kill route aborts a dispatched execution."""
+        self._backend.kill(self._pipe)
+
+    def join(self, timeout: float | None = None) -> dict[str, Any]:
+        """Wait for completion and return the backend's result dict;
+        re-raises an unexpected dispatch error. Raises TimeoutError if
+        the run is still live after ``timeout`` seconds."""
+        self._thread.join(timeout)
+        if self._thread.is_alive():
+            raise TimeoutError(f"pipeline {self._pipe.name!r} still running")
+        if self._error is not None:
+            raise self._error
+        return self._result

@@ -183,6 +183,41 @@ class Pipeline:
             raise CycleError(f"cycle among {cyc}")
         return out
 
+    def topo_levels(self) -> list[list[str]]:
+        """Kahn's algorithm by LAYER: tasks within one level share no
+        (transitive) dependency, so a parallel backend may run a whole
+        level concurrently. Concatenating the levels is a valid
+        topological order (same cycle/missing-dep errors as
+        :meth:`topo_order`); names within a level sort for
+        determinism."""
+        indeg = {n: 0 for n in self.tasks}
+        children: dict[str, list[str]] = {n: [] for n in self.tasks}
+        for t in self.tasks.values():
+            for d in t.deps:
+                if d not in self.tasks:
+                    raise KeyError(f"task {t.name!r} depends on unknown {d!r}")
+                indeg[t.name] += 1
+                children[d].append(t.name)
+        level = sorted(n for n, d in indeg.items() if d == 0)
+        out: list[list[str]] = []
+        seen = 0
+        while level:
+            out.append(level)
+            seen += len(level)
+            nxt: list[str] = []
+            for n in level:
+                for c in children[n]:
+                    indeg[c] -= 1
+                    if indeg[c] == 0:
+                        nxt.append(c)
+            level = sorted(nxt)
+        if seen != len(self.tasks):
+            cyc = sorted(
+                n for n, d in indeg.items() if d > 0
+            )
+            raise CycleError(f"cycle among {cyc}")
+        return out
+
     def downstream(self, name: str) -> set[str]:
         out: set[str] = set()
         frontier = [name]
