@@ -919,6 +919,10 @@ def test_cusum_drift_known_answer(spark, tmp_path):
         for i in range(10):
             rows.append((eid, dt.datetime(2024, 1, day, i), 1, "flat", 0.0, "{}"))
             eid += 1
+        if day <= 10:  # total outage from day 11: zero-day densify path
+            for i in range(10):
+                rows.append((eid, dt.datetime(2024, 1, day, i), 1, "vanish", 0.0, "{}"))
+                eid += 1
     df = spark.createDataFrame(
         rows,
         "event_id long, ts timestamp, user_id long, event_type string,"
@@ -937,3 +941,13 @@ def test_cusum_drift_known_answer(spark, tmp_path):
     assert shift[15]["cusum"] == -4500
     assert shift[30]["cusum"] == 0
     assert sorted(d for d, r in shift.items() if r["drift"]) == list(range(2, 29))
+    # a type that STOPS at day 11 must still carry rows for the silent
+    # days (densified calendar, n_events = 0) and flag the outage:
+    # T=100, D=30 → dev=+200 on live days, -100 on silent ones;
+    # |S| > sqrt(T*D^3/100) = 164.3 → days 1..28 flag, S_30 == 0
+    vanish = {r["day"].day: r for r in res if r["event_type"] == "vanish"}
+    assert len(vanish) == 30
+    assert all(vanish[d]["n_events"] == 0 for d in range(11, 31))
+    assert vanish[10]["cusum"] == 2000
+    assert vanish[30]["cusum"] == 0
+    assert sorted(d for d, r in vanish.items() if r["drift"]) == list(range(1, 29))

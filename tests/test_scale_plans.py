@@ -219,6 +219,7 @@ ALLOWED_BNLJ = {
     # visible because round-2 centroids derive from round-1 in-plan.
     "s9_kmeans_refine": 2,
     "d29_dsir_weights": 1,  # single-row (Rtot, Ttot) totals broadcast
+    "e21_cusum_drift": 1,  # single-row calendar-bounds broadcast (densify)
     # s10's fit hides behind its lazy checkpoint boundary (computed
     # once for both consumers); the visible BNLJ is the single-row
     # k_active broadcast for the quota

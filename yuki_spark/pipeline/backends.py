@@ -116,8 +116,14 @@ class LocalBackend:
         # into its impression address, so a changed fn invalidates the
         # deposit without a version bump (see impression_id docstring)
         self.plan_hash = plan_hash
-        self._killed = False
         import threading
+        import weakref
+
+        # kill() is sticky PER PIPELINE (a killed workflow stays
+        # killed until rebuilt — Yuki parity), tracked by object
+        # identity in a WeakSet so a dead Pipeline never pins memory
+        # and an unrelated pipeline is never poisoned
+        self._killed_pipes = weakref.WeakSet()
 
         # run_parallel: serialize journal appends across worker
         # threads (session-conf overrides never run concurrently —
@@ -130,8 +136,11 @@ class LocalBackend:
                 self.status_store.record(pipe.name, task, status, error=error)
 
     def kill(self, pipe: Pipeline) -> None:
-        """Parity: ImpressionStorage.kill — mark unfinished work failed."""
-        self._killed = True
+        """Parity: ImpressionStorage.kill — mark unfinished work failed.
+        Sticky for THIS pipeline object (a later run of it refuses to
+        execute, like a killed Yuki workflow); other pipelines on the
+        same backend are unaffected."""
+        self._killed_pipes.add(pipe)
         if self.status_store is not None:
             self.status_store.mark_killed(pipe)
         for t in pipe.tasks.values():
@@ -211,17 +220,31 @@ class LocalBackend:
         handle (parity: Yuki's Celery ``task_exec_impression`` —
         /root/reference/Yuki/server/tasks.py:30 — dispatches execution
         and clients poll the status routes). ``max_workers > 0`` uses
-        :meth:`run_parallel` inside the dispatched thread."""
+        :meth:`run_parallel` inside the dispatched thread.
+
+        The dispatched run executes under ``spark.newSession()`` —
+        same SparkContext, ISOLATED SQL conf — so a task's runner-conf
+        override can never leak into the caller's session while the
+        caller keeps working (the whole point of async dispatch), nor
+        cross-contaminate a sibling ``run_async``. The result
+        DataFrames carry the isolated session and stay fully usable by
+        the caller.
+
+        kill() is per-pipeline (sticky): killing one dispatched run
+        never aborts a sibling pipeline on the same backend, and a
+        kill landing in the dispatch window still takes effect when
+        the worker thread reaches the run."""
         import threading
 
         handle = AsyncRun(pipe, self)
+        run_spark = spark.newSession()
 
         def _target() -> None:
             try:
                 handle._result = (
-                    self.run_parallel(spark, pipe, max_workers)
+                    self.run_parallel(run_spark, pipe, max_workers)
                     if max_workers > 0
-                    else self.run(spark, pipe)
+                    else self.run(run_spark, pipe)
                 )
             except BaseException as e:  # noqa: BLE001 — surface via join()
                 handle._error = e
@@ -242,8 +265,9 @@ class LocalBackend:
         explains: dict[str, str],
     ) -> None:
         t = pipe.tasks[name]
-        if t.status == "upstream_failed" or self._killed:
-            if self._killed and t.status in ("raw", "waiting", "running"):
+        killed = pipe in self._killed_pipes
+        if t.status == "upstream_failed" or killed:
+            if killed and t.status in ("raw", "waiting", "running"):
                 # parity: kill marks unfinished work failed — a task
                 # skipped because of the kill must not look in-flight
                 t.status = "failed"

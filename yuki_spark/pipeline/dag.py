@@ -157,9 +157,10 @@ class Pipeline:
 
         return self.add(name, fn, deps=(), is_input=True, version=f"ext:{imp_id}")
 
-    def topo_order(self) -> list[str]:
-        """Kahn's algorithm; raises CycleError on cycles, KeyError on
-        missing deps."""
+    def _graph(self) -> tuple[dict[str, int], dict[str, list[str]]]:
+        """(indegree, children) adjacency for Kahn traversals; raises
+        KeyError on missing deps. Shared by topo_order/topo_levels so
+        dep validation lives in exactly one place."""
         indeg = {n: 0 for n in self.tasks}
         children: dict[str, list[str]] = {n: [] for n in self.tasks}
         for t in self.tasks.values():
@@ -168,6 +169,12 @@ class Pipeline:
                     raise KeyError(f"task {t.name!r} depends on unknown {d!r}")
                 indeg[t.name] += 1
                 children[d].append(t.name)
+        return indeg, children
+
+    def topo_order(self) -> list[str]:
+        """Kahn's algorithm; raises CycleError on cycles, KeyError on
+        missing deps."""
+        indeg, children = self._graph()
         ready = sorted(n for n, d in indeg.items() if d == 0)
         out: list[str] = []
         while ready:
@@ -190,14 +197,7 @@ class Pipeline:
         topological order (same cycle/missing-dep errors as
         :meth:`topo_order`); names within a level sort for
         determinism."""
-        indeg = {n: 0 for n in self.tasks}
-        children: dict[str, list[str]] = {n: [] for n in self.tasks}
-        for t in self.tasks.values():
-            for d in t.deps:
-                if d not in self.tasks:
-                    raise KeyError(f"task {t.name!r} depends on unknown {d!r}")
-                indeg[t.name] += 1
-                children[d].append(t.name)
+        indeg, children = self._graph()
         level = sorted(n for n, d in indeg.items() if d == 0)
         out: list[list[str]] = []
         seen = 0

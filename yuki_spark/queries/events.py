@@ -597,6 +597,14 @@ def e21_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     |S_t| > D*sqrt(T*D)/10 is likewise tested sqrt-free in the
     cross-multiplied exact-int form 100*S^2 > T*D^3.
 
+    Zero-day completeness: a type that STOPS emitting is the most
+    drastic rate shift of all, but absent days produce no groupBy
+    row — so the daily table is densified against the global observed
+    calendar (single-row min/max bounds broadcast + sequence/explode,
+    e19's densify pattern) and missing (type, day) cells count 0.
+    An ingest outage therefore drives dev = -T per silent day and the
+    flag fires instead of the detector going blind.
+
     Scale shape: one shuffle to the (type, day) grain (partial
     count map-side), then two windows over the *aggregated* daily
     table (types × days rows — tiny) on one partitioning. int64
@@ -604,9 +612,25 @@ def e21_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     true 100 TB volumes pre-divide the daily counts by a common
     factor before scaling (noted, not needed at any test sf)."""
     ev = load(spark, sf_dir, "events")
-    daily = ev.groupBy(
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .join(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+        )
+    )
+    observed = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")
     ).agg(F.count(F.lit(1)).alias("n_events"))
+    daily = grid.join(observed, ["event_type", "day"], "left").withColumn(
+        "n_events", F.coalesce("n_events", F.lit(0).cast("bigint"))
+    )
     wp = Window.partitionBy("event_type")
     wr = (
         Window.partitionBy("event_type")
@@ -717,10 +741,24 @@ ORACLE = {
         FROM l ORDER BY event_type, day
     """,
     "e21_cusum_drift": f"""
-        WITH daily AS (
+        WITH bounds AS (
+          SELECT CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS d0,
+                 CAST(date_trunc('day', MAX(ts)) AS TIMESTAMP) AS d1
+          FROM events),
+        cal AS (
+          SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+          FROM bounds),
+        grid AS (
+          SELECT event_type, day
+          FROM (SELECT DISTINCT event_type FROM events), cal),
+        obs AS (
           SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
                  COUNT(*) AS n_events
           FROM events GROUP BY 1, 2),
+        daily AS (
+          SELECT g.event_type, g.day, COALESCE(o.n_events, 0) AS n_events
+          FROM grid g LEFT JOIN obs o
+            ON g.event_type = o.event_type AND g.day = o.day),
         d AS (
           SELECT event_type, day, n_events,
                  SUM(n_events) OVER (PARTITION BY event_type) AS total,
