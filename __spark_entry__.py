@@ -31,6 +31,7 @@ _PRIORITY = [
     "e21_cusum_drift",
     "d29_dsir_weights",
     "s10_cluster_balance",
+    "dq1_constraint_report",
     # r3-changed machinery, driver row still r2
     "d9_embedding_neardup",
     "s3_lsh_ann",

@@ -76,6 +76,7 @@ HEADLINE = [
     "e21_cusum_drift",
     "d29_dsir_weights",
     "s10_cluster_balance",
+    "dq1_constraint_report",
 ]
 
 

@@ -166,3 +166,37 @@ def test_ntz_reinterpretation_is_session_tz_invariant(spark):
             assert spark.conf.get("spark.sql.session.timeZone") == tz
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_overwrite_partitions_replaces_only_touched_slices(spark, tmp_path):
+    """The backfill primitive: rewriting one partition's data must not
+    clobber sibling partitions (dynamic partition overwrite), while a
+    plain overwrite of the same root would drop them."""
+    from yuki_spark.io.sinks import overwrite_partitions
+
+    root = str(tmp_path / "days")
+    base = spark.createDataFrame(
+        [(1, "d1"), (2, "d1"), (3, "d2"), (4, "d3")], "id long, day string"
+    )
+    write_parquet(base, root, partition_by=["day"])
+    # reprocess day d2 only: new rows for d2, siblings untouched
+    fix = spark.createDataFrame([(30, "d2"), (31, "d2")], "id long, day string")
+    overwrite_partitions(fix, root, ["day"])
+    got = {
+        (r["day"], r["id"]) for r in spark.read.parquet(root).collect()
+    }
+    assert got == {("d1", 1), ("d1", 2), ("d2", 30), ("d2", 31), ("d3", 4)}
+
+
+def test_merge_schema_reads_evolved_dataset(spark, tmp_path):
+    """Schema-evolution read: a dataset whose later files gained a
+    column reads as the union schema with nulls in older files."""
+    root = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(root)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(root)
+    merged = read_source(spark, root, merge_schema=True)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r["score"] for r in merged.collect()}
+    assert rows[2] == 9.5 and rows[1] is None

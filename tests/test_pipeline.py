@@ -787,3 +787,66 @@ def test_run_async_join_timeout_and_kill(spark):
         s in ("finished", "compiled", "failed", "reused")
         for s in out["statuses"].values()
     )
+
+
+def test_kill_is_per_pipeline_not_per_backend(spark):
+    """Killing one pipeline must stay sticky for THAT pipeline object
+    while leaving the backend fully usable: a sibling pipeline and a
+    rebuilt copy of the killed one both execute normally."""
+    be = LocalBackend()
+    p1 = build_pipe()
+    be.kill(p1)
+    out1 = be.run(spark, p1)
+    assert all(s in ("failed", "waiting") for s in out1["statuses"].values())
+    # sibling pipeline on the SAME backend is unaffected
+    p2 = build_pipe()
+    out2 = be.run(spark, p2)
+    assert out2["statuses"]["by_segment"] == "compiled"
+    # a rebuilt copy of the killed workflow runs (kill tracks the
+    # object, not the name)
+    p3 = build_pipe()
+    out3 = be.run(spark, p3)
+    assert out3["statuses"]["by_segment"] == "compiled"
+    # and the killed object itself stays killed on re-run
+    out4 = be.run(spark, p1)
+    assert all(s in ("failed", "waiting") for s in out4["statuses"].values())
+
+
+def test_impression_compact_plain_and_partitioned(spark, tmp_path):
+    """compact() merges a fragmented deposit into few files while
+    preserving rows, schema, and hive partitioning; an already-compact
+    deposit is a no-op."""
+    store = ImpressionStore(str(tmp_path / "imps"))
+    df = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+
+    # fragment hard: 16 files for a tiny table
+    store.write("frag", df.repartition(16))
+    before = store.data_files("frag")
+    assert len(before) == 16
+    rows_before = sorted(r["o_orderkey"] for r in store.read(spark, "frag").collect())
+    out = store.compact(spark, "frag", target_file_bytes=1 << 30)
+    assert out["compacted"] and out["files_after"] < out["files_before"]
+    assert out["files_after"] == 1  # tiny table, one target file
+    after = store.read(spark, "frag")
+    assert sorted(r["o_orderkey"] for r in after.collect()) == rows_before
+    assert "compacted_at" in store.meta("frag")
+    # second pass: already at target -> no-op
+    again = store.compact(spark, "frag", target_file_bytes=1 << 30)
+    assert not again["compacted"]
+
+    # partitioned deposit keeps its layout
+    store.write("part", df.repartition(8), partition_by=["o_orderstatus"])
+    assert store.meta("part")["partition_by"] == ["o_orderstatus"]
+    n_before = store.read(spark, "part").count()
+    outp = store.compact(spark, "part", target_file_bytes=1 << 30)
+    assert outp["compacted"]
+    base = store._dir("part") + "/data.parquet"
+    import os as _os
+
+    parts = sorted(
+        d for d in _os.listdir(base) if d.startswith("o_orderstatus=")
+    )
+    assert parts == ["o_orderstatus=F", "o_orderstatus=O", "o_orderstatus=P"]
+    got = store.read(spark, "part")
+    assert got.count() == n_before
+    assert "o_orderstatus" in got.columns

@@ -134,6 +134,7 @@ def main() -> None:
         "e21_cusum_drift",
         "d29_dsir_weights",
         "s10_cluster_balance",
+        "dq1_constraint_report",
     ]
     qs["q1_pricing_summary"](spark, out).write.mode("overwrite").format("noop").save()
     timings = {}

@@ -41,6 +41,34 @@ def write_parquet(
     writer.parquet(path)
 
 
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    target_files: int | None = None,
+    sort_by: list[str] | None = None,
+    compression: str = "snappy",
+) -> None:
+    """Backfill write: replace ONLY the hive partitions present in
+    ``df``, leaving sibling partitions untouched — the
+    reprocess-one-slice primitive every incremental pipeline needs
+    (re-running one day's extract must not clobber the other 364 at
+    100 TB). Static overwrite would drop the whole root; this sets
+    ``partitionOverwriteMode=dynamic`` as a per-write option, so no
+    session-global conf is touched."""
+    if target_files is not None:
+        df = df.repartition(target_files, *partition_by)
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("compression", compression)
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

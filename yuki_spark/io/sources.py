@@ -59,6 +59,7 @@ def read_source(
     format: str | None = None,
     schema: StructType | str | None = None,
     columns: list[str] | None = None,
+    merge_schema: bool = False,
     **options: str,
 ) -> DataFrame:
     """Read one staged input.
@@ -66,11 +67,18 @@ def read_source(
     - ``schema``: StructType or DDL string; skips inference.
     - ``columns``: projection applied immediately so Catalyst prunes
       the scan to just those columns.
+    - ``merge_schema``: schema-evolution read for parquet/orc — union
+      the schemas of every part file (columns added over a dataset's
+      lifetime surface as nulls in older files) instead of trusting
+      the first footer. Costs a footer read per file; leave off for
+      schema-stable datasets.
     - ``options``: passed through (e.g. ``header='true'`` for csv,
       ``sep='\\t'`` for tsv).
     """
     fmt = format or infer_format(path)
     reader = spark.read.format(fmt)
+    if merge_schema:
+        options.setdefault("mergeSchema", "true")
     if schema is not None:
         reader = reader.schema(schema)
     elif fmt == "csv":

@@ -56,3 +56,61 @@ def profile(df: DataFrame, approx_distinct: bool = False) -> DataFrame:
         )
         .orderBy("column")
     )
+
+
+def constraint_report(
+    df: DataFrame,
+    row_checks: list[tuple[str, "F.Column"]],
+    unique_checks: tuple[tuple[str, list[str]], ...] | list = (),
+) -> DataFrame:
+    """Declarative data-quality gate (the deequ-style companion to
+    :func:`profile`): evaluate named constraints over a table in ONE
+    aggregation pass and report violations per constraint.
+
+    ``row_checks``: (name, violation predicate Column) — the predicate
+    is True on a ROW THAT VIOLATES (write it null-safe: a null that
+    should fail the check must coalesce to True). ``unique_checks``:
+    (name, key columns) — violations = n_rows − countDistinct(keys);
+    rows with a null key count as violations (countDistinct drops
+    them), which is the right default for a key constraint.
+
+    Scale shape: exactly like profile() — every constraint folds into
+    one partial-agg stage over a single scan (unique adds a distinct
+    per key set), then a stack() unpivot of the one-row wide result.
+    No per-constraint jobs, no driver loop."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    names: list[str] = []
+    for name, viol in row_checks:
+        names.append(name)
+        aggs.append(
+            F.coalesce(F.sum(F.when(viol, 1).otherwise(0)), F.lit(0))
+            .cast("bigint")
+            .alias(f"__v_{name}")
+        )
+    for name, cols in unique_checks:
+        names.append(name)
+        aggs.append(F.countDistinct(*[F.col(c) for c in cols]).alias(f"__d_{name}"))
+    seen = set()
+    for n in names:
+        if n in seen:
+            raise ValueError(f"duplicate constraint name {n!r}")
+        seen.add(n)
+    wide = df.agg(*aggs)
+    terms = [f"'{name}', __v_{name}" for name, _ in row_checks]
+    terms += [f"'{name}', __n - __d_{name}" for name, _ in unique_checks]
+    return (
+        wide.select(
+            "__n",
+            F.expr(
+                f"stack({len(terms)}, {', '.join(terms)}) AS "
+                "(check_name, n_violations)"
+            ),
+        )
+        .select(
+            "check_name",
+            F.col("__n").alias("n_rows"),
+            F.col("n_violations").cast("bigint").alias("n_violations"),
+            (F.col("n_violations") == 0).alias("ok"),
+        )
+        .orderBy("check_name")
+    )

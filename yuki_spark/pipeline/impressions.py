@@ -79,6 +79,7 @@ class ImpressionStore:
             "impression": imp_id,
             "created_at": time.time(),
             "schema": df.schema.jsonValue(),
+            "partition_by": list(partition_by or []),  # compact() re-applies
             "tags": {},
             **(meta or {}),
         }
@@ -192,6 +193,77 @@ class ImpressionStore:
         return self.exists(imp_id) and self.meta(imp_id).get("tags", {}).get(
             "archived"
         ) == "true"
+
+    def data_files(self, imp_id: str) -> list[str]:
+        """Every parquet part file of a deposit (recursive — includes
+        hive-partitioned subdirectories), sorted."""
+        base = os.path.join(self._dir(imp_id), "data.parquet")
+        out: list[str] = []
+        for dirpath, _, files in os.walk(base):
+            for f in files:
+                if f.endswith(".parquet"):
+                    out.append(os.path.join(dirpath, f))
+        return sorted(out)
+
+    def compact(
+        self,
+        spark: SparkSession,
+        imp_id: str,
+        target_file_bytes: int = 128 << 20,
+    ) -> dict[str, Any]:
+        """Small-file maintenance: rewrite a deposit's data into
+        ~ceil(total_bytes / target) files. At 100 TB the store's
+        operational risk is not bytes but FILE COUNT — a deposit
+        written from many small tasks (or a high-cardinality
+        partitionBy) fragments into thousands of tiny parquet files
+        whose open/footer costs dominate every later scan; periodic
+        compaction is the standard fix (the engine-level analogue of
+        a lakehouse OPTIMIZE).
+
+        Content-preserving and layout-only: same rows, same schema,
+        same hive partitioning (re-applied from the deposit's
+        recorded ``partition_by``), so the content address stays
+        valid. The rewrite lands in a temp directory and swaps in via
+        two renames (old → .old, tmp → live); a crash between them
+        leaves the .old directory for manual recovery rather than a
+        half-written deposit. ``coalesce`` (not repartition) merges
+        inputs without a shuffle. No-op when the deposit already
+        meets the target; returns before/after file counts either
+        way."""
+        if not self.exists(imp_id):
+            raise FileNotFoundError(f"impression {imp_id} not deposited")
+        files = self.data_files(imp_id)
+        total = sum(os.path.getsize(f) for f in files)
+        n_target = max(1, -(-total // target_file_bytes))
+        stats = {
+            "impression": imp_id,
+            "files_before": len(files),
+            "bytes": total,
+            "target_files": n_target,
+        }
+        if len(files) <= n_target:
+            return {**stats, "files_after": len(files), "compacted": False}
+        base = os.path.join(self._dir(imp_id), "data.parquet")
+        part_cols = self.meta(imp_id).get("partition_by") or []
+        df = spark.read.parquet(base).coalesce(int(n_target))
+        tmp = base + ".compact-tmp"
+        writer = df.write.mode("overwrite")
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(tmp)
+        old = base + ".old"
+        os.rename(base, old)
+        os.rename(tmp, base)
+        shutil.rmtree(old)
+        meta = self.meta(imp_id)
+        meta["compacted_at"] = time.time()
+        with open(os.path.join(self._dir(imp_id), "meta.json"), "w") as f:
+            json.dump(meta, f, indent=2)
+        return {
+            **stats,
+            "files_after": len(self.data_files(imp_id)),
+            "compacted": True,
+        }
 
     def gc(
         self,

@@ -764,8 +764,47 @@ def q23_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p_partkey")
 
 
+def dq1_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over orders
+    (operators/profile.py::constraint_report — the deequ-style
+    companion to d15's profiling): five named constraints evaluated in
+    ONE aggregation pass — key uniqueness, not-null, accepted values,
+    a numeric upper bound, and a date window. The bound and window are
+    deliberately breached by the data so both ``ok`` branches carry
+    signal. Null-safe: a null in a checked column counts as a
+    violation."""
+    from ..operators.profile import constraint_report
+
+    orders = load(spark, sf_dir, "orders")
+    row_checks = [
+        ("custkey_not_null", F.col("o_custkey").isNull()),
+        (
+            "status_accepted",
+            F.coalesce(
+                ~F.col("o_orderstatus").isin("O", "F", "P"), F.lit(True)
+            ),
+        ),
+        (
+            "totalprice_le_300k",
+            F.coalesce(F.col("o_totalprice") > 300000.0, F.lit(True)),
+        ),
+        (
+            "orderdate_in_window",
+            F.coalesce(
+                (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"))
+                | (F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")),
+                F.lit(True),
+            ),
+        ),
+    ]
+    return constraint_report(
+        orders, row_checks, unique_checks=(("orderkey_unique", ["o_orderkey"]),)
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "dq1_constraint_report": dq1_constraint_report,
     "q23_skyline_parts": q23_skyline_parts,
     "w5_rank_distribution": w5_rank_distribution,
     "setops_customer_activity": setops_customer_activity,
@@ -806,6 +845,35 @@ QUERIES = {
 
 
 ORACLE = {
+    "dq1_constraint_report": """
+        WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders),
+        v AS (
+          SELECT 'custkey_not_null' AS check_name,
+                 CAST((SELECT COUNT(*) FROM orders
+                       WHERE o_custkey IS NULL) AS BIGINT) AS n_violations
+          UNION ALL
+          SELECT 'orderdate_in_window',
+                 CAST((SELECT COUNT(*) FROM orders
+                       WHERE COALESCE(o_orderdate < TIMESTAMP '1995-01-01'
+                          OR o_orderdate >= TIMESTAMP '2001-01-01', TRUE))
+                   AS BIGINT)
+          UNION ALL
+          SELECT 'orderkey_unique',
+                 (SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+                  FROM orders)
+          UNION ALL
+          SELECT 'status_accepted',
+                 CAST((SELECT COUNT(*) FROM orders
+                       WHERE COALESCE(o_orderstatus NOT IN ('O', 'F', 'P'),
+                                      TRUE)) AS BIGINT)
+          UNION ALL
+          SELECT 'totalprice_le_300k',
+                 CAST((SELECT COUNT(*) FROM orders
+                       WHERE COALESCE(o_totalprice > 300000.0, TRUE))
+                   AS BIGINT))
+        SELECT check_name, n_rows, n_violations, n_violations = 0 AS ok
+        FROM v, n ORDER BY check_name
+    """,
     "q23_skyline_parts": """
         SELECT p_partkey, p_size, p_retailprice
         FROM part p
