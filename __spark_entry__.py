@@ -32,6 +32,7 @@ _PRIORITY = [
     "d29_dsir_weights",
     "s10_cluster_balance",
     "dq1_constraint_report",
+    "d30_oov_rate",
     # r3-changed machinery, driver row still r2
     "d9_embedding_neardup",
     "s3_lsh_ann",

@@ -77,6 +77,7 @@ HEADLINE = [
     "d29_dsir_weights",
     "s10_cluster_balance",
     "dq1_constraint_report",
+    "d30_oov_rate",
 ]
 
 

@@ -850,3 +850,23 @@ def test_impression_compact_plain_and_partitioned(spark, tmp_path):
     got = store.read(spark, "part")
     assert got.count() == n_before
     assert "o_orderstatus" in got.columns
+
+
+def test_impression_lineage_walk(spark, tmp_path):
+    """lineage() reconstructs the provenance closure from deposited
+    metadata: persisted ancestors resolve to their deposits, lazy
+    ancestors surface as structural name@version references."""
+    store = ImpressionStore(str(tmp_path / "imps"))
+    p = build_pipe()
+    out = LocalBackend(store, persist={"joined", "by_segment"}).run(spark, p)
+    top = out["impressions"]["by_segment"]
+    mid = out["impressions"]["joined"]
+    lin = store.lineage(top)
+    assert lin[top]["deposited"] and lin[top]["task"] == "by_segment"
+    assert mid in lin and lin[mid]["deposited"] and lin[mid]["task"] == "joined"
+    # sources were lazy: their content addresses appear in the walk as
+    # non-deposited leaves, and they are exactly joined's recorded deps
+    leaves = {k for k, v in lin.items() if not v["deposited"]}
+    assert len(leaves) == 2
+    assert set(lin[mid]["deps"]) == leaves
+    assert all(lin[leaf]["task"] is None for leaf in leaves)

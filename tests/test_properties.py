@@ -320,3 +320,58 @@ def test_skyline_matches_bruteforce(spark, pts):
 
     want = sorted(r[0] for r in rows if not any(dom(q, r) for q in rows))
     assert got == want
+
+
+@given(
+    vals=hst.lists(
+        hst.one_of(hst.none(), hst.integers(min_value=-100, max_value=100)),
+        min_size=0,
+        max_size=40,
+    ),
+    split=hst.integers(min_value=0, max_value=40),
+)
+@_SETTINGS
+def test_constraint_report_properties(spark, vals, split):
+    """Invariants of the one-pass quality gate: 0 <= violations <=
+    n_rows; row-check violations are ADDITIVE under union (each row
+    judged independently); unique-key violations equal the brute-force
+    duplicate count with nulls counted as violations."""
+    from yuki_spark.operators.profile import constraint_report
+
+    split = min(split, len(vals))
+    rows = [(i, v) for i, v in enumerate(vals)]
+    checks = [
+        ("v_null", F.col("v").isNull()),
+        ("v_negative", F.coalesce(F.col("v") < 0, F.lit(True))),
+    ]
+    uniq = (("v_unique", ["v"]),)
+
+    def report(rws):
+        df = spark.createDataFrame(rws, "id long, v long") if rws else (
+            spark.createDataFrame([], "id long, v long")
+        )
+        out = constraint_report(df, checks, uniq)
+        got = {r["check_name"]: r for r in out.collect()}
+        assert all(0 <= r["n_violations"] <= r["n_rows"] for r in got.values())
+        assert all(r["ok"] == (r["n_violations"] == 0) for r in got.values())
+        return got
+
+    whole = report(rows)
+    assert whole["v_null"]["n_violations"] == sum(1 for v in vals if v is None)
+    assert whole["v_negative"]["n_violations"] == sum(
+        1 for v in vals if v is None or v < 0
+    )
+    non_null = [v for v in vals if v is not None]
+    assert whole["v_unique"]["n_violations"] == len(vals) - len(set(non_null))
+
+    # row checks are additive under union; unique is subadditive
+    a, b = report(rows[:split]), report(rows[split:])
+    for name in ("v_null", "v_negative"):
+        assert (
+            a[name]["n_violations"] + b[name]["n_violations"]
+            == whole[name]["n_violations"]
+        )
+    assert (
+        a["v_unique"]["n_violations"] + b["v_unique"]["n_violations"]
+        <= whole["v_unique"]["n_violations"]
+    )

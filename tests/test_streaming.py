@@ -454,3 +454,77 @@ def test_merge_cm_bytes_linearity_and_guards(spark):
     assert sketches.merge_cm_bytes(sa, sb) == sab
     with pytest.raises(ValueError, match="incompatible"):
         sketches.merge_cm_bytes(sa, sketches.cm_sketch(b, "k", eps=0.01))
+
+
+def test_watermark_drops_late_straggler_and_progress_reports_it(spark, tmp_path):
+    """Late-data observability: a straggler file arriving AFTER a
+    checkpointed run — older than the persisted watermark — is dropped
+    from the stateful aggregate on the next run, and
+    progress_stats/total_late_dropped surface exactly that count (the
+    silent-data-loss alarm a production stream polls). The restart
+    shape matters: within one availableNow run the filter evaluates
+    against the RUN-START watermark, so the guaranteed drop is the
+    cross-restart straggler — exactly the realistic case."""
+    import datetime as dt
+
+    sdir = tmp_path / "late_stream"
+    sdir.mkdir()
+    out = str(tmp_path / "late_out")
+    ckpt = str(tmp_path / "late_ckpt")
+
+    def slice_file(name, rows):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [r[1] for r in rows], pa.timestamp("us", tz="UTC")
+                ),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array(["view"] * len(rows)),
+                "value": pa.array([1.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        pq.write_table(tbl, sdir / name)
+        time.sleep(0.05)
+
+    base = dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)
+    slice_file(
+        "part-0000.parquet",
+        [(1, base.replace(hour=10)), (2, base.replace(hour=10, minute=30))],
+    )
+    slice_file("part-0001.parquet", [(5, base.replace(hour=13))])
+    q = st.run_to_parquet(
+        st.windowed_counts(
+            st.read_event_stream(spark, str(sdir), max_files_per_trigger=1),
+            watermark="1 hour",
+        ),
+        out,
+        ckpt,
+    )
+    q.awaitTermination(120)
+    assert st.total_late_dropped(q) == 0  # nothing late yet
+
+    # the straggler: hour-3 data landing after watermark 12:00 was
+    # checkpointed
+    slice_file("part-0002.parquet", [(9, base.replace(hour=3))])
+    q2 = st.run_to_parquet(
+        st.windowed_counts(
+            st.read_event_stream(spark, str(sdir), max_files_per_trigger=1),
+            watermark="1 hour",
+        ),
+        out,
+        ckpt,
+    )
+    q2.awaitTermination(120)
+
+    assert st.total_late_dropped(q2) == 1
+    stats = st.progress_stats(q2)
+    assert any(
+        s["dropped_late"] == 1
+        for p in stats
+        for s in p["state_operators"]
+    )
+    got = {(r["hour"].hour, r["n_events"]) for r in spark.read.parquet(out).collect()}
+    assert (3, 1) not in got  # the straggler never reached the sink
+    assert (10, 2) in got

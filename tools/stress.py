@@ -135,6 +135,7 @@ def main() -> None:
         "d29_dsir_weights",
         "s10_cluster_balance",
         "dq1_constraint_report",
+        "d30_oov_rate",
     ]
     qs["q1_pricing_summary"](spark, out).write.mode("overwrite").format("noop").save()
     timings = {}

@@ -194,6 +194,33 @@ class ImpressionStore:
             "archived"
         ) == "true"
 
+    def lineage(self, imp_id: str) -> dict[str, Any]:
+        """Transitive dependency walk over deposited metadata — the
+        provenance surface of the store (parity: Yuki impressions
+        carry their upstream dependencies; the status routes walk them
+        to answer "what produced this artifact"). Returns
+        ``{address: {task, deps, deposited}}`` for the closure rooted
+        at ``imp_id``; a dependency that was never persisted (a lazy
+        task folded into its consumer's plan, or an ``ext:``/
+        ``name@version`` reference) appears with ``deposited=False``
+        and no task metadata — the lineage is still complete, it just
+        bottoms out at plan-level ancestry instead of a materialized
+        deposit."""
+        out: dict[str, Any] = {}
+        frontier = [imp_id]
+        while frontier:
+            cur = frontier.pop()
+            if cur in out:
+                continue
+            if self.exists(cur):
+                m = self.meta(cur)
+                deps = list(m.get("deps") or [])
+                out[cur] = {"task": m.get("task"), "deps": deps, "deposited": True}
+                frontier.extend(deps)
+            else:
+                out[cur] = {"task": None, "deps": [], "deposited": False}
+        return out
+
     def data_files(self, imp_id: str) -> list[str]:
         """Every parquet part file of a deposit (recursive — includes
         hive-partitioned subdirectories), sorted."""

@@ -436,6 +436,71 @@ def d29_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OOV_VOCAB = 20  # vocab budget: below the corpus vocab so OOV is live
+OOV_EVAL_MOD = 17  # same held-out split rule as d17/d27
+
+
+def d30_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage evaluation: build a budget-capped vocab
+    from the TRAINING split's token frequencies (top-V, d28's exact
+    ranking — freq desc, token asc) and measure out-of-vocabulary
+    rates on the held-out split per language — the question a
+    tokenizer/vocab design answers before training ("what fraction of
+    eval text falls outside a V-entry vocab, and how does it skew by
+    language"). The budget sits below the corpus vocabulary so the
+    OOV branch carries real signal at every test sf.
+
+    Scale shape: one explode → vocab-grain agg on the train split,
+    one ordered window over the (tiny) aggregated vocab for the
+    top-V cut, then a broadcast membership join against the eval
+    occurrences and a per-language rollup — no shuffle of the corpus
+    beyond the vocab agg. Exact ints until the rate division."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    occ = (
+        text.with_tokens(docs)
+        .select(
+            "lang",
+            (F.col("doc_id") % OOV_EVAL_MOD == 0).alias("is_eval"),
+            F.explode("toks").alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    train_freq = (
+        occ.where(~F.col("is_eval"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), "tok")
+    vocab = (
+        train_freq.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= OOV_VOCAB)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        occ.where(F.col("is_eval"))
+        .join(F.broadcast(vocab), "tok", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+            (
+                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)).cast("double")
+            ).alias("oov_rate"),
+            F.countDistinct(
+                F.when(F.col("in_vocab").isNull(), F.col("tok"))
+            ).alias("n_oov_types"),
+        )
+        .orderBy("lang")
+    )
+
+
 PACK_BUDGET = 512  # tokens per training sequence
 
 
@@ -783,6 +848,7 @@ QUERIES = {
     "d27_bloom_contamination": d27_bloom_contamination,
     "d28_token_zipf": d28_token_zipf,
     "d29_dsir_weights": d29_dsir_weights,
+    "d30_oov_rate": d30_oov_rate,
     "d18_sequence_packing": d18_sequence_packing,
     "d19_tfidf_top_terms": d19_tfidf_top_terms,
     "d20_dedup_apply": d20_dedup_apply,
@@ -1167,6 +1233,30 @@ ORACLE = {
                CAST(freq AS DOUBLE) / CAST(total AS DOUBLE) AS share,
                CAST(cumfreq AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
         FROM r, tot WHERE rank <= {ZIPF_TOP} ORDER BY rank
+    """,
+    "d30_oov_rate": f"""
+        WITH tk AS (
+          SELECT lang, (doc_id % {OOV_EVAL_MOD} = 0) AS is_eval,
+                 unnest({_T}) AS tok
+          FROM documents),
+        occ AS (SELECT * FROM tk WHERE tok <> ''),
+        tf AS (
+          SELECT tok, COUNT(*) AS freq FROM occ WHERE NOT is_eval
+          GROUP BY tok),
+        v AS (
+          SELECT tok FROM (
+            SELECT tok, ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rank
+            FROM tf) WHERE rank <= {OOV_VOCAB}),
+        ev AS (
+          SELECT o.lang, o.tok, (v.tok IS NOT NULL) AS in_v
+          FROM occ o LEFT JOIN v ON o.tok = v.tok
+          WHERE o.is_eval)
+        SELECT lang, COUNT(*) AS n_tokens,
+               CAST(SUM(CASE WHEN in_v THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+               CAST(SUM(CASE WHEN in_v THEN 0 ELSE 1 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS oov_rate,
+               COUNT(DISTINCT CASE WHEN NOT in_v THEN tok END) AS n_oov_types
+        FROM ev GROUP BY lang ORDER BY lang
     """,
     "d29_dsir_weights": f"""
         WITH tk AS (

@@ -43,12 +43,16 @@ EVENT_SCHEMA = StructType(
 SESSION_GAP_SEC = 30 * 60
 
 
-def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
     """File-source stream with explicit schema (schema inference is
-    disabled for streams at scale; one file per micro-batch in tests)."""
+    disabled for streams at scale). ``max_files_per_trigger`` bounds
+    micro-batch size — the file-source throttle; 1 forces
+    one-file-per-batch replays (watermark advances between files)."""
     return (
         spark.readStream.schema(EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", "4")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(path)
     )
 
@@ -267,6 +271,52 @@ def run_to_memory(sdf: DataFrame, name: str, mode: str = "update"):
         .outputMode(mode)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def progress_stats(query) -> list[dict]:
+    """Operational metrics from a (finished or live) streaming query —
+    the monitoring surface a pipeline's status poller reads (the
+    streaming analogue of LocalBackend's observe metrics): per
+    micro-batch input rows plus, for each stateful operator, the rows
+    held in state and the LATE rows dropped by the watermark. At
+    scale, ``dropped_late > 0`` is the signal that the watermark is
+    too tight for the source's disorder (or an upstream clock is
+    skewed) — data is silently excluded from aggregates until someone
+    looks at exactly this counter.
+
+    Semantics note (tests pin this): the late-row filter evaluates
+    against the watermark the run STARTED with, so inside a single
+    availableNow replay a "late" row in a later micro-batch is still
+    accepted; the guaranteed drop — and the one this counter exists
+    for — is a straggler arriving after the watermark was
+    checkpointed, filtered on the next (re)start."""
+    out: list[dict] = []
+    for p in query.recentProgress:
+        out.append(
+            {
+                "batch_id": p.get("batchId"),
+                "input_rows": p.get("numInputRows"),
+                "state_operators": [
+                    {
+                        "operator": s.get("operatorName"),
+                        "state_rows": s.get("numRowsTotal"),
+                        "dropped_late": s.get("numRowsDroppedByWatermark"),
+                    }
+                    for s in (p.get("stateOperators") or [])
+                ],
+            }
+        )
+    return out
+
+
+def total_late_dropped(query) -> int:
+    """Sum of watermark-dropped rows across the query's recorded
+    progress — the one number a data-loss alert thresholds on."""
+    return sum(
+        s["dropped_late"] or 0
+        for p in progress_stats(query)
+        for s in p["state_operators"]
     )
 
 
