@@ -951,3 +951,23 @@ def test_cusum_drift_known_answer(spark, tmp_path):
     assert vanish[10]["cusum"] == 2000
     assert vanish[30]["cusum"] == 0
     assert sorted(d for d, r in vanish.items() if r["drift"]) == list(range(1, 29))
+
+
+def test_constraint_report_rejects_bad_names(spark):
+    """Names splice into the generated stack() SQL, so non-identifier
+    names (which could parse as expressions — 'a-0' resolving as
+    __v_a MINUS 0 against the WRONG counter) and empty check lists
+    must fail loudly, not silently mis-bind."""
+    from yuki_spark.operators.profile import constraint_report
+
+    df = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises(ValueError, match="identifier"):
+        constraint_report(df, [("v-neg", F.col("v") < 0)])
+    with pytest.raises(ValueError, match="identifier"):
+        constraint_report(df, [("has space", F.col("v") < 0)])
+    with pytest.raises(ValueError, match="at least one"):
+        constraint_report(df, [])
+    with pytest.raises(ValueError, match="duplicate"):
+        constraint_report(
+            df, [("a", F.col("v") < 0)], (("a", ["v"]),)
+        )

@@ -870,3 +870,50 @@ def test_impression_lineage_walk(spark, tmp_path):
     assert len(leaves) == 2
     assert set(lin[mid]["deps"]) == leaves
     assert all(lin[leaf]["task"] is None for leaf in leaves)
+
+
+def test_impression_compact_recovers_from_crash_states(spark, tmp_path):
+    """A crash between compact()'s two renames must not leave a deposit
+    that looks healthy while unreadable: the next compact() restores a
+    mid-swap .old, discards a stale temp rewrite, and cleans a
+    post-swap leftover."""
+    import os
+    import shutil
+
+    store = ImpressionStore(str(tmp_path / "imps"))
+    store.write("c", spark.range(500).repartition(6))
+    base = os.path.join(store._dir("c"), "data.parquet")
+
+    # simulate crash mid-swap: live dir renamed away, tmp never moved in
+    shutil.copytree(base, base + ".compact-tmp")
+    os.rename(base, base + ".old")
+    assert store.exists("c")  # meta survives — looked "deposited"
+    out = store.compact(spark, "c", target_file_bytes=1 << 30)
+    assert out["compacted"] and out["files_after"] == 1
+    assert not os.path.exists(base + ".old")
+    assert not os.path.exists(base + ".compact-tmp")
+    assert store.read(spark, "c").count() == 500
+
+    # simulate crash after the swap: .old leftover beside a live dir
+    shutil.copytree(base, base + ".old")
+    out2 = store.compact(spark, "c", target_file_bytes=1 << 30)
+    assert not os.path.exists(base + ".old")
+    assert store.read(spark, "c").count() == 500
+    assert not out2["compacted"]  # already at target
+
+
+def test_run_async_on_caller_session_sees_temp_views(spark):
+    """isolate_conf=False runs the dispatched pipeline on the caller's
+    session, so task fns may read caller-registered temp views — the
+    documented trade-off against conf isolation (which is the
+    default)."""
+    spark.range(7).createOrReplaceTempView("async_seed_view")
+    p = Pipeline("tv")
+    p.source("seed", lambda s, _: s.table("async_seed_view"))
+    p.add("doubled", lambda s, d: d["seed"].selectExpr("id * 2 AS id2"),
+          deps=("seed",))
+    be = LocalBackend(eager=True)
+    h = be.run_async(spark, p, isolate_conf=False)
+    out = h.join(timeout=120)
+    assert out["statuses"]["doubled"] == "finished"
+    assert out["results"]["doubled"].count() == 7

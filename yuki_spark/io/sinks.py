@@ -25,8 +25,12 @@ def write_parquet(
     sort_by: list[str] | None = None,
     mode: str = "overwrite",
     compression: str = "snappy",
+    dynamic_overwrite: bool = False,
 ) -> None:
-    """Partitioned parquet write with small-file control."""
+    """Partitioned parquet write with small-file control.
+    ``dynamic_overwrite=True`` switches an overwrite to
+    dynamic-partition mode (replace only the partitions present in
+    ``df``) — see :func:`overwrite_partitions`."""
     if target_files is not None:
         if partition_by:
             # one write task per output dir per slice → bounded files
@@ -36,6 +40,8 @@ def write_parquet(
     if sort_by:
         df = df.sortWithinPartitions(*sort_by)
     writer = df.write.mode(mode).option("compression", compression)
+    if dynamic_overwrite:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
@@ -55,17 +61,17 @@ def overwrite_partitions(
     (re-running one day's extract must not clobber the other 364 at
     100 TB). Static overwrite would drop the whole root; this sets
     ``partitionOverwriteMode=dynamic`` as a per-write option, so no
-    session-global conf is touched."""
-    if target_files is not None:
-        df = df.repartition(target_files, *partition_by)
-    if sort_by:
-        df = df.sortWithinPartitions(*sort_by)
-    (
-        df.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .option("compression", compression)
-        .partitionBy(*partition_by)
-        .parquet(path)
+    session-global conf is touched. Thin wrapper over
+    :func:`write_parquet` (one copy of the small-file/sort logic)."""
+    write_parquet(
+        df,
+        path,
+        partition_by=partition_by,
+        target_files=target_files,
+        sort_by=sort_by,
+        mode="overwrite",
+        compression=compression,
+        dynamic_overwrite=True,
     )
 
 

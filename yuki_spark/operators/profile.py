@@ -77,7 +77,19 @@ def constraint_report(
     Scale shape: exactly like profile() — every constraint folds into
     one partial-agg stage over a single scan (unique adds a distinct
     per key set), then a stack() unpivot of the one-row wide result.
-    No per-constraint jobs, no driver loop."""
+    No per-constraint jobs, no driver loop.
+
+    Constraint names must be identifiers ([A-Za-z_][A-Za-z0-9_]*):
+    they are spliced into the generated stack() expression, where an
+    arbitrary string could parse as SQL (e.g. names 'a' and 'a-0'
+    would make the term __v_a-0 resolve as __v_a MINUS 0 — check
+    'a-0' silently reporting check 'a''s count). Rejecting
+    non-identifiers up front turns that silent mis-bind into a clear
+    error."""
+    import re
+
+    if not row_checks and not unique_checks:
+        raise ValueError("constraint_report needs at least one check")
     aggs = [F.count(F.lit(1)).alias("__n")]
     names: list[str] = []
     for name, viol in row_checks:
@@ -92,6 +104,11 @@ def constraint_report(
         aggs.append(F.countDistinct(*[F.col(c) for c in cols]).alias(f"__d_{name}"))
     seen = set()
     for n in names:
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", n):
+            raise ValueError(
+                f"constraint name {n!r} is not an identifier "
+                "([A-Za-z_][A-Za-z0-9_]*)"
+            )
         if n in seen:
             raise ValueError(f"duplicate constraint name {n!r}")
         seen.add(n)

@@ -215,6 +215,7 @@ class LocalBackend:
         spark: SparkSession,
         pipe: Pipeline,
         max_workers: int = 0,
+        isolate_conf: bool = True,
     ) -> "AsyncRun":
         """Dispatch a run in a background thread and return a pollable
         handle (parity: Yuki's Celery ``task_exec_impression`` —
@@ -222,13 +223,20 @@ class LocalBackend:
         and clients poll the status routes). ``max_workers > 0`` uses
         :meth:`run_parallel` inside the dispatched thread.
 
-        The dispatched run executes under ``spark.newSession()`` —
-        same SparkContext, ISOLATED SQL conf — so a task's runner-conf
-        override can never leak into the caller's session while the
-        caller keeps working (the whole point of async dispatch), nor
-        cross-contaminate a sibling ``run_async``. The result
-        DataFrames carry the isolated session and stay fully usable by
-        the caller.
+        By default the dispatched run executes under
+        ``spark.newSession()`` — same SparkContext, ISOLATED SQL
+        conf — so a task's runner-conf override can never leak into
+        the caller's session while the caller keeps working (the
+        whole point of async dispatch), nor cross-contaminate a
+        sibling ``run_async``. The result DataFrames carry the
+        isolated session and stay fully usable by the caller.
+        Session scope cuts both ways: the fresh session does NOT see
+        the caller's TEMP VIEWS, registered UDFs, or runtime-set SQL
+        conf. A pipeline whose task fns read temp views (e.g. the
+        ``read_many(register=True)`` catalog pattern) must pass
+        ``isolate_conf=False`` to run on the caller's session —
+        accepting that task conf overrides then briefly apply
+        session-wide while each task runs.
 
         kill() is per-pipeline (sticky): killing one dispatched run
         never aborts a sibling pipeline on the same backend, and a
@@ -237,7 +245,7 @@ class LocalBackend:
         import threading
 
         handle = AsyncRun(pipe, self)
-        run_spark = spark.newSession()
+        run_spark = spark.newSession() if isolate_conf else spark
 
         def _target() -> None:
             try:

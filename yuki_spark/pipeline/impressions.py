@@ -251,14 +251,27 @@ class ImpressionStore:
         same hive partitioning (re-applied from the deposit's
         recorded ``partition_by``), so the content address stays
         valid. The rewrite lands in a temp directory and swaps in via
-        two renames (old → .old, tmp → live); a crash between them
-        leaves the .old directory for manual recovery rather than a
-        half-written deposit. ``coalesce`` (not repartition) merges
-        inputs without a shuffle. No-op when the deposit already
-        meets the target; returns before/after file counts either
-        way."""
+        two renames (old → .old, tmp → live); a crash anywhere is
+        recovered on the NEXT compact() call — a surviving .old with
+        no live directory is renamed back (the crash hit mid-swap),
+        a .old beside a live directory is deleted (post-swap
+        leftover), and a stale temp rewrite is discarded — so a
+        broken-looking deposit never masquerades as healthy.
+        ``coalesce`` (not repartition) merges inputs without a
+        shuffle. No-op when the deposit already meets the target;
+        returns before/after file counts either way."""
         if not self.exists(imp_id):
             raise FileNotFoundError(f"impression {imp_id} not deposited")
+        base_dir = os.path.join(self._dir(imp_id), "data.parquet")
+        old_dir = base_dir + ".old"
+        tmp_dir = base_dir + ".compact-tmp"
+        if os.path.exists(old_dir):
+            if os.path.exists(base_dir):
+                shutil.rmtree(old_dir)  # crash after the swap completed
+            else:
+                os.rename(old_dir, base_dir)  # crash mid-swap: restore
+        if os.path.exists(tmp_dir):
+            shutil.rmtree(tmp_dir)  # crash during the rewrite: discard
         files = self.data_files(imp_id)
         total = sum(os.path.getsize(f) for f in files)
         n_target = max(1, -(-total // target_file_bytes))
@@ -270,18 +283,15 @@ class ImpressionStore:
         }
         if len(files) <= n_target:
             return {**stats, "files_after": len(files), "compacted": False}
-        base = os.path.join(self._dir(imp_id), "data.parquet")
         part_cols = self.meta(imp_id).get("partition_by") or []
-        df = spark.read.parquet(base).coalesce(int(n_target))
-        tmp = base + ".compact-tmp"
+        df = spark.read.parquet(base_dir).coalesce(int(n_target))
         writer = df.write.mode("overwrite")
         if part_cols:
             writer = writer.partitionBy(*part_cols)
-        writer.parquet(tmp)
-        old = base + ".old"
-        os.rename(base, old)
-        os.rename(tmp, base)
-        shutil.rmtree(old)
+        writer.parquet(tmp_dir)
+        os.rename(base_dir, old_dir)
+        os.rename(tmp_dir, base_dir)
+        shutil.rmtree(old_dir)
         meta = self.meta(imp_id)
         meta["compacted_at"] = time.time()
         with open(os.path.join(self._dir(imp_id), "meta.json"), "w") as f:

@@ -608,9 +608,10 @@ def e21_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one shuffle to the (type, day) grain (partial
     count map-side), then two windows over the *aggregated* daily
     table (types × days rows — tiny) on one partitioning. int64
-    bounds: S^2 <= (T*D)^2, fine through the 10x stress grain; at
-    true 100 TB volumes pre-divide the daily counts by a common
-    factor before scaling (noted, not needed at any test sf)."""
+    bounds: dev and S are exact int64 (|S| <= T*D, safe to ~1e14
+    event-days); the SQUARED threshold comparison runs in double
+    with identical IEEE multiply order on both engines — exact-int
+    squares would overflow at the decade-spanning stress grain."""
     ev = load(spark, sf_dir, "events")
     bounds = ev.agg(
         F.date_trunc("day", F.min("ts")).alias("d0"),
@@ -648,12 +649,19 @@ def e21_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "dev",
             "cusum",
+            # threshold comparison in DOUBLE: S and T*D stay exact
+            # int64 (safe to ~1e14 event-days) but their SQUARES
+            # overflow int64 at the decade-spanning 10x stress grain;
+            # identical IEEE multiply order on both engines keeps the
+            # comparison bit-identical (tools/stress.py regression)
             (
-                F.col("cusum") * F.col("cusum") * CUSUM_NUM
-                > F.col("total")
-                * F.col("n_days")
-                * F.col("n_days")
-                * F.col("n_days")
+                F.col("cusum").cast("double")
+                * F.col("cusum").cast("double")
+                * F.lit(float(CUSUM_NUM))
+                > F.col("total").cast("double")
+                * F.col("n_days").cast("double")
+                * F.col("n_days").cast("double")
+                * F.col("n_days").cast("double")
             ).alias("drift"),
         )
         .orderBy("event_type", "day")
@@ -774,7 +782,10 @@ ORACLE = {
                  total, n_days
           FROM d)
         SELECT event_type, day, n_events, dev, cusum,
-               cusum * cusum * {CUSUM_NUM} > total * n_days * n_days * n_days
+               CAST(cusum AS DOUBLE) * CAST(cusum AS DOUBLE)
+                 * CAST({CUSUM_NUM} AS DOUBLE)
+                 > CAST(total AS DOUBLE) * CAST(n_days AS DOUBLE)
+                   * CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)
                  AS drift
         FROM c ORDER BY event_type, day
     """,

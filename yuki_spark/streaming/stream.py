@@ -311,8 +311,16 @@ def progress_stats(query) -> list[dict]:
 
 
 def total_late_dropped(query) -> int:
-    """Sum of watermark-dropped rows across the query's recorded
-    progress — the one number a data-loss alert thresholds on."""
+    """Sum of watermark-dropped rows across the query's RECORDED
+    progress — the one number a data-loss alert thresholds on.
+
+    Buffer caveat: ``recentProgress`` is a ring buffer
+    (``spark.sql.streaming.numRecentProgressUpdates``, default 100
+    batches), so on a long-running query old drops age out and this
+    sum undercounts. Bounded replays (availableNow) fit the buffer;
+    an always-on production query should accumulate
+    ``numRowsDroppedByWatermark`` monotonically in a
+    StreamingQueryListener (or raise the conf) and alert on that."""
     return sum(
         s["dropped_late"] or 0
         for p in progress_stats(query)
