@@ -971,3 +971,39 @@ def test_constraint_report_rejects_bad_names(spark):
         constraint_report(
             df, [("a", F.col("v") < 0)], (("a", ["v"]),)
         )
+
+
+def test_incremental_neardup_against_index(spark, docs):
+    """The per-batch ingest shape: build the band index once for the
+    corpus, then check a NEW batch against it — a near-dup of an
+    indexed doc is caught with its exact Jaccard, novel docs pass
+    clean, and appending the batch's own band rows extends the index
+    for the next round."""
+    index = dedup.band_index(dedup.token_sets(docs)).localCheckpoint(eager=False)
+
+    batch = spark.createDataFrame(
+        [
+            # near-dup of indexed doc 1 (J = 7/9)
+            (100, "the quick brown fox jumps over the lazy cat", "en", "x"),
+            (101, "totally novel content nothing shares these tokens", "en", "x"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    hits = dedup.incremental_neardup(batch, index, docs, threshold=0.7).collect()
+    got = {(r["new_id"], r["indexed_id"]): r["jac"] for r in hits}
+    assert set(k[0] for k in got) == {100}
+    assert got[(100, 1)] == pytest.approx(7 / 9)
+    assert got[(100, 3)] == pytest.approx(7 / 9)  # doc 3 = exact dup of 1
+
+    # next round: extended index + grown corpus catch a dup of doc 101
+    index2 = index.union(dedup.band_index(dedup.token_sets(batch)))
+    corpus2 = docs.union(batch)
+    batch2 = spark.createDataFrame(
+        [(200, "totally novel content nothing shares these tokens", "en", "y")],
+        "doc_id long, text string, lang string, source string",
+    )
+    hits2 = {
+        (r["new_id"], r["indexed_id"]): r["jac"]
+        for r in dedup.incremental_neardup(batch2, index2, corpus2, 0.7).collect()
+    }
+    assert hits2 == {(200, 101): pytest.approx(1.0)}

@@ -528,3 +528,93 @@ def test_watermark_drops_late_straggler_and_progress_reports_it(spark, tmp_path)
     got = {(r["hour"].hour, r["n_events"]) for r in spark.read.parquet(out).collect()}
     assert (3, 1) not in got  # the straggler never reached the sink
     assert (10, 2) in got
+
+
+def test_corpus_ingest_dedupes_across_batches(spark, tmp_path):
+    """End-to-end continuous corpus ingestion: within-batch near-dups
+    collapse, cross-batch dups are caught against the persisted band
+    index, novel docs accumulate, and a full replay leaves the corpus
+    and index byte-stable (idempotent sink)."""
+    sdir = tmp_path / "doc_stream"
+    sdir.mkdir()
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ingest_ckpt")
+
+    def slice_file(name, rows):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows]),
+                "lang": pa.array(["en"] * len(rows)),
+                "source": pa.array(["s"] * len(rows)),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, sdir / name)
+        time.sleep(0.05)
+
+    base = "the quick brown fox jumps over the lazy"
+    slice_file(
+        "part-0000.parquet",
+        [
+            (1, f"{base} dog"),
+            (2, f"{base} cat"),  # near-dup of 1 (J=7/9 >= 0.7) -> dropped in-batch
+            (3, "completely different words entirely unrelated text here"),
+        ],
+    )
+    slice_file(
+        "part-0001.parquet",
+        [
+            (10, f"{base} dog"),  # exact dup of ingested doc 1 -> dropped
+            (11, "genuinely novel second batch content tokens"),
+        ],
+    )
+
+    from yuki_spark.operators import dedup as dd
+
+    q = st.run_corpus_ingest(
+        st.read_document_stream(spark, str(sdir), max_files_per_trigger=1),
+        corpus,
+        index,
+        ckpt,
+        threshold=0.7,
+    )
+    q.awaitTermination(180)
+
+    ids = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    assert ids == [1, 3, 11]
+    idx = spark.read.parquet(index)
+    assert idx.select("doc_id").distinct().count() == 3
+    assert idx.count() == 3 * dd.N_BANDS
+
+    # full replay with the same checkpoint: batch ids are stable, the
+    # sink rewrites identical state
+    q2 = st.run_corpus_ingest(
+        st.read_document_stream(spark, str(sdir), max_files_per_trigger=1),
+        corpus,
+        index,
+        ckpt,
+        threshold=0.7,
+    )
+    q2.awaitTermination(180)
+    assert sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect()) == [1, 3, 11]
+    assert spark.read.parquet(index).count() == 3 * dd.N_BANDS
+
+    # a third batch arriving later: novel doc lands, dup of doc 3 dropped
+    slice_file(
+        "part-0002.parquet",
+        [
+            (20, "completely different words entirely unrelated text here"),
+            (21, "late arriving but fresh content never seen before"),
+        ],
+    )
+    q3 = st.run_corpus_ingest(
+        st.read_document_stream(spark, str(sdir), max_files_per_trigger=1),
+        corpus,
+        index,
+        ckpt,
+        threshold=0.7,
+    )
+    q3.awaitTermination(180)
+    assert sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect()) == [1, 3, 11, 21]

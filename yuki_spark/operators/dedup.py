@@ -178,16 +178,14 @@ def _minhash_sig(tok_hashes: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
-    """MinHash/LSH near-dup pairs, verified with exact Jaccard.
-
-    Candidates come from band-key equality only (shuffle on band key);
-    exact verification joins back the token sets for candidate pairs.
-    """
-    # one materialization feeds band explode (both self-join sides)
-    # AND the exact-verification joins — without it the plan runs the
-    # MinHash UDF 4x and scans the corpus 8x
-    ts = token_sets(docs).localCheckpoint(eager=False)
+def band_index(ts: DataFrame) -> DataFrame:
+    """MinHash-LSH band keys of a (token-set) corpus: one row per
+    (doc_id, band, bkey). This IS the near-dup index a continuously
+    ingested corpus persists (e.g. through the ImpressionStore): tiny
+    relative to the text (N_BANDS int64 keys per doc), unioned as
+    batches arrive, and every future batch checks against everything
+    seen so far by joining band keys — no recompute of history.
+    Takes :func:`token_sets` output so callers control caching."""
     sig = ts.withColumn(
         "tok_hashes", F.transform("toks", lambda t: F.xxhash64(t))
     ).withColumn("sig", _minhash_sig("tok_hashes"))
@@ -203,11 +201,75 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
             for i in range(N_BANDS)
         ]
     )
-    exploded = (
+    return (
         sig.select("doc_id", F.explode(bands).alias("bk"))
-        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
-        .localCheckpoint(eager=False)
+        .select(
+            "doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+        )
     )
+
+
+def incremental_neardup(
+    new_docs: DataFrame,
+    index: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Novelty check for a NEW batch against an already-indexed corpus:
+    (new_id, indexed_id, jac) for every new document that
+    near-duplicates an indexed one — the incremental form of
+    :func:`minhash_lsh_pairs` a production ingest runs per batch
+    instead of re-deduping the whole corpus.
+
+    Scale shape: the new batch's band keys (batch-sized) join the
+    persisted ``index`` on (band, bkey) — shuffle proportional to the
+    batch + matching index keys, never the corpus text; only VERIFIED
+    candidates join back to ``corpus`` for exact-Jaccard token
+    verification. New-vs-new duplicates inside the batch are
+    :func:`minhash_lsh_pairs`' job on the batch alone; append the
+    batch's :func:`band_index` rows to the stored index afterwards."""
+    new_ts = token_sets(new_docs).localCheckpoint(eager=False)
+    cand = (
+        band_index(new_ts)
+        .withColumnRenamed("doc_id", "new_id")
+        .join(index.withColumnRenamed("doc_id", "indexed_id"), ["band", "bkey"])
+        .select("new_id", "indexed_id")
+        .distinct()
+    )
+    ta = new_ts.select(
+        F.col("doc_id").alias("new_id"),
+        F.col("toks").alias("toks_a"),
+        F.col("set_size").alias("size_a"),
+    )
+    tb = token_sets(corpus).select(
+        F.col("doc_id").alias("indexed_id"),
+        F.col("toks").alias("toks_b"),
+        F.col("set_size").alias("size_b"),
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("bigint")
+    jac = inter.cast("double") / (
+        F.col("size_a") + F.col("size_b") - inter
+    ).cast("double")
+    return (
+        cand.join(ta, "new_id")
+        .join(tb, "indexed_id")
+        .withColumn("jac", jac)
+        .where(F.col("jac") >= threshold)
+        .select("new_id", "indexed_id", "jac")
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """MinHash/LSH near-dup pairs, verified with exact Jaccard.
+
+    Candidates come from band-key equality only (shuffle on band key);
+    exact verification joins back the token sets for candidate pairs.
+    """
+    # one materialization feeds band explode (both self-join sides)
+    # AND the exact-verification joins — without it the plan runs the
+    # MinHash UDF 4x and scans the corpus 8x
+    ts = token_sets(docs).localCheckpoint(eager=False)
+    exploded = band_index(ts).localCheckpoint(eager=False)
     cand = (
         exploded.alias("x")
         .join(exploded.alias("y"), ["band", "bkey"])

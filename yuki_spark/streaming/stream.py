@@ -40,6 +40,16 @@ EVENT_SCHEMA = StructType(
     ]
 )
 
+DOCUMENT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
 SESSION_GAP_SEC = 30 * 60
 
 
@@ -269,6 +279,98 @@ def run_to_memory(sdf: DataFrame, name: str, mode: str = "update"):
         sdf.writeStream.format("memory")
         .queryName(name)
         .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_document_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-source stream on the documents schema — the ingest feed
+    for :func:`run_corpus_ingest`."""
+    return (
+        spark.readStream.schema(DOCUMENT_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(path)
+    )
+
+
+def run_corpus_ingest(
+    sdf: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    checkpoint: str,
+    threshold: float = 0.8,
+):
+    """Continuously ingest documents with cross-batch near-dedup — the
+    end-to-end production shape for a growing pretraining corpus:
+    every micro-batch (1) canonicalizes within itself (doc_id dedup +
+    MinHash-LSH near-dup drop, keeping the smaller doc_id of each
+    verified pair), (2) checks the survivors against EVERYTHING
+    ingested so far via the persisted band index
+    (operators/dedup.incremental_neardup — a batch-sized band-key
+    join, never a corpus re-dedup), and (3) MERGEs the novel docs
+    into the corpus snapshot and their band rows into the index
+    snapshot, both doc-keyed upserts so a replayed batch rewrites the
+    identical state (idempotent sink).
+
+    Scale notes: the per-batch snapshot rewrite is the plain-parquet
+    stand-in for a transactional MERGE — on a lakehouse table
+    (Delta/Iceberg) steps (3) become real MERGE INTO statements and
+    the corpus is never rewritten; the index join cost is
+    O(batch × matching keys) regardless of corpus size."""
+    from ..operators import dedup as dd
+    from ..operators.merge import merge_upsert
+
+    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.dropDuplicates(["doc_id"]).localCheckpoint(eager=True)
+        intra = (
+            dd.minhash_lsh_pairs(batch, threshold)
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
+        batch = batch.join(intra, "doc_id", "left_anti")
+        try:
+            corpus = spark.read.parquet(corpus_path)
+            index = spark.read.parquet(index_path)
+            dup = (
+                dd.incremental_neardup(batch, index, corpus, threshold)
+                # a replayed batch's docs are already deposited: their
+                # self-match must not re-classify them as duplicates
+                .where(F.col("new_id") != F.col("indexed_id"))
+                .select(F.col("new_id").alias("doc_id"))
+                .distinct()
+            )
+            novel = batch.join(dup, "doc_id", "left_anti")
+            merged_corpus = merge_upsert(corpus, novel, ["doc_id"])
+            merged_index = merge_upsert(
+                index,
+                dd.band_index(dd.token_sets(novel)),
+                ["doc_id", "band"],
+            )
+        except AnalysisException as e:
+            # first batch only — any other read failure must abort
+            # rather than overwrite the snapshots with one batch
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
+            novel = batch
+            merged_corpus = novel
+            merged_index = dd.band_index(dd.token_sets(novel))
+        # materialize BOTH before either overwrite: the index lineage
+        # reaches through the dup check into the current corpus files,
+        # which the corpus overwrite is about to delete
+        mc = merged_corpus.localCheckpoint(eager=True)
+        mi = merged_index.localCheckpoint(eager=True)
+        mc.write.mode("overwrite").parquet(corpus_path)
+        mi.write.mode("overwrite").parquet(index_path)
+
+    return (
+        sdf.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
