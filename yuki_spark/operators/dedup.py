@@ -223,11 +223,14 @@ def incremental_neardup(
 
     Scale shape: the new batch's band keys (batch-sized) join the
     persisted ``index`` on (band, bkey) — shuffle proportional to the
-    batch + matching index keys, never the corpus text; only VERIFIED
-    candidates join back to ``corpus`` for exact-Jaccard token
-    verification. New-vs-new duplicates inside the batch are
-    :func:`minhash_lsh_pairs`' job on the batch alone; append the
-    batch's :func:`band_index` rows to the stored index afterwards."""
+    batch + matching index keys, never the corpus text; and the
+    exact-Jaccard verification tokenizes only the candidate slice of
+    ``corpus`` (the candidate indexed_ids — batch-bounded — broadcast
+    as a filter in front of the corpus scan, so the corpus is pruned
+    BEFORE any tokenization or shuffle). New-vs-new duplicates inside
+    the batch are :func:`minhash_lsh_pairs`' job on the batch alone;
+    append the batch's :func:`band_index` rows to the stored index
+    afterwards."""
     new_ts = token_sets(new_docs).localCheckpoint(eager=False)
     cand = (
         band_index(new_ts)
@@ -235,13 +238,20 @@ def incremental_neardup(
         .join(index.withColumnRenamed("doc_id", "indexed_id"), ["band", "bkey"])
         .select("new_id", "indexed_id")
         .distinct()
+        .localCheckpoint(eager=False)  # feeds the filter AND the verify join
     )
     ta = new_ts.select(
         F.col("doc_id").alias("new_id"),
         F.col("toks").alias("toks_a"),
         F.col("set_size").alias("size_a"),
     )
-    tb = token_sets(corpus).select(
+    hit_docs = corpus.join(
+        F.broadcast(
+            cand.select(F.col("indexed_id").alias("doc_id")).distinct()
+        ),
+        "doc_id",
+    )
+    tb = token_sets(hit_docs).select(
         F.col("doc_id").alias("indexed_id"),
         F.col("toks").alias("toks_b"),
         F.col("set_size").alias("size_b"),

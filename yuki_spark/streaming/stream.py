@@ -320,6 +320,8 @@ def run_corpus_ingest(
     (Delta/Iceberg) steps (3) become real MERGE INTO statements and
     the corpus is never rewritten; the index join cost is
     O(batch × matching keys) regardless of corpus size."""
+    from pyspark.sql.window import Window
+
     from ..operators import dedup as dd
     from ..operators.merge import merge_upsert
 
@@ -327,7 +329,17 @@ def run_corpus_ingest(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        batch = batch_df.dropDuplicates(["doc_id"]).localCheckpoint(eager=True)
+        # deterministic per-key pick (dropDuplicates is shuffle-order
+        # dependent): replay must rebuild byte-identical state
+        wdup = Window.partitionBy("doc_id").orderBy(
+            *[F.col(c).desc() for c in batch_df.columns if c != "doc_id"]
+        )
+        batch = (
+            batch_df.withColumn("__rn", F.row_number().over(wdup))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+            .localCheckpoint(eager=True)
+        )
         intra = (
             dd.minhash_lsh_pairs(batch, threshold)
             .select(F.col("doc_b").alias("doc_id"))
