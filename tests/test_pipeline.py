@@ -901,6 +901,13 @@ def test_impression_compact_recovers_from_crash_states(spark, tmp_path):
     assert store.read(spark, "c").count() == 500
     assert not out2["compacted"]  # already at target
 
+    # healing is NOT compact-only: a mid-swap crash state recovers on
+    # a plain read()/data_files() too (no masquerading-empty deposit)
+    os.rename(base, base + ".old")
+    assert store.read(spark, "c").count() == 500
+    os.rename(base, base + ".old")
+    assert len(store.data_files("c")) == 1
+
 
 def test_run_async_on_caller_session_sees_temp_views(spark):
     """isolate_conf=False runs the dispatched pipeline on the caller's

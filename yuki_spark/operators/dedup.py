@@ -54,6 +54,41 @@ def token_sets(docs: DataFrame) -> DataFrame:
     ).withColumn("set_size", F.size("toks").cast("bigint"))
 
 
+def _verify_pairs(
+    cand: DataFrame,
+    ts_a: DataFrame,
+    ts_b: DataFrame,
+    threshold: float,
+    id_a: str,
+    id_b: str,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate id pairs against two
+    token-set tables — the ONE copy of the Jaccard formula behind
+    jaccard_pairs / minhash_lsh_pairs / incremental_neardup (any
+    change to empty-set or null handling lands in all three)."""
+    ta = ts_a.select(
+        F.col("doc_id").alias(id_a),
+        F.col("toks").alias("toks_a"),
+        F.col("set_size").alias("size_a"),
+    )
+    tb = ts_b.select(
+        F.col("doc_id").alias(id_b),
+        F.col("toks").alias("toks_b"),
+        F.col("set_size").alias("size_b"),
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("bigint")
+    jac = inter.cast("double") / (
+        F.col("size_a") + F.col("size_b") - inter
+    ).cast("double")
+    return (
+        cand.join(ta, id_a)
+        .join(tb, id_b)
+        .withColumn("jac", jac)
+        .where(F.col("jac") >= threshold)
+        .select(id_a, id_b, "jac")
+    )
+
+
 def jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     """All doc pairs (a < b) with token-set Jaccard ≥ threshold —
     exact, via prefix-filtered candidate generation (Chaudhuri et al.
@@ -76,27 +111,8 @@ def jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     persist/write the signature table).
     """
     ts = token_sets(docs).localCheckpoint(eager=False)
-    cand = jaccard_candidates(ts, threshold)
-    ta = ts.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("toks").alias("toks_a"),
-        F.col("set_size").alias("size_a"),
-    )
-    tb = ts.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("toks").alias("toks_b"),
-        F.col("set_size").alias("size_b"),
-    )
-    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("bigint")
-    jac = inter.cast("double") / (
-        F.col("size_a") + F.col("size_b") - inter
-    ).cast("double")
-    return (
-        cand.join(ta, "doc_a")
-        .join(tb, "doc_b")
-        .withColumn("jac", jac)
-        .where(F.col("jac") >= threshold)
-        .select("doc_a", "doc_b", "jac")
+    return _verify_pairs(
+        jaccard_candidates(ts, threshold), ts, ts, threshold, "doc_a", "doc_b"
     )
 
 
@@ -214,6 +230,9 @@ def incremental_neardup(
     index: DataFrame,
     corpus: DataFrame,
     threshold: float = 0.8,
+    *,
+    new_ts: DataFrame | None = None,
+    new_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Novelty check for a NEW batch against an already-indexed corpus:
     (new_id, indexed_id, jac) for every new document that
@@ -230,20 +249,22 @@ def incremental_neardup(
     BEFORE any tokenization or shuffle). New-vs-new duplicates inside
     the batch are :func:`minhash_lsh_pairs`' job on the batch alone;
     append the batch's :func:`band_index` rows to the stored index
-    afterwards."""
-    new_ts = token_sets(new_docs).localCheckpoint(eager=False)
+    afterwards.
+
+    ``new_ts`` / ``new_bands`` let a caller that already computed the
+    batch's token sets and band keys (e.g. the streaming ingest, which
+    needs them for its within-batch dedup too) pass them in — one
+    tokenization + MinHash pass per batch instead of one per step."""
+    if new_ts is None:
+        new_ts = token_sets(new_docs).localCheckpoint(eager=False)
+    if new_bands is None:
+        new_bands = band_index(new_ts)
     cand = (
-        band_index(new_ts)
-        .withColumnRenamed("doc_id", "new_id")
+        new_bands.withColumnRenamed("doc_id", "new_id")
         .join(index.withColumnRenamed("doc_id", "indexed_id"), ["band", "bkey"])
         .select("new_id", "indexed_id")
         .distinct()
         .localCheckpoint(eager=False)  # feeds the filter AND the verify join
-    )
-    ta = new_ts.select(
-        F.col("doc_id").alias("new_id"),
-        F.col("toks").alias("toks_a"),
-        F.col("set_size").alias("size_a"),
     )
     hit_docs = corpus.join(
         F.broadcast(
@@ -251,21 +272,8 @@ def incremental_neardup(
         ),
         "doc_id",
     )
-    tb = token_sets(hit_docs).select(
-        F.col("doc_id").alias("indexed_id"),
-        F.col("toks").alias("toks_b"),
-        F.col("set_size").alias("size_b"),
-    )
-    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("bigint")
-    jac = inter.cast("double") / (
-        F.col("size_a") + F.col("size_b") - inter
-    ).cast("double")
-    return (
-        cand.join(ta, "new_id")
-        .join(tb, "indexed_id")
-        .withColumn("jac", jac)
-        .where(F.col("jac") >= threshold)
-        .select("new_id", "indexed_id", "jac")
+    return _verify_pairs(
+        cand, new_ts, token_sets(hit_docs), threshold, "new_id", "indexed_id"
     )
 
 
@@ -279,27 +287,27 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     # AND the exact-verification joins — without it the plan runs the
     # MinHash UDF 4x and scans the corpus 8x
     ts = token_sets(docs).localCheckpoint(eager=False)
-    exploded = band_index(ts).localCheckpoint(eager=False)
+    return minhash_pairs_from(
+        ts, band_index(ts).localCheckpoint(eager=False), threshold
+    )
+
+
+def minhash_pairs_from(
+    ts: DataFrame, bands: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """:func:`minhash_lsh_pairs`' core over precomputed token sets and
+    band keys — callers that reuse both (the streaming ingest) avoid
+    re-running the tokenization and MinHash UDF."""
     cand = (
-        exploded.alias("x")
-        .join(exploded.alias("y"), ["band", "bkey"])
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "bkey"])
         .where(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(
             F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
         )
         .distinct()
     )
-    ta = ts.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"), F.col("set_size").alias("size_a"))
-    tb = ts.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"), F.col("set_size").alias("size_b"))
-    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("bigint")
-    jac = inter.cast("double") / (F.col("size_a") + F.col("size_b") - inter).cast("double")
-    return (
-        cand.join(ta, "doc_a")
-        .join(tb, "doc_b")
-        .withColumn("jac", jac)
-        .where(F.col("jac") >= threshold)
-        .select("doc_a", "doc_b", "jac")
-    )
+    return _verify_pairs(cand, ts, ts, threshold, "doc_a", "doc_b")
 
 
 def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:

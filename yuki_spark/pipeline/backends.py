@@ -25,27 +25,41 @@ from .dag import Pipeline
 from .impressions import ImpressionStore, impression_id
 
 
+import threading as _threading
+
+# serialize ALL conf-override windows in this process: two concurrent
+# runs (e.g. sibling run_async(isolate_conf=False) dispatches) that
+# interleaved save/set/restore on one shared session would otherwise
+# restore each other's overrides — B saving A's in-flight value and
+# "restoring" it forever. Overrides are short (one task's
+# compile+action); the lock's serialization is the correctness cost
+# of session-global conf, and isolated sessions never contend.
+_CONF_LOCK = _threading.Lock()
+
+
 @contextmanager
 def _task_conf(spark: SparkSession, conf: dict[str, str]):
     """Apply a task's runner context (Spark SQL conf) around its
     compile + action, restoring the previous values afterwards —
     parity with Yuki's per-job environment/runner registration
     (/root/reference/Yuki/kernel/VJob.py:117 ``environment``,
-    impression_storage.py:21 ``_get_runner_contexts``)."""
+    impression_storage.py:21 ``_get_runner_contexts``). Conf-carrying
+    windows are mutually exclusive process-wide (_CONF_LOCK)."""
     if not conf:
         yield
         return
-    saved = {k: spark.conf.get(k, None) for k in conf}
-    for k, v in conf.items():
-        spark.conf.set(k, v)
-    try:
-        yield
-    finally:
-        for k, old in saved.items():
-            if old is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, old)
+    with _CONF_LOCK:
+        saved = {k: spark.conf.get(k, None) for k in conf}
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        try:
+            yield
+        finally:
+            for k, old in saved.items():
+                if old is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, old)
 
 
 class DryRunBackend:

@@ -88,10 +88,12 @@ class ImpressionStore:
         return path
 
     def read(self, spark: SparkSession, imp_id: str) -> DataFrame:
-        """Yuki ``collect``: load a deposited impression."""
+        """Yuki ``collect``: load a deposited impression (healing any
+        interrupted-compaction state first — see _heal_swap)."""
         if not self.exists(imp_id):
             raise FileNotFoundError(f"impression {imp_id} not deposited")
-        return spark.read.parquet(os.path.join(self._dir(imp_id), "data.parquet"))
+        base_dir, _, _ = self._heal_swap(imp_id)
+        return spark.read.parquet(base_dir)
 
     def meta(self, imp_id: str) -> dict[str, Any]:
         with open(os.path.join(self._dir(imp_id), "meta.json")) as f:
@@ -221,10 +223,32 @@ class ImpressionStore:
                 out[cur] = {"task": None, "deps": [], "deposited": False}
         return out
 
+    def _heal_swap(self, imp_id: str) -> tuple[str, str, str]:
+        """Recover a deposit from a compact() crash window so a broken
+        deposit never masquerades as healthy ON ANY read path (not
+        just a retried compact): a surviving .old with no live
+        directory is renamed back (the crash hit mid-swap), a .old
+        beside a live directory is deleted (post-swap leftover), and a
+        stale temp rewrite is discarded. Returns the (base, old, tmp)
+        paths for compact()'s own use."""
+        base_dir = os.path.join(self._dir(imp_id), "data.parquet")
+        old_dir = base_dir + ".old"
+        tmp_dir = base_dir + ".compact-tmp"
+        if os.path.exists(old_dir):
+            if os.path.exists(base_dir):
+                shutil.rmtree(old_dir)  # crash after the swap completed
+            else:
+                os.rename(old_dir, base_dir)  # crash mid-swap: restore
+        if os.path.exists(tmp_dir):
+            shutil.rmtree(tmp_dir)  # crash during the rewrite: discard
+        return base_dir, old_dir, tmp_dir
+
     def data_files(self, imp_id: str) -> list[str]:
         """Every parquet part file of a deposit (recursive — includes
-        hive-partitioned subdirectories), sorted."""
-        base = os.path.join(self._dir(imp_id), "data.parquet")
+        hive-partitioned subdirectories), sorted. Heals any
+        interrupted-compaction state first so a mid-swap crash never
+        reads as an empty (yet "existing") deposit."""
+        base, _, _ = self._heal_swap(imp_id)
         out: list[str] = []
         for dirpath, _, files in os.walk(base):
             for f in files:
@@ -262,16 +286,7 @@ class ImpressionStore:
         returns before/after file counts either way."""
         if not self.exists(imp_id):
             raise FileNotFoundError(f"impression {imp_id} not deposited")
-        base_dir = os.path.join(self._dir(imp_id), "data.parquet")
-        old_dir = base_dir + ".old"
-        tmp_dir = base_dir + ".compact-tmp"
-        if os.path.exists(old_dir):
-            if os.path.exists(base_dir):
-                shutil.rmtree(old_dir)  # crash after the swap completed
-            else:
-                os.rename(old_dir, base_dir)  # crash mid-swap: restore
-        if os.path.exists(tmp_dir):
-            shutil.rmtree(tmp_dir)  # crash during the rewrite: discard
+        base_dir, old_dir, tmp_dir = self._heal_swap(imp_id)
         files = self.data_files(imp_id)
         total = sum(os.path.getsize(f) for f in files)
         n_target = max(1, -(-total // target_file_bytes))

@@ -284,6 +284,41 @@ def run_to_memory(sdf: DataFrame, name: str, mode: str = "update"):
     )
 
 
+def _dedup_per_key(df: DataFrame, keys: list[str], order_col: str | None = None) -> DataFrame:
+    """Deterministic one-row-per-key pick (dropDuplicates is
+    shuffle-order dependent; replayed batches must rebuild identical
+    state): by ``order_col`` descending when given, else by the
+    non-key columns descending. Shared by run_upsert_snapshot and
+    run_corpus_ingest."""
+    from pyspark.sql.window import Window
+
+    ordering = (
+        [F.col(order_col).desc()]
+        if order_col
+        else [F.col(c).desc() for c in df.columns if c not in keys]
+    ) or [F.lit(1)]
+    w = Window.partitionBy(*keys).orderBy(*ordering)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _read_snapshot_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a parquet snapshot, returning None ONLY for
+    path-not-found (the legitimate first-batch state). Any other read
+    failure — transient error, schema mismatch, corruption — raises,
+    so a sink never overwrites a snapshot it could not read (silent
+    data loss). One copy of the fragile error-message sniff."""
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
+        return None
+
+
 def read_document_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int = 4
 ) -> DataFrame:
@@ -320,8 +355,6 @@ def run_corpus_ingest(
     (Delta/Iceberg) steps (3) become real MERGE INTO statements and
     the corpus is never rewritten; the index join cost is
     O(batch × matching keys) regardless of corpus size."""
-    from pyspark.sql.window import Window
-
     from ..operators import dedup as dd
     from ..operators.merge import merge_upsert
 
@@ -329,28 +362,41 @@ def run_corpus_ingest(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        # deterministic per-key pick (dropDuplicates is shuffle-order
-        # dependent): replay must rebuild byte-identical state
-        wdup = Window.partitionBy("doc_id").orderBy(
-            *[F.col(c).desc() for c in batch_df.columns if c != "doc_id"]
-        )
-        batch = (
-            batch_df.withColumn("__rn", F.row_number().over(wdup))
-            .where(F.col("__rn") == 1)
-            .drop("__rn")
-            .localCheckpoint(eager=True)
-        )
+        batch = _dedup_per_key(batch_df, ["doc_id"]).localCheckpoint(eager=True)
+        # ONE tokenization + MinHash pass per batch: ts/bands feed the
+        # within-batch self-join, the cross-batch index check, AND the
+        # novel docs' new index rows
+        ts = dd.token_sets(batch).localCheckpoint(eager=True)
+        bands = dd.band_index(ts).localCheckpoint(eager=True)
         intra = (
-            dd.minhash_lsh_pairs(batch, threshold)
+            dd.minhash_pairs_from(ts, bands, threshold)
             .select(F.col("doc_b").alias("doc_id"))
             .distinct()
+            .localCheckpoint(eager=True)
         )
         batch = batch.join(intra, "doc_id", "left_anti")
-        try:
-            corpus = spark.read.parquet(corpus_path)
-            index = spark.read.parquet(index_path)
+        ts = ts.join(intra, "doc_id", "left_anti")
+        bands = bands.join(intra, "doc_id", "left_anti")
+        corpus = _read_snapshot_or_none(spark, corpus_path)
+        index = _read_snapshot_or_none(spark, index_path)
+        if corpus is None and index is not None:
+            # the corpus overwrite crashed mid-flight: primary data is
+            # gone and cannot be derived back — fail loud (plain
+            # parquet has no transaction log; a lakehouse table makes
+            # this window atomic)
+            raise RuntimeError(
+                f"corpus snapshot {corpus_path!r} missing while index "
+                f"{index_path!r} exists — refusing to rebuild from one batch"
+            )
+        if corpus is not None:
+            if index is None:
+                # crash between the two overwrites: the index is
+                # DERIVED data — rebuild it from the corpus
+                index = dd.band_index(dd.token_sets(corpus))
             dup = (
-                dd.incremental_neardup(batch, index, corpus, threshold)
+                dd.incremental_neardup(
+                    batch, index, corpus, threshold, new_ts=ts, new_bands=bands
+                )
                 # a replayed batch's docs are already deposited: their
                 # self-match must not re-classify them as duplicates
                 .where(F.col("new_id") != F.col("indexed_id"))
@@ -360,18 +406,12 @@ def run_corpus_ingest(
             novel = batch.join(dup, "doc_id", "left_anti")
             merged_corpus = merge_upsert(corpus, novel, ["doc_id"])
             merged_index = merge_upsert(
-                index,
-                dd.band_index(dd.token_sets(novel)),
-                ["doc_id", "band"],
+                index, bands.join(dup, "doc_id", "left_anti"), ["doc_id", "band"]
             )
-        except AnalysisException as e:
-            # first batch only — any other read failure must abort
-            # rather than overwrite the snapshots with one batch
-            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-                raise
+        else:
             novel = batch
             merged_corpus = novel
-            merged_index = dd.band_index(dd.token_sets(novel))
+            merged_index = bands
         # materialize BOTH before either overwrite: the index lineage
         # reaches through the dup check into the current corpus files,
         # which the corpus overwrite is about to delete
@@ -481,28 +521,9 @@ def run_upsert_snapshot(
 
     def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
         spark = batch_df.sparkSession
-        ordering = (
-            [F.col(order_col).desc()]
-            if order_col
-            else [F.col(c).desc() for c in batch_df.columns if c not in keys]
-        ) or [F.lit(1)]
-        w = Window.partitionBy(*keys).orderBy(*ordering)
-        batch_df = (
-            batch_df.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-        try:
-            target = spark.read.parquet(snapshot_path)
-            merged = merge_upsert(target, batch_df, keys)
-        except AnalysisException as e:
-            # ONLY path-not-found means "first batch". Anything else —
-            # transient read error, schema mismatch, corrupt snapshot —
-            # must fail the query rather than overwrite the snapshot
-            # with a single micro-batch (silent data loss).
-            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-                raise
-            merged = batch_df
+        batch_df = _dedup_per_key(batch_df, keys, order_col)
+        target = _read_snapshot_or_none(spark, snapshot_path)
+        merged = batch_df if target is None else merge_upsert(target, batch_df, keys)
         # rewrite through a staging df: collect to driver is avoided,
         # localCheckpoint materializes before the overwrite clobbers
         # the files being read
