@@ -33,6 +33,7 @@ _PRIORITY = [
     "s10_cluster_balance",
     "dq1_constraint_report",
     "d30_oov_rate",
+    "s11_knn_graph",
     # r3-changed machinery, driver row still r2
     "d9_embedding_neardup",
     "s3_lsh_ann",

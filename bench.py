@@ -78,6 +78,7 @@ HEADLINE = [
     "s10_cluster_balance",
     "dq1_constraint_report",
     "d30_oov_rate",
+    "s11_knn_graph",
 ]
 
 

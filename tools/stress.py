@@ -136,6 +136,7 @@ def main() -> None:
         "s10_cluster_balance",
         "dq1_constraint_report",
         "d30_oov_rate",
+        "s11_knn_graph",
     ]
     qs["q1_pricing_summary"](spark, out).write.mode("overwrite").format("noop").save()
     timings = {}

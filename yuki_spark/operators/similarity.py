@@ -513,6 +513,23 @@ def _plane_lit(planes: np.ndarray, i: int) -> Column:
     return F.array(*[F.lit(int(v)) for v in planes[i]])
 
 
+def _sign_bucketed(emb: DataFrame, n_planes: int) -> DataFrame:
+    """(vec_id, sv, nrm, bucket): scaled vectors with their
+    random-hyperplane sign bucket — shared by lsh_ann and knn_graph
+    (one copy of the sign-bit packing)."""
+    planes = lsh_planes(n_planes)
+    base = emb.select("vec_id", scaled("embedding").alias("sv")).withColumn(
+        "nrm", int_dot(F.col("sv"), F.col("sv"))
+    )
+    sign_bits = [
+        F.when(
+            int_dot(F.col("sv"), _plane_lit(planes, i)) >= 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+        for i in range(n_planes)
+    ]
+    return base.withColumn("bucket", sum(sign_bits[1:], sign_bits[0]))
+
+
 def lsh_ann(
     emb: DataFrame,
     k: int = 3,
@@ -539,20 +556,9 @@ def lsh_ann(
         raise ValueError(
             f"n_planes={n_planes} exceeds the int32 bucket-id budget"
         )
-    planes = lsh_planes(n_planes)
-    base = (
-        emb.select("vec_id", scaled("embedding").alias("sv"))
-        .withColumn("nrm", int_dot(F.col("sv"), F.col("sv")))
-    )
-    sign_bits = [
-        F.when(int_dot(F.col("sv"), _plane_lit(planes, i)) >= 0, F.lit(1 << i)).otherwise(
-            F.lit(0)
-        )
-        for i in range(n_planes)
-    ]
-    bucketed = base.withColumn(
-        "bucket", sum(sign_bits[1:], sign_bits[0])
-    ).localCheckpoint(eager=False)  # feeds query + candidate sides once
+    bucketed = _sign_bucketed(emb, n_planes).localCheckpoint(
+        eager=False
+    )  # feeds query + candidate sides once
     probes = F.array(
         F.col("bucket"),
         *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
@@ -576,6 +582,68 @@ def lsh_ann(
         c.join(broadcast(q), "bucket")
         .where(F.col("qid") != F.col("cid"))
         .withColumn("cosine", cos)
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col("cid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= k)
+        .select("qid", "rk", "cid", "cosine")
+        .orderBy("qid", "rk")
+    )
+
+
+def knn_graph(
+    emb: DataFrame,
+    k: int = 3,
+    n_planes: int | None = None,
+    n_est: int | None = None,
+) -> DataFrame:
+    """Approximate k-NN GRAPH over the whole corpus: every vector's
+    top-k neighbors from its multi-probe LSH buckets — the precursor
+    artifact a graph-ANN build starts from (NN-descent seeds, HNSW
+    layer-0 approximation) and the neighborhood structure
+    density-based curation reads. Same bucket/probe/scoring machinery
+    as :func:`lsh_ann`, generalized from a bounded query set to all
+    vectors.
+
+    Scale shape: no broadcast (both sides are corpus-sized) — the
+    probe explode (n_planes+1 rows per vector) equi-joins the bucketed
+    corpus on bucket id, so candidate volume is Σ over buckets of
+    |probes into b|·|b|, bounded because :func:`adaptive_planes` keeps
+    expected bucket population constant as n grows; exact int-cosine
+    scoring; one per-vector window for the top-k cut. A vector whose
+    probed buckets hold fewer than k candidates reports what it found
+    (the graph is approximate by contract; recall is s6's job)."""
+    if n_planes is None:
+        n_planes = adaptive_planes(n_est if n_est is not None else emb.count())
+    if n_planes > 31:  # bucket id / probe XOR literals assume int32
+        raise ValueError(
+            f"n_planes={n_planes} exceeds the int32 bucket-id budget"
+        )
+    bucketed = _sign_bucketed(emb, n_planes).localCheckpoint(
+        eager=False
+    )  # feeds probe + candidate sides once
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+    )
+    q = bucketed.select(
+        F.col("vec_id").alias("qid"),
+        F.col("sv").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.explode(probes).alias("bucket"),
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("cid"),
+        F.col("sv").alias("cv"),
+        F.col("nrm").alias("cn"),
+        F.col("bucket"),
+    )
+    cos = F.round(
+        cosine_from_ints(int_dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")), 9
+    )
+    scored = (
+        q.join(c, "bucket").where(F.col("qid") != F.col("cid")).withColumn("cosine", cos)
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col("cid"))
     return (

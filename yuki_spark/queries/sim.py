@@ -135,6 +135,17 @@ def s10_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s11_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN graph over the whole embedding corpus
+    (operators/similarity.py::knn_graph): every vector's top-K bucket
+    neighbors — the precursor artifact for graph-ANN builds. Adaptive
+    plane count from the catalog footer, exact-int scoring, so the
+    all-vectors twin (s3's SQL minus the query filter) binds
+    bit-for-bit."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.knn_graph(emb, k=K, n_est=_emb_rows(sf_dir))
+
+
 def s5_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 quantization error per label, exact integer accounting
     (operators/similarity.py::quantize_error)."""
@@ -216,6 +227,7 @@ QUERIES = {
     "s8_pq_ann": s8_pq_ann,
     "s9_kmeans_refine": s9_kmeans_refine,
     "s10_cluster_balance": s10_cluster_balance,
+    "s11_knn_graph": s11_knn_graph,
     "s5_quantize_error": s5_quantize_error,
     "s7_semdedup": s7_semdedup,
     "d9_embedding_neardup": d9_embedding_neardup,
@@ -580,6 +592,48 @@ def _s10_oracle() -> str:
     """
 
 
+def _s11_oracle() -> str:
+    """Twin of knn_graph: _s3_oracle's bucket/probe/scoring SQL with
+    the query filter removed (ALL vectors probe) — same adaptive plane
+    count, same exact-int cosine, same (cosine desc, cid) top-K."""
+    n_planes = similarity.adaptive_planes(_oracle_emb_rows())
+    ann_planes = similarity.lsh_planes(n_planes)
+
+    def dot(j: int) -> str:
+        arr = "[" + ",".join(str(int(v)) for v in ann_planes[j]) + "]"
+        return f"list_reduce(list_transform(range(1, 65), i -> sv[i] * ({arr})[i]), (acc, x) -> acc + x)"
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot(j)} >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(n_planes)
+    )
+    probe_list = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(n_planes)]
+    )
+    return f"""
+        WITH base AS (
+          SELECT vec_id, {_SCALED} AS sv FROM embeddings),
+        b AS (
+          SELECT vec_id, sv, {_DOT.format(a='sv', b='sv')} AS nrm,
+                 {bucket} AS bucket
+          FROM base),
+        qp AS (
+          SELECT vec_id, sv, nrm, unnest([{probe_list}]) AS bucket
+          FROM b),
+        scored AS (
+          SELECT q.vec_id AS qid, c.vec_id AS cid,
+                 round(CAST({_DOT.format(a='q.sv', b='c.sv')} AS DOUBLE)
+                   / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))), 9) AS cosine
+          FROM qp q JOIN b c
+            ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
+        SELECT qid, rk, cid, cosine FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS BIGINT) AS rk
+          FROM scored)
+        WHERE rk <= {K}
+        ORDER BY qid, rk
+    """
+
+
 def _s6_oracle() -> str:
     """Twin of the recall harness: every index twin is deterministic,
     so the whole evaluation composes in SQL (nested-WITH CTEs)."""
@@ -680,6 +734,7 @@ def build_oracle() -> dict[str, str]:
             "s8_pq_ann": _s8_oracle(),
             "s9_kmeans_refine": _s9_oracle(),
             "s10_cluster_balance": _s10_oracle(),
+            "s11_knn_graph": _s11_oracle(),
             "s6_ann_recall": _s6_oracle(),
         }
     )
