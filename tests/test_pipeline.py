@@ -924,3 +924,64 @@ def test_run_async_on_caller_session_sees_temp_views(spark):
     out = h.join(timeout=120)
     assert out["statuses"]["doubled"] == "finished"
     assert out["results"]["doubled"].count() == 7
+
+
+def test_compact_preserves_string_partition_values(spark, tmp_path):
+    """compact() must re-read under the deposit's RECORDED schema: a
+    hive-partitioned deposit with a string partition value like '01'
+    would otherwise be re-inferred as int on the compaction read and
+    persisted with a silently changed schema + values (r4 advice)."""
+    store = ImpressionStore(str(tmp_path / "imps"))
+    df = spark.createDataFrame(
+        [(i, f"{i % 3:02d}") for i in range(300)], "k int, bucket string"
+    )
+    store.write("sp", df.repartition(8), partition_by=["bucket"])
+    before = sorted(
+        (r["k"], r["bucket"]) for r in store.read(spark, "sp").collect()
+    )
+    assert {b for _, b in before} == {"00", "01", "02"}  # leading zeros intact
+    out = store.compact(spark, "sp", target_file_bytes=1 << 30)
+    assert out["compacted"]
+    got = store.read(spark, "sp")
+    assert dict(got.dtypes)["bucket"] == "string"
+    assert sorted((r["k"], r["bucket"]) for r in got.collect()) == before
+    # recorded meta schema unchanged by the rewrite
+    fields = {f["name"]: f["type"] for f in store.meta("sp")["schema"]["fields"]}
+    assert fields["bucket"] == "string"
+
+
+def test_read_path_heal_never_deletes_live_tmp(spark, tmp_path):
+    """With run_parallel/run_async a read can race an in-flight
+    compact(); the read path's crash-heal must not rmtree the
+    .compact-tmp directory the rewrite is mid-writing (r4 advice).
+    Only compact() itself discards a stale tmp."""
+    import os
+
+    store = ImpressionStore(str(tmp_path / "imps"))
+    store.write("r", spark.range(100).repartition(4))
+    base = os.path.join(store._dir("r"), "data.parquet")
+    os.makedirs(base + ".compact-tmp")  # stands in for a live rewrite
+    assert store.read(spark, "r").count() == 100
+    store.data_files("r")
+    assert os.path.exists(base + ".compact-tmp")  # read paths left it alone
+    out = store.compact(spark, "r", target_file_bytes=1 << 30)  # full heal
+    assert out["compacted"]
+    assert not os.path.exists(base + ".compact-tmp")
+
+
+def test_kill_landing_mid_task_keeps_failed_status(spark):
+    """A kill that lands while a task is executing must not be
+    overwritten by that task's completion (r4 advice): the final
+    status assignment re-checks the killed set."""
+    be = LocalBackend(eager=True)
+    p = Pipeline("midkill")
+    p.source("seed", lambda s, _: s.range(5))
+
+    def slow_then_done(s, d):
+        be.kill(p)  # kill arrives while this task is mid-run
+        return d["seed"].selectExpr("id * 2 AS id2")
+
+    p.add("worker", slow_then_done, deps=("seed",))
+    out = be.run(spark, p)
+    assert out["statuses"]["worker"] == "failed"
+    assert p.status() == "failed"

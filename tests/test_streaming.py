@@ -618,3 +618,35 @@ def test_corpus_ingest_dedupes_across_batches(spark, tmp_path):
     )
     q3.awaitTermination(180)
     assert sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect()) == [1, 3, 11, 21]
+
+
+def test_snapshot_atomic_overwrite_and_heal(spark, tmp_path):
+    """_atomic_overwrite stages + rename-swaps: a crash window that
+    leaves .old beside a missing live dir heals on the next read; a
+    marker-less (partial) snapshot directory fails loud instead of
+    reading as a silently truncated snapshot (r4 advice)."""
+    import shutil
+
+    snap = str(tmp_path / "snap")
+    st._atomic_overwrite(spark.range(10).selectExpr("id AS k"), snap)
+    assert st._read_snapshot_or_none(spark, snap).count() == 10
+    # second overwrite replaces content, leaves no siblings behind
+    st._atomic_overwrite(spark.range(3).selectExpr("id AS k"), snap)
+    assert st._read_snapshot_or_none(spark, snap).count() == 3
+    assert not os.path.exists(snap + ".old")
+    assert not os.path.exists(snap + ".staged")
+
+    # crash mid-swap: live renamed away, new never renamed in
+    os.rename(snap, snap + ".old")
+    healed = st._read_snapshot_or_none(spark, snap)
+    assert healed is not None and healed.count() == 3
+    assert not os.path.exists(snap + ".old")
+
+    # partial write: directory exists without _SUCCESS -> fail loud
+    os.remove(os.path.join(snap, "_SUCCESS"))
+    with pytest.raises(RuntimeError, match="_SUCCESS"):
+        st._read_snapshot_or_none(spark, snap)
+    shutil.rmtree(snap)
+
+    # true first-batch state (no directory at all) is still None
+    assert st._read_snapshot_or_none(spark, snap) is None

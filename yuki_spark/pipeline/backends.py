@@ -335,6 +335,12 @@ class LocalBackend:
                     and not self.store.is_archived(imp)
                 ):
                     results[name] = self.store.read(spark, imp)
+                    if pipe in self._killed_pipes:
+                        # kill landed while this task ran: 'kill marks
+                        # unfinished work failed' must win the race
+                        t.status = "failed"
+                        self._journal(pipe, name, "failed")
+                        break
                     t.status = "reused"
                     self._journal(pipe, name, "reused")
                     t.result = results[name]
@@ -388,6 +394,13 @@ class LocalBackend:
                         t.metrics = obs.get
                     else:
                         pending_obs[name] = obs
+                if pipe in self._killed_pipes:
+                    # a kill that landed mid-task must not be
+                    # overwritten by this completion — the documented
+                    # contract is that kill marks in-flight work failed
+                    t.status = "failed"
+                    self._journal(pipe, name, "failed")
+                    break
                 t.status = "finished" if executed else "compiled"
                 self._journal(pipe, name, t.status)
                 break

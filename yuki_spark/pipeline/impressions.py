@@ -23,6 +23,7 @@ import json
 import os
 import re
 import shutil
+import threading
 import time
 from typing import Any
 
@@ -55,6 +56,16 @@ class ImpressionStore:
     def __init__(self, root: str):
         self.root = root
         os.makedirs(root, exist_ok=True)
+        # per-impression locks: a read's crash-heal must never
+        # interleave with a concurrent compact()'s rename swap (the
+        # heal would "restore" the mid-swap .old and break the swap);
+        # run_parallel/run_async make concurrent reads real
+        self._locks: dict[str, threading.RLock] = {}
+        self._locks_guard = threading.Lock()
+
+    def _lock(self, imp_id: str) -> threading.RLock:
+        with self._locks_guard:
+            return self._locks.setdefault(imp_id, threading.RLock())
 
     def _dir(self, imp_id: str) -> str:
         return os.path.join(self.root, imp_id)
@@ -89,11 +100,19 @@ class ImpressionStore:
 
     def read(self, spark: SparkSession, imp_id: str) -> DataFrame:
         """Yuki ``collect``: load a deposited impression (healing any
-        interrupted-compaction state first — see _heal_swap)."""
+        interrupted-compaction state first — see _heal_swap). The read
+        applies the RECORDED schema from meta.json, so a
+        hive-partitioned deposit comes back with the exact column
+        types (and order) it was written with — directory-name type
+        inference never rewrites a string partition value into an
+        int/date."""
         if not self.exists(imp_id):
             raise FileNotFoundError(f"impression {imp_id} not deposited")
+        from pyspark.sql.types import StructType
+
         base_dir, _, _ = self._heal_swap(imp_id)
-        return spark.read.parquet(base_dir)
+        schema = StructType.fromJson(self.meta(imp_id)["schema"])
+        return spark.read.schema(schema).parquet(base_dir)
 
     def meta(self, imp_id: str) -> dict[str, Any]:
         with open(os.path.join(self._dir(imp_id), "meta.json")) as f:
@@ -223,24 +242,31 @@ class ImpressionStore:
                 out[cur] = {"task": None, "deps": [], "deposited": False}
         return out
 
-    def _heal_swap(self, imp_id: str) -> tuple[str, str, str]:
+    def _heal_swap(self, imp_id: str, full: bool = False) -> tuple[str, str, str]:
         """Recover a deposit from a compact() crash window so a broken
         deposit never masquerades as healthy ON ANY read path (not
         just a retried compact): a surviving .old with no live
-        directory is renamed back (the crash hit mid-swap), a .old
-        beside a live directory is deleted (post-swap leftover), and a
-        stale temp rewrite is discarded. Returns the (base, old, tmp)
-        paths for compact()'s own use."""
+        directory is renamed back (the crash hit mid-swap), and a .old
+        beside a live directory is deleted (post-swap leftover). Only
+        ``full=True`` (compact's own pre-rewrite heal) also discards a
+        leftover temp rewrite — read paths must NEVER touch the temp
+        directory, because with run_parallel/run_async a read can race
+        an in-flight compact whose rewrite is mid-write there; deleting
+        it would hand the subsequent swap a truncated deposit. All
+        transitions run under the per-impression lock so a heal can
+        never interleave with a live swap. Returns the (base, old,
+        tmp) paths for compact()'s own use."""
         base_dir = os.path.join(self._dir(imp_id), "data.parquet")
         old_dir = base_dir + ".old"
         tmp_dir = base_dir + ".compact-tmp"
-        if os.path.exists(old_dir):
-            if os.path.exists(base_dir):
-                shutil.rmtree(old_dir)  # crash after the swap completed
-            else:
-                os.rename(old_dir, base_dir)  # crash mid-swap: restore
-        if os.path.exists(tmp_dir):
-            shutil.rmtree(tmp_dir)  # crash during the rewrite: discard
+        with self._lock(imp_id):
+            if os.path.exists(old_dir):
+                if os.path.exists(base_dir):
+                    shutil.rmtree(old_dir)  # crash after the swap completed
+                else:
+                    os.rename(old_dir, base_dir)  # crash mid-swap: restore
+            if full and os.path.exists(tmp_dir):
+                shutil.rmtree(tmp_dir)  # crash during the rewrite: discard
         return base_dir, old_dir, tmp_dir
 
     def data_files(self, imp_id: str) -> list[str]:
@@ -282,40 +308,54 @@ class ImpressionStore:
         leftover), and a stale temp rewrite is discarded — so a
         broken-looking deposit never masquerades as healthy.
         ``coalesce`` (not repartition) merges inputs without a
-        shuffle. No-op when the deposit already meets the target;
-        returns before/after file counts either way."""
+        shuffle. The rewrite reads under the deposit's RECORDED schema
+        (meta.json), never schema inference: a hive-partitioned read
+        would otherwise re-infer partition-column types from directory
+        names (a string partition value ``'01'`` or ``'2024-01-01'``
+        coming back int/date) and persist the changed types —
+        violating the same-schema contract. No-op when the deposit
+        already meets the target; returns before/after file counts
+        either way. Concurrent compacts of one deposit serialize on a
+        dedicated lock; the swap itself runs under the per-impression
+        heal lock so a racing read can never observe (or "heal") the
+        mid-swap state."""
         if not self.exists(imp_id):
             raise FileNotFoundError(f"impression {imp_id} not deposited")
-        base_dir, old_dir, tmp_dir = self._heal_swap(imp_id)
-        files = self.data_files(imp_id)
-        total = sum(os.path.getsize(f) for f in files)
-        n_target = max(1, -(-total // target_file_bytes))
-        stats = {
-            "impression": imp_id,
-            "files_before": len(files),
-            "bytes": total,
-            "target_files": n_target,
-        }
-        if len(files) <= n_target:
-            return {**stats, "files_after": len(files), "compacted": False}
-        part_cols = self.meta(imp_id).get("partition_by") or []
-        df = spark.read.parquet(base_dir).coalesce(int(n_target))
-        writer = df.write.mode("overwrite")
-        if part_cols:
-            writer = writer.partitionBy(*part_cols)
-        writer.parquet(tmp_dir)
-        os.rename(base_dir, old_dir)
-        os.rename(tmp_dir, base_dir)
-        shutil.rmtree(old_dir)
-        meta = self.meta(imp_id)
-        meta["compacted_at"] = time.time()
-        with open(os.path.join(self._dir(imp_id), "meta.json"), "w") as f:
-            json.dump(meta, f, indent=2)
-        return {
-            **stats,
-            "files_after": len(self.data_files(imp_id)),
-            "compacted": True,
-        }
+        with self._lock(imp_id + "#compact"):
+            base_dir, old_dir, tmp_dir = self._heal_swap(imp_id, full=True)
+            files = self.data_files(imp_id)
+            total = sum(os.path.getsize(f) for f in files)
+            n_target = max(1, -(-total // target_file_bytes))
+            stats = {
+                "impression": imp_id,
+                "files_before": len(files),
+                "bytes": total,
+                "target_files": n_target,
+            }
+            if len(files) <= n_target:
+                return {**stats, "files_after": len(files), "compacted": False}
+            from pyspark.sql.types import StructType
+
+            meta = self.meta(imp_id)
+            part_cols = meta.get("partition_by") or []
+            schema = StructType.fromJson(meta["schema"])
+            df = spark.read.schema(schema).parquet(base_dir).coalesce(int(n_target))
+            writer = df.write.mode("overwrite")
+            if part_cols:
+                writer = writer.partitionBy(*part_cols)
+            writer.parquet(tmp_dir)
+            with self._lock(imp_id):
+                os.rename(base_dir, old_dir)
+                os.rename(tmp_dir, base_dir)
+                shutil.rmtree(old_dir)
+            meta["compacted_at"] = time.time()
+            with open(os.path.join(self._dir(imp_id), "meta.json"), "w") as f:
+                json.dump(meta, f, indent=2)
+            return {
+                **stats,
+                "files_after": len(self.data_files(imp_id)),
+                "compacted": True,
+            }
 
     def gc(
         self,

@@ -16,7 +16,6 @@ from __future__ import annotations
 from collections.abc import Iterable, Iterator
 
 import pandas as pd
-from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -305,18 +304,85 @@ def _dedup_per_key(df: DataFrame, keys: list[str], order_col: str | None = None)
     )
 
 
+def _fs_path(spark: SparkSession, path: str):
+    """(Hadoop FileSystem, Path) for a storage path — works on any
+    filesystem the session can reach (local, HDFS, object stores)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def _heal_snapshot(spark: SparkSession, path: str) -> None:
+    """Recover a snapshot from an _atomic_overwrite crash window: a
+    surviving ``.old`` beside a missing live directory is renamed back
+    (the crash hit mid-swap; the batch that was being committed is
+    uncheckpointed and will replay), and a ``.old`` beside a live
+    directory is a post-swap leftover to discard."""
+    fs, live = _fs_path(spark, path)
+    _, old = _fs_path(spark, path + ".old")
+    if fs.exists(old):
+        if fs.exists(live):
+            fs.delete(old, True)
+        else:
+            fs.rename(old, live)
+
+
 def _read_snapshot_or_none(spark: SparkSession, path: str) -> DataFrame | None:
-    """Read a parquet snapshot, returning None ONLY for
-    path-not-found (the legitimate first-batch state). Any other read
-    failure — transient error, schema mismatch, corruption — raises,
-    so a sink never overwrites a snapshot it could not read (silent
-    data loss). One copy of the fragile error-message sniff."""
-    try:
-        return spark.read.parquet(path)
-    except AnalysisException as e:
-        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-            raise
+    """Read a parquet snapshot, returning None ONLY when the path does
+    not exist (the legitimate first-batch state) — probed directly via
+    the Hadoop FileSystem API, never by sniffing exception text (error
+    wording drifts across Spark versions/locales, and an unrelated
+    error containing the substring must not be mistaken for
+    first-batch and get the snapshot overwritten). A directory that
+    exists WITHOUT its ``_SUCCESS`` commit marker is a partial write
+    from a crashed overwrite — fail loud rather than merge against a
+    truncated snapshot and persist the loss. Interrupted
+    atomic-overwrite swaps are healed first (see _heal_snapshot)."""
+    _heal_snapshot(spark, path)
+    fs, hpath = _fs_path(spark, path)
+    if not fs.exists(hpath):
         return None
+    _, marker = _fs_path(spark, path + "/_SUCCESS")
+    if not fs.exists(marker):
+        raise RuntimeError(
+            f"snapshot {path!r} exists without a _SUCCESS commit marker — "
+            "partial write from a crashed overwrite; refusing to read a "
+            "possibly-truncated snapshot (restore it or delete the "
+            "directory to restart from scratch)"
+        )
+    return spark.read.parquet(path)
+
+
+def _atomic_overwrite(df: DataFrame, path: str) -> None:
+    """Overwrite a parquet snapshot crash-consistently: the rewrite
+    lands in a ``.staged`` sibling first (Spark's delete-then-write
+    overwrite is NOT atomic — a crash mid-write leaves a partial
+    directory), is verified committed via its ``_SUCCESS`` marker, and
+    swaps in via two renames. A crash at any point leaves either the
+    old snapshot intact (heal discards the stale stage) or the new one
+    complete; the only broken window — live renamed away, new not yet
+    renamed in — is healed by :func:`_heal_snapshot` on the next read.
+    Renames are single-FS metadata ops here; on an object store
+    without atomic rename this is where a lakehouse table's
+    transaction log takes over."""
+    spark = df.sparkSession
+    staged = path + ".staged"
+    df.write.mode("overwrite").parquet(staged)
+    fs, live = _fs_path(spark, path)
+    _, st = _fs_path(spark, staged)
+    _, marker = _fs_path(spark, staged + "/_SUCCESS")
+    if not fs.exists(marker):
+        raise RuntimeError(f"staged rewrite {staged!r} missing _SUCCESS marker")
+    _, old = _fs_path(spark, path + ".old")
+    if fs.exists(old):
+        fs.delete(old, True)
+    if fs.exists(live):
+        if not fs.rename(live, old):
+            raise RuntimeError(f"could not stage out old snapshot {path!r}")
+    if not fs.rename(st, live):
+        raise RuntimeError(f"could not swap staged snapshot into {path!r}")
+    if fs.exists(old):
+        fs.delete(old, True)
 
 
 def read_document_stream(
@@ -414,11 +480,15 @@ def run_corpus_ingest(
             merged_index = bands
         # materialize BOTH before either overwrite: the index lineage
         # reaches through the dup check into the current corpus files,
-        # which the corpus overwrite is about to delete
+        # which the corpus overwrite is about to delete. Overwrites go
+        # through the staged-rename swap so a crash mid-write can never
+        # leave a partial directory that later reads as a truncated
+        # snapshot (_read_snapshot_or_none also fail-louds on any
+        # marker-less directory as defense in depth).
         mc = merged_corpus.localCheckpoint(eager=True)
         mi = merged_index.localCheckpoint(eager=True)
-        mc.write.mode("overwrite").parquet(corpus_path)
-        mi.write.mode("overwrite").parquet(index_path)
+        _atomic_overwrite(mc, corpus_path)
+        _atomic_overwrite(mi, index_path)
 
     return (
         sdf.writeStream.foreachBatch(apply_batch)
@@ -526,10 +596,10 @@ def run_upsert_snapshot(
         merged = batch_df if target is None else merge_upsert(target, batch_df, keys)
         # rewrite through a staging df: collect to driver is avoided,
         # localCheckpoint materializes before the overwrite clobbers
-        # the files being read
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            snapshot_path
-        )
+        # the files being read; the overwrite itself is the staged
+        # rename swap (crash leaves old-complete or new-complete,
+        # never a partial directory)
+        _atomic_overwrite(merged.localCheckpoint(eager=True), snapshot_path)
 
     return (
         sdf.writeStream.foreachBatch(apply_batch)
