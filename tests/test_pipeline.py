@@ -985,3 +985,193 @@ def test_kill_landing_mid_task_keeps_failed_status(spark):
     out = be.run(spark, p)
     assert out["statuses"]["worker"] == "failed"
     assert p.status() == "failed"
+
+
+# ---------------------------------------------------------------------------
+# Backend registry + routed execution (runner.py / execution.py parity)
+# ---------------------------------------------------------------------------
+
+
+def _routed_pipe():
+    p = Pipeline("routed")
+    p.source("orders", lambda s, _: s.read.parquet(f"{SF_SMOKE}/orders.parquet"))
+    p.add(
+        "heavy",
+        lambda s, d: d["orders"].groupBy("o_orderstatus").count(),
+        deps=("orders",),
+        runner="cluster",
+    )
+    p.add(
+        "report",
+        lambda s, d: d["heavy"].selectExpr(
+            "o_orderstatus", "count * 2 AS doubled"
+        ),
+        deps=("heavy",),
+    )
+    return p
+
+
+def test_registry_routes_tasks_across_two_backends(spark, tmp_path):
+    """One pipeline, two runners: the 'cluster' task executes on an
+    isolated session (RemoteSessionBackend), its output crosses the
+    runner boundary through the shared store, and the local 'report'
+    task consumes the deposit. Statuses roll up on the one Pipeline."""
+    from yuki_spark.pipeline.backends import RemoteSessionBackend
+    from yuki_spark.pipeline.registry import BackendRegistry
+
+    store = ImpressionStore(str(tmp_path / "imps"))
+    reg = BackendRegistry(store)
+    local = LocalBackend(store, eager=True)
+    remote = RemoteSessionBackend(store, eager=True)
+    reg.register("local", local, backend_type="local")
+    reg.register("cluster", remote, backend_type="spark-remote")
+    assert reg.runners() == ["cluster", "local"]
+
+    p = _routed_pipe()
+    out = reg.run(spark, p, default_runner="local")
+    assert out["routing"] == {
+        "orders": "local", "heavy": "cluster", "report": "local",
+    }
+    assert out["statuses"]["heavy"] == "finished"  # boundary → persisted
+    assert out["statuses"]["report"] == "finished"
+    assert p.status() == "finished"
+    # the boundary deposit exists in the shared store
+    assert store.exists(out["impressions"]["heavy"])
+    # the remote task really ran on a different session
+    assert remote._session is not None
+    assert remote._session is not spark
+    # and the result is correct end-to-end
+    got = {r["o_orderstatus"]: r["doubled"] for r in out["results"]["report"].collect()}
+    exp = {
+        r["o_orderstatus"]: r["count"] * 2
+        for r in spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .groupBy("o_orderstatus").count().collect()
+    }
+    assert got == exp
+    # connection probes (runner-connection parity)
+    assert reg.connection("cluster") == {"status": "Connected"}
+    assert reg.connection("local") == {"status": "Connected"}
+
+
+def test_registry_unknown_runner_fails_before_any_task(spark, tmp_path):
+    from yuki_spark.pipeline.registry import BackendRegistry, UnknownRunnerError
+
+    reg = BackendRegistry(ImpressionStore(str(tmp_path / "imps")))
+    reg.register("local", LocalBackend(eager=True))
+    p = _routed_pipe()  # routes 'heavy' to unregistered 'cluster'
+    with pytest.raises(UnknownRunnerError, match="cluster"):
+        reg.run(spark, p, default_runner="local")
+    # nothing executed: the routing resolves before the first task
+    assert all(t.status == "raw" for t in p.tasks.values())
+    with pytest.raises(UnknownRunnerError):
+        reg.backend_for("nope")
+    with pytest.raises(UnknownRunnerError):
+        reg.remove("nope")
+
+
+def test_registry_register_remove_metadata(tmp_path):
+    from yuki_spark.pipeline.backends import RemoteSessionBackend
+    from yuki_spark.pipeline.registry import BackendRegistry
+
+    store = ImpressionStore(str(tmp_path / "imps"))
+    reg = BackendRegistry(store)
+    rid = reg.register(
+        "r1", RemoteSessionBackend(store), backend_type="spark-remote",
+        url="sc://host:15002", token="secret",
+    )
+    info = reg.info("r1")
+    assert info["id"] == rid and info["backend_type"] == "spark-remote"
+    assert info["url"] == "sc://host:15002"
+    # token stored as digest only (never in the clear)
+    import hashlib as h
+    assert info["token_sha256"] == h.sha256(b"secret").hexdigest()
+    assert "secret" not in str(info)
+    with pytest.raises(ValueError, match="already registered"):
+        reg.register("r1", RemoteSessionBackend(store))
+    # a backend pinned to a DIFFERENT store cannot join the registry
+    other = ImpressionStore(str(tmp_path / "other"))
+    with pytest.raises(ValueError, match="shared store"):
+        reg.register("r2", LocalBackend(other))
+    reg.remove("r1")
+    assert reg.runners() == []
+
+
+def test_registry_async_routed_run_and_kill(spark, tmp_path):
+    """run_async returns the pollable handle (run-route parity) and
+    registry.kill reaches every backend."""
+    from yuki_spark.pipeline.backends import RemoteSessionBackend
+    from yuki_spark.pipeline.registry import BackendRegistry
+
+    store = ImpressionStore(str(tmp_path / "imps"))
+    reg = BackendRegistry(store)
+    reg.register("local", LocalBackend(store, eager=True))
+    reg.register("cluster", RemoteSessionBackend(store, eager=True))
+    p = _routed_pipe()
+    h = reg.run_async(spark, p, default_runner="local")
+    out = h.join(timeout=180)
+    assert out["statuses"]["report"] == "finished"
+    assert h.done()
+    # kill a fresh pipeline object across all backends: sticky
+    p2 = _routed_pipe()
+    reg.kill(p2)
+    out2 = reg.run(spark, p2, default_runner="local")
+    assert all(s in ("failed", "waiting") for s in out2["statuses"].values())
+
+
+def test_impression_export_and_get_file(spark, tmp_path):
+    """export() stages a deposit (data + meta + logs) out of the store
+    (upload.py export parity); get_file resolves one named file and
+    raises NOTFOUND-style on absence."""
+    import os
+
+    store = ImpressionStore(str(tmp_path / "imps"))
+    p = build_pipe()
+    out = LocalBackend(store, persist={"by_segment"}).run(spark, p)
+    imp = out["impressions"]["by_segment"]
+    dest = str(tmp_path / "staged")
+    rels = store.export(imp, dest)
+    assert "meta.json" in rels and "logs.json" in rels
+    assert any(r.endswith(".parquet") for r in rels)
+    # the exported copy is a readable parquet deposit in its own right
+    n_src = store.read(spark, imp).count()
+    assert spark.read.parquet(os.path.join(dest, "data.parquet")).count() == n_src
+    # single-file export
+    one = store.export(imp, str(tmp_path / "single"), filename="meta.json")
+    assert one == ["meta.json"]
+    assert os.path.isfile(tmp_path / "single" / "meta.json")
+    # get_file resolves a bare parquet part basename by search
+    part = os.path.basename(store.data_files(imp)[0])
+    assert store.get_file(imp, part).endswith(part)
+    with pytest.raises(FileNotFoundError, match="NOTFOUND"):
+        store.get_file(imp, "nope.bin")
+    with pytest.raises(FileNotFoundError):
+        store.export("not-deposited", dest)
+
+
+def test_impression_bookkeep_manifest(spark, tmp_path):
+    """bookkeep() persists the pipeline definition as a content-
+    addressed, auto-archived manifest impression whose lineage reaches
+    every deposit the pipeline produced (status.py bookkeeping
+    parity)."""
+    store = ImpressionStore(str(tmp_path / "imps"))
+    p = build_pipe()
+    out = LocalBackend(store, persist={"joined", "by_segment"}).run(spark, p)
+    bk = store.bookkeep(p)
+    assert bk.startswith("bk-") and store.exists(bk)
+    assert store.is_archived(bk)
+    body = store.manifest(bk)
+    assert body["pipeline"] == p.name
+    assert set(body["tasks"]) == set(p.tasks)
+    assert body["tasks"]["by_segment"]["impression"] == out["impressions"]["by_segment"]
+    # lineage from the manifest walks into the pipeline's deposits
+    lin = store.lineage(bk)
+    assert lin[out["impressions"]["by_segment"]]["deposited"]
+    assert lin[out["impressions"]["joined"]]["deposited"]
+    # unchanged definition -> same snapshot id (no duplicate)
+    assert store.bookkeep(p) == bk
+    # changed definition -> new snapshot
+    p.tasks["by_segment"].version = "2"
+    bk2 = store.bookkeep(p)
+    assert bk2 != bk and store.exists(bk) and store.exists(bk2)
+    # retention sweeps never collect the bookkeeping trail (archived)
+    assert bk not in store.gc(keep=set(), dry_run=True)

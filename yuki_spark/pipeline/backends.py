@@ -276,6 +276,43 @@ class LocalBackend:
         t.start()
         return handle
 
+    def session_for(self, spark: SparkSession) -> SparkSession:
+        """The session this backend executes tasks on. The local
+        backend runs on the caller's session; RemoteSessionBackend
+        overrides this with its own isolated (or remote) session —
+        the 'which machine does this job run on' seam."""
+        return spark
+
+    def run_task(
+        self,
+        spark: SparkSession,
+        pipe: Pipeline,
+        name: str,
+        results: dict[str, DataFrame],
+        imp_ids: dict[str, str],
+        pending_obs: dict[str, Any],
+        explains: dict[str, str],
+        force_persist: bool = False,
+    ) -> None:
+        """Execute ONE task of a pipeline on this backend — the unit a
+        :class:`~yuki_spark.pipeline.registry.BackendRegistry` routes
+        (parity: the reference runs one impression on one machine —
+        /root/reference/Yuki/server/routes/execution.py:103).
+        ``force_persist=True`` materializes through the store even when
+        the task isn't in ``persist`` — a routed run persists every
+        runner-boundary task so the next runner reads the deposit
+        instead of a foreign session's plan."""
+        self._run_one(
+            self.session_for(spark),
+            pipe,
+            name,
+            results,
+            imp_ids,
+            pending_obs,
+            explains,
+            force_persist=force_persist,
+        )
+
     def _run_one(
         self,
         spark: SparkSession,
@@ -285,6 +322,7 @@ class LocalBackend:
         imp_ids: dict[str, str],
         pending_obs: dict[str, Any],
         explains: dict[str, str],
+        force_persist: bool = False,
     ) -> None:
         t = pipe.tasks[name]
         killed = pipe in self._killed_pipes
@@ -330,7 +368,7 @@ class LocalBackend:
                     raise e
                 if (
                     self.store is not None
-                    and name in self.persist
+                    and (name in self.persist or force_persist)
                     and self.store.exists(imp)
                     and not self.store.is_archived(imp)
                 ):
@@ -371,7 +409,7 @@ class LocalBackend:
                     executed = False
                     if (
                         self.store is not None
-                        and name in self.persist
+                        and (name in self.persist or force_persist)
                         and not (self.store.exists(imp) and self.store.is_archived(imp))
                     ):
                         self.store.write(
@@ -463,6 +501,74 @@ class LocalBackend:
             "results": results,
             "metrics": {n: pipe.tasks[n].metrics for n in order},
         }
+
+
+class RemoteSessionBackend(LocalBackend):
+    """A backend that executes its tasks on a DIFFERENT session than
+    the caller's — the 'run this step on another machine' observable
+    (parity: the reference registers remote runners and dispatches an
+    impression to one — /root/reference/Yuki/server/routes/runner.py:46
+    ``register-runner`` with a ``backend_type``, execution.py:103
+    ``run/<impression>/<machine>``; its REANA backend,
+    kernel/reana_workflow.py, is the remote-cluster analogue).
+
+    Two modes:
+
+    - ``remote_url`` given: tasks run on a Spark-Connect session
+      (``SparkSession.builder.remote(url)``) — a genuinely separate
+      cluster; the driver-side fn ships only the *plan*, exactly like
+      submitting to a second Spark master.
+    - no ``remote_url``: tasks run on ``spark.newSession()`` — same
+      SparkContext, fully isolated SQL conf/temp views/UDFs. This is
+      the single-JVM stand-in for a second machine: the isolation
+      boundary (no shared session state, ``session_conf`` applied as
+      the machine's fixed run config) is identical, only the physical
+      placement differs.
+
+    Data crosses the machine boundary through the ImpressionStore
+    (content-addressed parquet), never through in-memory session
+    state — a routed run persists runner-boundary tasks, and this
+    backend reads its inputs back from the store on ITS session. That
+    is the reference's model too: impressions are collected from
+    runners as files.
+    """
+
+    def __init__(
+        self,
+        store: ImpressionStore | None = None,
+        remote_url: str | None = None,
+        session_conf: dict[str, str] | None = None,
+        **kwargs,
+    ):
+        super().__init__(store=store, **kwargs)
+        self.remote_url = remote_url
+        self.session_conf = dict(session_conf or {})
+        self._session: SparkSession | None = None
+        self._session_guard = _threading.Lock()
+
+    def session_for(self, spark: SparkSession) -> SparkSession:
+        with self._session_guard:
+            if self._session is None:
+                if self.remote_url is not None:
+                    self._session = SparkSession.builder.remote(
+                        self.remote_url
+                    ).getOrCreate()
+                else:
+                    self._session = spark.newSession()
+                for k, v in self.session_conf.items():
+                    self._session.conf.set(k, v)
+            return self._session
+
+    def connection(self) -> dict[str, str]:
+        """Liveness probe (parity: runner.py:30 ``runner-connection``
+        pings a runner's URL). A session that can still run a trivial
+        job is Connected."""
+        try:
+            if self._session is not None:
+                self._session.range(1).count()
+            return {"status": "Connected"}
+        except Exception as e:  # noqa: BLE001 — probe reports, never raises
+            return {"status": f"unreachable: {e}"}
 
 
 class AsyncRun:

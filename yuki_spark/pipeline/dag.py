@@ -57,6 +57,13 @@ class Task:
     # runs under the consumer's conf — runtime conf belongs on the
     # task that acts.
     conf: dict[str, str] = field(default_factory=dict)
+    # named runner this task should execute on (parity: the reference
+    # routes each impression to a registered machine —
+    # /root/reference/Yuki/server/routes/execution.py:103
+    # ``run/<impression>/<machine>``; VJob carries per-machine run
+    # configs). None = the routed run's default runner; resolved by
+    # pipeline.registry.BackendRegistry. Plain backends ignore it.
+    runner: str | None = None
     status: str = "raw"
     error: str | None = None
     result: DataFrame | None = field(default=None, repr=False)
@@ -92,6 +99,7 @@ class Pipeline:
         is_input: bool = False,
         version: str = "1",
         conf: dict[str, str] | None = None,
+        runner: str | None = None,
     ) -> Task:
         if name in self.tasks:
             raise ValueError(f"duplicate task {name!r}")
@@ -102,6 +110,7 @@ class Pipeline:
             is_input=is_input,
             version=version,
             conf=dict(conf or {}),
+            runner=runner,
         )
         self.tasks[name] = t
         return t

@@ -357,6 +357,118 @@ class ImpressionStore:
                 "compacted": True,
             }
 
+    def get_file(self, imp_id: str, filename: str) -> str:
+        """Path of one file inside a deposit (parity: the reference's
+        ``get-file`` route —
+        /root/reference/Yuki/server/routes/upload.py:92 — resolves a
+        named file inside an impression across machines; here the
+        store IS the one machine). ``filename`` is relative to the
+        impression directory (e.g. ``meta.json``, ``logs.json``, or a
+        parquet part path from :meth:`data_files`); a bare parquet
+        part basename is also resolved by search. Raises
+        FileNotFoundError (the route's NOTFOUND) when absent."""
+        base = self._dir(imp_id)
+        cand = os.path.join(base, filename)
+        if os.path.isfile(cand):
+            return cand
+        for dirpath, _, files in os.walk(base):
+            if filename in files:
+                return os.path.join(dirpath, filename)
+        raise FileNotFoundError(
+            f"impression {imp_id}: no file {filename!r} (NOTFOUND)"
+        )
+
+    def export(
+        self, imp_id: str, dest: str, filename: str | None = None
+    ) -> list[str]:
+        """Stage a deposit OUT of the store (parity: the export route —
+        /root/reference/Yuki/server/routes/upload.py:66 — serves an
+        impression's staged-out files to a caller; the Spark-native
+        meaning is a filesystem copy to a destination directory the
+        caller owns). Copies the whole deposit — data + meta.json +
+        logs.json — or, with ``filename``, just that one file
+        (resolved like :meth:`get_file`). Heals any interrupted-
+        compaction state first so an export never ships a mid-swap
+        view. Returns the relative paths written under ``dest``."""
+        if not self.exists(imp_id):
+            raise FileNotFoundError(f"impression {imp_id} not deposited")
+        self._heal_swap(imp_id)
+        os.makedirs(dest, exist_ok=True)
+        if filename is not None:
+            src = self.get_file(imp_id, filename)
+            rel = os.path.relpath(src, self._dir(imp_id))
+            target = os.path.join(dest, rel)
+            os.makedirs(os.path.dirname(target), exist_ok=True)
+            shutil.copy2(src, target)
+            return [rel]
+        base = self._dir(imp_id)
+        out: list[str] = []
+        with self._lock(imp_id):
+            for dirpath, _, files in os.walk(base):
+                for fn in files:
+                    src = os.path.join(dirpath, fn)
+                    rel = os.path.relpath(src, base)
+                    target = os.path.join(dest, rel)
+                    os.makedirs(os.path.dirname(target), exist_ok=True)
+                    shutil.copy2(src, target)
+                    out.append(rel)
+        return sorted(out)
+
+    def bookkeep(self, pipe) -> str:
+        """Persist the pipeline DEFINITION itself as a versioned
+        manifest impression (parity: the bookkeeping route —
+        /root/reference/Yuki/server/routes/status.py:396 — archives a
+        project manifest + files as a snapshot). The manifest carries
+        ``Pipeline.to_plan()`` plus each task's version/conf/runner and
+        the impression address its last run recorded, and its ``deps``
+        are exactly those recorded addresses — so
+        :meth:`lineage` walked from the manifest reaches every deposit
+        the pipeline produced (provenance of the whole project, not
+        one artifact). Content-addressed on the manifest body: a
+        changed pipeline books a NEW snapshot, an unchanged one is a
+        no-op returning the same id. Auto-archived, so retention
+        sweeps never collect the bookkeeping trail. Returns the
+        manifest impression id; read it back with :meth:`manifest`."""
+        tasks_doc = {
+            n: {
+                "version": t.version,
+                "conf": t.conf,
+                "runner": t.runner,
+                "deps": list(t.deps),
+                "impression": t.impression,
+            }
+            for n, t in sorted(pipe.tasks.items())
+        }
+        body = {"pipeline": pipe.name, "plan": pipe.to_plan(), "tasks": tasks_doc}
+        payload = json.dumps(body, sort_keys=True, default=str)
+        imp_id = "bk-" + hashlib.sha256(payload.encode()).hexdigest()[:29]
+        dep_ids = sorted(
+            t["impression"] for t in tasks_doc.values() if t["impression"]
+        )
+        if self.exists(imp_id):
+            return imp_id  # unchanged definition → same snapshot
+        os.makedirs(self._dir(imp_id), exist_ok=True)
+        with open(os.path.join(self._dir(imp_id), "manifest.json"), "w") as f:
+            json.dump(body, f, indent=2, default=str)
+        doc = {
+            "impression": imp_id,
+            "created_at": time.time(),
+            "schema": {"type": "struct", "fields": []},  # metadata-only
+            "partition_by": [],
+            "tags": {"archived": "true", "bookkeeping": "true"},
+            "task": "__bookkeeping__",
+            "pipeline": pipe.name,
+            "deps": dep_ids,
+        }
+        with open(os.path.join(self._dir(imp_id), "meta.json"), "w") as f:
+            json.dump(doc, f, indent=2)
+        return imp_id
+
+    def manifest(self, imp_id: str) -> dict[str, Any]:
+        """Read back a bookkeeping snapshot's manifest body."""
+        with open(os.path.join(self._dir(imp_id), "manifest.json")) as f:
+            return json.load(f)
+
     def gc(
         self,
         keep: set[str] | None = None,
