@@ -105,10 +105,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
-    out.update(docs.ORACLE)
-    # sim's adaptive twins derive LSH parameters from the gate catalog:
-    # build them at call time so YUKI_SPARK_TEST_SF is honored now,
-    # not at whatever moment the module was first imported
+    # docs'/sim's adaptive twins derive their parameters (pairwise
+    # doc cap, LSH planes/bits) from the gate catalog: build them at
+    # call time so YUKI_SPARK_TEST_SF is honored now, not at whatever
+    # moment the module was first imported
+    out.update(docs.build_oracle())
     out.update(sim.build_oracle())
     out.update(events.ORACLE)
     out.update(tpch.ORACLE)

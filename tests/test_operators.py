@@ -768,12 +768,34 @@ def test_skyline_global_resolve_spans_arrow_batches(spark):
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
 
 
+def _python_ares_key(i: int, w: float) -> float:
+    """Bit-exact Python twin of the engines' libm-free A-Res score
+    (operators/sampling.py with_portable_log2_u): Python floats are
+    IEEE-754 doubles evaluated in the same association order, so this
+    reproduces the Spark/DuckDB score to the last bit."""
+    from yuki_spark.operators.sampling import (
+        _ATANH_COEFFS,
+        _TWO_OVER_LN2,
+        KNUTH,
+        MOD,
+    )
+
+    b = (i * KNUTH) % MOD + 1
+    e = sum(b >= (1 << k) for k in range(1, 33))
+    m = b * (2.0 ** -e) if e else float(b)
+    z = (m - 1.0) / (m + 1.0)
+    z2 = z * z
+    h = 1.0 / 19.0
+    for c in _ATANH_COEFFS:
+        h = h * z2 + c
+    return ((e + ((z * h) * _TWO_OVER_LN2)) - 32.0) / w
+
+
 def test_weighted_sample_prefers_heavy_rows(spark):
     """A-Res: 1000x-weighted rows dominate the sample; selection
-    matches the exact Python twin of the hash/ln/round pipeline."""
-    import math
-
-    from yuki_spark.operators.sampling import KNUTH, MOD, weighted_sample
+    matches the exact Python twin of the libm-free hash/log2
+    pipeline — bit-for-bit, no rounding tolerance."""
+    from yuki_spark.operators.sampling import weighted_sample
 
     rows = [(i, 1000 if i % 2 == 0 else 1) for i in range(200)]
     df = spark.createDataFrame(rows, "doc_id long, w long")
@@ -782,12 +804,55 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     assert len(ids) == 20
     assert sum(1 for i in ids if i % 2 == 0) >= 16
 
-    def key(i, w):
-        u = ((i * KNUTH) % MOD + 1) / MOD
-        return round(math.log(u) / w, 9)
+    want = sorted(rows, key=lambda r: (-_python_ares_key(*r), r[0]))[:20]
+    assert sorted(ids) == sorted(i for i, _ in want)
+    # the displayed scores are the Python twin's doubles EXACTLY
+    got_keys = {r["doc_id"]: r["ares_key"] for r in got}
+    for i, w in want:
+        assert got_keys[i] == _python_ares_key(i, w)
 
-    want = [i for i, w in sorted(rows, key=lambda r: (-key(*r), r[0]))[:20]]
-    assert sorted(ids) == sorted(want)
+
+def test_weighted_sample_order_invariant_under_weight_scaling(spark):
+    """A-Res property: scaling every weight by a constant must not
+    change the selection or its order. With power-of-two scales the
+    invariance is EXACT even in floating point (÷2^k is exact), so
+    the whole selection pipeline must return identical rows."""
+    from yuki_spark.operators.sampling import weighted_sample
+
+    rows = [(i, float(1 + (i * 7) % 13)) for i in range(150)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    base = [
+        r["doc_id"]
+        for r in weighted_sample(df, "doc_id", F.col("w"), 30).collect()
+    ]
+    for scale in (0.25, 8.0, 1024.0):
+        scaled = [
+            r["doc_id"]
+            for r in weighted_sample(
+                df, "doc_id", F.col("w") * F.lit(scale), 30
+            ).collect()
+        ]
+        assert scaled == base, f"selection changed under weight×{scale}"
+
+
+def test_portable_log2_matches_true_log_to_series_precision(spark):
+    """The libm-free log2 is the TRUE log2 to ~5e-12 (series
+    truncation) across the whole u range — so rankings track exact
+    A-Res — while remaining a deterministic IEEE expression."""
+    import math
+
+    from yuki_spark.operators.sampling import MOD, with_portable_log2_u
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(0, 5000, 7)], "doc_id long"
+    )
+    got = with_portable_log2_u(df, "doc_id", "log2u").collect()
+    from yuki_spark.operators.sampling import KNUTH
+
+    for r in got:
+        b = (r["doc_id"] * KNUTH) % MOD + 1
+        true = math.log2(b / MOD)
+        assert abs(r["log2u"] - true) < 1e-10, (r["doc_id"], r["log2u"], true)
 
 
 def test_domain_mix_quotas_and_shortfall(spark):

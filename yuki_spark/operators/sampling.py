@@ -49,41 +49,129 @@ def split_train_eval(df: DataFrame, key: str, eval_fraction: float):
     return df.where(b >= cut), df.where(b < cut)
 
 
+# atanh-series coefficients for log2(m), m ∈ [1,2): with
+# z = (m-1)/(m+1) ∈ [0, 1/3), log2(m) = (2/ln2)·atanh(z) and
+# atanh(z) = z·(1 + z²/3 + z⁴/5 + …). Truncated at z^19 the remainder
+# is ≤ (1/3)^21/(21·(1−1/9)) ≈ 5e-12 — far below any hash-drawn score
+# gap. Horner evaluation keeps the expression tree LINEAR in the term
+# count (an alias-chain formulation of the bitwise algorithm explodes
+# exponentially in both engines' binders — measured, not theoretical).
+_ATANH_COEFFS = [1.0 / k for k in range(17, 0, -2)]  # 1/17 … 1/1
+_TWO_OVER_LN2 = 2.8853900817779268  # 2/ln2, one exact double literal
+
+
+def with_portable_log2_u(df: DataFrame, key: str, out: str) -> DataFrame:
+    """Append ``out`` ≈ log2(u) where u = (bucket(key)+1) / 2^32 —
+    computed with ONLY IEEE-754 correctly-rounded operations (+, -,
+    ×, ÷, integer compares), never libm: ``ln``/``log`` are not
+    correctly rounded, so Java's Math.log and DuckDB's libm log can
+    disagree by 1 ulp and flip a ranking at a LIMIT cutoff (the last
+    float-libm flake vector the r3/r4 reviews flagged). Libm-free
+    recipe, identical expression in both engines:
+
+    1. e = floor(log2 b) via 32 exact integer comparisons
+       (Σ [b ≥ 2^k]);
+    2. m = b·2^-e ∈ [1,2) — multiplication by a power of two is
+       EXACT in binary floating point;
+    3. log2(m) = (2/ln2)·atanh(z), z = (m−1)/(m+1) ∈ [0,1/3),
+       atanh by truncated odd series in Horner form — every +,×,÷ is
+       correctly rounded, so the 64-bit result is a deterministic
+       function of b in ANY IEEE-754 engine;
+    4. log2(u) = e + log2(m) − 32.
+
+    The value is the true log2 to ~5e-12 (series truncation), and —
+    the property that matters — BIT-IDENTICAL between Spark and
+    DuckDB: no rounding step, no tolerance, no tie ambiguity.
+
+    Scale: ~50 cheap column ops per row inside whole-stage codegen —
+    a pure map, no shuffle."""
+    work = df.select(
+        "*", (bucket(key) + F.lit(1)).cast("bigint").alias("__b")
+    )
+    b = F.col("__b")
+    e = sum(
+        (b >= F.lit(1 << k)).cast("int") for k in range(1, 33)
+    )
+    work = work.select("*", e.alias("__e"))
+    # m = b · 2^-e, exact: CASE ladder of exact power-of-two literals
+    scale = F.when(F.col("__e") == 0, F.lit(1.0))
+    for k in range(1, 33):
+        scale = scale.when(F.col("__e") == k, F.lit(2.0 ** -k))
+    work = work.select(
+        "*", (b.cast("double") * scale).alias("__m")
+    )
+    m = F.col("__m")
+    work = work.select(
+        "*", ((m - F.lit(1.0)) / (m + F.lit(1.0))).alias("__z")
+    )
+    z = F.col("__z")
+    work = work.select("*", (z * z).alias("__z2"))
+    z2 = F.col("__z2")
+    h = F.lit(1.0 / 19.0)
+    for c in _ATANH_COEFFS:
+        h = h * z2 + F.lit(c)
+    frac = (z * h) * F.lit(_TWO_OVER_LN2)
+    val = (F.col("__e").cast("double") + frac) - F.lit(32.0)
+    return work.select(*df.columns, val.alias(out))
+
+
+def sql_log2_u(b_expr: str, out: str = "log2_u") -> str:
+    """DuckDB twin of :func:`with_portable_log2_u`: the IDENTICAL
+    libm-free expression (same association order, same literals) as a
+    lateral-alias chain ending in ``{out}``. Interpolate into
+    ``SELECT <cols>, {sql_log2_u(...)} FROM ...``."""
+    e_terms = " + ".join(
+        f"CASE WHEN __b >= {1 << k} THEN 1 ELSE 0 END" for k in range(1, 33)
+    )
+    scale_arms = " ".join(
+        f"WHEN {k} THEN {2.0 ** -k!r}" for k in range(1, 33)
+    )
+    h = repr(1.0 / 19.0)
+    for c in _ATANH_COEFFS:
+        h = f"({h} * __z2 + {c!r})"
+    return (
+        f"CAST({b_expr} + 1 AS BIGINT) AS __b,\n                 "
+        f"({e_terms}) AS __e,\n                 "
+        f"CAST(__b AS DOUBLE) * (CASE __e WHEN 0 THEN 1.0 {scale_arms} END) AS __m,\n                 "
+        f"(__m - CAST(1 AS DOUBLE)) / (__m + CAST(1 AS DOUBLE)) AS __z,\n                 "
+        f"__z * __z AS __z2,\n                 "
+        f"(CAST(__e AS DOUBLE) + ((__z * {h}) * {_TWO_OVER_LN2!r})) "
+        f"- CAST(32 AS DOUBLE) AS {out}"
+    )
+
+
 def weighted_sample(
     df: DataFrame, key: str, weight: Column, n: int
 ) -> DataFrame:
     """Deterministic weighted sampling without replacement
     (Efraimidis–Spirakis A-Res): each row draws u ∈ (0, 1] from the
-    portable hash of its key and scores ``ares_key = ln(u)/w`` — the
-    top-n scores win, so heavier rows systematically draw better
-    scores while every row keeps a chance (the exact A-Res
-    ``u^(1/w)`` order, taken in log space).
+    portable hash of its key and scores ``ares_key = log2(u)/w`` —
+    the top-n scores win, so heavier rows systematically draw better
+    scores while every row keeps a chance. log2 differs from the
+    paper's ln by the positive constant ln 2, so the ranking is the
+    exact A-Res ``u^(1/w)`` order (up to the documented 2^-30 score
+    quantization, ties broken by key).
 
     Rows with ``weight <= 0`` are excluded (A-Res is defined for
     positive weights; without the guard a zero weight scores NaN,
     which Spark's descending sort ranks above every finite key while
-    DuckDB errors — an engine-twin break). Weights should stay below
-    ~1e6: the 9-place rounding that makes scores engine-portable
-    quantizes ``ln(u)/w`` away for huge w — A-Res order is invariant
-    under scaling all weights by a constant, so pre-scale instead.
+    DuckDB errors — an engine-twin break).
 
-    Engine-portable: the hash is exact integer arithmetic and the
-    ln/÷ result rounds to 9 places before ranking (the same ulp-kill
-    trick as the cosine operators), ties broken by key. Residual
-    portability risk (accepted, documented): unlike sqrt/divide, ln is
-    NOT IEEE-correctly-rounded, so Java's Math.log and DuckDB's libm
-    log may differ by 1 ulp; the 9-place round suppresses that except
-    when ln(u)/w lands within ~1 ulp of a 0.5e-9 decimal rounding
-    boundary AND the flipped 9th decimal changes the order exactly at
-    the LIMIT cutoff — a ~1e-9-per-row coincidence that an exact
-    cross-engine comparison cannot eliminate without bignum ln on both
-    sides. Scale: a pure map + distributed top-n (TakeOrdered) — no
-    global sort, no single-partition window."""
-    u = (bucket(key) + F.lit(1)).cast("double") / F.lit(float(MOD))
-    k = F.round(F.log(u) / weight.cast("double"), 9)
+    Engine-portable with NO float-libm dependence: the hash is exact
+    integer arithmetic and log2(u) comes from
+    :func:`with_portable_log2_u` (IEEE-correctly-rounded ops only),
+    so both engines compute bit-identical scores — the ln-based
+    formulation this replaces carried a documented 1-ulp Java-vs-libm
+    risk at decimal rounding boundaries. The final ÷w is a single
+    correctly-rounded double division, also bit-identical. Scale: a
+    pure map + distributed top-n (TakeOrdered) — no global sort, no
+    single-partition window."""
+    scored = with_portable_log2_u(df.where(weight > F.lit(0)), key, "__log2u")
     return (
-        df.where(weight > F.lit(0))
-        .withColumn("ares_key", k)
+        scored.withColumn(
+            "ares_key", F.col("__log2u") / weight.cast("double")
+        )
+        .drop("__log2u")
         .orderBy(F.desc("ares_key"), F.col(key))
         .limit(n)
     )

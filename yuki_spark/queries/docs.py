@@ -9,15 +9,38 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+import os
+
+from ..catalog import load, table_rows
 from ..functions import DEC, sql_portable_hash60
 from ..operators import dedup, multimodal, sampling, text
 
-# caps keep pairwise verification bounded at any sf (the candidate
-# generation itself is linear-ish; see operators/dedup.py)
-PAIR_CAP = 300
+# The near-dup pair queries (d2/d3/d4/d11/d20) bound their slice by a
+# doc_id cap so the PAIRWISE oracle verification stays bounded. The
+# cap is CATALOG-ADAPTIVE, not fixed: table_rows() from the parquet
+# footers (doc_ids are dense 0..n-1 in the testdata), so the driver's
+# hash-match signal covers the WHOLE corpus at every sf instead of a
+# frozen 300-doc slice (r4 verdict). The candidate generation itself
+# is linear-ish (see operators/dedup.py) — only the oracle's
+# brute-force twin needed a bound, and corpus-sized is fine at gate
+# sfs. PAIR_CAP is a sentinel the oracle templates embed; build_oracle
+# substitutes the call-time cap (same env contract as queries/sim.py).
+PAIR_CAP = "@PAIR_CAP@"
 FP_CAP = 50
 LANG_CAP = 10_000_000  # all docs
+
+
+def _gate_sf() -> str:
+    """The catalog the DuckDB gate runs against — env read at CALL
+    time so YUKI_SPARK_TEST_SF retargets the adaptive cap with it."""
+    return os.environ.get("YUKI_SPARK_TEST_SF", "/root/testdata/sf0.01")
+
+
+def doc_cap(sf_dir: str) -> int:
+    """Catalog-adaptive doc_id bound for the pairwise-verified
+    queries: the corpus row count from parquet footers (no Spark
+    job)."""
+    return table_rows(sf_dir, "documents")
 
 
 def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -26,17 +49,17 @@ def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def d2_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < PAIR_CAP)
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < doc_cap(sf_dir))
     return dedup.jaccard_pairs(docs, threshold=0.95).orderBy("doc_a", "doc_b")
 
 
 def d3_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < PAIR_CAP)
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < doc_cap(sf_dir))
     return dedup.minhash_lsh_pairs(docs, threshold=0.95).orderBy("doc_a", "doc_b")
 
 
 def d4_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < PAIR_CAP)
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < doc_cap(sf_dir))
     return dedup.simhash_pairs(docs, max_hamming=3).orderBy("doc_a", "doc_b")
 
 
@@ -108,7 +131,7 @@ def d10_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d11_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: Jaccard pairs -> connected components ->
     canonical representative per cluster (rows-only: iterative)."""
-    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < PAIR_CAP)
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < doc_cap(sf_dir))
     pairs = dedup.jaccard_pairs(docs, threshold=0.8)
     return dedup.dedup_clusters(pairs).orderBy("doc_id")
 
@@ -118,7 +141,7 @@ def d20_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     components -> keep one representative per cluster -> surviving
     corpus, rolled up per source (kept counts + id-sum so the oracle
     pins exactly *which* docs survived, not just how many)."""
-    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < PAIR_CAP)
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < doc_cap(sf_dir))
     pairs = dedup.jaccard_pairs(docs, threshold=0.8)
     kept = dedup.apply_dedup(docs, dedup.dedup_clusters(pairs))
     return (
@@ -156,10 +179,13 @@ def d21_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def d24_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted corpus sampling (Efraimidis–Spirakis A-Res,
-    deterministic): top-25 documents by ``ln(u)/w`` with w = token
+    deterministic): top-25 documents by ``log2(u)/w`` with w = token
     count + 1 — the curation step that oversamples long/high-signal
-    documents without dropping short ones entirely. Pure map +
-    distributed top-n (operators/sampling.py::weighted_sample)."""
+    documents without dropping short ones entirely (log2 is ln scaled
+    by a positive constant, so the ranking is the paper's u^(1/w)
+    order; log2 is computed libm-free so both engines score
+    bit-identically). Pure map + distributed top-n
+    (operators/sampling.py::weighted_sample)."""
     from ..operators.sampling import weighted_sample
 
     docs = load(spark, sf_dir, "documents")
@@ -950,7 +976,7 @@ def _d25_oracle() -> str:
     """
 
 
-ORACLE = {
+_ORACLE_TEMPLATE = {
     "p1_pii_scan": _p1_oracle(),
     "d26_quality_buckets": f"""
         WITH q AS (
@@ -1090,10 +1116,11 @@ ORACLE = {
           SELECT doc_id, CAST(len({_T}) AS BIGINT) AS n_tokens FROM documents),
         k AS (
           SELECT doc_id, n_tokens,
-                 round(ln(CAST({_SB} + 1 AS DOUBLE) / 4294967296.0)
-                       / CAST(n_tokens + 1 AS DOUBLE), 9) AS ares_key
+                 {sampling.sql_log2_u(_SB, "log2_u")}
           FROM t)
-        SELECT doc_id, n_tokens, ares_key FROM k
+        SELECT doc_id, n_tokens,
+               log2_u / CAST(n_tokens + 1 AS DOUBLE) AS ares_key
+        FROM k
         ORDER BY ares_key DESC, doc_id LIMIT 25
     """,
     "d14_stratified_sample": """
@@ -1474,3 +1501,17 @@ ORACLE = {
         FROM documents WHERE doc_id < {FP_CAP} ORDER BY doc_id
     """,
 }
+
+
+def build_oracle() -> dict[str, str]:
+    """Twin dict with the pairwise cap resolved against the CURRENT
+    gate catalog (env read now, not at import) — the canonical entry
+    point for __spark_entry__.oracle_sql(), mirroring
+    queries/sim.build_oracle. The PAIR_CAP sentinel in the templates
+    becomes the corpus footer count, the exact bound the Spark queries
+    derive from the same catalog via :func:`doc_cap`."""
+    cap = str(doc_cap(_gate_sf()))
+    return {k: v.replace(PAIR_CAP, cap) for k, v in _ORACLE_TEMPLATE.items()}
+
+
+ORACLE = build_oracle()
