@@ -1,10 +1,14 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-The container has no image/audio codecs, so the *decode* step is a
-deterministic fake (clearly marked below); everything Spark-side —
-binary columns, metadata structs, Arrow batch shape, ``mapInPandas``
-partition flow — is real and tested. On a cluster the fake body is
-replaced by e.g. PIL/torchvision decode inside the same iterator.
+Decode is REAL for the containers the stdlib can parse — PNG
+(zlib inflate + scanline unfilter) and RIFF/PCM WAV (the ``wave``
+module) via :mod:`.codecs`, with PIL/soundfile as optional wideners
+behind import-try. A payload that is one of those containers goes
+through the actual codec: header-derived dimensions, decoded-pixel
+statistics, true nearest-neighbor resampling, PCM sample windows.
+Payloads that are NOT a media container (the synthetic corpus the
+oracle binds against) take the documented deterministic fallback —
+same ``mapInPandas`` chain, same Arrow batch shape, either way.
 """
 from __future__ import annotations
 
@@ -16,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import portable_hash60
+from . import codecs
 from pyspark.sql.types import (
     BinaryType,
     LongType,
@@ -54,32 +59,72 @@ def synth_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", payload.alias("media"), meta.alias("meta"))
 
 
-def _decode_stub(payload: bytes) -> dict:
-    """FAKE decode — deterministic stand-in for an image decoder.
-
-    Real deployments swap this for an actual codec; the Spark plumbing
-    around it (Arrow batches, schema, partitioning) is unchanged.
-    """
+def _extract_one(payload: bytes, meta_w: int | None, meta_h: int | None) -> dict:
+    """Per-payload feature extraction. Real containers decode for
+    real: a PNG's width/height come from its IHDR and byte_mean from
+    the DECODED pixels; a WAV's 'width' is its frame count, 'height'
+    its channel count, byte_mean over the decoded PCM stream. A
+    non-container payload (synthetic corpus) keeps the deterministic
+    fallback — metadata dimensions, raw-byte mean — so the oracle
+    twin stays recomputable."""
+    kind = codecs.sniff(payload)
+    if kind == "png":
+        w, h, _ch, px = codecs.decode_png(payload)
+        return {
+            "n_bytes": len(payload),
+            "checksum": hashlib.md5(payload).hexdigest(),
+            "width": w,
+            "height": h,
+            "byte_mean": sum(px) // max(len(px), 1),
+        }
+    if kind == "wav":
+        _rate, channels, sampwidth, pcm = codecs.decode_wav(payload)
+        return {
+            "n_bytes": len(payload),
+            "checksum": hashlib.md5(payload).hexdigest(),
+            "width": len(pcm) // max(channels * sampwidth, 1),
+            "height": channels,
+            "byte_mean": sum(pcm) // max(len(pcm), 1),
+        }
     return {
         "n_bytes": len(payload),
         "checksum": hashlib.md5(payload).hexdigest(),
+        "width": meta_w,
+        "height": meta_h,
         "byte_mean": sum(payload) // max(len(payload), 1),
     }
 
 
 def extract_features(media: DataFrame) -> DataFrame:
-    """mapInPandas feature extraction over Arrow record batches."""
+    """mapInPandas feature extraction over Arrow record batches; real
+    codec per payload (PNG/WAV), metadata fallback otherwise."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_decode_stub(bytes(b)) for b in pdf["media"]]
+            metas = (
+                pdf["meta"]
+                if "meta" in pdf.columns
+                else [None] * len(pdf)
+            )
+            feats = [
+                _extract_one(
+                    bytes(b),
+                    None if m is None else m["width"],
+                    None if m is None else m["height"],
+                )
+                for b, m in zip(pdf["media"], metas)
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
                     "n_bytes": [f["n_bytes"] for f in feats],
                     "checksum": [f["checksum"] for f in feats],
-                    "width": pdf["meta"].map(lambda m: m["width"]).astype("int64"),
-                    "height": pdf["meta"].map(lambda m: m["height"]).astype("int64"),
+                    "width": pd.array(
+                        [f["width"] for f in feats], dtype="Int64"
+                    ),
+                    "height": pd.array(
+                        [f["height"] for f in feats], dtype="Int64"
+                    ),
                     "byte_mean": [f["byte_mean"] for f in feats],
                 }
             )
@@ -98,10 +143,12 @@ RESIZE_SCHEMA = StructType(
 
 
 def resize(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
-    """Resize plumbing: batch-shape/schema are real; the pixel resample
-    is a deterministic fake (truncate/tile payload bytes to the target
-    area) — swap ``_fake_resample`` for PIL/torchvision on a cluster
-    with codecs installed."""
+    """Resize over Arrow batches. A PNG payload is REALLY resized:
+    stdlib decode → vectorized nearest-neighbor resample of the
+    decoded pixels → re-encode as a valid PNG at the target size. A
+    non-image payload keeps the deterministic fallback (truncate/tile
+    bytes to the target area) so the synthetic-corpus oracle still
+    binds. Same batch shape and schema on both paths."""
 
     def _fake_resample(payload: bytes, area: int) -> bytes:
         if not payload:
@@ -109,13 +156,20 @@ def resize(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
         reps = area // len(payload) + 1
         return (payload * reps)[:area]
 
+    def _one(payload: bytes, area: int) -> bytes:
+        if codecs.is_png(payload):
+            w, h, ch, px = codecs.decode_png(payload)
+            out = codecs.resize_nearest(px, w, h, ch, target_w, target_h)
+            return codecs.encode_png(target_w, target_h, out, channels=ch)
+        return _fake_resample(payload, area)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         area = target_w * target_h
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
-                    "media": [_fake_resample(bytes(b), area) for b in pdf["media"]],
+                    "media": [_one(bytes(b), area) for b in pdf["media"]],
                     "width": target_w,
                     "height": target_h,
                 }
@@ -169,9 +223,12 @@ def frame_windows(
     """Audio-style sliding-window framing: the payload is sliced into
     overlapping windows of ``frame_bytes`` advancing by ``hop_bytes``
     (the STFT/feature-frame batch shape an audio pipeline produces).
-    Every byte offset < len(payload) starts a window; the final
-    windows are ragged (shorter than ``frame_bytes``) exactly as a
-    real framer emits them. The 1→N fan-out runs inside one
+    A WAV payload is REALLY decoded first (stdlib ``wave``) and the
+    windows slide over its PCM sample stream — actual audio frames;
+    a non-audio payload windows its raw bytes (synthetic-corpus
+    fallback). Every offset < stream length starts a window; the
+    final windows are ragged (shorter than ``frame_bytes``) exactly
+    as a real framer emits them. The 1→N fan-out runs inside one
     ``mapInPandas`` iterator — Arrow batches in, Arrow batches out,
     no Python-per-row serialization."""
 
@@ -180,6 +237,8 @@ def frame_windows(
             ids, idxs, wins = [], [], []
             for doc_id, b in zip(pdf["doc_id"], pdf["media"]):
                 payload = bytes(b)
+                if codecs.is_wav(payload):
+                    payload = codecs.decode_wav(payload)[3]
                 start, i = 0, 0
                 while start < len(payload):
                     ids.append(int(doc_id))
