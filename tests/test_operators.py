@@ -1212,3 +1212,88 @@ def test_frame_windows_real_wav(spark):
     assert [r["win_idx"] for r in sorted(wins, key=lambda r: r["win_idx"])] == [0, 1, 2, 3]
     assert bytes(sorted(wins, key=lambda r: r["win_idx"])[0]["win"]) == pcm[:8]
     assert bytes(sorted(wins, key=lambda r: r["win_idx"])[3]["win"]) == pcm[12:16]
+
+
+def test_skyline_tree_resolve_matches_flat_on_anticorrelated(spark):
+    """Adversarial anti-correlated input (price+size constant → every
+    row is on the skyline, the local prune drops nothing): the
+    two-level tree resolve returns exactly the flat single-task
+    resolve's rows, while bounding any one resolve task to
+    ~survivors/fanout candidates."""
+    from yuki_spark.operators.skyline import skyline
+
+    n = 3000
+    # price and size both increase with i: cheaper rows are smaller,
+    # larger rows cost more — no row dominates any other
+    rows = [(i, float(i), float(i)) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, price double, size double").repartition(16)
+    tree = sorted(
+        r["id"]
+        for r in skyline(df, minimize=("price",), maximize=("size",), fanout=32).collect()
+    )
+    flat = sorted(
+        r["id"]
+        for r in skyline(df, minimize=("price",), maximize=("size",), fanout=1).collect()
+    )
+    assert tree == flat == list(range(n))
+    # and on a mixed distribution the two levels agree too
+    rng_rows = [(i, float((i * 37) % 101), float((i * 53) % 97)) for i in range(2000)]
+    df2 = spark.createDataFrame(rng_rows, "id long, price double, size double").repartition(16)
+    t2 = sorted(r["id"] for r in skyline(df2, minimize=("price",), maximize=("size",)).collect())
+    f2 = sorted(r["id"] for r in skyline(df2, minimize=("price",), maximize=("size",), fanout=1).collect())
+    assert t2 == f2
+
+
+def test_ann_skew_guard_caps_hot_buckets_and_is_identity_when_idle(spark):
+    """A clustered corpus (every vector in one orthant → one sign
+    bucket) turns the LSH bucket join quadratic; max_bucket re-splits
+    the hot bucket so every (bucket, sub) group fits the cap. On a
+    spread corpus where no bucket exceeds the cap, the guarded result
+    is IDENTICAL to the unguarded one."""
+    import numpy as np
+
+    from yuki_spark.operators import similarity
+
+    rng = np.random.RandomState(3)
+    # clustered: all-positive coordinates -> same side of most planes
+    clustered = rng.uniform(0.5, 1.0, size=(400, 64)).astype("float32")
+    rows = [(i, [float(x) for x in clustered[i]], 0) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    bucketed = similarity._sign_bucketed(df, 4)
+    pops = {r["bucket"]: r["count"] for r in bucketed.groupBy("bucket").count().collect()}
+    assert max(pops.values()) > 64  # the skew premise: one hot bucket
+
+    bits = similarity._bucket_split_stats(bucketed, 64)
+    sub = similarity._with_subkey(
+        bucketed.select(F.col("vec_id"), F.col("sv"), F.col("bucket")), bits, "sv"
+    )
+    split_pops = [
+        r["count"] for r in sub.groupBy("bucket", "sub").count().collect()
+    ]
+    # mean-centered splits bisect even a tight cluster, so groups land
+    # within a small factor of the cap instead of one 400-row key
+    assert max(split_pops) <= 2 * 64
+    assert len(split_pops) > len(pops)
+
+    # guarded graph still finds neighbors for every vector
+    g = similarity.knn_graph(df, k=2, n_planes=4, max_bucket=64)
+    per_q = g.groupBy("qid").count().collect()
+    assert len(per_q) == 400 and all(r["count"] <= 2 for r in per_q)
+
+    # identity on a spread corpus whose buckets all fit the cap
+    spread = rng.standard_normal((120, 64)).astype("float32")
+    rows2 = [(i, [float(x) for x in spread[i]], 0) for i in range(120)]
+    df2 = spark.createDataFrame(rows2, "vec_id long, embedding array<float>, label int")
+    base = [tuple(r) for r in similarity.knn_graph(df2, k=3, n_planes=4).collect()]
+    guarded = [
+        tuple(r)
+        for r in similarity.knn_graph(df2, k=3, n_planes=4, max_bucket=10_000).collect()
+    ]
+    assert guarded == base
+    base_ann = [tuple(r) for r in similarity.lsh_ann(df2, k=3, n_planes=4).collect()]
+    guarded_ann = [
+        tuple(r)
+        for r in similarity.lsh_ann(df2, k=3, n_planes=4, max_bucket=10_000).collect()
+    ]
+    assert guarded_ann == base_ann

@@ -305,6 +305,52 @@ def lsh_population_audit(spark, sf_dir: str) -> tuple[dict, list[str]]:
         violations.append(f"ANN bucket {ann_max}")
     if sem_sizes > 8 * 256:
         violations.append(f"semdedup group {sem_sizes}")
+
+    # adversarial CLUSTERED corpus: adaptive planes bound only the
+    # EXPECTED population — a one-orthant cluster piles into a single
+    # bucket regardless of plane count. The mean-centered skew guard
+    # (max_bucket re-split) must hold max (bucket, sub) populations
+    # near the cap and the guarded knn_graph must stay total.
+    import numpy as np
+
+    n_clu, cap = 4000, 128
+    rng = np.random.RandomState(17)
+    clu = rng.uniform(0.5, 1.0, size=(n_clu, 64)).astype("float32")
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in clu[i]], 0) for i in range(n_clu)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    bucketed = S._sign_bucketed(cdf, S.adaptive_planes(n_clu))
+    raw_max = bucketed.groupBy("bucket").count().agg(F.max("count")).first()[0]
+    stats = S._bucket_split_stats(bucketed, cap)
+    guard_max = (
+        S._with_subkey(bucketed, stats, "sv")
+        .groupBy("bucket", "sub")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    graph_rows = S.knn_graph(cdf, k=2, max_bucket=cap).groupBy("qid").count()
+    graph_q = graph_rows.count()
+    out.update(
+        {
+            "clustered_n": n_clu,
+            "clustered_raw_max_bucket": raw_max,
+            "clustered_guard_cap": cap,
+            "clustered_guard_max_group": guard_max,
+            "clustered_knn_queries_with_neighbors": graph_q,
+        }
+    )
+    if raw_max <= 2 * cap:
+        violations.append(
+            f"clustered corpus not skewed enough to test the guard ({raw_max})"
+        )
+    if guard_max > 4 * cap:
+        violations.append(f"skew-guard group {guard_max} > 4×cap {cap}")
+    if graph_q < n_clu:
+        violations.append(
+            f"guarded knn_graph lost queries ({graph_q}/{n_clu})"
+        )
     return out, violations
 
 

@@ -530,12 +530,100 @@ def _sign_bucketed(emb: DataFrame, n_planes: int) -> DataFrame:
     return base.withColumn("bucket", sum(sign_bits[1:], sign_bits[0]))
 
 
+# ANN bucket-skew guard: adaptive_planes bounds EXPECTED populations
+# under a spread-out distribution; a clustered corpus (many vectors on
+# one side of every plane) can still pile into one bucket and turn the
+# bucket join quadratic. The fallback refines semdedup's cell
+# re-split: oversized buckets gain extra split bits from planes
+# seeded apart from the bucket planes, and each split is CENTERED at
+# the bucket's mean projection — a raw sign split cannot bisect a
+# tight cluster (every member sits on the same side of almost any
+# fixed plane; measured: a 400-vector cluster left 254 rows in one
+# sub-group under sign splits), while splitting at the bucket mean
+# halves any distribution in expectation. The mean threshold is an
+# exact integer cross-multiply (d·pop ≥ Σd), so both join sides and
+# any SQL twin agree bit-for-bit.
+ANN_MAX_SPLIT_BITS = 16
+
+
+def _split_dots(df: DataFrame, vec_col: str) -> DataFrame:
+    """Append the row's exact-int projections on every split plane."""
+    sp = _split_planes(ANN_MAX_SPLIT_BITS)
+    return df.select(
+        "*",
+        *[
+            int_dot(F.col(vec_col), _plane_lit(sp, i)).alias(f"__d{i}")
+            for i in range(ANN_MAX_SPLIT_BITS)
+        ],
+    )
+
+
+def _bucket_split_stats(bucketed: DataFrame, max_bucket: int) -> DataFrame:
+    """Per-bucket split parameters: ``eb`` = extra split-bit count
+    (integer-exact ceil(log2(ceil(pop/max_bucket))), the same unrolled
+    chain as semdedup's cell split), plus the population and per-plane
+    projection sums that center each split at the bucket mean."""
+    d = _split_dots(bucketed, "sv")
+    pops = d.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("pop"),
+        *[F.sum(f"__d{i}").alias(f"__s{i}") for i in range(ANN_MAX_SPLIT_BITS)],
+    )
+    m = F.floor((F.col("pop") + F.lit(max_bucket) - 1) / F.lit(max_bucket))
+    eb_terms = [
+        F.when(m > F.lit(1 << i), F.lit(1)).otherwise(F.lit(0))
+        for i in range(ANN_MAX_SPLIT_BITS)
+    ]
+    return pops.select(
+        "bucket",
+        sum(eb_terms[1:], eb_terms[0]).alias("eb"),
+        "pop",
+        *[f"__s{i}" for i in range(ANN_MAX_SPLIT_BITS)],
+    )
+
+
+def _with_subkey(df: DataFrame, stats: DataFrame, vec_col: str) -> DataFrame:
+    """Append ``sub`` = the row's mean-centered split bits masked to
+    its bucket's split-bit count (0 wherever the bucket fits the
+    cap): bit i set iff the row's plane-i projection is at or above
+    the bucket's mean projection (exact cross-multiply d·pop ≥ Σd).
+    Works on both join sides: candidates split by their OWN bucket's
+    stats, probe rows by the PROBED bucket's — a probe meets exactly
+    the sub-group its projections land in. Near-identical vectors
+    have near-identical projections and stay together (the s7
+    rationale); exact duplicates are ungroupable by construction —
+    the cap is a skew guard, not a degenerate-duplicate remover."""
+    joined = _split_dots(df, vec_col).join(
+        broadcast(stats), "bucket", "left"
+    ).withColumn(
+        # a probed bucket can be empty of candidates and absent from
+        # the stats — its eb is 0 (and the null pop/sums are then
+        # unreachable: `i < 0` short-circuits every bit to 0)
+        "__eb",
+        F.coalesce(F.col("eb"), F.lit(0)),
+    )
+    xb = [
+        F.when(
+            (F.lit(i) < F.col("__eb"))
+            & (F.col(f"__d{i}") * F.col("pop") >= F.col(f"__s{i}")),
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+        for i in range(ANN_MAX_SPLIT_BITS)
+    ]
+    drop = (
+        ["eb", "__eb", "pop"]
+        + [f"__d{i}" for i in range(ANN_MAX_SPLIT_BITS)]
+        + [f"__s{i}" for i in range(ANN_MAX_SPLIT_BITS)]
+    )
+    return joined.withColumn("sub", sum(xb[1:], xb[0]).cast("int")).drop(*drop)
+
+
 def lsh_ann(
     emb: DataFrame,
     k: int = 3,
     n_queries: int = 20,
     n_planes: int | None = None,
     n_est: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Multi-probe random-hyperplane LSH ANN: bucket by ``n_planes``
     sign bits (2^n_planes buckets); each query probes its own bucket
@@ -549,7 +637,12 @@ def lsh_ann(
     ``n_planes`` defaults to :func:`adaptive_planes` of the corpus
     size (``n_est`` avoids the counting job), so the bucket count
     scales with n and per-bucket join work stays bounded; the twin
-    must be generated with the same plane count."""
+    must be generated with the same plane count. ``max_bucket``
+    (optional) engages the skew guard: buckets whose population
+    exceeds it are re-split by extra sign bits (see
+    :func:`_bucket_split_bits`) so no single join key turns
+    quadratic on a clustered corpus; identical to the unguarded
+    result whenever every bucket already fits the cap."""
     if n_planes is None:
         n_planes = adaptive_planes(n_est if n_est is not None else emb.count())
     if n_planes > 31:  # bucket id / probe XOR literals assume int32
@@ -575,11 +668,19 @@ def lsh_ann(
         F.col("nrm").alias("cn"),
         F.col("bucket"),
     )
+    join_on = ["bucket"]
+    if max_bucket is not None:
+        bits = _bucket_split_stats(bucketed, max_bucket).localCheckpoint(
+            eager=False
+        )  # feeds both sides once
+        q = _with_subkey(q, bits, "qv")
+        c = _with_subkey(c, bits, "cv")
+        join_on = ["bucket", "sub"]
     cos = F.round(
         cosine_from_ints(int_dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")), 9
     )
     scored = (
-        c.join(broadcast(q), "bucket")
+        c.join(broadcast(q), join_on)
         .where(F.col("qid") != F.col("cid"))
         .withColumn("cosine", cos)
     )
@@ -597,6 +698,7 @@ def knn_graph(
     k: int = 3,
     n_planes: int | None = None,
     n_est: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Approximate k-NN GRAPH over the whole corpus: every vector's
     top-k neighbors from its multi-probe LSH buckets — the precursor
@@ -613,7 +715,10 @@ def knn_graph(
     expected bucket population constant as n grows; exact int-cosine
     scoring; one per-vector window for the top-k cut. A vector whose
     probed buckets hold fewer than k candidates reports what it found
-    (the graph is approximate by contract; recall is s6's job)."""
+    (the graph is approximate by contract; recall is s6's job).
+    ``max_bucket`` engages the same oversized-bucket re-split as
+    :func:`lsh_ann` — on an all-vectors graph the skew guard matters
+    most, since one hot bucket is quadratic in BOTH sides."""
     if n_planes is None:
         n_planes = adaptive_planes(n_est if n_est is not None else emb.count())
     if n_planes > 31:  # bucket id / probe XOR literals assume int32
@@ -639,11 +744,19 @@ def knn_graph(
         F.col("nrm").alias("cn"),
         F.col("bucket"),
     )
+    join_on = ["bucket"]
+    if max_bucket is not None:
+        bits = _bucket_split_stats(bucketed, max_bucket).localCheckpoint(
+            eager=False
+        )  # feeds both sides once
+        q = _with_subkey(q, bits, "qv")
+        c = _with_subkey(c, bits, "cv")
+        join_on = ["bucket", "sub"]
     cos = F.round(
         cosine_from_ints(int_dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")), 9
     )
     scored = (
-        q.join(c, "bucket").where(F.col("qid") != F.col("cid")).withColumn("cosine", cos)
+        q.join(c, join_on).where(F.col("qid") != F.col("cid")).withColumn("cosine", cos)
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col("cid"))
     return (

@@ -11,10 +11,17 @@ literature uses (local skyline per partition, then a global resolve):
    its batch is dominated globally — dropping it is always safe, and
    the candidate set that leaves the executors is typically tiny
    (O(log^d n) for independent dimensions, vs n rows scanned).
-2. **Global resolve**: the surviving candidates collapse to one
-   partition and the same scan runs once more. No shuffle of the full
-   input, no cartesian product anywhere — the O(n²) all-pairs
-   formulation survives only as the DuckDB twin / test oracle.
+2. **Tree resolve**: the surviving candidates shuffle into a bounded
+   fan-in of intermediate partitions (default 32) that each run the
+   same scan, and THEIR survivors collapse to one final partition for
+   the last pass. On a benign distribution the intermediate level is
+   ~free (candidates are already tiny); on an adversarial
+   anti-correlated input — where the local prune drops little — it
+   caps the single-task resolve at O((survivors/fanout)²) per
+   intermediate task instead of one O(survivors²) straggler. No
+   shuffle of the full input, no cartesian product anywhere — the
+   O(n²) all-pairs formulation survives only as the DuckDB twin /
+   test oracle.
 
 Per-batch scan is sort-then-filter: after lexicographic sort by the
 normalized criteria, a row can only be dominated by an *earlier* row,
@@ -78,6 +85,7 @@ def skyline(
     df: DataFrame,
     minimize: Sequence[str] = (),
     maximize: Sequence[str] = (),
+    fanout: int = 32,
 ) -> DataFrame:
     """Rows of ``df`` not Pareto-dominated under the given criteria.
 
@@ -87,7 +95,15 @@ def skyline(
     collapse near-equal values and diverge from an exact-integer SQL
     twin); all other columns pass through untouched (duplicate
     criterion vectors all survive — standard skyline semantics, and
-    what keeps the result exactly equal to the SQL twin)."""
+    what keeps the result exactly equal to the SQL twin).
+
+    ``fanout`` sizes the intermediate resolve level (see module
+    docstring): pruning dominated rows is safe on ANY subset of the
+    candidates (dominance is transitive and witness rows survive into
+    the next level or are themselves dominated by survivors), so the
+    partial resolves can partition the candidates arbitrarily and the
+    final pass still produces exactly the global skyline. ``fanout<=1``
+    skips the intermediate level."""
     mins, maxs = list(minimize), list(maximize)
     if not mins and not maxs:
         raise ValueError("skyline needs at least one criterion")
@@ -97,9 +113,9 @@ def skyline(
             yield _batch_skyline(pdf, mins, maxs)
 
     def resolve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # the resolve MUST see all candidates at once: Arrow re-batches
-        # the single partition, and a per-batch scan would let a row
-        # dominated from another batch survive
+        # a resolve task MUST see its whole partition at once: Arrow
+        # re-batches the partition, and a per-batch scan would let a
+        # row dominated from another batch survive
         pdfs = [pdf for pdf in batches if len(pdf)]
         if pdfs:
             yield _batch_skyline(pd.concat(pdfs), mins, maxs)
@@ -107,5 +123,9 @@ def skyline(
     candidates = df.mapInPandas(local, df.schema)
     # repartition (not coalesce — coalesce would fuse the local prune
     # into the same single task, serializing the parallel phase) so
-    # only the small candidate set shuffles to the one resolve task
+    # only the small candidate set shuffles between resolve levels
+    if fanout > 1:
+        candidates = candidates.repartition(fanout).mapInPandas(
+            resolve, df.schema
+        )
     return candidates.repartition(1).mapInPandas(resolve, df.schema)
