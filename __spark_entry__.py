@@ -20,32 +20,44 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Insertion order is gate order (the driver caps its sweep at 50 rows).
-# Round-4 rotation: the six queries whose machinery changed in r3 after
-# their last driver row (adaptive-LSH planes/bits, executor-side CM
-# probe) lead, then the guard-hardened samplers, then the new p1 PII
-# row, then every remaining key whose freshest driver row is r2 (the
-# r3 sweep covered the relational family). 40 stale keys total — all
-# fit inside one 50-row sweep with the r3-green keys trailing.
+# Round-5 rotation: keys whose machinery changed THIS round lead —
+# the catalog-adaptive pairwise cap (d2/d3/d4, now full-corpus), the
+# set-collapsed clustering (d11/d20), the libm-free A-Res scoring
+# (d24), the real-codec multimodal decode (m1–m3), the skyline tree
+# resolve (q23), and the skew-guard-touched ANN paths (s3/s11) — then
+# the two keys whose last driver row is still r2 (s2/s5), then every
+# remaining key, freshest last.
 _PRIORITY = [
-    # new this session (freshness rule: new keys lead the sweep)
+    # changed this round (freshness rule: changed keys lead the sweep)
+    "d24_weighted_sample",
+    "d2_ngram_jaccard_dups",
+    "d3_minhash_lsh_dups",
+    "d4_simhash_dups",
+    "d11_dedup_clusters",
+    "d20_dedup_apply",
+    "q23_skyline_parts",
+    "m1_multimodal_meta",
+    "m2_resize_framesample",
+    "m3_audio_windows",
+    "s3_lsh_ann",
+    "s11_knn_graph",
+    # last driver row r2, code unchanged — the two remaining stale keys
+    "s2_label_centroids",
+    "s5_quantize_error",
+    # r4-new keys, one driver row so far
     "e21_cusum_drift",
     "d29_dsir_weights",
     "s10_cluster_balance",
     "dq1_constraint_report",
     "d30_oov_rate",
-    "s11_knn_graph",
-    # r3-changed machinery, driver row still r2
     "d9_embedding_neardup",
-    "s3_lsh_ann",
     "s4_ivf_ann",
     "s6_ann_recall",
     "e7_value_percentiles_approx",
     "e12_heavy_hitters",
-    # r3 guard-hardened samplers
     "d13_hash_sample",
     "d14_stratified_sample",
     "d15_profile",
-    # new this round
     "p1_pii_scan",
     "d26_quality_buckets",
     "e18_rolling_active_users",
@@ -55,40 +67,28 @@ _PRIORITY = [
     "s8_pq_ann",
     "s9_kmeans_refine",
     "d28_token_zipf",
-    # similarity.py/sketches.py gained code this round; their existing
-    # query paths are untouched but the freshness rule is conservative
     "s7_semdedup",
-    # last driver row r2, code unchanged — refresh while slots allow
+    # older green rows — refresh while slots allow
     "distinct_users_daily",
     "e2_sessionization",
     "e3_hourly_rollup",
     "e4_user_asof_value",
     "e5_funnel",
     "d1_exact_dedup",
-    "d2_ngram_jaccard_dups",
-    "d3_minhash_lsh_dups",
-    "d4_simhash_dups",
     "d5_lang_id",
     "d6_quality_score",
     "d7_token_stats",
     "d8_fingerprint",
     "d10_winnow_fingerprint",
-    "d11_dedup_clusters",
     "d12_subword_stats",
     "d16_repetition",
     "d17_contamination",
     "d18_sequence_packing",
     "d19_tfidf_top_terms",
-    "d20_dedup_apply",
     "d21_corpus_split",
     "d22_dup_spans",
     "d23_gopher_filter",
     "s1_cosine_topk",
-    "s2_label_centroids",
-    "s5_quantize_error",
-    "m1_multimodal_meta",
-    "m2_resize_framesample",
-    "m3_audio_windows",
 ]
 
 

@@ -18,9 +18,11 @@ import time
 
 from yuki_spark.session import get_spark
 
-# Headline set: spans scans/aggs, multi-joins, windows, sessionization,
-# as-of join, dedup (exact + minhash), similarity, and text analysis —
-# the operator families SURVEY.md §2 claims.
+# Headline set: EVERY queries() key (all 104 — the r4 verdict flagged
+# the 47 untimed queries as regression-invisible). Ordering interleaves
+# the families; any key the entry exposes that is missing here is
+# appended automatically in main(), so a new query can never silently
+# drop out of the bench.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -95,6 +97,7 @@ def main() -> None:
 
     qs = queries()
     names = [n for n in HEADLINE if n in qs]
+    names += [n for n in qs if n not in set(HEADLINE)]  # never drop a key
 
     spark = get_spark("yuki_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")

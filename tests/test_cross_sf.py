@@ -1,0 +1,46 @@
+"""Cross-sf parity gate (runs every round, not just under a manual
+YUKI_SPARK_TEST_SF override): the adaptive-parameter queries derive
+LSH bits/planes, IVF cells, and the pairwise doc cap from the CATALOG
+they run against, so a regression in the parameter derivation — a
+formula change, a footer-count misread, an oracle twin built against
+the wrong catalog — can pass at sf0.01 and still break at another
+scale. Re-running the ten cheapest adaptive queries at sf0.001 here
+surfaces that class before the driver gate does.
+
+The env var is set per-test (monkeypatch) because both the sim and
+docs oracle builders read it at CALL time — exactly the contract this
+gate exists to pin."""
+from __future__ import annotations
+
+import pytest
+
+from yuki_spark.compare import compare
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+# cheapest queries whose parameters (or twin SQL) derive from the
+# catalog: near-dup caps (d2/d3/d4), embedding LSH planes (d9/s3/s11),
+# IVF cells (s4), semdedup cell split (s7), PQ shift (s8), and the
+# balance quota over the s9 fit (s10)
+ADAPTIVE = [
+    "d2_ngram_jaccard_dups",
+    "d3_minhash_lsh_dups",
+    "d4_simhash_dups",
+    "d9_embedding_neardup",
+    "s3_lsh_ann",
+    "s4_ivf_ann",
+    "s7_semdedup",
+    "s8_pq_ann",
+    "s10_cluster_balance",
+    "s11_knn_graph",
+]
+
+
+@pytest.mark.parametrize("name", ADAPTIVE)
+def test_adaptive_parity_at_sf0001(spark, name, monkeypatch):
+    monkeypatch.setenv("YUKI_SPARK_TEST_SF", SF_SMALL)
+    import __spark_entry__ as entrymod
+
+    oracles = entrymod.oracle_sql()  # rebuilt under the small catalog
+    problems = compare(spark, entrymod.queries()[name], oracles[name], SF_SMALL)
+    assert not problems, f"{name} @ sf0.001:\n" + "\n".join(problems)

@@ -1297,3 +1297,39 @@ def test_ann_skew_guard_caps_hot_buckets_and_is_identity_when_idle(spark):
         for r in similarity.lsh_ann(df2, k=3, n_planes=4, max_bucket=10_000).collect()
     ]
     assert guarded_ann == base_ann
+
+
+def test_neardup_clusters_equals_uncollapsed_form(spark):
+    """neardup_clusters (identical-set collapse) returns EXACTLY
+    dedup_clusters(jaccard_pairs(...)): same rows on a corpus with
+    exact-dup groups, near-dups, permuted/duplicated-token twins
+    (identical SETS, different texts), empty docs, and singletons."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),      # near-dup of 1
+        (3, "alpha beta gamma delta epsilon zeta"),     # exact dup of 1
+        (4, "zeta epsilon delta gamma beta alpha"),     # same SET as 1, permuted
+        (5, "alpha alpha beta gamma delta epsilon zeta"),  # same SET, dup token
+        (6, "completely unrelated words entirely here now"),
+        (7, ""),                                        # empty
+        (8, ""),                                        # empty twin: must NOT cluster
+        (9, "solo document with its very own vocabulary"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = sorted(
+        tuple(r)
+        for r in dedup.dedup_clusters(dedup.jaccard_pairs(df, 0.8)).collect()
+    )
+    got = sorted(tuple(r) for r in dedup.neardup_clusters(df, 0.8).collect())
+    assert got == want
+    assert (1, 1) in got and (3, 1) in got and (4, 1) in got and (5, 1) in got
+    assert all(d not in (7, 8, 9, 6) for d, _ in got)
+
+    # and on the real sf0.001 corpus (hundreds of docs, organic dups)
+    real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    want_r = sorted(
+        tuple(r)
+        for r in dedup.dedup_clusters(dedup.jaccard_pairs(real, 0.8)).collect()
+    )
+    got_r = sorted(tuple(r) for r in dedup.neardup_clusters(real, 0.8).collect())
+    assert got_r == want_r and len(got_r) > 0

@@ -130,10 +130,12 @@ def d10_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def d11_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: Jaccard pairs -> connected components ->
-    canonical representative per cluster (rows-only: iterative)."""
+    canonical representative per cluster (rows-only: iterative).
+    Runs the set-collapsed form (dedup.neardup_clusters): identical
+    token sets cluster through one representative, shrinking the CC
+    edge count by the duplication factor with identical output."""
     docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < doc_cap(sf_dir))
-    pairs = dedup.jaccard_pairs(docs, threshold=0.8)
-    return dedup.dedup_clusters(pairs).orderBy("doc_id")
+    return dedup.neardup_clusters(docs, threshold=0.8).orderBy("doc_id")
 
 
 def d20_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -142,8 +144,7 @@ def d20_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, rolled up per source (kept counts + id-sum so the oracle
     pins exactly *which* docs survived, not just how many)."""
     docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < doc_cap(sf_dir))
-    pairs = dedup.jaccard_pairs(docs, threshold=0.8)
-    kept = dedup.apply_dedup(docs, dedup.dedup_clusters(pairs))
+    kept = dedup.apply_dedup(docs, dedup.neardup_clusters(docs, threshold=0.8))
     return (
         kept.groupBy("source")
         .agg(
