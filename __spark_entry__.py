@@ -28,7 +28,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # the two keys whose last driver row is still r2 (s2/s5), then every
 # remaining key, freshest last.
 _PRIORITY = [
-    # changed this round (freshness rule: changed keys lead the sweep)
+    # new this round (freshness rule: new keys lead the sweep)
+    "d31_token_surprisal",
+    "d32_doc_entropy",
+    "e22_psi_drift",
+    # changed this round
     "d24_weighted_sample",
     "d2_ngram_jaccard_dups",
     "d3_minhash_lsh_dups",

@@ -152,6 +152,11 @@ def main() -> None:
         "queries": per_query,
         "medians": medians,
         "sf": sf,
+        # round-over-round context: r5 un-capped the near-dup queries
+        # (d2/d3/d4/d11/d20 cover the FULL corpus per the r4 verdict,
+        # 16.7x more docs at sf0.1 than the old 300-doc slice), so
+        # their times are not comparable to r4's capped runs
+        "notes": "near-dup queries full-corpus since r5 (was 300-doc cap)",
     }
     # Also persist the full report: the driver captures stdout through a
     # bounded tail window, and BENCH_r03 lost the suite total plus the

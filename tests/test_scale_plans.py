@@ -224,6 +224,8 @@ ALLOWED_BNLJ = {
     # once for both consumers); the visible BNLJ is the single-row
     # k_active broadcast for the quota
     "s10_cluster_balance": 1,
+    "d31_token_surprisal": 1,  # single-row corpus-total (N, log2 N) broadcast
+    "e22_psi_drift": 0,  # densify BNLJ hides behind the grid checkpoint
 }
 
 

@@ -21,6 +21,13 @@ def run_oracle(
     sql: str, sf_dir: str
 ) -> tuple[list[str], list[tuple], pa.Schema]:
     con = duckdb.connect()
+    # gate corpora are tiny; 32 threads buy nothing and multiply
+    # per-thread expression state 32× (the wide portable-log2 alias
+    # chains allocate per-thread executor state — at the default
+    # thread count, beside a live Spark JVM, that intermittently
+    # trips the kernel's commit heuristic as a bad_alloc)
+    con.execute("SET threads=4")
+    con.execute("SET memory_limit='8GB'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'")
     arrow = con.execute(sql).arrow()

@@ -64,6 +64,112 @@ def sql_portable_hash60(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+# ---------------------------------------------------------------------------
+# Portable (libm-free) base-2 logarithm of a positive integer column.
+#
+# ln/log are NOT IEEE-correctly-rounded, so Java's Math.log and
+# DuckDB's libm can disagree by 1 ulp and break the driver's exact
+# hash compare. This primitive computes log2 with ONLY correctly-
+# rounded ops (+, -, ×, ÷, integer compares): exponent via exact
+# integer comparisons, mantissa log via a truncated atanh series in
+# Horner form (same literals, same association order in both
+# engines → bit-identical 64-bit results). Domain: 1 ≤ b ≤ 2^53
+# (b must be exactly double-representable); out of domain → NULL.
+# Accuracy: true log2 to ~5e-12 (series truncation) — and, the
+# property the oracles need, the SAME ~5e-12-off value everywhere.
+#
+# The expression is emitted as a CHAIN of intermediate columns
+# (with_plog2 / sql_plog2 lateral aliases) — a single inlined
+# expression would re-expand the Horner chain through the binder
+# (measured: exponential blowup hangs both engines).
+# ---------------------------------------------------------------------------
+
+PLOG2_MAX_BITS = 53
+_ATANH_COEFFS = [1.0 / k for k in range(17, 0, -2)]  # 1/17 … 1/1
+_ATANH_LEAD = 1.0 / 19.0
+_TWO_OVER_LN2 = 2.8853900817779268  # 2/ln2, one exact double literal
+
+
+def with_plog2(df, col: Column | str, out: str, max_bits: int = PLOG2_MAX_BITS):
+    """Append ``out`` = portable log2 of a positive BIGINT column
+    (NULL outside [1, 2^max_bits]). Intermediates are prefixed
+    ``__{out}_`` and dropped. ``max_bits`` trims the exponent
+    compare/scale chains when the caller's domain is narrower (the
+    result is IDENTICAL in-domain — the extra compares are all
+    false — just cheaper); 53 is the exact-double ceiling."""
+    if max_bits > PLOG2_MAX_BITS:
+        raise ValueError(f"max_bits={max_bits} > {PLOG2_MAX_BITS} (double-exact ceiling)")
+    c = F.col(col) if isinstance(col, str) else col
+    p = f"__{out}_"
+    work = df.select("*", c.cast("bigint").alias(f"{p}b"))
+    b = F.col(f"{p}b")
+    e = sum((b >= F.lit(1 << k)).cast("int") for k in range(1, max_bits + 1))
+    work = work.select("*", e.alias(f"{p}e"))
+    scale = F.when(F.col(f"{p}e") == 0, F.lit(1.0))
+    for k in range(1, max_bits + 1):
+        scale = scale.when(F.col(f"{p}e") == k, F.lit(2.0 ** -k))
+    work = work.select("*", (b.cast("double") * scale).alias(f"{p}m"))
+    m = F.col(f"{p}m")
+    work = work.select("*", ((m - F.lit(1.0)) / (m + F.lit(1.0))).alias(f"{p}z"))
+    z = F.col(f"{p}z")
+    work = work.select("*", (z * z).alias(f"{p}z2"))
+    z2 = F.col(f"{p}z2")
+    h = F.lit(_ATANH_LEAD)
+    for cf in _ATANH_COEFFS:
+        h = h * z2 + F.lit(cf)
+    val = F.when(
+        (b >= F.lit(1)) & (b <= F.lit(1 << max_bits)),
+        F.col(f"{p}e").cast("double") + ((z * h) * F.lit(_TWO_OVER_LN2)),
+    )
+    return work.select(*df.columns, val.alias(out))
+
+
+def sql_plog2(
+    b_expr: str, out: str, prefix: str = "", max_bits: int = PLOG2_MAX_BITS
+) -> str:
+    """DuckDB twin of :func:`with_plog2`: the identical libm-free
+    expression as a lateral-alias chain ending in ``{out}``.
+    ``prefix`` disambiguates intermediates when one SELECT computes
+    several logs. Interpolate into a SELECT list.
+
+    Oracle twins should pass ``max_bits=33``: DuckDB's binder expands
+    lateral aliases by substitution and the 53-wide chain blows up
+    its expression state (measured: OOM on a 100-row input), while 33
+    evaluates instantly. For in-domain values (< 2^33 — every gate
+    corpus) a 33-bit chain produces the SAME double as Spark's
+    53-bit one, since the extra exponent compares are all false; an
+    out-of-domain value yields NULL on the oracle side and a value on
+    Spark's — a loud mismatch, never a silent wrong answer.
+
+    ALWAYS wrap the chain in an ``AS MATERIALIZED`` CTE: DuckDB
+    inlines plain CTEs/subqueries by substitution, and a chain
+    re-substituted into several consumers multiplies expression state
+    until allocation itself fails (measured: ~64k memory mappings —
+    the vm.max_map_count ceiling — beside a live Spark JVM; 903 with
+    MATERIALIZED)."""
+    p = f"__{prefix or out}_"
+    e_terms = " + ".join(
+        f"CASE WHEN {p}b >= {1 << k} THEN 1 ELSE 0 END"
+        for k in range(1, max_bits + 1)
+    )
+    scale_arms = " ".join(
+        f"WHEN {k} THEN {2.0 ** -k!r}" for k in range(1, max_bits + 1)
+    )
+    h = repr(_ATANH_LEAD)
+    for cf in _ATANH_COEFFS:
+        h = f"({h} * {p}z2 + {cf!r})"
+    return (
+        f"CAST({b_expr} AS BIGINT) AS {p}b,\n                 "
+        f"({e_terms}) AS {p}e,\n                 "
+        f"CAST({p}b AS DOUBLE) * (CASE {p}e WHEN 0 THEN CAST(1 AS DOUBLE) {scale_arms} END) AS {p}m,\n                 "
+        f"({p}m - CAST(1 AS DOUBLE)) / ({p}m + CAST(1 AS DOUBLE)) AS {p}z,\n                 "
+        f"{p}z * {p}z AS {p}z2,\n                 "
+        f"CASE WHEN {p}b >= 1 AND {p}b <= {1 << max_bits} "
+        f"THEN CAST({p}e AS DOUBLE) + (({p}z * {h}) * {_TWO_OVER_LN2!r}) "
+        f"ELSE NULL END AS {out}"
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     """Left-fold dot product of two double arrays (sequential order —
     matches DuckDB's list_sum fold for the oracle)."""

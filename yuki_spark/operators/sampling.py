@@ -22,6 +22,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+# The libm-free log2 primitive lives in functions (with_plog2 /
+# sql_plog2 — exponent via exact integer compares, atanh-series Horner
+# mantissa, bit-identical across engines); re-exported here for the
+# sampling test twins.
+from ..functions import (  # noqa: F401 — re-exported for test twins
+    _ATANH_COEFFS,
+    _TWO_OVER_LN2,
+    sql_plog2,
+    with_plog2,
+)
+
 KNUTH = 2654435761  # 2^32 / golden ratio, Knuth multiplicative hashing
 MOD = 1 << 32
 
@@ -47,17 +58,6 @@ def split_train_eval(df: DataFrame, key: str, eval_fraction: float):
     cut = int(eval_fraction * MOD)
     b = bucket(key)
     return df.where(b >= cut), df.where(b < cut)
-
-
-# atanh-series coefficients for log2(m), m ∈ [1,2): with
-# z = (m-1)/(m+1) ∈ [0, 1/3), log2(m) = (2/ln2)·atanh(z) and
-# atanh(z) = z·(1 + z²/3 + z⁴/5 + …). Truncated at z^19 the remainder
-# is ≤ (1/3)^21/(21·(1−1/9)) ≈ 5e-12 — far below any hash-drawn score
-# gap. Horner evaluation keeps the expression tree LINEAR in the term
-# count (an alias-chain formulation of the bitwise algorithm explodes
-# exponentially in both engines' binders — measured, not theoretical).
-_ATANH_COEFFS = [1.0 / k for k in range(17, 0, -2)]  # 1/17 … 1/1
-_TWO_OVER_LN2 = 2.8853900817779268  # 2/ln2, one exact double literal
 
 
 def with_portable_log2_u(df: DataFrame, key: str, out: str) -> DataFrame:
@@ -86,33 +86,12 @@ def with_portable_log2_u(df: DataFrame, key: str, out: str) -> DataFrame:
     Scale: ~50 cheap column ops per row inside whole-stage codegen —
     a pure map, no shuffle."""
     work = df.select(
-        "*", (bucket(key) + F.lit(1)).cast("bigint").alias("__b")
+        "*", (bucket(key) + F.lit(1)).cast("bigint").alias("__pu")
     )
-    b = F.col("__b")
-    e = sum(
-        (b >= F.lit(1 << k)).cast("int") for k in range(1, 33)
+    work = with_plog2(work, "__pu", "__plog2", max_bits=33)
+    return work.select(
+        *df.columns, (F.col("__plog2") - F.lit(32.0)).alias(out)
     )
-    work = work.select("*", e.alias("__e"))
-    # m = b · 2^-e, exact: CASE ladder of exact power-of-two literals
-    scale = F.when(F.col("__e") == 0, F.lit(1.0))
-    for k in range(1, 33):
-        scale = scale.when(F.col("__e") == k, F.lit(2.0 ** -k))
-    work = work.select(
-        "*", (b.cast("double") * scale).alias("__m")
-    )
-    m = F.col("__m")
-    work = work.select(
-        "*", ((m - F.lit(1.0)) / (m + F.lit(1.0))).alias("__z")
-    )
-    z = F.col("__z")
-    work = work.select("*", (z * z).alias("__z2"))
-    z2 = F.col("__z2")
-    h = F.lit(1.0 / 19.0)
-    for c in _ATANH_COEFFS:
-        h = h * z2 + F.lit(c)
-    frac = (z * h) * F.lit(_TWO_OVER_LN2)
-    val = (F.col("__e").cast("double") + frac) - F.lit(32.0)
-    return work.select(*df.columns, val.alias(out))
 
 
 def sql_log2_u(b_expr: str, out: str = "log2_u") -> str:
@@ -120,23 +99,10 @@ def sql_log2_u(b_expr: str, out: str = "log2_u") -> str:
     libm-free expression (same association order, same literals) as a
     lateral-alias chain ending in ``{out}``. Interpolate into
     ``SELECT <cols>, {sql_log2_u(...)} FROM ...``."""
-    e_terms = " + ".join(
-        f"CASE WHEN __b >= {1 << k} THEN 1 ELSE 0 END" for k in range(1, 33)
-    )
-    scale_arms = " ".join(
-        f"WHEN {k} THEN {2.0 ** -k!r}" for k in range(1, 33)
-    )
-    h = repr(1.0 / 19.0)
-    for c in _ATANH_COEFFS:
-        h = f"({h} * __z2 + {c!r})"
     return (
-        f"CAST({b_expr} + 1 AS BIGINT) AS __b,\n                 "
-        f"({e_terms}) AS __e,\n                 "
-        f"CAST(__b AS DOUBLE) * (CASE __e WHEN 0 THEN 1.0 {scale_arms} END) AS __m,\n                 "
-        f"(__m - CAST(1 AS DOUBLE)) / (__m + CAST(1 AS DOUBLE)) AS __z,\n                 "
-        f"__z * __z AS __z2,\n                 "
-        f"(CAST(__e AS DOUBLE) + ((__z * {h}) * {_TWO_OVER_LN2!r})) "
-        f"- CAST(32 AS DOUBLE) AS {out}"
+        sql_plog2(f"{b_expr} + 1", f"{out}__raw", prefix=out, max_bits=33)
+        + ",\n                 "
+        + f"{out}__raw - CAST(32 AS DOUBLE) AS {out}"
     )
 
 

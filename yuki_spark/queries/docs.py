@@ -849,8 +849,109 @@ def p1_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d31_token_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal quality signal (the CCNet/Wenzek-style LM
+    filter with the corpus as its own LM): each token's surprisal is
+    log2(N_total / count(token)) bits, and a document's mean
+    surprisal separates boilerplate (low) from lexically rich or
+    noisy text (high) — the scoring step a perplexity-bucketing
+    pipeline runs before quality filtering. log2 is the libm-free
+    portable primitive (functions.with_plog2), and per-token
+    surprisals quantize to DECIMAL(18,6) at the VOCAB grain before
+    the per-doc sum, so both engines sum identical decimals in any
+    order — bit-identical means.
+
+    Scale: token explode (pure map) → vocab-grain agg → one
+    occurrences⋈vocab join on token → doc/source rollups. The plog2
+    chains run at vocab grain (|V| rows) and on one scalar, never per
+    occurrence."""
+    from ..functions import DEC, tokens, with_plog2
+
+    docs = load(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_remove(tokens("text"), "")).alias("tok"),
+    )
+    vocab = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = with_plog2(vocab.agg(F.sum("c").alias("N")), "N", "l2n")
+    vocab = with_plog2(vocab, "c", "l2c")
+    vv = vocab.crossJoin(F.broadcast(tot)).select(
+        "tok", (F.col("l2n") - F.col("l2c")).cast(DEC).alias("s_bits")
+    )
+    per_doc = (
+        occ.join(vv, "tok")
+        .groupBy("doc_id", "source")
+        .agg(
+            (F.sum("s_bits").cast("double") / F.count(F.lit(1))).alias(
+                "mean_surprisal"
+            )
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.sum(F.col("mean_surprisal").cast(DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_surprisal"),
+            F.min("mean_surprisal").alias("min_surprisal"),
+            F.max("mean_surprisal").alias("max_surprisal"),
+        )
+        .orderBy("source")
+    )
+
+
+def d32_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document token entropy (Shannon, bits): H = log2(n) −
+    (Σ c·log2 c)/n over the doc's token counts — the
+    repetitiveness signal at distribution grain (d16's dup-bigram
+    share is the n-gram-shape twin): low entropy = a few tokens
+    dominate. Returns the 15 most repetitive docs (lowest H, ties by
+    doc_id). All logs via the portable libm-free primitive; the
+    Σ c·log2 c accumulates as DECIMAL(18,6) so the sum is
+    order-independent and the final doubles are bit-identical in both
+    engines. Scale: one (doc, token) agg + doc-grain math + top-n."""
+    from ..functions import DEC, tokens, with_plog2
+
+    docs = load(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id", F.explode(F.array_remove(tokens("text"), "")).alias("tok")
+    )
+    cnt = with_plog2(
+        occ.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c")),
+        "c",
+        "l2c",
+    )
+    doc = (
+        cnt.select(
+            "doc_id",
+            "c",
+            (F.col("c").cast("double") * F.col("l2c")).cast(DEC).alias("t"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_tokens"), F.sum("t").alias("tsum"))
+    )
+    doc = with_plog2(doc, "n_tokens", "l2n")
+    return (
+        doc.select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("l2n")
+                - (F.col("tsum").cast("double") / F.col("n_tokens").cast("double"))
+            ).alias("entropy"),
+        )
+        .orderBy(F.asc("entropy"), "doc_id")
+        .limit(15)
+    )
+
+
 QUERIES = {
     "p1_pii_scan": p1_pii_scan,
+    "d31_token_surprisal": d31_token_surprisal,
+    "d32_doc_entropy": d32_doc_entropy,
     "d26_quality_buckets": d26_quality_buckets,
     "d1_exact_dedup": d1_exact_dedup,
     "d22_dup_spans": d22_dup_spans,
@@ -977,8 +1078,61 @@ def _d25_oracle() -> str:
     """
 
 
+def _d31_oracle() -> str:
+    from ..functions import sql_plog2
+
+    return f"""
+        WITH occ AS (
+          SELECT doc_id, source,
+                 unnest(list_filter({_T}, t -> t <> '')) AS tok
+          FROM documents),
+        vocab0 AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM occ GROUP BY tok),
+        tot AS MATERIALIZED (SELECT N, {sql_plog2("N", "l2n", max_bits=33)}
+                FROM (SELECT CAST(SUM(c) AS BIGINT) AS N FROM vocab0)),
+        vocab AS MATERIALIZED (SELECT tok, c, {sql_plog2("c", "l2c", max_bits=33)} FROM vocab0),
+        vv AS (SELECT tok, CAST(l2n - l2c AS DECIMAL(18,6)) AS s_bits
+               FROM vocab, tot),
+        per_doc AS (
+          SELECT doc_id, source,
+                 CAST(SUM(s_bits) AS DOUBLE) / COUNT(*) AS mean_surprisal
+          FROM occ JOIN vv USING (tok) GROUP BY doc_id, source)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CAST(mean_surprisal AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*) AS avg_surprisal,
+               MIN(mean_surprisal) AS min_surprisal,
+               MAX(mean_surprisal) AS max_surprisal
+        FROM per_doc GROUP BY source ORDER BY source
+    """
+
+
+def _d32_oracle() -> str:
+    from ..functions import sql_plog2
+
+    return f"""
+        WITH occ AS (
+          SELECT doc_id, unnest(list_filter({_T}, t -> t <> '')) AS tok
+          FROM documents),
+        cnt0 AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM occ GROUP BY doc_id, tok),
+        cnt AS MATERIALIZED (SELECT doc_id, c, {sql_plog2("c", "l2c", max_bits=33)} FROM cnt0),
+        doc0 AS (
+          SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 SUM(CAST(CAST(c AS DOUBLE) * l2c AS DECIMAL(18,6))) AS tsum
+          FROM cnt GROUP BY doc_id),
+        doc AS MATERIALIZED (SELECT doc_id, n_tokens, tsum,
+                       {sql_plog2("n_tokens", "l2n", max_bits=33)}
+                FROM doc0)
+        SELECT doc_id, n_tokens,
+               l2n - (CAST(tsum AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS entropy
+        FROM doc
+        ORDER BY entropy ASC, doc_id LIMIT 15
+    """
+
+
 _ORACLE_TEMPLATE = {
     "p1_pii_scan": _p1_oracle(),
+    "d31_token_surprisal": _d31_oracle(),
+    "d32_doc_entropy": _d32_oracle(),
     "d26_quality_buckets": f"""
         WITH q AS (
           SELECT source,

@@ -668,7 +668,97 @@ def e21_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PSI_BINS = 12  # e10's fixed value-histogram domain: buckets 0..11
+PSI_SPLIT_DAY = "2024-01-15"  # events span January; halves at mid-month
+
+
+def e22_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift per event type between the
+    two halves of the month — the distribution-shift alarm a data
+    pipeline runs between ingest windows (PSI is the standard
+    monitoring statistic; > 0.1–0.25 flags actionable drift). The
+    value distribution uses e10's fixed 12-bucket histogram; counts
+    are Laplace-smoothed (+1 per bucket) so empty buckets are
+    well-defined, and PSI = Σ_bins (p1−p2)·log2(p1/p2) in bits.
+
+    Portability: the log ratio decomposes into four portable-log2
+    terms over INTEGERS — (l2(c1+1) − l2(N1+B)) − (l2(c2+1) −
+    l2(N2+B)) — via functions.with_plog2 (libm-free, bit-identical
+    across engines); the per-bin products quantize to DECIMAL(18,6)
+    before the per-type sum, making the total order-independent.
+    Scale: one groupBy over (type, half, bucket) — the PSI math runs
+    on the ~type×12 aggregated grid, not per event."""
+    from ..functions import DEC, with_plog2
+
+    ev = load(spark, sf_dir, "events")
+    half = F.when(
+        F.to_date("ts") <= F.lit(PSI_SPLIT_DAY).cast("date"), F.lit(1)
+    ).otherwise(F.lit(2))
+    bucket = (
+        F.when(F.col("value") < 0.0, F.lit(0))
+        .when(F.col("value") >= 500.0, F.lit(11))
+        .otherwise(F.floor(F.col("value") / F.lit(50.0)) + 1)
+    ).cast("bigint")
+    counts = (
+        ev.select("event_type", half.alias("half"), bucket.alias("bucket"))
+        .groupBy("event_type", "half", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    grid = (
+        counts.select("event_type")
+        .distinct()
+        .crossJoin(
+            # 12-row constant dimension — broadcast so the densify is
+            # a bounded BNLJ, never a cartesian shuffle
+            F.broadcast(spark.range(PSI_BINS).select(F.col("id").alias("bucket")))
+        )
+    )
+    c1 = counts.where(F.col("half") == 1).select(
+        "event_type", "bucket", F.col("c").alias("c1")
+    )
+    c2 = counts.where(F.col("half") == 2).select(
+        "event_type", "bucket", F.col("c").alias("c2")
+    )
+    g = (
+        grid.join(c1, ["event_type", "bucket"], "left")
+        .join(c2, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce("c1", F.lit(0)).alias("c1"),
+            F.coalesce("c2", F.lit(0)).alias("c2"),
+        )
+        # feeds totals AND the per-bin math: checkpoint the (tiny,
+        # type×12) grid once so the densify subtree isn't recomputed
+        .localCheckpoint(eager=False)
+    )
+    totals = g.groupBy("event_type").agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    g = (
+        g.join(totals, "event_type")
+        .withColumn("c1p", F.col("c1") + F.lit(1))
+        .withColumn("c2p", F.col("c2") + F.lit(1))
+        .withColumn("n1p", F.col("n1") + F.lit(PSI_BINS))
+        .withColumn("n2p", F.col("n2") + F.lit(PSI_BINS))
+    )
+    for col, out in (("c1p", "l2c1"), ("c2p", "l2c2"), ("n1p", "l2n1"), ("n2p", "l2n2")):
+        g = with_plog2(g, col, out)
+    p1 = F.col("c1p").cast("double") / F.col("n1p").cast("double")
+    p2 = F.col("c2p").cast("double") / F.col("n2p").cast("double")
+    lratio = (F.col("l2c1") - F.col("l2n1")) - (F.col("l2c2") - F.col("l2n2"))
+    term = ((p1 - p2) * lratio).cast(DEC)
+    return (
+        g.select("event_type", "n1", "n2", term.alias("term"))
+        .groupBy("event_type", "n1", "n2")
+        .agg(F.sum("term").cast("double").alias("psi_bits"))
+        .withColumn("drifted", F.col("psi_bits") > F.lit(0.01))
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
+    "e22_psi_drift": e22_psi_drift,
     "e13_zscore_outliers": e13_zscore_outliers,
     "e15_retention_cohorts": e15_retention_cohorts,
     "e16_event_transitions": e16_event_transitions,
@@ -697,7 +787,73 @@ _EWMA_TERMS = " + ".join(
     for k in range(EWMA_SPAN)
 )
 
+
+def _e22_oracle() -> str:
+    """Twin of e22_psi_drift. The four portable-log2 chains live in
+    four SEPARATE CTE layers: DuckDB's binder expands lateral aliases
+    by substitution, and stacking all four chains into one SELECT
+    multiplies its expression state (the d31/d32 lesson)."""
+    from ..functions import sql_plog2
+
+    def layer(src: str, col: str, out: str) -> str:
+        # MATERIALIZED stops DuckDB inlining the layer into its
+        # consumer — without it the chains re-substitute through
+        # every downstream column reference and the expression state
+        # grows multiplicatively across layers
+        return (
+            f"MATERIALIZED (SELECT *, {sql_plog2(col, out, max_bits=33)} FROM {src})"
+        )
+
+    return f"""
+        WITH counts AS (
+          SELECT event_type,
+                 CASE WHEN CAST(ts AS DATE) <= DATE '{PSI_SPLIT_DAY}'
+                      THEN 1 ELSE 2 END AS half,
+                 CAST(CASE WHEN value < 0.0 THEN 0
+                           WHEN value >= 500.0 THEN 11
+                           ELSE floor(value / 50.0) + 1 END AS BIGINT) AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2, 3),
+        grid AS (
+          SELECT t.event_type, b.range AS bucket
+          FROM (SELECT DISTINCT event_type FROM counts) t,
+               range(0, {PSI_BINS}) b),
+        g0 AS (
+          SELECT grid.event_type, grid.bucket,
+                 COALESCE(h1.c, 0) AS c1, COALESCE(h2.c, 0) AS c2
+          FROM grid
+          LEFT JOIN counts h1 ON h1.event_type = grid.event_type
+                             AND h1.bucket = grid.bucket AND h1.half = 1
+          LEFT JOIN counts h2 ON h2.event_type = grid.event_type
+                             AND h2.bucket = grid.bucket AND h2.half = 2),
+        tot AS (SELECT event_type, CAST(SUM(c1) AS BIGINT) AS n1,
+                       CAST(SUM(c2) AS BIGINT) AS n2
+                FROM g0 GROUP BY event_type),
+        g1 AS (
+          SELECT g0.*, tot.n1, tot.n2,
+                 g0.c1 + 1 AS c1p, g0.c2 + 1 AS c2p,
+                 tot.n1 + {PSI_BINS} AS n1p, tot.n2 + {PSI_BINS} AS n2p
+          FROM g0 JOIN tot USING (event_type)),
+        ga AS {layer("g1", "c1p", "l2c1")},
+        gb AS {layer("ga", "c2p", "l2c2")},
+        gc AS {layer("gb", "n1p", "l2n1")},
+        gd AS {layer("gc", "n2p", "l2n2")},
+        terms AS (
+          SELECT event_type, n1, n2,
+                 CAST((CAST(c1p AS DOUBLE) / CAST(n1p AS DOUBLE)
+                       - CAST(c2p AS DOUBLE) / CAST(n2p AS DOUBLE))
+                      * ((l2c1 - l2n1) - (l2c2 - l2n2))
+                      AS DECIMAL(18,6)) AS term
+          FROM gd)
+        SELECT event_type, n1, n2,
+               CAST(SUM(term) AS DOUBLE) AS psi_bits,
+               CAST(SUM(term) AS DOUBLE) > 0.01 AS drifted
+        FROM terms GROUP BY event_type, n1, n2 ORDER BY event_type
+    """
+
+
 ORACLE = {
+    "e22_psi_drift": _e22_oracle(),
     "e15_retention_cohorts": """
         WITH weeks AS (
           SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
