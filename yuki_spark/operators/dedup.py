@@ -134,28 +134,56 @@ def jaccard_candidates(ts: DataFrame, threshold: float) -> DataFrame:
         .select(
             "doc_id",
             "set_size",
-            F.explode(
+            # pos = the token's 1-based rank in the GLOBAL rarest-first
+            # order (prefix tokens are exactly the first L ranked ones),
+            # feeding PPJoin's positional filter below
+            F.posexplode(
                 F.slice(F.transform("ranked", lambda s: s["tok"]), F.lit(1), prefix_len)
-            ).alias("tok"),
+            ).alias("pos0", "tok"),
         )
+        .select("doc_id", "set_size", (F.col("pos0") + 1).alias("pos"), "tok")
     )
     a = pre.select(
         F.col("tok"),
         F.col("doc_id").alias("doc_a"),
         F.col("set_size").alias("size_a"),
+        F.col("pos").alias("pos_a"),
     )
     b = pre.select(
         F.col("tok"),
         F.col("doc_id").alias("doc_b"),
         F.col("set_size").alias("size_b"),
+        F.col("pos").alias("pos_b"),
     )
-    # length filter: J ≥ t forces t·|a| ≤ |b| and t·|b| ≤ |a|
+    # length filter: J ≥ t forces t·|a| ≤ |b| and t·|b| ≤ |a|.
+    # Positional filter (PPJoin, Xiao et al. '08): both docs rank
+    # tokens in ONE global order, so a shared token at ranks
+    # (pa, pb) bounds the overlap by (shared before it) + 1 +
+    # (shared after it) ≤ min(pa,pb)−1 + 1 + min(|a|−pa, |b|−pb);
+    # J ≥ t needs overlap ≥ ⌈t(|a|+|b|)/(1+t)⌉. At a true pair's
+    # FIRST shared prefix token the earlier-shared term is 0, so the
+    # conservative per-occurrence bound always admits at least that
+    # occurrence — no false negatives (verification stays exact
+    # regardless; this only cuts verification volume). α uses
+    # floor() so a 1-ulp float wobble can only weaken the prune.
+    alpha = F.floor(
+        (F.col("size_a") + F.col("size_b")).cast("double")
+        * F.lit(threshold)
+        / F.lit(1.0 + threshold)
+    )
+    ubound = (
+        F.least(F.col("pos_a"), F.col("pos_b"))
+        + F.least(
+            F.col("size_a") - F.col("pos_a"), F.col("size_b") - F.col("pos_b")
+        )
+    )
     return (
         a.join(b, "tok")
         .where(
             (F.col("doc_a") < F.col("doc_b"))
             & (F.col("size_b").cast("double") >= F.lit(threshold) * F.col("size_a"))
             & (F.col("size_a").cast("double") >= F.lit(threshold) * F.col("size_b"))
+            & (ubound >= alpha)
         )
         .select("doc_a", "doc_b")
         .distinct()
