@@ -137,6 +137,9 @@ def main() -> None:
         "dq1_constraint_report",
         "d30_oov_rate",
         "s11_knn_graph",
+        "d31_token_surprisal",
+        "d32_doc_entropy",
+        "e22_psi_drift",
     ]
     qs["q1_pricing_summary"](spark, out).write.mode("overwrite").format("noop").save()
     timings = {}
