@@ -18,7 +18,7 @@ import time
 
 from yuki_spark.session import get_spark
 
-# Headline set: EVERY queries() key (all 104 — the r4 verdict flagged
+# Headline set: EVERY queries() key (the r4 verdict flagged
 # the 47 untimed queries as regression-invisible). Ordering interleaves
 # the families; any key the entry exposes that is missing here is
 # appended automatically in main(), so a new query can never silently

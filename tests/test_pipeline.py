@@ -1175,3 +1175,41 @@ def test_impression_bookkeep_manifest(spark, tmp_path):
     assert bk2 != bk and store.exists(bk) and store.exists(bk2)
     # retention sweeps never collect the bookkeeping trail (archived)
     assert bk not in store.gc(keep=set(), dry_run=True)
+
+
+def test_bookkeep_id_invariant_under_run_state(spark, tmp_path):
+    """The bookkeeping address hashes the DEFINITION, not run state:
+    running an identical pipeline again (statuses flip finished ->
+    reused) must not book a duplicate snapshot."""
+    store = ImpressionStore(str(tmp_path / "imps"))
+    be = LocalBackend(store, persist={"by_segment"})
+    p = build_pipe()
+    be.run(spark, p)
+    bk1 = store.bookkeep(p)
+    p2 = build_pipe()
+    out2 = be.run(spark, p2)  # same definition, deposits now reused
+    assert out2["statuses"]["by_segment"] == "reused"
+    assert store.bookkeep(p2) == bk1
+
+
+def test_routed_run_fails_loud_on_archived_boundary_deposit(spark, tmp_path):
+    """A runner-boundary task whose deposit is archived can neither be
+    reused nor rewritten — the routed run must raise instead of
+    silently passing a foreign session's DataFrame across runners."""
+    from yuki_spark.pipeline.backends import RemoteSessionBackend
+    from yuki_spark.pipeline.registry import BackendRegistry
+
+    store = ImpressionStore(str(tmp_path / "imps"))
+    reg = BackendRegistry(store)
+    # LAZY backends: the archived address is neither reused nor
+    # rewritten, leaving the boundary task 'compiled' — the hole.
+    # (Eager backends re-execute and read the archived deposit, which
+    # is correct by the content-address contract.)
+    reg.register("local", LocalBackend(store))
+    reg.register("cluster", RemoteSessionBackend(store))
+    p = _routed_pipe()
+    out = reg.run(spark, p, default_runner="local")
+    store.archive(out["impressions"]["heavy"])
+    p2 = _routed_pipe()
+    with pytest.raises(RuntimeError, match="no readable deposit"):
+        reg.run(spark, p2, default_runner="local")

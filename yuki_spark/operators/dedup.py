@@ -372,7 +372,8 @@ def set_groups(docs: DataFrame) -> DataFrame:
         "doc_id",
         "set_size",
         F.md5(F.to_json(F.array_sort("toks"))).alias("__h"),
-    )
+    ).localCheckpoint(eager=False)  # feeds the reps agg AND the join —
+    # without it the tokenize+sort+md5 subtree runs twice in one plan
     reps = member.groupBy("__h").agg(F.min("doc_id").alias("rep"))
     return member.join(reps, "__h").select("doc_id", "rep", "set_size")
 

@@ -617,6 +617,23 @@ def _with_subkey(df: DataFrame, stats: DataFrame, vec_col: str) -> DataFrame:
     return joined.withColumn("sub", sum(xb[1:], xb[0]).cast("int")).drop(*drop)
 
 
+def _skew_guarded_sides(bucketed, q, c, max_bucket):
+    """Apply the mean-centered bucket re-split to BOTH join sides of
+    an ANN bucket join (one copy of the guard wiring for lsh_ann and
+    knn_graph): returns (q, c, join_on). ``max_bucket=None`` is the
+    identity — join on bucket alone."""
+    if max_bucket is None:
+        return q, c, ["bucket"]
+    stats = _bucket_split_stats(bucketed, max_bucket).localCheckpoint(
+        eager=False
+    )  # feeds both sides once
+    return (
+        _with_subkey(q, stats, "qv"),
+        _with_subkey(c, stats, "cv"),
+        ["bucket", "sub"],
+    )
+
+
 def lsh_ann(
     emb: DataFrame,
     k: int = 3,
@@ -640,7 +657,7 @@ def lsh_ann(
     must be generated with the same plane count. ``max_bucket``
     (optional) engages the skew guard: buckets whose population
     exceeds it are re-split by extra sign bits (see
-    :func:`_bucket_split_bits`) so no single join key turns
+    :func:`_bucket_split_stats`) so no single join key turns
     quadratic on a clustered corpus; identical to the unguarded
     result whenever every bucket already fits the cap."""
     if n_planes is None:
@@ -668,14 +685,7 @@ def lsh_ann(
         F.col("nrm").alias("cn"),
         F.col("bucket"),
     )
-    join_on = ["bucket"]
-    if max_bucket is not None:
-        bits = _bucket_split_stats(bucketed, max_bucket).localCheckpoint(
-            eager=False
-        )  # feeds both sides once
-        q = _with_subkey(q, bits, "qv")
-        c = _with_subkey(c, bits, "cv")
-        join_on = ["bucket", "sub"]
+    q, c, join_on = _skew_guarded_sides(bucketed, q, c, max_bucket)
     cos = F.round(
         cosine_from_ints(int_dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")), 9
     )
@@ -744,14 +754,7 @@ def knn_graph(
         F.col("nrm").alias("cn"),
         F.col("bucket"),
     )
-    join_on = ["bucket"]
-    if max_bucket is not None:
-        bits = _bucket_split_stats(bucketed, max_bucket).localCheckpoint(
-            eager=False
-        )  # feeds both sides once
-        q = _with_subkey(q, bits, "qv")
-        c = _with_subkey(c, bits, "cv")
-        join_on = ["bucket", "sub"]
+    q, c, join_on = _skew_guarded_sides(bucketed, q, c, max_bucket)
     cos = F.round(
         cosine_from_ints(int_dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")), 9
     )

@@ -317,8 +317,14 @@ class ImpressionStore:
         already meets the target; returns before/after file counts
         either way. Concurrent compacts of one deposit serialize on a
         dedicated lock; the swap itself runs under the per-impression
-        heal lock so a racing read can never observe (or "heal") the
-        mid-swap state."""
+        heal lock so a racing read's HEAL can never interleave with
+        (or undo) the swap, and the deposit is never left broken.
+        The lock cannot cover a reader's later Spark ACTION, though:
+        a DataFrame that listed part files before the swap fails its
+        action if the swap lands first (Spark's files-updated error —
+        transient, the deposit itself is intact; re-read to recover).
+        Run compact() in a maintenance window, or on a lakehouse
+        table where the transaction log versions the swap."""
         if not self.exists(imp_id):
             raise FileNotFoundError(f"impression {imp_id} not deposited")
         with self._lock(imp_id + "#compact"):
@@ -424,11 +430,16 @@ class ImpressionStore:
         are exactly those recorded addresses — so
         :meth:`lineage` walked from the manifest reaches every deposit
         the pipeline produced (provenance of the whole project, not
-        one artifact). Content-addressed on the manifest body: a
-        changed pipeline books a NEW snapshot, an unchanged one is a
-        no-op returning the same id. Auto-archived, so retention
-        sweeps never collect the bookkeeping trail. Returns the
-        manifest impression id; read it back with :meth:`manifest`."""
+        one artifact). Content-addressed on the DEFINITION — task
+        names, versions, deps, confs, runners, and the recorded
+        impression addresses — never on run state: statuses flip
+        between runs of an unchanged pipeline (finished vs reused),
+        and hashing them would book a duplicate snapshot per status
+        combination instead of deduplicating. A changed definition
+        books a NEW snapshot; an unchanged one is a no-op returning
+        the same id. Auto-archived, so retention sweeps never collect
+        the bookkeeping trail. Returns the manifest impression id;
+        read it back with :meth:`manifest`."""
         tasks_doc = {
             n: {
                 "version": t.version,
@@ -440,7 +451,11 @@ class ImpressionStore:
             for n, t in sorted(pipe.tasks.items())
         }
         body = {"pipeline": pipe.name, "plan": pipe.to_plan(), "tasks": tasks_doc}
-        payload = json.dumps(body, sort_keys=True, default=str)
+        payload = json.dumps(
+            {"pipeline": pipe.name, "tasks": tasks_doc},
+            sort_keys=True,
+            default=str,
+        )
         imp_id = "bk-" + hashlib.sha256(payload.encode()).hexdigest()[:29]
         dep_ids = sorted(
             t["impression"] for t in tasks_doc.values() if t["impression"]

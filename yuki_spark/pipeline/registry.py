@@ -179,12 +179,24 @@ class BackendRegistry:
             session = backend.session_for(spark)
             # swap cross-runner inputs for store reads bound to THIS
             # backend's session — a foreign session's DataFrame is not
-            # a valid plan fragment here
+            # a valid plan fragment here. A boundary dep that ran but
+            # did NOT deposit (its address is archived, so _run_one
+            # neither reused nor rewrote it — status 'compiled') must
+            # fail LOUD: silently passing the producer session's
+            # DataFrame across the runner boundary is exactly the
+            # invalid state this layer exists to prevent.
             local = dict(results)
             for d in t.deps:
                 if routing[d] != routing[name] and d in imp_ids:
                     if pipe.tasks[d].status in ("finished", "reused"):
                         local[d] = self.store.read(session, imp_ids[d])
+                    elif pipe.tasks[d].status == "compiled":
+                        raise RuntimeError(
+                            f"routed run: boundary task {d!r} (runner "
+                            f"{routing[d]!r}) produced no readable deposit "
+                            f"at {imp_ids[d]} — unarchive it or bump the "
+                            f"task version so a fresh deposit is written"
+                        )
             backend.run_task(
                 spark,
                 pipe,

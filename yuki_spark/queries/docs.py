@@ -1669,4 +1669,8 @@ def build_oracle() -> dict[str, str]:
     return {k: v.replace(PAIR_CAP, cap) for k, v in _ORACLE_TEMPLATE.items()}
 
 
-ORACLE = build_oracle()
+# NOTE: no module-level ORACLE snapshot — build_oracle() reads the
+# gate catalog's parquet footers, and an import-time call would make
+# the whole query package unimportable on a machine without the
+# default testdata (and freeze the env var at import, the staleness
+# the call-time contract exists to avoid).
