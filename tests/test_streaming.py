@@ -650,3 +650,76 @@ def test_snapshot_atomic_overwrite_and_heal(spark, tmp_path):
 
     # true first-batch state (no directory at all) is still None
     assert st._read_snapshot_or_none(spark, snap) is None
+
+
+def test_histogram_accumulator_and_psi_drift(spark, event_dir, tmp_path):
+    """Drift monitoring on a stream: the accumulated per-type value
+    histogram equals the one-shot batch histogram bit-for-bit
+    (linearity + replay safety), and psi_drift between two windows
+    matches the driver-verified batch PSI (e22) on the same halves."""
+    state = str(tmp_path / "state" / "hist.json")
+    q = st.run_histogram_accumulator(
+        st.read_event_stream(spark, event_dir), state, str(tmp_path / "ckpt_h")
+    )
+    q.awaitTermination(120)
+    acc = st.histogram_state(state)
+    batch = spark.read.parquet(event_dir)
+    bucket = (
+        F.when(F.col("value") < 0.0, F.lit(0))
+        .when(F.col("value") >= 500.0, F.lit(11))
+        .otherwise(F.floor(F.col("value") / F.lit(50.0)) + 1)
+    ).cast("bigint")
+    want: dict = {}
+    for r in (
+        batch.select("event_type", bucket.alias("b"))
+        .groupBy("event_type", "b").count().collect()
+    ):
+        want.setdefault(r["event_type"], {})[r["b"]] = r["count"]
+    assert acc == want
+
+    # replay: same checkpoint -> all batch ids skipped, state unchanged
+    q2 = st.run_histogram_accumulator(
+        st.read_event_stream(spark, event_dir), state, str(tmp_path / "ckpt_h")
+    )
+    q2.awaitTermination(120)
+    assert st.histogram_state(state) == acc
+
+    # identical windows -> PSI ~ 0, never drifted
+    same = st.psi_drift(acc, acc)
+    assert same and all(
+        v["psi_bits"] == 0.0 and not v["drifted"] for v in same.values()
+    )
+    # a shifted distribution fires the alarm
+    shifted = {
+        t: {min(b + 4, 11): c for b, c in hist.items()} for t, hist in acc.items()
+    }
+    fired = st.psi_drift(acc, shifted)
+    assert all(v["drifted"] for v in fired.values())
+    # a vanished event type is maximal drift
+    missing = {t: h for t, h in acc.items() if t != "click"}
+    assert st.psi_drift(acc, missing)["click"]["drifted"]
+
+    # anchor to the driver-verified batch PSI: split the same events at
+    # e22's mid-month boundary and compare per-type psi_bits — e22
+    # quantizes per-bin terms to DECIMAL(18,6) before summing, so the
+    # two agree to ~bins x 0.5e-6 (plus ~5e-12 of series-vs-libm log)
+    import datetime as dt
+
+    cut = dt.date(2024, 1, 15)
+    first = batch.where(F.to_date("ts") <= F.lit(cut))
+    second = batch.where(F.to_date("ts") > F.lit(cut))
+
+    def hist_of(df):
+        out: dict = {}
+        for r in (
+            df.select("event_type", bucket.alias("b"))
+            .groupBy("event_type", "b").count().collect()
+        ):
+            out.setdefault(r["event_type"], {})[r["b"]] = r["count"]
+        return out
+
+    stream_psi = st.psi_drift(hist_of(first), hist_of(second))
+    from yuki_spark.queries.events import e22_psi_drift
+
+    for r in e22_psi_drift(spark, SF_SMOKE).collect():
+        assert abs(stream_psi[r["event_type"]]["psi_bits"] - r["psi_bits"]) < 1e-4

@@ -671,6 +671,108 @@ def run_hll_accumulator(
     )
 
 
+PSI_BINS = 12  # e10/e22's fixed value-histogram domain: buckets 0..11
+
+
+def _histogram_build(batch_df: DataFrame) -> bytes:
+    """Exact (event_type, bucket) counts of one micro-batch as sorted
+    JSON bytes — e10/e22's fixed 12-bucket binning, so the
+    accumulated state is directly comparable to the driver-verified
+    batch PSI (e22). The per-batch aggregate is type×12 rows — a
+    bounded collect at any input scale."""
+    import json as _json
+
+    binned = (
+        batch_df.select(
+            "event_type",
+            (
+                F.when(F.col("value") < 0.0, F.lit(0))
+                .when(F.col("value") >= 500.0, F.lit(11))
+                .otherwise(F.floor(F.col("value") / F.lit(50.0)) + 1)
+            )
+            .cast("bigint")
+            .alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cells = {
+        f"{r['event_type']}\x1f{r['bucket']}": r["c"] for r in binned.collect()
+    }
+    return _json.dumps(cells, sort_keys=True).encode()
+
+
+def _histogram_merge(a: bytes, b: bytes) -> bytes:
+    """Cell-wise addition — histograms are linear like CM sketches,
+    so the accumulated state equals the one-shot batch histogram."""
+    import json as _json
+
+    out = _json.loads(a.decode())
+    for k, v in _json.loads(b.decode()).items():
+        out[k] = out.get(k, 0) + v
+    return _json.dumps(out, sort_keys=True).encode()
+
+
+def run_histogram_accumulator(sdf: DataFrame, state_path: str, checkpoint: str):
+    """Stream → maintained exact value-distribution histogram per
+    event type via foreachBatch merge — the reference window a
+    streaming DRIFT MONITOR compares fresh traffic against (the
+    monitoring loop around the batch e22_psi_drift query). Histograms
+    are linear (cell-wise addition), so the accumulated state equals
+    the one-shot batch histogram BIT-FOR-BIT; same batch-id header /
+    atomic-replace replay safety as :func:`run_sketch_accumulator`."""
+    return _run_state_accumulator(
+        sdf, state_path, checkpoint, build=_histogram_build, merge=_histogram_merge
+    )
+
+
+def histogram_state(state_path: str) -> dict[str, dict[int, int]]:
+    """Accumulated histogram as {event_type: {bucket: count}}."""
+    import json as _json
+
+    _, raw = read_sketch_state(state_path)
+    out: dict[str, dict[int, int]] = {}
+    if not raw:
+        return out
+    for k, v in _json.loads(raw.decode()).items():
+        etype, bucket = k.rsplit("\x1f", 1)
+        out.setdefault(etype, {})[int(bucket)] = v
+    return out
+
+
+def psi_drift(
+    ref: dict[str, dict[int, int]],
+    cur: dict[str, dict[int, int]],
+    threshold: float = 0.01,
+) -> dict[str, dict]:
+    """PSI (bits) per event type between two accumulated histograms —
+    the drift alarm between a reference window and current traffic.
+    Same math as the driver-verified e22_psi_drift batch query
+    (Laplace-smoothed shares over the fixed 12-bucket domain,
+    Σ (p_ref − p_cur)·log2(p_ref/p_cur)); this driver-side evaluation
+    runs over ≤ types×12 cells, so plain math.log2 is fine — the
+    monitor alarms on magnitude, not on cross-engine bit-equality
+    (the batch twin carries that burden). Types absent from one side
+    compare against an all-empty (fully smoothed) histogram — a new
+    or vanished event type is maximal drift, which is exactly when
+    the alarm should fire."""
+    import math
+
+    out: dict[str, dict] = {}
+    for etype in sorted(set(ref) | set(cur)):
+        r = ref.get(etype, {})
+        c = cur.get(etype, {})
+        n_r = sum(r.values()) + PSI_BINS
+        n_c = sum(c.values()) + PSI_BINS
+        psi = 0.0
+        for b in range(PSI_BINS):
+            p_r = (r.get(b, 0) + 1) / n_r
+            p_c = (c.get(b, 0) + 1) / n_c
+            psi += (p_r - p_c) * (math.log2(p_r) - math.log2(p_c))
+        out[etype] = {"psi_bits": psi, "drifted": psi > threshold}
+    return out
+
+
 def _run_state_accumulator(sdf: DataFrame, state_path: str, checkpoint: str, build, merge):
     """Shared mergeable-sketch maintenance loop: per micro-batch,
     ``build`` one sketch over the batch and ``merge`` it into the
