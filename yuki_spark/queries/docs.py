@@ -1269,7 +1269,7 @@ _ORACLE_TEMPLATE = {
     "d24_weighted_sample": f"""
         WITH t AS (
           SELECT doc_id, CAST(len({_T}) AS BIGINT) AS n_tokens FROM documents),
-        k AS (
+        k AS MATERIALIZED (
           SELECT doc_id, n_tokens,
                  {sampling.sql_log2_u(_SB, "log2_u")}
           FROM t)
