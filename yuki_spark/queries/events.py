@@ -742,8 +742,23 @@ def e22_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n1p", F.col("n1") + F.lit(PSI_BINS))
         .withColumn("n2p", F.col("n2") + F.lit(PSI_BINS))
     )
-    for col, out in (("c1p", "l2c1"), ("c2p", "l2c2"), ("n1p", "l2n1"), ("n2p", "l2n2")):
-        g = with_plog2(g, col, out)
+    # ONE portable-log2 chain over the four integers in long format
+    # (stack → chain → pivot back): four separate chains quadruple the
+    # driver-side plan-analysis cost (~4 s of build per call measured)
+    # for identical values — the chain is the same pure function of
+    # its integer input either way
+    long = g.selectExpr(
+        "event_type",
+        "bucket",
+        "stack(4, 'l2c1', c1p, 'l2c2', c2p, 'l2n1', n1p, 'l2n2', n2p) AS (role, v)",
+    )
+    long = with_plog2(long, "v", "l2")
+    wide = (
+        long.groupBy("event_type", "bucket")
+        .pivot("role", ["l2c1", "l2c2", "l2n1", "l2n2"])
+        .agg(F.first("l2"))
+    )
+    g = g.join(wide, ["event_type", "bucket"])
     p1 = F.col("c1p").cast("double") / F.col("n1p").cast("double")
     p2 = F.col("c2p").cast("double") / F.col("n2p").cast("double")
     lratio = (F.col("l2c1") - F.col("l2n1")) - (F.col("l2c2") - F.col("l2n2"))
