@@ -32,6 +32,7 @@ _PRIORITY = [
     "d31_token_surprisal",
     "d32_doc_entropy",
     "e22_psi_drift",
+    "d33_split_leakage",
     # changed this round
     "d24_weighted_sample",
     "d2_ngram_jaccard_dups",

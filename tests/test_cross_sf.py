@@ -33,6 +33,7 @@ ADAPTIVE = [
     "s8_pq_ann",
     "s10_cluster_balance",
     "s11_knn_graph",
+    "d33_split_leakage",
 ]
 
 

@@ -178,6 +178,70 @@ def d21_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _split_prio(col: str):
+    """Eval-likeness order for leak attribution: train < test < val."""
+    return (
+        F.when(F.col(col) == "train", F.lit(0))
+        .when(F.col(col) == "test", F.lit(1))
+        .otherwise(F.lit(2))
+    )
+
+
+def d33_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval split LEAKAGE AUDIT — the validation gate a
+    pretraining pipeline runs before trusting its held-out metrics:
+    d21's content-hash split makes byte-identical duplicates
+    unleakable by construction, but NEAR-duplicates (J ≥ 0.8) can
+    still straddle splits; each such cross-split pair inflates eval
+    scores. Reports, per split pair, the leaked near-dup pair count,
+    how many distinct eval-side docs are contaminated, and an exact
+    id-sum pinning WHICH docs (the oracle binds membership, not just
+    magnitude). Machinery: d21's split expression + the
+    prefix-filtered exact Jaccard pairs (same doc_id cap as the other
+    pairwise-verified queries)."""
+    from ..functions import portable_hash60
+
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("doc_id") < doc_cap(sf_dir)
+    )
+    bucket = portable_hash60("text") % 100
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    assign = docs.select("doc_id", split.alias("split"))
+    pairs = dedup.jaccard_pairs(docs, threshold=0.8)
+    sa = assign.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = assign.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    crossed = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        # canonical unordered split pair so (train,test) and
+        # (test,train) roll up together
+        .select(
+            F.least("split_a", "split_b").alias("s1"),
+            F.greatest("split_a", "split_b").alias("s2"),
+            # the leaked EVAL-side doc: the member of the more
+            # eval-like split (priority train < test < val — the val
+            # doc for a test/val pair, by convention)
+            F.when(
+                _split_prio("split_a") > _split_prio("split_b"), F.col("doc_a")
+            )
+            .otherwise(F.col("doc_b"))
+            .alias("eval_doc"),
+        )
+    )
+    return (
+        crossed.groupBy("s1", "s2")
+        .agg(
+            F.count(F.lit(1)).alias("n_leaked_pairs"),
+            F.countDistinct("eval_doc").alias("n_eval_docs_contaminated"),
+            F.sum(F.col("eval_doc")).alias("eval_doc_id_sum"),
+        )
+        .orderBy("s1", "s2")
+    )
+
+
 def d24_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted corpus sampling (Efraimidis–Spirakis A-Res,
     deterministic): top-25 documents by ``log2(u)/w`` with w = token
@@ -952,6 +1016,7 @@ QUERIES = {
     "p1_pii_scan": p1_pii_scan,
     "d31_token_surprisal": d31_token_surprisal,
     "d32_doc_entropy": d32_doc_entropy,
+    "d33_split_leakage": d33_split_leakage,
     "d26_quality_buckets": d26_quality_buckets,
     "d1_exact_dedup": d1_exact_dedup,
     "d22_dup_spans": d22_dup_spans,
@@ -1601,6 +1666,34 @@ _ORACLE_TEMPLATE = {
         FROM fpa a JOIN fpa b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.sh, b.sh)) <= 3
         ORDER BY doc_a, doc_b
+    """,
+    "d33_split_leakage": f"""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN {sql_portable_hash60('text')} % 100 < 90 THEN 'train'
+                      WHEN {sql_portable_hash60('text')} % 100 < 95 THEN 'val'
+                      ELSE 'test' END AS split,
+                 list_filter(list_distinct({_T}), t -> t <> '') AS toks,
+                 CAST(len(list_filter(list_distinct({_T}), t -> t <> '')) AS BIGINT) AS set_size
+          FROM documents WHERE doc_id < {PAIR_CAP}),
+        pairs AS (
+          SELECT a.split AS split_a, b.split AS split_b,
+                 a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM d a JOIN d b ON a.doc_id < b.doc_id
+          WHERE a.split <> b.split
+            AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / CAST(a.set_size + b.set_size - len(list_intersect(a.toks, b.toks)) AS DOUBLE) >= 0.8),
+        attributed AS (
+          SELECT least(split_a, split_b) AS s1,
+                 greatest(split_a, split_b) AS s2,
+                 CASE WHEN (CASE split_a WHEN 'train' THEN 0 WHEN 'test' THEN 1 ELSE 2 END)
+                       > (CASE split_b WHEN 'train' THEN 0 WHEN 'test' THEN 1 ELSE 2 END)
+                      THEN doc_a ELSE doc_b END AS eval_doc
+          FROM pairs)
+        SELECT s1, s2, COUNT(*) AS n_leaked_pairs,
+               CAST(COUNT(DISTINCT eval_doc) AS BIGINT) AS n_eval_docs_contaminated,
+               CAST(SUM(eval_doc) AS BIGINT) AS eval_doc_id_sum
+        FROM attributed GROUP BY s1, s2 ORDER BY s1, s2
     """,
     "d2_ngram_jaccard_dups": f"""
         WITH d AS (
