@@ -1213,3 +1213,46 @@ def test_routed_run_fails_loud_on_archived_boundary_deposit(spark, tmp_path):
     p2 = _routed_pipe()
     with pytest.raises(RuntimeError, match="no readable deposit"):
         reg.run(spark, p2, default_runner="local")
+
+
+def test_impression_verify_detects_damage(spark, tmp_path):
+    """verify() is the store's fsck: green on a healthy deposit (and
+    after a compaction rewrite), and reports missing/resized/
+    unrecorded part files and row-count drift on a damaged one."""
+    import os
+
+    store = ImpressionStore(str(tmp_path / "imps"))
+    store.write("v", spark.range(1000).selectExpr("id", "id % 5 AS g").repartition(4))
+    assert store.verify("v") == {"ok": True, "problems": []}
+    assert store.verify("v", deep=True)["ok"]
+
+    # compaction rewrites every part file; the refreshed inventory
+    # must keep verify green and the row count intact
+    out = store.compact(spark, "v", target_file_bytes=1 << 30)
+    assert out["compacted"]
+    assert store.verify("v", deep=True) == {"ok": True, "problems": []}
+
+    # damage 1: truncate a part file (size drift)
+    part = store.data_files("v")[0]
+    size = os.path.getsize(part)
+    with open(part, "r+b") as fh:
+        fh.truncate(size - 10)
+    rep = store.verify("v")
+    assert not rep["ok"] and any("bytes" in p for p in rep["problems"])
+
+    # damage 2: delete the part entirely
+    os.remove(part)
+    rep = store.verify("v")
+    assert not rep["ok"] and any("missing part file" in p for p in rep["problems"])
+
+    # damage 3: an unrecorded file appears
+    store.write("w", spark.range(10))
+    base = os.path.join(store._dir("w"), "data.parquet")
+    good = store.data_files("w")[0]
+    import shutil
+
+    shutil.copy(good, os.path.join(base, "part-rogue.parquet"))
+    rep = store.verify("w")
+    assert not rep["ok"]
+    assert any("unrecorded" in p for p in rep["problems"])
+    assert any("row count" in p for p in rep["problems"])

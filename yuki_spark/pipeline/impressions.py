@@ -73,6 +73,30 @@ class ImpressionStore:
     def exists(self, imp_id: str) -> bool:
         return os.path.exists(os.path.join(self._dir(imp_id), "meta.json"))
 
+    def _inventory(self, imp_id: str) -> dict[str, Any]:
+        """Recorded-integrity snapshot of a deposit's data files:
+        per-part byte sizes plus the total row count from the parquet
+        FOOTERS (no Spark job — footer reads are metadata-only, cheap
+        at any deposit size)."""
+        import pyarrow.parquet as pq
+
+        base = os.path.join(self._dir(imp_id), "data.parquet")
+        files: dict[str, int] = {}
+        unreadable: list[str] = []
+        n_rows = 0
+        for dirpath, _, fns in os.walk(base):
+            for fn in fns:
+                if not fn.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, base)
+                files[rel] = os.path.getsize(full)
+                try:
+                    n_rows += pq.ParquetFile(full).metadata.num_rows
+                except Exception:  # noqa: BLE001 — damage is data, not an error, to fsck
+                    unreadable.append(rel)
+        return {"files": files, "n_rows": n_rows, "unreadable": unreadable}
+
     def write(
         self,
         imp_id: str,
@@ -80,23 +104,79 @@ class ImpressionStore:
         meta: dict[str, Any] | None = None,
         partition_by: list[str] | None = None,
     ) -> str:
-        """Materialize a DataFrame as an immutable impression."""
+        """Materialize a DataFrame as an immutable impression. The
+        meta records an integrity inventory (per-file sizes + footer
+        row count) that :meth:`verify` checks deposits against."""
         path = os.path.join(self._dir(imp_id), "data.parquet")
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
+        inv = self._inventory(imp_id)
+        if inv.pop("unreadable"):
+            raise RuntimeError(
+                f"impression {imp_id}: freshly written part files are "
+                "unreadable — failed write"
+            )
         doc = {
             "impression": imp_id,
             "created_at": time.time(),
             "schema": df.schema.jsonValue(),
             "partition_by": list(partition_by or []),  # compact() re-applies
+            "integrity": inv,
             "tags": {},
             **(meta or {}),
         }
         with open(os.path.join(self._dir(imp_id), "meta.json"), "w") as f:
             json.dump(doc, f, indent=2)
         return path
+
+    def verify(self, imp_id: str, deep: bool = False) -> dict[str, Any]:
+        """Integrity check of a deposited impression against its
+        recorded inventory — the store's fsck (a deposit is immutable,
+        so ANY divergence is damage: bit-rot, a partial restore, a
+        manual edit). Checks: every recorded part file exists at its
+        recorded size, no unrecorded part files appeared, and the
+        parquet-footer row count matches. ``deep=True`` additionally
+        opens every part's footer (catches truncation that preserved
+        the byte count). Returns ``{"ok": bool, "problems": [...]}`` —
+        report, don't raise: the caller decides whether a damaged
+        deposit is dropped (gc) or restored. Deposits written before
+        inventories were recorded report a single 'no inventory'
+        problem rather than false corruption."""
+        if not self.exists(imp_id):
+            raise FileNotFoundError(f"impression {imp_id} not deposited")
+        self._heal_swap(imp_id)
+        recorded = self.meta(imp_id).get("integrity")
+        if not recorded:
+            return {"ok": False, "problems": ["no inventory recorded (pre-integrity deposit)"]}
+        problems: list[str] = []
+        current = self._inventory(imp_id)
+        for rel in current["unreadable"]:
+            problems.append(f"{rel}: unreadable parquet footer")
+        for rel, size in recorded["files"].items():
+            got = current["files"].get(rel)
+            if got is None:
+                problems.append(f"missing part file {rel}")
+            elif got != size:
+                problems.append(f"{rel}: {got} bytes, recorded {size}")
+        for rel in current["files"]:
+            if rel not in recorded["files"]:
+                problems.append(f"unrecorded part file {rel}")
+        if not current["unreadable"] and current["n_rows"] != recorded["n_rows"]:
+            problems.append(
+                f"row count {current['n_rows']}, recorded {recorded['n_rows']}"
+            )
+        if deep and not problems:
+            import pyarrow.parquet as pq
+
+            base = os.path.join(self._dir(imp_id), "data.parquet")
+            for rel in recorded["files"]:
+                try:
+                    pq.ParquetFile(os.path.join(base, rel)).schema_arrow
+                except Exception as e:  # noqa: BLE001 — fsck reports, never raises
+                    problems.append(f"{rel}: unreadable ({e})")
+        return {"ok": not problems, "problems": problems}
 
     def read(self, spark: SparkSession, imp_id: str) -> DataFrame:
         """Yuki ``collect``: load a deposited impression (healing any
@@ -355,6 +435,13 @@ class ImpressionStore:
                 os.rename(tmp_dir, base_dir)
                 shutil.rmtree(old_dir)
             meta["compacted_at"] = time.time()
+            # the rewrite replaced every part file: refresh the
+            # integrity inventory (content-preserving, so the row
+            # count must survive — a mismatch here would be a real
+            # compaction bug surfacing through verify())
+            inv = self._inventory(imp_id)
+            inv.pop("unreadable")
+            meta["integrity"] = inv
             with open(os.path.join(self._dir(imp_id), "meta.json"), "w") as f:
                 json.dump(meta, f, indent=2)
             return {
