@@ -1333,3 +1333,30 @@ def test_neardup_clusters_equals_uncollapsed_form(spark):
     )
     got_r = sorted(tuple(r) for r in dedup.neardup_clusters(real, 0.8).collect())
     assert got_r == want_r and len(got_r) > 0
+
+
+def test_jaccard_pairs_collapsed_equals_uncollapsed(spark):
+    """jaccard_pairs_collapsed returns EXACTLY jaccard_pairs' rows
+    (including jac values) on a corpus with permuted/duplicated-token
+    twins, exact dups, near-dups, empties, and singletons — at two
+    thresholds — and on the organic sf0.001 corpus."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),
+        (3, "alpha beta gamma delta epsilon zeta"),
+        (4, "zeta epsilon delta gamma beta alpha"),
+        (5, "alpha alpha beta gamma delta epsilon zeta"),
+        (6, "completely unrelated words entirely here now"),
+        (7, ""),
+        (8, ""),
+        (9, "solo document with its very own vocabulary"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.8, 0.5):
+        want = sorted(tuple(r) for r in dedup.jaccard_pairs(df, t).collect())
+        got = sorted(tuple(r) for r in dedup.jaccard_pairs_collapsed(df, t).collect())
+        assert got == want, f"threshold {t}"
+    real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    want_r = sorted(tuple(r) for r in dedup.jaccard_pairs(real, 0.8).collect())
+    got_r = sorted(tuple(r) for r in dedup.jaccard_pairs_collapsed(real, 0.8).collect())
+    assert got_r == want_r and len(got_r) > 0

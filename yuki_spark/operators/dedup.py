@@ -378,6 +378,52 @@ def set_groups(docs: DataFrame) -> DataFrame:
     return member.join(reps, "__h").select("doc_id", "rep", "set_size")
 
 
+def jaccard_pairs_collapsed(docs: DataFrame, threshold: float) -> DataFrame:
+    """Exactly :func:`jaccard_pairs`' output, computed with identical
+    token sets collapsed to one representative first: the candidate
+    generation and exact verification run on the (often much smaller)
+    rep corpus, then rep pairs EXPAND back to member pairs — a cross
+    pair (A,B) yields every (a∈A, b∈B) at A and B's verified Jaccard
+    (equal sets see identical J everywhere), and every non-empty
+    group of ≥2 members yields its intra-group pairs at J = 1
+    (identical sets; empty sets never pair — the same null-Jaccard
+    rule as _verify_pairs). Expansion is plain row generation — two
+    member joins and a self-join on the group key — so the quadratic
+    verification work shrinks by the duplication factor while the
+    output stays bit-identical (pair order normalized to doc_a <
+    doc_b)."""
+    g = set_groups(docs).localCheckpoint(eager=False)
+    rep_docs = docs.join(
+        g.where(F.col("doc_id") == F.col("rep")).select("doc_id"),
+        "doc_id",
+        "semi",
+    )
+    rp = jaccard_pairs(rep_docs, threshold)
+    m_a = g.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("a"))
+    m_b = g.select(F.col("rep").alias("doc_b"), F.col("doc_id").alias("b"))
+    cross = (
+        rp.join(m_a, "doc_a")
+        .join(m_b, "doc_b")
+        .select(
+            F.least("a", "b").alias("doc_a"),
+            F.greatest("a", "b").alias("doc_b"),
+            "jac",
+        )
+    )
+    mm = g.where(F.col("set_size") > 0)
+    intra = (
+        mm.alias("x")
+        .join(mm.alias("y"), "rep")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jac"),
+        )
+    )
+    return cross.unionByName(intra)
+
+
 def neardup_clusters(
     docs: DataFrame, threshold: float, max_iter: int = 20
 ) -> DataFrame:

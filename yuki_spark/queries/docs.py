@@ -49,8 +49,11 @@ def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def d2_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard near-dup pairs; runs the set-collapsed form
+    (identical token sets verify once through a representative,
+    output unchanged — see dedup.jaccard_pairs_collapsed)."""
     docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < doc_cap(sf_dir))
-    return dedup.jaccard_pairs(docs, threshold=0.95).orderBy("doc_a", "doc_b")
+    return dedup.jaccard_pairs_collapsed(docs, threshold=0.95).orderBy("doc_a", "doc_b")
 
 
 def d3_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -209,7 +212,7 @@ def d33_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
     )
     assign = docs.select("doc_id", split.alias("split"))
-    pairs = dedup.jaccard_pairs(docs, threshold=0.8)
+    pairs = dedup.jaccard_pairs_collapsed(docs, threshold=0.8)
     sa = assign.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
     sb = assign.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
     crossed = (
