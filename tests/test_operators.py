@@ -1360,3 +1360,24 @@ def test_jaccard_pairs_collapsed_equals_uncollapsed(spark):
     want_r = sorted(tuple(r) for r in dedup.jaccard_pairs(real, 0.8).collect())
     got_r = sorted(tuple(r) for r in dedup.jaccard_pairs_collapsed(real, 0.8).collect())
     assert got_r == want_r and len(got_r) > 0
+
+
+def test_minhash_collapsed_equals_uncollapsed(spark):
+    """minhash_lsh_pairs_collapsed equals minhash_lsh_pairs on crafted
+    twins (identical signatures always co-bucket) and the organic
+    corpus."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),
+        (3, "zeta epsilon delta gamma beta alpha"),  # same SET as 1
+        (4, "unrelated words entirely here now today"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = sorted(tuple(r) for r in dedup.minhash_lsh_pairs(df, 0.7).collect())
+    got = sorted(tuple(r) for r in dedup.minhash_lsh_pairs_collapsed(df, 0.7).collect())
+    assert got == want and (1, 3, 1.0) in got
+    real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    want_r = sorted(tuple(r) for r in dedup.minhash_lsh_pairs(real, 0.95).collect())
+    got_r = sorted(tuple(r) for r in dedup.minhash_lsh_pairs_collapsed(real, 0.95).collect())
+    assert got_r == want_r and len(got_r) > 0

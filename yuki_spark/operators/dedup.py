@@ -393,12 +393,23 @@ def jaccard_pairs_collapsed(docs: DataFrame, threshold: float) -> DataFrame:
     output stays bit-identical (pair order normalized to doc_a <
     doc_b)."""
     g = set_groups(docs).localCheckpoint(eager=False)
-    rep_docs = docs.join(
+    rp = jaccard_pairs(_rep_docs(docs, g), threshold)
+    return _expand_rep_pairs(rp, g)
+
+
+def _rep_docs(docs: DataFrame, g: DataFrame) -> DataFrame:
+    return docs.join(
         g.where(F.col("doc_id") == F.col("rep")).select("doc_id"),
         "doc_id",
         "semi",
     )
-    rp = jaccard_pairs(rep_docs, threshold)
+
+
+def _expand_rep_pairs(rp: DataFrame, g: DataFrame) -> DataFrame:
+    """Expand verified representative pairs back to member pairs (the
+    shared second half of the *_collapsed operators): cross pairs
+    inherit the rep pair's jac, non-empty groups of ≥2 members emit
+    their intra pairs at J = 1, order normalized to doc_a < doc_b."""
     m_a = g.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("a"))
     m_b = g.select(F.col("rep").alias("doc_b"), F.col("doc_id").alias("b"))
     cross = (
@@ -422,6 +433,21 @@ def jaccard_pairs_collapsed(docs: DataFrame, threshold: float) -> DataFrame:
         )
     )
     return cross.unionByName(intra)
+
+
+def minhash_lsh_pairs_collapsed(
+    docs: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """:func:`minhash_lsh_pairs` with the identical-set collapse:
+    equal token sets have EQUAL MinHash signatures (the signature is
+    a pure function of the set), so they always co-bucket — running
+    the band machinery on representatives and expanding
+    (:func:`_expand_rep_pairs`) produces the same verified pair set
+    while the band join and exact verification shrink by the
+    duplication factor."""
+    g = set_groups(docs).localCheckpoint(eager=False)
+    rp = minhash_lsh_pairs(_rep_docs(docs, g), threshold)
+    return _expand_rep_pairs(rp, g)
 
 
 def neardup_clusters(

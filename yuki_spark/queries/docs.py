@@ -57,8 +57,10 @@ def d2_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def d3_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, set-collapsed (identical sets have
+    identical signatures — dedup.minhash_lsh_pairs_collapsed)."""
     docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < doc_cap(sf_dir))
-    return dedup.minhash_lsh_pairs(docs, threshold=0.95).orderBy("doc_a", "doc_b")
+    return dedup.minhash_lsh_pairs_collapsed(docs, threshold=0.95).orderBy("doc_a", "doc_b")
 
 
 def d4_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
