@@ -33,6 +33,7 @@ _PRIORITY = [
     "d32_doc_entropy",
     "e22_psi_drift",
     "d33_split_leakage",
+    "e23_seasonal_anomaly",
     # changed this round
     "d24_weighted_sample",
     "d2_ngram_jaccard_dups",

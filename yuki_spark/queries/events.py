@@ -772,8 +772,84 @@ def e22_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEASON_DAYS = 7
+SEASONAL_K = 3.0  # MAD multiples before a day is anomalous
+
+
+def e23_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal anomaly scan over daily event volume per type: the
+    seasonal-naive residual (today − same weekday last week) removes
+    weekly seasonality that absolute-volume detectors (e21's CUSUM)
+    average away, then residual days beyond ``SEASONAL_K`` MADs of
+    the per-type residual median are flagged — e20's robust-outlier
+    estimator applied at the forecast-residual grain, the standard
+    shape of an ops volume monitor.
+
+    Portability: residuals are exact integer differences over the
+    densified calendar (e21's zero-day completeness — a silent day
+    residuals hard negative instead of disappearing); medians/MADs
+    use the exact interpolated percentile both engines share; the
+    cutoff multiplies one repr'd constant. Scale: one shuffle to the
+    (type, day) grain, then windows/medians over the tiny aggregated
+    table."""
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .join(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+        )
+    )
+    observed = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    daily = grid.join(observed, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("n_events", F.lit(0)).alias("n_events")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    r = (
+        daily.withColumn(
+            "resid", F.col("n_events") - F.lag("n_events", SEASON_DAYS).over(w)
+        )
+        .where(F.col("resid").isNotNull())
+        .localCheckpoint(eager=False)  # feeds med, mad, and the scan
+    )
+    med = r.groupBy("event_type").agg(
+        F.expr("percentile(resid, 0.5)").alias("med")
+    )
+    mad = (
+        r.join(F.broadcast(med), "event_type")
+        .withColumn("adev", F.abs(F.col("resid") - F.col("med")))
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(adev, 0.5)").alias("mad"),
+            F.max("med").alias("med"),
+        )
+        .where(F.col("mad") > 0)
+    )
+    adev = F.abs(F.col("resid") - F.col("med"))
+    return (
+        r.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            "resid",
+            (adev > F.col("mad") * F.lit(SEASONAL_K)).alias("anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
 QUERIES = {
     "e22_psi_drift": e22_psi_drift,
+    "e23_seasonal_anomaly": e23_seasonal_anomaly,
     "e13_zscore_outliers": e13_zscore_outliers,
     "e15_retention_cohorts": e15_retention_cohorts,
     "e16_event_transitions": e16_event_transitions,
@@ -869,6 +945,47 @@ def _e22_oracle() -> str:
 
 ORACLE = {
     "e22_psi_drift": _e22_oracle(),
+    "e23_seasonal_anomaly": f"""
+        WITH bounds AS (
+          SELECT CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS d0,
+                 CAST(date_trunc('day', MAX(ts)) AS TIMESTAMP) AS d1
+          FROM events),
+        cal AS (
+          SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+          FROM bounds),
+        grid AS (
+          SELECT event_type, day
+          FROM (SELECT DISTINCT event_type FROM events), cal),
+        obs AS (
+          SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                 COUNT(*) AS n_events
+          FROM events GROUP BY 1, 2),
+        daily AS (
+          SELECT g.event_type, g.day, COALESCE(o.n_events, 0) AS n_events
+          FROM grid g LEFT JOIN obs o
+            ON g.event_type = o.event_type AND g.day = o.day),
+        r AS (
+          SELECT event_type, day, n_events,
+                 n_events - lag(n_events, {SEASON_DAYS})
+                   OVER (PARTITION BY event_type ORDER BY day) AS resid
+          FROM daily
+          QUALIFY resid IS NOT NULL),
+        med AS (
+          SELECT event_type, quantile_cont(resid, 0.5) AS med
+          FROM r GROUP BY event_type),
+        mad AS (
+          SELECT r.event_type,
+                 quantile_cont(abs(r.resid - med.med), 0.5) AS mad,
+                 MAX(med.med) AS med
+          FROM r JOIN med USING (event_type)
+          GROUP BY r.event_type
+          HAVING quantile_cont(abs(r.resid - med.med), 0.5) > 0)
+        SELECT r.event_type, r.day, r.n_events,
+               CAST(r.resid AS BIGINT) AS resid,
+               abs(r.resid - mad.med) > mad.mad * {SEASONAL_K!r} AS anomaly
+        FROM r JOIN mad USING (event_type)
+        ORDER BY r.event_type, r.day
+    """,
     "e15_retention_cohorts": """
         WITH weeks AS (
           SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
