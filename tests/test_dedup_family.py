@@ -1,0 +1,82 @@
+"""The shared near-dup artifact pipeline (queries/dedup_family.py):
+deposit-backed reuse across d2/d3/d11/d20/d33, with outputs
+bit-identical to the direct (per-query) operator paths."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from yuki_spark.catalog import load, table_rows
+from yuki_spark.operators import dedup
+from yuki_spark.queries import dedup_family
+
+
+@pytest.fixture
+def fresh_store(monkeypatch, tmp_path):
+    monkeypatch.setenv("YUKI_SPARK_DEDUP_STORE", str(tmp_path / "store"))
+    dedup_family.COMPUTES.clear()
+    yield tmp_path / "store"
+
+
+def _docs(spark):
+    cap = table_rows(SF_SMOKE, "documents")
+    return load(spark, SF_SMOKE, "documents").where(F.col("doc_id") < cap)
+
+
+def _sorted_rows(df, *cols):
+    return [tuple(r) for r in df.orderBy(*cols).collect()]
+
+
+def test_second_query_reuses_deposits(spark, fresh_store):
+    """The whole point of the family store: the FIRST consumer pays
+    the tokenize/PPJoin/CC pipeline; every later consumer (same
+    corpus) reads deposits and computes nothing."""
+    dedup_family.clusters08(spark, SF_SMOKE).collect()
+    first = dict(dedup_family.COMPUTES)
+    assert first.get("groups") == 1
+    assert first.get("rep_pairs08") == 1
+    assert first.get("rep_clusters08") == 1
+
+    # a DIFFERENT family query on the same corpus: zero new computes
+    dedup_family.exact_pairs(spark, SF_SMOKE, 0.95).collect()
+    dedup_family.clusters08(spark, SF_SMOKE).collect()
+    assert dedup_family.COMPUTES == first
+
+    # d3's two extra artifacts appear exactly once, then stick
+    dedup_family.lsh_pairs95(spark, SF_SMOKE).collect()
+    assert dedup_family.COMPUTES["rep_bands"] == 1
+    assert dedup_family.COMPUTES["rep_lsh95"] == 1
+    dedup_family.lsh_pairs95(spark, SF_SMOKE).collect()
+    assert dedup_family.COMPUTES["rep_bands"] == 1
+
+
+def test_family_outputs_match_direct_paths(spark, fresh_store):
+    docs = _docs(spark)
+    assert _sorted_rows(
+        dedup_family.exact_pairs(spark, SF_SMOKE, 0.95), "doc_a", "doc_b"
+    ) == _sorted_rows(
+        dedup.jaccard_pairs_collapsed(docs, 0.95), "doc_a", "doc_b"
+    )
+    assert _sorted_rows(
+        dedup_family.exact_pairs(spark, SF_SMOKE, 0.8), "doc_a", "doc_b"
+    ) == _sorted_rows(dedup.jaccard_pairs_collapsed(docs, 0.8), "doc_a", "doc_b")
+    assert _sorted_rows(
+        dedup_family.lsh_pairs95(spark, SF_SMOKE), "doc_a", "doc_b"
+    ) == _sorted_rows(
+        dedup.minhash_lsh_pairs_collapsed(docs, 0.95), "doc_a", "doc_b"
+    )
+    assert _sorted_rows(dedup_family.clusters08(spark, SF_SMOKE), "doc_id") == (
+        _sorted_rows(dedup.neardup_clusters(docs, 0.8), "doc_id")
+    )
+
+
+def test_fingerprint_invalidates_on_cap_change(spark, fresh_store):
+    fp1 = dedup_family.corpus_fingerprint(SF_SMOKE, 100)
+    fp2 = dedup_family.corpus_fingerprint(SF_SMOKE, 101)
+    assert fp1 != fp2
+
+
+def test_below_deposit_threshold_rejected(spark, fresh_store):
+    with pytest.raises(ValueError, match="cannot serve threshold"):
+        dedup_family.exact_pairs(spark, SF_SMOKE, 0.5)

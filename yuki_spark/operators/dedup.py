@@ -89,6 +89,17 @@ def _verify_pairs(
     )
 
 
+def jaccard_pairs_from(ts: DataFrame, threshold: float) -> DataFrame:
+    """:func:`jaccard_pairs` over a precomputed (already materialized)
+    token-set table — the entry point for callers that persist the
+    token sets as a reusable artifact (queries/dedup_family.py shares
+    ONE tokenization across d2/d11/d20/d33 through the impression
+    store) instead of re-deriving them per query."""
+    return _verify_pairs(
+        jaccard_candidates(ts, threshold), ts, ts, threshold, "doc_a", "doc_b"
+    )
+
+
 def jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     """All doc pairs (a < b) with token-set Jaccard ≥ threshold —
     exact, via prefix-filtered candidate generation (Chaudhuri et al.
@@ -111,9 +122,7 @@ def jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     persist/write the signature table).
     """
     ts = token_sets(docs).localCheckpoint(eager=False)
-    return _verify_pairs(
-        jaccard_candidates(ts, threshold), ts, ts, threshold, "doc_a", "doc_b"
-    )
+    return jaccard_pairs_from(ts, threshold)
 
 
 def jaccard_candidates(ts: DataFrame, threshold: float) -> DataFrame:
@@ -435,6 +444,11 @@ def _expand_rep_pairs(rp: DataFrame, g: DataFrame) -> DataFrame:
     return cross.unionByName(intra)
 
 
+# public name for callers outside this module (queries/dedup_family.py
+# expands PERSISTED rep-pair artifacts with the identical machinery)
+expand_rep_pairs = _expand_rep_pairs
+
+
 def minhash_lsh_pairs_collapsed(
     docs: DataFrame, threshold: float = 0.8
 ) -> DataFrame:
@@ -465,12 +479,16 @@ def neardup_clusters(
     component's min doc_id — the rep of the lowest group, since every
     member id ≥ its group's rep."""
     g = set_groups(docs).localCheckpoint(eager=False)
-    rep_docs = docs.join(
-        g.where(F.col("doc_id") == F.col("rep")).select("doc_id"),
-        "doc_id",
-        "semi",
-    )
-    rc = dedup_clusters(jaccard_pairs(rep_docs, threshold), max_iter)
+    rc = dedup_clusters(jaccard_pairs(_rep_docs(docs, g), threshold), max_iter)
+    return clusters_expand(g, rc)
+
+
+def clusters_expand(g: DataFrame, rc: DataFrame) -> DataFrame:
+    """Expand rep-level CC labels ``rc`` (doc_id=rep, cluster_id) back
+    to member-level clusters under the :func:`set_groups` table ``g`` —
+    the second half of :func:`neardup_clusters`, split out so callers
+    holding a PERSISTED rep-pair/label artifact (queries/
+    dedup_family.py) skip the pair machinery entirely."""
     # a group of ≥2 members with a NON-empty set clusters on its own
     # even when its rep pairs with nothing else (intra-group J=1
     # edges); empty-set groups never pair (J is 0/0 → excluded), the

@@ -1,0 +1,217 @@
+"""Shared, content-addressed artifacts for the near-dup query family.
+
+The five pairwise-dedup queries (d2/d3/d11/d20/d33) all start from the
+same expensive sub-pipeline over one corpus: tokenize → collapse
+identical token sets to representatives (:func:`dedup.set_groups`) →
+generate + exact-verify candidate pairs. Before round 6 each query
+re-derived that pipeline from scratch (~44 s of the 136 s sf0.1 bench
+suite, and d33 alone 11.5 s). This module materializes the pipeline
+ONCE per corpus through the engine's own reuse mechanism — the
+:class:`~yuki_spark.pipeline.impressions.ImpressionStore` (SURVEY §2.1
+O5: content-addressed, skip-if-deposited) — and the five queries
+consume the deposits. Parity note: this is exactly the reference's
+"deposited impression" reuse (/root/reference/Yuki/kernel/
+impression_storage.py:7) applied to the engine's own operators.
+
+Artifacts (rep-level — small next to the corpus text):
+
+- ``groups``        — :func:`dedup.set_groups`: (doc_id, rep, set_size)
+- ``rep_ts``        — token sets of the representatives (the
+  "signature table" a production corpus persists; tokens only, no text)
+- ``rep_pairs08``   — EXACT Jaccard pairs over reps at t=0.8 (PPJoin
+  prefix+positional filter). t=0.95 consumers filter this (pairs at
+  J ≥ .95 ≡ pairs at J ≥ .8 filtered on the verified ``jac``), so one
+  deposit serves both thresholds.
+- ``rep_bands``     — MinHash-LSH band keys of ``rep_ts`` (d3 + the
+  incremental-ingest index shape)
+- ``rep_lsh95``     — d3's banded-candidate pairs, exact-verified at .95
+- ``rep_clusters08``— CC labels over ``rep_pairs08`` (d11/d20)
+
+Content address: (artifact name, FAMILY_VERSION, corpus fingerprint +
+upstream artifact addresses). The fingerprint covers the documents
+table's part-file names/sizes/mtimes plus the doc_id cap, so a
+regenerated corpus (same path, new bytes) or a changed cap produces a
+new address and a fresh compute — never a stale reuse. FAMILY_VERSION
+must be bumped on ANY semantic change to the builders (the store's O5
+version-bump contract).
+
+100 TB shape: these deposits ARE what a production dedup run persists —
+the signature/pair tables are O(corpus tokens) and O(near-dup edges),
+tiny next to the text, and every downstream consumer (leakage audits,
+cluster materialization, incremental ingest) reads them instead of
+re-tokenizing 100 TB. Store root defaults to a host-local temp dir
+(override with YUKI_SPARK_DEDUP_STORE; on a cluster: a shared
+filesystem path).
+"""
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import tempfile
+import threading
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load, table_path, table_rows
+from ..operators import dedup
+from ..pipeline.impressions import ImpressionStore, impression_id
+
+FAMILY_VERSION = "r6-1"  # bump on any semantic change to a builder below
+PAIR_THRESHOLD = 0.8  # the one exact-pairs run; 0.95 consumers filter it
+
+# artifact name -> number of times this process actually COMPUTED it
+# (as opposed to reusing a deposit) — the observability hook the reuse
+# test asserts on.
+COMPUTES: dict[str, int] = {}
+
+_build_lock = threading.Lock()
+
+
+def store_root() -> str:
+    return os.environ.get(
+        "YUKI_SPARK_DEDUP_STORE",
+        os.path.join(tempfile.gettempdir(), "yuki_spark-dedup-family"),
+    )
+
+
+def _store() -> ImpressionStore:
+    return ImpressionStore(store_root())
+
+
+def corpus_fingerprint(sf_dir: str, cap: int) -> str:
+    """Identity of the capped documents corpus: part-file relpaths,
+    byte sizes and mtimes (ns) plus the cap — cheap (no data read) and
+    strict enough that a regenerated corpus at the same path gets a
+    new address."""
+    path = table_path(sf_dir, "documents")
+    ents: list[tuple[str, int, int]] = []
+    if os.path.isdir(path):
+        for dirpath, _dirs, files in sorted(os.walk(path)):
+            for fn in sorted(files):
+                full = os.path.join(dirpath, fn)
+                st = os.stat(full)
+                ents.append((os.path.relpath(full, path), st.st_size, st.st_mtime_ns))
+    else:
+        st = os.stat(path)
+        ents.append((os.path.basename(path), st.st_size, st.st_mtime_ns))
+    payload = json.dumps(
+        {"root": os.path.realpath(path), "files": ents, "cap": cap}, sort_keys=True
+    )
+    return hashlib.sha256(payload.encode()).hexdigest()[:32]
+
+
+def _artifact(
+    spark: SparkSession,
+    name: str,
+    dep_ids: list[str],
+    builder: Callable[[], DataFrame],
+) -> tuple[DataFrame, str]:
+    """Deposit-or-reuse one artifact; returns (DataFrame, address).
+
+    The build lock serializes in-process builders (run_parallel-style
+    concurrency would otherwise race two identical writes); across
+    processes the deterministic content makes a lost race benign — the
+    driver runs queries sequentially, and a second writer rewrites
+    byte-equivalent rows."""
+    store = _store()
+    imp = impression_id(f"dedup_family.{name}", FAMILY_VERSION, dep_ids)
+    if not store.exists(imp):
+        with _build_lock:
+            if not store.exists(imp):
+                store.write(
+                    imp, builder(), meta={"task": f"dedup_family.{name}", "deps": dep_ids}
+                )
+                COMPUTES[name] = COMPUTES.get(name, 0) + 1
+    return store.read(spark, imp), imp
+
+
+def artifacts(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All six family artifacts for a corpus, deposit-backed.
+
+    Lazy per artifact would save nothing — every consumer query needs
+    ``groups`` plus at least one pair table, and the chain below only
+    computes what a missing deposit requires (an existing deposit's
+    builder is never invoked)."""
+    cap = table_rows(sf_dir, "documents")
+    fp = corpus_fingerprint(sf_dir, cap)
+
+    def docs() -> DataFrame:
+        return load(spark, sf_dir, "documents").where(F.col("doc_id") < cap)
+
+    g, g_id = _artifact(spark, "groups", [fp], lambda: dedup.set_groups(docs()))
+
+    def rep_ts_builder() -> DataFrame:
+        reps = dedup._rep_docs(docs(), g)
+        return dedup.token_sets(reps)
+
+    rts, rts_id = _artifact(spark, "rep_ts", [fp, g_id], rep_ts_builder)
+
+    rp08, rp08_id = _artifact(
+        spark,
+        "rep_pairs08",
+        [fp, rts_id],
+        lambda: dedup.jaccard_pairs_from(rts, PAIR_THRESHOLD),
+    )
+    rbands, rbands_id = _artifact(
+        spark, "rep_bands", [fp, rts_id], lambda: dedup.band_index(rts)
+    )
+    rlsh95, _ = _artifact(
+        spark,
+        "rep_lsh95",
+        [fp, rts_id, rbands_id],
+        lambda: dedup.minhash_pairs_from(rts, rbands, 0.95),
+    )
+    rcc, _ = _artifact(
+        spark,
+        "rep_clusters08",
+        [fp, rp08_id],
+        lambda: dedup.dedup_clusters(rp08),
+    )
+    return {
+        "groups": g,
+        "rep_ts": rts,
+        "rep_pairs08": rp08,
+        "rep_bands": rbands,
+        "rep_lsh95": rlsh95,
+        "rep_clusters08": rcc,
+    }
+
+
+# ---- the family queries' consumption surface ---------------------------
+
+
+def exact_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
+    """Member-level exact-Jaccard pairs at ``threshold`` ≥ 0.8 from
+    the shared deposits — bit-identical to
+    ``dedup.jaccard_pairs_collapsed(docs, threshold)``: the rep pairs
+    at J ≥ t are exactly the deposited J ≥ 0.8 pairs filtered on their
+    verified ``jac``, and the expansion (cross pairs inherit the rep
+    jac; non-empty groups of ≥2 emit intra pairs at J=1, which passes
+    any t ≤ 1) is the same :func:`dedup.expand_rep_pairs`."""
+    if threshold < PAIR_THRESHOLD:
+        raise ValueError(
+            f"shared deposit holds pairs at J >= {PAIR_THRESHOLD}; "
+            f"cannot serve threshold {threshold}"
+        )
+    a = artifacts(spark, sf_dir)
+    rp = a["rep_pairs08"].where(F.col("jac") >= threshold)
+    return dedup.expand_rep_pairs(rp, a["groups"])
+
+
+def lsh_pairs95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d3's banded-MinHash pairs (exact-verified at 0.95), expanded —
+    bit-identical to ``dedup.minhash_lsh_pairs_collapsed(docs, 0.95)``
+    (equal token sets have equal signatures, so reps stand in for
+    members in every band)."""
+    a = artifacts(spark, sf_dir)
+    return dedup.expand_rep_pairs(a["rep_lsh95"], a["groups"])
+
+
+def clusters08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Member-level near-dup clusters at 0.8 from the deposited rep
+    labels — bit-identical to ``dedup.neardup_clusters(docs, 0.8)``."""
+    a = artifacts(spark, sf_dir)
+    return dedup.clusters_expand(a["groups"], a["rep_clusters08"])

