@@ -166,7 +166,37 @@ def main() -> None:
     with open(out_path, "w") as fh:
         json.dump(report, fh, indent=1)
         fh.write("\n")
-    print(json.dumps(report))
+    # The driver records stdout through a 2000-char tail window
+    # (measured from BENCH_r05.json), so r5's full line truncated and
+    # `parsed` came back null. 110 full key names alone exceed 2000
+    # chars, so the stdout line CANNOT carry every query; it carries
+    # the contract keys plus as many per-query entries as fit —
+    # slowest first, so everything perf-interesting survives — with an
+    # explicit omitted-count pointing at bench_results.json (the
+    # committed full-precision artifact with all keys + medians).
+    head = (
+        f'{{"metric":"{report["metric"]}","value":{total},"unit":"sec","sf":{sf},'
+    )
+    budget = 1850 - len(head) - len(
+        '"queries":{},"omitted":999,"full":"bench_results.json"}'
+    )
+    parts: list[str] = []
+    used = 0
+    by_cost = sorted(per_query, key=per_query.get, reverse=True)
+    for name in by_cost:
+        ent = f'"{name}":{round(per_query[name], 2)}'
+        if used + len(ent) + 1 > budget:
+            break
+        parts.append(ent)
+        used += len(ent) + 1
+    omitted = len(per_query) - len(parts)
+    line = (
+        head
+        + '"queries":{' + ",".join(parts) + "},"
+        + f'"omitted":{omitted},"full":"bench_results.json"}}'
+    )
+    print(line)
+    json.loads(line)  # malformed stdout must fail HERE, not at the driver
 
 
 if __name__ == "__main__":

@@ -493,6 +493,65 @@ def test_resize_and_frame_sample_shapes(spark, docs):
     assert all(sorted(v) == [0, 1, 2, 3] for v in per_doc.values())
 
 
+def test_video_payload_raises_loud_without_codec():
+    """A REAL video container must never silently degrade to the
+    byte-slice stand-in: without PyAV the decode raises the one
+    documented media error (is_video sniffs MP4/MKV/AVI)."""
+    from yuki_spark.operators import codecs
+
+    fake_mp4 = b"\x00\x00\x00\x18ftypisom" + b"\x00" * 64
+    assert codecs.is_video(fake_mp4)
+    assert not codecs.is_video(b"plain text payload, no container")
+    if codecs._HAS_AV:
+        # with the codec present a garbage body must still normalize
+        # to UnsupportedMediaError, not leak av internals
+        with pytest.raises(codecs.UnsupportedMediaError):
+            codecs.decode_video_keyframes(fake_mp4)
+    else:
+        with pytest.raises(codecs.UnsupportedMediaError, match="PyAV"):
+            codecs.decode_video_keyframes(fake_mp4)
+
+
+def test_frame_sample_real_video_keyframes(spark):
+    """With PyAV importable, frame_sample extracts REAL keyframes from
+    a real MP4 (encoded here with av itself) and returns them as
+    deterministic PNGs; skipped where the codec is absent."""
+    av = pytest.importorskip("av")
+    import io as _io
+
+    import numpy as np
+
+    from yuki_spark.operators import codecs
+
+    buf = _io.BytesIO()
+    with av.open(buf, "w", format="mp4") as container:
+        stream = container.add_stream("mpeg4", rate=4)
+        stream.width, stream.height, stream.pix_fmt = 16, 16, "yuv420p"
+        for i in range(8):
+            img = np.full((16, 16, 3), i * 30, np.uint8)
+            frame = av.VideoFrame.from_ndarray(img, format="rgb24")
+            for pkt in stream.encode(frame):
+                container.mux(pkt)
+        for pkt in stream.encode():
+            container.mux(pkt)
+    payload = buf.getvalue()
+    assert codecs.is_video(payload)
+
+    kf = codecs.decode_video_keyframes(payload, n_frames=2)
+    assert 1 <= len(kf) <= 2
+    for w, h, png in kf:
+        assert (w, h) == (16, 16)
+        assert codecs.is_png(png)
+        pw, ph, ch, _px = codecs.decode_png(png)
+        assert (pw, ph, ch) == (16, 16, 3)
+
+    df = spark.createDataFrame(
+        [(0, bytearray(payload))], "doc_id long, media binary"
+    )
+    rows = multimodal.frame_sample(df, n_frames=2).collect()
+    assert rows and all(codecs.is_png(bytes(r["frame"])) for r in rows)
+
+
 def test_sampling_stable_and_disjoint(spark):
     from yuki_spark.operators import sampling
 
@@ -1138,6 +1197,20 @@ def test_png_codec_roundtrip_and_filters():
 
     with pytest.raises(codecs.UnsupportedMediaError):
         codecs.decode_png(b"not a png at all")
+
+    # corrupt payloads BEHIND a valid PNG magic must raise the one
+    # documented media error, not leak struct/zlib internals into (and
+    # kill) a whole mapInPandas batch
+    with pytest.raises(codecs.UnsupportedMediaError):
+        codecs.decode_png(codecs.PNG_MAGIC + b"\x00\x00")  # truncated IHDR
+    garbled = (
+        codecs.PNG_MAGIC
+        + codecs._png_chunk(b"IHDR", ihdr)
+        + codecs._png_chunk(b"IDAT", b"\xff\xfe\xfd garbage not zlib")
+        + codecs._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(codecs.UnsupportedMediaError):
+        codecs.decode_png(garbled)
 
 
 def test_wav_codec_roundtrip():

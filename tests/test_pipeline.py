@@ -1053,6 +1053,19 @@ def test_registry_routes_tasks_across_two_backends(spark, tmp_path):
     assert reg.connection("local") == {"status": "Connected"}
 
 
+def test_remote_backend_probe_before_first_session(tmp_path):
+    """connection() must not claim Connected before any session exists:
+    a local-session backend reports its not-yet-connected state, and a
+    backend pointed at an unreachable remote_url reports unreachable
+    (previously both short-circuited to Connected)."""
+    from yuki_spark.pipeline.backends import RemoteSessionBackend
+
+    local = RemoteSessionBackend(None)
+    assert local.connection()["status"].startswith("not yet connected")
+    bad = RemoteSessionBackend(None, remote_url="sc://127.0.0.1:1")
+    assert bad.connection()["status"] != "Connected"
+
+
 def test_registry_unknown_runner_fails_before_any_task(spark, tmp_path):
     from yuki_spark.pipeline.registry import BackendRegistry, UnknownRunnerError
 
@@ -1146,6 +1159,16 @@ def test_impression_export_and_get_file(spark, tmp_path):
         store.get_file(imp, "nope.bin")
     with pytest.raises(FileNotFoundError):
         store.export("not-deposited", dest)
+    # traversal-safe (send_from_directory parity): '../' joins and
+    # absolute names never resolve outside the impression directory —
+    # they are NOTFOUND, and export refuses to copy through them
+    (tmp_path / "imps" / "secret.txt").write_text("outside the deposit")
+    with pytest.raises(FileNotFoundError, match="NOTFOUND"):
+        store.get_file(imp, "../secret.txt")
+    with pytest.raises(FileNotFoundError, match="NOTFOUND"):
+        store.get_file(imp, str(tmp_path / "imps" / "secret.txt"))
+    with pytest.raises(FileNotFoundError, match="NOTFOUND"):
+        store.export(imp, str(tmp_path / "evil"), filename="../secret.txt")
 
 
 def test_impression_bookkeep_manifest(spark, tmp_path):

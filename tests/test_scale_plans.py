@@ -229,6 +229,37 @@ ALLOWED_BNLJ = {
 }
 
 
+def test_cluster_profile_fact_joins_degrade_to_smj(spark, qs):
+    """The 1000-executor conf surface (session.cluster_profile) must
+    leave the d33/d20-class corpus joins on SortMergeJoin when the
+    build sides outgrow the broadcast threshold: force
+    autoBroadcastJoinThreshold to 1 KB (the at-scale truth for a
+    corpus-sized pair/cluster table) and assert the doc_id equi-joins
+    pick SMJ — not a broadcast of a corpus-sized side, and never a
+    cartesian."""
+    from yuki_spark.session import cluster_profile, session_profile
+
+    prof = cluster_profile()
+    # sanity on the shipped profile itself
+    assert int(prof["spark.sql.shuffle.partitions"]) >= 4000
+    assert prof["spark.sql.adaptive.skewJoin.enabled"] == "true"
+
+    low = dict(prof)
+    low["spark.sql.autoBroadcastJoinThreshold"] = "1024"
+    # keep the local session's partition count: this gate reads PLAN
+    # SHAPE; 8000 shuffle partitions on sf0.001 would only slow it
+    low["spark.sql.shuffle.partitions"] = spark.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    with session_profile(spark, low):
+        for name in ("d33_split_leakage", "d20_dedup_apply"):
+            plan = fmt_plan(spark, qs[name](spark, SF_SMOKE))
+            assert "SortMergeJoin" in plan, name
+            assert "CartesianProduct" not in plan, name
+    # restoration: the session's own threshold is back
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "1024"
+
+
 def test_every_query_plan_scale_safe(spark, qs):
     """The PLANS.md audit as a gate, over EVERY queries() entry:
     zero row-at-a-time Python stages (BatchEvalPython) anywhere, zero

@@ -42,6 +42,13 @@ try:  # optional — widens decode_audio beyond RIFF/PCM
 except Exception:  # pragma: no cover - absent in this container
     _HAS_SOUNDFILE = False
 
+try:  # optional — real video keyframe decode (MP4/MKV/AVI containers)
+    import av as _av
+
+    _HAS_AV = True
+except Exception:  # pragma: no cover - absent in this container
+    _HAS_AV = False
+
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 # PNG color type → samples per pixel (8-bit depth, non-interlaced)
@@ -121,9 +128,24 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     profile real pipelines overwhelmingly use — 8-bit depth, color
     types gray/gray+alpha/RGB/RGBA, non-interlaced. Returns
     ``(width, height, channels, pixels)`` with pixels row-major,
-    ``channels`` bytes per pixel."""
+    ``channels`` bytes per pixel.
+
+    Every parse failure surfaces as :class:`UnsupportedMediaError` —
+    a corrupt payload behind a valid PNG magic (truncated IHDR,
+    garbled IDAT) must raise the ONE documented media exception, not
+    a raw struct/zlib error that crashes a whole mapInPandas batch
+    with an undecodable-media case the caller meant to handle."""
     if not is_png(data):
         raise UnsupportedMediaError("not a PNG payload")
+    try:
+        return _decode_png_body(data)
+    except UnsupportedMediaError:
+        raise
+    except Exception as e:  # noqa: BLE001 — normalize parse failures
+        raise UnsupportedMediaError(f"corrupt PNG payload: {e}") from e
+
+
+def _decode_png_body(data: bytes) -> tuple[int, int, int, bytes]:
     pos, width = 8, None
     idat = bytearray()
     while pos + 8 <= len(data):
@@ -259,3 +281,61 @@ def decode_audio(data: bytes) -> tuple[int, int, int, bytes]:
         "payload is not WAV and soundfile is not installed — install "
         "soundfile to decode other audio formats"
     )
+
+
+def is_video(data: bytes) -> bool:
+    """Container sniff for the formats :func:`decode_video_keyframes`
+    handles: ISO-BMFF/MP4 (ftyp box), Matroska/WebM (EBML magic),
+    RIFF/AVI."""
+    return (
+        data[4:8] == b"ftyp"
+        or data[:4] == b"\x1a\x45\xdf\xa3"
+        or (data[:4] == b"RIFF" and data[8:12] == b"AVI ")
+    )
+
+
+def decode_video_keyframes(data: bytes, n_frames: int = 4) -> list[tuple[int, int, bytes]]:
+    """REAL keyframe extraction from a video container via PyAV when
+    it is importable: up to ``n_frames`` keyframes (decoder skips
+    non-key frames — the I-frame walk a real sampler does), each
+    returned as ``(width, height, png_bytes)`` with the pixels
+    re-encoded through the deterministic stdlib PNG writer so the
+    downstream binary column is engine-stable. A container with no
+    keyframes beyond the first GOP falls back to decoding sequential
+    frames. Raises :class:`UnsupportedMediaError` when PyAV is absent
+    or the payload cannot be decoded — loud, never a silent fake (the
+    byte-slice stand-in is only for NON-video payloads, chosen by the
+    caller via :func:`is_video`)."""
+    if not is_video(data):
+        raise UnsupportedMediaError("not a recognized video container")
+    if not _HAS_AV:
+        raise UnsupportedMediaError(
+            "video payload but PyAV is not installed — install av to "
+            "decode video containers"
+        )
+    try:
+        out: list[tuple[int, int, bytes]] = []
+        with _av.open(io.BytesIO(data)) as container:
+            stream = container.streams.video[0]
+            stream.codec_context.skip_frame = "NONKEY"
+            for frame in container.decode(stream):
+                arr = frame.to_ndarray(format="rgb24")
+                h, w = arr.shape[0], arr.shape[1]
+                out.append((w, h, encode_png(w, h, arr.tobytes(), channels=3)))
+                if len(out) >= n_frames:
+                    break
+        if not out:  # single-GOP edge: take leading frames instead
+            with _av.open(io.BytesIO(data)) as container:
+                for frame in container.decode(container.streams.video[0]):
+                    arr = frame.to_ndarray(format="rgb24")
+                    h, w = arr.shape[0], arr.shape[1]
+                    out.append((w, h, encode_png(w, h, arr.tobytes(), channels=3)))
+                    if len(out) >= n_frames:
+                        break
+        if not out:
+            raise UnsupportedMediaError("video container decoded zero frames")
+        return out
+    except UnsupportedMediaError:
+        raise
+    except Exception as e:  # noqa: BLE001 — normalize decoder failures
+        raise UnsupportedMediaError(f"undecodable video payload: {e}") from e

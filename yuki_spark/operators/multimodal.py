@@ -188,16 +188,32 @@ FRAME_SCHEMA = StructType(
 
 
 def frame_sample(media: DataFrame, n_frames: int = 4, frame_bytes: int = 64) -> DataFrame:
-    """Video-style frame sampling: one input row fans out to
+    """Video frame sampling: one input row fans out to up to
     ``n_frames`` rows (the 1→N batch shape a real decoder produces).
-    Frames are evenly-spaced byte slices of the payload — a stand-in
-    for keyframe extraction; the row-explosion plumbing is real."""
+
+    A payload that IS a video container (MP4/MKV/AVI —
+    ``codecs.is_video``) goes through REAL keyframe extraction with
+    PyAV when importable (``codecs.decode_video_keyframes``; each
+    frame comes back PNG-encoded), and raises the loud
+    ``UnsupportedMediaError`` when the codec is absent — a real video
+    must never silently degrade to byte slices. Non-video payloads
+    (the synthetic corpus the oracle binds against) take the
+    documented deterministic fallback: evenly-spaced byte slices,
+    same row-explosion plumbing either way."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for doc_id, b in zip(pdf["doc_id"], pdf["media"]):
                 payload = bytes(b)
+                if codecs.is_video(payload):
+                    for i, (_w, _h, png) in enumerate(
+                        codecs.decode_video_keyframes(payload, n_frames)
+                    ):
+                        ids.append(int(doc_id))
+                        idxs.append(i)
+                        frames.append(png)
+                    continue
                 for i in range(n_frames):
                     off = (len(payload) * i) // max(n_frames, 1)
                     ids.append(int(doc_id))

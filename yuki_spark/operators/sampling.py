@@ -115,8 +115,9 @@ def weighted_sample(
     the top-n scores win, so heavier rows systematically draw better
     scores while every row keeps a chance. log2 differs from the
     paper's ln by the positive constant ln 2, so the ranking is the
-    exact A-Res ``u^(1/w)`` order (up to the documented 2^-30 score
-    quantization, ties broken by key).
+    exact A-Res ``u^(1/w)`` order (granularity: u itself is drawn on
+    a 2^-32 hash-derived grid — the score is NOT quantized further;
+    ties broken by key).
 
     Rows with ``weight <= 0`` are excluded (A-Res is defined for
     positive weights; without the guard a zero weight scores NaN,

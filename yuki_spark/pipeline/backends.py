@@ -562,10 +562,23 @@ class RemoteSessionBackend(LocalBackend):
     def connection(self) -> dict[str, str]:
         """Liveness probe (parity: runner.py:30 ``runner-connection``
         pings a runner's URL). A session that can still run a trivial
-        job is Connected."""
+        job is Connected. Before any session exists the probe must NOT
+        claim Connected — a bogus ``remote_url`` that can never be
+        reached would otherwise report healthy until the first real
+        task failed; with no local session to bootstrap a remote
+        connection from, it reports its actual state instead."""
         try:
-            if self._session is not None:
-                self._session.range(1).count()
+            if self._session is None:
+                if self.remote_url is None:
+                    # a plain newSession() backend has nothing to probe
+                    # until a run creates one — and nothing that can
+                    # fail to connect either
+                    return {"status": "not yet connected (local session)"}
+                # actually establish + ping the remote, exactly what
+                # session_for does on first use (no parent session
+                # required for the remote path)
+                self.session_for(None)  # type: ignore[arg-type]
+            self._session.range(1).count()
             return {"status": "Connected"}
         except Exception as e:  # noqa: BLE001 — probe reports, never raises
             return {"status": f"unreachable: {e}"}

@@ -146,37 +146,47 @@ class ImpressionStore:
         problem rather than false corruption."""
         if not self.exists(imp_id):
             raise FileNotFoundError(f"impression {imp_id} not deposited")
-        self._heal_swap(imp_id)
-        recorded = self.meta(imp_id).get("integrity")
-        if not recorded:
-            return {"ok": False, "problems": ["no inventory recorded (pre-integrity deposit)"]}
-        problems: list[str] = []
-        current = self._inventory(imp_id)
-        for rel in current["unreadable"]:
-            problems.append(f"{rel}: unreadable parquet footer")
-        for rel, size in recorded["files"].items():
-            got = current["files"].get(rel)
-            if got is None:
-                problems.append(f"missing part file {rel}")
-            elif got != size:
-                problems.append(f"{rel}: {got} bytes, recorded {size}")
-        for rel in current["files"]:
-            if rel not in recorded["files"]:
-                problems.append(f"unrecorded part file {rel}")
-        if not current["unreadable"] and current["n_rows"] != recorded["n_rows"]:
-            problems.append(
-                f"row count {current['n_rows']}, recorded {recorded['n_rows']}"
-            )
-        if deep and not problems:
-            import pyarrow.parquet as pq
+        # hold the compact lock AND the per-impression lock for the
+        # whole heal + meta read + inventory walk: a concurrent
+        # compact() swap landing mid-walk would otherwise yield
+        # spurious missing/unrecorded-part and row-count "damage" on a
+        # healthy deposit (lock order matches compact(): #compact
+        # first, then the heal's per-impression lock — no inversion)
+        with self._lock(imp_id + "#compact"), self._lock(imp_id):
+            self._heal_swap(imp_id)
+            recorded = self.meta(imp_id).get("integrity")
+            if not recorded:
+                return {
+                    "ok": False,
+                    "problems": ["no inventory recorded (pre-integrity deposit)"],
+                }
+            problems: list[str] = []
+            current = self._inventory(imp_id)
+            for rel in current["unreadable"]:
+                problems.append(f"{rel}: unreadable parquet footer")
+            for rel, size in recorded["files"].items():
+                got = current["files"].get(rel)
+                if got is None:
+                    problems.append(f"missing part file {rel}")
+                elif got != size:
+                    problems.append(f"{rel}: {got} bytes, recorded {size}")
+            for rel in current["files"]:
+                if rel not in recorded["files"]:
+                    problems.append(f"unrecorded part file {rel}")
+            if not current["unreadable"] and current["n_rows"] != recorded["n_rows"]:
+                problems.append(
+                    f"row count {current['n_rows']}, recorded {recorded['n_rows']}"
+                )
+            if deep and not problems:
+                import pyarrow.parquet as pq
 
-            base = os.path.join(self._dir(imp_id), "data.parquet")
-            for rel in recorded["files"]:
-                try:
-                    pq.ParquetFile(os.path.join(base, rel)).schema_arrow
-                except Exception as e:  # noqa: BLE001 — fsck reports, never raises
-                    problems.append(f"{rel}: unreadable ({e})")
-        return {"ok": not problems, "problems": problems}
+                base = os.path.join(self._dir(imp_id), "data.parquet")
+                for rel in recorded["files"]:
+                    try:
+                        pq.ParquetFile(os.path.join(base, rel)).schema_arrow
+                    except Exception as e:  # noqa: BLE001 — fsck reports, never raises
+                        problems.append(f"{rel}: unreadable ({e})")
+            return {"ok": not problems, "problems": problems}
 
     def read(self, spark: SparkSession, imp_id: str) -> DataFrame:
         """Yuki ``collect``: load a deposited impression (healing any
@@ -459,9 +469,23 @@ class ImpressionStore:
         impression directory (e.g. ``meta.json``, ``logs.json``, or a
         parquet part path from :meth:`data_files`); a bare parquet
         part basename is also resolved by search. Raises
-        FileNotFoundError (the route's NOTFOUND) when absent."""
-        base = self._dir(imp_id)
-        cand = os.path.join(base, filename)
+        FileNotFoundError (the route's NOTFOUND) when absent.
+
+        Traversal-safe, like the reference's ``send_from_directory``:
+        an absolute ``filename`` or one whose normalized join escapes
+        the impression directory ('../…') is rejected as NOTFOUND
+        rather than resolving a path outside the store."""
+        base = os.path.abspath(self._dir(imp_id))
+        if os.path.isabs(filename):
+            raise FileNotFoundError(
+                f"impression {imp_id}: absolute filename {filename!r} (NOTFOUND)"
+            )
+        cand = os.path.normpath(os.path.join(base, filename))
+        if os.path.commonpath([base, cand]) != base:
+            raise FileNotFoundError(
+                f"impression {imp_id}: {filename!r} escapes the impression "
+                "directory (NOTFOUND)"
+            )
         if os.path.isfile(cand):
             return cand
         for dirpath, _, files in os.walk(base):

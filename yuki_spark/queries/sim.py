@@ -207,6 +207,51 @@ def s6_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("index")
 
 
+def s12_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of s11's approximate kNN GRAPH against brute-force truth
+    — the missing recall row the r5 verdict flagged (s6 scores
+    lsh/ivf/pq but not the graph path, leaving graph quality asserted
+    only structurally). Per-vector recall@k over the same nq=20 query
+    cohort as s6: for each query vector, how many of its K true
+    nearest neighbors appear among its graph edges. Per-vector rows
+    (not one aggregate) so the oracle binds WHICH vectors lose
+    neighbors, not just the average; the suite-level average is
+    sum(n_hits)/(nq·K) by construction. Deterministic end-to-end
+    (same exact-int machinery as s3/s11), so the DuckDB twin
+    reproduces every count."""
+    from pyspark.sql import functions as F
+
+    emb = load(spark, sf_dir, "embeddings")
+    nq = 20
+    exact = (
+        similarity.cosine_topk(emb, k=K, n_queries=nq)
+        .select("qid", "cid")
+        .localCheckpoint(eager=False)  # feeds hit join + qid universe
+    )
+    g = (
+        similarity.knn_graph(emb, k=K, n_est=_emb_rows(sf_dir))
+        .where(F.col("qid") < nq)
+        .select("qid", "cid")
+    )
+    inter = exact.join(g, ["qid", "cid"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    return (
+        exact.select("qid")
+        .distinct()
+        .join(inter, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            F.lit(K).cast("bigint").alias("n_possible"),
+            (F.coalesce(F.col("hits"), F.lit(0)).cast("double") / F.lit(float(K))).alias(
+                "recall"
+            ),
+        )
+        .orderBy("qid")
+    )
+
+
 SEMDEDUP_THRESHOLD = 0.3
 
 
@@ -228,6 +273,7 @@ QUERIES = {
     "s9_kmeans_refine": s9_kmeans_refine,
     "s10_cluster_balance": s10_cluster_balance,
     "s11_knn_graph": s11_knn_graph,
+    "s12_graph_recall": s12_graph_recall,
     "s5_quantize_error": s5_quantize_error,
     "s7_semdedup": s7_semdedup,
     "d9_embedding_neardup": d9_embedding_neardup,
@@ -634,6 +680,24 @@ def _s11_oracle() -> str:
     """
 
 
+def _s12_oracle() -> str:
+    """Twin of s12_graph_recall: the exact-top-k twin LEFT JOINed to
+    the s11 graph twin, counted per query vector — same nq=20 cohort
+    and exact-int discipline as s6."""
+    nq = 20
+    return f"""
+        WITH exact AS ({_s1_sql(nq)}),
+        gq AS ({_s11_oracle()}),
+        hits AS (
+          SELECT e.qid, CAST(COUNT(g.cid) AS BIGINT) AS n_hits
+          FROM exact e LEFT JOIN gq g ON g.qid = e.qid AND g.cid = e.cid
+          GROUP BY e.qid)
+        SELECT qid, n_hits, CAST({K} AS BIGINT) AS n_possible,
+               CAST(n_hits AS DOUBLE) / CAST({K} AS DOUBLE) AS recall
+        FROM hits ORDER BY qid
+    """
+
+
 def _s6_oracle() -> str:
     """Twin of the recall harness: every index twin is deterministic,
     so the whole evaluation composes in SQL (nested-WITH CTEs)."""
@@ -735,6 +799,7 @@ def build_oracle() -> dict[str, str]:
             "s9_kmeans_refine": _s9_oracle(),
             "s10_cluster_balance": _s10_oracle(),
             "s11_knn_graph": _s11_oracle(),
+            "s12_graph_recall": _s12_oracle(),
             "s6_ann_recall": _s6_oracle(),
         }
     )

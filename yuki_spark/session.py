@@ -14,6 +14,7 @@ io.sinks.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -45,3 +46,66 @@ def get_spark(app_name: str = "yuki_spark", shuffle_partitions: int | None = Non
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     return builder.getOrCreate()
+
+
+def cluster_profile(
+    executors: int = 1000,
+    cores_per_executor: int = 4,
+) -> dict[str, str]:
+    """The runtime-settable conf surface we'd ship to a large cluster
+    (the 1000-executor deployment SURVEY §4 designs for), sized from
+    the fleet shape instead of local[] defaults:
+
+    - shuffle partitions at 2× total cores (waves of ~2 tasks/core),
+      with AQE coalescing down when a stage's data doesn't need them
+      and splitting skewed partitions up;
+    - 64 MB broadcast threshold — dims and query-set build sides fit,
+      fact/corpus tables never do, so fact⋈fact joins land on SMJ;
+    - 128 MB advisory / 256 MB scan partitions so a 100 TB scan makes
+      ~400k input splits (bounded task count) and shuffle blocks stay
+      executor-memory-sized.
+
+    Pure function → dict, so it works on a builder (`.config(conf=)`)
+    or a live session (:func:`session_profile`); every key here is
+    runtime-settable by design — static confs (executor memory/count)
+    belong to the submit layer, not the engine."""
+    total_cores = executors * cores_per_executor
+    return {
+        "spark.sql.shuffle.partitions": str(2 * total_cores),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum": str(
+            4 * total_cores
+        ),
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(128 << 20),
+        "spark.sql.autoBroadcastJoinThreshold": str(64 << 20),
+        "spark.sql.files.maxPartitionBytes": str(256 << 20),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+    }
+
+
+@contextmanager
+def session_profile(spark: SparkSession, conf: dict[str, str]):
+    """Apply a conf profile to a live session for the duration of a
+    block, restoring every key afterwards (unset keys are restored by
+    unsetting — same discipline as the backends' per-task conf)."""
+    prev: dict[str, str | None] = {}
+    for k, v in conf.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001 — key unset in this session
+            prev[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield spark
+    finally:
+        for k, old in prev.items():
+            if old is None:
+                try:
+                    spark.conf.unset(k)
+                except Exception:  # noqa: BLE001 — static conf; leave it
+                    pass
+            else:
+                spark.conf.set(k, old)
