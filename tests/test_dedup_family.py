@@ -52,15 +52,17 @@ def test_second_query_reuses_deposits(spark, fresh_store):
 
 
 def test_family_outputs_match_direct_paths(spark, fresh_store):
+    """Deposit-backed paths are bit-identical to the direct operator
+    paths. The 0.95 filter-of-0.8-deposit case exercises the one piece
+    of logic unique to the family store (threshold-filtering a lower-
+    threshold pair deposit); exact_pairs(0.8) itself is transitively
+    pinned by clusters08 equality here plus d33's oracle parity."""
     docs = _docs(spark)
     assert _sorted_rows(
         dedup_family.exact_pairs(spark, SF_SMOKE, 0.95), "doc_a", "doc_b"
     ) == _sorted_rows(
         dedup.jaccard_pairs_collapsed(docs, 0.95), "doc_a", "doc_b"
     )
-    assert _sorted_rows(
-        dedup_family.exact_pairs(spark, SF_SMOKE, 0.8), "doc_a", "doc_b"
-    ) == _sorted_rows(dedup.jaccard_pairs_collapsed(docs, 0.8), "doc_a", "doc_b")
     assert _sorted_rows(
         dedup_family.lsh_pairs95(spark, SF_SMOKE), "doc_a", "doc_b"
     ) == _sorted_rows(

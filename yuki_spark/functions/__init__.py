@@ -79,7 +79,7 @@ def sql_portable_hash60(expr: str) -> str:
 # property the oracles need, the SAME ~5e-12-off value everywhere.
 #
 # The expression is emitted as a CHAIN of intermediate columns
-# (with_plog2 / sql_plog2 lateral aliases) — a single inlined
+# (with_plog2 column steps / sql_plog2_ctes CTE steps) — one inlined
 # expression would re-expand the Horner chain through the binder
 # (measured: exponential blowup hangs both engines).
 # ---------------------------------------------------------------------------
@@ -124,30 +124,36 @@ def with_plog2(df, col: Column | str, out: str, max_bits: int = PLOG2_MAX_BITS):
     return work.select(*df.columns, val.alias(out))
 
 
-def sql_plog2(
-    b_expr: str, out: str, prefix: str = "", max_bits: int = PLOG2_MAX_BITS
+def sql_plog2_ctes(
+    name: str,
+    src: str,
+    b_expr: str,
+    out: str,
+    max_bits: int = PLOG2_MAX_BITS,
 ) -> str:
-    """DuckDB twin of :func:`with_plog2`: the identical libm-free
-    expression as a lateral-alias chain ending in ``{out}``.
-    ``prefix`` disambiguates intermediates when one SELECT computes
-    several logs. Interpolate into a SELECT list.
+    """DuckDB twin of :func:`with_plog2` as a PER-STEP CTE chain —
+    bit-identical math (same literals, same association order).
 
-    Oracle twins should pass ``max_bits=33``: DuckDB's binder expands
-    lateral aliases by substitution and the 53-wide chain blows up
-    its expression state (measured: OOM on a 100-row input), while 33
-    evaluates instantly. For in-domain values (< 2^33 — every gate
-    corpus) a 33-bit chain produces the SAME double as Spark's
-    53-bit one, since the extra exponent compares are all false; an
-    out-of-domain value yields NULL on the oracle side and a value on
-    Spark's — a loud mismatch, never a silent wrong answer.
+    Why this shape: DuckDB's binder expands lateral aliases (and
+    plain inlined CTEs) by SUBSTITUTION, so the natural single-SELECT
+    chain form costs ~7 s of pure planning time PER CHAIN regardless
+    of row count, and at the 53-wide chain blows expression state to
+    the vm.max_map_count ceiling beside a live Spark JVM (measured
+    r3–r5; the r5 pytest suite burned ~90 s binding the d24/e22/d31/
+    d32 twins). Here every step references COLUMNS of the previous
+    MATERIALIZED CTE — zero substitution, ~20 ms to bind.
 
-    ALWAYS wrap the chain in an ``AS MATERIALIZED`` CTE: DuckDB
-    inlines plain CTEs/subqueries by substitution, and a chain
-    re-substituted into several consumers multiplies expression state
-    until allocation itself fails (measured: ~64k memory mappings —
-    the vm.max_map_count ceiling — beside a live Spark JVM; 903 with
-    MATERIALIZED)."""
-    p = f"__{prefix or out}_"
+    Oracle twins should pass ``max_bits=33``: for in-domain values
+    (< 2^33 — every gate corpus) a 33-bit chain produces the SAME
+    double as Spark's 53-bit one (the extra exponent compares are all
+    false); an out-of-domain value yields NULL oracle-side and a
+    value on Spark's — a loud mismatch, never a silent wrong answer.
+
+    Emits ``{name}__0 AS MATERIALIZED (…), …, {name} AS (…)``;
+    splice into a WITH list and read ``{name}`` (source columns plus
+    ``{out}``) downstream. ``src`` must be a relation name visible in
+    the same WITH scope."""
+    p = f"__{name}_"
     e_terms = " + ".join(
         f"CASE WHEN {p}b >= {1 << k} THEN 1 ELSE 0 END"
         for k in range(1, max_bits + 1)
@@ -155,19 +161,33 @@ def sql_plog2(
     scale_arms = " ".join(
         f"WHEN {k} THEN {2.0 ** -k!r}" for k in range(1, max_bits + 1)
     )
-    h = repr(_ATANH_LEAD)
-    for cf in _ATANH_COEFFS:
-        h = f"({h} * {p}z2 + {cf!r})"
-    return (
-        f"CAST({b_expr} AS BIGINT) AS {p}b,\n                 "
-        f"({e_terms}) AS {p}e,\n                 "
-        f"CAST({p}b AS DOUBLE) * (CASE {p}e WHEN 0 THEN CAST(1 AS DOUBLE) {scale_arms} END) AS {p}m,\n                 "
-        f"({p}m - CAST(1 AS DOUBLE)) / ({p}m + CAST(1 AS DOUBLE)) AS {p}z,\n                 "
-        f"{p}z * {p}z AS {p}z2,\n                 "
+    steps = [
+        f"{name}__0 AS MATERIALIZED (SELECT *, CAST({b_expr} AS BIGINT) AS {p}b FROM {src})",
+        f"{name}__1 AS MATERIALIZED (SELECT *, ({e_terms}) AS {p}e FROM {name}__0)",
+        f"{name}__2 AS MATERIALIZED (SELECT *, CAST({p}b AS DOUBLE) * "
+        f"(CASE {p}e WHEN 0 THEN CAST(1 AS DOUBLE) {scale_arms} END) AS {p}m FROM {name}__1)",
+        f"{name}__3 AS MATERIALIZED (SELECT *, ({p}m - CAST(1 AS DOUBLE)) / "
+        f"({p}m + CAST(1 AS DOUBLE)) AS {p}z FROM {name}__2)",
+        f"{name}__4 AS MATERIALIZED (SELECT *, {p}z * {p}z AS {p}z2 FROM {name}__3)",
+        f"{name}__5 AS MATERIALIZED (SELECT *, CAST({_ATANH_LEAD!r} AS DOUBLE) AS {p}h0 FROM {name}__4)",
+    ]
+    intermediates = [f"{p}b", f"{p}e", f"{p}m", f"{p}z", f"{p}z2", f"{p}h0"]
+    prev_cte, prev_h = f"{name}__5", f"{p}h0"
+    for i, cf in enumerate(_ATANH_COEFFS):
+        cur_cte, cur_h = f"{name}__{6 + i}", f"{p}h{i + 1}"
+        steps.append(
+            f"{cur_cte} AS MATERIALIZED (SELECT *, {prev_h} * {p}z2 + {cf!r} "
+            f"AS {cur_h} FROM {prev_cte})"
+        )
+        intermediates.append(cur_h)
+        prev_cte, prev_h = cur_cte, cur_h
+    steps.append(
+        f"{name} AS (SELECT * EXCLUDE ({', '.join(intermediates)}), "
         f"CASE WHEN {p}b >= 1 AND {p}b <= {1 << max_bits} "
-        f"THEN CAST({p}e AS DOUBLE) + (({p}z * {h}) * {_TWO_OVER_LN2!r}) "
-        f"ELSE NULL END AS {out}"
+        f"THEN CAST({p}e AS DOUBLE) + (({p}z * {prev_h}) * {_TWO_OVER_LN2!r}) "
+        f"ELSE NULL END AS {out} FROM {prev_cte})"
     )
+    return ",\n        ".join(steps)
 
 
 def dot(a: Column, b: Column) -> Column:

@@ -23,13 +23,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 # The libm-free log2 primitive lives in functions (with_plog2 /
-# sql_plog2 — exponent via exact integer compares, atanh-series Horner
-# mantissa, bit-identical across engines); re-exported here for the
-# sampling test twins.
+# sql_plog2_ctes — exponent via exact integer compares, atanh-series
+# Horner mantissa, bit-identical across engines); re-exported here
+# for the sampling test twins.
 from ..functions import (  # noqa: F401 — re-exported for test twins
     _ATANH_COEFFS,
     _TWO_OVER_LN2,
-    sql_plog2,
+    sql_plog2_ctes,
     with_plog2,
 )
 
@@ -94,15 +94,18 @@ def with_portable_log2_u(df: DataFrame, key: str, out: str) -> DataFrame:
     )
 
 
-def sql_log2_u(b_expr: str, out: str = "log2_u") -> str:
+def sql_log2_u_ctes(name: str, src: str, b_expr: str, out: str = "log2_u") -> str:
     """DuckDB twin of :func:`with_portable_log2_u`: the IDENTICAL
     libm-free expression (same association order, same literals) as a
-    lateral-alias chain ending in ``{out}``. Interpolate into
-    ``SELECT <cols>, {sql_log2_u(...)} FROM ...``."""
+    per-step CTE chain (see functions.sql_plog2_ctes for why not a
+    lateral-alias fragment): splice into a WITH list and read
+    ``{name}`` (source columns + ``{out}``) downstream."""
+    from ..functions import sql_plog2_ctes
+
     return (
-        sql_plog2(f"{b_expr} + 1", f"{out}__raw", prefix=out, max_bits=33)
-        + ",\n                 "
-        + f"{out}__raw - CAST(32 AS DOUBLE) AS {out}"
+        sql_plog2_ctes(f"{name}__p", src, f"{b_expr} + 1", f"{out}__raw", max_bits=33)
+        + f",\n        {name} AS (SELECT * EXCLUDE ({out}__raw), "
+        f"{out}__raw - CAST(32 AS DOUBLE) AS {out} FROM {name}__p)"
     )
 
 

@@ -1154,7 +1154,7 @@ def _d25_oracle() -> str:
 
 
 def _d31_oracle() -> str:
-    from ..functions import sql_plog2
+    from ..functions import sql_plog2_ctes
 
     return f"""
         WITH occ AS (
@@ -1162,9 +1162,9 @@ def _d31_oracle() -> str:
                  unnest(list_filter({_T}, t -> t <> '')) AS tok
           FROM documents),
         vocab0 AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM occ GROUP BY tok),
-        tot AS MATERIALIZED (SELECT N, {sql_plog2("N", "l2n", max_bits=33)}
-                FROM (SELECT CAST(SUM(c) AS BIGINT) AS N FROM vocab0)),
-        vocab AS MATERIALIZED (SELECT tok, c, {sql_plog2("c", "l2c", max_bits=33)} FROM vocab0),
+        tot0 AS (SELECT CAST(SUM(c) AS BIGINT) AS N FROM vocab0),
+        {sql_plog2_ctes("tot", "tot0", "N", "l2n", max_bits=33)},
+        {sql_plog2_ctes("vocab", "vocab0", "c", "l2c", max_bits=33)},
         vv AS (SELECT tok, CAST(l2n - l2c AS DECIMAL(18,6)) AS s_bits
                FROM vocab, tot),
         per_doc AS (
@@ -1181,7 +1181,7 @@ def _d31_oracle() -> str:
 
 
 def _d32_oracle() -> str:
-    from ..functions import sql_plog2
+    from ..functions import sql_plog2_ctes
 
     return f"""
         WITH occ AS (
@@ -1189,14 +1189,12 @@ def _d32_oracle() -> str:
           FROM documents),
         cnt0 AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
                  FROM occ GROUP BY doc_id, tok),
-        cnt AS MATERIALIZED (SELECT doc_id, c, {sql_plog2("c", "l2c", max_bits=33)} FROM cnt0),
+        {sql_plog2_ctes("cnt", "cnt0", "c", "l2c", max_bits=33)},
         doc0 AS (
           SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
                  SUM(CAST(CAST(c AS DOUBLE) * l2c AS DECIMAL(18,6))) AS tsum
           FROM cnt GROUP BY doc_id),
-        doc AS MATERIALIZED (SELECT doc_id, n_tokens, tsum,
-                       {sql_plog2("n_tokens", "l2n", max_bits=33)}
-                FROM doc0)
+        {sql_plog2_ctes("doc", "doc0", "n_tokens", "l2n", max_bits=33)}
         SELECT doc_id, n_tokens,
                l2n - (CAST(tsum AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS entropy
         FROM doc
@@ -1344,10 +1342,7 @@ _ORACLE_TEMPLATE = {
     "d24_weighted_sample": f"""
         WITH t AS (
           SELECT doc_id, CAST(len({_T}) AS BIGINT) AS n_tokens FROM documents),
-        k AS MATERIALIZED (
-          SELECT doc_id, n_tokens,
-                 {sampling.sql_log2_u(_SB, "log2_u")}
-          FROM t)
+        {sampling.sql_log2_u_ctes("k", "t", _SB, "log2_u")}
         SELECT doc_id, n_tokens,
                log2_u / CAST(n_tokens + 1 AS DOUBLE) AS ares_key
         FROM k

@@ -880,20 +880,16 @@ _EWMA_TERMS = " + ".join(
 
 
 def _e22_oracle() -> str:
-    """Twin of e22_psi_drift. The four portable-log2 chains live in
-    four SEPARATE CTE layers: DuckDB's binder expands lateral aliases
-    by substitution, and stacking all four chains into one SELECT
-    multiplies its expression state (the d31/d32 lesson)."""
-    from ..functions import sql_plog2
+    """Twin of e22_psi_drift. The four portable-log2 chains are
+    PER-STEP CTE chains (functions.sql_plog2_ctes): the lateral-alias
+    form costs ~7 s of DuckDB binder time PER CHAIN (substitution
+    re-expands every intermediate), which made this twin the
+    second-slowest test in the suite; column-referencing steps bind
+    in milliseconds with bit-identical output."""
+    from ..functions import sql_plog2_ctes
 
-    def layer(src: str, col: str, out: str) -> str:
-        # MATERIALIZED stops DuckDB inlining the layer into its
-        # consumer — without it the chains re-substitute through
-        # every downstream column reference and the expression state
-        # grows multiplicatively across layers
-        return (
-            f"MATERIALIZED (SELECT *, {sql_plog2(col, out, max_bits=33)} FROM {src})"
-        )
+    def layer(name: str, src: str, col: str, out: str) -> str:
+        return sql_plog2_ctes(name, src, col, out, max_bits=33)
 
     return f"""
         WITH counts AS (
@@ -925,10 +921,10 @@ def _e22_oracle() -> str:
                  g0.c1 + 1 AS c1p, g0.c2 + 1 AS c2p,
                  tot.n1 + {PSI_BINS} AS n1p, tot.n2 + {PSI_BINS} AS n2p
           FROM g0 JOIN tot USING (event_type)),
-        ga AS {layer("g1", "c1p", "l2c1")},
-        gb AS {layer("ga", "c2p", "l2c2")},
-        gc AS {layer("gb", "n1p", "l2n1")},
-        gd AS {layer("gc", "n2p", "l2n2")},
+        {layer("ga", "g1", "c1p", "l2c1")},
+        {layer("gb", "ga", "c2p", "l2c2")},
+        {layer("gc", "gb", "n1p", "l2n1")},
+        {layer("gd", "gc", "n2p", "l2n2")},
         terms AS (
           SELECT event_type, n1, n2,
                  CAST((CAST(c1p AS DOUBLE) / CAST(n1p AS DOUBLE)
