@@ -82,3 +82,18 @@ def test_fingerprint_invalidates_on_cap_change(spark, fresh_store):
 def test_below_deposit_threshold_rejected(spark, fresh_store):
     with pytest.raises(ValueError, match="cannot serve threshold"):
         dedup_family.exact_pairs(spark, SF_SMOKE, 0.5)
+
+
+def test_unwritable_store_degrades_to_unpersisted(spark, monkeypatch, tmp_path):
+    """Correctness is never hostage to the store disk: with an
+    unwritable store root the family queries still produce their
+    (identical) results, just without deposit reuse."""
+    blocked = tmp_path / "blocked"
+    blocked.write_text("a file, not a directory")  # mkdir will fail
+    monkeypatch.setenv("YUKI_SPARK_DEDUP_STORE", str(blocked / "store"))
+    dedup_family.COMPUTES.clear()
+    got = dedup_family.clusters08(spark, SF_SMOKE)
+    docs = _docs(spark)
+    assert _sorted_rows(got, "doc_id") == _sorted_rows(
+        dedup.neardup_clusters(docs, 0.8), "doc_id"
+    )

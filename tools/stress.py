@@ -140,6 +140,15 @@ def main() -> None:
         "d31_token_surprisal",
         "d32_doc_entropy",
         "e22_psi_drift",
+        # round-6 additions: the deposit-backed near-dup family (d33
+        # is the audit that was r5's cost spike; d11/d20 share its
+        # deposits — the FIRST of the three pays the tokenize/PPJoin/
+        # CC pass for the 10x corpus, the others read it) and the s12
+        # graph-recall harness
+        "d33_split_leakage",
+        "d11_dedup_clusters",
+        "d20_dedup_apply",
+        "s12_graph_recall",
     ]
     qs["q1_pricing_summary"](spark, out).write.mode("overwrite").format("noop").save()
     timings = {}

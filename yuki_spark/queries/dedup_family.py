@@ -115,69 +115,91 @@ def _artifact(
     concurrency would otherwise race two identical writes); across
     processes the deterministic content makes a lost race benign — the
     driver runs queries sequentially, and a second writer rewrites
-    byte-equivalent rows."""
-    store = _store()
+    byte-equivalent rows.
+
+    An unwritable store root degrades to an UNPERSISTED lazy-
+    checkpointed build (correctness is never hostage to a disk): the
+    query still runs, it just pays the pipeline itself."""
     imp = impression_id(f"dedup_family.{name}", FAMILY_VERSION, dep_ids)
-    if not store.exists(imp):
-        with _build_lock:
-            if not store.exists(imp):
-                store.write(
-                    imp, builder(), meta={"task": f"dedup_family.{name}", "deps": dep_ids}
-                )
-                COMPUTES[name] = COMPUTES.get(name, 0) + 1
-    return store.read(spark, imp), imp
+    try:
+        store = _store()
+        if not store.exists(imp):
+            with _build_lock:
+                if not store.exists(imp):
+                    store.write(
+                        imp,
+                        builder(),
+                        meta={"task": f"dedup_family.{name}", "deps": dep_ids},
+                    )
+                    COMPUTES[name] = COMPUTES.get(name, 0) + 1
+        return store.read(spark, imp), imp
+    except OSError:
+        COMPUTES[name] = COMPUTES.get(name, 0) + 1
+        return builder().localCheckpoint(eager=False), imp
 
 
-def artifacts(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """All six family artifacts for a corpus, deposit-backed.
-
-    Lazy per artifact would save nothing — every consumer query needs
-    ``groups`` plus at least one pair table, and the chain below only
-    computes what a missing deposit requires (an existing deposit's
-    builder is never invoked)."""
+def artifacts(
+    spark: SparkSession, sf_dir: str, need: tuple[str, ...] = ()
+) -> dict[str, DataFrame]:
+    """Family artifacts for a corpus, deposit-backed. ``need`` names
+    the terminal artifacts the caller wants (upstream dependencies are
+    always included); empty means all six. Need-driven matters on the
+    COLD path only — an existing deposit's builder is never invoked —
+    but it keeps e.g. a first d33 run from paying d3's band/LSH pass
+    (measured sf0.1: whole family cold 29.6 s; the exact-pairs chain
+    alone ~22 s)."""
+    want = set(need) or {"rep_lsh95", "rep_clusters08"}
+    if "rep_lsh95" in want:
+        want.update(("rep_bands", "rep_ts", "groups"))
+    if "rep_clusters08" in want:
+        want.update(("rep_pairs08",))
+    if "rep_bands" in want or "rep_pairs08" in want:
+        want.update(("rep_ts", "groups"))
     cap = table_rows(sf_dir, "documents")
     fp = corpus_fingerprint(sf_dir, cap)
 
     def docs() -> DataFrame:
         return load(spark, sf_dir, "documents").where(F.col("doc_id") < cap)
 
+    out: dict[str, DataFrame] = {}
     g, g_id = _artifact(spark, "groups", [fp], lambda: dedup.set_groups(docs()))
+    out["groups"] = g
 
     def rep_ts_builder() -> DataFrame:
         reps = dedup._rep_docs(docs(), g)
         return dedup.token_sets(reps)
 
     rts, rts_id = _artifact(spark, "rep_ts", [fp, g_id], rep_ts_builder)
+    out["rep_ts"] = rts
 
-    rp08, rp08_id = _artifact(
-        spark,
-        "rep_pairs08",
-        [fp, rts_id],
-        lambda: dedup.jaccard_pairs_from(rts, PAIR_THRESHOLD),
-    )
-    rbands, rbands_id = _artifact(
-        spark, "rep_bands", [fp, rts_id], lambda: dedup.band_index(rts)
-    )
-    rlsh95, _ = _artifact(
-        spark,
-        "rep_lsh95",
-        [fp, rts_id, rbands_id],
-        lambda: dedup.minhash_pairs_from(rts, rbands, 0.95),
-    )
-    rcc, _ = _artifact(
-        spark,
-        "rep_clusters08",
-        [fp, rp08_id],
-        lambda: dedup.dedup_clusters(rp08),
-    )
-    return {
-        "groups": g,
-        "rep_ts": rts,
-        "rep_pairs08": rp08,
-        "rep_bands": rbands,
-        "rep_lsh95": rlsh95,
-        "rep_clusters08": rcc,
-    }
+    if "rep_pairs08" in want:
+        rp08, rp08_id = _artifact(
+            spark,
+            "rep_pairs08",
+            [fp, rts_id],
+            lambda: dedup.jaccard_pairs_from(rts, PAIR_THRESHOLD),
+        )
+        out["rep_pairs08"] = rp08
+        if "rep_clusters08" in want:
+            out["rep_clusters08"], _ = _artifact(
+                spark,
+                "rep_clusters08",
+                [fp, rp08_id],
+                lambda: dedup.dedup_clusters(out["rep_pairs08"]),
+            )
+    if "rep_bands" in want:
+        rbands, rbands_id = _artifact(
+            spark, "rep_bands", [fp, rts_id], lambda: dedup.band_index(rts)
+        )
+        out["rep_bands"] = rbands
+        if "rep_lsh95" in want:
+            out["rep_lsh95"], _ = _artifact(
+                spark,
+                "rep_lsh95",
+                [fp, rts_id, rbands_id],
+                lambda: dedup.minhash_pairs_from(rts, rbands, 0.95),
+            )
+    return out
 
 
 # ---- the family queries' consumption surface ---------------------------
@@ -196,7 +218,7 @@ def exact_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame
             f"shared deposit holds pairs at J >= {PAIR_THRESHOLD}; "
             f"cannot serve threshold {threshold}"
         )
-    a = artifacts(spark, sf_dir)
+    a = artifacts(spark, sf_dir, need=("rep_pairs08",))
     rp = a["rep_pairs08"].where(F.col("jac") >= threshold)
     return dedup.expand_rep_pairs(rp, a["groups"])
 
@@ -206,12 +228,12 @@ def lsh_pairs95(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical to ``dedup.minhash_lsh_pairs_collapsed(docs, 0.95)``
     (equal token sets have equal signatures, so reps stand in for
     members in every band)."""
-    a = artifacts(spark, sf_dir)
+    a = artifacts(spark, sf_dir, need=("rep_lsh95",))
     return dedup.expand_rep_pairs(a["rep_lsh95"], a["groups"])
 
 
 def clusters08(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Member-level near-dup clusters at 0.8 from the deposited rep
     labels — bit-identical to ``dedup.neardup_clusters(docs, 0.8)``."""
-    a = artifacts(spark, sf_dir)
+    a = artifacts(spark, sf_dir, need=("rep_clusters08",))
     return dedup.clusters_expand(a["groups"], a["rep_clusters08"])
