@@ -1,4 +1,4 @@
-"""The shared near-dup artifact pipeline (queries/dedup_family.py):
+"""The shared artifact stores (queries/dedup_family.py + sim_family.py):
 deposit-backed reuse across d2/d3/d11/d20/d33, with outputs
 bit-identical to the direct (per-query) operator paths."""
 from __future__ import annotations
@@ -82,6 +82,41 @@ def test_fingerprint_invalidates_on_cap_change(spark, fresh_store):
 def test_below_deposit_threshold_rejected(spark, fresh_store):
     with pytest.raises(ValueError, match="cannot serve threshold"):
         dedup_family.exact_pairs(spark, SF_SMOKE, 0.5)
+
+
+def test_sim_family_reuses_ann_deposits(spark, monkeypatch, tmp_path):
+    """The ANN result store (queries/sim_family.py): s6's recall
+    harness computes each index result exactly once; re-running s3
+    (or s6) afterwards computes nothing; outputs match the direct
+    operator runs bit-for-bit."""
+    from yuki_spark.operators import similarity
+    from yuki_spark.queries import sim, sim_family
+
+    monkeypatch.setenv("YUKI_SPARK_SIM_STORE", str(tmp_path / "simstore"))
+    sim_family.COMPUTES.clear()
+
+    sim.s6_ann_recall(spark, SF_SMOKE).collect()
+    first = dict(sim_family.COMPUTES)
+    assert first.get("exact20") == 1
+    assert first.get("lsh20") == 1 and first.get("ivf20") == 1
+    assert first.get("pq20") == 1
+
+    sim.s3_lsh_ann(spark, SF_SMOKE).collect()
+    sim.s6_ann_recall(spark, SF_SMOKE).collect()
+    assert dict(sim_family.COMPUTES) == first  # zero recomputes
+
+    emb = sim.load(spark, SF_SMOKE, "embeddings")
+    direct = similarity.lsh_ann(
+        emb, k=sim.K, n_queries=sim.ANN_NQ, n_est=sim._emb_rows(SF_SMOKE)
+    )
+    assert _sorted_rows(sim.s3_lsh_ann(spark, SF_SMOKE), "qid", "rk") == (
+        _sorted_rows(direct, "qid", "rk")
+    )
+
+    # s12 adds only the graph deposit on top of the shared exact20
+    sim.s12_graph_recall(spark, SF_SMOKE).collect()
+    assert sim_family.COMPUTES["graph"] == 1
+    assert sim_family.COMPUTES["exact20"] == 1
 
 
 def test_unwritable_store_degrades_to_unpersisted(spark, monkeypatch, tmp_path):

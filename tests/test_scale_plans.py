@@ -214,10 +214,10 @@ ALLOWED_BNLJ = {
     "d26_quality_buckets": 1,
     "d28_token_zipf": 1,  # single-row corpus-total broadcast (q11 pattern)
     # k-means assignment IS an n x k product with a k-row (10) broadcast
-    # side — one per Lloyd round. The same shape inside s4/s7's IVF
-    # assignment hides behind its lazy checkpoint boundary; s9's is
-    # visible because round-2 centroids derive from round-1 in-plan.
-    "s9_kmeans_refine": 2,
+    # side — one per Lloyd round, but since r6 the fit is a sim_family
+    # DEPOSIT: the visible s9 plan is a parquet scan of the persisted
+    # model (0 BNLJ); the assignment shape lives inside the one-time
+    # builder, same as s4/s7's checkpoint-hidden IVF assignment.
     "d29_dsir_weights": 1,  # single-row (Rtot, Ttot) totals broadcast
     "e21_cusum_drift": 1,  # single-row calendar-bounds broadcast (densify)
     # s10's fit hides behind its lazy checkpoint boundary (computed

@@ -45,19 +45,16 @@ filesystem path).
 """
 from __future__ import annotations
 
-import hashlib
-import json
 import os
 import tempfile
-import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load, table_path, table_rows
+from ..catalog import load, table_rows
 from ..operators import dedup
-from ..pipeline.impressions import ImpressionStore, impression_id
+from .artifact_store import deposit_or_reuse, table_fingerprint
 
 FAMILY_VERSION = "r6-1"  # bump on any semantic change to a builder below
 PAIR_THRESHOLD = 0.8  # the one exact-pairs run; 0.95 consumers filter it
@@ -67,8 +64,6 @@ PAIR_THRESHOLD = 0.8  # the one exact-pairs run; 0.95 consumers filter it
 # test asserts on.
 COMPUTES: dict[str, int] = {}
 
-_build_lock = threading.Lock()
-
 
 def store_root() -> str:
     return os.environ.get(
@@ -77,30 +72,10 @@ def store_root() -> str:
     )
 
 
-def _store() -> ImpressionStore:
-    return ImpressionStore(store_root())
-
-
 def corpus_fingerprint(sf_dir: str, cap: int) -> str:
-    """Identity of the capped documents corpus: part-file relpaths,
-    byte sizes and mtimes (ns) plus the cap — cheap (no data read) and
-    strict enough that a regenerated corpus at the same path gets a
-    new address."""
-    path = table_path(sf_dir, "documents")
-    ents: list[tuple[str, int, int]] = []
-    if os.path.isdir(path):
-        for dirpath, _dirs, files in sorted(os.walk(path)):
-            for fn in sorted(files):
-                full = os.path.join(dirpath, fn)
-                st = os.stat(full)
-                ents.append((os.path.relpath(full, path), st.st_size, st.st_mtime_ns))
-    else:
-        st = os.stat(path)
-        ents.append((os.path.basename(path), st.st_size, st.st_mtime_ns))
-    payload = json.dumps(
-        {"root": os.path.realpath(path), "files": ents, "cap": cap}, sort_keys=True
-    )
-    return hashlib.sha256(payload.encode()).hexdigest()[:32]
+    """Identity of the capped documents corpus (artifact_store
+    fingerprint over the documents table + the doc_id cap)."""
+    return table_fingerprint(sf_dir, "documents", {"cap": cap})
 
 
 def _artifact(
@@ -109,33 +84,19 @@ def _artifact(
     dep_ids: list[str],
     builder: Callable[[], DataFrame],
 ) -> tuple[DataFrame, str]:
-    """Deposit-or-reuse one artifact; returns (DataFrame, address).
-
-    The build lock serializes in-process builders (run_parallel-style
-    concurrency would otherwise race two identical writes); across
-    processes the deterministic content makes a lost race benign — the
-    driver runs queries sequentially, and a second writer rewrites
-    byte-equivalent rows.
-
-    An unwritable store root degrades to an UNPERSISTED lazy-
-    checkpointed build (correctness is never hostage to a disk): the
-    query still runs, it just pays the pipeline itself."""
-    imp = impression_id(f"dedup_family.{name}", FAMILY_VERSION, dep_ids)
-    try:
-        store = _store()
-        if not store.exists(imp):
-            with _build_lock:
-                if not store.exists(imp):
-                    store.write(
-                        imp,
-                        builder(),
-                        meta={"task": f"dedup_family.{name}", "deps": dep_ids},
-                    )
-                    COMPUTES[name] = COMPUTES.get(name, 0) + 1
-        return store.read(spark, imp), imp
-    except OSError:
-        COMPUTES[name] = COMPUTES.get(name, 0) + 1
-        return builder().localCheckpoint(eager=False), imp
+    """Deposit-or-reuse one family artifact (see
+    artifact_store.deposit_or_reuse for the locking / degraded-disk
+    contract)."""
+    return deposit_or_reuse(
+        spark,
+        store_root(),
+        f"dedup_family.{name}",
+        FAMILY_VERSION,
+        dep_ids,
+        builder,
+        COMPUTES,
+        name,
+    )
 
 
 def artifacts(
