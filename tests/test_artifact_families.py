@@ -79,6 +79,35 @@ def test_fingerprint_invalidates_on_cap_change(spark, fresh_store):
     assert fp1 != fp2
 
 
+def test_code_fingerprint_tracks_builder_source():
+    """The effective deposit version folds in a hash of the builder
+    modules' source, so ANY code edit auto-invalidates deposits (the
+    gate can never validate a stale deposit's output)."""
+    from yuki_spark.operators import dedup as dmod
+    from yuki_spark.operators import similarity as smod
+    from yuki_spark.queries.artifact_store import code_fingerprint
+
+    a = code_fingerprint(dmod)
+    assert a == code_fingerprint(dmod)  # stable within a process
+    assert a != code_fingerprint(smod)  # different source, different hash
+    assert a != code_fingerprint(dmod, smod)
+
+
+def test_publish_is_atomic_and_leaves_no_temp(spark, fresh_store):
+    """Deposits are renamed into place whole: after a build the store
+    holds only final-address directories (no -tmp residue), and the
+    deposit's meta records its FINAL address."""
+    import json as _json
+    import os as _os
+
+    dedup_family.clusters08(spark, SF_SMOKE).collect()
+    root = str(fresh_store)
+    entries = sorted(_os.listdir(root))
+    assert entries and not [e for e in entries if "-tmp" in e]
+    meta = _json.load(open(_os.path.join(root, entries[0], "meta.json")))
+    assert meta["impression"] == entries[0]
+
+
 def test_below_deposit_threshold_rejected(spark, fresh_store):
     with pytest.raises(ValueError, match="cannot serve threshold"):
         dedup_family.exact_pairs(spark, SF_SMOKE, 0.5)

@@ -1155,6 +1155,10 @@ def test_impression_export_and_get_file(spark, tmp_path):
     # get_file resolves a bare parquet part basename by search
     part = os.path.basename(store.data_files(imp)[0])
     assert store.get_file(imp, part).endswith(part)
+    # ... and the documented data_files round-trip: a full part path
+    # (absolute, inside the impression dir) resolves to itself
+    full = store.data_files(imp)[0]
+    assert store.get_file(imp, full) == os.path.normpath(full)
     with pytest.raises(FileNotFoundError, match="NOTFOUND"):
         store.get_file(imp, "nope.bin")
     with pytest.raises(FileNotFoundError):

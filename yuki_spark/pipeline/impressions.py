@@ -472,15 +472,17 @@ class ImpressionStore:
         FileNotFoundError (the route's NOTFOUND) when absent.
 
         Traversal-safe, like the reference's ``send_from_directory``:
-        an absolute ``filename`` or one whose normalized join escapes
-        the impression directory ('../…') is rejected as NOTFOUND
-        rather than resolving a path outside the store."""
+        a ``filename`` whose normalized resolution escapes the
+        impression directory ('../…', or an absolute path outside it)
+        is rejected as NOTFOUND rather than resolving outside the
+        store. An absolute path that IS inside the impression
+        directory still resolves — :meth:`data_files` returns
+        absolute part paths and this method documents accepting
+        them."""
         base = os.path.abspath(self._dir(imp_id))
-        if os.path.isabs(filename):
-            raise FileNotFoundError(
-                f"impression {imp_id}: absolute filename {filename!r} (NOTFOUND)"
-            )
-        cand = os.path.normpath(os.path.join(base, filename))
+        cand = os.path.normpath(
+            filename if os.path.isabs(filename) else os.path.join(base, filename)
+        )
         if os.path.commonpath([base, cand]) != base:
             raise FileNotFoundError(
                 f"impression {imp_id}: {filename!r} escapes the impression "

@@ -54,9 +54,14 @@ from pyspark.sql import functions as F
 
 from ..catalog import load, table_rows
 from ..operators import dedup
-from .artifact_store import deposit_or_reuse, table_fingerprint
+from .artifact_store import code_fingerprint, deposit_or_reuse, table_fingerprint
 
-FAMILY_VERSION = "r6-1"  # bump on any semantic change to a builder below
+# The effective version folds in a hash of the builder code (this
+# module + operators/dedup.py): any edit auto-invalidates deposits, so
+# the correctness gates can never validate a stale deposit's output
+# after a code change. FAMILY_VERSION remains for deliberate semantic
+# bumps that don't change these two files (e.g. a constant moved).
+FAMILY_VERSION = "r6-1"
 PAIR_THRESHOLD = 0.8  # the one exact-pairs run; 0.95 consumers filter it
 
 # artifact name -> number of times this process actually COMPUTED it
@@ -87,11 +92,16 @@ def _artifact(
     """Deposit-or-reuse one family artifact (see
     artifact_store.deposit_or_reuse for the locking / degraded-disk
     contract)."""
+    import sys
+
+    version = FAMILY_VERSION + "+" + code_fingerprint(
+        sys.modules[__name__], dedup
+    )
     return deposit_or_reuse(
         spark,
         store_root(),
         f"dedup_family.{name}",
-        FAMILY_VERSION,
+        version,
         dep_ids,
         builder,
         COMPUTES,

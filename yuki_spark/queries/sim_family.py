@@ -34,9 +34,11 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .artifact_store import deposit_or_reuse, table_fingerprint
+from .artifact_store import code_fingerprint, deposit_or_reuse, table_fingerprint
 
-SIM_VERSION = "r6-1"  # bump on any semantic change to a builder
+# Effective version folds in a code hash of this module +
+# operators/similarity.py (see dedup_family for the rationale).
+SIM_VERSION = "r6-1"
 
 COMPUTES: dict[str, int] = {}
 
@@ -58,12 +60,19 @@ def result(
     """Deposit-or-reuse one ANN result table for this corpus+params.
     Returns the UNORDERED deposit read — callers re-apply their
     operator's output ordering."""
+    import sys
+
+    from ..operators import similarity
+
     fp = table_fingerprint(sf_dir, "embeddings", {"params": params})
+    version = SIM_VERSION + "+" + code_fingerprint(
+        sys.modules[__name__], similarity
+    )
     df, _ = deposit_or_reuse(
         spark,
         store_root(),
         f"sim_family.{name}",
-        SIM_VERSION,
+        version,
         [fp],
         builder,
         COMPUTES,

@@ -92,20 +92,23 @@ def session_profile(spark: SparkSession, conf: dict[str, str]):
     block, restoring every key afterwards (unset keys are restored by
     unsetting — same discipline as the backends' per-task conf)."""
     prev: dict[str, str | None] = {}
-    for k, v in conf.items():
-        try:
-            prev[k] = spark.conf.get(k)
-        except Exception:  # noqa: BLE001 — key unset in this session
-            prev[k] = None
-        spark.conf.set(k, v)
     try:
+        # application runs INSIDE the try: if a mid-loop set raises
+        # (e.g. a static conf), the keys applied so far are restored
+        # by the finally instead of leaking onto the live session
+        for k, v in conf.items():
+            try:
+                prev[k] = spark.conf.get(k)
+            except Exception:  # noqa: BLE001 — key unset in this session
+                prev[k] = None
+            spark.conf.set(k, v)
         yield spark
     finally:
         for k, old in prev.items():
-            if old is None:
-                try:
+            try:
+                if old is None:
                     spark.conf.unset(k)
-                except Exception:  # noqa: BLE001 — static conf; leave it
-                    pass
-            else:
-                spark.conf.set(k, old)
+                else:
+                    spark.conf.set(k, old)
+            except Exception:  # noqa: BLE001 — static conf: restore the
+                pass  # rest; never mask the body's exception
