@@ -21,21 +21,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Insertion order is gate order (the driver caps its sweep at 50 rows).
 # Round-6 rotation (the r5 verdict's staleness rule: no key's driver
-# row older than 2 rounds): the one NEW key (s12) plus the two
-# machinery-changed keys whose driver row matters most (d33's rewired
-# leakage audit, d11's deposit-backed clustering) lead, then ALL 47
-# keys whose last driver row is r3 — the whole tpch/window/setops
-# family, the r3 events keys, and d25. That fills the 50 slots
-# exactly. The other deposit-rewired keys (d2/d3/d20) produce
-# bit-identical output to their r5-green rows by construction and are
-# covered by tests/test_oracle_parity.py; they queue right after the
-# cap for the next sweep.
+# row older than 2 rounds): the two NEW keys (s12/s13 — never
+# driver-validated) plus the machinery-changed key whose driver row
+# matters most (d33's rewired leakage audit — r5's cost-spike flag)
+# lead, then ALL 47 keys whose last driver row is r3 — the whole
+# tpch/window/setops family, the r3 events keys, and d25. That fills
+# the 50 slots exactly. The other deposit-rewired keys
+# (d2/d3/d11/d20) produce bit-identical output to their r5-green rows
+# by construction and are covered by tests/test_oracle_parity.py;
+# they queue right after the cap for the next sweep.
 _PRIORITY = [
     # new this round
     "s12_graph_recall",
+    "s13_matryoshka_recall",
     # machinery changed this round (shared dedup-family deposits)
     "d33_split_leakage",
-    "d11_dedup_clusters",
     # the 47 r3-stamped keys (driver row 3 rounds old) — tpch/window/
     # setops family ...
     "q1_pricing_summary",
@@ -91,6 +91,7 @@ _PRIORITY = [
     # deposit-rewired keys with bit-identical output vs their r5 rows
     "d2_ngram_jaccard_dups",
     "d3_minhash_lsh_dups",
+    "d11_dedup_clusters",
     "d20_dedup_apply",
     # r5-green rows, freshest last
     "d31_token_surprisal",

@@ -306,6 +306,65 @@ def s12_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MRL_DIMS = 16  # truncated-prefix width for the Matryoshka evaluation
+
+
+def s13_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-dimension retrieval evaluation (Matryoshka-style,
+    Kusupati et al. 2022): score the same nq=20 cohort with only the
+    FIRST 16 of 64 embedding dimensions and report per-vector
+    recall@k against the full-dimension truth — the measurement that
+    decides whether short-prefix vectors can serve as a cheap
+    first-pass filter at 100 TB (4× less memory bandwidth and ADC
+    work per candidate). On the synthetic corpus — i.i.d. dimensions,
+    no Matryoshka-trained front-loading — the honest answer is "no"
+    (mean recall ~0.03 at sf0.01); on MRL-trained embeddings the same
+    measurement is what clears the prefix for production use. Same
+    exact-int scoring discipline as s1
+    (the truncated corpus is just ``slice(embedding, 1, 16)``), same
+    per-vector binding shape as s12; both inputs are sim_family
+    deposits (exact20 + the truncated top-k)."""
+    from pyspark.sql import functions as F
+
+    nq = ANN_NQ
+    exact = _exact20(spark, sf_dir).select("qid", "cid")
+
+    def trunc_builder() -> DataFrame:
+        emb = load(spark, sf_dir, "embeddings").withColumn(
+            "embedding", F.slice("embedding", 1, MRL_DIMS)
+        )
+        return similarity.cosine_topk(emb, k=K, n_queries=nq)
+
+    t = (
+        sim_family.result(
+            spark,
+            sf_dir,
+            "trunc20",
+            {"k": K, "nq": nq, "dims": MRL_DIMS},
+            trunc_builder,
+        )
+        .select("qid", "cid")
+    )
+    inter = exact.join(t, ["qid", "cid"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    return (
+        exact.select("qid")
+        .distinct()
+        .join(inter, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            F.lit(K).cast("bigint").alias("n_possible"),
+            (
+                F.coalesce(F.col("hits"), F.lit(0)).cast("double")
+                / F.lit(float(K))
+            ).alias("recall"),
+        )
+        .orderBy("qid")
+    )
+
+
 SEMDEDUP_THRESHOLD = 0.3
 
 
@@ -328,6 +387,7 @@ QUERIES = {
     "s10_cluster_balance": s10_cluster_balance,
     "s11_knn_graph": s11_knn_graph,
     "s12_graph_recall": s12_graph_recall,
+    "s13_matryoshka_recall": s13_matryoshka_recall,
     "s5_quantize_error": s5_quantize_error,
     "s7_semdedup": s7_semdedup,
     "d9_embedding_neardup": d9_embedding_neardup,
@@ -455,6 +515,54 @@ def _s3_oracle() -> str:
           FROM scored)
         WHERE rk <= {K}
         ORDER BY qid, rk
+    """
+
+
+def _s1_sql_dims(nq: int, dims: int) -> str:
+    """Brute-force top-k twin over the FIRST ``dims`` dimensions —
+    the truncated-prefix scorer s13 evaluates (identical exact-int
+    scaling/dot as _s1_sql, just a shorter list)."""
+    scaled = (
+        f"list_transform(list_slice(embedding, 1, {dims}),"
+        " x -> CAST(floor(CAST(x AS DOUBLE) * 16777216.0) AS BIGINT))"
+    )
+    dot = (
+        f"list_reduce(list_transform(range(1, {dims + 1}),"
+        " i -> {a}[i] * {b}[i]), (acc, x) -> acc + x)"
+    )
+    return f"""
+        WITH tbase AS (
+          SELECT vec_id, {scaled} AS sv FROM embeddings),
+        tnormed AS (
+          SELECT vec_id, sv, {dot.format(a='sv', b='sv')} AS nrm FROM tbase),
+        tscored AS (
+          SELECT q.vec_id AS qid, c.vec_id AS cid,
+                 round(CAST({dot.format(a='q.sv', b='c.sv')} AS DOUBLE)
+                   / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))), 9) AS cosine
+          FROM tnormed q JOIN tnormed c ON q.vec_id < {nq} AND q.vec_id <> c.vec_id)
+        SELECT qid, rk, cid, cosine FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS BIGINT) AS rk
+          FROM tscored)
+        WHERE rk <= {K}
+        ORDER BY qid, rk
+    """
+
+
+def _s13_oracle() -> str:
+    """Twin of s13_matryoshka_recall: full-dim exact top-k LEFT JOIN
+    the 16-dim-prefix top-k, per-vector hit counts — the s12 harness
+    shape with the truncated scorer in place of the graph."""
+    nq = 20
+    return f"""
+        WITH exact AS ({_s1_sql(nq)}),
+        tq AS ({_s1_sql_dims(nq, MRL_DIMS)}),
+        hits AS (
+          SELECT e.qid, CAST(COUNT(t.cid) AS BIGINT) AS n_hits
+          FROM exact e LEFT JOIN tq t ON t.qid = e.qid AND t.cid = e.cid
+          GROUP BY e.qid)
+        SELECT qid, n_hits, CAST({K} AS BIGINT) AS n_possible,
+               CAST(n_hits AS DOUBLE) / CAST({K} AS DOUBLE) AS recall
+        FROM hits ORDER BY qid
     """
 
 
@@ -854,6 +962,7 @@ def build_oracle() -> dict[str, str]:
             "s10_cluster_balance": _s10_oracle(),
             "s11_knn_graph": _s11_oracle(),
             "s12_graph_recall": _s12_oracle(),
+            "s13_matryoshka_recall": _s13_oracle(),
             "s6_ann_recall": _s6_oracle(),
         }
     )
