@@ -27,7 +27,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # lead, then ALL 47 keys whose last driver row is r3 — the whole
 # tpch/window/setops family, the r3 events keys, and d25. That fills
 # the 50 slots exactly. The other deposit-rewired keys
-# (d2/d3/d11/d20) produce bit-identical output to their r5-green rows
+# (d2/d3/d4/d11/d20) produce bit-identical output to their r5-green rows
 # by construction and are covered by tests/test_oracle_parity.py;
 # they queue right after the cap for the next sweep.
 _PRIORITY = [

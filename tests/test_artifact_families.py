@@ -79,6 +79,38 @@ def test_fingerprint_invalidates_on_cap_change(spark, fresh_store):
     assert fp1 != fp2
 
 
+def test_simhash_collapse_matches_direct_with_empty_docs(spark):
+    """The d4 collapse on a corpus with duplicate sets AND empty docs:
+    equal token sets share a fingerprint (reps stand in), and the two
+    empty docs pair at Hamming 0 through the empty-set group exactly
+    as the direct path pairs them (both fingerprint to 0)."""
+    rows = [
+        (0, "a b c"),
+        (1, "a b c"),
+        (2, ""),
+        (3, "   "),
+        (4, "a b d"),
+        (5, "x y z"),
+        (6, "c b a"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    direct = _sorted_rows(dedup.simhash_pairs(docs, 3), "doc_a", "doc_b")
+    g = dedup.set_groups(docs)
+    rp = dedup.simhash_pairs_from(
+        dedup.token_sets(dedup._rep_docs(docs, g)), 3
+    )
+    collapsed = _sorted_rows(
+        dedup.expand_rep_simhash_pairs(rp, g), "doc_a", "doc_b"
+    )
+    assert collapsed == direct
+    assert (2, 3, 0) in [(a, b, h) for a, b, h in collapsed]  # empty pair
+
+    # and the deposit-backed query path matches the direct operator
+    assert _sorted_rows(
+        dedup_family.simhash_pairs3(spark, SF_SMOKE), "doc_a", "doc_b"
+    ) == _sorted_rows(dedup.simhash_pairs(_docs(spark), 3), "doc_a", "doc_b")
+
+
 def test_code_fingerprint_tracks_builder_source():
     """The effective deposit version folds in a hash of the builder
     modules' source, so ANY code edit auto-invalidates deposits (the

@@ -449,6 +449,40 @@ def _expand_rep_pairs(rp: DataFrame, g: DataFrame) -> DataFrame:
 expand_rep_pairs = _expand_rep_pairs
 
 
+def expand_rep_simhash_pairs(rp: DataFrame, g: DataFrame) -> DataFrame:
+    """Expand verified representative SIMHASH pairs back to member
+    pairs — :func:`_expand_rep_pairs`' shape with two deliberate
+    differences that match :func:`simhash_pairs`' semantics exactly:
+    the carried value is the Hamming distance (equal token sets have
+    equal fingerprints, so every member pair of a rep pair shares its
+    reps' distance), and intra-group pairs emit at Hamming 0 for ALL
+    groups of ≥2 members INCLUDING the empty-set group — two empty
+    docs both fingerprint to 0 and co-bucket, so the direct path
+    pairs them (unlike Jaccard, where 0/0 excludes empty pairs)."""
+    m_a = g.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("a"))
+    m_b = g.select(F.col("rep").alias("doc_b"), F.col("doc_id").alias("b"))
+    cross = (
+        rp.join(m_a, "doc_a")
+        .join(m_b, "doc_b")
+        .select(
+            F.least("a", "b").alias("doc_a"),
+            F.greatest("a", "b").alias("doc_b"),
+            "hamming",
+        )
+    )
+    intra = (
+        g.alias("x")
+        .join(g.alias("y"), "rep")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.unionByName(intra)
+
+
 def minhash_lsh_pairs_collapsed(
     docs: DataFrame, threshold: float = 0.8
 ) -> DataFrame:
@@ -624,7 +658,13 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     Token hashes are the portable 60-bit md5 hash (not xxhash64) so
     the DuckDB oracle can recompute identical fingerprints.
     """
-    ts = token_sets(docs)
+    return simhash_pairs_from(token_sets(docs), max_hamming)
+
+
+def simhash_pairs_from(ts: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """:func:`simhash_pairs` over a precomputed token-set table —
+    lets callers holding a PERSISTED token-set artifact (queries/
+    dedup_family.py) skip re-tokenizing the corpus."""
     sh = ts.select(
         "doc_id",
         _simhash64(F.transform("toks", portable_hash60)).alias("sh"),

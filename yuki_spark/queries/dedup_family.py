@@ -119,12 +119,12 @@ def artifacts(
     but it keeps e.g. a first d33 run from paying d3's band/LSH pass
     (measured sf0.1: whole family cold 29.6 s; the exact-pairs chain
     alone ~22 s)."""
-    want = set(need) or {"rep_lsh95", "rep_clusters08"}
+    want = set(need) or {"rep_lsh95", "rep_clusters08", "rep_simhash3"}
     if "rep_lsh95" in want:
         want.update(("rep_bands", "rep_ts", "groups"))
     if "rep_clusters08" in want:
         want.update(("rep_pairs08",))
-    if "rep_bands" in want or "rep_pairs08" in want:
+    if "rep_bands" in want or "rep_pairs08" in want or "rep_simhash3" in want:
         want.update(("rep_ts", "groups"))
     cap = table_rows(sf_dir, "documents")
     fp = corpus_fingerprint(sf_dir, cap)
@@ -170,6 +170,13 @@ def artifacts(
                 [fp, rts_id, rbands_id],
                 lambda: dedup.minhash_pairs_from(rts, rbands, 0.95),
             )
+    if "rep_simhash3" in want:
+        out["rep_simhash3"], _ = _artifact(
+            spark,
+            "rep_simhash3",
+            [fp, rts_id],
+            lambda: dedup.simhash_pairs_from(rts, max_hamming=3),
+        )
     return out
 
 
@@ -201,6 +208,17 @@ def lsh_pairs95(spark: SparkSession, sf_dir: str) -> DataFrame:
     members in every band)."""
     a = artifacts(spark, sf_dir, need=("rep_lsh95",))
     return dedup.expand_rep_pairs(a["rep_lsh95"], a["groups"])
+
+
+def simhash_pairs3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d4's SimHash pairs (Hamming ≤ 3) from the shared deposits —
+    bit-identical to ``dedup.simhash_pairs(docs, 3)``: equal token
+    sets have equal fingerprints, so reps stand in for members
+    (:func:`dedup.expand_rep_simhash_pairs` carries the rep Hamming
+    to every member pair and emits intra-group pairs at Hamming 0,
+    empty-set group included — matching the direct path exactly)."""
+    a = artifacts(spark, sf_dir, need=("rep_simhash3",))
+    return dedup.expand_rep_simhash_pairs(a["rep_simhash3"], a["groups"])
 
 
 def clusters08(spark: SparkSession, sf_dir: str) -> DataFrame:

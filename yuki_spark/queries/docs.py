@@ -68,8 +68,10 @@ def d3_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def d4_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < doc_cap(sf_dir))
-    return dedup.simhash_pairs(docs, max_hamming=3).orderBy("doc_a", "doc_b")
+    """SimHash near-dup pairs (Hamming ≤ 3) from the SHARED family
+    deposits — set-collapsed since r6 (equal token sets have equal
+    fingerprints), bit-identical to ``dedup.simhash_pairs(docs, 3)``."""
+    return dedup_family.simhash_pairs3(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 def d5_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
