@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 import os
 
 from ..catalog import load, table_rows
-from ..functions import DEC, sql_portable_hash60
+from ..functions import DEC, portable_hash60, sql_portable_hash60
 from ..operators import dedup, multimodal, sampling, text
 from . import dedup_family
 
@@ -798,6 +798,125 @@ def d23_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# RAG chunking geometry: 24-token windows on a 16-token stride (8-token
+# overlap). Stride ≤ window guarantees every token is covered, so
+# chunk_tokens − doc_tokens is EXACTLY the duplicated-coverage overhead
+# a retrieval index pays for the overlap.
+CHUNK_W, CHUNK_S = 24, 16
+_HASH_MOD = 1_000_000_007  # keeps the per-source hash sum inside int64
+
+
+def d34_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunk preparation: fixed-size sliding-window chunks
+    (``CHUNK_W`` tokens at stride ``CHUNK_S``), rolled up per source
+    with the chunk count, exact token accounting (total chunk tokens
+    and the overlap overhead vs raw doc tokens), and three content
+    pins — min/max chunk md5 plus a modular sum of every chunk's
+    portable 60-bit hash — so the oracle verifies the exact chunk
+    *strings*, not just their counts. Distinct from d18 (greedy packing
+    to a budget): chunking preserves locality with overlap, the shape a
+    retrieval index ingests.
+
+    Scale shape: map-only explode (⌈n/stride⌉ chunks per doc, bounded
+    fan-out), ONE hash-agg per source plus a broadcast-sized join with
+    the per-source token totals — no pair work, no skew surface beyond
+    the source rollup."""
+    t = text.with_tokens(load(spark, sf_dir, "documents"))
+    chunks = F.expr(
+        f"transform(sequence(1, cast(n_tokens as int), {CHUNK_S}),"
+        f" i -> struct(array_join(slice(toks, i, {CHUNK_W}), ' ') AS chunk,"
+        f" cast(least({CHUNK_W}, cast(n_tokens as int) - i + 1) as bigint)"
+        f" AS nct))"
+    )
+    c = t.select("doc_id", "source", F.explode(chunks).alias("c")).select(
+        "doc_id", "source", "c.chunk", "c.nct"
+    )
+    per_src = c.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("nct").alias("chunk_tokens"),
+        F.min(F.md5("chunk")).alias("chunk_md5_min"),
+        F.max(F.md5("chunk")).alias("chunk_md5_max"),
+        F.sum(portable_hash60(F.col("chunk")) % F.lit(_HASH_MOD)).alias(
+            "chunk_hash_sum"
+        ),
+    )
+    doc_tok = t.groupBy("source").agg(F.sum("n_tokens").alias("doc_tokens"))
+    return (
+        per_src.join(doc_tok, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_chunks",
+            "chunk_tokens",
+            (F.col("chunk_tokens") - F.col("doc_tokens")).alias("overlap_tokens"),
+            "chunk_md5_min",
+            "chunk_md5_max",
+            "chunk_hash_sum",
+        )
+        .orderBy("source")
+    )
+
+
+# Conditional-probability rarity tiers: a bigram (a, b) is "rare" when
+# p(b|a) < 1/16 and "very rare" when p(b|a) < 1/256, with the corpus as
+# its own LM. Cross-multiplied exact-integer compares (16·c(ab) < c(a·))
+# — no float probability, no log, nothing an engine can round apart.
+BG_RARE_DEN, BG_VRARE_DEN = 16, 256
+
+
+def d35_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency filter (the exact-arithmetic analogue of the
+    CCNet/KenLM perplexity gate, conditional where d31's unigram
+    surprisal is marginal): score every adjacent token pair by its
+    corpus conditional probability p(b|a) = c(ab)/c(a·), count the
+    rare (< 1/16) and very-rare (< 1/256) transitions per document,
+    and roll up per source with the count of docs whose majority of
+    transitions are rare — the "disfluent doc" flag a quality pipeline
+    drops.
+
+    Scale shape: one explode to bigram occurrences, one hash-agg for
+    bigram counts (map-side combine), a tiny context-count agg derived
+    FROM the bigram counts (never re-scans occurrences), two keyed
+    equi-joins back (SMJ-able at any scale — no broadcast of
+    corpus-sized sides), then doc- and source-level hash-aggs. The
+    same two-aggregation profile as d19/d22; no pair machinery."""
+    bg = text.with_tokens(load(spark, sf_dir, "documents")).select(
+        "doc_id", "source", F.explode(text._zip_ngrams("toks", 2)).alias("bigram")
+    )
+    c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("ct2"))
+    c1 = c2.groupBy(F.substring_index("bigram", " ", 1).alias("ctx")).agg(
+        F.sum("ct2").alias("ct1")
+    )
+    scored = (
+        bg.join(c2, "bigram")
+        .withColumn("ctx", F.substring_index("bigram", " ", 1))
+        .join(c1, "ctx")
+    )
+    rare = F.when(F.lit(BG_RARE_DEN) * F.col("ct2") < F.col("ct1"), 1).otherwise(0)
+    vrare = F.when(F.lit(BG_VRARE_DEN) * F.col("ct2") < F.col("ct1"), 1).otherwise(0)
+    per_doc = scored.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_bg"),
+        F.sum(rare).cast("bigint").alias("n_rare"),
+        F.sum(vrare).cast("bigint").alias("n_vrare"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bg").alias("n_bigrams"),
+            F.sum("n_rare").alias("n_rare"),
+            F.sum("n_vrare").alias("n_vrare"),
+            F.sum(
+                F.when(F.lit(2) * F.col("n_rare") > F.col("n_bg"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_flagged"),
+        )
+        .orderBy("source")
+    )
+
+
 def m1_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < FP_CAP)
     return multimodal.extract_features(multimodal.synth_media(docs)).orderBy("doc_id")
@@ -1033,6 +1152,8 @@ QUERIES = {
     "d1_exact_dedup": d1_exact_dedup,
     "d22_dup_spans": d22_dup_spans,
     "d23_gopher_filter": d23_gopher_filter,
+    "d34_rag_chunking": d34_rag_chunking,
+    "d35_bigram_rarity": d35_bigram_rarity,
     "d2_ngram_jaccard_dups": d2_ngram_jaccard_dups,
     "d3_minhash_lsh_dups": d3_minhash_lsh_dups,
     "d4_simhash_dups": d4_simhash_dups,
