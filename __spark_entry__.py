@@ -20,24 +20,91 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Insertion order is gate order (the driver caps its sweep at 50 rows).
-# Round-6 rotation (the r5 verdict's staleness rule: no key's driver
-# row older than 2 rounds): the two NEW keys (s12/s13 — never
-# driver-validated) plus the machinery-changed key whose driver row
-# matters most (d33's rewired leakage audit — r5's cost-spike flag)
-# lead, then ALL 47 keys whose last driver row is r3 — the whole
-# tpch/window/setops family, the r3 events keys, and d25. That fills
-# the 50 slots exactly. The other deposit-rewired keys
-# (d2/d3/d4/d11/d20) produce bit-identical output to their r5-green rows
-# by construction and are covered by tests/test_oracle_parity.py;
-# they queue right after the cap for the next sweep.
+# Round-7 rotation (staleness rule: no key's driver row older than 2
+# rounds): d34/d35 lead — they gained DuckDB oracle twins this round
+# and have never had a driver hash row — followed by every key whose
+# machinery was rewired onto shared deposits in round 6 AFTER the r6
+# sweep ran (the dedup family d4/d2/d3/d11/d20 and the sim family
+# s3/s4/s8/s11/s6), then the r4-stamped stragglers (d7..d23, s1) and
+# the rest of the r5-stamped docs/sim keys. That fills the 50 slots.
+# The 13 r5-stamped events keys (code untouched since r5) queue right
+# after the cap; the 50 keys the r6 sweep just validated come last,
+# freshest rows at the bottom.
 _PRIORITY = [
-    # new this round
+    # new oracle twins this round (never driver-hash-validated)
+    "d34_rag_chunking",
+    "d35_bigram_rarity",
+    # deposit-rewired in r6 after that round's sweep: dedup family ...
+    "d4_simhash_dups",
+    "d2_ngram_jaccard_dups",
+    "d3_minhash_lsh_dups",
+    "d11_dedup_clusters",
+    "d20_dedup_apply",
+    # ... r4-stamped stragglers (oldest driver rows on the board) ...
+    "d7_token_stats",
+    "d8_fingerprint",
+    "d10_winnow_fingerprint",
+    "d12_subword_stats",
+    "d16_repetition",
+    "d17_contamination",
+    "d18_sequence_packing",
+    "d19_tfidf_top_terms",
+    "d21_corpus_split",
+    "d22_dup_spans",
+    "d23_gopher_filter",
+    "s1_cosine_topk",
+    # ... and the r6 deposit-rewired sim family
+    "s3_lsh_ann",
+    "s4_ivf_ann",
+    "s8_pq_ann",
+    "s11_knn_graph",
+    "s6_ann_recall",
+    # r5-stamped sim/docs keys
+    "s2_label_centroids",
+    "s5_quantize_error",
+    "s7_semdedup",
+    "s9_kmeans_refine",
+    "s10_cluster_balance",
+    "d9_embedding_neardup",
+    "d1_exact_dedup",
+    "d5_lang_id",
+    "d6_quality_score",
+    "d13_hash_sample",
+    "d14_stratified_sample",
+    "d15_profile",
+    "d24_weighted_sample",
+    "d26_quality_buckets",
+    "d27_bloom_contamination",
+    "d28_token_zipf",
+    "d29_dsir_weights",
+    "d30_oov_rate",
+    "d31_token_surprisal",
+    "d32_doc_entropy",
+    "p1_pii_scan",
+    "m1_multimodal_meta",
+    "m2_resize_framesample",
+    "m3_audio_windows",
+    "q23_skyline_parts",
+    "dq1_constraint_report",
+    # --- 50-slot cap lands here ---
+    # r5-stamped events keys (code untouched since r5 — lowest risk)
+    "e2_sessionization",
+    "e3_hourly_rollup",
+    "e4_user_asof_value",
+    "e5_funnel",
+    "e7_value_percentiles_approx",
+    "e12_heavy_hitters",
+    "e18_rolling_active_users",
+    "e19_gap_fill",
+    "e20_mad_outliers",
+    "e21_cusum_drift",
+    "e22_psi_drift",
+    "e23_seasonal_anomaly",
+    "distinct_users_daily",
+    # validated by the r6 sweep, freshest rows last
     "s12_graph_recall",
     "s13_matryoshka_recall",
-    # machinery changed this round (shared dedup-family deposits)
     "d33_split_leakage",
-    # the 47 r3-stamped keys (driver row 3 rounds old) — tpch/window/
-    # setops family ...
     "q1_pricing_summary",
     "q2_min_cost_supplier",
     "q3_shipping_priority",
@@ -74,7 +141,6 @@ _PRIORITY = [
     "sql1_revenue_by_nation",
     "setops_customer_activity",
     "setops_multiset_except",
-    # ... the r3 events keys ...
     "e1_event_counts",
     "e6_value_percentiles",
     "e8_error_window_stats",
@@ -85,72 +151,7 @@ _PRIORITY = [
     "e15_retention_cohorts",
     "e16_event_transitions",
     "e17_session_window_stats",
-    # ... and the r3 docs key
     "d25_domain_mix",
-    # --- 50-slot cap lands here ---
-    # deposit-rewired keys with bit-identical output vs their r5 rows
-    "d2_ngram_jaccard_dups",
-    "d3_minhash_lsh_dups",
-    "d11_dedup_clusters",
-    "d20_dedup_apply",
-    # r5-green rows, freshest last
-    "d31_token_surprisal",
-    "d32_doc_entropy",
-    "e22_psi_drift",
-    "e23_seasonal_anomaly",
-    "d24_weighted_sample",
-    "d4_simhash_dups",
-    "q23_skyline_parts",
-    "m1_multimodal_meta",
-    "m2_resize_framesample",
-    "m3_audio_windows",
-    "s3_lsh_ann",
-    "s11_knn_graph",
-    "s2_label_centroids",
-    "s5_quantize_error",
-    "e21_cusum_drift",
-    "d29_dsir_weights",
-    "s10_cluster_balance",
-    "dq1_constraint_report",
-    "d30_oov_rate",
-    "d9_embedding_neardup",
-    "s4_ivf_ann",
-    "s6_ann_recall",
-    "e7_value_percentiles_approx",
-    "e12_heavy_hitters",
-    "d13_hash_sample",
-    "d14_stratified_sample",
-    "d15_profile",
-    "p1_pii_scan",
-    "d26_quality_buckets",
-    "e18_rolling_active_users",
-    "e19_gap_fill",
-    "e20_mad_outliers",
-    "d27_bloom_contamination",
-    "s8_pq_ann",
-    "s9_kmeans_refine",
-    "d28_token_zipf",
-    "s7_semdedup",
-    "distinct_users_daily",
-    "e2_sessionization",
-    "e3_hourly_rollup",
-    "e4_user_asof_value",
-    "e5_funnel",
-    "d1_exact_dedup",
-    "d5_lang_id",
-    "d6_quality_score",
-    "d7_token_stats",
-    "d8_fingerprint",
-    "d10_winnow_fingerprint",
-    "d12_subword_stats",
-    "d16_repetition",
-    "d17_contamination",
-    "d18_sequence_packing",
-    "d19_tfidf_top_terms",
-    "d21_corpus_split",
-    "d22_dup_spans",
-    "d23_gopher_filter",
-    "s1_cosine_topk",
 ]
 
 

@@ -26,6 +26,7 @@ import inspect
 import json
 import os
 import shutil
+import tempfile
 import threading
 from collections.abc import Callable
 from typing import Any
@@ -36,6 +37,29 @@ from ..catalog import table_path
 from ..pipeline.impressions import ImpressionStore, impression_id
 
 _build_lock = threading.Lock()
+
+
+def default_store_root(env_var: str, name: str) -> str | None:
+    """Default on-disk root for a query-artifact family. An explicit
+    ``env_var`` override is honored verbatim (the operator's choice —
+    on a cluster this points at a shared filesystem). The fallback
+    temp-dir path is uid-suffixed and created mode 0700 so another
+    local user can neither pre-create it nor plant deposits at
+    predictable content addresses; if the path exists but is not
+    exclusively ours, returns None — deposit_or_reuse then runs
+    store-less (compute-always), trading reuse for integrity."""
+    env = os.environ.get(env_var)
+    if env:
+        return env
+    root = os.path.join(tempfile.gettempdir(), f"{name}-{os.getuid()}")
+    try:
+        os.makedirs(root, mode=0o700, exist_ok=True)
+        st = os.stat(root)
+        if st.st_uid != os.getuid() or (st.st_mode & 0o077):
+            return None
+    except OSError:
+        return None
+    return root
 
 
 def code_fingerprint(*modules) -> str:
@@ -54,25 +78,53 @@ def code_fingerprint(*modules) -> str:
     return h.hexdigest()[:16]
 
 
+_PROBE_BYTES = 4096
+
+
+def _tail_probe(full: str, size: int) -> str:
+    """Hash of a file's last ``_PROBE_BYTES`` — for a parquet part this
+    spans the footer (row counts, column stats, page offsets), so
+    regenerated content is caught even when size and mtime collide
+    (coarse 1 s mtime filesystems). One seek+read, no data scan."""
+    with open(full, "rb") as f:
+        if size > _PROBE_BYTES:
+            f.seek(-_PROBE_BYTES, os.SEEK_END)
+        return hashlib.sha256(f.read(_PROBE_BYTES)).hexdigest()[:16]
+
+
 def table_fingerprint(sf_dir: str, table: str, extra: Any = None) -> str:
     """Identity of one catalog table (plus caller parameters): part-
-    file relpaths, byte sizes and mtimes (ns) — cheap (no data read)
-    and strict enough that regenerated bytes at the same path get a
-    new address. ``extra`` folds in whatever parameters shape the
-    artifact (caps, k, probe counts)."""
+    file relpaths, byte sizes, mtimes (ns) AND a footer-tail content
+    probe — cheap (no data scan) and strict enough that regenerated
+    bytes at the same path get a new address even on filesystems whose
+    mtime granularity is too coarse to tell rewrites apart. ``extra``
+    folds in whatever parameters shape the artifact (caps, k, probe
+    counts)."""
     path = table_path(sf_dir, table)
-    ents: list[tuple[str, int, int]] = []
+    ents: list[tuple[str, int, int, str]] = []
     if os.path.isdir(path):
         for dirpath, _dirs, files in sorted(os.walk(path)):
             for fn in sorted(files):
                 full = os.path.join(dirpath, fn)
                 st = os.stat(full)
                 ents.append(
-                    (os.path.relpath(full, path), st.st_size, st.st_mtime_ns)
+                    (
+                        os.path.relpath(full, path),
+                        st.st_size,
+                        st.st_mtime_ns,
+                        _tail_probe(full, st.st_size),
+                    )
                 )
     else:
         st = os.stat(path)
-        ents.append((os.path.basename(path), st.st_size, st.st_mtime_ns))
+        ents.append(
+            (
+                os.path.basename(path),
+                st.st_size,
+                st.st_mtime_ns,
+                _tail_probe(path, st.st_size),
+            )
+        )
     payload = json.dumps(
         {"root": os.path.realpath(path), "files": ents, "extra": extra},
         sort_keys=True,
@@ -82,7 +134,7 @@ def table_fingerprint(sf_dir: str, table: str, extra: Any = None) -> str:
 
 def deposit_or_reuse(
     spark: SparkSession,
-    root: str,
+    root: str | None,
     key: str,
     version: str,
     dep_ids: list[str],
@@ -110,7 +162,7 @@ def deposit_or_reuse(
     imp = impression_id(key, version, dep_ids)
     store: ImpressionStore | None
     try:
-        store = ImpressionStore(root)
+        store = ImpressionStore(root) if root is not None else None
     except OSError:
         store = None
     if store is not None and store.exists(imp):

@@ -45,8 +45,6 @@ filesystem path).
 """
 from __future__ import annotations
 
-import os
-import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -54,7 +52,12 @@ from pyspark.sql import functions as F
 
 from ..catalog import load, table_rows
 from ..operators import dedup
-from .artifact_store import code_fingerprint, deposit_or_reuse, table_fingerprint
+from .artifact_store import (
+    code_fingerprint,
+    default_store_root,
+    deposit_or_reuse,
+    table_fingerprint,
+)
 
 # The effective version folds in a hash of the builder code (this
 # module + operators/dedup.py): any edit auto-invalidates deposits, so
@@ -70,11 +73,8 @@ PAIR_THRESHOLD = 0.8  # the one exact-pairs run; 0.95 consumers filter it
 COMPUTES: dict[str, int] = {}
 
 
-def store_root() -> str:
-    return os.environ.get(
-        "YUKI_SPARK_DEDUP_STORE",
-        os.path.join(tempfile.gettempdir(), "yuki_spark-dedup-family"),
-    )
+def store_root() -> str | None:
+    return default_store_root("YUKI_SPARK_DEDUP_STORE", "yuki_spark-dedup-family")
 
 
 def corpus_fingerprint(sf_dir: str, cap: int) -> str:
@@ -94,8 +94,15 @@ def _artifact(
     contract)."""
     import sys
 
+    from .. import functions as fns
+    from ..operators import text as text_mod
+
+    # operators/dedup.py builds on functions.tokens/portable_hash60 and
+    # operators/text's tokenizer — fold those transitive deps into the
+    # address too, so an edit to tokenization invalidates every deposit
+    # derived from it (the gates must never validate a stale deposit).
     version = FAMILY_VERSION + "+" + code_fingerprint(
-        sys.modules[__name__], dedup
+        sys.modules[__name__], dedup, fns, text_mod
     )
     return deposit_or_reuse(
         spark,

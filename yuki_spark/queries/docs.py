@@ -1429,6 +1429,77 @@ _ORACLE_TEMPLATE = {
                  AS min_win_bytes
         FROM w ORDER BY doc_id
     """,
+    # chunk starts: Spark sequence(1, n, stride) inclusive of n ==
+    # DuckDB range(1, n+1, stride) exclusive; slice toks[i:i+W-1] is
+    # 1-based inclusive (W elements) matching Spark slice(toks, i, W).
+    # The three content pins (min/max chunk md5, modular hash sum)
+    # bind the exact chunk STRINGS, not just their counts.
+    "d34_rag_chunking": f"""
+        WITH t AS (
+          SELECT doc_id, source, {_T} AS toks,
+                 CAST(len({_T}) AS BIGINT) AS n
+          FROM documents),
+        c AS (
+          SELECT doc_id, source,
+                 array_to_string(toks[i:i+{CHUNK_W - 1}], ' ') AS chunk,
+                 CAST(least({CHUNK_W}, n - i + 1) AS BIGINT) AS nct
+          FROM (SELECT doc_id, source, toks, n,
+                       unnest(range(1, CAST(n AS INT) + 1, {CHUNK_S})) AS i
+                FROM t)),
+        ps AS (
+          SELECT source,
+                 COUNT(DISTINCT doc_id) AS n_docs,
+                 COUNT(*) AS n_chunks,
+                 CAST(SUM(nct) AS BIGINT) AS chunk_tokens,
+                 MIN(md5(chunk)) AS chunk_md5_min,
+                 MAX(md5(chunk)) AS chunk_md5_max,
+                 CAST(SUM({sql_portable_hash60('chunk')} % {_HASH_MOD})
+                   AS BIGINT) AS chunk_hash_sum
+          FROM c GROUP BY source),
+        dt AS (SELECT source, CAST(SUM(n) AS BIGINT) AS doc_tokens
+               FROM t GROUP BY source)
+        SELECT source, n_docs, n_chunks, chunk_tokens,
+               chunk_tokens - doc_tokens AS overlap_tokens,
+               chunk_md5_min, chunk_md5_max, chunk_hash_sum
+        FROM ps JOIN dt USING (source) ORDER BY source
+    """,
+    # bigram occurrences via adjacent-index transform (range(1, n) =
+    # positions 1..n-1, the same set _zip_ngrams produces); context
+    # counts derive FROM the bigram counts exactly as the Spark side
+    # does, and the rarity compares are the identical cross-multiplied
+    # exact-integer predicates (16·c(ab) < c(a·)) — no float anywhere.
+    "d35_bigram_rarity": f"""
+        WITH t AS (
+          SELECT doc_id, source, {_T} AS toks FROM documents),
+        occ AS (
+          SELECT doc_id, source,
+                 unnest(list_transform(range(1, greatest(len(toks), 1)),
+                        i -> toks[i] || ' ' || toks[i+1])) AS bigram
+          FROM t),
+        c2 AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS ct2
+               FROM occ GROUP BY bigram),
+        c1 AS (SELECT split_part(bigram, ' ', 1) AS ctx,
+                      CAST(SUM(ct2) AS BIGINT) AS ct1
+               FROM c2 GROUP BY ctx),
+        sc AS (
+          SELECT doc_id, source,
+                 CASE WHEN {BG_RARE_DEN} * ct2 < ct1 THEN 1 ELSE 0 END AS rare,
+                 CASE WHEN {BG_VRARE_DEN} * ct2 < ct1 THEN 1 ELSE 0 END AS vrare
+          FROM occ JOIN c2 USING (bigram)
+          JOIN c1 ON split_part(bigram, ' ', 1) = ctx),
+        pd AS (
+          SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_bg,
+                 CAST(SUM(rare) AS BIGINT) AS n_rare,
+                 CAST(SUM(vrare) AS BIGINT) AS n_vrare
+          FROM sc GROUP BY doc_id, source)
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_bg) AS BIGINT) AS n_bigrams,
+               CAST(SUM(n_rare) AS BIGINT) AS n_rare,
+               CAST(SUM(n_vrare) AS BIGINT) AS n_vrare,
+               CAST(SUM(CASE WHEN 2 * n_rare > n_bg THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_flagged
+        FROM pd GROUP BY source ORDER BY source
+    """,
     "d10_winnow_fingerprint": f"""
         WITH t AS (
           SELECT doc_id, {_T} AS toks, CAST(len({_T}) AS BIGINT) AS n

@@ -27,14 +27,17 @@ has no order): every consumer re-applies the operator's documented
 """
 from __future__ import annotations
 
-import os
-import tempfile
 from collections.abc import Callable
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .artifact_store import code_fingerprint, deposit_or_reuse, table_fingerprint
+from .artifact_store import (
+    code_fingerprint,
+    default_store_root,
+    deposit_or_reuse,
+    table_fingerprint,
+)
 
 # Effective version folds in a code hash of this module +
 # operators/similarity.py (see dedup_family for the rationale).
@@ -43,11 +46,8 @@ SIM_VERSION = "r6-1"
 COMPUTES: dict[str, int] = {}
 
 
-def store_root() -> str:
-    return os.environ.get(
-        "YUKI_SPARK_SIM_STORE",
-        os.path.join(tempfile.gettempdir(), "yuki_spark-sim-family"),
-    )
+def store_root() -> str | None:
+    return default_store_root("YUKI_SPARK_SIM_STORE", "yuki_spark-sim-family")
 
 
 def result(
@@ -60,13 +60,20 @@ def result(
     """Deposit-or-reuse one ANN result table for this corpus+params.
     Returns the UNORDERED deposit read — callers re-apply their
     operator's output ordering."""
+    import importlib
     import sys
 
     from ..operators import similarity
 
+    # The builder lambdas live in queries/sim.py (e.g. s13's embedding
+    # slice), so its source MUST be part of the address — without it an
+    # edit there keeps the old address and silently serves a stale
+    # deposit. Import by name: sim.py imports this module, so a direct
+    # `from . import sim` here would be circular at import time.
+    sim_mod = importlib.import_module(__package__ + ".sim")
     fp = table_fingerprint(sf_dir, "embeddings", {"params": params})
     version = SIM_VERSION + "+" + code_fingerprint(
-        sys.modules[__name__], similarity
+        sys.modules[__name__], similarity, sim_mod
     )
     df, _ = deposit_or_reuse(
         spark,
