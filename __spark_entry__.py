@@ -31,7 +31,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # after the cap; the 50 keys the r6 sweep just validated come last,
 # freshest rows at the bottom.
 _PRIORITY = [
-    # new oracle twins this round (never driver-hash-validated)
+    # new this round / new oracle twins (never driver-hash-validated)
+    "s14_mmr_rerank",
+    "d36_cross_source_dups",
     "d34_rag_chunking",
     "d35_bigram_rarity",
     # deposit-rewired in r6 after that round's sweep: dedup family ...

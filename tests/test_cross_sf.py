@@ -34,6 +34,8 @@ ADAPTIVE = [
     "s10_cluster_balance",
     "s11_knn_graph",
     "d33_split_leakage",
+    "d36_cross_source_dups",  # PAIR_CAP from the catalog footer
+    "s14_mmr_rerank",  # deposit-backed pool re-derived per catalog
 ]
 
 

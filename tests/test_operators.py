@@ -85,6 +85,39 @@ def emb(spark):
     return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int"), vecs
 
 
+def test_mmr_rerank_diversifies(spark):
+    """A near-duplicate of the top hit must NOT be picked second:
+    MMR's diversity term demotes it below a moderately-relevant but
+    diverse candidate; a plain top-k would keep the duplicate."""
+    q = np.zeros(64, dtype="float64")
+    q[0] = 1.0
+    c1 = np.zeros(64)
+    c1[0] = 1.0
+    c1[1] = 0.1  # ~q, the top hit
+    c2 = c1 + 1e-3  # near-duplicate of c1 (sim ≈ 1)
+    c3 = np.zeros(64)
+    c3[0] = 0.5
+    c3[2] = 1.0  # moderately relevant, diverse
+    rows = [
+        (i, [float(x) for x in v], 0)
+        for i, v in enumerate([q, c1, c2, c3])
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    pool = similarity.cosine_topk(df, k=3, n_queries=1)
+    assert [r["cid"] for r in pool.collect()] == [1, 2, 3]  # plain order
+    got = similarity.mmr_rerank(df, pool, m=3).collect()
+    picks = [r["cid"] for r in got if r["qid"] == 0]
+    assert picks[0] == 1  # relevance wins the first pick
+    assert picks[1] == 3  # diversity demotes the near-dup of c1
+    assert picks[2] == 2
+    steps = [r["step"] for r in got]
+    assert steps == [1, 2, 3]
+    # step-1 score is pure relevance; later scores subtract max-sim
+    by_step = {r["step"]: r for r in got}
+    assert by_step[1]["mmr_score"] == by_step[1]["rel"]
+    assert by_step[2]["mmr_score"] < by_step[2]["rel"]
+
+
 def test_cosine_topk_matches_numpy(spark, emb):
     df, vecs = emb
     got = similarity.cosine_topk(df, k=3, n_queries=2).collect()

@@ -73,6 +73,115 @@ def cosine_topk(
     )
 
 
+def candidate_sims(emb: DataFrame, cands: DataFrame) -> DataFrame:
+    """Pairwise rounded cosine between the CANDIDATES of each query
+    (``cands``: qid, cid) — the diversity term MMR re-ranking needs.
+    Same exact-int scaling/dot/round-9 as :func:`cosine_topk`, so the
+    DuckDB twin reproduces every value bit-exactly. Per-qid fan-out is
+    pool², a constant — an equi-join on cid against the scaled
+    vectors, then an equi-join on qid; no cross-query work."""
+    base = (
+        emb.select("vec_id", scaled("embedding").alias("sv"))
+        .withColumn("nrm", int_dot(F.col("sv"), F.col("sv")))
+    )
+    a = (
+        cands.select("qid", F.col("cid").alias("ca"))
+        .join(base, F.col("ca") == F.col("vec_id"))
+        .select("qid", "ca", F.col("sv").alias("av"), F.col("nrm").alias("an"))
+    )
+    b = (
+        cands.select("qid", F.col("cid").alias("cb"))
+        .join(base, F.col("cb") == F.col("vec_id"))
+        .select("qid", "cb", F.col("sv").alias("bv"), F.col("nrm").alias("bn"))
+    )
+    return (
+        a.join(b, "qid")
+        .where(F.col("ca") != F.col("cb"))
+        .select(
+            "qid",
+            "ca",
+            "cb",
+            F.round(
+                cosine_from_ints(
+                    int_dot(F.col("av"), F.col("bv")), F.col("an"), F.col("bn")
+                ),
+                9,
+            ).alias("sim"),
+        )
+    )
+
+
+def mmr_rerank(
+    emb: DataFrame, cands: DataFrame, m: int = 6
+) -> DataFrame:
+    """Maximal-marginal-relevance re-rank of each query's candidate
+    pool: greedily select ``m`` of the pool, each step maximizing
+    ``rel(c) − max_{s∈selected} sim(c, s)`` (λ=½ MMR — the constant
+    factor does not change the argmax), ties broken by smaller cid.
+    The retrieval-diversification step a RAG / few-shot-selection
+    pipeline runs on its ANN shortlist so near-duplicate passages
+    don't crowd out coverage.
+
+    ``cands`` is (qid, rk, cid, cosine) — an exact or ANN top-k table.
+    All scores are the family's rounded-9 exact-int cosines and the
+    per-step comparison is one IEEE subtraction of identical doubles,
+    so the DuckDB recursive-CTE twin selects the identical sequence.
+
+    Scale shape: the greedy loop is m−1 bounded rounds; each round is
+    an equi-join of remaining×selected (≤ pool·m rows per qid), a
+    per-(qid,cid) max-agg, and a per-qid top-1 window — all keyed on
+    qid, no cross-query shuffle growth, lineage cut per pick. Pool and
+    m are constants, so cost is linear in the number of queries."""
+    sims = (
+        candidate_sims(emb, cands.select("qid", "cid"))
+        .withColumnRenamed("qid", "sqid")
+        .localCheckpoint(eager=False)
+    )
+    selected = cands.where(F.col("rk") == 1).select(
+        "qid",
+        F.lit(1).cast("bigint").alias("step"),
+        "cid",
+        F.col("cosine").alias("rel"),
+        F.col("cosine").alias("mmr_score"),
+    )
+    remaining = cands.where(F.col("rk") > 1).select(
+        "qid", "cid", F.col("cosine").alias("rel")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.col("cid"))
+    for step in range(2, m + 1):
+        scored = (
+            remaining.join(
+                selected.select("qid", F.col("cid").alias("scid")), "qid"
+            )
+            .join(
+                sims,
+                (F.col("sqid") == F.col("qid"))
+                & (F.col("ca") == F.col("cid"))
+                & (F.col("cb") == F.col("scid")),
+            )
+            .groupBy("qid", "cid", "rel")
+            .agg(F.max("sim").alias("maxsim"))
+            .withColumn("score", F.col("rel") - F.col("maxsim"))
+        )
+        pick = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(
+                "qid",
+                F.lit(step).cast("bigint").alias("step"),
+                "cid",
+                "rel",
+                F.col("score").alias("mmr_score"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        selected = selected.unionByName(pick)
+        remaining = remaining.join(
+            pick.select("qid", "cid"), ["qid", "cid"], "left_anti"
+        )
+    return selected.orderBy("qid", "step")
+
+
 def label_centroids(emb: DataFrame) -> DataFrame:
     """Element-wise mean embedding per label, long format
     (label, dim, centroid) — exact integer sums / count."""

@@ -254,6 +254,54 @@ def d33_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d36_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE contamination matrix: near-dup pairs (J ≥ 0.8)
+    whose two docs come from different sources, rolled up per
+    unordered source pair — the audit a corpus curator runs to find
+    which feeds are republishing each other before weighting domains
+    (d25's mixture math assumes sources are distinct populations;
+    this measures where that assumption leaks). Reads the SHARED
+    J ≥ 0.8 pair deposit (queries/dedup_family.py) and only does the
+    source joins itself: O(near-dup edges), two keyed equi-joins
+    (SMJ-able at any scale), two bounded rollups. Pins: pair count,
+    distinct docs involved (both endpoints), id-sum, and a modular
+    pair-hash sum binding the exact pair MEMBERSHIP."""
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("doc_id") < doc_cap(sf_dir)
+    )
+    src = docs.select("doc_id", "source")
+    pairs = dedup_family.exact_pairs(spark, sf_dir, 0.8)
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    crossed = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(F.col("src_a") != F.col("src_b"))
+        .select(
+            F.least("src_a", "src_b").alias("s1"),
+            F.greatest("src_a", "src_b").alias("s2"),
+            "doc_a",
+            "doc_b",
+        )
+    )
+    per_pair = crossed.groupBy("s1", "s2").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("doc_a") + F.col("doc_b")).alias("doc_id_sum"),
+        F.sum(
+            (F.col("doc_a") * F.lit(1_000_003) + F.col("doc_b")) % F.lit(_HASH_MOD)
+        ).alias("pair_pin"),
+    )
+    docs_u = crossed.select("s1", "s2", F.col("doc_a").alias("doc")).unionAll(
+        crossed.select("s1", "s2", F.col("doc_b").alias("doc"))
+    )
+    nd = docs_u.groupBy("s1", "s2").agg(F.countDistinct("doc").alias("n_docs"))
+    return (
+        per_pair.join(nd, ["s1", "s2"])
+        .select("s1", "s2", "n_pairs", "n_docs", "doc_id_sum", "pair_pin")
+        .orderBy("s1", "s2")
+    )
+
+
 def d24_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted corpus sampling (Efraimidis–Spirakis A-Res,
     deterministic): top-25 documents by ``log2(u)/w`` with w = token
@@ -1148,6 +1196,7 @@ QUERIES = {
     "d31_token_surprisal": d31_token_surprisal,
     "d32_doc_entropy": d32_doc_entropy,
     "d33_split_leakage": d33_split_leakage,
+    "d36_cross_source_dups": d36_cross_source_dups,
     "d26_quality_buckets": d26_quality_buckets,
     "d1_exact_dedup": d1_exact_dedup,
     "d22_dup_spans": d22_dup_spans,
@@ -1893,6 +1942,32 @@ _ORACLE_TEMPLATE = {
                CAST(COUNT(DISTINCT eval_doc) AS BIGINT) AS n_eval_docs_contaminated,
                CAST(SUM(eval_doc) AS BIGINT) AS eval_doc_id_sum
         FROM attributed GROUP BY s1, s2 ORDER BY s1, s2
+    """,
+    "d36_cross_source_dups": f"""
+        WITH d AS (
+          SELECT doc_id, source,
+                 list_filter(list_distinct({_T}), t -> t <> '') AS toks,
+                 CAST(len(list_filter(list_distinct({_T}), t -> t <> '')) AS BIGINT) AS set_size
+          FROM documents WHERE doc_id < {PAIR_CAP}),
+        p AS (
+          SELECT least(a.source, b.source) AS s1,
+                 greatest(a.source, b.source) AS s2,
+                 a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM d a JOIN d b ON a.doc_id < b.doc_id
+          WHERE a.source <> b.source
+            AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / CAST(a.set_size + b.set_size - len(list_intersect(a.toks, b.toks)) AS DOUBLE) >= 0.8),
+        a1 AS (
+          SELECT s1, s2, COUNT(*) AS n_pairs,
+                 CAST(SUM(doc_a + doc_b) AS BIGINT) AS doc_id_sum,
+                 CAST(SUM((doc_a * 1000003 + doc_b) % {_HASH_MOD}) AS BIGINT) AS pair_pin
+          FROM p GROUP BY s1, s2),
+        u AS (SELECT s1, s2, doc_a AS doc FROM p
+              UNION ALL SELECT s1, s2, doc_b FROM p),
+        a2 AS (SELECT s1, s2, CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs
+               FROM u GROUP BY s1, s2)
+        SELECT s1, s2, n_pairs, n_docs, doc_id_sum, pair_pin
+        FROM a1 JOIN a2 USING (s1, s2) ORDER BY s1, s2
     """,
     "d2_ngram_jaccard_dups": f"""
         WITH d AS (

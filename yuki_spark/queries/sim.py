@@ -376,8 +376,44 @@ def s7_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semdedup(emb, threshold=SEMDEDUP_THRESHOLD)
 
 
+MMR_POOL = 16  # candidate shortlist per query fed to the re-ranker
+MMR_M = 6  # diversified picks per query
+
+
+def _mmr_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deposit-backed exact top-MMR_POOL candidate shortlist over the
+    shared nq=20 cohort — the retrieval result the re-ranker consumes
+    (built once per corpus, sim_family)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim_family.result(
+        spark,
+        sf_dir,
+        "mmr_pool",
+        {"k": MMR_POOL, "nq": ANN_NQ},
+        lambda: similarity.cosine_topk(emb, k=MMR_POOL, n_queries=ANN_NQ),
+    )
+
+
+def s14_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-rank (operators/similarity.py::mmr_rerank):
+    greedily pick MMR_M of each query's MMR_POOL exact-cosine
+    candidates, each step maximizing relevance minus max similarity to
+    the already-picked set — the shortlist diversification a RAG /
+    few-shot-selection pipeline applies so near-duplicate passages
+    don't crowd out coverage. Every score is the family's rounded-9
+    exact-int cosine and each step compares single IEEE subtractions
+    of identical doubles, so the recursive-CTE DuckDB twin selects the
+    identical sequence (same picks, same steps, same scores)."""
+    return similarity.mmr_rerank(
+        load(spark, sf_dir, "embeddings"),
+        _mmr_pool(spark, sf_dir),
+        m=MMR_M,
+    )
+
+
 QUERIES = {
     "s1_cosine_topk": s1_cosine_topk,
+    "s14_mmr_rerank": s14_mmr_rerank,
     "s6_ann_recall": s6_ann_recall,
     "s2_label_centroids": s2_label_centroids,
     "s3_lsh_ann": s3_lsh_ann,
@@ -566,8 +602,9 @@ def _s13_oracle() -> str:
     """
 
 
-def _s1_sql(nq: int) -> str:
-    """Parameterized brute-force top-k twin (used by s1 and s6)."""
+def _s1_sql(nq: int, k: int = K) -> str:
+    """Parameterized brute-force top-k twin (used by s1, s6 and the
+    s14 MMR candidate pool)."""
     return f"""
         WITH base AS (
           SELECT vec_id, {_SCALED} AS sv FROM embeddings),
@@ -581,7 +618,7 @@ def _s1_sql(nq: int) -> str:
         SELECT qid, rk, cid, cosine FROM (
           SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS BIGINT) AS rk
           FROM scored)
-        WHERE rk <= {K}
+        WHERE rk <= {k}
         ORDER BY qid, rk
     """
 
@@ -945,6 +982,52 @@ def _s7_oracle(threshold: float = SEMDEDUP_THRESHOLD, max_cell: int = 256) -> st
     """
 
 
+def _s14_oracle() -> str:
+    """Twin of s14_mmr_rerank: the same greedy MMR selection as a
+    recursive CTE — one row per (qid, step) carrying the picked list;
+    each recursion scores every unpicked pool candidate (relevance
+    minus max sim to the picked set, identical rounded-9 exact-int
+    cosines) and keeps the per-qid argmax (score DESC, cid
+    tiebreak) — selecting the identical sequence the Spark loop
+    does."""
+    pool = _s1_sql(ANN_NQ, MMR_POOL)
+    sim = (
+        f"round(CAST({_DOT.format(a='na.sv', b='nb.sv')} AS DOUBLE)"
+        " / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))), 9)"
+    )
+    maxsim = (
+        "(SELECT max(c.sim) FROM cs c WHERE c.qid = s.qid"
+        " AND c.ca = e.cid AND list_contains(s.picked, c.cb))"
+    )
+    return f"""
+        WITH RECURSIVE
+        pool AS ({pool}),
+        mbase AS (SELECT vec_id, {_SCALED} AS sv FROM embeddings),
+        mnormed AS (
+          SELECT vec_id, sv, {_DOT.format(a='sv', b='sv')} AS nrm FROM mbase),
+        cs AS (
+          SELECT a.qid, a.cid AS ca, b.cid AS cb, {sim} AS sim
+          FROM pool a JOIN pool b ON a.qid = b.qid AND a.cid <> b.cid
+          JOIN mnormed na ON na.vec_id = a.cid
+          JOIN mnormed nb ON nb.vec_id = b.cid),
+        sel(qid, step, cid, rel, mmr_score, picked) AS (
+          SELECT qid, CAST(1 AS BIGINT), cid, cosine, cosine, [cid]
+          FROM pool WHERE rk = 1
+          UNION ALL
+          SELECT qid, CAST(step + 1 AS BIGINT), cid, rel, score,
+                 list_append(picked, cid) FROM (
+            SELECT s.qid, s.step, e.cid, e.cosine AS rel, s.picked,
+                   e.cosine - {maxsim} AS score,
+                   ROW_NUMBER() OVER (PARTITION BY s.qid
+                     ORDER BY e.cosine - {maxsim} DESC, e.cid) AS rn
+            FROM sel s JOIN pool e
+              ON e.qid = s.qid AND NOT list_contains(s.picked, e.cid)
+            WHERE s.step < {MMR_M})
+          WHERE rn = 1)
+        SELECT qid, step, cid, rel, mmr_score FROM sel ORDER BY qid, step
+    """
+
+
 def build_oracle() -> dict[str, str]:
     """Build the twin dict with adaptive parameters derived from the
     CURRENT gate catalog (env read now, not at import) — the canonical
@@ -963,6 +1046,7 @@ def build_oracle() -> dict[str, str]:
             "s11_knn_graph": _s11_oracle(),
             "s12_graph_recall": _s12_oracle(),
             "s13_matryoshka_recall": _s13_oracle(),
+            "s14_mmr_rerank": _s14_oracle(),
             "s6_ann_recall": _s6_oracle(),
         }
     )
