@@ -73,44 +73,6 @@ def cosine_topk(
     )
 
 
-def candidate_sims(emb: DataFrame, cands: DataFrame) -> DataFrame:
-    """Pairwise rounded cosine between the CANDIDATES of each query
-    (``cands``: qid, cid) — the diversity term MMR re-ranking needs.
-    Same exact-int scaling/dot/round-9 as :func:`cosine_topk`, so the
-    DuckDB twin reproduces every value bit-exactly. Per-qid fan-out is
-    pool², a constant — an equi-join on cid against the scaled
-    vectors, then an equi-join on qid; no cross-query work."""
-    base = (
-        emb.select("vec_id", scaled("embedding").alias("sv"))
-        .withColumn("nrm", int_dot(F.col("sv"), F.col("sv")))
-    )
-    a = (
-        cands.select("qid", F.col("cid").alias("ca"))
-        .join(base, F.col("ca") == F.col("vec_id"))
-        .select("qid", "ca", F.col("sv").alias("av"), F.col("nrm").alias("an"))
-    )
-    b = (
-        cands.select("qid", F.col("cid").alias("cb"))
-        .join(base, F.col("cb") == F.col("vec_id"))
-        .select("qid", "cb", F.col("sv").alias("bv"), F.col("nrm").alias("bn"))
-    )
-    return (
-        a.join(b, "qid")
-        .where(F.col("ca") != F.col("cb"))
-        .select(
-            "qid",
-            "ca",
-            "cb",
-            F.round(
-                cosine_from_ints(
-                    int_dot(F.col("av"), F.col("bv")), F.col("an"), F.col("bn")
-                ),
-                9,
-            ).alias("sim"),
-        )
-    )
-
-
 def mmr_rerank(
     emb: DataFrame, cands: DataFrame, m: int = 6
 ) -> DataFrame:
@@ -127,59 +89,89 @@ def mmr_rerank(
     per-step comparison is one IEEE subtraction of identical doubles,
     so the DuckDB recursive-CTE twin selects the identical sequence.
 
-    Scale shape: the greedy loop is m−1 bounded rounds; each round is
-    an equi-join of remaining×selected (≤ pool·m rows per qid), a
-    per-(qid,cid) max-agg, and a per-qid top-1 window — all keyed on
-    qid, no cross-query shuffle growth, lineage cut per pick. Pool and
-    m are constants, so cost is linear in the number of queries."""
-    sims = (
-        candidate_sims(emb, cands.select("qid", "cid"))
-        .withColumnRenamed("qid", "sqid")
-        .localCheckpoint(eager=False)
+    Scale shape: ONE qid shuffle. The pool is a bounded constant
+    (≤ dozens), so the whole greedy selection runs as a higher-order
+    ``aggregate`` over each query's collected candidate array — all
+    JVM expression code (whole-stage codegen), no Python stage, no
+    per-step job: m−1 folds of an argmax (``array_max`` on
+    (score, −cid) structs) over ≤ pool candidates, each scored by the
+    exact-int dot against the picked set. A first driver-loop version
+    (m−1 rounds of join+window per step) timed ~5 s at sf0.1 purely
+    in job overhead; this form is one stage and is linear in the
+    number of queries at any corpus size."""
+    base = emb.select("vec_id", scaled("embedding").alias("sv")).withColumn(
+        "nrm", int_dot(F.col("sv"), F.col("sv"))
     )
-    selected = cands.where(F.col("rk") == 1).select(
-        "qid",
-        F.lit(1).cast("bigint").alias("step"),
-        "cid",
-        F.col("cosine").alias("rel"),
-        F.col("cosine").alias("mmr_score"),
+    c = (
+        cands.select("qid", "rk", "cid", "cosine")
+        .join(base, F.col("cid") == F.col("vec_id"))
+        .select("qid", "rk", "cid", "cosine", "sv", "nrm")
     )
-    remaining = cands.where(F.col("rk") > 1).select(
-        "qid", "cid", F.col("cosine").alias("rel")
+    g = c.groupBy("qid").agg(
+        F.sort_array(
+            F.collect_list(F.struct("rk", "cid", "cosine", "sv", "nrm"))
+        ).alias("cs")
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.col("cid"))
-    for step in range(2, m + 1):
-        scored = (
-            remaining.join(
-                selected.select("qid", F.col("cid").alias("scid")), "qid"
-            )
-            .join(
-                sims,
-                (F.col("sqid") == F.col("qid"))
-                & (F.col("ca") == F.col("cid"))
-                & (F.col("cb") == F.col("scid")),
-            )
-            .groupBy("qid", "cid", "rel")
-            .agg(F.max("sim").alias("maxsim"))
-            .withColumn("score", F.col("rel") - F.col("maxsim"))
+    # rounded-9 exact-int cosine between a remaining candidate r and a
+    # picked candidate p — the identical expression cosine_topk scores
+    # with (and the DuckDB twin reproduces)
+    sim = (
+        "round(CAST(aggregate(zip_with(r.sv, p.sv, (x, y) -> x * y),"
+        " CAST(0 AS BIGINT), (a, x) -> a + x) AS DOUBLE)"
+        " / (sqrt(CAST(r.nrm AS DOUBLE)) * sqrt(CAST(p.nrm AS DOUBLE))), 9)"
+    )
+    # per-step argmax: max over (score, −cid) struct ordering == best
+    # score, smaller cid on ties
+    best = (
+        "array_max(transform(acc.rem, r -> named_struct("
+        f"'score', r.rel - array_max(transform(acc.picked, p -> {sim})),"
+        " 'tb', -r.cid, 'r', r)))"
+    )
+    # single-element-array transform as a let-binding for `best`
+    step_expr = (
+        "CASE WHEN size(acc.rem) = 0 THEN acc ELSE "
+        f"transform(array({best}), b -> named_struct("
+        "'picked', array_append(acc.picked, named_struct("
+        "'cid', b.r.cid, 'rel', b.r.rel, 'score', b.score,"
+        " 'sv', b.r.sv, 'nrm', b.r.nrm)),"
+        "'rem', filter(acc.rem, x -> x.cid <> b.r.cid)))[0] END"
+    )
+    # cs is rk-sorted: cs[0] is the relevance top-1 (step-1 pick, its
+    # mmr score IS its relevance); the rest start as remaining
+    init = (
+        "named_struct("
+        "'picked', array(named_struct('cid', cs[0].cid,"
+        " 'rel', cs[0].cosine, 'score', cs[0].cosine,"
+        " 'sv', cs[0].sv, 'nrm', cs[0].nrm)),"
+        "'rem', transform(slice(cs, 2, greatest(size(cs) - 1, 0)),"
+        " x -> named_struct('cid', x.cid, 'rel', x.cosine,"
+        " 'sv', x.sv, 'nrm', x.nrm)))"
+    )
+    final = (
+        "acc -> transform(acc.picked, p -> named_struct("
+        "'cid', p.cid, 'rel', p.rel, 'mmr_score', p.score))"
+    )
+    if m >= 2:
+        arr = (
+            f"aggregate(sequence(1, {m - 1}), {init},"
+            f" (acc, step) -> {step_expr}, {final})"
         )
-        pick = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select(
-                "qid",
-                F.lit(step).cast("bigint").alias("step"),
-                "cid",
-                "rel",
-                F.col("score").alias("mmr_score"),
-            )
-            .localCheckpoint(eager=False)
+    else:
+        arr = (
+            f"transform({init}.picked, p -> named_struct("
+            "'cid', p.cid, 'rel', p.rel, 'mmr_score', p.score))"
         )
-        selected = selected.unionByName(pick)
-        remaining = remaining.join(
-            pick.select("qid", "cid"), ["qid", "cid"], "left_anti"
+    return (
+        g.select("qid", F.posexplode(F.expr(arr)).alias("pos", "p"))
+        .select(
+            "qid",
+            (F.col("pos") + 1).cast("bigint").alias("step"),
+            F.col("p.cid").alias("cid"),
+            F.col("p.rel").alias("rel"),
+            F.col("p.mmr_score").alias("mmr_score"),
         )
-    return selected.orderBy("qid", "step")
+        .orderBy("qid", "step")
+    )
 
 
 def label_centroids(emb: DataFrame) -> DataFrame:
