@@ -620,6 +620,94 @@ def test_corpus_ingest_dedupes_across_batches(spark, tmp_path):
     assert sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect()) == [1, 3, 11, 21]
 
 
+def test_embedding_ingest_dedupes_across_batches(spark, tmp_path):
+    """Vector-side continuous ingest (run_embedding_ingest): in-batch
+    cosine near-dups collapse, cross-batch dups are caught against the
+    persisted bucket index (colinear vectors share every sign-LSH
+    bucket deterministically), novel vectors accumulate, and a full
+    replay leaves both snapshots stable (idempotent sink)."""
+    from yuki_spark.operators.similarity import NEARDUP_BANDS
+
+    sdir = tmp_path / "emb_stream"
+    sdir.mkdir()
+    vectors = str(tmp_path / "vectors")
+    index = str(tmp_path / "emb_index")
+    ckpt = str(tmp_path / "emb_ckpt")
+
+    def basis(i, scale=1.0):
+        v = [0.0] * 64
+        v[i] = scale
+        return v
+
+    def slice_file(name, rows):
+        tbl = pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "embedding": pa.array(
+                    [r[1] for r in rows], pa.list_(pa.float32())
+                ),
+                "label": pa.array([0] * len(rows), pa.int32()),
+            }
+        )
+        pq.write_table(tbl, sdir / name)
+        time.sleep(0.05)
+
+    slice_file(
+        "part-0000.parquet",
+        [
+            (1, basis(0)),
+            (2, basis(0, 2.0)),  # colinear with 1 (cosine 1) -> in-batch drop
+            (3, basis(1)),
+        ],
+    )
+    slice_file(
+        "part-0001.parquet",
+        [
+            (10, basis(0, 3.0)),  # colinear with ingested 1 -> dropped
+            (11, basis(2)),
+        ],
+    )
+
+    def ingest():
+        q = st.run_embedding_ingest(
+            st.read_embedding_stream(spark, str(sdir), max_files_per_trigger=1),
+            vectors,
+            index,
+            ckpt,
+            threshold=0.95,
+            bits=6,
+        )
+        q.awaitTermination(180)
+
+    ingest()
+    ids = sorted(r["vec_id"] for r in spark.read.parquet(vectors).collect())
+    assert ids == [1, 3, 11]
+    idx = spark.read.parquet(index)
+    assert idx.select("vec_id").distinct().count() == 3
+    assert idx.count() == 3 * NEARDUP_BANDS
+
+    # full replay with the same checkpoint: identical state rewritten
+    ingest()
+    assert sorted(
+        r["vec_id"] for r in spark.read.parquet(vectors).collect()
+    ) == [1, 3, 11]
+    assert spark.read.parquet(index).count() == 3 * NEARDUP_BANDS
+
+    # later batch: dup of vec 3 dropped, novel direction lands
+    slice_file(
+        "part-0002.parquet",
+        [
+            (20, basis(1, 5.0)),  # colinear with ingested 3 -> dropped
+            (21, basis(3)),
+        ],
+    )
+    ingest()
+    assert sorted(
+        r["vec_id"] for r in spark.read.parquet(vectors).collect()
+    ) == [1, 3, 11, 21]
+    assert spark.read.parquet(index).count() == 4 * NEARDUP_BANDS
+
+
 def test_snapshot_atomic_overwrite_and_heal(spark, tmp_path):
     """_atomic_overwrite stages + rename-swaps: a crash window that
     leaves .old beside a missing live dir heals on the next read; a

@@ -326,6 +326,22 @@ def cosine_neardup_pairs(
     )
 
 
+def nd_bucket_rows(emb: DataFrame, bits: int) -> DataFrame:
+    """(vec_id, band, bucket) sign-LSH bucket rows at a FIXED bit
+    width — the persistable index of a continuously ingested vector
+    corpus (streaming/stream.py::run_embedding_ingest). The band count
+    is NEARDUP_BANDS and ``bits`` must stay fixed for the index's
+    lifetime so historical and new batches bucket identically (an
+    adaptive width would silently shear the index as the corpus
+    grows — re-bucketing is an explicit rebuild, not a drift)."""
+    planes = lsh_planes(NEARDUP_BANDS * bits)
+    return (
+        emb.select("vec_id", scaled("embedding").alias("sv"))
+        .withColumn("buckets", _nd_bucket_udf(planes, NEARDUP_BANDS, bits)("sv"))
+        .select("vec_id", F.posexplode("buckets").alias("band", "bucket"))
+    )
+
+
 def cosine_neardup_pairs_exact(
     emb: DataFrame, threshold: float = 0.35, block_size: int = 1024
 ) -> DataFrame:

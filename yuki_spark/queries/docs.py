@@ -283,6 +283,10 @@ def d36_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a",
             "doc_b",
         )
+        # consumed twice below (pair rollup + distinct-doc rollup):
+        # materialize once instead of recompiling the pair-join subtree
+        # per consumer
+        .localCheckpoint(eager=False)
     )
     per_pair = crossed.groupBy("s1", "s2").agg(
         F.count(F.lit(1)).alias("n_pairs"),

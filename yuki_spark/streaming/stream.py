@@ -20,7 +20,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
+    FloatType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -488,6 +491,149 @@ def run_corpus_ingest(
         mc = merged_corpus.localCheckpoint(eager=True)
         mi = merged_index.localCheckpoint(eager=True)
         _atomic_overwrite(mc, corpus_path)
+        _atomic_overwrite(mi, index_path)
+
+    return (
+        sdf.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+EMBEDDING_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ]
+)
+
+
+def read_embedding_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-source stream on the embeddings schema — the ingest feed
+    for :func:`run_embedding_ingest`."""
+    return (
+        spark.readStream.schema(EMBEDDING_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(path)
+    )
+
+
+def run_embedding_ingest(
+    sdf: DataFrame,
+    vectors_path: str,
+    index_path: str,
+    checkpoint: str,
+    threshold: float = 0.35,
+    bits: int = 8,
+):
+    """Continuously ingest embedding vectors with cross-batch cosine
+    near-dedup — the vector-side twin of :func:`run_corpus_ingest`
+    (the shape a growing retrieval/ANN corpus runs): every micro-batch
+    (1) canonicalizes within itself (vec_id dedup + sign-LSH cosine
+    near-dup drop, keeping the smaller vec_id of each verified pair),
+    (2) checks the survivors against EVERYTHING ingested so far via
+    the persisted (vec_id, band, bucket) index — a batch-sized bucket
+    equi-join, never a corpus re-score; candidate pairs are verified
+    with the family's exact-int rounded-9 cosine JVM-side, and
+    (3) MERGEs the novel vectors into the vectors snapshot and their
+    bucket rows into the index snapshot, both keyed upserts so a
+    replayed batch rewrites identical state (idempotent sink).
+
+    ``bits`` is FIXED for the index lifetime (see
+    similarity.nd_bucket_rows) — an adaptive width would shear the
+    index as the corpus grows. Scale notes: like the document ingest,
+    the snapshot rewrite is the plain-parquet stand-in for a lakehouse
+    MERGE INTO; the bucket join costs O(batch × colliding rows)
+    regardless of corpus size, and the verification joins are keyed on
+    vec_id (SMJ-able at any scale)."""
+    from ..operators import similarity as sim
+    from ..operators.merge import merge_upsert
+
+    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = _dedup_per_key(batch_df, ["vec_id"]).localCheckpoint(eager=True)
+        bands = sim.nd_bucket_rows(batch, bits).localCheckpoint(eager=True)
+        intra = (
+            sim.cosine_neardup_pairs(batch, threshold, bits=bits)
+            .select(F.col("id_b").alias("vec_id"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        batch = batch.join(intra, "vec_id", "left_anti")
+        bands = bands.join(intra, "vec_id", "left_anti")
+        vectors = _read_snapshot_or_none(spark, vectors_path)
+        index = _read_snapshot_or_none(spark, index_path)
+        if vectors is None and index is not None:
+            raise RuntimeError(
+                f"vectors snapshot {vectors_path!r} missing while index "
+                f"{index_path!r} exists — refusing to rebuild from one batch"
+            )
+        if vectors is not None:
+            if index is None:
+                # crash between the two overwrites: the index is
+                # DERIVED data — rebuild it from the vectors
+                index = sim.nd_bucket_rows(vectors, bits)
+            cand = (
+                bands.join(
+                    index.select(
+                        F.col("vec_id").alias("indexed_id"), "band", "bucket"
+                    ),
+                    ["band", "bucket"],
+                )
+                # a replayed batch's vectors are already deposited:
+                # their self-match must not re-classify them as dups
+                .where(F.col("vec_id") != F.col("indexed_id"))
+                .select(F.col("vec_id").alias("new_id"), "indexed_id")
+                .distinct()
+            )
+            nsv = batch.select(
+                F.col("vec_id").alias("new_id"),
+                sim.scaled("embedding").alias("nv"),
+            ).withColumn("nn", sim.int_dot(F.col("nv"), F.col("nv")))
+            isv = vectors.select(
+                F.col("vec_id").alias("indexed_id"),
+                sim.scaled("embedding").alias("iv"),
+            ).withColumn("in_", sim.int_dot(F.col("iv"), F.col("iv")))
+            dup = (
+                cand.join(nsv, "new_id")
+                .join(isv, "indexed_id")
+                .withColumn(
+                    "cosine",
+                    F.round(
+                        sim.cosine_from_ints(
+                            sim.int_dot(F.col("nv"), F.col("iv")),
+                            F.col("nn"),
+                            F.col("in_"),
+                        ),
+                        9,
+                    ),
+                )
+                .where(F.col("cosine") >= threshold)
+                .select(F.col("new_id").alias("vec_id"))
+                .distinct()
+            )
+            novel = batch.join(dup, "vec_id", "left_anti")
+            merged_vectors = merge_upsert(vectors, novel, ["vec_id"])
+            merged_index = merge_upsert(
+                index,
+                bands.join(dup, "vec_id", "left_anti"),
+                ["vec_id", "band"],
+            )
+        else:
+            novel = batch
+            merged_vectors = novel
+            merged_index = bands
+        # materialize both before either overwrite (the index lineage
+        # reads the current vectors files the overwrite deletes)
+        mv = merged_vectors.localCheckpoint(eager=True)
+        mi = merged_index.localCheckpoint(eager=True)
+        _atomic_overwrite(mv, vectors_path)
         _atomic_overwrite(mi, index_path)
 
     return (
