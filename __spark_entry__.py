@@ -33,6 +33,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # new this round / new oracle twins (never driver-hash-validated)
     "s14_mmr_rerank",
+    "s15_label_drift",
     "d36_cross_source_dups",
     "d34_rag_chunking",
     "d35_bigram_rarity",

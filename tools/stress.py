@@ -149,6 +149,14 @@ def main() -> None:
         "d11_dedup_clusters",
         "d20_dedup_apply",
         "s12_graph_recall",
+        # round-7 additions: the chunking/bigram map-agg queries, the
+        # deposit-consuming cross-source audit, and the single-stage
+        # MMR re-rank (pool + fold both scale with the corpus)
+        "d34_rag_chunking",
+        "d35_bigram_rarity",
+        "d36_cross_source_dups",
+        "s14_mmr_rerank",
+        "s15_label_drift",
     ]
     qs["q1_pricing_summary"](spark, out).write.mode("overwrite").format("noop").save()
     timings = {}

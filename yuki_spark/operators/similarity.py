@@ -326,6 +326,77 @@ def cosine_neardup_pairs(
     )
 
 
+def label_drift(emb: DataFrame) -> DataFrame:
+    """Per-label embedding DRIFT between the two vec_id parity halves:
+    cosine between the halves' centroid vectors plus both half sizes —
+    the embedding-space analogue of e22's PSI drift (a retrieval
+    corpus monitors this as new vectors land; a low cosine means the
+    label's meaning moved). Cosine is scale-invariant, so the exact
+    int64 per-dim SUMS stand in for the centroids (no division, no
+    count normalization) and only the final fold is double — the same
+    documented IEEE op order as _ivf_assignment's affinity, so the
+    DuckDB twin reproduces it bit-for-bit.
+
+    Scale shape: ONE corpus pass — an explode → (label, half, dim)
+    hash-agg with map-side combine; the half size rides along as the
+    per-dim row count (every vector contributes every dim, so
+    count-per-dim == vectors-per-half — no second corpus scan, no
+    countDistinct shuffle). Everything after is at label grain —
+    64-long sum vectors, a label equi-join of the two halves behind a
+    lazy checkpoint (consumed by both sides), a fold per label. No
+    window over the corpus, no pair work."""
+    ex = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(scaled("embedding")).alias("dim", "sx"),
+    )
+    h = (
+        ex.groupBy("label", "half", "dim")
+        .agg(F.sum("sx").alias("s"), F.count(F.lit(1)).alias("cnt"))
+        .groupBy("label", "half")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "s"))),
+                lambda p: p["s"],
+            ).alias("sv"),
+            F.max("cnt").alias("n"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = h.where(F.col("half") == 0).select(
+        "label", F.col("sv").alias("av"), F.col("n").alias("n_even")
+    )
+    b = h.where(F.col("half") == 1).select(
+        "label", F.col("sv").alias("bv"), F.col("n").alias("n_odd")
+    )
+
+    def dfold(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    cos = F.round(
+        dfold(F.col("av"), F.col("bv"))
+        / (
+            F.sqrt(dfold(F.col("av"), F.col("av")))
+            * F.sqrt(dfold(F.col("bv"), F.col("bv")))
+        ),
+        9,
+    )
+    return (
+        a.join(b, "label")
+        .select(
+            F.col("label").cast("bigint").alias("label"),
+            "n_even",
+            "n_odd",
+            cos.alias("centroid_cosine"),
+        )
+        .orderBy("label")
+    )
+
+
 def nd_bucket_rows(emb: DataFrame, bits: int) -> DataFrame:
     """(vec_id, band, bucket) sign-LSH bucket rows at a FIXED bit
     width — the persistable index of a continuously ingested vector

@@ -411,9 +411,20 @@ def s14_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s15_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid drift between the vec_id parity
+    halves (operators/similarity.py::label_drift) — the batch
+    monitoring twin of the streaming drift family: exact int64 per-dim
+    sums stand in for the centroids (cosine is scale-invariant), one
+    double-fold cosine per label in the documented IEEE op order, so
+    the DuckDB twin binds bit-for-bit."""
+    return similarity.label_drift(load(spark, sf_dir, "embeddings"))
+
+
 QUERIES = {
     "s1_cosine_topk": s1_cosine_topk,
     "s14_mmr_rerank": s14_mmr_rerank,
+    "s15_label_drift": s15_label_drift,
     "s6_ann_recall": s6_ann_recall,
     "s2_label_centroids": s2_label_centroids,
     "s3_lsh_ann": s3_lsh_ann,
@@ -1081,6 +1092,28 @@ _STATIC_ORACLE = {
                CAST(SUM(sse_num) AS BIGINT) AS sse_num,
                CAST(SUM(sse_num) AS DOUBLE) / CAST(SUM(n_elems) AS DOUBLE) AS mse_num
         FROM pv GROUP BY label ORDER BY label
+    """,
+    "s15_label_drift": f"""
+        WITH ex AS (
+          SELECT label, vec_id % 2 AS half, vec_id,
+                 CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 16777216.0) AS BIGINT) AS sx
+          FROM embeddings),
+        s AS (SELECT label, half, dim, CAST(SUM(sx) AS BIGINT) AS s
+              FROM ex GROUP BY label, half, dim),
+        sv AS (SELECT label, half, list(s ORDER BY dim) AS sv
+               FROM s GROUP BY label, half),
+        c AS (SELECT label, half, CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n
+              FROM ex GROUP BY label, half),
+        h AS (SELECT label, half, sv, n FROM sv JOIN c USING (label, half))
+        SELECT CAST(a.label AS BIGINT) AS label,
+               a.n AS n_even, b.n AS n_odd,
+               round({_DDOT.format(a='a.sv', b='b.sv')}
+                 / (sqrt({_DDOT.format(a='a.sv', b='a.sv')})
+                    * sqrt({_DDOT.format(a='b.sv', b='b.sv')})), 9)
+                 AS centroid_cosine
+        FROM h a JOIN h b ON a.label = b.label AND a.half = 0 AND b.half = 1
+        ORDER BY label
     """,
     "s2_label_centroids": f"""
         WITH ex AS (
