@@ -193,3 +193,51 @@ def test_unwritable_store_degrades_to_unpersisted(spark, monkeypatch, tmp_path):
     assert _sorted_rows(got, "doc_id") == _sorted_rows(
         dedup.neardup_clusters(docs, 0.8), "doc_id"
     )
+
+
+def test_default_store_root_private_and_uid_suffixed(tmp_path, monkeypatch):
+    """The fallback store root must be exclusively ours: uid-suffixed,
+    mode 0700, refused (-> store-less compute) when a pre-existing dir
+    is group/other-accessible, and an explicit env override honored
+    verbatim (the operator's choice, e.g. a cluster shared fs)."""
+    import os
+    import tempfile
+
+    from yuki_spark.queries.artifact_store import default_store_root
+
+    monkeypatch.delenv("YUKI_SPARK_DEDUP_STORE", raising=False)
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    root = default_store_root("YUKI_SPARK_DEDUP_STORE", "fam")
+    assert root is not None and root.endswith(f"fam-{os.getuid()}")
+    assert (os.stat(root).st_mode & 0o777) == 0o700
+    # second call: same root, still accepted
+    assert default_store_root("YUKI_SPARK_DEDUP_STORE", "fam") == root
+
+    # a pre-created world-readable dir at the default path is refused
+    bad = tmp_path / f"fam2-{os.getuid()}"
+    bad.mkdir(mode=0o755)
+    assert default_store_root("YUKI_SPARK_DEDUP_STORE", "fam2") is None
+
+    # env override: returned verbatim, no uid suffix, no refusal
+    monkeypatch.setenv("YUKI_SPARK_DEDUP_STORE", str(tmp_path / "explicit"))
+    assert default_store_root("YUKI_SPARK_DEDUP_STORE", "fam3") == str(
+        tmp_path / "explicit"
+    )
+
+
+def test_table_fingerprint_catches_same_size_same_mtime_rewrite(tmp_path):
+    """The footer-tail content probe: a part file rewritten in-place at
+    identical byte size AND identical mtime (coarse-mtime filesystems)
+    must still change the table fingerprint."""
+    import os
+
+    from yuki_spark.queries.artifact_store import table_fingerprint
+
+    f = tmp_path / "documents.parquet"
+    f.write_bytes(b"A" * 4096 + b"HEAD")
+    st = os.stat(f)
+    fp1 = table_fingerprint(str(tmp_path), "documents")
+    f.write_bytes(b"A" * 4096 + b"TAIL")
+    os.utime(f, ns=(st.st_atime_ns, st.st_mtime_ns))
+    fp2 = table_fingerprint(str(tmp_path), "documents")
+    assert fp1 != fp2
