@@ -375,3 +375,64 @@ def test_constraint_report_properties(spark, vals, split):
         a["v_unique"]["n_violations"] + b["v_unique"]["n_violations"]
         <= whole["v_unique"]["n_violations"]
     )
+
+
+@given(
+    vecs=hst.lists(
+        hst.lists(hst.integers(-3, 3), min_size=4, max_size=4),
+        min_size=3,
+        max_size=9,
+    )
+)
+@_SETTINGS
+def test_mmr_rerank_matches_python_reference(spark, vecs):
+    """mmr_rerank's greedy sequence (picks, steps AND scores) must
+    equal a pure-Python reference running the same rule with the same
+    arithmetic: scaled-int cosines rounded HALF_UP to 9 places (the
+    repr-based decimal mirrors Spark's BigDecimal.valueOf round), then
+    argmax of rel − max-sim-to-picked with smaller-cid tiebreak."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from yuki_spark.operators.similarity import cosine_topk, mmr_rerank
+
+    vecs = [v for v in vecs if any(x != 0 for x in v)]
+    if len(vecs) < 3:
+        return
+    rows = [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    k = len(vecs) - 1
+    m = 3
+    pool = cosine_topk(df, k=k, n_queries=1)
+    got = [
+        (r["step"], r["cid"], r["rel"], r["mmr_score"])
+        for r in mmr_rerank(df, pool, m=m).collect()
+    ]
+
+    def r9(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(Decimal("1e-9"), ROUND_HALF_UP))
+
+    sv = [[x << 24 for x in v] for v in vecs]  # floor(f32 * 2^24) exact for ints
+
+    def cos(a: int, b: int) -> float:
+        dot = sum(x * y for x, y in zip(sv[a], sv[b]))
+        na = sum(x * x for x in sv[a])
+        nb = sum(x * x for x in sv[b])
+        return r9(dot / (math.sqrt(na) * math.sqrt(nb)))
+
+    cands = sorted(range(1, len(vecs)), key=lambda c: (-cos(0, c), c))[:k]
+    exp = []
+    picked = [cands[0]]
+    exp.append((1, cands[0], cos(0, cands[0]), cos(0, cands[0])))
+    rem = [c for c in cands[1:]]
+    for step in range(2, m + 1):
+        if not rem:
+            break
+        scored = [
+            (cos(0, c) - max(cos(c, p) for p in picked), -c, c) for c in rem
+        ]
+        score, _negc, c = max(scored)
+        exp.append((step, c, cos(0, c), score))
+        picked.append(c)
+        rem.remove(c)
+    assert got == exp
