@@ -86,10 +86,11 @@ _PRIORITY = [
     "p1_pii_scan",
     "m1_multimodal_meta",
     "m2_resize_framesample",
+    # --- 50-slot cap lands here --- (the three r7 additions above
+    # displaced m3/q23/dq1 past the cap; they lead the next rotation)
     "m3_audio_windows",
     "q23_skyline_parts",
     "dq1_constraint_report",
-    # --- 50-slot cap lands here ---
     # r5-stamped events keys (code untouched since r5 — lowest risk)
     "e2_sessionization",
     "e3_hourly_rollup",

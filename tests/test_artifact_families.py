@@ -218,6 +218,13 @@ def test_default_store_root_private_and_uid_suffixed(tmp_path, monkeypatch):
     bad.mkdir(mode=0o755)
     assert default_store_root("YUKI_SPARK_DEDUP_STORE", "fam2") is None
 
+    # a pre-planted SYMLINK at the default path is refused even when
+    # its target is a directory we own at mode 0700 (redirect attack)
+    target = tmp_path / "victim"
+    target.mkdir(mode=0o700)
+    (tmp_path / f"fam4-{os.getuid()}").symlink_to(target)
+    assert default_store_root("YUKI_SPARK_DEDUP_STORE", "fam4") is None
+
     # env override: returned verbatim, no uid suffix, no refusal
     monkeypatch.setenv("YUKI_SPARK_DEDUP_STORE", str(tmp_path / "explicit"))
     assert default_store_root("YUKI_SPARK_DEDUP_STORE", "fam3") == str(

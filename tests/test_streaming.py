@@ -588,8 +588,10 @@ def test_corpus_ingest_dedupes_across_batches(spark, tmp_path):
     assert idx.select("doc_id").distinct().count() == 3
     assert idx.count() == 3 * dd.N_BANDS
 
-    # full replay with the same checkpoint: batch ids are stable, the
-    # sink rewrites identical state
+    # REAL replay (see _force_batch_replay): the last batch
+    # re-executes against already-merged state; the self-match filter
+    # + keyed upserts must rewrite identical state
+    _force_batch_replay(ckpt)
     q2 = st.run_corpus_ingest(
         st.read_document_stream(spark, str(sdir), max_files_per_trigger=1),
         corpus,
@@ -618,6 +620,20 @@ def test_corpus_ingest_dedupes_across_batches(spark, tmp_path):
     )
     q3.awaitTermination(180)
     assert sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect()) == [1, 3, 11, 21]
+
+
+def _force_batch_replay(ckpt: str) -> None:
+    """Delete the newest commit marker (keeping its source offsets) so
+    the next availableNow run genuinely RE-EXECUTES that batch against
+    already-merged state — a restart with intact commits processes
+    zero batches and would make any 'replay idempotency' assertion
+    vacuous."""
+    cdir = os.path.join(ckpt, "commits")
+    latest = max((f for f in os.listdir(cdir) if f.isdigit()), key=int)
+    os.remove(os.path.join(cdir, latest))
+    crc = os.path.join(cdir, f".{latest}.crc")  # else the re-commit's
+    if os.path.exists(crc):  # rename collides with the stale checksum
+        os.remove(crc)
 
 
 def test_embedding_ingest_dedupes_across_batches(spark, tmp_path):
@@ -686,7 +702,10 @@ def test_embedding_ingest_dedupes_across_batches(spark, tmp_path):
     assert idx.select("vec_id").distinct().count() == 3
     assert idx.count() == 3 * NEARDUP_BANDS
 
-    # full replay with the same checkpoint: identical state rewritten
+    # REAL replay: drop the newest commit marker so the last batch
+    # re-executes against already-merged state — apply_batch's
+    # self-match filter + keyed upserts must rewrite identical state
+    _force_batch_replay(ckpt)
     ingest()
     assert sorted(
         r["vec_id"] for r in spark.read.parquet(vectors).collect()

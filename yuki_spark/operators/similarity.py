@@ -298,12 +298,27 @@ def cosine_neardup_pairs(
     (`queries/sim.py` derives both from the same footer count)."""
     if bits is None:
         bits = adaptive_bits(n_est if n_est is not None else emb.count())
+    return cosine_neardup_pairs_from(nd_signatures(emb, bits), threshold)
+
+
+def nd_signatures(emb: DataFrame, bits: int) -> DataFrame:
+    """(vec_id, sv, band, bucket) sign-LSH signature rows — the shared
+    input of :func:`cosine_neardup_pairs_from` and the persistable
+    bucket index (project on the last three columns). One scaling +
+    one bucket-UDF pass; callers that need both the pair check and the
+    index rows (the streaming embedding ingest) compute this ONCE."""
     planes = lsh_planes(NEARDUP_BANDS * bits)
-    sig = (
+    return (
         emb.select("vec_id", scaled("embedding").alias("sv"))
         .withColumn("buckets", _nd_bucket_udf(planes, NEARDUP_BANDS, bits)("sv"))
         .select("vec_id", "sv", F.posexplode("buckets").alias("band", "bucket"))
     )
+
+
+def cosine_neardup_pairs_from(sig: DataFrame, threshold: float) -> DataFrame:
+    """:func:`cosine_neardup_pairs`' core over precomputed signature
+    rows (see :func:`nd_signatures`) — the streaming ingest reuses its
+    one signature pass for both this check and the index rows."""
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
@@ -405,12 +420,7 @@ def nd_bucket_rows(emb: DataFrame, bits: int) -> DataFrame:
     lifetime so historical and new batches bucket identically (an
     adaptive width would silently shear the index as the corpus
     grows — re-bucketing is an explicit rebuild, not a drift)."""
-    planes = lsh_planes(NEARDUP_BANDS * bits)
-    return (
-        emb.select("vec_id", scaled("embedding").alias("sv"))
-        .withColumn("buckets", _nd_bucket_udf(planes, NEARDUP_BANDS, bits)("sv"))
-        .select("vec_id", F.posexplode("buckets").alias("band", "bucket"))
-    )
+    return nd_signatures(emb, bits).select("vec_id", "band", "bucket")
 
 
 def cosine_neardup_pairs_exact(

@@ -26,6 +26,7 @@ import inspect
 import json
 import os
 import shutil
+import stat as stat_mod
 import tempfile
 import threading
 from collections.abc import Callable
@@ -54,8 +55,16 @@ def default_store_root(env_var: str, name: str) -> str | None:
     root = os.path.join(tempfile.gettempdir(), f"{name}-{os.getuid()}")
     try:
         os.makedirs(root, mode=0o700, exist_ok=True)
-        st = os.stat(root)
-        if st.st_uid != os.getuid() or (st.st_mode & 0o077):
+        # lstat + S_ISDIR: a pre-planted SYMLINK at the predictable
+        # path would pass a follow-symlink stat (the target can be a
+        # victim-owned 0700 dir) — the link itself must be a real
+        # directory we own, not a redirect
+        st = os.lstat(root)
+        if (
+            not stat_mod.S_ISDIR(st.st_mode)
+            or st.st_uid != os.getuid()
+            or (st.st_mode & 0o077)
+        ):
             return None
     except OSError:
         return None

@@ -400,6 +400,82 @@ def read_document_stream(
     )
 
 
+def _run_dedup_ingest(
+    sdf: DataFrame,
+    primary_path: str,
+    index_path: str,
+    checkpoint: str,
+    *,
+    key: str,
+    index_keys: list[str],
+    prepare,
+    cross_dups,
+    rebuild_index,
+    primary_name: str,
+):
+    """Shared foreachBatch skeleton of the two continuous-ingest
+    loops (documents :func:`run_corpus_ingest`, embeddings
+    :func:`run_embedding_ingest`) — ONE copy of the fragile
+    snapshot/merge/overwrite crash-consistency protocol:
+
+    - ``prepare(batch)`` -> (canonicalized batch, its index rows,
+      extra) — within-batch dedup included; all three eagerly
+      checkpointed by the callback.
+    - ``cross_dups(batch, index_rows, extra, index, primary)`` ->
+      DataFrame[key] of batch keys duplicating ingested content
+      (self-matches of a replayed batch already excluded).
+    - ``rebuild_index(primary)`` — the index is DERIVED data: a crash
+      between the two overwrites is healed by re-deriving it.
+
+    A missing PRIMARY while the index exists fails loud (primary data
+    cannot be derived back; plain parquet has no transaction log — a
+    lakehouse table makes the window atomic). Both merged snapshots
+    are materialized BEFORE either overwrite (the index lineage
+    reaches through the dup check into the current primary files the
+    overwrite deletes), and each overwrite goes through the
+    staged-rename swap so a crash mid-write can never leave a partial
+    directory that later reads as a truncated snapshot."""
+    from ..operators.merge import merge_upsert
+
+    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch, index_rows, extra = prepare(batch_df)
+        primary = _read_snapshot_or_none(spark, primary_path)
+        index = _read_snapshot_or_none(spark, index_path)
+        if primary is None and index is not None:
+            raise RuntimeError(
+                f"{primary_name} snapshot {primary_path!r} missing while "
+                f"index {index_path!r} exists — refusing to rebuild from "
+                "one batch"
+            )
+        if primary is not None:
+            if index is None:
+                index = rebuild_index(primary)
+            dup = cross_dups(batch, index_rows, extra, index, primary)
+            novel = batch.join(dup, key, "left_anti")
+            merged_primary = merge_upsert(primary, novel, [key])
+            merged_index = merge_upsert(
+                index, index_rows.join(dup, key, "left_anti"), index_keys
+            )
+        else:
+            novel = batch
+            merged_primary = novel
+            merged_index = index_rows
+        mp = merged_primary.localCheckpoint(eager=True)
+        mi = merged_index.localCheckpoint(eager=True)
+        _atomic_overwrite(mp, primary_path)
+        _atomic_overwrite(mi, index_path)
+
+    return (
+        sdf.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_corpus_ingest(
     sdf: DataFrame,
     corpus_path: str,
@@ -417,20 +493,17 @@ def run_corpus_ingest(
     join, never a corpus re-dedup), and (3) MERGEs the novel docs
     into the corpus snapshot and their band rows into the index
     snapshot, both doc-keyed upserts so a replayed batch rewrites the
-    identical state (idempotent sink).
+    identical state (idempotent sink; crash-consistency protocol in
+    :func:`_run_dedup_ingest`).
 
     Scale notes: the per-batch snapshot rewrite is the plain-parquet
     stand-in for a transactional MERGE — on a lakehouse table
-    (Delta/Iceberg) steps (3) become real MERGE INTO statements and
+    (Delta/Iceberg) the merges become real MERGE INTO statements and
     the corpus is never rewritten; the index join cost is
     O(batch × matching keys) regardless of corpus size."""
     from ..operators import dedup as dd
-    from ..operators.merge import merge_upsert
 
-    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
+    def prepare(batch_df: DataFrame):
         batch = _dedup_per_key(batch_df, ["doc_id"]).localCheckpoint(eager=True)
         # ONE tokenization + MinHash pass per batch: ts/bands feed the
         # within-batch self-join, the cross-batch index check, AND the
@@ -446,58 +519,31 @@ def run_corpus_ingest(
         batch = batch.join(intra, "doc_id", "left_anti")
         ts = ts.join(intra, "doc_id", "left_anti")
         bands = bands.join(intra, "doc_id", "left_anti")
-        corpus = _read_snapshot_or_none(spark, corpus_path)
-        index = _read_snapshot_or_none(spark, index_path)
-        if corpus is None and index is not None:
-            # the corpus overwrite crashed mid-flight: primary data is
-            # gone and cannot be derived back — fail loud (plain
-            # parquet has no transaction log; a lakehouse table makes
-            # this window atomic)
-            raise RuntimeError(
-                f"corpus snapshot {corpus_path!r} missing while index "
-                f"{index_path!r} exists — refusing to rebuild from one batch"
-            )
-        if corpus is not None:
-            if index is None:
-                # crash between the two overwrites: the index is
-                # DERIVED data — rebuild it from the corpus
-                index = dd.band_index(dd.token_sets(corpus))
-            dup = (
-                dd.incremental_neardup(
-                    batch, index, corpus, threshold, new_ts=ts, new_bands=bands
-                )
-                # a replayed batch's docs are already deposited: their
-                # self-match must not re-classify them as duplicates
-                .where(F.col("new_id") != F.col("indexed_id"))
-                .select(F.col("new_id").alias("doc_id"))
-                .distinct()
-            )
-            novel = batch.join(dup, "doc_id", "left_anti")
-            merged_corpus = merge_upsert(corpus, novel, ["doc_id"])
-            merged_index = merge_upsert(
-                index, bands.join(dup, "doc_id", "left_anti"), ["doc_id", "band"]
-            )
-        else:
-            novel = batch
-            merged_corpus = novel
-            merged_index = bands
-        # materialize BOTH before either overwrite: the index lineage
-        # reaches through the dup check into the current corpus files,
-        # which the corpus overwrite is about to delete. Overwrites go
-        # through the staged-rename swap so a crash mid-write can never
-        # leave a partial directory that later reads as a truncated
-        # snapshot (_read_snapshot_or_none also fail-louds on any
-        # marker-less directory as defense in depth).
-        mc = merged_corpus.localCheckpoint(eager=True)
-        mi = merged_index.localCheckpoint(eager=True)
-        _atomic_overwrite(mc, corpus_path)
-        _atomic_overwrite(mi, index_path)
+        return batch, bands, ts
 
-    return (
-        sdf.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    def cross_dups(batch, bands, ts, index, corpus):
+        return (
+            dd.incremental_neardup(
+                batch, index, corpus, threshold, new_ts=ts, new_bands=bands
+            )
+            # a replayed batch's docs are already deposited: their
+            # self-match must not re-classify them as duplicates
+            .where(F.col("new_id") != F.col("indexed_id"))
+            .select(F.col("new_id").alias("doc_id"))
+            .distinct()
+        )
+
+    return _run_dedup_ingest(
+        sdf,
+        corpus_path,
+        index_path,
+        checkpoint,
+        key="doc_id",
+        index_keys=["doc_id", "band"],
+        prepare=prepare,
+        cross_dups=cross_dups,
+        rebuild_index=lambda corpus: dd.band_index(dd.token_sets(corpus)),
+        primary_name="corpus",
     )
 
 
@@ -549,98 +595,79 @@ def run_embedding_ingest(
     the snapshot rewrite is the plain-parquet stand-in for a lakehouse
     MERGE INTO; the bucket join costs O(batch × colliding rows)
     regardless of corpus size, and the verification joins are keyed on
-    vec_id (SMJ-able at any scale)."""
+    vec_id (SMJ-able at any scale). Crash-consistency protocol in
+    :func:`_run_dedup_ingest`."""
     from ..operators import similarity as sim
-    from ..operators.merge import merge_upsert
 
-    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
+    def prepare(batch_df: DataFrame):
         batch = _dedup_per_key(batch_df, ["vec_id"]).localCheckpoint(eager=True)
-        bands = sim.nd_bucket_rows(batch, bits).localCheckpoint(eager=True)
+        # ONE scaling + bucket-UDF pass per batch: the signatures feed
+        # the within-batch check, the cross-batch index join, AND the
+        # novel vectors' new index rows
+        sig = sim.nd_signatures(batch, bits).localCheckpoint(eager=True)
+        bands = sig.select("vec_id", "band", "bucket")
         intra = (
-            sim.cosine_neardup_pairs(batch, threshold, bits=bits)
+            sim.cosine_neardup_pairs_from(sig, threshold)
             .select(F.col("id_b").alias("vec_id"))
             .distinct()
             .localCheckpoint(eager=True)
         )
         batch = batch.join(intra, "vec_id", "left_anti")
         bands = bands.join(intra, "vec_id", "left_anti")
-        vectors = _read_snapshot_or_none(spark, vectors_path)
-        index = _read_snapshot_or_none(spark, index_path)
-        if vectors is None and index is not None:
-            raise RuntimeError(
-                f"vectors snapshot {vectors_path!r} missing while index "
-                f"{index_path!r} exists — refusing to rebuild from one batch"
-            )
-        if vectors is not None:
-            if index is None:
-                # crash between the two overwrites: the index is
-                # DERIVED data — rebuild it from the vectors
-                index = sim.nd_bucket_rows(vectors, bits)
-            cand = (
-                bands.join(
-                    index.select(
-                        F.col("vec_id").alias("indexed_id"), "band", "bucket"
-                    ),
-                    ["band", "bucket"],
-                )
-                # a replayed batch's vectors are already deposited:
-                # their self-match must not re-classify them as dups
-                .where(F.col("vec_id") != F.col("indexed_id"))
-                .select(F.col("vec_id").alias("new_id"), "indexed_id")
-                .distinct()
-            )
-            nsv = batch.select(
-                F.col("vec_id").alias("new_id"),
-                sim.scaled("embedding").alias("nv"),
-            ).withColumn("nn", sim.int_dot(F.col("nv"), F.col("nv")))
-            isv = vectors.select(
-                F.col("vec_id").alias("indexed_id"),
-                sim.scaled("embedding").alias("iv"),
-            ).withColumn("in_", sim.int_dot(F.col("iv"), F.col("iv")))
-            dup = (
-                cand.join(nsv, "new_id")
-                .join(isv, "indexed_id")
-                .withColumn(
-                    "cosine",
-                    F.round(
-                        sim.cosine_from_ints(
-                            sim.int_dot(F.col("nv"), F.col("iv")),
-                            F.col("nn"),
-                            F.col("in_"),
-                        ),
-                        9,
-                    ),
-                )
-                .where(F.col("cosine") >= threshold)
-                .select(F.col("new_id").alias("vec_id"))
-                .distinct()
-            )
-            novel = batch.join(dup, "vec_id", "left_anti")
-            merged_vectors = merge_upsert(vectors, novel, ["vec_id"])
-            merged_index = merge_upsert(
-                index,
-                bands.join(dup, "vec_id", "left_anti"),
-                ["vec_id", "band"],
-            )
-        else:
-            novel = batch
-            merged_vectors = novel
-            merged_index = bands
-        # materialize both before either overwrite (the index lineage
-        # reads the current vectors files the overwrite deletes)
-        mv = merged_vectors.localCheckpoint(eager=True)
-        mi = merged_index.localCheckpoint(eager=True)
-        _atomic_overwrite(mv, vectors_path)
-        _atomic_overwrite(mi, index_path)
+        return batch, bands, None
 
-    return (
-        sdf.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    def cross_dups(batch, bands, _extra, index, vectors):
+        cand = (
+            bands.join(
+                index.select(
+                    F.col("vec_id").alias("indexed_id"), "band", "bucket"
+                ),
+                ["band", "bucket"],
+            )
+            # a replayed batch's vectors are already deposited: their
+            # self-match must not re-classify them as duplicates
+            .where(F.col("vec_id") != F.col("indexed_id"))
+            .select(F.col("vec_id").alias("new_id"), "indexed_id")
+            .distinct()
+        )
+        nsv = batch.select(
+            F.col("vec_id").alias("new_id"),
+            sim.scaled("embedding").alias("nv"),
+        ).withColumn("nn", sim.int_dot(F.col("nv"), F.col("nv")))
+        isv = vectors.select(
+            F.col("vec_id").alias("indexed_id"),
+            sim.scaled("embedding").alias("iv"),
+        ).withColumn("in_", sim.int_dot(F.col("iv"), F.col("iv")))
+        return (
+            cand.join(nsv, "new_id")
+            .join(isv, "indexed_id")
+            .withColumn(
+                "cosine",
+                F.round(
+                    sim.cosine_from_ints(
+                        sim.int_dot(F.col("nv"), F.col("iv")),
+                        F.col("nn"),
+                        F.col("in_"),
+                    ),
+                    9,
+                ),
+            )
+            .where(F.col("cosine") >= threshold)
+            .select(F.col("new_id").alias("vec_id"))
+            .distinct()
+        )
+
+    return _run_dedup_ingest(
+        sdf,
+        vectors_path,
+        index_path,
+        checkpoint,
+        key="vec_id",
+        index_keys=["vec_id", "band"],
+        prepare=prepare,
+        cross_dups=cross_dups,
+        rebuild_index=lambda vectors: sim.nd_bucket_rows(vectors, bits),
+        primary_name="vectors",
     )
 
 
