@@ -34,6 +34,7 @@ _PRIORITY = [
     # new this round / new oracle twins (never driver-hash-validated)
     "s14_mmr_rerank",
     "s15_label_drift",
+    "s16_knn_centrality",
     "d36_cross_source_dups",
     "d34_rag_chunking",
     "d35_bigram_rarity",
@@ -85,9 +86,9 @@ _PRIORITY = [
     "d32_doc_entropy",
     "p1_pii_scan",
     "m1_multimodal_meta",
+    # --- 50-slot cap lands here --- (the four r7 additions above
+    # displaced m2/m3/q23/dq1 past the cap; they lead the next rotation)
     "m2_resize_framesample",
-    # --- 50-slot cap lands here --- (the three r7 additions above
-    # displaced m3/q23/dq1 past the cap; they lead the next rotation)
     "m3_audio_windows",
     "q23_skyline_parts",
     "dq1_constraint_report",

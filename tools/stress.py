@@ -157,6 +157,7 @@ def main() -> None:
         "d36_cross_source_dups",
         "s14_mmr_rerank",
         "s15_label_drift",
+        "s16_knn_centrality",
     ]
     qs["q1_pricing_summary"](spark, out).write.mode("overwrite").format("noop").save()
     timings = {}

@@ -301,6 +301,73 @@ def cosine_neardup_pairs(
     return cosine_neardup_pairs_from(nd_signatures(emb, bits), threshold)
 
 
+PR_SCALE = 1_000_000_000  # initial integer rank mass per node
+PR_BASE = 15 * PR_SCALE // 100  # the (1−d) teleport term, d = 0.85
+
+
+def graph_pagerank(
+    graph: DataFrame, iters: int = 3, top: int = 25
+) -> DataFrame:
+    """Integer-arithmetic PageRank over a kNN graph (``graph``:
+    qid→cid edges, e.g. :func:`knn_graph`'s output) — the
+    graph-centrality signal density/coreset-based data curation reads
+    (a high-rank vector sits in a dense, well-connected region; the
+    non-normalized d=0.85 variant, ``iters`` fixed rounds). ALL
+    arithmetic is int64 (floor-div contributions, integer damping
+    ``(85·inflow) div 100``), so every engine reproduces the ranks
+    bit-for-bit — no float summation order to disagree on.
+
+    Scale shape: per round one keyed edge join (src) + one hash-agg
+    (dst) + one left join back to nodes — O(edges) per round, rounds
+    constant, lineage cut per round. PR_SCALE bounds: max rank ≈
+    0.85 · total mass ≈ N·PR_SCALE, so int64 holds through ~10^8
+    nodes; beyond that a deployment lowers PR_SCALE (the ORDER of
+    ranks is scale-invariant down to floor-div granularity)."""
+    edges = graph.select(
+        F.col("qid").alias("src"), F.col("cid").alias("dst")
+    ).localCheckpoint(eager=False)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = (
+        edges.select(F.col("src").alias("vec_id"))
+        .union(edges.select(F.col("dst").alias("vec_id")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    ce = edges.join(deg, "src").localCheckpoint(eager=False)
+    r = nodes.select("vec_id", F.lit(PR_SCALE).cast("bigint").alias("pr"))
+    for _ in range(iters):
+        inflow = (
+            ce.join(r.withColumnRenamed("vec_id", "src"), "src")
+            .select("dst", F.expr("pr div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        r = (
+            nodes.join(inflow, nodes["vec_id"] == inflow["dst"], "left")
+            .select(
+                "vec_id",
+                (
+                    F.lit(PR_BASE)
+                    + F.coalesce(F.expr("(85 * inflow) div 100"), F.lit(0))
+                )
+                .cast("bigint")
+                .alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    indeg = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("n_in"))
+    return (
+        r.join(indeg, r["vec_id"] == indeg["dst"], "left")
+        .select(
+            "vec_id",
+            F.coalesce("n_in", F.lit(0)).cast("bigint").alias("n_in"),
+            "pr",
+        )
+        .orderBy(F.desc("pr"), "vec_id")
+        .limit(top)
+    )
+
+
 def nd_signatures(emb: DataFrame, bits: int) -> DataFrame:
     """(vec_id, sv, band, bucket) sign-LSH signature rows — the shared
     input of :func:`cosine_neardup_pairs_from` and the persistable

@@ -421,10 +421,23 @@ def s15_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_drift(load(spark, sf_dir, "embeddings"))
 
 
+def s16_knn_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph centrality over the s11 kNN graph
+    (operators/similarity.py::graph_pagerank): 3 rounds of
+    integer-arithmetic PageRank, top-25 vectors by rank — the
+    density/coreset-selection signal graph-based curation reads (a
+    high-rank vector anchors a dense region). The graph comes from
+    the SHARED sim_family deposit (built once, s11/s12 and this all
+    read it); all updates are int64, so the unrolled-CTE DuckDB twin
+    reproduces every rank bit-for-bit."""
+    return similarity.graph_pagerank(_graph(spark, sf_dir), iters=3, top=25)
+
+
 QUERIES = {
     "s1_cosine_topk": s1_cosine_topk,
     "s14_mmr_rerank": s14_mmr_rerank,
     "s15_label_drift": s15_label_drift,
+    "s16_knn_centrality": s16_knn_centrality,
     "s6_ann_recall": s6_ann_recall,
     "s2_label_centroids": s2_label_centroids,
     "s3_lsh_ann": s3_lsh_ann,
@@ -1039,6 +1052,47 @@ def _s14_oracle() -> str:
     """
 
 
+def _s16_oracle() -> str:
+    """Twin of s16_knn_centrality: the s11 graph twin's edges through
+    three unrolled integer-PageRank CTEs — floor-div contributions,
+    integer damping, identical to the Spark rounds by construction."""
+    from ..operators.similarity import PR_BASE, PR_SCALE
+
+    iters = 3
+    ctes = [
+        f"edges AS (SELECT qid AS src, cid AS dst FROM g)",
+        "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg"
+        " FROM edges GROUP BY src)",
+        "nodes AS (SELECT src AS vec_id FROM edges"
+        " UNION SELECT dst FROM edges)",
+        f"r0 AS (SELECT vec_id, CAST({PR_SCALE} AS BIGINT) AS pr FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""r{i} AS (
+          SELECT n.vec_id,
+                 CAST({PR_BASE} + COALESCE((85 * s.inflow) // 100, 0)
+                   AS BIGINT) AS pr
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS vec_id,
+                   CAST(SUM(r{i - 1}.pr // d.deg) AS BIGINT) AS inflow
+            FROM edges e JOIN r{i - 1} ON e.src = r{i - 1}.vec_id
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.dst) s USING (vec_id))"""
+        )
+    ctes.append(
+        "ind AS (SELECT dst AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_in"
+        " FROM edges GROUP BY dst)"
+    )
+    return f"""
+        WITH g AS ({_s11_oracle()}),
+        {",".join(ctes)}
+        SELECT r{iters}.vec_id, COALESCE(ind.n_in, 0) AS n_in, r{iters}.pr
+        FROM r{iters} LEFT JOIN ind USING (vec_id)
+        ORDER BY pr DESC, vec_id LIMIT 25
+    """
+
+
 def build_oracle() -> dict[str, str]:
     """Build the twin dict with adaptive parameters derived from the
     CURRENT gate catalog (env read now, not at import) — the canonical
@@ -1058,6 +1112,7 @@ def build_oracle() -> dict[str, str]:
             "s12_graph_recall": _s12_oracle(),
             "s13_matryoshka_recall": _s13_oracle(),
             "s14_mmr_rerank": _s14_oracle(),
+            "s16_knn_centrality": _s16_oracle(),
             "s6_ann_recall": _s6_oracle(),
         }
     )
