@@ -158,6 +158,7 @@ def main() -> None:
         "s14_mmr_rerank",
         "s15_label_drift",
         "s16_knn_centrality",
+        "e24_common_paths",
     ]
     qs["q1_pricing_summary"](spark, out).write.mode("overwrite").format("noop").save()
     timings = {}

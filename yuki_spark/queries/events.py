@@ -847,7 +847,47 @@ def e23_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+E24_TOP = 20
+
+
+def e24_common_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory mining: the top-20 most frequent 3-event-type paths
+    across user timelines — e16's Markov transition matrix extended to
+    3-gram sequences (funnel DISCOVERY: which concrete paths dominate,
+    before e5's fixed-funnel measurement). Deterministic chain order
+    (ts, event_id tiebreak — e16's rule); occurrence and distinct-user
+    counts per path; top-k ties broken by path string (ASCII, so both
+    engines sort identically).
+
+    Scale shape: one user_id shuffle for the lead window (shared
+    partitioning with the whole per-user family), one path hash-agg
+    with map-side combine, distributed top-k — no joins, no state
+    beyond the window."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    ).where(F.col("t2").isNotNull())
+    return (
+        t.select(
+            "user_id",
+            F.concat_ws(">", "event_type", "t1", "t2").alias("path"),
+        )
+        .groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n_occurrences"), "path")
+        .limit(E24_TOP)
+    )
+
+
 QUERIES = {
+    "e24_common_paths": e24_common_paths,
     "e22_psi_drift": e22_psi_drift,
     "e23_seasonal_anomaly": e23_seasonal_anomaly,
     "e13_zscore_outliers": e13_zscore_outliers,
@@ -1003,6 +1043,21 @@ ORACLE = {
                  / CAST(MAX(CASE WHEN week_idx = 0 THEN n_users END)
                      OVER (PARTITION BY cohort_week) AS DOUBLE) AS retention
         FROM per ORDER BY cohort_week, week_idx
+    """,
+    "e24_common_paths": f"""
+        WITH t AS (
+          SELECT user_id, event_type,
+                 lead(event_type, 1) OVER w AS t1,
+                 lead(event_type, 2) OVER w AS t2
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        p AS (
+          SELECT user_id, event_type || '>' || t1 || '>' || t2 AS path
+          FROM t WHERE t2 IS NOT NULL)
+        SELECT path, COUNT(*) AS n_occurrences,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM p GROUP BY path
+        ORDER BY n_occurrences DESC, path LIMIT {E24_TOP}
     """,
     "e16_event_transitions": """
         WITH t AS (
