@@ -32,6 +32,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # freshest rows at the bottom.
 _PRIORITY = [
     # new this round / new oracle twins (never driver-hash-validated)
+    "d37_span_scrub",
     "e24_common_paths",
     "s14_mmr_rerank",
     "s15_label_drift",
@@ -86,8 +87,8 @@ _PRIORITY = [
     "d31_token_surprisal",
     "d32_doc_entropy",
     "p1_pii_scan",
-    # --- 50-slot cap lands here --- (the five r7 additions above
-    # displaced m1/m2/m3/q23/dq1 past the cap; they lead the next
+    # --- 50-slot cap lands here --- (the six r7 additions above
+    # displaced p1/m1/m2/m3/q23/dq1 past the cap; they lead the next
     # rotation)
     "m1_multimodal_meta",
     "m2_resize_framesample",

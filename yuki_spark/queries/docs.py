@@ -778,6 +778,71 @@ def d22_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d37_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of exact-substring dedup (Lee et al. 2022 §3
+    ExactSubstr — where d22 is the detection scan, this is the scrub):
+    every occurrence of an 8-token span except its canonical first one
+    (min (doc_id, pos) over the corpus, Lee et al.'s "keep one copy")
+    is marked for removal, the removed token positions are unioned per
+    document (overlapping spans don't double-count), and the per-source
+    rollup reports exactly how much of the corpus survives the scrub —
+    the retention accounting a training-data pipeline signs off on.
+    Self-repeats inside one document count too (only the earliest
+    position is kept), matching the reference semantics.
+
+    Scale shape: one linear span explode (n_tokens − 7 rows per doc),
+    one hash-agg keyed by gram whose min-struct combiner is map-side
+    partial, one equi-join back on gram (SMJ-able at any scale — no
+    corpus-sized broadcast), a bounded 8× position explode of ONLY the
+    removable occurrences, then distinct + two hash-aggs. Identical
+    two-aggregation profile to d22/d19; no pair machinery anywhere."""
+    t = text.with_tokens(load(spark, sf_dir, "documents"))
+    spans = F.expr(
+        f"transform(sequence(1, cast(n_tokens as int) - {SPAN - 1}),"
+        f" i -> struct(i as pos, array_join(slice(toks, i, {SPAN}), ' ') as gram))"
+    )
+    occ = (
+        t.where(F.col("n_tokens") >= SPAN)
+        .select("doc_id", F.explode(spans).alias("s"))
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.gram").alias("gram"))
+    )
+    owner = occ.groupBy("gram").agg(
+        F.min(F.struct(F.col("doc_id"), F.col("pos"))).alias("own")
+    )
+    removable = occ.join(owner, "gram").where(
+        ~(
+            (F.col("doc_id") == F.col("own.doc_id"))
+            & (F.col("pos") == F.col("own.pos"))
+        )
+    )
+    removed = (
+        removable.select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(pos, pos + {SPAN - 1})")).alias("tpos"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_removed"))
+    )
+    per_doc = (
+        t.select("doc_id", "source", F.col("n_tokens").cast("bigint").alias("nt"))
+        .join(removed, "doc_id", "left")
+        .withColumn("n_removed", F.coalesce(F.col("n_removed"), F.lit(0)))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("total_tokens"),
+            F.sum("n_removed").cast("bigint").alias("tokens_removed"),
+            F.sum(F.when(F.col("n_removed") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs_scrubbed"),
+        )
+        .orderBy("source")
+    )
+
+
 # Gopher-style rule thresholds (Rae et al. 2021 §A1.1), tuned to this
 # corpus's ranges (tokens 10–99, mean word length 3.7–5.3) so every
 # rule discriminates. All comparisons are exact-integer (cross-
@@ -1204,6 +1269,7 @@ QUERIES = {
     "d26_quality_buckets": d26_quality_buckets,
     "d1_exact_dedup": d1_exact_dedup,
     "d22_dup_spans": d22_dup_spans,
+    "d37_span_scrub": d37_span_scrub,
     "d23_gopher_filter": d23_gopher_filter,
     "d34_rag_chunking": d34_rag_chunking,
     "d35_bigram_rarity": d35_bigram_rarity,
@@ -1433,6 +1499,41 @@ _ORACLE_TEMPLATE = {
                  AS n_docs_hit
         FROM g JOIN gd USING (gram)
         GROUP BY source ORDER BY source
+    """,
+    # canonical occurrence = min (doc_id, pos) per gram, expressed as
+    # rn = 1 under ORDER BY doc_id, pos — the exact total order the
+    # Spark side's min(struct(doc_id, pos)) aggregate induces
+    "d37_span_scrub": f"""
+        WITH t AS (
+          SELECT doc_id, source, {_T} AS toks,
+                 CAST(len({_T}) AS BIGINT) AS n
+          FROM documents),
+        occ AS (
+          SELECT doc_id, i AS pos,
+                 array_to_string(toks[i:i+{SPAN - 1}], ' ') AS gram
+          FROM (SELECT doc_id, toks,
+                       unnest(range(1, n - {SPAN} + 2)) AS i
+                FROM t WHERE n >= {SPAN})),
+        rk AS (
+          SELECT doc_id, pos,
+                 row_number() OVER (PARTITION BY gram
+                                    ORDER BY doc_id, pos) AS rn
+          FROM occ),
+        rem AS (
+          SELECT DISTINCT doc_id, tpos FROM (
+            SELECT doc_id, unnest(range(pos, pos + {SPAN})) AS tpos
+            FROM rk WHERE rn > 1)),
+        pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed
+               FROM rem GROUP BY doc_id)
+        SELECT t.source, COUNT(*) AS n_docs,
+               CAST(SUM(t.n) AS BIGINT) AS total_tokens,
+               CAST(SUM(COALESCE(pd.n_removed, 0)) AS BIGINT)
+                 AS tokens_removed,
+               CAST(SUM(CASE WHEN COALESCE(pd.n_removed, 0) > 0
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_docs_scrubbed
+        FROM t LEFT JOIN pd USING (doc_id)
+        GROUP BY t.source ORDER BY t.source
     """,
     "d23_gopher_filter": f"""
         WITH t AS (SELECT source, {_T} AS toks FROM documents),
