@@ -33,6 +33,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # new this round / new oracle twins (never driver-hash-validated)
     "d37_span_scrub",
+    "e25_interarrival",
     "e24_common_paths",
     "s14_mmr_rerank",
     "s15_label_drift",
@@ -85,11 +86,11 @@ _PRIORITY = [
     "d29_dsir_weights",
     "d30_oov_rate",
     "d31_token_surprisal",
+    # --- 50-slot cap lands here --- (the seven r7 additions above
+    # displaced d32/p1/m1/m2/m3/q23/dq1 past the cap; they lead the
+    # next rotation)
     "d32_doc_entropy",
     "p1_pii_scan",
-    # --- 50-slot cap lands here --- (the six r7 additions above
-    # displaced p1/m1/m2/m3/q23/dq1 past the cap; they lead the next
-    # rotation)
     "m1_multimodal_meta",
     "m2_resize_framesample",
     "m3_audio_windows",

@@ -159,6 +159,9 @@ def main() -> None:
         "s15_label_drift",
         "s16_knn_centrality",
         "e24_common_paths",
+        # d37 re-runs d22's gram-agg profile plus the removable-span
+        # position explode — the explode volume is the scale risk
+        "d37_span_scrub",
     ]
     qs["q1_pricing_summary"](spark, out).write.mode("overwrite").format("noop").save()
     timings = {}

@@ -886,8 +886,45 @@ def e24_common_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e25_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-process audit: the inter-event gap distribution along
+    each user's timeline, attributed to the LATER event's type — the
+    cadence profile (how long users idle before each action) that
+    complements e6's value distribution and e2's fixed-gap sessions.
+    Gaps are exact integer microseconds (unix_micros / epoch_us on
+    both engines), chain order is the family's deterministic
+    (ts, event_id) rule, so attribution under timestamp ties is
+    engine-independent.
+
+    Scale shape: one user_id window shuffle — the SAME partitioning
+    the whole per-user family (e2/e16/e24) reuses — then one
+    hash-agg by event_type. Exact percentile() is the correctness
+    anchor here; at 100 TB the sketch path demonstrated by e7
+    (percentile_approx) swaps in with one function change."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))).alias(
+            "gap_us"
+        ),
+    ).where(F.col("gap_us").isNotNull())
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap_us").alias("total_gap_us"),
+            F.expr("percentile(gap_us, 0.5)").alias("p50_gap_us"),
+            F.expr("percentile(gap_us, 0.9)").alias("p90_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "e24_common_paths": e24_common_paths,
+    "e25_interarrival": e25_interarrival,
     "e22_psi_drift": e22_psi_drift,
     "e23_seasonal_anomaly": e23_seasonal_anomaly,
     "e13_zscore_outliers": e13_zscore_outliers,
@@ -1191,6 +1228,24 @@ ORACLE = {
         SELECT event_type, COUNT(*) AS true_count, TRUE AS est_ok
         FROM events GROUP BY event_type
         ORDER BY true_count DESC, event_type LIMIT 5
+    """,
+    # chain order (ts, event_id) matches the Spark window exactly;
+    # epoch_us/unix_micros are both integer-µs views of the same
+    # parquet NANOS column, so gaps are exact-integer on both engines
+    "e25_interarrival": """
+        WITH o AS (
+          SELECT event_type,
+                 epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+          FROM events),
+        g AS (SELECT event_type, CAST(gap_us AS BIGINT) AS gap_us
+              FROM o WHERE gap_us IS NOT NULL)
+        SELECT event_type, COUNT(*) AS n_gaps,
+               CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
+               quantile_cont(gap_us, 0.5) AS p50_gap_us,
+               quantile_cont(gap_us, 0.9) AS p90_gap_us,
+               CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+        FROM g GROUP BY event_type ORDER BY event_type
     """,
     "e6_value_percentiles": """
         SELECT event_type,
