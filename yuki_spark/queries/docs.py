@@ -74,6 +74,40 @@ def d4_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_family.simhash_pairs3(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
+D38_THRESHOLDS = [80, 85, 90, 95]  # Jaccard thresholds as integer %
+
+
+def d38_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold-sensitivity audit: how many near-dup pairs and
+    how many touched documents survive at each candidate Jaccard
+    threshold (0.80/0.85/0.90/0.95) — the sweep a pipeline runs before
+    COMMITTING to a threshold, since the kept-corpus size is a step
+    function of this one knob. Served entirely from the family's
+    deposited exact-pairs table (J ≥ 0.8 with verified ``jac`` per
+    pair), so the sweep never re-tokenizes or re-pairs the corpus;
+    thresholds below the 0.8 deposit grain are out of scope by design.
+
+    Scale shape: the pair table is O(near-dup edges) — tiny next to
+    the corpus — and the sweep is one ≤4× explode plus two hash-aggs
+    over it, then a 4-row join. Adding a threshold to the sweep costs
+    nothing new at 100 TB; the expensive pass stays paid-once."""
+    pairs = dedup_family.exact_pairs(spark, sf_dir, 0.8)
+    thr = F.array([F.lit(t) for t in D38_THRESHOLDS])
+    hit = F.filter(thr, lambda t: F.col("jac") >= t.cast("double") / F.lit(100.0))
+    e = pairs.select("doc_a", "doc_b", F.explode(hit).alias("thr_pct"))
+    n_pairs = e.groupBy("thr_pct").agg(F.count(F.lit(1)).alias("n_pairs"))
+    n_docs = (
+        e.select("thr_pct", F.explode(F.array("doc_a", "doc_b")).alias("doc"))
+        .groupBy("thr_pct")
+        .agg(F.countDistinct("doc").alias("n_docs"))
+    )
+    return (
+        n_pairs.join(n_docs, "thr_pct")
+        .select("thr_pct", "n_pairs", "n_docs")
+        .orderBy("thr_pct")
+    )
+
+
 def d5_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return (
@@ -1274,6 +1308,7 @@ QUERIES = {
     "d34_rag_chunking": d34_rag_chunking,
     "d35_bigram_rarity": d35_bigram_rarity,
     "d2_ngram_jaccard_dups": d2_ngram_jaccard_dups,
+    "d38_threshold_sweep": d38_threshold_sweep,
     "d3_minhash_lsh_dups": d3_minhash_lsh_dups,
     "d4_simhash_dups": d4_simhash_dups,
     "d5_lang_id": d5_lang_id,
@@ -2087,6 +2122,35 @@ _ORACLE_TEMPLATE = {
         WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
                  / CAST(a.set_size + b.set_size - len(list_intersect(a.toks, b.toks)) AS DOUBLE) >= 0.95
         ORDER BY doc_a, doc_b
+    """,
+    # all-pairs twin of the deposit-served sweep (sf0.01 grain, like
+    # d2): one pair pass at J >= 0.8, conditional membership per
+    # integer-% threshold; thr/100.0 parses to the identical double
+    # literal on both engines
+    "d38_threshold_sweep": f"""
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(list_distinct({_T}), t -> t <> '') AS toks,
+                 CAST(len(list_filter(list_distinct({_T}), t -> t <> '')) AS BIGINT) AS set_size
+          FROM documents WHERE doc_id < {PAIR_CAP}),
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                   / CAST(a.set_size + b.set_size - len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS jac
+          FROM d a JOIN d b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                   / CAST(a.set_size + b.set_size - len(list_intersect(a.toks, b.toks)) AS DOUBLE) >= 0.8),
+        e AS (
+          SELECT doc_a, doc_b, jac, unnest([{", ".join(str(t) for t in D38_THRESHOLDS)}]) AS thr_pct
+          FROM p),
+        f AS (SELECT * FROM e WHERE jac >= CAST(thr_pct AS DOUBLE) / 100.0),
+        np AS (SELECT thr_pct, CAST(COUNT(*) AS BIGINT) AS n_pairs
+               FROM f GROUP BY thr_pct),
+        nd AS (SELECT thr_pct, CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs
+               FROM (SELECT thr_pct, unnest([doc_a, doc_b]) AS doc FROM f)
+               GROUP BY thr_pct)
+        SELECT thr_pct, n_pairs, n_docs
+        FROM np JOIN nd USING (thr_pct) ORDER BY thr_pct
     """,
     "d5_lang_id": f"""
         WITH t AS (SELECT lang, {_T} AS toks FROM documents),
