@@ -34,6 +34,7 @@ _PRIORITY = [
     # new this round / new oracle twins (never driver-hash-validated)
     "d37_span_scrub",
     "d38_threshold_sweep",
+    "d39_cluster_sizes",
     "e25_interarrival",
     "e24_common_paths",
     "s14_mmr_rerank",
@@ -85,10 +86,10 @@ _PRIORITY = [
     "d27_bloom_contamination",
     "d28_token_zipf",
     "d29_dsir_weights",
+    # --- 50-slot cap lands here --- (the nine r7 additions above
+    # displaced d30/d31/d32/p1/m1/m2/m3/q23/dq1 past the cap; they
+    # lead the next rotation)
     "d30_oov_rate",
-    # --- 50-slot cap lands here --- (the eight r7 additions above
-    # displaced d31/d32/p1/m1/m2/m3/q23/dq1 past the cap; they lead
-    # the next rotation)
     "d31_token_surprisal",
     "d32_doc_entropy",
     "p1_pii_scan",

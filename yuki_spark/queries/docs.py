@@ -182,6 +182,45 @@ def d11_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_family.clusters08(spark, sf_dir).orderBy("doc_id")
 
 
+def d39_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram — the dedup audit staple
+    (how much of the corpus sits in 2-doc pairs vs 100-doc pileups
+    decides whether dedup is worth its cost, and a heavy tail flags a
+    template/boilerplate source). Sizes come from the SHARED deposited
+    CC labels at J ≥ 0.8 (bit-identical to d11's clustering);
+    singletons are the left-anti remainder of the corpus and appear as
+    the k=1 row, so the histogram partitions the whole corpus:
+    Σ n_docs = corpus size.
+
+    Scale shape: two hash-aggs over the O(docs-in-clusters) label
+    table plus one left-anti equi-join for singletons (label side is
+    dup-cluster members only — tiny next to the corpus, AQE broadcasts
+    it; at worst one keyed shuffle). No pair recompute — the expensive
+    chain stays in the deposit."""
+    cap = doc_cap(sf_dir)
+    cl = dedup_family.clusters08(spark, sf_dir)
+    sizes = cl.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("k"))
+    hist = sizes.groupBy("k").agg(F.count(F.lit(1)).alias("n_clusters"))
+    singles = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < cap)
+        .select("doc_id")
+        .join(cl.select("doc_id"), "doc_id", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(F.lit(1).cast("bigint").alias("k"), "n_clusters")
+    )
+    return (
+        hist.unionByName(singles)
+        .where(F.col("n_clusters") > 0)
+        .select(
+            "k",
+            "n_clusters",
+            (F.col("k") * F.col("n_clusters")).alias("n_docs"),
+        )
+        .orderBy("k")
+    )
+
+
 def d20_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup materialization: Jaccard pairs -> connected
     components -> keep one representative per cluster -> surviving
@@ -1323,6 +1362,7 @@ QUERIES = {
     "d15_profile": d15_profile,
     "d10_winnow_fingerprint": d10_winnow_fingerprint,
     "d11_dedup_clusters": d11_dedup_clusters,
+    "d39_cluster_sizes": d39_cluster_sizes,
     "d16_repetition": d16_repetition,
     "d17_contamination": d17_contamination,
     "d27_bloom_contamination": d27_bloom_contamination,
@@ -1980,6 +2020,24 @@ _ORACLE_TEMPLATE = {
     "d11_dedup_clusters": _CC_CTES + """
         SELECT doc AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
         FROM reach GROUP BY doc ORDER BY doc_id
+    """,
+    # histogram partitions the whole corpus: clusters (closure labels
+    # from the shared CTEs) plus the k=1 left-anti remainder
+    "d39_cluster_sizes": _CC_CTES + f""",
+        lab AS (SELECT doc, MIN(lbl) AS cluster_id FROM reach GROUP BY doc),
+        sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS k
+               FROM lab GROUP BY cluster_id),
+        hist AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_clusters
+                 FROM sz GROUP BY k),
+        singles AS (
+          SELECT CAST(1 AS BIGINT) AS k,
+                 CAST(COUNT(*) AS BIGINT) AS n_clusters
+          FROM documents
+          WHERE doc_id < {PAIR_CAP}
+            AND doc_id NOT IN (SELECT doc FROM lab)),
+        u AS (SELECT * FROM hist UNION ALL SELECT * FROM singles)
+        SELECT k, n_clusters, k * n_clusters AS n_docs
+        FROM u WHERE n_clusters > 0 ORDER BY k
     """,
     # survivors = docs that are not a non-canonical member of any
     # component (labels from the shared closure CTEs above)
