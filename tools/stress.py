@@ -162,6 +162,11 @@ def main() -> None:
         # d37 re-runs d22's gram-agg profile plus the removable-span
         # position explode — the explode volume is the scale risk
         "d37_span_scrub",
+        # deposit consumers (sweep/histogram) + the user-window gap
+        # percentiles — cheap by design; stressed to prove it
+        "d38_threshold_sweep",
+        "d39_cluster_sizes",
+        "e25_interarrival",
     ]
     qs["q1_pricing_summary"](spark, out).write.mode("overwrite").format("noop").save()
     timings = {}
