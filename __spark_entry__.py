@@ -35,6 +35,7 @@ _PRIORITY = [
     "d37_span_scrub",
     "d38_threshold_sweep",
     "d39_cluster_sizes",
+    "e26_funnel_latency",
     "e25_interarrival",
     "e24_common_paths",
     "s14_mmr_rerank",

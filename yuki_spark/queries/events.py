@@ -922,9 +922,69 @@ def e25_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e26_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distributions for e5's funnel: per stage
+    transition (first view → first subsequent click, first click →
+    first subsequent purchase) the exact-µs latency profile — e5
+    measures HOW MANY users convert, this measures HOW LONG conversion
+    takes, the other half of any funnel report. First-event semantics
+    are e5's exactly (min ts per user, each stage anchored at-or-after
+    the previous stage's timestamp), latencies are exact integer
+    microseconds (unix_micros / epoch_us), and the exact percentile()
+    anchors correctness per e25's discipline.
+
+    Scale shape: same as e5 — per-user min-aggregates (map-side
+    combine) joined user_id-to-user_id (AQE picks broadcast at small
+    sf, SMJ at scale), then one tiny hash-agg over two stage labels.
+    No window, no state; the stage union is two narrow projections."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    first_click = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    first_purchase = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(first_click.select("user_id", "t_click"), "user_id")
+        .where(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id", "t_click")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    lat = first_click.select(
+        F.lit("view>click").alias("stage"),
+        (F.unix_micros(F.col("t_click")) - F.unix_micros(F.col("t_view"))).alias(
+            "lat_us"
+        ),
+    ).unionAll(
+        first_purchase.select(
+            F.lit("click>purchase").alias("stage"),
+            (
+                F.unix_micros(F.col("t_purchase")) - F.unix_micros(F.col("t_click"))
+            ).alias("lat_us"),
+        )
+    )
+    return (
+        lat.groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("lat_us").alias("total_lat_us"),
+            F.expr("percentile(lat_us, 0.5)").alias("p50_lat_us"),
+            F.expr("percentile(lat_us, 0.9)").alias("p90_lat_us"),
+            F.max("lat_us").alias("max_lat_us"),
+        )
+        .orderBy("stage")
+    )
+
+
 QUERIES = {
     "e24_common_paths": e24_common_paths,
     "e25_interarrival": e25_interarrival,
+    "e26_funnel_latency": e26_funnel_latency,
     "e22_psi_drift": e22_psi_drift,
     "e23_seasonal_anomaly": e23_seasonal_anomaly,
     "e13_zscore_outliers": e13_zscore_outliers,
@@ -1232,6 +1292,34 @@ ORACLE = {
     # chain order (ts, event_id) matches the Spark window exactly;
     # epoch_us/unix_micros are both integer-µs views of the same
     # parquet NANOS column, so gaps are exact-integer on both engines
+    # e5's CTE chain extended with stage latencies; epoch_us diffs are
+    # exact-integer on both engines, quantile_cont twins percentile()
+    "e26_funnel_latency": """
+        WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+                   WHERE event_type = 'view' GROUP BY user_id),
+        fc AS (SELECT e.user_id, v.t_view, MIN(e.ts) AS t_click
+               FROM events e JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'click' AND e.ts >= v.t_view
+               GROUP BY e.user_id, v.t_view),
+        fp AS (SELECT e.user_id, fc.t_click, MIN(e.ts) AS t_purchase
+               FROM events e JOIN fc ON e.user_id = fc.user_id
+               WHERE e.event_type = 'purchase' AND e.ts >= fc.t_click
+               GROUP BY e.user_id, fc.t_click),
+        lat AS (
+          SELECT 'view>click' AS stage,
+                 CAST(epoch_us(t_click) - epoch_us(t_view) AS BIGINT) AS lat_us
+          FROM fc
+          UNION ALL
+          SELECT 'click>purchase' AS stage,
+                 CAST(epoch_us(t_purchase) - epoch_us(t_click) AS BIGINT) AS lat_us
+          FROM fp)
+        SELECT stage, COUNT(*) AS n_users,
+               CAST(SUM(lat_us) AS BIGINT) AS total_lat_us,
+               quantile_cont(lat_us, 0.5) AS p50_lat_us,
+               quantile_cont(lat_us, 0.9) AS p90_lat_us,
+               CAST(MAX(lat_us) AS BIGINT) AS max_lat_us
+        FROM lat GROUP BY stage ORDER BY stage
+    """,
     "e25_interarrival": """
         WITH o AS (
           SELECT event_type,
