@@ -36,6 +36,7 @@ _PRIORITY = [
     "d38_threshold_sweep",
     "d39_cluster_sizes",
     "e26_funnel_latency",
+    "s17_ivf_probe_sweep",
     "e25_interarrival",
     "e24_common_paths",
     "s14_mmr_rerank",

@@ -267,6 +267,60 @@ def s6_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("index")
 
 
+IVF_SWEEP = (1, 2, 3)  # probe budgets on the recall-vs-cost curve
+
+
+def _ivf_np(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """IVF result table at one probe budget — the nprobe=3 point IS
+    the shared ``ivf20`` deposit (identical name+params address), so
+    s4/s6 and the sweep never build that index twice."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim_family.result(
+        spark,
+        sf_dir,
+        "ivf20",
+        {"k": K, "nq": ANN_NQ, "nprobe": nprobe},
+        lambda: similarity.ivf_ann(emb, k=K, n_queries=ANN_NQ, nprobe=nprobe),
+    )
+
+
+def s17_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-cost tuning curve for the IVF index: recall@k against
+    exact brute force at each probe budget in ``IVF_SWEEP`` — the
+    sensitivity audit an ANN deployment runs to pick nprobe (d38 is
+    the same idea for dedup thresholds; s6 scores one operating point
+    per index, this scores the IVF knob). Every point is deterministic
+    (exact int64 centroids, seeded assignment — see ivf_ann), so the
+    composed DuckDB twin reproduces the whole curve exactly; recall
+    must be non-decreasing in nprobe by construction (probing more
+    cells only adds candidates).
+
+    Scale shape: each point is a deposit-backed result-table read
+    (nprobe=3 shares s4's deposit) joined against the deposited exact
+    ground truth on (qid, cid) — three tiny joins over nq*k rows; the
+    index builds happen at most once per corpus via the store."""
+    from pyspark.sql import functions as F
+
+    exact = _exact20(spark, sf_dir).select("qid", "cid")
+    possible = ANN_NQ * K
+    curve: DataFrame | None = None
+    for np_ in IVF_SWEEP:
+        row = (
+            _ivf_np(spark, sf_dir, np_)
+            .select("qid", "cid")
+            .join(exact, ["qid", "cid"])
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(F.lit(np_).cast("bigint").alias("nprobe"), "n_hits")
+        )
+        curve = row if curve is None else curve.unionByName(row)
+    return curve.select(
+        "nprobe",
+        "n_hits",
+        F.lit(possible).cast("bigint").alias("n_possible"),
+        (F.col("n_hits").cast("double") / F.lit(float(possible))).alias("recall"),
+    ).orderBy("nprobe")
+
+
 def s12_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall of s11's approximate kNN GRAPH against brute-force truth
     — the missing recall row the r5 verdict flagged (s6 scores
@@ -438,6 +492,7 @@ QUERIES = {
     "s14_mmr_rerank": s14_mmr_rerank,
     "s15_label_drift": s15_label_drift,
     "s16_knn_centrality": s16_knn_centrality,
+    "s17_ivf_probe_sweep": s17_ivf_probe_sweep,
     "s6_ann_recall": s6_ann_recall,
     "s2_label_centroids": s2_label_centroids,
     "s3_lsh_ann": s3_lsh_ann,
@@ -946,6 +1001,32 @@ def _s6_oracle() -> str:
     """
 
 
+def _s17_oracle() -> str:
+    """Twin of the IVF probe sweep: one _s4_oracle instantiation per
+    probe budget (each bit-exact per the s4 twin), hit-joined against
+    the exact twin — the same composition discipline as _s6_oracle."""
+    nq = ANN_NQ
+    subs = ",\n        ".join(
+        f"np{np_} AS ({_s4_oracle(nq, np_)})" for np_ in IVF_SWEEP
+    )
+    hits = "\n          UNION ALL\n".join(
+        f"""          SELECT CAST({np_} AS BIGINT) AS nprobe,
+                 CAST(COUNT(*) AS BIGINT) AS n_hits
+          FROM np{np_} a JOIN exact e ON a.qid = e.qid AND a.cid = e.cid"""
+        for np_ in IVF_SWEEP
+    )
+    return f"""
+        WITH exact AS ({_s1_sql(nq)}),
+        {subs},
+        h AS (
+{hits})
+        SELECT nprobe, n_hits,
+               CAST({nq * K} AS BIGINT) AS n_possible,
+               CAST(n_hits AS DOUBLE) / CAST({nq * K} AS DOUBLE) AS recall
+        FROM h ORDER BY nprobe
+    """
+
+
 def _s7_oracle(threshold: float = SEMDEDUP_THRESHOLD, max_cell: int = 256) -> str:
     """Twin of semdedup: identical cell assignment (IVF prefix), the
     same integer-exact re-split of oversized cells (eb = unrolled
@@ -1113,6 +1194,7 @@ def build_oracle() -> dict[str, str]:
             "s13_matryoshka_recall": _s13_oracle(),
             "s14_mmr_rerank": _s14_oracle(),
             "s16_knn_centrality": _s16_oracle(),
+            "s17_ivf_probe_sweep": _s17_oracle(),
             "s6_ann_recall": _s6_oracle(),
         }
     )
