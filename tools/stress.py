@@ -167,6 +167,10 @@ def main() -> None:
         "d38_threshold_sweep",
         "d39_cluster_sizes",
         "e25_interarrival",
+        # r7 late additions: funnel latency joins (e5-shaped) and the
+        # IVF sweep (three deposit reads + tiny hit-joins)
+        "e26_funnel_latency",
+        "s17_ivf_probe_sweep",
     ]
     qs["q1_pricing_summary"](spark, out).write.mode("overwrite").format("noop").save()
     timings = {}
