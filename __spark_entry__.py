@@ -37,6 +37,7 @@ _PRIORITY = [
     "d39_cluster_sizes",
     "e26_funnel_latency",
     "s17_ivf_probe_sweep",
+    "d40_classifier_filter",
     "e25_interarrival",
     "e24_common_paths",
     "s14_mmr_rerank",

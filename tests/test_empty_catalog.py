@@ -39,6 +39,7 @@ _GLOBAL_AGG = {
     "union_dedup_keys",  # counts both branches: one summary row
     "d15_profile",  # one profile row per column, even when empty
     "s6_ann_recall",  # one evaluation row per index
+    "s17_ivf_probe_sweep",  # one evaluation row per probe budget
     "dq1_constraint_report",  # one report row per constraint, even empty
     "p1_pii_scan",  # unions deterministic literal PII rows into the
     # scan (the corpus is PII-free by design), so an empty corpus

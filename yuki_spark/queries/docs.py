@@ -988,6 +988,57 @@ def d23_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CLF_FEATURES = 1024  # hashing-trick feature buckets
+CLF_WEIGHT_MOD = 2001  # integer weights in [-1000, 1000]
+CLF_MIX = 2654435761  # Knuth 2^32/phi — bucket→weight integer mixer
+# (bucket < 1024, so bucket*CLF_MIX < 2^42: exact in int64 everywhere)
+
+
+def d40_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter plumbing (fastText / DCLM-classifier
+    style): score every document with a linear classifier over
+    hashing-trick token features and report per-source keep decisions
+    — the MODEL-based counterpart to d23's rule-based Gopher matrix.
+    The "model" is a deterministic stand-in (feature bucket = portable
+    60-bit token hash mod 1024; the bucket's integer weight = a Knuth
+    multiplicative mix of the bucket id), so scores are exact integers
+    and the DuckDB twin reproduces every decision bit-for-bit;
+    swapping in trained weights is a broadcast 1024-entry literal map
+    in place of the mixer — identical plan shape.
+
+    Scale shape: one token explode (JVM regexp split) feeding a pure
+    codegen hash→bucket→weight expression — no weight-table join at
+    all — then two map-side-combined hash-aggs (per-doc score,
+    per-source summary). At 100 TB: a single scan + two shuffles whose
+    rows are per-doc then per-source."""
+    from ..functions import portable_hash60, tokens
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "source", F.explode(tokens("text")).alias("tok"))
+    bucket = portable_hash60(F.col("tok")) % F.lit(CLF_FEATURES)
+    weight = (bucket * F.lit(CLF_MIX)) % F.lit(CLF_WEIGHT_MOD) - F.lit(
+        CLF_WEIGHT_MOD // 2
+    )
+    scored = (
+        tok.select("doc_id", "source", weight.alias("w"))
+        .groupBy("doc_id", "source")
+        .agg(F.sum("w").alias("score"))
+    )
+    kept = (F.col("score") >= 0).cast("bigint")
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept).alias("n_kept"),
+            (F.sum(kept).cast("double") / F.count(F.lit(1))).alias("kept_ratio"),
+            F.sum("score").alias("total_score"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+        .orderBy("source")
+    )
+
+
 # RAG chunking geometry: 24-token windows on a 16-token stride (8-token
 # overlap). Stride ≤ window guarantees every token is covered, so
 # chunk_tokens − doc_tokens is EXACTLY the duplicated-coverage overhead
@@ -1344,6 +1395,7 @@ QUERIES = {
     "d22_dup_spans": d22_dup_spans,
     "d37_span_scrub": d37_span_scrub,
     "d23_gopher_filter": d23_gopher_filter,
+    "d40_classifier_filter": d40_classifier_filter,
     "d34_rag_chunking": d34_rag_chunking,
     "d35_bigram_rarity": d35_bigram_rarity,
     "d2_ngram_jaccard_dups": d2_ngram_jaccard_dups,
@@ -2237,6 +2289,28 @@ _ORACLE_TEMPLATE = {
                CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / COUNT(quality) AS avg_quality,
                CAST(SUM(n_punct) AS BIGINT) AS total_punct
         FROM s GROUP BY source ORDER BY source
+    """,
+    # same inline hash→bucket→weight arithmetic as the Spark side —
+    # non-negative 60-bit hashes make % engine-identical throughout
+    "d40_classifier_filter": f"""
+        WITH toks AS (
+          SELECT doc_id, source, unnest({_T}) AS tok FROM documents),
+        b AS (
+          SELECT doc_id, source,
+                 {sql_portable_hash60('tok')} % {CLF_FEATURES} AS bucket
+          FROM toks),
+        scored AS (
+          SELECT doc_id, source,
+                 CAST(SUM((bucket * {CLF_MIX}) % {CLF_WEIGHT_MOD}
+                          - {CLF_WEIGHT_MOD // 2}) AS BIGINT) AS score
+          FROM b GROUP BY doc_id, source)
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) AS kept_ratio,
+               CAST(SUM(score) AS BIGINT) AS total_score,
+               MIN(score) AS min_score, MAX(score) AS max_score
+        FROM scored GROUP BY source ORDER BY source
     """,
     "d7_token_stats": f"""
         WITH t AS (SELECT source, CAST(len({_T}) AS BIGINT) AS n_tokens FROM documents)
