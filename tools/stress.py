@@ -171,6 +171,9 @@ def main() -> None:
         # IVF sweep (three deposit reads + tiny hit-joins)
         "e26_funnel_latency",
         "s17_ivf_probe_sweep",
+        # classifier scoring: one explode + codegen hash arithmetic —
+        # the token-volume linearity is the thing to watch at 10×
+        "d40_classifier_filter",
     ]
     qs["q1_pricing_summary"](spark, out).write.mode("overwrite").format("noop").save()
     timings = {}
