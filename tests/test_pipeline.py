@@ -1272,8 +1272,11 @@ def test_impression_verify_detects_damage(spark, tmp_path):
     rep = store.verify("v")
     assert not rep["ok"] and any("missing part file" in p for p in rep["problems"])
 
-    # damage 3: an unrecorded file appears
-    store.write("w", spark.range(10))
+    # damage 3: an unrecorded file appears. coalesce(1): with more
+    # executor threads than rows, range() emits EMPTY part files, and
+    # copying an empty part as the rogue would add zero rows — the
+    # row-drift assertion below needs the rogue to carry rows.
+    store.write("w", spark.range(10).coalesce(1))
     base = os.path.join(store._dir("w"), "data.parquet")
     good = store.data_files("w")[0]
     import shutil
