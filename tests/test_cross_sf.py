@@ -37,6 +37,7 @@ ADAPTIVE = [
     "d36_cross_source_dups",  # PAIR_CAP from the catalog footer
     "s14_mmr_rerank",  # deposit-backed pool re-derived per catalog
     "s16_knn_centrality",  # inherits s11's adaptive plane count
+    "s17_ivf_probe_sweep",  # composes three s4 twins (IVF cells)
 ]
 
 
