@@ -38,6 +38,7 @@ _PRIORITY = [
     "e26_funnel_latency",
     "s17_ivf_probe_sweep",
     "d40_classifier_filter",
+    "d41_mix_planner",
     "e25_interarrival",
     "e24_common_paths",
     "s14_mmr_rerank",

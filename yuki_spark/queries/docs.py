@@ -417,6 +417,55 @@ def d25_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang", "doc_id")
 
 
+MIXPLAN_BUDGET_DIV = 2  # token budget = half the corpus's tokens
+
+
+def d41_mix_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix planner at the TOKEN grain: given a global token
+    budget (half the corpus) and a uniform target share per source,
+    compute each source's sampling rate, planned token yield, and
+    shortfall — the prescriptive step after d25's doc-count mixing
+    and d7's token accounting (what a pretraining data team actually
+    schedules: "sample source X at rate r to contribute N tokens").
+    All integer arithmetic (bigint token sums, integer div for budget
+    and per-source target), so the DuckDB twin is exact; only the
+    reported rate is a double ratio of those integers.
+
+    Scale shape: one per-source hash-agg over the corpus scan (JVM
+    array length, no explode), then a single-row global aggregate
+    broadcast back — at 100 TB the plan is one scan + two tiny
+    exchanges; nothing driver-side."""
+    t = text.with_tokens(load(spark, sf_dir, "documents"))
+    per = t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    glob = per.agg(
+        F.sum("total_tokens").alias("corpus_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    j = per.crossJoin(F.broadcast(glob))
+    target = F.expr(f"(corpus_tokens div {MIXPLAN_BUDGET_DIV}) div n_sources")
+    return (
+        j.select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            target.alias("target_tokens"),
+            F.least(
+                F.lit(1.0),
+                target.cast("double")
+                / F.greatest(F.col("total_tokens"), F.lit(1)).cast("double"),
+            ).alias("sample_rate"),
+            F.least(F.col("total_tokens"), target).alias("planned_tokens"),
+            F.greatest(F.lit(0).cast("bigint"), target - F.col("total_tokens")).alias(
+                "shortfall"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 def d13_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible 10% sample of documents, summarized per source —
     identical membership in any engine (operators/sampling.py)."""
@@ -1410,6 +1459,7 @@ QUERIES = {
     "d13_hash_sample": d13_hash_sample,
     "d24_weighted_sample": d24_weighted_sample,
     "d25_domain_mix": d25_domain_mix,
+    "d41_mix_planner": d41_mix_planner,
     "d14_stratified_sample": d14_stratified_sample,
     "d15_profile": d15_profile,
     "d10_winnow_fingerprint": d10_winnow_fingerprint,
@@ -2289,6 +2339,27 @@ _ORACLE_TEMPLATE = {
                CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / COUNT(quality) AS avg_quality,
                CAST(SUM(n_punct) AS BIGINT) AS total_punct
         FROM s GROUP BY source ORDER BY source
+    """,
+    # integer div (Spark `div` == DuckDB `//`) keeps budget/target
+    # exact; the only double is the reported rate ratio
+    "d41_mix_planner": f"""
+        WITH per AS (
+          SELECT source, COUNT(*) AS n_docs,
+                 CAST(SUM(len({_T})) AS BIGINT) AS total_tokens
+          FROM documents GROUP BY source),
+        tot AS (
+          SELECT CAST(SUM(total_tokens) AS BIGINT) AS corpus_tokens,
+                 COUNT(*) AS n_sources
+          FROM per),
+        j AS (
+          SELECT p.*, (g.corpus_tokens // {MIXPLAN_BUDGET_DIV}) // g.n_sources AS target_tokens
+          FROM per p CROSS JOIN tot g)
+        SELECT source, n_docs, total_tokens, target_tokens,
+               least(1.0, CAST(target_tokens AS DOUBLE)
+                            / CAST(greatest(total_tokens, 1) AS DOUBLE)) AS sample_rate,
+               least(total_tokens, target_tokens) AS planned_tokens,
+               greatest(CAST(0 AS BIGINT), target_tokens - total_tokens) AS shortfall
+        FROM j ORDER BY source
     """,
     # same inline hash→bucket→weight arithmetic as the Spark side —
     # non-negative 60-bit hashes make % engine-identical throughout
