@@ -20,16 +20,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Insertion order is gate order (the driver caps its sweep at 50 rows).
-# Round-7 rotation (staleness rule: no key's driver row older than 2
-# rounds): d34/d35 lead — they gained DuckDB oracle twins this round
-# and have never had a driver hash row — followed by every key whose
-# machinery was rewired onto shared deposits in round 6 AFTER the r6
-# sweep ran (the dedup family d4/d2/d3/d11/d20 and the sim family
-# s3/s4/s8/s11/s6), then the r4-stamped stragglers (d7..d23, s1) and
-# the rest of the r5-stamped docs/sim keys. That fills the 50 slots.
-# The 13 r5-stamped events keys (code untouched since r5) queue right
-# after the cap; the 50 keys the r6 sweep just validated come last,
-# freshest rows at the bottom.
+# Round-7-final rotation (staleness rule: no key's driver row older
+# than 2 rounds): the keys born in round 7 lead — none has ever had a
+# driver hash row (d34..d41, e24/e25/e26, s14..s17) — followed by the
+# r6 deposit-rewired dedup family (their r6 rows predate the rewiring
+# commit), then the r4-stamped stragglers and the r5-stamped docs/sim
+# keys, which fills the 50 slots. Keys whose most recent driver row is
+# the r6 sweep itself come last, freshest at the bottom.
 _PRIORITY = [
     # new this round / new oracle twins (never driver-hash-validated)
     "d37_span_scrub",
