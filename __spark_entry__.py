@@ -36,6 +36,7 @@ _PRIORITY = [
     "s17_ivf_probe_sweep",
     "d40_classifier_filter",
     "d41_mix_planner",
+    "d42_source_novelty",
     "e25_interarrival",
     "e24_common_paths",
     "s14_mmr_rerank",

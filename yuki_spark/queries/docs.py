@@ -466,6 +466,37 @@ def d41_mix_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d42_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-source variety audit: per source, how much of its
+    distinct 3-gram vocabulary is EXCLUSIVE to it (appears in no other
+    source) — the diversity signal a mix planner reads next to d41's
+    budget rates (a source whose shingles all exist elsewhere adds
+    volume, not variety; d36 asks the dual question about whole-doc
+    overlap). Exact integers end-to-end: distinct shingle sets and
+    source-spread counts.
+
+    Scale shape: explode → (source, gram) distinct → gram-spread
+    hash-agg → one keyed equi-join back (SMJ-able; both sides are
+    vocabulary-bounded, far smaller than the corpus) → source rollup.
+    No pair machinery, no broadcast of corpus-sized sides."""
+    t = text.with_tokens(load(spark, sf_dir, "documents"))
+    g = t.select(
+        "source", F.explode(text._zip_ngrams("toks", 3)).alias("gram")
+    ).distinct()
+    spread = g.groupBy("gram").agg(F.count(F.lit(1)).alias("n_sources_with"))
+    excl = (F.col("n_sources_with") == 1).cast("bigint")
+    return (
+        g.join(spread, "gram")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_grams"),
+            F.sum(excl).alias("n_exclusive"),
+            (F.sum(excl).cast("double") / F.count(F.lit(1))).alias("novelty_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 def d13_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible 10% sample of documents, summarized per source —
     identical membership in any engine (operators/sampling.py)."""
@@ -1460,6 +1491,7 @@ QUERIES = {
     "d24_weighted_sample": d24_weighted_sample,
     "d25_domain_mix": d25_domain_mix,
     "d41_mix_planner": d41_mix_planner,
+    "d42_source_novelty": d42_source_novelty,
     "d14_stratified_sample": d14_stratified_sample,
     "d15_profile": d15_profile,
     "d10_winnow_fingerprint": d10_winnow_fingerprint,
@@ -2339,6 +2371,27 @@ _ORACLE_TEMPLATE = {
                CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / COUNT(quality) AS avg_quality,
                CAST(SUM(n_punct) AS BIGINT) AS total_punct
         FROM s GROUP BY source ORDER BY source
+    """,
+    # trigram join "a b c" matches _zip_ngrams' concat(a,' ',b) chain;
+    # range(1, len-1) excludes the stop, so i+2 stays in bounds
+    "d42_source_novelty": f"""
+        WITH t AS (SELECT source, {_T} AS toks FROM documents),
+        g0 AS (
+          SELECT source,
+                 unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+          FROM t),
+        g AS (SELECT DISTINCT source, gram FROM g0),
+        spread AS (
+          SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_sources_with
+          FROM g GROUP BY gram)
+        SELECT source, COUNT(*) AS n_distinct_grams,
+               CAST(SUM(CASE WHEN n_sources_with = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_exclusive,
+               CAST(SUM(CASE WHEN n_sources_with = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) AS novelty_rate
+        FROM g JOIN spread USING (gram)
+        GROUP BY source ORDER BY source
     """,
     # integer div (Spark `div` == DuckDB `//`) keeps budget/target
     # exact; the only double is the reported rate ratio
