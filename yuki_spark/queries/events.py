@@ -981,8 +981,55 @@ def e26_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e27_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment analysis: split users into two variants by the
+    portable 60-bit hash of their user_id (the deterministic bucketing
+    an A/B platform applies at assignment time), then compare purchase
+    conversion and revenue per variant — the readout every growth team
+    runs over this exact event shape. Conversion is exact-integer
+    (per-user max over a purchase flag), revenue sums pass through
+    DECIMAL(18,6) so float order cannot drift the totals, and the
+    hash assignment is engine-identical, so the DuckDB twin reproduces
+    both rows bit-for-bit.
+
+    Scale shape: one user_id hash-agg (map-side combined) then a
+    two-row variant rollup — one shuffle at the user grain, nothing
+    else. The variant expression is pure codegen (md5 + mod)."""
+    from ..functions import portable_hash60
+
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("converted"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("value").cast("decimal(18,6)"),
+            ).otherwise(F.lit(0).cast("decimal(18,6)"))
+        ).alias("pval"),
+    )
+    variant = portable_hash60(F.col("user_id").cast("string")) % 2
+    return (
+        u.select(
+            variant.alias("variant"),
+            "converted",
+            "pval",
+        )
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+            (F.sum("converted").cast("double") / F.count(F.lit(1))).alias(
+                "conv_rate"
+            ),
+            F.sum("pval").cast("double").alias("purchase_value"),
+        )
+        .orderBy("variant")
+    )
+
+
 QUERIES = {
     "e24_common_paths": e24_common_paths,
+    "e27_ab_lift": e27_ab_lift,
     "e25_interarrival": e25_interarrival,
     "e26_funnel_latency": e26_funnel_latency,
     "e22_psi_drift": e22_psi_drift,
@@ -1292,6 +1339,25 @@ ORACLE = {
     # chain order (ts, event_id) matches the Spark window exactly;
     # epoch_us/unix_micros are both integer-µs views of the same
     # parquet NANOS column, so gaps are exact-integer on both engines
+    # variant = portable hash of the DECIMAL-free user_id string, so
+    # assignment is engine-identical; revenue passes through DECIMAL
+    "e27_ab_lift": """
+        WITH u AS (
+          SELECT user_id,
+                 ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 2 AS variant,
+                 MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted,
+                 SUM(CASE WHEN event_type = 'purchase'
+                          THEN CAST(value AS DECIMAL(18,6))
+                          ELSE CAST(0 AS DECIMAL(18,6)) END) AS pval
+          FROM events GROUP BY user_id)
+        SELECT variant, COUNT(*) AS n_users,
+               CAST(SUM(converted) AS BIGINT) AS n_converted,
+               CAST(SUM(converted) AS DOUBLE) / COUNT(*) AS conv_rate,
+               CAST(SUM(pval) AS DOUBLE) AS purchase_value
+        FROM u GROUP BY variant ORDER BY variant
+    """,
     # e5's CTE chain extended with stage latencies; epoch_us diffs are
     # exact-integer on both engines, quantile_cont twins percentile()
     "e26_funnel_latency": """
