@@ -174,6 +174,12 @@ def main() -> None:
         # classifier scoring: one explode + codegen hash arithmetic —
         # the token-volume linearity is the thing to watch at 10×
         "d40_classifier_filter",
+        # mix planner (scan + two tiny exchanges), shingle novelty
+        # (explode→distinct→spread join — vocabulary-bounded), and the
+        # A/B rollup (one user-grain shuffle)
+        "d41_mix_planner",
+        "d42_source_novelty",
+        "e27_ab_lift",
     ]
     qs["q1_pricing_summary"](spark, out).write.mode("overwrite").format("noop").save()
     timings = {}
