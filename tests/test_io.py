@@ -34,6 +34,13 @@ def test_roundtrip_csv_json_parquet(spark, tmp_path):
     back = read_source(spark, json_path, schema=src.schema)
     assert {tuple(r) for r in back.collect()} == rows
 
+    # ORC: extension-inferred on read (sources._EXT_FORMAT), native
+    # Spark writer — the remaining columnar format the engine claims
+    orc_path = str(tmp_path / "nation.orc")
+    src.write.format("orc").save(orc_path)
+    back = read_source(spark, orc_path)
+    assert {tuple(r) for r in back.collect()} == rows
+
 
 def test_column_projection_prunes_scan(spark):
     df = read_source(
