@@ -253,7 +253,9 @@ def test_cluster_profile_fact_joins_degrade_to_smj(spark, qs):
         "spark.sql.shuffle.partitions"
     )
     with session_profile(spark, low):
-        for name in ("d33_split_leakage", "d20_dedup_apply"):
+        # d42's gram-spread join rides too: its build side is
+        # vocabulary-sized (broadcastable at test sf, NOT at web scale)
+        for name in ("d33_split_leakage", "d20_dedup_apply", "d42_source_novelty"):
             plan = fmt_plan(spark, qs[name](spark, SF_SMOKE))
             assert "SortMergeJoin" in plan, name
             assert "CartesianProduct" not in plan, name
