@@ -179,6 +179,16 @@ def test_sim_family_reuses_ann_deposits(spark, monkeypatch, tmp_path):
     assert sim_family.COMPUTES["graph"] == 1
     assert sim_family.COMPUTES["exact20"] == 1
 
+    # s17's probe sweep: the nprobe=3 point IS s6's ivf20 deposit
+    # (same name+params address — reused), so the sweep builds only
+    # the two new operating points; a second sweep computes nothing
+    sim.s17_ivf_probe_sweep(spark, SF_SMOKE).collect()
+    assert sim_family.COMPUTES["ivf20"] == 3  # 1 (s6) + nprobe 1 and 2
+    assert sim_family.COMPUTES["exact20"] == 1
+    snapshot = dict(sim_family.COMPUTES)
+    sim.s17_ivf_probe_sweep(spark, SF_SMOKE).collect()
+    assert dict(sim_family.COMPUTES) == snapshot  # zero recomputes
+
 
 def test_unwritable_store_degrades_to_unpersisted(spark, monkeypatch, tmp_path):
     """Correctness is never hostage to the store disk: with an
