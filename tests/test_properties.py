@@ -436,3 +436,145 @@ def test_mmr_rerank_matches_python_reference(spark, vecs):
         picked.append(c)
         rem.remove(c)
     assert got == exp
+
+
+# ---- round-7 query invariants on arbitrary corpora -------------------------
+# The three r7 scan+agg queries (classifier scoring, mix planner,
+# source novelty) are validated against INDEPENDENT pure-Python
+# references — a third implementation besides Spark and the DuckDB
+# twin, so a shared misunderstanding in the SQL can't hide.
+
+_WORDS = ["x", "y", "zz", "w", "vv", "q"]
+
+
+def _write_doc_catalog(rows):
+    """Materialize (source, text) rows as a documents.parquet catalog
+    in a fresh temp dir (fresh per example: no path reuse across
+    hypothesis examples)."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="yuki-prop-cat-")
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(rows)), pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array([r[0] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, f"{d}/documents.parquet")
+    return d
+
+
+def _py_tokens(text):
+    import re
+
+    return re.split(r"\s+", text.strip())
+
+
+def _py_h60(s):
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+_DOCS_STRAT = hst.lists(
+    hst.tuples(
+        hst.sampled_from(["a", "b", "c"]),
+        hst.lists(hst.sampled_from(_WORDS), min_size=0, max_size=8).map(" ".join),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(rows=_DOCS_STRAT)
+@_SETTINGS
+def test_classifier_filter_matches_python_reference(spark, rows):
+    from yuki_spark.queries import docs as docs_q
+
+    sf = _write_doc_catalog(rows)
+    got = {
+        r["source"]: (r["n_docs"], r["n_kept"], r["total_score"],
+                      r["min_score"], r["max_score"])
+        for r in docs_q.d40_classifier_filter(spark, sf).collect()
+    }
+
+    def score(text):
+        return sum(
+            ((_py_h60(tok) % docs_q.CLF_FEATURES) * docs_q.CLF_MIX)
+            % docs_q.CLF_WEIGHT_MOD
+            - docs_q.CLF_WEIGHT_MOD // 2
+            for tok in _py_tokens(text)
+        )
+
+    exp = {}
+    for src, text in rows:
+        s = score(text)
+        n, k, tot, mn, mx = exp.get(src, (0, 0, 0, None, None))
+        exp[src] = (
+            n + 1,
+            k + (1 if s >= 0 else 0),
+            tot + s,
+            s if mn is None else min(mn, s),
+            s if mx is None else max(mx, s),
+        )
+    assert got == exp
+
+
+@given(rows=_DOCS_STRAT)
+@_SETTINGS
+def test_mix_planner_matches_python_reference(spark, rows):
+    from yuki_spark.queries import docs as docs_q
+
+    sf = _write_doc_catalog(rows)
+    got = {
+        r["source"]: (r["n_docs"], r["total_tokens"], r["target_tokens"],
+                      r["planned_tokens"], r["shortfall"])
+        for r in docs_q.d41_mix_planner(spark, sf).collect()
+    }
+
+    per = {}
+    for src, text in rows:
+        n, t = per.get(src, (0, 0))
+        per[src] = (n + 1, t + len(_py_tokens(text)))
+    corpus = sum(t for _n, t in per.values())
+    target = (corpus // docs_q.MIXPLAN_BUDGET_DIV) // len(per)
+    exp = {
+        src: (n, t, target, min(t, target), max(0, target - t))
+        for src, (n, t) in per.items()
+    }
+    assert got == exp
+
+
+@given(rows=_DOCS_STRAT)
+@_SETTINGS
+def test_source_novelty_matches_python_reference(spark, rows):
+    from yuki_spark.queries import docs as docs_q
+
+    sf = _write_doc_catalog(rows)
+    got = {
+        r["source"]: (r["n_distinct_grams"], r["n_exclusive"])
+        for r in docs_q.d42_source_novelty(spark, sf).collect()
+    }
+
+    per = {}
+    for src, text in rows:
+        toks = _py_tokens(text)
+        grams = {
+            " ".join(toks[i : i + 3]) for i in range(max(0, len(toks) - 2))
+        }
+        per.setdefault(src, set()).update(grams)
+    exp = {}
+    for src, grams in per.items():
+        others = set().union(
+            *(g for s, g in per.items() if s != src), set()
+        )
+        excl = len(grams - others)
+        if grams:
+            exp[src] = (len(grams), excl)
+    assert got == exp
