@@ -578,3 +578,101 @@ def test_source_novelty_matches_python_reference(spark, rows):
         if grams:
             exp[src] = (len(grams), excl)
     assert got == exp
+
+
+def _write_event_catalog(evs):
+    """(user_id, ts_seconds, event_type, value) rows → events.parquet
+    in a fresh temp dir, timestamps as TIMESTAMP(us, UTC)."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="yuki-prop-ev-")
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(evs)), pa.int64()),
+            "ts": pa.array(
+                [e[1] * 1_000_000 for e in evs], pa.timestamp("us", tz="UTC")
+            ),
+            "user_id": pa.array([e[0] for e in evs], pa.int64()),
+            "event_type": pa.array([e[2] for e in evs], pa.string()),
+            "value": pa.array([float(e[3]) for e in evs], pa.float64()),
+            "props": pa.array(["{}"] * len(evs), pa.string()),
+        }
+    )
+    pq.write_table(t, f"{d}/events.parquet")
+    return d
+
+
+_EVENTS_STRAT = hst.lists(
+    hst.tuples(
+        hst.integers(0, 3),  # user_id
+        hst.integers(0, 1000),  # ts seconds
+        hst.sampled_from(["view", "click", "purchase"]),
+        hst.integers(0, 100),  # value (integral: exact in double+decimal)
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@given(evs=_EVENTS_STRAT)
+@_SETTINGS
+def test_ab_lift_matches_python_reference(spark, evs):
+    from yuki_spark.queries import events as events_q
+
+    sf = _write_event_catalog(evs)
+    got = {
+        r["variant"]: (r["n_users"], r["n_converted"], r["purchase_value"])
+        for r in events_q.e27_ab_lift(spark, sf).collect()
+    }
+
+    per_user = {}
+    for uid, _ts, typ, val in evs:
+        conv, tot = per_user.get(uid, (0, 0))
+        if typ == "purchase":
+            conv, tot = 1, tot + val
+        per_user[uid] = (conv, tot)
+    exp = {}
+    for uid, (conv, tot) in per_user.items():
+        var = _py_h60(str(uid)) % 2
+        n, c, v = exp.get(var, (0, 0, 0))
+        exp[var] = (n + 1, c + conv, v + tot)
+    assert got == {k: (n, c, float(v)) for k, (n, c, v) in exp.items()}
+
+
+@given(evs=_EVENTS_STRAT)
+@_SETTINGS
+def test_funnel_latency_matches_python_reference(spark, evs):
+    from yuki_spark.queries import events as events_q
+
+    sf = _write_event_catalog(evs)
+    got = {
+        r["stage"]: (r["n_users"], r["total_lat_us"], r["max_lat_us"])
+        for r in events_q.e26_funnel_latency(spark, sf).collect()
+    }
+
+    by_user = {}
+    for uid, ts, typ, _val in evs:
+        by_user.setdefault(uid, []).append((ts, typ))
+    lat1, lat2 = [], []
+    for uid, rows in by_user.items():
+        views = [t for t, ty in rows if ty == "view"]
+        if not views:
+            continue
+        t_view = min(views)
+        clicks = [t for t, ty in rows if ty == "click" and t >= t_view]
+        if not clicks:
+            continue
+        t_click = min(clicks)
+        lat1.append((t_click - t_view) * 1_000_000)
+        purchases = [t for t, ty in rows if ty == "purchase" and t >= t_click]
+        if purchases:
+            lat2.append((min(purchases) - t_click) * 1_000_000)
+    exp = {}
+    if lat1:
+        exp["view>click"] = (len(lat1), sum(lat1), max(lat1))
+    if lat2:
+        exp["click>purchase"] = (len(lat2), sum(lat2), max(lat2))
+    assert got == exp
