@@ -797,6 +797,20 @@ def test_ann_recall_sane(spark):
     assert out["ivf"]["recall"] > 0.3
 
 
+def test_probe_sweep_recall_monotone(spark):
+    """Probing more cells can only ADD candidates, so s17's curve must
+    be non-decreasing in nprobe — and its nprobe=3 point must equal
+    s6's ivf row exactly (same deposit, same ground truth)."""
+    from yuki_spark.queries.sim import IVF_SWEEP, s6_ann_recall, s17_ivf_probe_sweep
+
+    rows = s17_ivf_probe_sweep(spark, "/root/testdata/sf0.001").collect()
+    assert [r["nprobe"] for r in rows] == list(IVF_SWEEP)
+    hits = [r["n_hits"] for r in rows]
+    assert hits == sorted(hits)
+    s6 = {r["index"]: r for r in s6_ann_recall(spark, "/root/testdata/sf0.001").collect()}
+    assert rows[-1]["n_hits"] == s6["ivf"]["n_hits"]
+
+
 def test_sequence_packing_boundary_semantics(spark, tmp_path):
     """A doc belongs to the sequence where its first token lands:
     token counts 300,300,300 with budget 512 pack as [d0,d1],[d2]."""
