@@ -37,6 +37,7 @@ _PRIORITY = [
     "d40_classifier_filter",
     "d41_mix_planner",
     "d42_source_novelty",
+    "d43_shard_balance",
     "e27_ab_lift",
     "e25_interarrival",
     "e24_common_paths",

@@ -226,6 +226,7 @@ ALLOWED_BNLJ = {
     "s10_cluster_balance": 1,
     "d31_token_surprisal": 1,  # single-row corpus-total (N, log2 N) broadcast
     "d41_mix_planner": 1,  # single-row (corpus_tokens, n_sources) broadcast
+    "d43_shard_balance": 1,  # single-row corpus_tokens broadcast
     "e22_psi_drift": 0,  # densify BNLJ hides behind the grid checkpoint
 }
 

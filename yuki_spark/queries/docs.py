@@ -466,6 +466,67 @@ def d41_mix_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_SHARDS = 8
+
+
+def d43_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced shard assignment for training export: order docs
+    by descending token count (doc_id tiebreak) and deal them
+    round-robin into N_SHARDS shards — the deterministic LPT-style
+    heuristic that keeps shard token totals near-equal so no trainer
+    rank starves (the export-side step after d18's sequence packing
+    and d41's mix planning). Reports per-shard doc/token totals plus
+    each shard's deviation from the ideal (exact integers; the twin
+    reproduces the deal because the order is total).
+
+    Scale shape: the global (n_tokens desc, doc_id) rank is built
+    WITHOUT a single-partition window — a per-n_tokens partitioned
+    row_number (distributes across the cluster) plus a broadcast
+    offset table of cumulative counts per DISTINCT token count (tiny:
+    bounded by max doc length; the only single-task window runs over
+    that). Then one N_SHARDS-row rollup. The DuckDB twin uses the
+    equivalent plain global ROW_NUMBER."""
+    from pyspark.sql.window import Window
+
+    t = text.with_tokens(load(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens"
+    )
+    counts = t.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("c"))
+    w_off = Window.orderBy(F.desc("n_tokens"))
+    offsets = counts.select(
+        "n_tokens", (F.sum("c").over(w_off) - F.col("c")).alias("grp_offset")
+    )
+    w_in = Window.partitionBy("n_tokens").orderBy("doc_id")
+    assigned = (
+        t.join(F.broadcast(offsets), "n_tokens")
+        .select(
+            "n_tokens",
+            ((F.col("grp_offset") + F.row_number().over(w_in) - 1) % N_SHARDS)
+            .cast("bigint")
+            .alias("shard"),
+        )
+    )
+    per = assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+    )
+    tot = per.agg(F.sum("shard_tokens").alias("corpus_tokens"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            "n_docs",
+            "shard_tokens",
+            (
+                F.col("shard_tokens").cast("double")
+                * F.lit(float(N_SHARDS))
+                / F.greatest(F.col("corpus_tokens"), F.lit(1)).cast("double")
+            ).alias("balance_ratio"),
+        )
+        .orderBy("shard")
+    )
+
+
 def d42_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-source variety audit: per source, how much of its
     distinct 3-gram vocabulary is EXCLUSIVE to it (appears in no other
@@ -1492,6 +1553,7 @@ QUERIES = {
     "d25_domain_mix": d25_domain_mix,
     "d41_mix_planner": d41_mix_planner,
     "d42_source_novelty": d42_source_novelty,
+    "d43_shard_balance": d43_shard_balance,
     "d14_stratified_sample": d14_stratified_sample,
     "d15_profile": d15_profile,
     "d10_winnow_fingerprint": d10_winnow_fingerprint,
@@ -2371,6 +2433,26 @@ _ORACLE_TEMPLATE = {
                CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / COUNT(quality) AS avg_quality,
                CAST(SUM(n_punct) AS BIGINT) AS total_punct
         FROM s GROUP BY source ORDER BY source
+    """,
+    # the (n_tokens DESC, doc_id) deal order is total, so both engines
+    # assign every doc to the same shard; totals are exact integers
+    "d43_shard_balance": f"""
+        WITH t AS (
+          SELECT doc_id, CAST(len({_T}) AS BIGINT) AS n_tokens FROM documents),
+        dealt AS (
+          SELECT n_tokens,
+                 CAST((ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) - 1)
+                      % {N_SHARDS} AS BIGINT) AS shard
+          FROM t),
+        per AS (
+          SELECT shard, COUNT(*) AS n_docs,
+                 CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+          FROM dealt GROUP BY shard),
+        tot AS (SELECT CAST(SUM(shard_tokens) AS BIGINT) AS corpus_tokens FROM per)
+        SELECT shard, n_docs, shard_tokens,
+               CAST(shard_tokens AS DOUBLE) * {float(N_SHARDS)}
+                 / CAST(greatest(corpus_tokens, 1) AS DOUBLE) AS balance_ratio
+        FROM per CROSS JOIN tot ORDER BY shard
     """,
     # trigram join "a b c" matches _zip_ngrams' concat(a,' ',b) chain;
     # range(1, len-1) excludes the stop, so i+2 stays in bounds
