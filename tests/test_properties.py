@@ -676,3 +676,26 @@ def test_funnel_latency_matches_python_reference(spark, evs):
     if lat2:
         exp["click>purchase"] = (len(lat2), sum(lat2), max(lat2))
     assert got == exp
+
+
+@given(rows=_DOCS_STRAT)
+@_SETTINGS
+def test_shard_balance_matches_python_reference(spark, rows):
+    """The distributed rank (per-n_tokens window + offset table) must
+    reproduce the plain global (n_tokens desc, doc_id) deal exactly."""
+    from yuki_spark.queries import docs as docs_q
+
+    sf = _write_doc_catalog(rows)
+    got = {
+        r["shard"]: (r["n_docs"], r["shard_tokens"])
+        for r in docs_q.d43_shard_balance(spark, sf).collect()
+    }
+
+    toks = [(len(_py_tokens(text)), i) for i, (_src, text) in enumerate(rows)]
+    order = sorted(toks, key=lambda p: (-p[0], p[1]))
+    exp = {}
+    for pos, (n, _i) in enumerate(order):
+        s = pos % docs_q.N_SHARDS
+        nd, tt = exp.get(s, (0, 0))
+        exp[s] = (nd + 1, tt + n)
+    assert got == exp
