@@ -180,6 +180,9 @@ def main() -> None:
         "d41_mix_planner",
         "d42_source_novelty",
         "e27_ab_lift",
+        # shard deal: the offset-table window must stay tiny (distinct
+        # token counts) while the doc-side window distributes
+        "d43_shard_balance",
     ]
     qs["q1_pricing_summary"](spark, out).write.mode("overwrite").format("noop").save()
     timings = {}
