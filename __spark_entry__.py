@@ -39,6 +39,7 @@ _PRIORITY = [
     "d42_source_novelty",
     "d43_shard_balance",
     "e27_ab_lift",
+    "e28_hll_users",
     "e25_interarrival",
     "e24_common_paths",
     "s14_mmr_rerank",

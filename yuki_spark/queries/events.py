@@ -1027,9 +1027,41 @@ def e27_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e28_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user counting vs exact truth — the batch
+    twin of the streaming drift monitor's HLL accumulator, completing
+    the sketch accuracy matrix (e12 pins Count-Min, e7 pins the
+    quantile sketch, this pins Spark's approx_count_distinct). Output
+    carries the exact count plus ``est_ok`` asserting the estimate
+    lands within the documented rsd envelope (2% rsd → 10%+5 slack
+    here); the oracle recomputes the exact side and expects the flag
+    TRUE, so an HLL accuracy regression breaks the value hash.
+
+    Scale shape: one hash-agg per event_type; the HLL partials merge
+    map-side — at 100 TB this is exactly the cardinality pattern that
+    replaces COUNT(DISTINCT)'s expensive exact shuffle."""
+    ev = load(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.approx_count_distinct("user_id", 0.02).alias("est_raw"),
+    )
+    slack = (
+        (F.col("n_users").cast("double") * F.lit(0.1)).cast("bigint") + F.lit(5)
+    )
+    return per.select(
+        "event_type",
+        "n_users",
+        (
+            (F.col("est_raw") >= F.col("n_users") - slack)
+            & (F.col("est_raw") <= F.col("n_users") + slack)
+        ).alias("est_ok"),
+    ).orderBy("event_type")
+
+
 QUERIES = {
     "e24_common_paths": e24_common_paths,
     "e27_ab_lift": e27_ab_lift,
+    "e28_hll_users": e28_hll_users,
     "e25_interarrival": e25_interarrival,
     "e26_funnel_latency": e26_funnel_latency,
     "e22_psi_drift": e22_psi_drift,
@@ -1339,6 +1371,13 @@ ORACLE = {
     # chain order (ts, event_id) matches the Spark window exactly;
     # epoch_us/unix_micros are both integer-µs views of the same
     # parquet NANOS column, so gaps are exact-integer on both engines
+    # e12's discipline: the oracle recomputes the exact side and pins
+    # the tolerance flag TRUE — an HLL regression breaks the hash
+    "e28_hll_users": """
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+               TRUE AS est_ok
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
     # variant = portable hash of the DECIMAL-free user_id string, so
     # assignment is engine-identical; revenue passes through DECIMAL
     "e27_ab_lift": """
