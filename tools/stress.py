@@ -183,6 +183,9 @@ def main() -> None:
         # shard deal: the offset-table window must stay tiny (distinct
         # token counts) while the doc-side window distributes
         "d43_shard_balance",
+        # HLL cardinality: the map-side-mergeable sketch agg that
+        # replaces exact COUNT(DISTINCT) at scale
+        "e28_hll_users",
     ]
     qs["q1_pricing_summary"](spark, out).write.mode("overwrite").format("noop").save()
     timings = {}
