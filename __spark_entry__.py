@@ -20,69 +20,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Insertion order is gate order (the driver caps its sweep at 50 rows).
-# Round-7-final rotation (staleness rule: no key's driver row older
-# than 2 rounds): the keys born in round 7 lead — none has ever had a
-# driver hash row (d34..d41, e24/e25/e26, s14..s17) — followed by the
-# r6 deposit-rewired dedup family (their r6 rows predate the rewiring
-# commit), then the r4-stamped stragglers and the r5-stamped docs/sim
-# keys, which fills the 50 slots. Keys whose most recent driver row is
-# the r6 sweep itself come last, freshest at the bottom.
+# Round-8 rotation (staleness rule: no key's driver row older than 2
+# rounds): the 30 keys whose most recent driver row is the r5 sweep
+# lead — they sit exactly AT the staleness boundary and MUST all be
+# stamped r8 (the r7 cap-marker miscount left 8 of them outside the
+# sweep; ADVICE flagged it). Then the three keys born in round 8
+# (never driver-validated), then the sim/dedup keys whose bucket-id
+# machinery the r8 LongType LSH widening touches (must re-green under
+# the new ids), then the oldest r6-stamped rows fill the 50 slots.
+# Everything after the cap marker: remaining r6-stamped block (leads
+# the r9 rotation), r7-stamped keys freshest at the bottom.
 _PRIORITY = [
-    # new this round / new oracle twins (never driver-hash-validated)
-    "d37_span_scrub",
-    "d38_threshold_sweep",
-    "d39_cluster_sizes",
-    "e26_funnel_latency",
-    "s17_ivf_probe_sweep",
-    "d40_classifier_filter",
-    "d41_mix_planner",
-    "d42_source_novelty",
-    "d43_shard_balance",
-    "e27_ab_lift",
-    "e28_hll_users",
-    "e25_interarrival",
-    "e24_common_paths",
-    "s14_mmr_rerank",
-    "s15_label_drift",
-    "s16_knn_centrality",
-    "d36_cross_source_dups",
-    "d34_rag_chunking",
-    "d35_bigram_rarity",
-    # deposit-rewired in r6 after that round's sweep: dedup family ...
-    "d4_simhash_dups",
-    "d2_ngram_jaccard_dups",
-    "d3_minhash_lsh_dups",
-    "d11_dedup_clusters",
-    "d20_dedup_apply",
-    # ... r4-stamped stragglers (oldest driver rows on the board) ...
-    "d7_token_stats",
-    "d8_fingerprint",
-    "d10_winnow_fingerprint",
-    "d12_subword_stats",
-    "d16_repetition",
-    "d17_contamination",
-    "d18_sequence_packing",
-    "d19_tfidf_top_terms",
-    "d21_corpus_split",
-    "d22_dup_spans",
-    "d23_gopher_filter",
-    "s1_cosine_topk",
-    # ... and the r6 deposit-rewired sim family
-    "s3_lsh_ann",
-    "s4_ivf_ann",
-    "s8_pq_ann",
-    "s11_knn_graph",
-    "s6_ann_recall",
-    # r5-stamped sim/docs keys
-    "s2_label_centroids",
-    "s5_quantize_error",
-    "s7_semdedup",
-    "s9_kmeans_refine",
-    "s10_cluster_balance",
-    "d9_embedding_neardup",
-    "d1_exact_dedup",
-    "d5_lang_id",
-    "d6_quality_score",
+    # --- slots 1..30: every key whose most recent driver row is r5
     "d13_hash_sample",
     "d14_stratified_sample",
     "d15_profile",
@@ -91,9 +40,6 @@ _PRIORITY = [
     "d27_bloom_contamination",
     "d28_token_zipf",
     "d29_dsir_weights",
-    # --- 50-slot cap lands here --- (the nine r7 additions above
-    # displaced d30/d31/d32/p1/m1/m2/m3/q23/dq1 past the cap; they
-    # lead the next rotation)
     "d30_oov_rate",
     "d31_token_surprisal",
     "d32_doc_entropy",
@@ -103,7 +49,6 @@ _PRIORITY = [
     "m3_audio_windows",
     "q23_skyline_parts",
     "dq1_constraint_report",
-    # r5-stamped events keys (code untouched since r5 — lowest risk)
     "e2_sessionization",
     "e3_hourly_rollup",
     "e4_user_asof_value",
@@ -117,10 +62,37 @@ _PRIORITY = [
     "e22_psi_drift",
     "e23_seasonal_anomaly",
     "distinct_users_daily",
-    # validated by the r6 sweep, freshest rows last
+    # --- slots 31..33: born in round 8, never driver-hash-validated
+    "d44_bpe_tokens",
+    "d45_langid_model",
+    "s18_nn_descent",
+    # --- slots 34..41: code touched by the r8 LongType LSH widening
+    "s3_lsh_ann",
+    "s11_knn_graph",
     "s12_graph_recall",
+    "d9_embedding_neardup",
+    "d3_minhash_lsh_dups",
+    "s7_semdedup",
+    "s4_ivf_ann",
+    "s8_pq_ann",
+    # --- slots 42..50: oldest r6-stamped rows, rotated in
     "s13_matryoshka_recall",
     "d33_split_leakage",
+    "d25_domain_mix",
+    "e1_event_counts",
+    "e6_value_percentiles",
+    "e8_error_window_stats",
+    "e9_json_props_stats",
+    "e10_value_histogram",
+    "e13_zscore_outliers",
+    # --- 50-slot cap lands HERE: exactly 50 keys above once
+    # d44/d45/s18 exist in queries() (before they land, the next three
+    # r6-stamped keys slide up — harmless). The r6-stamped block below
+    # leads the r9 rotation.
+    "e14_ewma_daily",
+    "e15_retention_cohorts",
+    "e16_event_transitions",
+    "e17_session_window_stats",
     "q1_pricing_summary",
     "q2_min_cost_supplier",
     "q3_shipping_priority",
@@ -157,17 +129,50 @@ _PRIORITY = [
     "sql1_revenue_by_nation",
     "setops_customer_activity",
     "setops_multiset_except",
-    "e1_event_counts",
-    "e6_value_percentiles",
-    "e8_error_window_stats",
-    "e9_json_props_stats",
-    "e10_value_histogram",
-    "e13_zscore_outliers",
-    "e14_ewma_daily",
-    "e15_retention_cohorts",
-    "e16_event_transitions",
-    "e17_session_window_stats",
-    "d25_domain_mix",
+    # --- r7-stamped keys, freshest driver rows last
+    "d37_span_scrub",
+    "d38_threshold_sweep",
+    "d39_cluster_sizes",
+    "e26_funnel_latency",
+    "s17_ivf_probe_sweep",
+    "d40_classifier_filter",
+    "d41_mix_planner",
+    "d42_source_novelty",
+    "d43_shard_balance",
+    "e27_ab_lift",
+    "e28_hll_users",
+    "e25_interarrival",
+    "e24_common_paths",
+    "s14_mmr_rerank",
+    "s15_label_drift",
+    "s16_knn_centrality",
+    "d36_cross_source_dups",
+    "d34_rag_chunking",
+    "d35_bigram_rarity",
+    "d4_simhash_dups",
+    "d2_ngram_jaccard_dups",
+    "d11_dedup_clusters",
+    "d20_dedup_apply",
+    "d7_token_stats",
+    "d8_fingerprint",
+    "d10_winnow_fingerprint",
+    "d12_subword_stats",
+    "d16_repetition",
+    "d17_contamination",
+    "d18_sequence_packing",
+    "d19_tfidf_top_terms",
+    "d21_corpus_split",
+    "d22_dup_spans",
+    "d23_gopher_filter",
+    "s1_cosine_topk",
+    "s6_ann_recall",
+    "s2_label_centroids",
+    "s5_quantize_error",
+    "s9_kmeans_refine",
+    "s10_cluster_balance",
+    "d1_exact_dedup",
+    "d5_lang_id",
+    "d6_quality_score",
 ]
 
 

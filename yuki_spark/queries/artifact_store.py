@@ -110,30 +110,25 @@ def table_fingerprint(sf_dir: str, table: str, extra: Any = None) -> str:
     folds in whatever parameters shape the artifact (caps, k, probe
     counts)."""
     path = table_path(sf_dir, table)
-    ents: list[tuple[str, int, int, str]] = []
+    ents: list[tuple[str, int, int, str] | tuple[str, str]] = []
+
+    def _ent(full: str, rel: str) -> tuple[str, int, int, str] | tuple[str, str]:
+        # stat→open is two syscalls: a part file vanishing in between
+        # (concurrent compaction on a live table) must change the
+        # fingerprint, not crash every deposit lookup.
+        try:
+            st = os.stat(full)
+            return (rel, st.st_size, st.st_mtime_ns, _tail_probe(full, st.st_size))
+        except OSError:
+            return ("gone", rel)
+
     if os.path.isdir(path):
         for dirpath, _dirs, files in sorted(os.walk(path)):
             for fn in sorted(files):
                 full = os.path.join(dirpath, fn)
-                st = os.stat(full)
-                ents.append(
-                    (
-                        os.path.relpath(full, path),
-                        st.st_size,
-                        st.st_mtime_ns,
-                        _tail_probe(full, st.st_size),
-                    )
-                )
+                ents.append(_ent(full, os.path.relpath(full, path)))
     else:
-        st = os.stat(path)
-        ents.append(
-            (
-                os.path.basename(path),
-                st.st_size,
-                st.st_mtime_ns,
-                _tail_probe(path, st.st_size),
-            )
-        )
+        ents.append(_ent(path, os.path.basename(path)))
     payload = json.dumps(
         {"root": os.path.realpath(path), "files": ents, "extra": extra},
         sort_keys=True,

@@ -1037,6 +1037,13 @@ def e28_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     here); the oracle recomputes the exact side and expects the flag
     TRUE, so an HLL accuracy regression breaks the value hash.
 
+    SPARK-VERSION-SENSITIVE (intentional accuracy pin): the gate hash
+    couples to approx_count_distinct's HLL++ bias correction. A Spark
+    upgrade that re-tunes the estimator can flip ``est_ok`` with no
+    data regression — if a version bump breaks this key, widen the
+    slack (the pin's job is to catch accuracy REGRESSIONS, not to
+    freeze the exact estimator bytes).
+
     Scale shape: one hash-agg per event_type; the HLL partials merge
     map-side — at 100 TB this is exactly the cardinality pattern that
     replaces COUNT(DISTINCT)'s expensive exact shuffle."""
