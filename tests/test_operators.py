@@ -209,11 +209,14 @@ def test_adaptive_lsh_parameters():
     assert similarity.adaptive_planes(500) == 8
     assert similarity.adaptive_planes(20000) == 12
     assert (similarity.lsh_planes(64) == similarity.lsh_planes(128)[:64]).all()
-    # int32 bucket-id budget: past 31 bits the packed ids would wrap
-    # negative and silently diverge from the exact-sum twins
+    # int64 bucket-id budget (r8 widening): 31 bits — the old int32
+    # ceiling a 100 TB embedding corpus approaches — now passes; the
+    # refusal moved to 62 bits, past which `1 << i` would overflow
     assert similarity.adaptive_bits(128 << 31) == 31
-    with pytest.raises(ValueError, match="int32 bucket-id budget"):
-        similarity.adaptive_bits((128 << 31) + 1)
+    assert similarity.adaptive_bits((128 << 31) + 1) == 32
+    assert similarity.adaptive_bits(128 << 62) == 62
+    with pytest.raises(ValueError, match="int64 bucket-id budget"):
+        similarity.adaptive_bits((128 << 62) + 1)
 
 
 def test_multimodal_roundtrip(spark, docs):
@@ -1417,6 +1420,60 @@ def test_ann_skew_guard_caps_hot_buckets_and_is_identity_when_idle(spark):
         for r in similarity.lsh_ann(df2, k=3, n_planes=4, max_bucket=10_000).collect()
     ]
     assert guarded_ann == base_ann
+
+
+def test_long_bucket_ids_past_int32_ceiling(spark):
+    """r8 widening: bucket ids are int64 end-to-end. At 33 sign bits
+    (past the old int32 refusal) the packed band buckets exceed 2^31,
+    stay positive, and match a numpy reference bit-for-bit; lsh_ann
+    and knn_graph run at 33 planes with exact int-cosine scores."""
+    import numpy as np
+
+    from yuki_spark.operators import similarity
+
+    rng = np.random.RandomState(8)
+    base = rng.standard_normal((32, 64)).astype("float32")
+    # ids 32..63 duplicate 0..31: duplicates share every bucket, so the
+    # ANN paths are guaranteed non-empty even at near-singleton widths
+    vecs = np.concatenate([base, base])
+    rows = [(i, [float(x) for x in vecs[i]], 0) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    bits = 33
+    sig = similarity.nd_signatures(df, bits)
+    assert dict(sig.dtypes)["bucket"] == "bigint"
+    got = sig.collect()
+    assert all(r["bucket"] >= 0 for r in got)
+    assert max(r["bucket"] for r in got) > (1 << 31)  # long path exercised
+    # numpy reference: identical packing from the same scaled ints
+    planes = similarity.lsh_planes(similarity.NEARDUP_BANDS * bits)
+    by_vec: dict[int, dict[int, int]] = {}
+    sv_of = {}
+    for r in got:
+        by_vec.setdefault(r["vec_id"], {})[r["band"]] = r["bucket"]
+        sv_of[r["vec_id"]] = np.asarray(r["sv"], dtype=np.int64)
+    for vid, bands in by_vec.items():
+        S = (sv_of[vid] @ planes.T >= 0).astype(np.int64)
+        W = 1 << np.arange(bits, dtype=np.int64)
+        ref = (S.reshape(similarity.NEARDUP_BANDS, bits) * W).sum(axis=1)
+        assert [bands[b] for b in range(similarity.NEARDUP_BANDS)] == ref.tolist()
+
+    # ANN paths at 33 planes: buckets are near-singleton, but every
+    # returned score must still be the exact rounded-9 int cosine
+    bucketed = similarity._sign_bucketed(df, 33)
+    assert dict(bucketed.dtypes)["bucket"] == "bigint"
+    assert bucketed.where(F.col("bucket") > (1 << 31)).count() > 0
+    ann = similarity.lsh_ann(df, k=2, n_queries=4, n_planes=33).collect()
+    assert {(r["qid"], r["cid"]) for r in ann} >= {(q, q + 32) for q in range(4)}
+    g = similarity.knn_graph(df, k=2, n_planes=33)
+    assert g.count() >= 64  # every vector at least finds its duplicate
+    sc = {r["vec_id"]: np.asarray(r["sv"], dtype=np.int64) for r in got}
+    for r in ann:
+        a, b = sc[r["qid"]], sc[r["cid"]]
+        exact = round(
+            float(a @ b) / (np.sqrt(float(a @ a)) * np.sqrt(float(b @ b))), 9
+        )
+        assert r["cosine"] == exact
 
 
 def test_neardup_clusters_equals_uncollapsed_form(spark):

@@ -400,6 +400,26 @@ def lsh_population_audit(spark, sf_dir: str) -> tuple[dict, list[str]]:
         violations.append(
             f"guarded knn_graph lost queries ({graph_q}/{n_clu})"
         )
+
+    # past-int32 stress (r8 LongType widening): at 33 bits/planes the
+    # packed ids exceed 2^31 — they must stay positive int64s and the
+    # bucket machinery must keep working (the old code refused here).
+    wide = sv.limit(2000).withColumn(
+        "buckets",
+        S._nd_bucket_udf(S.lsh_planes(S.NEARDUP_BANDS * 33), S.NEARDUP_BANDS, 33)("sv"),
+    ).select(F.posexplode("buckets").alias("band", "bucket"))
+    wide_minmax = wide.agg(
+        F.min("bucket").alias("mn"), F.max("bucket").alias("mx")
+    ).first()
+    out.update(
+        {"wide_bits": 33, "wide_min_bucket": wide_minmax["mn"], "wide_max_bucket": wide_minmax["mx"]}
+    )
+    if wide_minmax["mn"] < 0:
+        violations.append(f"33-bit bucket went negative ({wide_minmax['mn']})")
+    if wide_minmax["mx"] <= (1 << 31):
+        violations.append(
+            f"33-bit stress never exceeded int32 range ({wide_minmax['mx']})"
+        )
     return out, violations
 
 

@@ -18,7 +18,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, pandas_udf
-from pyspark.sql.types import ArrayType, IntegerType
+from pyspark.sql.types import ArrayType, LongType
 from pyspark.sql.window import Window
 
 SCALE = float(1 << 24)
@@ -228,16 +228,16 @@ def adaptive_bits(
     bits = lo
     while n > (target << bits):
         bits += 1
-    # bucket ids are packed as int32 downstream (_nd_bucket_udf's
-    # ArrayType(IntegerType), lsh_ann's `1 << i` literals): past 31
-    # bits they would silently wrap negative and diverge from the
-    # exact-sum twin. 31 bits ≈ 2^31·target rows (~275 G at the
-    # near-dup default) — refuse loudly beyond that rather than
-    # degrade quietly; widening to LongType buckets is the upgrade.
-    if bits > 31:
+    # bucket ids are int64 end-to-end since r8 (_nd_bucket_udf emits
+    # ArrayType(LongType), the sign-bit sums build bigint columns):
+    # 62 bits keeps every `1 << i` weight and the packed sum positive
+    # in int64. 62 bits ≈ 2^62·target rows — beyond any corpus; refuse
+    # loudly there rather than wrap (the r7 ceiling was int32's 31
+    # bits ≈ 275 G rows, which a 100 TB embedding corpus approaches).
+    if bits > 62:
         raise ValueError(
-            f"adaptive bits={bits} exceeds the int32 bucket-id budget "
-            f"(n={n}, target={target}); widen bucket ids to long"
+            f"adaptive bits={bits} exceeds the int64 bucket-id budget "
+            f"(n={n}, target={target})"
         )
     return bits
 
@@ -248,10 +248,10 @@ def _nd_bucket_udf(planes: np.ndarray, bands: int, bits: int):
     sign bits packed per band. Vectorized over Arrow batches;
     identical to the DuckDB twin's per-plane sign CASEs."""
 
-    if bits > 31:  # guards the explicit-bits path too (int32 packing)
-        raise ValueError(f"bits={bits} exceeds the int32 bucket-id budget")
+    if bits > 62:  # guards the explicit-bits path too (int64 packing)
+        raise ValueError(f"bits={bits} exceeds the int64 bucket-id budget")
 
-    @pandas_udf(ArrayType(IntegerType()))
+    @pandas_udf(ArrayType(LongType()))
     def nd_buckets(svs: pd.Series) -> pd.Series:
         if len(svs) == 0:
             return pd.Series([], dtype=object)
@@ -259,7 +259,7 @@ def _nd_bucket_udf(planes: np.ndarray, bands: int, bits: int):
         S = (V @ planes.T >= 0).astype(np.int64)  # n × (bands·bits)
         weights = 1 << np.arange(bits, dtype=np.int64)
         B = (S.reshape(len(svs), bands, bits) * weights).sum(axis=2)
-        return pd.Series(B.astype(np.int32).tolist())
+        return pd.Series(B.astype(np.int64).tolist())
 
     return nd_buckets
 
@@ -486,7 +486,11 @@ def nd_bucket_rows(emb: DataFrame, bits: int) -> DataFrame:
     is NEARDUP_BANDS and ``bits`` must stay fixed for the index's
     lifetime so historical and new batches bucket identically (an
     adaptive width would silently shear the index as the corpus
-    grows — re-bucketing is an explicit rebuild, not a drift)."""
+    grows — re-bucketing is an explicit rebuild, not a drift).
+    Bucket ids are int64 since r8 (values unchanged for bits ≤ 31);
+    an index persisted by the old int32 code should be rebuilt before
+    mixing with new rows — MERGE across the width change would fail
+    on the schema, loudly."""
     return nd_signatures(emb, bits).select("vec_id", "band", "bucket")
 
 
@@ -788,8 +792,9 @@ def _sign_bucketed(emb: DataFrame, n_planes: int) -> DataFrame:
     )
     sign_bits = [
         F.when(
-            int_dot(F.col("sv"), _plane_lit(planes, i)) >= 0, F.lit(1 << i)
-        ).otherwise(F.lit(0))
+            int_dot(F.col("sv"), _plane_lit(planes, i)) >= 0,
+            F.lit(1 << i).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
         for i in range(n_planes)
     ]
     return base.withColumn("bucket", sum(sign_bits[1:], sign_bits[0]))
@@ -927,16 +932,19 @@ def lsh_ann(
     result whenever every bucket already fits the cap."""
     if n_planes is None:
         n_planes = adaptive_planes(n_est if n_est is not None else emb.count())
-    if n_planes > 31:  # bucket id / probe XOR literals assume int32
+    if n_planes > 62:  # int64 bucket ids / probe XOR literals
         raise ValueError(
-            f"n_planes={n_planes} exceeds the int32 bucket-id budget"
+            f"n_planes={n_planes} exceeds the int64 bucket-id budget"
         )
     bucketed = _sign_bucketed(emb, n_planes).localCheckpoint(
         eager=False
     )  # feeds query + candidate sides once
     probes = F.array(
         F.col("bucket"),
-        *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("bigint"))
+            for i in range(n_planes)
+        ],
     )
     q = bucketed.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"),
@@ -996,16 +1004,19 @@ def knn_graph(
     most, since one hot bucket is quadratic in BOTH sides."""
     if n_planes is None:
         n_planes = adaptive_planes(n_est if n_est is not None else emb.count())
-    if n_planes > 31:  # bucket id / probe XOR literals assume int32
+    if n_planes > 62:  # int64 bucket ids / probe XOR literals
         raise ValueError(
-            f"n_planes={n_planes} exceeds the int32 bucket-id budget"
+            f"n_planes={n_planes} exceeds the int64 bucket-id budget"
         )
     bucketed = _sign_bucketed(emb, n_planes).localCheckpoint(
         eager=False
     )  # feeds probe + candidate sides once
     probes = F.array(
         F.col("bucket"),
-        *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("bigint"))
+            for i in range(n_planes)
+        ],
     )
     q = bucketed.select(
         F.col("vec_id").alias("qid"),
