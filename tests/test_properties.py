@@ -699,3 +699,72 @@ def test_shard_balance_matches_python_reference(spark, rows):
         nd, tt = exp.get(s, (0, 0))
         exp[s] = (nd + 1, tt + n)
     assert got == exp
+
+
+# ---- BPE (d44): canonical string impl vs independent GPT-2-style ----
+# reference. The production tokenizer (operators/bpe.bpe_tokenize)
+# runs a sticky-fixpoint string-replace loop; the reference below is
+# the classic list-based GPT-2 bpe(): recompute present pairs, merge
+# ALL occurrences of the best-ranked pair left-to-right, repeat. The
+# two must agree on ARBITRARY words and ARBITRARY (adversarially
+# chained) merge tables — this is the pure-function twin discipline,
+# no Spark job per example.
+
+
+def _gpt2_bpe_reference(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    ranks = {}
+    for i, m in enumerate(merges):  # first occurrence wins, like rank order
+        ranks.setdefault(m, i)
+    toks = list(word)
+    while len(toks) > 1:
+        present = [
+            (toks[i], toks[i + 1])
+            for i in range(len(toks) - 1)
+            if (toks[i], toks[i + 1]) in ranks
+        ]
+        if not present:
+            break
+        a, b = min(present, key=lambda p: ranks[p])
+        out, i = [], 0
+        while i < len(toks):
+            if i < len(toks) - 1 and toks[i] == a and toks[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+    return toks
+
+
+@given(
+    word=hst.text(alphabet="ab", min_size=1, max_size=14),
+    merges=hst.lists(
+        hst.tuples(
+            hst.text(alphabet="ab", min_size=1, max_size=3),
+            hst.text(alphabet="ab", min_size=1, max_size=3),
+        ),
+        max_size=12,
+    ),
+)
+@settings(max_examples=400, deadline=None)
+def test_bpe_matches_gpt2_reference_adversarial(word, merges):
+    """Two-letter alphabet + short merge sides maximize adjacent-
+    occurrence overlaps and chained ranks ((a,a) then (aa,a)) — the
+    corners where a naive replace-all diverges from true BPE."""
+    from yuki_spark.operators.bpe import bpe_tokenize
+
+    dedup_merges = list(dict.fromkeys(merges))
+    got = bpe_tokenize(word, tuple(dedup_merges))
+    assert got == _gpt2_bpe_reference(word, dedup_merges)
+    assert "".join(got) == word  # tokenization is a partition of the word
+
+
+@given(word=hst.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=24))
+@settings(max_examples=300, deadline=None)
+def test_bpe_matches_gpt2_reference_production_table(word):
+    from yuki_spark.operators.bpe import MERGES, bpe_tokenize
+
+    got = bpe_tokenize(word)
+    assert got == _gpt2_bpe_reference(word, list(MERGES))
+    assert "".join(got) == word

@@ -1,0 +1,164 @@
+"""Byte-pair-encoding tokenization at VOCABULARY grain.
+
+Real BPE application (Sennrich et al. 2016; the GPT-2 ``bpe()`` loop):
+repeatedly merge every left-to-right non-overlapping occurrence of the
+best-ranked adjacent token pair until no ranked pair remains. The
+merges table is a FIXED artifact — exactly like a production
+tokenizer, which is trained once offline and shipped as data — so
+every engine (Spark, DuckDB, pure Python) applies the same ranks and
+produces bit-identical tokenizations.
+
+Scale design: BPE is a pure function of the word, so it runs over the
+DISTINCT vocabulary (``vocab_bpe``), never the corpus — the corpus
+pass is one explode + hash-agg to word counts, the tokenizer cost is
+O(|vocab|) in an Arrow batch, and the result broadcast-joins back.
+That is the production shape for token-budget accounting at 100 TB:
+the vocabulary is millions of rows where the corpus is trillions.
+
+Representation (shared by the Python loop and the DuckDB recursive
+CTE): the token list is a string of individually-wrapped tokens,
+``(t1)(t2)...``. The pair pattern ``(a)(b)`` carries both token
+boundaries and adjacent occurrences share NO characters, so one
+leftmost non-overlapping ``replace`` call IS one GPT-2 merge pass —
+including runs like ``bbbbb`` + merge (b,b) → [bb, bb, b], where a
+pipe-delimited ``|a|b|`` pattern would skip the middle occurrence
+(adjacent matches share the boundary pipe; caught by the property
+test against the list-based reference). Merging (a,b) can never
+create a new (a,b) occurrence (the merged token ab equals neither a
+nor b), so the pass needs no fixpoint, and the outer loop just
+re-picks the min-rank pair still present. Tokens are [a-z]+ runs, so
+the paren delimiters are collision-free.
+"""
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+# Rank-ordered merges (rank = 1-based position). A miniature
+# English-ish table with multi-level chains (t+a → ta+b → tab+le →
+# table) so rank priority, chained merges, and whole-word merges are
+# all exercised on the test corpus. Lowercase a–z only — words are
+# extracted as [a-z]+ runs.
+MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"),
+    ("th", "e"),
+    ("a", "t"),
+    ("e", "r"),
+    ("a", "n"),
+    ("o", "w"),
+    ("a", "s"),
+    ("l", "e"),
+    ("t", "a"),
+    ("ta", "b"),
+    ("tab", "le"),
+    ("i", "n"),
+    ("e", "y"),
+    ("s", "t"),
+    ("a", "l"),
+    ("g", "r"),
+    ("b", "i"),
+    ("u", "e"),
+    ("al", "ue"),
+    ("v", "alue"),
+    ("q", "u"),
+    ("o", "r"),
+    ("w", "in"),
+    ("d", "at"),
+    ("dat", "a"),
+    ("s", "c"),
+    ("sc", "an"),
+    ("m", "er"),
+    ("mer", "g"),
+    ("merg", "e"),
+    ("p", "ar"),
+    ("a", "r"),
+)
+
+WORD_RE = "[a-z]+"  # the word extraction both engines apply to lower(text)
+
+
+def bpe_tokenize(word: str, merges: tuple[tuple[str, str], ...] = MERGES) -> list[str]:
+    """Tokenize one word (the canonical implementation — the Spark UDF
+    applies it per distinct word, the DuckDB twin replicates the exact
+    replace sequence, and tests pin it against an independent
+    list-based GPT-2 reference on adversarial inputs)."""
+    s = "".join(f"({c})" for c in word)
+    while True:
+        pick = None
+        for a, b in merges:  # first hit in rank order == min rank
+            if f"({a})({b})" in s:
+                pick = (a, b)
+                break
+        if pick is None:
+            break
+        a, b = pick
+        s = s.replace(f"({a})({b})", f"({a}{b})")
+    return s[1:-1].split(")(") if s else []
+
+
+def vocab_bpe(vocab: DataFrame, word_col: str = "word") -> DataFrame:
+    """Append ``tok_str`` (space-joined BPE tokens — words are [a-z]+
+    so the space is boundary-safe) and ``n_tok`` to a DISTINCT-word
+    frame. One Arrow batch pass over the vocabulary; cache/broadcast
+    the result and join it back to corpus word counts."""
+
+    @pandas_udf(StringType())
+    def bpe_str(words: pd.Series) -> pd.Series:
+        return words.map(lambda w: " ".join(bpe_tokenize(w)))
+
+    return vocab.withColumn("tok_str", bpe_str(F.col(word_col))).withColumn(
+        "n_tok", F.size(F.split("tok_str", " ")).cast("bigint")
+    )
+
+
+def sql_merges_values() -> str:
+    """The merges table as a DuckDB VALUES list: (rank, a, b)."""
+    return ", ".join(
+        f"({r + 1}, '{a}', '{b}')" for r, (a, b) in enumerate(MERGES)
+    )
+
+
+def sql_bpe_ctes(vocab_rel: str = "vocab") -> str:
+    """DuckDB recursive-CTE twin of :func:`bpe_tokenize` over a
+    relation of distinct ``word`` rows: seeds each word as the
+    paren-wrapped char string; one recursive step = one replace-all of
+    the min-rank pair present (== one GPT-2 merge pass, see module
+    docstring), terminating (the row drops out of the join) when no
+    ranked pair remains. ``bpe_done`` holds each word's terminal state
+    exactly once — every step strictly shrinks the string, and only
+    the terminal string has no ranked pair left. Depth ≤ len(word) − 1
+    steps per word.
+
+    Emit AFTER a ``merges(rank, a, b)`` CTE (see
+    :func:`sql_merges_values`); the fragment defines ``seeds``,
+    ``bpe`` and ``bpe_done(word, tok_str, n_tok)``."""
+    return f"""
+        seeds AS (
+          SELECT word,
+                 '(' || array_to_string(regexp_extract_all(word, '.'), ')(') || ')' AS s
+          FROM {vocab_rel}),
+        bpe(word, s) AS (
+          SELECT word, s FROM seeds
+          UNION ALL
+          SELECT st.word,
+                 replace(st.s, '(' || mm.a || ')(' || mm.b || ')',
+                         '(' || mm.a || mm.b || ')')
+          FROM (
+            SELECT word, s,
+                   (SELECT MIN(m.rank) FROM merges m
+                    WHERE strpos(s, '(' || m.a || ')(' || m.b || ')') > 0)
+                     AS rk
+            FROM bpe) st
+          JOIN merges mm ON mm.rank = st.rk),
+        bpe_done AS (
+          SELECT word,
+                 replace(substr(s, 2, len(s) - 2), ')(', ' ') AS tok_str,
+                 CAST(len(string_split(substr(s, 2, len(s) - 2), ')(')) AS BIGINT)
+                   AS n_tok
+          FROM bpe b
+          WHERE NOT EXISTS (SELECT 1 FROM merges m
+                            WHERE strpos(b.s, '(' || m.a || ')(' || m.b || ')') > 0))
+    """

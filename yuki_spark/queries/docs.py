@@ -13,7 +13,7 @@ import os
 
 from ..catalog import load, table_rows
 from ..functions import DEC, portable_hash60, sql_portable_hash60
-from ..operators import dedup, multimodal, sampling, text
+from ..operators import bpe, dedup, multimodal, sampling, text
 from . import dedup_family
 
 # The near-dup pair queries (d2/d3/d4/d11/d20) bound their slice by a
@@ -158,6 +158,63 @@ def d12_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_subwords").alias("total_subwords"),
             F.max("n_subwords").alias("max_subwords"),
             (F.sum("n_subwords").cast("double") / F.count(F.lit(1))).alias("avg_subwords"),
+        )
+        .orderBy("source")
+    )
+
+
+def d44_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE BPE token accounting per source (d12's pretokenizer counts
+    are the approximation; this applies a real rank-ordered merges
+    table — operators/bpe.py — the way a production pipeline budgets
+    tokens with the actual tokenizer artifact). Per source: docs,
+    word instances, exact BPE token total, letter count, the derived
+    chars-per-token compression ratio, and a modular content pin over
+    every word instance's full tokenization string, so the oracle
+    verifies the exact token SEQUENCES, not just counts.
+
+    Scale shape: the corpus pass is one explode + one hash-agg to
+    (doc, word) counts; the BPE loop itself runs at VOCABULARY grain
+    (distinct words — millions where the corpus is trillions of
+    tokens) in one Arrow batch stage, and the tokenized vocab
+    broadcast-joins back. No pair work, no corpus-sized Python."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{bpe.WORD_RE}', 0)")
+        ).alias("word"),
+    )
+    wc = words.groupBy("doc_id", "source", "word").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    vt = bpe.vocab_bpe(wc.select("word").distinct())
+    j = wc.join(F.broadcast(vt), "word")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_tok")).alias("n_bpe_tokens"),
+            F.sum(F.col("cnt") * F.length("word").cast("bigint")).alias(
+                "n_chars"
+            ),
+            F.sum(
+                F.col("cnt") * (portable_hash60(F.col("tok_str")) % F.lit(_HASH_MOD))
+            ).alias("pin_raw"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_words",
+            "n_bpe_tokens",
+            "n_chars",
+            (
+                F.col("n_chars").cast("double")
+                / F.col("n_bpe_tokens").cast("double")
+            ).alias("chars_per_token"),
+            (F.col("pin_raw") % F.lit(_HASH_MOD)).alias("bpe_pin"),
         )
         .orderBy("source")
     )
@@ -1548,6 +1605,7 @@ QUERIES = {
     "d7_token_stats": d7_token_stats,
     "d8_fingerprint": d8_fingerprint,
     "d12_subword_stats": d12_subword_stats,
+    "d44_bpe_tokens": d44_bpe_tokens,
     "d13_hash_sample": d13_hash_sample,
     "d24_weighted_sample": d24_weighted_sample,
     "d25_domain_mix": d25_domain_mix,
@@ -2010,6 +2068,34 @@ _ORACLE_TEMPLATE = {
                MAX(n_subwords) AS max_subwords,
                CAST(SUM(n_subwords) AS DOUBLE) / COUNT(*) AS avg_subwords
         FROM t GROUP BY source ORDER BY source
+    """,
+    "d44_bpe_tokens": f"""
+        WITH RECURSIVE
+        merges(rank, a, b) AS (VALUES {bpe.sql_merges_values()}),
+        words AS (
+          SELECT doc_id, source,
+                 unnest(regexp_extract_all(lower(text), '{bpe.WORD_RE}')) AS word
+          FROM documents),
+        wc AS (SELECT doc_id, source, word, COUNT(*) AS cnt
+               FROM words GROUP BY doc_id, source, word),
+        vocab AS (SELECT DISTINCT word FROM wc),
+        {bpe.sql_bpe_ctes("vocab")},
+        j AS (SELECT wc.doc_id, wc.source, wc.word, wc.cnt, d.tok_str, d.n_tok
+              FROM wc JOIN bpe_done d USING (word)),
+        per AS (
+          SELECT source,
+                 COUNT(DISTINCT doc_id) AS n_docs,
+                 CAST(SUM(cnt) AS BIGINT) AS n_words,
+                 CAST(SUM(cnt * n_tok) AS BIGINT) AS n_bpe_tokens,
+                 CAST(SUM(cnt * len(word)) AS BIGINT) AS n_chars,
+                 CAST(SUM(cnt * ({sql_portable_hash60("tok_str")} % {_HASH_MOD}))
+                      AS BIGINT) AS pin_raw
+          FROM j GROUP BY source)
+        SELECT source, n_docs, n_words, n_bpe_tokens, n_chars,
+               CAST(n_chars AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE)
+                 AS chars_per_token,
+               pin_raw % {_HASH_MOD} AS bpe_pin
+        FROM per ORDER BY source
     """,
     "d18_sequence_packing": f"""
         WITH t AS (SELECT lang, doc_id, CAST(len({_T}) AS BIGINT) AS n_tokens
