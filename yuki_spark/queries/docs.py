@@ -1237,6 +1237,74 @@ def d40_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Model-based language ID (d45): char-trigram hashing-trick linear
+# classifier — d40's scorer machinery at character grain with one
+# weight stream per language class. The per-language mixers are the
+# deterministic "trained weights" stand-in (odd 32-bit primes);
+# swapping in real trained weights is a broadcast FEATURES×langs
+# literal map with an identical plan. bucket < 2^12 and mix < 2^32
+# keep bucket·mix < 2^44: exact int64 in every engine.
+LID_FEATURES = 4096
+LID_WEIGHT_MOD = 2001
+LID_LANGS: tuple[tuple[str, int], ...] = (
+    ("en", 2654435761),
+    ("fr", 2246822519),
+    ("de", 3266489917),
+    ("es", 668265263),
+)
+
+
+def d45_langid_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL-based language identification (fastText-style char-n-gram
+    linear classifier), upgrading d5's stopword-ratio heuristic: every
+    document is scored per language class over hashing-trick char
+    TRIGRAM features and classified by integer argmax (deterministic
+    first-class-wins tiebreak), reported as the (true lang ×
+    predicted) confusion rollup a curation pipeline audits before
+    trusting per-language routing.
+
+    Scale shape: one char-trigram explode (pure codegen transform/
+    sequence over lower(text) — O(chars), same class as d40's token
+    explode) feeding K pure-integer weight expressions — no weight
+    table, no join — then two map-side-combined hash-aggs (per-doc
+    score vector, confusion-cell rollup). Exact int64 end-to-end; the
+    DuckDB twin reproduces every score and argmax bit-for-bit."""
+    docs = load(spark, sf_dir, "documents").where(F.length("text") >= 3)
+    g = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(lower(text)) - 2),"
+                " i -> substring(lower(text), i, 3))"
+            )
+        ).alias("g"),
+    )
+    bucket = portable_hash60(F.col("g")) % F.lit(LID_FEATURES)
+    half = LID_WEIGHT_MOD // 2
+    per_doc = g.groupBy("doc_id", "lang").agg(
+        *[
+            F.sum(
+                (bucket * F.lit(mix)) % F.lit(LID_WEIGHT_MOD) - F.lit(half)
+            ).alias(f"s_{lang}")
+            for lang, mix in LID_LANGS
+        ]
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang, _ in LID_LANGS])
+    pred = F.lit(None).cast("string")
+    for lang, _ in reversed(LID_LANGS):  # build CASE: FIRST match wins
+        pred = F.when(F.col(f"s_{lang}") == best, F.lit(lang)).otherwise(pred)
+    return (
+        per_doc.select("lang", pred.alias("pred_lang"), best.alias("best"))
+        .groupBy("lang", "pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("best").alias("total_best_score"),
+        )
+        .orderBy("lang", "pred_lang")
+    )
+
+
 # RAG chunking geometry: 24-token windows on a 16-token stride (8-token
 # overlap). Stride ≤ window guarantees every token is covered, so
 # chunk_tokens − doc_tokens is EXACTLY the duplicated-coverage overhead
@@ -1601,6 +1669,7 @@ QUERIES = {
     "d3_minhash_lsh_dups": d3_minhash_lsh_dups,
     "d4_simhash_dups": d4_simhash_dups,
     "d5_lang_id": d5_lang_id,
+    "d45_langid_model": d45_langid_model,
     "d6_quality_score": d6_quality_score,
     "d7_token_stats": d7_token_stats,
     "d8_fingerprint": d8_fingerprint,
@@ -2603,6 +2672,41 @@ _ORACLE_TEMPLATE = {
                CAST(SUM(score) AS BIGINT) AS total_score,
                MIN(score) AS min_score, MAX(score) AS max_score
         FROM scored GROUP BY source ORDER BY source
+    """,
+    "d45_langid_model": f"""
+        WITH d AS (
+          SELECT doc_id, lang, lower(text) AS lt FROM documents
+          WHERE len(text) >= 3),
+        g AS (
+          SELECT doc_id, lang, substr(lt, CAST(i AS INTEGER), 3) AS g
+          FROM d, unnest(generate_series(1, len(lt) - 2)) AS s(i)),
+        b AS (
+          SELECT doc_id, lang,
+                 {sql_portable_hash60("g")} % {LID_FEATURES} AS bucket
+          FROM g),
+        per AS (
+          SELECT doc_id, lang,
+                 {", ".join(
+                     f"CAST(SUM((bucket * {mix}) % {LID_WEIGHT_MOD}"
+                     f" - {LID_WEIGHT_MOD // 2}) AS BIGINT) AS s_{lang}"
+                     for lang, mix in LID_LANGS
+                 )}
+          FROM b GROUP BY doc_id, lang),
+        p AS (
+          SELECT lang,
+                 CASE {" ".join(
+                     "WHEN s_{l} = GREATEST({alls}) THEN '{l}'".format(
+                         l=lang,
+                         alls=", ".join(f"s_{x}" for x, _ in LID_LANGS),
+                     )
+                     for lang, _ in LID_LANGS
+                 )} END AS pred_lang,
+                 GREATEST({", ".join(f"s_{lang}" for lang, _ in LID_LANGS)})
+                   AS best
+          FROM per)
+        SELECT lang, pred_lang, COUNT(*) AS n_docs,
+               CAST(SUM(best) AS BIGINT) AS total_best_score
+        FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang
     """,
     "d7_token_stats": f"""
         WITH t AS (SELECT source, CAST(len({_T}) AS BIGINT) AS n_tokens FROM documents)
