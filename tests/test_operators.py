@@ -1558,3 +1558,49 @@ def test_minhash_collapsed_equals_uncollapsed(spark):
     want_r = sorted(tuple(r) for r in dedup.minhash_lsh_pairs(real, 0.95).collect())
     got_r = sorted(tuple(r) for r in dedup.minhash_lsh_pairs_collapsed(real, 0.95).collect())
     assert got_r == want_r and len(got_r) > 0
+
+
+def test_nn_descent_round_never_loses_recall_and_recovers_misses(spark):
+    """One NN-descent round over the kNN graph: per-vertex true-
+    neighbor hits are NON-DECREASING (the candidate set is a superset
+    of the current edges under the same tiebreak), and on a sparse-
+    bucket corpus the neighbor-of-neighbor expansion strictly recovers
+    misses."""
+    import numpy as np
+
+    from yuki_spark.operators import similarity
+
+    rng = np.random.RandomState(42)
+    n, k = 200, 3
+    vecs = rng.standard_normal((n, 64)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]], 0) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    # wide buckets (many planes for n=200) -> the one-shot graph misses
+    base = similarity.knn_graph(df, k=k, n_planes=8)
+    refined = similarity.nn_descent_round(df, base, k=k)
+
+    # exact truth via the same scaled-int arithmetic
+    sv = np.floor(vecs.astype(np.float64) * (1 << 24)).astype(np.int64)
+    dots = sv @ sv.T
+    nrm = np.sqrt(np.diag(dots).astype(np.float64))
+    cos = np.round(dots / (nrm[:, None] * nrm[None, :]), 9)
+    truth = {}
+    for i in range(n):
+        order = sorted(
+            (j for j in range(n) if j != i), key=lambda j: (-cos[i, j], j)
+        )
+        truth[i] = set(order[:k])
+
+    def hits(g):
+        got = {}
+        for r in g.collect():
+            got.setdefault(r["qid"], set()).add(r["cid"])
+        return {i: len(got.get(i, set()) & truth[i]) for i in range(n)}
+
+    hb, hr = hits(base), hits(refined)
+    assert all(hr[i] >= hb[i] for i in range(n))  # never loses a true edge
+    assert sum(hr.values()) > sum(hb.values())  # and strictly recovers misses
+    # refined graph stays a valid top-k table
+    per_q = refined.groupBy("qid").count().collect()
+    assert all(r["count"] <= k for r in per_q)

@@ -1046,6 +1046,66 @@ def knn_graph(
     )
 
 
+def nn_descent_round(emb: DataFrame, graph: DataFrame, k: int = 3) -> DataFrame:
+    """One NN-descent refinement round (Dong et al., WWW 2011 shape)
+    over an approximate kNN graph: candidate set = current edges ∪
+    neighbor-of-neighbor pairs (graph self-join g(q,m) ⋈ g(m,c)),
+    exact-int cosine re-rank, per-vertex top-k — the cheap round that
+    recovers neighbors the one-shot LSH buckets missed, WITHOUT any
+    extra bucket probing (the candidate budget stays O(k²) per
+    vertex). Because the candidate set is a superset of the current
+    edges and the re-rank uses the same (cosine desc, cid) order as
+    the exact truth, per-vertex recall is NON-DECREASING by
+    construction (pinned in tests).
+
+    Scale shape: one k²-fanout graph self-join (edge table is n·k
+    rows — tiny next to the corpus), one distinct, then two keyed
+    joins against the scaled corpus for the exact re-rank and one
+    per-vertex window. No broadcast of anything corpus-sized; every
+    join is equi-keyed (SMJ-able at any scale)."""
+    base = emb.select("vec_id", scaled("embedding").alias("sv")).withColumn(
+        "nrm", int_dot(F.col("sv"), F.col("sv"))
+    )
+    e1 = graph.select("qid", F.col("cid").alias("mid"))
+    e2 = graph.select(F.col("qid").alias("mid"), "cid")
+    non = (
+        e1.join(e2, "mid")
+        .where(F.col("qid") != F.col("cid"))
+        .select("qid", "cid")
+    )
+    cand = graph.select("qid", "cid").unionByName(non).distinct()
+    q = base.select(
+        F.col("vec_id").alias("qid"),
+        F.col("sv").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("cid"),
+        F.col("sv").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    scored = (
+        cand.join(q, "qid")
+        .join(c, "cid")
+        .withColumn(
+            "cosine",
+            F.round(
+                cosine_from_ints(
+                    int_dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")
+                ),
+                9,
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col("cid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= k)
+        .select("qid", "rk", "cid", "cosine")
+        .orderBy("qid", "rk")
+    )
+
+
 # ---- int8 quantization --------------------------------------------------
 
 Q_SCALE = 1 << 20  # 2^20: float32*2^20 is exact; keeps err² sums in int64

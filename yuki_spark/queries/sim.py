@@ -102,6 +102,20 @@ def _graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _graph_nnd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The s11 graph after one NN-descent refinement round — its own
+    deposit (a graph-ANN build persists each refinement generation;
+    consumers read the freshest one)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim_family.result(
+        spark,
+        sf_dir,
+        "graph_nnd",
+        {"k": K, "round": 1},
+        lambda: similarity.nn_descent_round(emb, _graph(spark, sf_dir), k=K),
+    )
+
+
 def s3_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe sign-LSH ANN; since r6 the result table is a
     SHARED deposit (queries/sim_family.py — an index is built once
@@ -360,6 +374,53 @@ def s12_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s18_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NN-descent graph refinement evaluated at equal candidate
+    budget: one neighbor-of-neighbor round over the s11 graph deposit
+    (operators/similarity.py::nn_descent_round — k² graph self-join +
+    exact-int re-rank, NO extra bucket probing), scored per query
+    vector against brute-force truth beside the one-shot graph's
+    hits. Per-vector rows bind base and refined hit counts in the
+    same row, so the oracle verifies the improvement itself — and
+    refined ≥ base holds by construction (the candidate set is a
+    superset of the current edges under the same tiebreak order;
+    pinned in tests at full-graph grain).
+
+    Scale shape: the refinement is O(n·k²) candidate rows over the
+    deposited edge table (tiny next to the corpus) with keyed joins
+    only; this harness then joins three persisted tables (exact20,
+    graph, graph_nnd) over the nq cohort."""
+    from pyspark.sql import functions as F
+
+    nq = ANN_NQ
+    exact = _exact20(spark, sf_dir).select("qid", "cid")
+    base = _graph(spark, sf_dir).where(F.col("qid") < nq).select("qid", "cid")
+    ref = _graph_nnd(spark, sf_dir).where(F.col("qid") < nq).select("qid", "cid")
+    bh = exact.join(base, ["qid", "cid"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("bh")
+    )
+    rh = exact.join(ref, ["qid", "cid"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("rh")
+    )
+    return (
+        exact.select("qid")
+        .distinct()
+        .join(bh, "qid", "left")
+        .join(rh, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("bh"), F.lit(0)).cast("bigint").alias("base_hits"),
+            F.coalesce(F.col("rh"), F.lit(0)).cast("bigint").alias("refined_hits"),
+            F.lit(K).cast("bigint").alias("n_possible"),
+            (
+                F.coalesce(F.col("rh"), F.lit(0)).cast("double")
+                / F.lit(float(K))
+            ).alias("refined_recall"),
+        )
+        .orderBy("qid")
+    )
+
+
 MRL_DIMS = 16  # truncated-prefix width for the Matryoshka evaluation
 
 
@@ -502,6 +563,7 @@ QUERIES = {
     "s10_cluster_balance": s10_cluster_balance,
     "s11_knn_graph": s11_knn_graph,
     "s12_graph_recall": s12_graph_recall,
+    "s18_nn_descent": s18_nn_descent,
     "s13_matryoshka_recall": s13_matryoshka_recall,
     "s5_quantize_error": s5_quantize_error,
     "s7_semdedup": s7_semdedup,
@@ -976,6 +1038,55 @@ def _s12_oracle() -> str:
     """
 
 
+def _s18_oracle() -> str:
+    """Twin of s18_nn_descent: the s11 graph twin expanded by one
+    neighbor-of-neighbor round, exact-int re-ranked with the same
+    (cosine desc, cid) order, hit-counted per query vector beside the
+    unrefined graph's hits — the full refinement verified in SQL."""
+    nq = ANN_NQ
+    return f"""
+        WITH exact AS ({_s1_sql(nq)}),
+        g AS ({_s11_oracle()}),
+        vb AS (
+          SELECT vec_id, {_SCALED} AS sv FROM embeddings),
+        vbn AS (
+          SELECT vec_id, sv, {_DOT.format(a='sv', b='sv')} AS nrm FROM vb),
+        non AS (
+          SELECT a.qid, b.cid FROM g a JOIN g b ON b.qid = a.cid
+          WHERE a.qid <> b.cid),
+        cand AS (
+          SELECT DISTINCT qid, cid FROM (
+            SELECT qid, cid FROM g UNION ALL SELECT qid, cid FROM non)),
+        sc AS (
+          SELECT cand.qid, cand.cid,
+                 round(CAST({_DOT.format(a='q.sv', b='c.sv')} AS DOUBLE)
+                   / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))), 9)
+                   AS cosine
+          FROM cand
+          JOIN vbn q ON q.vec_id = cand.qid
+          JOIN vbn c ON c.vec_id = cand.cid),
+        ref AS (
+          SELECT qid, cid FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                        ORDER BY cosine DESC, cid) AS rk
+            FROM sc)
+          WHERE rk <= {K}),
+        bh AS (
+          SELECT e.qid, CAST(COUNT(g.cid) AS BIGINT) AS bh
+          FROM exact e LEFT JOIN g ON g.qid = e.qid AND g.cid = e.cid
+          GROUP BY e.qid),
+        rh AS (
+          SELECT e.qid, CAST(COUNT(r.cid) AS BIGINT) AS rh
+          FROM exact e LEFT JOIN ref r ON r.qid = e.qid AND r.cid = e.cid
+          GROUP BY e.qid)
+        SELECT bh.qid, bh.bh AS base_hits, rh.rh AS refined_hits,
+               CAST({K} AS BIGINT) AS n_possible,
+               CAST(rh.rh AS DOUBLE) / CAST({K} AS DOUBLE) AS refined_recall
+        FROM bh JOIN rh ON rh.qid = bh.qid
+        ORDER BY bh.qid
+    """
+
+
 def _s6_oracle() -> str:
     """Twin of the recall harness: every index twin is deterministic,
     so the whole evaluation composes in SQL (nested-WITH CTEs)."""
@@ -1191,6 +1302,7 @@ def build_oracle() -> dict[str, str]:
             "s10_cluster_balance": _s10_oracle(),
             "s11_knn_graph": _s11_oracle(),
             "s12_graph_recall": _s12_oracle(),
+            "s18_nn_descent": _s18_oracle(),
             "s13_matryoshka_recall": _s13_oracle(),
             "s14_mmr_rerank": _s14_oracle(),
             "s16_knn_centrality": _s16_oracle(),
