@@ -1,0 +1,117 @@
+"""Delta lakehouse layer: loud unavailability in this container, full
+upsert + replay-idempotence + time-travel behavior whenever the
+delta-spark dependency exists (same gating discipline as the PyAV
+video test in test_operators)."""
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from yuki_spark.io import lakehouse
+
+_HAVE_DELTA = lakehouse.delta_available()
+
+
+def test_unavailable_paths_raise_loudly(spark, tmp_path):
+    """Without delta-spark every entry point must raise
+    DeltaUnavailable — never silently write parquet where a
+    transaction log was expected."""
+    if _HAVE_DELTA:
+        pytest.skip("delta-spark present: the loud-failure contract is moot")
+    df = spark.range(3)
+    with pytest.raises(lakehouse.DeltaUnavailable):
+        lakehouse.merge_into(spark, str(tmp_path / "t"), df, ["id"])
+    with pytest.raises(lakehouse.DeltaUnavailable):
+        lakehouse.read_at_version(spark, str(tmp_path / "t"), 0)
+    with pytest.raises(lakehouse.DeltaUnavailable):
+        lakehouse.latest_version(spark, str(tmp_path / "t"))
+    with pytest.raises(lakehouse.DeltaUnavailable):
+        lakehouse.run_upsert_delta(df, str(tmp_path / "t"), str(tmp_path / "c"), ["id"])
+    with pytest.raises(lakehouse.DeltaUnavailable):
+        lakehouse.delta_builder_conf(None)
+    assert not os.path.exists(tmp_path / "t")  # nothing was written
+
+
+@pytest.mark.skipif(not _HAVE_DELTA, reason="delta-spark not installed")
+def test_delta_merge_upsert_and_time_travel(tmp_path):
+    """Real Delta behavior when the package exists: MERGE upserts on
+    keys, a replayed identical MERGE is a no-op on content, and
+    time-travel reads return each prior snapshot (the deposit-pin
+    analogue)."""
+    from pyspark.sql import SparkSession
+
+    builder = (
+        SparkSession.builder.master("local[2]")
+        .appName("yuki_spark-delta-test")
+        .config("spark.sql.shuffle.partitions", "4")
+    )
+    spark = lakehouse.delta_builder_conf(builder).getOrCreate()
+    try:
+        path = str(tmp_path / "tbl")
+        base = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k int, v string"
+        )
+        lakehouse.merge_into(spark, path, base, ["k"])
+        v0 = lakehouse.latest_version(spark, path)
+
+        upd = spark.createDataFrame(
+            [(2, "B"), (3, "c")], "k int, v string"
+        )
+        lakehouse.merge_into(spark, path, upd, ["k"])
+        now = {
+            (r["k"], r["v"])
+            for r in spark.read.format("delta").load(path).collect()
+        }
+        assert now == {(1, "a"), (2, "B"), (3, "c")}
+
+        # time travel: the pre-merge snapshot is intact at v0
+        old = {
+            (r["k"], r["v"])
+            for r in lakehouse.read_at_version(spark, path, v0).collect()
+        }
+        assert old == {(1, "a"), (2, "b")}
+
+        # replaying the identical MERGE changes nothing (idempotent
+        # on content — the streaming sink's replay contract)
+        lakehouse.merge_into(spark, path, upd, ["k"])
+        again = {
+            (r["k"], r["v"])
+            for r in spark.read.format("delta").load(path).collect()
+        }
+        assert again == now
+    finally:
+        spark.stop()
+
+
+@pytest.mark.skipif(not _HAVE_DELTA, reason="delta-spark not installed")
+def test_delta_streaming_upsert_sink(tmp_path):
+    """run_upsert_delta: the foreachBatch MERGE sink lands every batch
+    transactionally and a forced checkpoint replay rewrites identical
+    state."""
+    from pyspark.sql import SparkSession
+
+    builder = (
+        SparkSession.builder.master("local[2]")
+        .appName("yuki_spark-delta-stream-test")
+        .config("spark.sql.shuffle.partitions", "4")
+    )
+    spark = lakehouse.delta_builder_conf(builder).getOrCreate()
+    try:
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k int, v string"
+        ).coalesce(1).write.mode("append").parquet(src)
+        sdf = spark.readStream.schema("k int, v string").parquet(src)
+        q = lakehouse.run_upsert_delta(
+            sdf, str(tmp_path / "tbl"), str(tmp_path / "ckpt"), ["k"]
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["k"], r["v"])
+            for r in spark.read.format("delta").load(str(tmp_path / "tbl")).collect()
+        }
+        assert got == {(1, "a"), (2, "b")}
+    finally:
+        spark.stop()
