@@ -1604,3 +1604,36 @@ def test_nn_descent_round_never_loses_recall_and_recovers_misses(spark):
     # refined graph stays a valid top-k table
     per_q = refined.groupBy("qid").count().collect()
     assert all(r["count"] <= k for r in per_q)
+
+
+def test_avi_mjpeg_pure_python_keyframe_sampling(spark):
+    """The video branch executes in THIS environment: an AVI/MJPEG
+    container goes through real RIFF chunk parsing + SOF dimension
+    walk with no codec library — frames come back as the original
+    JPEG payloads — and frame_sample rides the same path end-to-end.
+    A non-MJPEG AVI still raises loud when PyAV is absent."""
+    from yuki_spark.operators import codecs, multimodal
+
+    frames = [codecs.encode_stub_jpeg(16, 12, seed=i) for i in range(6)]
+    avi = codecs.encode_avi_mjpeg(frames, 16, 12)
+    assert codecs.is_video(avi)
+    assert codecs.jpeg_dims(frames[0]) == (16, 12)
+
+    kf = codecs.decode_video_keyframes(avi, n_frames=3)
+    assert [(w, h) for w, h, _ in kf] == [(16, 12)] * 3
+    assert [f for _, _, f in kf] == frames[:3]  # payloads ship as-is
+
+    df = spark.createDataFrame(
+        [(7, bytearray(avi))], "doc_id long, media binary"
+    )
+    rows = multimodal.frame_sample(df, n_frames=3).collect()
+    assert sorted(r["frame_idx"] for r in rows) == [0, 1, 2]
+    assert all(bytes(r["frame"])[:2] == codecs.JPEG_SOI for r in rows)
+
+    # an AVI whose video chunks are NOT JPEG (compressed codec) is
+    # still PyAV territory: loud failure when the codec is absent
+    fake = codecs.encode_avi_mjpeg([b"\x00\x01\x02\x03"], 16, 12)
+    assert codecs.avi_mjpeg_frames(fake) == []
+    if not codecs._HAS_AV:
+        with pytest.raises(codecs.UnsupportedMediaError, match="PyAV"):
+            codecs.decode_video_keyframes(fake)

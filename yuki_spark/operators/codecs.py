@@ -294,6 +294,136 @@ def is_video(data: bytes) -> bool:
     )
 
 
+# ---- RIFF/AVI Motion-JPEG (pure Python — no codec library) ---------------
+#
+# MJPEG stores every frame as a self-contained JPEG inside RIFF '00dc'
+# chunks, so keyframe SAMPLING needs no codec at all: every frame is an
+# I-frame, the container walk is a pure chunk parse, and the sampled
+# frame payloads ship downstream as-is (exactly what a production
+# sampler hands to the GPU/decoder stage). This gives the video branch
+# a REAL container path that executes without PyAV.
+
+JPEG_SOI = b"\xff\xd8"
+
+# SOF0..SOF15 carry dimensions, except DHT(C4)/JPG(C8)/DAC(CC)
+_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def jpeg_dims(data: bytes) -> tuple[int, int]:
+    """(width, height) from a JPEG's SOF segment — a pure marker walk
+    (no pixel decode; the sampler's contract is container-level)."""
+    if data[:2] != JPEG_SOI:
+        raise UnsupportedMediaError("not a JPEG payload")
+    i = 2
+    while i + 4 <= len(data):
+        if data[i] != 0xFF:
+            raise UnsupportedMediaError("corrupt JPEG marker stream")
+        marker = data[i + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            i += 2
+            continue
+        if marker in _SOF_MARKERS:
+            if i + 9 > len(data):
+                break
+            h, w = struct.unpack(">HH", data[i + 5 : i + 9])
+            return int(w), int(h)
+        if marker == 0xDA:  # SOS: entropy data follows, SOF must precede
+            break
+        i += 2 + struct.unpack(">H", data[i + 2 : i + 4])[0]
+    raise UnsupportedMediaError("JPEG without SOF dimensions")
+
+
+def avi_mjpeg_frames(data: bytes) -> list[bytes]:
+    """Every JPEG frame payload in a RIFF/AVI container, in stream
+    order: an iterative chunk walk (LIST recursion via an explicit
+    stack, even-size padding per the RIFF spec) collecting video
+    chunks ('##dc'/'##db') that carry a JPEG SOI. Returns [] for an
+    AVI with no MJPEG frames (a compressed-codec AVI — the PyAV path
+    owns those)."""
+    if not (data[:4] == b"RIFF" and data[8:12] == b"AVI "):
+        raise UnsupportedMediaError("not a RIFF/AVI container")
+    end = min(len(data), 8 + struct.unpack("<I", data[4:8])[0])
+    frames: list[bytes] = []
+    stack = [(12, end)]  # skip 'RIFF' size 'AVI '
+    while stack:
+        i, stop = stack.pop()
+        while i + 8 <= stop:
+            fourcc = data[i : i + 4]
+            size = struct.unpack("<I", data[i + 4 : i + 8])[0]
+            body_end = min(i + 8 + size, stop)
+            if fourcc == b"LIST":
+                stack.append((i + 12, body_end))  # skip the list type
+            elif fourcc[2:4] in (b"dc", b"db"):
+                body = data[i + 8 : body_end]
+                if body[:2] == JPEG_SOI:
+                    frames.append(body)
+            i += 8 + size + (size & 1)
+    return frames
+
+
+def encode_avi_mjpeg(
+    frames: list[bytes], width: int, height: int, fps: int = 10
+) -> bytes:
+    """Minimal valid RIFF/AVI Motion-JPEG container around JPEG frame
+    payloads (avih + vids/MJPG strl headers + movi; no idx1 — players
+    that need seeking rebuild it). The deterministic test-container
+    builder for the pure-Python sampling path."""
+    n = len(frames)
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def lst(listtype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", listtype + body)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // max(fps, 1),  # dwMicroSecPerFrame
+        0, 0,
+        0x10,  # AVIF_HASINDEX off, 0x10 = AVIF_WASCAPTUREFILE-ish flags
+        n, 0, 1, 0, width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<10I", 0, 0, 0, 1, max(fps, 1), 0, n, 0, 0xFFFFFFFF, 0)
+        + struct.pack("<4h", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<I2i2H2I2i2I", 40, width, height, 1, 24, 0x47504A4D,  # 'MJPG'
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_stub_jpeg(width: int, height: int, seed: int = 0) -> bytes:
+    """A structurally valid baseline-JPEG byte stream (SOI, JFIF APP0,
+    DQT, SOF0, DHT, SOS, entropy bytes, EOI) whose SOF carries the
+    given dimensions — the deterministic frame payload for MJPEG
+    container tests. Structure-valid means every segment parses and
+    :func:`jpeg_dims` reads the true dimensions; the entropy data is
+    filler (the sampler never decodes pixels — a real pipeline ships
+    frame payloads to the decoder stage as-is)."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    sof0 = (
+        b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", height, width) + b"\x01" + b"\x01\x11\x00"
+    )
+    dht = (
+        b"\xff\xc4" + struct.pack(">H", 20) + b"\x00"
+        + bytes([1] + [0] * 15) + b"\x00"
+    )
+    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
+    entropy = bytes([(seed * 37 + i * 11) % 255 for i in range(16)]).replace(b"\xff", b"\xfe")
+    return JPEG_SOI + app0 + dqt + sof0 + dht + sos + entropy + b"\xff\xd9"
+
+
 def decode_video_keyframes(data: bytes, n_frames: int = 4) -> list[tuple[int, int, bytes]]:
     """REAL keyframe extraction from a video container via PyAV when
     it is importable: up to ``n_frames`` keyframes (decoder skips
@@ -308,6 +438,14 @@ def decode_video_keyframes(data: bytes, n_frames: int = 4) -> list[tuple[int, in
     caller via :func:`is_video`)."""
     if not is_video(data):
         raise UnsupportedMediaError("not a recognized video container")
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        mj = avi_mjpeg_frames(data)
+        if mj:
+            # Motion-JPEG: every frame is an I-frame and already a
+            # self-contained image payload — pure-Python container
+            # path, no codec library needed (frames ship as JPEG
+            # bytes; dimensions from the SOF marker walk)
+            return [(*jpeg_dims(f), f) for f in mj[:n_frames]]
     if not _HAS_AV:
         raise UnsupportedMediaError(
             "video payload but PyAV is not installed — install av to "
