@@ -62,10 +62,11 @@ _PRIORITY = [
     "e22_psi_drift",
     "e23_seasonal_anomaly",
     "distinct_users_daily",
-    # --- slots 31..33: born in round 8, never driver-hash-validated
+    # --- slots 31..34: born in round 8, never driver-hash-validated
     "d44_bpe_tokens",
     "d45_langid_model",
     "s18_nn_descent",
+    "s19_ivfpq_ann",
     # --- slots 34..41: code touched by the r8 LongType LSH widening
     "s3_lsh_ann",
     "s11_knn_graph",
@@ -84,11 +85,10 @@ _PRIORITY = [
     "e8_error_window_stats",
     "e9_json_props_stats",
     "e10_value_histogram",
+    # --- 50-slot cap lands HERE: exactly 50 keys above (30 r5-stamped
+    # + 4 born-in-r8 + 8 LSH-widening-touched + 8 oldest r6-stamped).
+    # The r6-stamped block below leads the r9 rotation.
     "e13_zscore_outliers",
-    # --- 50-slot cap lands HERE: exactly 50 keys above once
-    # d44/d45/s18 exist in queries() (before they land, the next three
-    # r6-stamped keys slide up — harmless). The r6-stamped block below
-    # leads the r9 rotation.
     "e14_ewma_daily",
     "e15_retention_cohorts",
     "e16_event_transitions",

@@ -1637,3 +1637,35 @@ def test_avi_mjpeg_pure_python_keyframe_sampling(spark):
     if not codecs._HAS_AV:
         with pytest.raises(codecs.UnsupportedMediaError, match="PyAV"):
             codecs.decode_video_keyframes(fake)
+
+
+def test_ivfpq_equals_ivf_when_shortlist_unbounded(spark):
+    """IVF-ADC's only loss vs plain IVF (same nprobe) is the ADC
+    shortlist cut: with the shortlist wider than any probed candidate
+    set, the exact re-rank scores every probed candidate and the
+    result must equal ivf_ann row for row. Also pins the composition
+    wiring (cell restriction actually feeds the ADC scan)."""
+    import numpy as np
+
+    from yuki_spark.operators import similarity
+
+    rng = np.random.RandomState(5)
+    vecs = rng.standard_normal((300, 64)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]], int(i % 7)) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    ivf = [tuple(r) for r in similarity.ivf_ann(df, k=3, n_queries=6, nprobe=2).collect()]
+    ivfpq = [
+        (r["qid"], r["rk"], r["cid"], r["cosine"])
+        for r in similarity.ivfpq_ann(
+            df, k=3, n_queries=6, nprobe=2, shortlist=10_000
+        ).collect()
+    ]
+    assert ivfpq == ivf
+
+    # with the production shortlist the result is still a valid top-k
+    # over probed cells (ADC may reorder the shortlist cut, never the
+    # exact re-rank)
+    tight = similarity.ivfpq_ann(df, k=3, n_queries=6, nprobe=2)
+    per_q = tight.groupBy("qid").count().collect()
+    assert all(r["count"] <= 3 for r in per_q)

@@ -186,6 +186,17 @@ def main() -> None:
         # HLL cardinality: the map-side-mergeable sketch agg that
         # replaces exact COUNT(DISTINCT) at scale
         "e28_hll_users",
+        # round-8 additions: BPE at vocabulary grain (the corpus pass
+        # must stay one explode + hash-agg; the Arrow stage is
+        # vocab-sized), the char-trigram classifier (O(chars) explode —
+        # the volume to watch), and the NN-descent round (k² self-join
+        # over the deposited edge table + keyed re-rank joins)
+        "d44_bpe_tokens",
+        "d45_langid_model",
+        "s18_nn_descent",
+        # IVF-ADC: the probed-cells-only ADC scan must beat/track s8's
+        # whole-corpus ADC as n grows
+        "s19_ivfpq_ann",
     ]
     qs["q1_pricing_summary"](spark, out).write.mode("overwrite").format("noop").save()
     timings = {}

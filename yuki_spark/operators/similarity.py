@@ -1237,6 +1237,22 @@ def pq_ann(
         .localCheckpoint(eager=False)  # feeds codes + both re-rank sides
     )
     coded = _pq_coded(base).localCheckpoint(eager=False)  # codebook+cand+LUT
+    lut = _pq_lut(coded, shift, n_queries)
+    adc = (
+        coded.select(F.col("vec_id").alias("cid"), "sub", "code")
+        .join(broadcast(lut), ["sub", "code"])
+        .where(F.col("qid") != F.col("cid"))
+        .groupBy("qid", "cid")
+        .agg(F.sum("part").alias("adc"))
+    )
+    return _pq_rerank(adc, base, k, shortlist)
+
+
+def _pq_lut(coded: DataFrame, shift: int, n_queries: int) -> DataFrame:
+    """Codebook + query ADC lookup table (qid, sub, code, part): the
+    per-(sub, code) down-shifted exact-int centroid sums dotted with
+    every query's subvectors — shared by pq_ann and ivfpq_ann (ONE
+    copy of the codebook arithmetic the twins mirror)."""
     cb = (
         coded.select("sub", "code", F.posexplode("subv").alias("dim", "sx"))
         .groupBy("sub", "code", "dim")
@@ -1249,19 +1265,17 @@ def pq_ann(
         )
         .select("sub", "code", F.transform("pairs", lambda p: p["cs"]).alias("cv"))
     )
-    lut = (
+    return (
         coded.where(F.col("vec_id") < n_queries)
         .select(F.col("vec_id").alias("qid"), "sub", "subv")
         .join(broadcast(cb), "sub")
         .select("qid", "sub", "code", int_dot(F.col("subv"), F.col("cv")).alias("part"))
     )
-    adc = (
-        coded.select(F.col("vec_id").alias("cid"), "sub", "code")
-        .join(broadcast(lut), ["sub", "code"])
-        .where(F.col("qid") != F.col("cid"))
-        .groupBy("qid", "cid")
-        .agg(F.sum("part").alias("adc"))
-    )
+
+
+def _pq_rerank(adc: DataFrame, base: DataFrame, k: int, shortlist: int) -> DataFrame:
+    """ADC shortlist cut + exact int-cosine re-rank to the final top-k
+    (qid, rk, cid, cosine, adc) — shared by pq_ann and ivfpq_ann."""
     wsl = Window.partitionBy("qid").orderBy(F.desc("adc"), "cid")
     sl = adc.withColumn("ark", F.row_number().over(wsl)).where(
         F.col("ark") <= shortlist
@@ -1286,6 +1300,65 @@ def pq_ann(
         .select("qid", "rk", "cid", "cosine", "adc")
         .orderBy("qid", "rk")
     )
+
+
+def ivfpq_ann(
+    emb: DataFrame,
+    k: int = 3,
+    n_queries: int = 20,
+    nprobe: int = 3,
+    shortlist: int = PQ_SHORTLIST,
+    n_est: int | None = None,
+) -> DataFrame:
+    """IVF-ADC (Jégou et al. 2011 §V, the FAISS IVFPQ production
+    shape): the IVF coarse quantizer prunes the corpus to ``nprobe``
+    probed cells per query, and only those cells' members are
+    ADC-scored from their 32-bit PQ codes, shortlisted, and exactly
+    re-ranked. s4 scans probed cells with FULL vectors, s8 ADC-scans
+    the WHOLE corpus — this composition is what a 100 TB deployment
+    actually runs: the linear ADC pass touches probed cells only and
+    reads codes (64× smaller than raw float32), full vectors are
+    fetched for the shortlist alone.
+
+    Determinism: same exact-int centroid sums / double-fold affinity
+    as ivf_ann, same down-shifted exact-int codebook and int64 ADC as
+    pq_ann — the composed DuckDB twin reproduces every row.
+
+    Scale shape: the probe pair list is |queries|·nprobe·cell-size
+    rows (cells are corpus/|codebook| on average); the ADC join is
+    keyed on (cid) then (sub, code, qid) with the LUT broadcast; no
+    corpus-sized broadcast, no cartesian."""
+    n = n_est if n_est is not None else emb.count()
+    shift = pq_shift(n)
+    scored_cells, w_assign = _ivf_assignment(emb)
+    ranked = scored_cells.withColumn("ark", F.row_number().over(w_assign))
+    assigned_cells = ranked.where(F.col("ark") == 1).select(
+        F.col("vec_id").alias("cid"), "cell"
+    )
+    probe_cells = (
+        ranked.where((F.col("ark") <= nprobe) & (F.col("vec_id") < n_queries))
+        .select(F.col("vec_id").alias("qid"), "cell")
+    )
+    pairs = (
+        assigned_cells.join(broadcast(probe_cells), "cell")
+        .where(F.col("qid") != F.col("cid"))
+        .select("qid", "cid")
+    )
+    base = (
+        emb.select("vec_id", scaled("embedding").alias("sv"))
+        .withColumn("nrm", int_dot(F.col("sv"), F.col("sv")))
+        .localCheckpoint(eager=False)  # feeds codes + both re-rank sides
+    )
+    coded = _pq_coded(base).localCheckpoint(eager=False)
+    lut = _pq_lut(coded, shift, n_queries)
+    adc = (
+        coded.select(F.col("vec_id").alias("cid"), "sub", "code")
+        .join(pairs, "cid")
+        .join(broadcast(lut), ["qid", "sub", "code"])
+        .groupBy("qid", "cid")
+        .agg(F.sum("part").alias("adc"))
+    )
+    return _pq_rerank(adc, base, k, shortlist)
 
 
 # ---- Deterministic k-means refinement (s9) ----------------------------

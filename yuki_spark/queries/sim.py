@@ -153,6 +153,34 @@ def s8_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq20(spark, sf_dir).orderBy("qid", "rk")
 
 
+def s19_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ADC, the FAISS-IVFPQ production composition
+    (operators/similarity.py::ivfpq_ann): the coarse quantizer prunes
+    to nprobe probed cells, ONLY those cells' members are ADC-scored
+    from 32-bit PQ codes, then the shortlist is exactly re-ranked —
+    s4's cell pruning and s8's code-resident scan stacked, which is
+    what SURVEY's s8 row names as the 100 TB shape ("stack s4's IVF
+    cell pruning in front"). Deterministic end-to-end (exact-int
+    centroid sums, int64 codebook/ADC, exact re-rank), so the composed
+    DuckDB twin reproduces every row; deposit-backed (sim_family
+    ``ivfpq20``)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim_family.result(
+        spark,
+        sf_dir,
+        "ivfpq20",
+        {
+            "k": K,
+            "nq": ANN_NQ,
+            "nprobe": 3,
+            "shortlist": similarity.PQ_SHORTLIST,
+        },
+        lambda: similarity.ivfpq_ann(
+            emb, k=K, n_queries=ANN_NQ, nprobe=3, n_est=_emb_rows(sf_dir)
+        ),
+    ).orderBy("qid", "rk")
+
+
 def s9_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 2-round Lloyd's k-means fit over the embeddings
     (operators/similarity.py::kmeans_refine) — exact-int centroid
@@ -559,6 +587,7 @@ QUERIES = {
     "s3_lsh_ann": s3_lsh_ann,
     "s4_ivf_ann": s4_ivf_ann,
     "s8_pq_ann": s8_pq_ann,
+    "s19_ivfpq_ann": s19_ivfpq_ann,
     "s9_kmeans_refine": s9_kmeans_refine,
     "s10_cluster_balance": s10_cluster_balance,
     "s11_knn_graph": s11_knn_graph,
@@ -873,6 +902,72 @@ def _s8_oracle(nq: int = 20) -> str:
           SELECT l.qid, d.vec_id AS cid, CAST(SUM(l.part) AS BIGINT) AS adc
           FROM coded d JOIN lut l ON d.sub = l.sub AND d.code = l.code
           WHERE l.qid <> d.vec_id
+          GROUP BY l.qid, d.vec_id),
+        sl AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc DESC, cid) AS ark
+          FROM adc),
+        rescored AS (
+          SELECT s.qid, s.cid, s.adc,
+                 round(CAST({_DOT.format(a='q.sv', b='c.sv')} AS DOUBLE)
+                   / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))), 9) AS cosine
+          FROM sl s JOIN b q ON q.vec_id = s.qid JOIN b c ON c.vec_id = s.cid
+          WHERE s.ark <= {similarity.PQ_SHORTLIST})
+        SELECT qid, rk, cid, cosine, adc FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS BIGINT) AS rk
+          FROM rescored)
+        WHERE rk <= {K}
+        ORDER BY qid, rk
+    """
+
+
+def _s19_oracle(nq: int = 20, nprobe: int = 3) -> str:
+    """Twin of ivfpq_ann: _s4_oracle's cell assignment restricts the
+    (qid, cid) pair list, _s8_oracle's codebook/LUT/ADC scores only
+    those pairs, same exact re-rank — the full IVF-ADC composition in
+    SQL (PQ-side CTEs renamed where they would collide with the IVF
+    prefix)."""
+    m, sd, bits = similarity.PQ_M, similarity.PQ_SUBDIM, similarity.PQ_BITS
+    shift = similarity.pq_shift(_oracle_emb_rows())
+    code = " + ".join(
+        f"(CASE WHEN subv[{j + 1}] >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"""
+        WITH {_ivf_prefix()},
+        assigned AS (
+          SELECT vec_id AS cid, cell FROM ranked WHERE ark = 1),
+        probes AS (
+          SELECT vec_id AS qid, cell FROM ranked
+          WHERE ark <= {nprobe} AND vec_id < {nq}),
+        prs AS (
+          SELECT p.qid, a.cid FROM probes p JOIN assigned a USING (cell)
+          WHERE p.qid <> a.cid),
+        subs AS (
+          SELECT vec_id, s.sub AS sub,
+                 list_slice(sv, s.sub * {sd} + 1, s.sub * {sd} + {sd}) AS subv
+          FROM base CROSS JOIN (SELECT unnest(range(0, {m})) AS sub) s),
+        coded AS (
+          SELECT vec_id, sub, subv, ({code}) AS code FROM subs),
+        px AS (
+          SELECT sub, code, CAST(generate_subscripts(subv, 1) AS INT) AS dim,
+                 unnest(subv) AS sx
+          FROM coded),
+        cbd AS (
+          SELECT sub, code, dim, CAST(SUM(sx) AS BIGINT) >> {shift} AS cs
+          FROM px GROUP BY sub, code, dim),
+        cb AS (
+          SELECT sub, code, list(cs ORDER BY dim) AS cv
+          FROM cbd GROUP BY sub, code),
+        lut AS (
+          SELECT q.vec_id AS qid, q.sub, c.code,
+                 {_SUBDOT.format(a='q.subv', b='c.cv')} AS part
+          FROM coded q JOIN cb c ON q.sub = c.sub
+          WHERE q.vec_id < {nq}),
+        adc AS (
+          SELECT l.qid, d.vec_id AS cid, CAST(SUM(l.part) AS BIGINT) AS adc
+          FROM coded d
+          JOIN prs pr ON pr.cid = d.vec_id
+          JOIN lut l ON d.sub = l.sub AND d.code = l.code AND l.qid = pr.qid
           GROUP BY l.qid, d.vec_id),
         sl AS (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc DESC, cid) AS ark
@@ -1298,6 +1393,7 @@ def build_oracle() -> dict[str, str]:
             "s3_lsh_ann": _s3_oracle(),
             "s4_ivf_ann": _s4_oracle(),
             "s8_pq_ann": _s8_oracle(),
+            "s19_ivfpq_ann": _s19_oracle(),
             "s9_kmeans_refine": _s9_oracle(),
             "s10_cluster_balance": _s10_oracle(),
             "s11_knn_graph": _s11_oracle(),
