@@ -814,6 +814,39 @@ def test_probe_sweep_recall_monotone(spark):
     assert rows[-1]["n_hits"] == s6["ivf"]["n_hits"]
 
 
+def test_pq_shortlist_sweep_monotone_and_s19_consistent(spark):
+    """Widening the ADC shortlist re-ranks a superset, so s20's curve
+    must be non-decreasing in the shortlist (k = K: any candidate
+    that evicts a true top-K neighbor is itself one) — and its
+    production point must agree with s19's deposit (same table, same
+    ground truth)."""
+    from pyspark.sql import functions as F
+
+    from yuki_spark.operators import similarity
+    from yuki_spark.queries.sim import (
+        PQ_SL_SWEEP,
+        _exact20,
+        s19_ivfpq_ann,
+        s20_pq_shortlist_sweep,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = s20_pq_shortlist_sweep(spark, sf).collect()
+    assert [r["shortlist"] for r in rows] == list(PQ_SL_SWEEP)
+    hits = [r["n_hits"] for r in rows]
+    assert hits == sorted(hits)
+    assert PQ_SL_SWEEP[-1] == similarity.PQ_SHORTLIST
+    exact = _exact20(spark, sf).select("qid", "cid")
+    s19_hits = (
+        s19_ivfpq_ann(spark, sf)
+        .select("qid", "cid")
+        .join(exact, ["qid", "cid"])
+        .agg(F.count(F.lit(1)).alias("n"))
+        .first()["n"]
+    )
+    assert rows[-1]["n_hits"] == s19_hits
+
+
 def test_sequence_packing_boundary_semantics(spark, tmp_path):
     """A doc belongs to the sequence where its first token lands:
     token counts 300,300,300 with budget 512 pack as [d0,d1],[d2]."""

@@ -195,8 +195,11 @@ def main() -> None:
         "d45_langid_model",
         "s18_nn_descent",
         # IVF-ADC: the probed-cells-only ADC scan must beat/track s8's
-        # whole-corpus ADC as n grows
+        # whole-corpus ADC as n grows; the sweep + fertility audit are
+        # deposit/agg consumers stressed to prove they stay cheap
         "s19_ivfpq_ann",
+        "s20_pq_shortlist_sweep",
+        "d46_tokenizer_fertility",
     ]
     qs["q1_pricing_summary"](spark, out).write.mode("overwrite").format("noop").save()
     timings = {}

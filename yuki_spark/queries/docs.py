@@ -220,6 +220,66 @@ def d44_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d46_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-budget audit per language: word instances, d12's
+    pretokenizer piece count, and d44's TRUE BPE token count side by
+    side, with the two ratios a pipeline compares before committing a
+    token budget — fertility (BPE tokens per word: how hard the
+    tokenizer fragments this language) and the BPE-vs-pretokenizer
+    correction factor (how far the cheap d12 estimate is off). The
+    decision table behind d41's mix rates and d43's shard totals.
+
+    Scale shape: two corpus passes that both already exist in the
+    family — the d44 word-count hash-agg (BPE at vocabulary grain,
+    broadcast back) and d12's pure-JVM regex count — rolled to one
+    row per language."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{bpe.WORD_RE}', 0)")
+        ).alias("word"),
+    )
+    wc = words.groupBy("doc_id", "lang", "word").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    vt = bpe.vocab_bpe(wc.select("word").distinct())
+    per_lang_bpe = (
+        wc.join(F.broadcast(vt), "word")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_tok")).alias("n_bpe_tokens"),
+        )
+    )
+    pretok = (
+        text.subword_tokens(docs)
+        .groupBy("lang")
+        .agg(F.sum("n_subwords").alias("n_pretok"))
+    )
+    return (
+        per_lang_bpe.join(pretok, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_bpe_tokens",
+            "n_pretok",
+            (
+                F.col("n_bpe_tokens").cast("double")
+                / F.col("n_words").cast("double")
+            ).alias("fertility"),
+            (
+                F.col("n_bpe_tokens").cast("double")
+                / F.col("n_pretok").cast("double")
+            ).alias("bpe_vs_pretok"),
+        )
+        .orderBy("lang")
+    )
+
+
 def d8_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < FP_CAP)
     return text.fingerprint(docs).select("doc_id", "fp").orderBy("doc_id")
@@ -1675,6 +1735,7 @@ QUERIES = {
     "d8_fingerprint": d8_fingerprint,
     "d12_subword_stats": d12_subword_stats,
     "d44_bpe_tokens": d44_bpe_tokens,
+    "d46_tokenizer_fertility": d46_tokenizer_fertility,
     "d13_hash_sample": d13_hash_sample,
     "d24_weighted_sample": d24_weighted_sample,
     "d25_domain_mix": d25_domain_mix,
@@ -2707,6 +2768,36 @@ _ORACLE_TEMPLATE = {
         SELECT lang, pred_lang, COUNT(*) AS n_docs,
                CAST(SUM(best) AS BIGINT) AS total_best_score
         FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang
+    """,
+    "d46_tokenizer_fertility": f"""
+        WITH RECURSIVE
+        merges(rank, a, b) AS (VALUES {bpe.sql_merges_values()}),
+        words AS (
+          SELECT doc_id, lang,
+                 unnest(regexp_extract_all(lower(text), '{bpe.WORD_RE}')) AS word
+          FROM documents),
+        wc AS (SELECT doc_id, lang, word, COUNT(*) AS cnt
+               FROM words GROUP BY doc_id, lang, word),
+        vocab AS (SELECT DISTINCT word FROM wc),
+        {bpe.sql_bpe_ctes("vocab")},
+        plb AS (
+          SELECT lang,
+                 COUNT(DISTINCT doc_id) AS n_docs,
+                 CAST(SUM(cnt) AS BIGINT) AS n_words,
+                 CAST(SUM(cnt * d.n_tok) AS BIGINT) AS n_bpe_tokens
+          FROM wc JOIN bpe_done d USING (word) GROUP BY lang),
+        pre AS (
+          SELECT lang,
+                 CAST(SUM(CAST(len(list_filter(
+                   regexp_extract_all(text, '( ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s)', 1),
+                   p -> trim(p) <> '')) AS BIGINT)) AS BIGINT) AS n_pretok
+          FROM documents GROUP BY lang)
+        SELECT p.lang, n_docs, n_words, n_bpe_tokens, n_pretok,
+               CAST(n_bpe_tokens AS DOUBLE) / CAST(n_words AS DOUBLE)
+                 AS fertility,
+               CAST(n_bpe_tokens AS DOUBLE) / CAST(n_pretok AS DOUBLE)
+                 AS bpe_vs_pretok
+        FROM plb p JOIN pre USING (lang) ORDER BY lang
     """,
     "d7_token_stats": f"""
         WITH t AS (SELECT source, CAST(len({_T}) AS BIGINT) AS n_tokens FROM documents)

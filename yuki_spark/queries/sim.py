@@ -164,21 +164,68 @@ def s19_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid sums, int64 codebook/ADC, exact re-rank), so the composed
     DuckDB twin reproduces every row; deposit-backed (sim_family
     ``ivfpq20``)."""
+    return _ivfpq_sl(spark, sf_dir, similarity.PQ_SHORTLIST).orderBy(
+        "qid", "rk"
+    )
+
+
+PQ_SL_SWEEP = (4, 8, 12)  # ADC shortlist budgets on the recall curve
+
+
+def _ivfpq_sl(spark: SparkSession, sf_dir: str, sl: int) -> DataFrame:
+    """IVF-ADC result table at one shortlist budget — the
+    sl=PQ_SHORTLIST point IS s19's ``ivfpq20`` deposit (identical
+    name+params address), so s19 and the sweep never build that
+    index twice (same sharing as _ivf_np/s4)."""
     emb = load(spark, sf_dir, "embeddings")
     return sim_family.result(
         spark,
         sf_dir,
         "ivfpq20",
-        {
-            "k": K,
-            "nq": ANN_NQ,
-            "nprobe": 3,
-            "shortlist": similarity.PQ_SHORTLIST,
-        },
+        {"k": K, "nq": ANN_NQ, "nprobe": 3, "shortlist": sl},
         lambda: similarity.ivfpq_ann(
-            emb, k=K, n_queries=ANN_NQ, nprobe=3, n_est=_emb_rows(sf_dir)
+            emb, k=K, n_queries=ANN_NQ, nprobe=3, shortlist=sl,
+            n_est=_emb_rows(sf_dir),
         ),
-    ).orderBy("qid", "rk")
+    )
+
+
+def s20_pq_shortlist_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-cost tuning curve for the IVF-ADC shortlist: recall@k
+    against exact brute force at each ADC shortlist budget in
+    ``PQ_SL_SWEEP`` — s17's discipline applied to the PQ knob (how
+    many code-scored candidates get the expensive full-vector
+    re-rank). With k = K, recall is non-decreasing in the shortlist:
+    widening it re-ranks a superset, and any candidate that evicts a
+    true top-K neighbor under the shared (cosine desc, cid) order is
+    itself a true top-K neighbor.
+
+    Scale shape: each point is a deposit-backed result-table read
+    (the production budget shares s19's deposit) joined against the
+    deposited exact truth on (qid, cid) — tiny joins; index builds
+    happen at most once per corpus via the store."""
+    from pyspark.sql import functions as F
+
+    exact = _exact20(spark, sf_dir).select("qid", "cid")
+    possible = ANN_NQ * K
+    curve: DataFrame | None = None
+    for sl in PQ_SL_SWEEP:
+        row = (
+            _ivfpq_sl(spark, sf_dir, sl)
+            .select("qid", "cid")
+            .join(exact, ["qid", "cid"])
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(F.lit(sl).cast("bigint").alias("shortlist"), "n_hits")
+        )
+        curve = row if curve is None else curve.unionByName(row)
+    return curve.select(
+        "shortlist",
+        "n_hits",
+        F.lit(possible).cast("bigint").alias("n_possible"),
+        (F.col("n_hits").cast("double") / F.lit(float(possible))).alias(
+            "recall"
+        ),
+    ).orderBy("shortlist")
 
 
 def s9_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -588,6 +635,7 @@ QUERIES = {
     "s4_ivf_ann": s4_ivf_ann,
     "s8_pq_ann": s8_pq_ann,
     "s19_ivfpq_ann": s19_ivfpq_ann,
+    "s20_pq_shortlist_sweep": s20_pq_shortlist_sweep,
     "s9_kmeans_refine": s9_kmeans_refine,
     "s10_cluster_balance": s10_cluster_balance,
     "s11_knn_graph": s11_knn_graph,
@@ -920,12 +968,14 @@ def _s8_oracle(nq: int = 20) -> str:
     """
 
 
-def _s19_oracle(nq: int = 20, nprobe: int = 3) -> str:
+def _s19_oracle(nq: int = 20, nprobe: int = 3, sl: int | None = None) -> str:
     """Twin of ivfpq_ann: _s4_oracle's cell assignment restricts the
     (qid, cid) pair list, _s8_oracle's codebook/LUT/ADC scores only
     those pairs, same exact re-rank — the full IVF-ADC composition in
     SQL (PQ-side CTEs renamed where they would collide with the IVF
-    prefix)."""
+    prefix). ``sl`` overrides the ADC shortlist (the s20 sweep)."""
+    if sl is None:
+        sl = similarity.PQ_SHORTLIST
     m, sd, bits = similarity.PQ_M, similarity.PQ_SUBDIM, similarity.PQ_BITS
     shift = similarity.pq_shift(_oracle_emb_rows())
     code = " + ".join(
@@ -977,12 +1027,38 @@ def _s19_oracle(nq: int = 20, nprobe: int = 3) -> str:
                  round(CAST({_DOT.format(a='q.sv', b='c.sv')} AS DOUBLE)
                    / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))), 9) AS cosine
           FROM sl s JOIN b q ON q.vec_id = s.qid JOIN b c ON c.vec_id = s.cid
-          WHERE s.ark <= {similarity.PQ_SHORTLIST})
+          WHERE s.ark <= {sl})
         SELECT qid, rk, cid, cosine, adc FROM (
           SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS BIGINT) AS rk
           FROM rescored)
         WHERE rk <= {K}
         ORDER BY qid, rk
+    """
+
+
+def _s20_oracle() -> str:
+    """Twin of the PQ shortlist sweep: one _s19_oracle instantiation
+    per shortlist budget, hit-joined against the exact twin — the
+    same composition discipline as _s17_oracle."""
+    nq = ANN_NQ
+    subs = ",\n        ".join(
+        f"sl{sl_} AS ({_s19_oracle(nq, 3, sl_)})" for sl_ in PQ_SL_SWEEP
+    )
+    hits = "\n          UNION ALL\n".join(
+        f"""          SELECT CAST({sl_} AS BIGINT) AS shortlist,
+                 CAST(COUNT(*) AS BIGINT) AS n_hits
+          FROM sl{sl_} a JOIN exact e ON a.qid = e.qid AND a.cid = e.cid"""
+        for sl_ in PQ_SL_SWEEP
+    )
+    return f"""
+        WITH exact AS ({_s1_sql(nq)}),
+        {subs},
+        h AS (
+{hits})
+        SELECT shortlist, n_hits,
+               CAST({nq * K} AS BIGINT) AS n_possible,
+               CAST(n_hits AS DOUBLE) / CAST({nq * K} AS DOUBLE) AS recall
+        FROM h ORDER BY shortlist
     """
 
 
@@ -1394,6 +1470,7 @@ def build_oracle() -> dict[str, str]:
             "s4_ivf_ann": _s4_oracle(),
             "s8_pq_ann": _s8_oracle(),
             "s19_ivfpq_ann": _s19_oracle(),
+            "s20_pq_shortlist_sweep": _s20_oracle(),
             "s9_kmeans_refine": _s9_oracle(),
             "s10_cluster_balance": _s10_oracle(),
             "s11_knn_graph": _s11_oracle(),
