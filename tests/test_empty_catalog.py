@@ -40,6 +40,7 @@ _GLOBAL_AGG = {
     "d15_profile",  # one profile row per column, even when empty
     "s6_ann_recall",  # one evaluation row per index
     "s17_ivf_probe_sweep",  # one evaluation row per probe budget
+    "s20_pq_shortlist_sweep",  # one evaluation row per shortlist budget
     "dq1_constraint_report",  # one report row per constraint, even empty
     "p1_pii_scan",  # unions deterministic literal PII rows into the
     # scan (the corpus is PII-free by design), so an empty corpus
