@@ -62,13 +62,15 @@ _PRIORITY = [
     "e22_psi_drift",
     "e23_seasonal_anomaly",
     "distinct_users_daily",
-    # --- slots 31..36: born in round 8, never driver-hash-validated
+    # --- slots 31..38: born in round 8, never driver-hash-validated
     "d44_bpe_tokens",
     "d45_langid_model",
     "s18_nn_descent",
     "s19_ivfpq_ann",
     "s20_pq_shortlist_sweep",
     "d46_tokenizer_fertility",
+    "d47_decontaminate_apply",
+    "e29_trending_events",
     # --- slots 34..41: code touched by the r8 LongType LSH widening
     "s3_lsh_ann",
     "s11_knn_graph",
@@ -78,17 +80,17 @@ _PRIORITY = [
     "s7_semdedup",
     "s4_ivf_ann",
     "s8_pq_ann",
-    # --- slots 45..50: oldest r6-stamped rows, rotated in
+    # --- slots 47..50: oldest r6-stamped rows, rotated in
     "s13_matryoshka_recall",
     "d33_split_leakage",
     "d25_domain_mix",
     "e1_event_counts",
-    "e6_value_percentiles",
-    "e8_error_window_stats",
     # --- 50-slot cap lands HERE: exactly 50 keys above (30 r5-stamped
-    # + 6 born-in-r8 + 8 LSH-widening-touched + 6 oldest r6-stamped).
+    # + 8 born-in-r8 + 8 LSH-widening-touched + 4 oldest r6-stamped).
     # The r6-stamped block below leads the r9 rotation (all of it must
     # be stamped by r9 to stay within the 2-round staleness rule).
+    "e6_value_percentiles",
+    "e8_error_window_stats",
     "e9_json_props_stats",
     "e10_value_histogram",
     "e13_zscore_outliers",

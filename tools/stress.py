@@ -200,6 +200,11 @@ def main() -> None:
         "s19_ivfpq_ann",
         "s20_pq_shortlist_sweep",
         "d46_tokenizer_fertility",
+        # decontamination apply (d17's broadcast membership + one keyed
+        # join) and the trending leaderboard (one day×type hash-agg +
+        # two windows over the aggregated grid)
+        "d47_decontaminate_apply",
+        "e29_trending_events",
     ]
     qs["q1_pricing_summary"](spark, out).write.mode("overwrite").format("noop").save()
     timings = {}

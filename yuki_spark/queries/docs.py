@@ -752,6 +752,55 @@ def d17_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d47_decontaminate_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination APPLY step (d17/d27 only detect): drop every
+    training doc whose distinct-trigram overlap with the held-out
+    eval split reaches the d17 flag threshold (n_hits·2 ≥ n_grams),
+    and report the surviving corpus per language — doc counts before/
+    after, kept token budget, and a modular id pin binding WHICH docs
+    were removed (the d20 analogue for contamination: detection is
+    useless until the removal is reproducible).
+
+    Scale shape: d17's machinery verbatim (broadcast eval-gram
+    membership join + per-doc hash-agg), then one keyed left join of
+    the flagged-doc ids against the training corpus and one per-lang
+    rollup — no new shuffle class."""
+    docs = load(spark, sf_dir, "documents")
+    per_doc = text.ngram_contamination(docs, n=3, eval_mod=17)
+    flagged = per_doc.where(F.col("n_hits") * 2 >= F.col("n_grams")).select(
+        "doc_id", F.lit(1).cast("bigint").alias("rm")
+    )
+    train = (
+        text.with_tokens(docs)
+        .where(F.col("doc_id") % 17 != 0)
+        .select("doc_id", "lang", "n_tokens")
+    )
+    j = train.join(flagged, "doc_id", "left")
+    rm = F.coalesce(F.col("rm"), F.lit(0))
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.sum(rm).alias("n_removed"),
+            (F.count(F.lit(1)) - F.sum(rm)).alias("n_kept"),
+            F.sum(
+                F.when(F.col("rm").isNull(), F.col("n_tokens")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("kept_tokens"),
+            (
+                F.sum(
+                    F.when(
+                        F.col("rm") == 1, F.col("doc_id") % F.lit(_HASH_MOD)
+                    ).otherwise(F.lit(0))
+                )
+                % F.lit(_HASH_MOD)
+            ).alias("removed_id_pin"),
+        )
+        .orderBy("lang")
+    )
+
+
 ZIPF_TOP = 50
 
 
@@ -1758,6 +1807,7 @@ QUERIES = {
     "d39_cluster_sizes": d39_cluster_sizes,
     "d16_repetition": d16_repetition,
     "d17_contamination": d17_contamination,
+    "d47_decontaminate_apply": d47_decontaminate_apply,
     "d27_bloom_contamination": d27_bloom_contamination,
     "d28_token_zipf": d28_token_zipf,
     "d29_dsir_weights": d29_dsir_weights,
@@ -2311,6 +2361,39 @@ _ORACLE_TEMPLATE = {
                CAST(SUM(n_hits) AS DOUBLE) / CAST(SUM(n_grams) AS DOUBLE) AS overall_rate,
                CAST(SUM(CASE WHEN n_hits * 2 >= n_grams THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
         FROM pd GROUP BY lang ORDER BY lang
+    """,
+    "d47_decontaminate_apply": f"""
+        WITH t AS (SELECT doc_id, lang, {_T} AS toks FROM documents),
+        g AS (
+          SELECT doc_id, lang,
+                 unnest(list_distinct(list_transform(
+                        range(1, greatest(len(toks) - 1, 1)),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+          FROM t),
+        bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0),
+        pd AS (
+          SELECT c.doc_id, COUNT(*) AS n_grams,
+                 SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+          FROM (SELECT * FROM g WHERE doc_id % 17 <> 0) c
+          LEFT JOIN bench b USING (gram)
+          GROUP BY 1),
+        fl AS (SELECT doc_id FROM pd WHERE n_hits * 2 >= n_grams),
+        tr AS (
+          SELECT doc_id, lang, CAST(len({_T}) AS BIGINT) AS n_tokens
+          FROM documents WHERE doc_id % 17 <> 0)
+        SELECT lang,
+               COUNT(*) AS n_train_docs,
+               CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_removed,
+               CAST(COUNT(*) - SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN f.doc_id IS NULL THEN n_tokens ELSE 0 END)
+                    AS BIGINT) AS kept_tokens,
+               CAST(SUM(CASE WHEN f.doc_id IS NOT NULL
+                             THEN tr.doc_id % {_HASH_MOD} ELSE 0 END)
+                    % {_HASH_MOD} AS BIGINT) AS removed_id_pin
+        FROM tr LEFT JOIN fl f USING (doc_id)
+        GROUP BY lang ORDER BY lang
     """,
     "d28_token_zipf": f"""
         WITH t AS (SELECT {_T} AS toks FROM documents),

@@ -1027,6 +1027,40 @@ def e27_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e29_trending_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily trending leaderboard: per-day event-type ranks (count
+    desc, event_type tiebreak), top-3 rows per day, each carrying the
+    type's rank at its PREVIOUS observation and a trend tag
+    (new/up/down/flat) — the ops dashboard query behind "what moved
+    today", complementing e12 (global heavy hitters) with the
+    time-sliced view. Ranks are computed over ALL types per day
+    before the top-3 cut, so a type storming in from rank 7 shows its
+    true delta.
+
+    Scale shape: one (day × type) hash-agg off the scan, then two
+    windows over the aggregated grid (days × types — tiny at any
+    corpus size). Exact integer counts/ranks end-to-end."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    wd = Window.partitionBy("day").orderBy(F.desc("n_events"), "event_type")
+    ranked = daily.withColumn("rnk", F.row_number().over(wd).cast("bigint"))
+    wt = Window.partitionBy("event_type").orderBy("day")
+    trended = ranked.withColumn("prev_rnk", F.lag("rnk").over(wt))
+    trend = (
+        F.when(F.col("prev_rnk").isNull(), F.lit("new"))
+        .when(F.col("prev_rnk") > F.col("rnk"), F.lit("up"))
+        .when(F.col("prev_rnk") < F.col("rnk"), F.lit("down"))
+        .otherwise(F.lit("flat"))
+    )
+    return (
+        trended.where(F.col("rnk") <= 3)
+        .select("day", "event_type", "n_events", "rnk", "prev_rnk", trend.alias("trend"))
+        .orderBy("day", "rnk")
+    )
+
+
 def e28_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-user counting vs exact truth — the batch
     twin of the streaming drift monitor's HLL accumulator, completing
@@ -1069,6 +1103,7 @@ QUERIES = {
     "e24_common_paths": e24_common_paths,
     "e27_ab_lift": e27_ab_lift,
     "e28_hll_users": e28_hll_users,
+    "e29_trending_events": e29_trending_events,
     "e25_interarrival": e25_interarrival,
     "e26_funnel_latency": e26_funnel_latency,
     "e22_psi_drift": e22_psi_drift,
@@ -1384,6 +1419,28 @@ ORACLE = {
         SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
                TRUE AS est_ok
         FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "e29_trending_events": """
+        WITH daily AS (
+          SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                 event_type, COUNT(*) AS n_events
+          FROM events GROUP BY 1, 2),
+        ranked AS (
+          SELECT day, event_type, n_events,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY day
+                        ORDER BY n_events DESC, event_type) AS BIGINT) AS rnk
+          FROM daily),
+        trended AS (
+          SELECT *, LAG(rnk) OVER (PARTITION BY event_type ORDER BY day)
+                      AS prev_rnk
+          FROM ranked)
+        SELECT day, event_type, n_events, rnk, prev_rnk,
+               CASE WHEN prev_rnk IS NULL THEN 'new'
+                    WHEN prev_rnk > rnk THEN 'up'
+                    WHEN prev_rnk < rnk THEN 'down'
+                    ELSE 'flat' END AS trend
+        FROM trended WHERE rnk <= 3
+        ORDER BY day, rnk
     """,
     # variant = portable hash of the DECIMAL-free user_id string, so
     # assignment is engine-identical; revenue passes through DECIMAL
