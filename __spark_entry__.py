@@ -24,7 +24,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # rounds): the 30 keys whose most recent driver row is the r5 sweep
 # lead — they sit exactly AT the staleness boundary and MUST all be
 # stamped r8 (the r7 cap-marker miscount left 8 of them outside the
-# sweep; ADVICE flagged it). Then the three keys born in round 8
+# sweep; ADVICE flagged it). Then the EIGHT keys born in round 8
 # (never driver-validated), then the sim/dedup keys whose bucket-id
 # machinery the r8 LongType LSH widening touches (must re-green under
 # the new ids), then the oldest r6-stamped rows fill the 50 slots.
@@ -71,7 +71,7 @@ _PRIORITY = [
     "d46_tokenizer_fertility",
     "d47_decontaminate_apply",
     "e29_trending_events",
-    # --- slots 34..41: code touched by the r8 LongType LSH widening
+    # --- slots 39..46: code touched by the r8 LongType LSH widening
     "s3_lsh_ann",
     "s11_knn_graph",
     "s12_graph_recall",

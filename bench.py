@@ -105,7 +105,16 @@ def main() -> None:
     cold_root = tempfile.mkdtemp(prefix="yuki_spark-bench-cold-")
     os.environ["YUKI_SPARK_DEDUP_STORE"] = os.path.join(cold_root, "dedup")
     os.environ["YUKI_SPARK_SIM_STORE"] = os.path.join(cold_root, "sim")
+    try:
+        _main_body(sf_dir, sf, cold_root)
+    finally:
+        # the fresh store must not outlive a FAILED run either — repeated
+        # crashed benches would otherwise accumulate one full deposit
+        # store per run in /tmp
+        shutil.rmtree(cold_root, ignore_errors=True)
 
+
+def _main_body(sf_dir: str, sf: float, cold_root: str) -> None:
     from __spark_entry__ import queries
 
     qs = queries()
@@ -240,7 +249,6 @@ def main() -> None:
     )
     print(line)
     json.loads(line)  # malformed stdout must fail HERE, not at the driver
-    shutil.rmtree(cold_root, ignore_errors=True)
 
 
 if __name__ == "__main__":

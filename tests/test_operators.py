@@ -1656,6 +1656,11 @@ def test_avi_mjpeg_pure_python_keyframe_sampling(spark):
     assert [(w, h) for w, h, _ in kf] == [(16, 12)] * 3
     assert [f for _, _, f in kf] == frames[:3]  # payloads ship as-is
 
+    # ISO 10918-1 B.1.1.2: any number of 0xFF fill bytes may precede a
+    # marker — the dimension walk must skip them, not misparse
+    filled = frames[0][:2] + b"\xff" + frames[0][2:]
+    assert codecs.jpeg_dims(filled) == (16, 12)
+
     df = spark.createDataFrame(
         [(7, bytearray(avi))], "doc_id long, media binary"
     )

@@ -319,6 +319,9 @@ def jpeg_dims(data: bytes) -> tuple[int, int]:
         if data[i] != 0xFF:
             raise UnsupportedMediaError("corrupt JPEG marker stream")
         marker = data[i + 1]
+        if marker == 0xFF:  # fill byte — legal padding before any marker
+            i += 1
+            continue
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
             i += 2
             continue

@@ -1328,6 +1328,21 @@ def ivfpq_ann(
     rows (cells are corpus/|codebook| on average); the ADC join is
     keyed on (cid) then (sub, code, qid) with the LUT broadcast; no
     corpus-sized broadcast, no cartesian."""
+    adc = ivfpq_adc(emb, n_queries=n_queries, nprobe=nprobe, n_est=n_est)
+    return pq_rerank_from(adc, emb, k=k, shortlist=shortlist)
+
+
+def ivfpq_adc(
+    emb: DataFrame,
+    n_queries: int = 20,
+    nprobe: int = 3,
+    n_est: int | None = None,
+) -> DataFrame:
+    """The IVF-ADC score table (qid, cid, adc) BEFORE the shortlist
+    cut — shortlist-INDEPENDENT, so a recall-vs-shortlist sweep (s20)
+    deposits this once and derives every budget's cut from it instead
+    of re-running the coarse quantizer + codebook + ADC scan per
+    point."""
     n = n_est if n_est is not None else emb.count()
     shift = pq_shift(n)
     scored_cells, w_assign = _ivf_assignment(emb)
@@ -1344,19 +1359,26 @@ def ivfpq_ann(
         .where(F.col("qid") != F.col("cid"))
         .select("qid", "cid")
     )
-    base = (
-        emb.select("vec_id", scaled("embedding").alias("sv"))
-        .withColumn("nrm", int_dot(F.col("sv"), F.col("sv")))
-        .localCheckpoint(eager=False)  # feeds codes + both re-rank sides
-    )
-    coded = _pq_coded(base).localCheckpoint(eager=False)
+    base = emb.select("vec_id", scaled("embedding").alias("sv"))
+    coded = _pq_coded(base).localCheckpoint(eager=False)  # codebook + cands
     lut = _pq_lut(coded, shift, n_queries)
-    adc = (
+    return (
         coded.select(F.col("vec_id").alias("cid"), "sub", "code")
         .join(pairs, "cid")
         .join(broadcast(lut), ["qid", "sub", "code"])
         .groupBy("qid", "cid")
         .agg(F.sum("part").alias("adc"))
+    )
+
+
+def pq_rerank_from(
+    adc: DataFrame, emb: DataFrame, k: int, shortlist: int
+) -> DataFrame:
+    """Public shortlist-cut + exact re-rank over a (possibly
+    deposited) ADC table: rebuilds the scaled-vector side from the
+    corpus and applies :func:`_pq_rerank`."""
+    base = emb.select("vec_id", scaled("embedding").alias("sv")).withColumn(
+        "nrm", int_dot(F.col("sv"), F.col("sv"))
     )
     return _pq_rerank(adc, base, k, shortlist)
 

@@ -163,46 +163,71 @@ def d12_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_word_counts(spark: SparkSession, sf_dir: str, dim: str):
+    """(wc, vt): per-(doc_id, dim, word) counts over the [a-z]+ words
+    of lower(text), plus the BPE-tokenized DISTINCT vocabulary — the
+    shared corpus pass of d44/d46 (one source of truth for the word
+    regex, the count grain, and the vocabulary-grain tokenizer join;
+    the DuckDB twins share :func:`_sql_bpe_wc` the same way)."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        dim,
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{bpe.WORD_RE}', 0)")
+        ).alias("word"),
+    )
+    wc = words.groupBy("doc_id", dim, "word").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    vt = bpe.vocab_bpe(wc.select("word").distinct())
+    return wc, vt
+
+
 def d44_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE BPE token accounting per source (d12's pretokenizer counts
     are the approximation; this applies a real rank-ordered merges
     table — operators/bpe.py — the way a production pipeline budgets
     tokens with the actual tokenizer artifact). Per source: docs,
     word instances, exact BPE token total, letter count, the derived
-    chars-per-token compression ratio, and a modular content pin over
-    every word instance's full tokenization string, so the oracle
-    verifies the exact token SEQUENCES, not just counts.
+    chars-per-token compression ratio, and a content pin over every
+    word instance's full tokenization string, so the oracle verifies
+    the exact token SEQUENCES, not just counts. The pin reduces
+    mod-_HASH_MOD at DOC grain first, then again at source grain, so
+    each partial sum stays within _HASH_MOD's documented ~docs×1e9
+    int64 bound (a single-level instance-grain sum would outgrow
+    int64 around 9.2e9 word instances per source — inside the 100 TB
+    story).
 
     Scale shape: the corpus pass is one explode + one hash-agg to
     (doc, word) counts; the BPE loop itself runs at VOCABULARY grain
     (distinct words — millions where the corpus is trillions of
     tokens) in one Arrow batch stage, and the tokenized vocab
     broadcast-joins back. No pair work, no corpus-sized Python."""
-    docs = load(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.expr(f"regexp_extract_all(lower(text), '{bpe.WORD_RE}', 0)")
-        ).alias("word"),
-    )
-    wc = words.groupBy("doc_id", "source", "word").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    vt = bpe.vocab_bpe(wc.select("word").distinct())
+    wc, vt = _bpe_word_counts(spark, sf_dir, "source")
     j = wc.join(F.broadcast(vt), "word")
-    return (
-        j.groupBy("source")
-        .agg(
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.sum("cnt").alias("n_words"),
-            F.sum(F.col("cnt") * F.col("n_tok")).alias("n_bpe_tokens"),
-            F.sum(F.col("cnt") * F.length("word").cast("bigint")).alias(
-                "n_chars"
-            ),
+    per_doc = j.groupBy("doc_id", "source").agg(
+        F.sum("cnt").alias("d_words"),
+        F.sum(F.col("cnt") * F.col("n_tok")).alias("d_bpe"),
+        F.sum(F.col("cnt") * F.length("word").cast("bigint")).alias(
+            "d_chars"
+        ),
+        (
             F.sum(
-                F.col("cnt") * (portable_hash60(F.col("tok_str")) % F.lit(_HASH_MOD))
-            ).alias("pin_raw"),
+                F.col("cnt")
+                * (portable_hash60(F.col("tok_str")) % F.lit(_HASH_MOD))
+            )
+            % F.lit(_HASH_MOD)
+        ).alias("d_pin"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("d_words").alias("n_words"),
+            F.sum("d_bpe").alias("n_bpe_tokens"),
+            F.sum("d_chars").alias("n_chars"),
+            (F.sum("d_pin") % F.lit(_HASH_MOD)).alias("bpe_pin"),
         )
         .select(
             "source",
@@ -214,7 +239,7 @@ def d44_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_chars").cast("double")
                 / F.col("n_bpe_tokens").cast("double")
             ).alias("chars_per_token"),
-            (F.col("pin_raw") % F.lit(_HASH_MOD)).alias("bpe_pin"),
+            "bpe_pin",
         )
         .orderBy("source")
     )
@@ -234,17 +259,7 @@ def d46_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back) and d12's pure-JVM regex count — rolled to one
     row per language."""
     docs = load(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.expr(f"regexp_extract_all(lower(text), '{bpe.WORD_RE}', 0)")
-        ).alias("word"),
-    )
-    wc = words.groupBy("doc_id", "lang", "word").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    vt = bpe.vocab_bpe(wc.select("word").distinct())
+    wc, vt = _bpe_word_counts(spark, sf_dir, "lang")
     per_lang_bpe = (
         wc.join(F.broadcast(vt), "word")
         .groupBy("lang")
@@ -1821,6 +1836,22 @@ QUERIES = {
     "m3_audio_windows": m3_audio_windows,
 }
 
+def _sql_bpe_wc(dim: str) -> str:
+    """Shared DuckDB CTE prefix of the d44/d46 twins (mirrors
+    :func:`_bpe_word_counts`): merges + per-(doc, dim, word) counts +
+    distinct vocabulary + the BPE recursive CTE. Emit after
+    ``WITH RECURSIVE``."""
+    return f"""merges(rank, a, b) AS (VALUES {bpe.sql_merges_values()}),
+        words AS (
+          SELECT doc_id, {dim},
+                 unnest(regexp_extract_all(lower(text), '{bpe.WORD_RE}')) AS word
+          FROM documents),
+        wc AS (SELECT doc_id, {dim}, word, COUNT(*) AS cnt
+               FROM words GROUP BY doc_id, {dim}, word),
+        vocab AS (SELECT DISTINCT word FROM wc),
+        {bpe.sql_bpe_ctes("vocab")}"""
+
+
 _T = text.SQL_TOKS
 _SB = sampling.sql_bucket("doc_id")
 
@@ -2260,30 +2291,29 @@ _ORACLE_TEMPLATE = {
     """,
     "d44_bpe_tokens": f"""
         WITH RECURSIVE
-        merges(rank, a, b) AS (VALUES {bpe.sql_merges_values()}),
-        words AS (
-          SELECT doc_id, source,
-                 unnest(regexp_extract_all(lower(text), '{bpe.WORD_RE}')) AS word
-          FROM documents),
-        wc AS (SELECT doc_id, source, word, COUNT(*) AS cnt
-               FROM words GROUP BY doc_id, source, word),
-        vocab AS (SELECT DISTINCT word FROM wc),
-        {bpe.sql_bpe_ctes("vocab")},
+        {_sql_bpe_wc("source")},
         j AS (SELECT wc.doc_id, wc.source, wc.word, wc.cnt, d.tok_str, d.n_tok
               FROM wc JOIN bpe_done d USING (word)),
+        pd AS (
+          SELECT doc_id, source,
+                 CAST(SUM(cnt) AS BIGINT) AS d_words,
+                 CAST(SUM(cnt * n_tok) AS BIGINT) AS d_bpe,
+                 CAST(SUM(cnt * len(word)) AS BIGINT) AS d_chars,
+                 CAST(SUM(cnt * ({sql_portable_hash60("tok_str")} % {_HASH_MOD}))
+                      % {_HASH_MOD} AS BIGINT) AS d_pin
+          FROM j GROUP BY doc_id, source),
         per AS (
           SELECT source,
-                 COUNT(DISTINCT doc_id) AS n_docs,
-                 CAST(SUM(cnt) AS BIGINT) AS n_words,
-                 CAST(SUM(cnt * n_tok) AS BIGINT) AS n_bpe_tokens,
-                 CAST(SUM(cnt * len(word)) AS BIGINT) AS n_chars,
-                 CAST(SUM(cnt * ({sql_portable_hash60("tok_str")} % {_HASH_MOD}))
-                      AS BIGINT) AS pin_raw
-          FROM j GROUP BY source)
+                 COUNT(*) AS n_docs,
+                 CAST(SUM(d_words) AS BIGINT) AS n_words,
+                 CAST(SUM(d_bpe) AS BIGINT) AS n_bpe_tokens,
+                 CAST(SUM(d_chars) AS BIGINT) AS n_chars,
+                 CAST(SUM(d_pin) % {_HASH_MOD} AS BIGINT) AS bpe_pin
+          FROM pd GROUP BY source)
         SELECT source, n_docs, n_words, n_bpe_tokens, n_chars,
                CAST(n_chars AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE)
                  AS chars_per_token,
-               pin_raw % {_HASH_MOD} AS bpe_pin
+               bpe_pin
         FROM per ORDER BY source
     """,
     "d18_sequence_packing": f"""
@@ -2863,15 +2893,7 @@ _ORACLE_TEMPLATE = {
     """,
     "d46_tokenizer_fertility": f"""
         WITH RECURSIVE
-        merges(rank, a, b) AS (VALUES {bpe.sql_merges_values()}),
-        words AS (
-          SELECT doc_id, lang,
-                 unnest(regexp_extract_all(lower(text), '{bpe.WORD_RE}')) AS word
-          FROM documents),
-        wc AS (SELECT doc_id, lang, word, COUNT(*) AS cnt
-               FROM words GROUP BY doc_id, lang, word),
-        vocab AS (SELECT DISTINCT word FROM wc),
-        {bpe.sql_bpe_ctes("vocab")},
+        {_sql_bpe_wc("lang")},
         plb AS (
           SELECT lang,
                  COUNT(DISTINCT doc_id) AS n_docs,

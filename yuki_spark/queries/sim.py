@@ -162,8 +162,10 @@ def s19_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     what SURVEY's s8 row names as the 100 TB shape ("stack s4's IVF
     cell pruning in front"). Deterministic end-to-end (exact-int
     centroid sums, int64 codebook/ADC, exact re-rank), so the composed
-    DuckDB twin reproduces every row; deposit-backed (sim_family
-    ``ivfpq20``)."""
+    DuckDB twin reproduces every row; backed by the shared
+    shortlist-independent ADC deposit (sim_family ``ivfpq_adc20``) —
+    the cut + re-rank run on read, s20's sweep shares the same
+    artifact."""
     return _ivfpq_sl(spark, sf_dir, similarity.PQ_SHORTLIST).orderBy(
         "qid", "rk"
     )
@@ -172,21 +174,31 @@ def s19_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_SL_SWEEP = (4, 8, 12)  # ADC shortlist budgets on the recall curve
 
 
-def _ivfpq_sl(spark: SparkSession, sf_dir: str, sl: int) -> DataFrame:
-    """IVF-ADC result table at one shortlist budget — the
-    sl=PQ_SHORTLIST point IS s19's ``ivfpq20`` deposit (identical
-    name+params address), so s19 and the sweep never build that
-    index twice (same sharing as _ivf_np/s4)."""
+def _ivfpq_adc20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shortlist-INDEPENDENT IVF-ADC score table as ONE deposit —
+    s19 and every s20 sweep point derive their cut from this single
+    artifact (the coarse quantizer + codebook + ADC scan run once per
+    corpus, not once per budget; the r8 review flagged the
+    per-budget-rebuild form)."""
     emb = load(spark, sf_dir, "embeddings")
     return sim_family.result(
         spark,
         sf_dir,
-        "ivfpq20",
-        {"k": K, "nq": ANN_NQ, "nprobe": 3, "shortlist": sl},
-        lambda: similarity.ivfpq_ann(
-            emb, k=K, n_queries=ANN_NQ, nprobe=3, shortlist=sl,
-            n_est=_emb_rows(sf_dir),
+        "ivfpq_adc20",
+        {"nq": ANN_NQ, "nprobe": 3},
+        lambda: similarity.ivfpq_adc(
+            emb, n_queries=ANN_NQ, nprobe=3, n_est=_emb_rows(sf_dir)
         ),
+    )
+
+
+def _ivfpq_sl(spark: SparkSession, sf_dir: str, sl: int) -> DataFrame:
+    """IVF-ADC result at one shortlist budget: the shared ADC deposit
+    cut + exact-re-ranked on the fly (the cut costs shortlist-sized
+    joins — nothing worth a second artifact per budget)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.pq_rerank_from(
+        _ivfpq_adc20(spark, sf_dir), emb, k=K, shortlist=sl
     )
 
 
@@ -968,22 +980,20 @@ def _s8_oracle(nq: int = 20) -> str:
     """
 
 
-def _s19_oracle(nq: int = 20, nprobe: int = 3, sl: int | None = None) -> str:
-    """Twin of ivfpq_ann: _s4_oracle's cell assignment restricts the
-    (qid, cid) pair list, _s8_oracle's codebook/LUT/ADC scores only
-    those pairs, same exact re-rank — the full IVF-ADC composition in
-    SQL (PQ-side CTEs renamed where they would collide with the IVF
-    prefix). ``sl`` overrides the ADC shortlist (the s20 sweep)."""
-    if sl is None:
-        sl = similarity.PQ_SHORTLIST
+def _ivfpq_adc_ctes(nq: int, nprobe: int) -> str:
+    """Shared CTE chain of the IVF-ADC twins, ending at ``adc``
+    (qid, cid, adc) — mirrors similarity.ivfpq_adc: _ivf_prefix's cell
+    assignment restricts the (qid, cid) pair list and _s8_oracle's
+    codebook/LUT scores only those pairs (PQ-side CTEs renamed where
+    they would collide with the IVF prefix). s19 emits one shortlist
+    cut over it; s20 emits one cut per budget over the SAME chain."""
     m, sd, bits = similarity.PQ_M, similarity.PQ_SUBDIM, similarity.PQ_BITS
     shift = similarity.pq_shift(_oracle_emb_rows())
     code = " + ".join(
         f"(CASE WHEN subv[{j + 1}] >= 0 THEN {1 << j} ELSE 0 END)"
         for j in range(bits)
     )
-    return f"""
-        WITH {_ivf_prefix()},
+    return f"""{_ivf_prefix()},
         assigned AS (
           SELECT vec_id AS cid, cell FROM ranked WHERE ark = 1),
         probes AS (
@@ -1018,41 +1028,61 @@ def _s19_oracle(nq: int = 20, nprobe: int = 3, sl: int | None = None) -> str:
           FROM coded d
           JOIN prs pr ON pr.cid = d.vec_id
           JOIN lut l ON d.sub = l.sub AND d.code = l.code AND l.qid = pr.qid
-          GROUP BY l.qid, d.vec_id),
-        sl AS (
+          GROUP BY l.qid, d.vec_id)"""
+
+
+def _ivfpq_cut_ctes(sl: int, tag: str = "") -> str:
+    """The shortlist cut + exact re-rank as CTEs ``cut{tag}`` →
+    ``res{tag}`` over the shared ``adc``/``b`` relations."""
+    return f"""cut{tag} AS (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc DESC, cid) AS ark
           FROM adc),
-        rescored AS (
+        res{tag} AS (
           SELECT s.qid, s.cid, s.adc,
                  round(CAST({_DOT.format(a='q.sv', b='c.sv')} AS DOUBLE)
-                   / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))), 9) AS cosine
-          FROM sl s JOIN b q ON q.vec_id = s.qid JOIN b c ON c.vec_id = s.cid
-          WHERE s.ark <= {sl})
-        SELECT qid, rk, cid, cosine, adc FROM (
-          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS BIGINT) AS rk
-          FROM rescored)
+                   / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))), 9) AS cosine,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY s.qid
+                        ORDER BY round(CAST({_DOT.format(a='q.sv', b='c.sv')} AS DOUBLE)
+                          / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))), 9) DESC,
+                        s.cid) AS BIGINT) AS rk
+          FROM cut{tag} s
+          JOIN b q ON q.vec_id = s.qid JOIN b c ON c.vec_id = s.cid
+          WHERE s.ark <= {sl})"""
+
+
+def _s19_oracle(nq: int = 20, nprobe: int = 3, sl: int | None = None) -> str:
+    """Twin of ivfpq_ann: the shared ADC chain + one shortlist cut."""
+    if sl is None:
+        sl = similarity.PQ_SHORTLIST
+    return f"""
+        WITH {_ivfpq_adc_ctes(nq, nprobe)},
+        {_ivfpq_cut_ctes(sl)}
+        SELECT qid, rk, cid, cosine, adc FROM res
         WHERE rk <= {K}
         ORDER BY qid, rk
     """
 
 
 def _s20_oracle() -> str:
-    """Twin of the PQ shortlist sweep: one _s19_oracle instantiation
-    per shortlist budget, hit-joined against the exact twin — the
-    same composition discipline as _s17_oracle."""
+    """Twin of the PQ shortlist sweep: ONE instantiation of the shared
+    ADC chain, one cut per budget, hit-joined against the exact twin
+    (the per-budget full-rebuild form was flagged in the r8 review —
+    the shortlist only cuts after ADC scoring, in SQL too)."""
     nq = ANN_NQ
-    subs = ",\n        ".join(
-        f"sl{sl_} AS ({_s19_oracle(nq, 3, sl_)})" for sl_ in PQ_SL_SWEEP
+    cuts = ",\n        ".join(
+        _ivfpq_cut_ctes(sl_, f"_{sl_}") for sl_ in PQ_SL_SWEEP
     )
     hits = "\n          UNION ALL\n".join(
         f"""          SELECT CAST({sl_} AS BIGINT) AS shortlist,
                  CAST(COUNT(*) AS BIGINT) AS n_hits
-          FROM sl{sl_} a JOIN exact e ON a.qid = e.qid AND a.cid = e.cid"""
+          FROM (SELECT qid, cid FROM res_{sl_} WHERE rk <= {K}) a
+          JOIN exact e ON a.qid = e.qid AND a.cid = e.cid"""
         for sl_ in PQ_SL_SWEEP
     )
     return f"""
         WITH exact AS ({_s1_sql(nq)}),
-        {subs},
+        {_ivfpq_adc_ctes(nq, 3)},
+        {cuts},
         h AS (
 {hits})
         SELECT shortlist, n_hits,
