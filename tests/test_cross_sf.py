@@ -38,6 +38,9 @@ ADAPTIVE = [
     "s14_mmr_rerank",  # deposit-backed pool re-derived per catalog
     "s16_knn_centrality",  # inherits s11's adaptive plane count
     "s17_ivf_probe_sweep",  # composes three s4 twins (IVF cells)
+    "s18_nn_descent",  # expands the s11 twin (adaptive plane count)
+    "s19_ivfpq_ann",  # IVF cells + pq_shift from the catalog footer
+    "s20_pq_shortlist_sweep",  # three cuts over the s19 adaptive chain
 ]
 
 

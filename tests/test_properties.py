@@ -768,3 +768,28 @@ def test_bpe_matches_gpt2_reference_production_table(word):
     got = bpe_tokenize(word)
     assert got == _gpt2_bpe_reference(word, list(MERGES))
     assert "".join(got) == word
+
+
+@given(
+    payloads=hst.lists(
+        hst.tuples(hst.booleans(), hst.binary(min_size=0, max_size=33)),
+        min_size=0,
+        max_size=8,
+    )
+)
+@settings(max_examples=120, deadline=None)
+def test_avi_mjpeg_walk_roundtrip_property(payloads):
+    """RIFF walk robustness on arbitrary chunk layouts: frames we mark
+    as JPEG (SOI-prefixed, any odd/even size — exercises RIFF padding)
+    come back byte-identical and in order; non-JPEG video chunks are
+    skipped; the walk never raises on a well-formed container."""
+    from yuki_spark.operators import codecs
+
+    frames = [
+        (codecs.JPEG_SOI + body) if is_jpeg else (b"\x00\x00" + body)
+        for is_jpeg, body in payloads
+    ]
+    avi = codecs.encode_avi_mjpeg(frames, 8, 8)
+    got = codecs.avi_mjpeg_frames(avi)
+    want = [f for f in frames if f[:2] == codecs.JPEG_SOI]
+    assert got == want
