@@ -106,7 +106,7 @@ def main() -> None:
     os.environ["YUKI_SPARK_DEDUP_STORE"] = os.path.join(cold_root, "dedup")
     os.environ["YUKI_SPARK_SIM_STORE"] = os.path.join(cold_root, "sim")
     try:
-        _main_body(sf_dir, sf, cold_root)
+        _main_body(sf_dir, sf)
     finally:
         # the fresh store must not outlive a FAILED run either — repeated
         # crashed benches would otherwise accumulate one full deposit
@@ -114,7 +114,7 @@ def main() -> None:
         shutil.rmtree(cold_root, ignore_errors=True)
 
 
-def _main_body(sf_dir: str, sf: float, cold_root: str) -> None:
+def _main_body(sf_dir: str, sf: float) -> None:
     from __spark_entry__ import queries
 
     qs = queries()
@@ -147,6 +147,9 @@ def _main_body(sf_dir: str, sf: float, cold_root: str) -> None:
         "d4_simhash_dups",       # simhash pair table
         "s6_ann_recall",         # exact/LSH/IVF/PQ result deposits
         "s11_knn_graph",         # all-vectors kNN graph deposit
+        "s18_nn_descent",        # NN-descent refined-graph deposit
+        "s19_ivfpq_ann",         # shortlist-independent IVF-ADC table
+        "d44_bpe_tokens",        # tokenized-vocabulary deposit
     ]
     cold_build_s: dict[str, float] = {}
     for name in cold_keys:

@@ -1661,6 +1661,21 @@ def test_avi_mjpeg_pure_python_keyframe_sampling(spark):
     filled = frames[0][:2] + b"\xff" + frames[0][2:]
     assert codecs.jpeg_dims(filled) == (16, 12)
 
+    # 'rec '-grouped interleave (the standard AVI layout): frames must
+    # come back in STREAM order — a LIFO walk returned [2,3,0,1] here
+    import struct as _struct
+
+    def chunk(fourcc, body):
+        return fourcc + _struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    rec1 = chunk(b"LIST", b"rec " + chunk(b"00dc", frames[0]) + chunk(b"00dc", frames[1]))
+    rec2 = chunk(b"LIST", b"rec " + chunk(b"00dc", frames[2]) + chunk(b"00dc", frames[3]))
+    tail = chunk(b"00dc", frames[4])
+    movi = chunk(b"LIST", b"movi" + rec1 + rec2 + tail)
+    body = b"AVI " + movi
+    grouped = b"RIFF" + _struct.pack("<I", len(body)) + body
+    assert codecs.avi_mjpeg_frames(grouped) == frames[:5]
+
     df = spark.createDataFrame(
         [(7, bytearray(avi))], "doc_id long, media binary"
     )

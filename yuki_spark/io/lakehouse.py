@@ -81,30 +81,31 @@ def merge_into(
     table on first write. The transactional replacement for
     operators.merge.merge_upsert + the staged-rename overwrite.
 
-    Duplicate keys in ``updates`` are rejected LOUDLY on both paths:
-    Delta's MERGE already raises when several source rows match one
-    target row, and the table-creating first write checks the same
-    invariant itself — otherwise first-batch duplicates would persist
-    silently and poison every later MERGE, while the identical batch
-    on a later call failed loudly (dedup first, e.g. the streaming
-    sink's per-key batch dedup)."""
+    Duplicate keys in ``updates`` are rejected LOUDLY on EVERY call:
+    Delta's own multiple-source-match error fires only when the
+    duplicates MATCH an existing target row — duplicates landing via
+    whenNotMatchedInsertAll (first write, or a new key) would persist
+    silently and poison every later MERGE (Delta updates all matching
+    target rows without error). So the invariant is checked here,
+    unconditionally, before any write (dedup first, e.g. the
+    streaming sink's per-key batch dedup)."""
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     tables = _require_delta()
-    if not tables.DeltaTable.isDeltaTable(spark, path):
-        dup = (
-            updates.groupBy(*keys)
-            .agg(F.count(F.lit(1)).alias("n"))
-            .where(F.col("n") > 1)
-            .limit(1)
-            .collect()
+    dup = (
+        updates.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"duplicate key {tuple(dup[0][k] for k in keys)!r} in the "
+            "MERGE batch — upsert semantics require unique keys per "
+            "batch (dedup first)"
         )
-        if dup:
-            raise ValueError(
-                f"duplicate key {tuple(dup[0][k] for k in keys)!r} in the "
-                "table-creating batch — MERGE semantics require unique "
-                "keys per batch (dedup first)"
-            )
+    if not tables.DeltaTable.isDeltaTable(spark, path):
         updates.write.format("delta").save(path)
         return
     t = tables.DeltaTable.forPath(spark, path)

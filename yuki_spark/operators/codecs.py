@@ -347,20 +347,25 @@ def avi_mjpeg_frames(data: bytes) -> list[bytes]:
         raise UnsupportedMediaError("not a RIFF/AVI container")
     end = min(len(data), 8 + struct.unpack("<I", data[4:8])[0])
     frames: list[bytes] = []
-    stack = [(12, end)]  # skip 'RIFF' size 'AVI '
-    while stack:
-        i, stop = stack.pop()
+
+    def walk(i: int, stop: int) -> None:
+        # recurse INTO a LIST before continuing the level: a LIFO
+        # stack here returned 'rec '-grouped interleaved frames (the
+        # standard AVI layout) out of stream order. RIFF nesting is
+        # shallow (movi → rec), so recursion depth is bounded.
         while i + 8 <= stop:
             fourcc = data[i : i + 4]
             size = struct.unpack("<I", data[i + 4 : i + 8])[0]
             body_end = min(i + 8 + size, stop)
             if fourcc == b"LIST":
-                stack.append((i + 12, body_end))  # skip the list type
+                walk(i + 12, body_end)  # skip the list type
             elif fourcc[2:4] in (b"dc", b"db"):
                 body = data[i + 8 : body_end]
                 if body[:2] == JPEG_SOI:
                     frames.append(body)
             i += 8 + size + (size & 1)
+
+    walk(12, end)  # skip 'RIFF' size 'AVI '
     return frames
 
 

@@ -163,12 +163,46 @@ def d12_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_COMPUTES: dict[str, int] = {}  # observability hook (reuse tests)
+
+
+def _bpe_vocab(spark: SparkSession, sf_dir: str, vocab) -> DataFrame:
+    """The BPE-tokenized vocabulary (word, tok_str, n_tok) as ONE
+    deposit per corpus through the dedup-family store root: the table
+    is identical for every consumer (it depends only on the corpus
+    vocabulary and the merges artifact), so d44 and d46 read one
+    artifact instead of each re-running the Arrow tokenizer pass —
+    exactly the persist-the-tokenizer-output shape a production
+    pipeline uses. Falls back to computing in-plan when the store is
+    unavailable (deposit_or_reuse's contract)."""
+    import sys
+
+    from ..operators import bpe as bpe_mod
+    from . import dedup_family
+    from .artifact_store import code_fingerprint, deposit_or_reuse, table_fingerprint
+
+    fp = table_fingerprint(sf_dir, "documents", {"what": "bpe_vocab"})
+    version = "1+" + code_fingerprint(bpe_mod, sys.modules[__name__])
+    df, _ = deposit_or_reuse(
+        spark,
+        dedup_family.store_root(),
+        "bpe.vocab",
+        version,
+        [fp],
+        lambda: bpe.vocab_bpe(vocab),
+        _BPE_COMPUTES,
+        "bpe_vocab",
+    )
+    return df
+
+
 def _bpe_word_counts(spark: SparkSession, sf_dir: str, dim: str):
     """(wc, vt): per-(doc_id, dim, word) counts over the [a-z]+ words
     of lower(text), plus the BPE-tokenized DISTINCT vocabulary — the
     shared corpus pass of d44/d46 (one source of truth for the word
     regex, the count grain, and the vocabulary-grain tokenizer join;
-    the DuckDB twins share :func:`_sql_bpe_wc` the same way)."""
+    the DuckDB twins share :func:`_sql_bpe_wc` the same way). The
+    tokenized vocabulary is a shared deposit (:func:`_bpe_vocab`)."""
     docs = load(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id",
@@ -180,7 +214,7 @@ def _bpe_word_counts(spark: SparkSession, sf_dir: str, dim: str):
     wc = words.groupBy("doc_id", dim, "word").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    vt = bpe.vocab_bpe(wc.select("word").distinct())
+    vt = _bpe_vocab(spark, sf_dir, wc.select("word").distinct())
     return wc, vt
 
 
