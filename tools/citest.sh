@@ -14,7 +14,7 @@ set -u
 cd "$(dirname "$0")/.."
 
 HALF_A=(tests/test_oracle_parity.py tests/test_scale_plans.py
-        tests/test_empty_catalog.py)
+        tests/test_empty_catalog.py tests/test_schema_snapshot.py)
 mapfile -t IGNORES < <(printf -- '--ignore=%s\n' "${HALF_A[@]}")
 
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS_A:-14}" \
