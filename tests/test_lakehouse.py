@@ -33,6 +33,31 @@ def test_unavailable_paths_raise_loudly(spark, tmp_path):
     assert not os.path.exists(tmp_path / "t")  # nothing was written
 
 
+def test_merge_into_rejects_duplicate_keys_without_delta(spark, tmp_path):
+    """The loud duplicate-key reject is pure DataFrame code and runs
+    BEFORE the delta import gate (r8 verdict: the check used to sit
+    after _require_delta(), making the documented contract untestable
+    in a delta-less sandbox). Duplicates must raise ValueError — not
+    DeltaUnavailable — in every environment, and nothing is written."""
+    dup = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "k int, v string"
+    )
+    with pytest.raises(ValueError, match="duplicate key"):
+        lakehouse.merge_into(spark, str(tmp_path / "t"), dup, ["k"])
+    assert not os.path.exists(tmp_path / "t")
+    # composite keys: (1,'a') twice → same reject
+    dup2 = spark.createDataFrame(
+        [(1, "a", 1.0), (1, "a", 2.0)], "k int, v string, x double"
+    )
+    with pytest.raises(ValueError, match="duplicate key"):
+        lakehouse.merge_into(spark, str(tmp_path / "t2"), dup2, ["k", "v"])
+    # unique keys pass the check and THEN hit the gate (delta absent)
+    if not _HAVE_DELTA:
+        uniq = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+        with pytest.raises(lakehouse.DeltaUnavailable):
+            lakehouse.merge_into(spark, str(tmp_path / "t3"), uniq, ["k"])
+
+
 @pytest.mark.skipif(not _HAVE_DELTA, reason="delta-spark not installed")
 def test_delta_merge_upsert_and_time_travel(tmp_path):
     """Real Delta behavior when the package exists: MERGE upserts on

