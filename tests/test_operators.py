@@ -1722,3 +1722,73 @@ def test_ivfpq_equals_ivf_when_shortlist_unbounded(spark):
     tight = similarity.ivfpq_ann(df, k=3, n_queries=6, nprobe=2)
     per_q = tight.groupBy("qid").count().collect()
     assert all(r["count"] <= 3 for r in per_q)
+
+
+# ---- d45 trained language-id (r9) ----------------------------------------
+
+
+def test_langid_trainer_separates_signal_rich_corpus(spark):
+    """The d45 trainer must reach a PERFECT diagonal when the corpus
+    actually carries per-class character signal (disjoint char pools
+    per language). This is the proof the training pass learns real
+    structure — on the driver corpus the confusion is near-uniform
+    only because those lang labels are independent of the text
+    (word-NB with the full train split = exact chance)."""
+    from yuki_spark.queries.docs import LID_CLASSES, langid_train_confusion
+
+    pools = {"de": "qw", "en": "xy", "es": "jk", "fr": "vb", "zh": "mn"}
+    rows = []
+    for doc_id in range(85):
+        lang = LID_CLASSES[doc_id % 5]
+        p = pools[lang]
+        words = [p[i % 2] * 3 for i in range(10 + doc_id % 5)]
+        rows.append((doc_id, " ".join(words), lang))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = langid_train_confusion(docs).collect()
+    # every held-out doc (doc_id % 17 == 0: one per class here) lands
+    # on the diagonal, and every class appears
+    assert all(r["lang"] == r["pred_lang"] for r in got), got
+    assert {r["lang"] for r in got} == set(LID_CLASSES)
+    assert sum(r["n_docs"] for r in got) == 5
+    # trained scores on own-class text are strictly positive (the
+    # centered rate weights reward over-represented buckets)
+    assert all(r["total_best_score"] > 0 for r in got), got
+
+
+def test_langid_training_respects_holdout_split(spark):
+    """Weights must come from the doc_id%17!=0 split ONLY: flipping
+    the text of every eval doc cannot change the weights, so the
+    per-class score of an unchanged eval doc is identical."""
+    from yuki_spark.queries.docs import langid_train_confusion
+
+    base = [
+        (i, "qqq www " * 8, "de") if i % 2 == 0 else (i, "xxx yyy " * 8, "en")
+        for i in range(40)
+    ]
+    a = spark.createDataFrame(base, "doc_id long, text string, lang string")
+    # corrupt ONLY eval-split docs (doc_id % 17 == 0) except doc 34,
+    # which we keep to compare
+    mutated = [
+        (i, "zzz uuu " * 8, lang)
+        if (i % 17 == 0 and i != 34)
+        else (i, t, lang)
+        for i, t, lang in base
+    ]
+    b = spark.createDataFrame(mutated, "doc_id long, text string, lang string")
+    conf_a = {
+        (r["lang"], r["pred_lang"]): (r["n_docs"], r["total_best_score"])
+        for r in langid_train_confusion(a).collect()
+    }
+    conf_b = {
+        (r["lang"], r["pred_lang"]): (r["n_docs"], r["total_best_score"])
+        for r in langid_train_confusion(b).collect()
+    }
+    # eval de docs are 0 and 34. In run A both score s (trained
+    # weights): cell (de,de) = (2, 2s). In run B doc 0's text hits
+    # only unseen buckets, so it scores 0 for every class and the
+    # first-class tiebreak still predicts de: cell (de,de) = (2, s).
+    # Weights unchanged <=> doc 34 contributes the SAME s to both.
+    n_a, s_a = conf_a[("de", "de")]
+    n_b, s_b = conf_b[("de", "de")]
+    assert (n_a, n_b) == (2, 2)
+    assert s_a == 2 * s_b and s_b > 0

@@ -231,6 +231,9 @@ ALLOWED_BNLJ = {
     # row into both consumers of the bucketed doc stream (r9 fix for
     # the per-lang corpus-grain window)
     "d18_sequence_packing": 2,
+    # d45's trained weights join a single-row totals broadcast into
+    # the <=LID_FEATURES-row weight build (r9 trained-weights rewrite)
+    "d45_langid_model": 1,
     "e22_psi_drift": 0,  # densify BNLJ hides behind the grid checkpoint
 }
 

@@ -1455,71 +1455,115 @@ def d40_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Model-based language ID (d45): char-trigram hashing-trick linear
-# classifier — d40's scorer machinery at character grain with one
-# weight stream per language class. The per-language mixers are the
-# deterministic "trained weights" stand-in (odd 32-bit primes);
-# swapping in real trained weights is a broadcast FEATURES×langs
-# literal map with an identical plan. bucket < 2^12 and mix < 2^32
-# keep bucket·mix < 2^44: exact int64 in every engine.
+# classifier, TRAINED (since r9) on the corpus itself instead of the
+# r8 hash-mix weight stand-in. Training is one exact-int pass over
+# the doc_id%17!=0 split: per (class, bucket) trigram-occurrence
+# counts become centered rate weights
+#   w[c][b] = (cnt[c][b]·S) div tot[c] − (cnt_all[b]·S) div tot_all
+# (S = LID_RATE_SCALE) — the per-class frequency profile minus the
+# corpus background, so a bucket over-represented in class c scores
+# positive for c. Scoring is Σ w[c][bucket]·cnt over a doc's grams;
+# argmax with first-class-wins tiebreak. All integers, both engines:
+# n·S stays in int64 while the train split holds < 2^63/S ≈ 9e10
+# gram occurrences (~90 GB of text; past that the weight build — a
+# ≤FEATURES-row artifact — moves to decimal/int128, scoring is
+# unchanged). Honesty note: on THIS driver corpus the lang labels
+# are statistically independent of the text (a word-level NB with
+# the full train split scores 20.0% on 5 classes at sf0.1 = exact
+# chance), so the confusion matrix is near-uniform BY CONSTRUCTION
+# of the data; tests/test_operators.py proves the same trainer
+# reaches a dominant diagonal on constructed signal-rich corpora.
 LID_FEATURES = 4096
-LID_WEIGHT_MOD = 2001
-LID_LANGS: tuple[tuple[str, int], ...] = (
-    ("en", 2654435761),
-    ("fr", 2246822519),
-    ("de", 3266489917),
-    ("es", 668265263),
-)
+LID_CLASSES: tuple[str, ...] = ("de", "en", "es", "fr", "zh")
+LID_RATE_SCALE = 100_000_000  # rate resolution: parts-per-1e8
+LID_EVAL_MOD = 17  # held-out split rule shared with d17/d27/d30/d47
 
 
-def d45_langid_model(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MODEL-based language identification (fastText-style char-n-gram
-    linear classifier), upgrading d5's stopword-ratio heuristic: every
-    document is scored per language class over hashing-trick char
-    TRIGRAM features and classified by integer argmax (deterministic
-    first-class-wins tiebreak), reported as the (true lang ×
-    predicted) confusion rollup a curation pipeline audits before
-    trusting per-language routing.
+def langid_train_confusion(docs: DataFrame) -> DataFrame:
+    """Train-and-evaluate core of d45 over any (doc_id, text, lang)
+    frame: deterministic exact-int training on the doc_id%17!=0
+    split, confusion rollup over the held-out docs. Factored out so
+    tests can drive it with constructed signal-rich corpora.
 
-    Scale shape: one char-trigram explode (pure codegen transform/
-    sequence over lower(text) — O(chars), same class as d40's token
-    explode) feeding K pure-integer weight expressions — no weight
-    table, no join — then two map-side-combined hash-aggs (per-doc
-    score vector, confusion-cell rollup). Exact int64 end-to-end; the
-    DuckDB twin reproduces every score and argmax bit-for-bit."""
-    docs = load(spark, sf_dir, "documents").where(F.length("text") >= 3)
-    # trigrams via a char-array slide: substring(text, i, 3) would
-    # re-walk the UTF8 string to char offset i on every call (O(len²)
-    # per doc — measured 4.8 s at sf0.1, the suite's slowest key);
-    # splitting to a char array ONCE per row makes each gram three
-    # O(1) element_at reads
-    g = (
-        docs.withColumn("cs", F.split(F.lower("text"), ""))
-        .select(
+    Scale shape: one char-trigram explode compressed immediately to
+    (doc, bucket) count grain behind a lazy localCheckpoint (the
+    featurize stage runs ONCE for the train and eval consumers); the
+    weight build aggregates to bucket grain (≤ LID_FEATURES rows —
+    broadcastable at any corpus size) with a single-row totals
+    broadcast; eval scoring is a broadcast hash join + two hash-aggs.
+    No weight-table shuffle, no corpus-sized broadcast."""
+    S = LID_RATE_SCALE
+    base = docs.where(F.length("text") >= 3)
+    g = base.withColumn("cs", F.split(F.lower("text"), "")).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(cs) - 2),"
+                " i -> concat(element_at(cs, i),"
+                " element_at(cs, i + 1), element_at(cs, i + 2)))"
+            )
+        ).alias("g"),
+    )
+    feat = (
+        g.select(
             "doc_id",
             "lang",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(cs) - 2),"
-                    " i -> concat(element_at(cs, i),"
-                    " element_at(cs, i + 1), element_at(cs, i + 2)))"
-                )
-            ).alias("g"),
+            (F.col("doc_id") % LID_EVAL_MOD == 0).alias("is_eval"),
+            (portable_hash60(F.col("g")) % F.lit(LID_FEATURES)).alias(
+                "bucket"
+            ),
+        )
+        .groupBy("doc_id", "lang", "is_eval", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    per_bucket = (
+        feat.where(~F.col("is_eval"))
+        .groupBy("bucket")
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("lang") == c, F.col("cnt")).otherwise(
+                        F.lit(0)
+                    )
+                ).alias(f"n_{c}")
+                for c in LID_CLASSES
+            ],
+            F.sum("cnt").alias("n_all"),
         )
     )
-    bucket = portable_hash60(F.col("g")) % F.lit(LID_FEATURES)
-    half = LID_WEIGHT_MOD // 2
-    per_doc = g.groupBy("doc_id", "lang").agg(
-        *[
-            F.sum(
-                (bucket * F.lit(mix)) % F.lit(LID_WEIGHT_MOD) - F.lit(half)
-            ).alias(f"s_{lang}")
-            for lang, mix in LID_LANGS
-        ]
+    tots = per_bucket.agg(
+        *[F.sum(f"n_{c}").alias(f"t_{c}") for c in LID_CLASSES],
+        F.sum("n_all").alias("t_all"),
     )
-    best = F.greatest(*[F.col(f"s_{lang}") for lang, _ in LID_LANGS])
+    weights = per_bucket.join(F.broadcast(tots)).select(
+        "bucket",
+        *[
+            F.expr(
+                f"(n_{c} * {S}) div greatest(t_{c}, 1)"
+                f" - (n_all * {S}) div greatest(t_all, 1)"
+            ).alias(f"w_{c}")
+            for c in LID_CLASSES
+        ],
+    )
+    per_doc = (
+        feat.where(F.col("is_eval"))
+        .join(F.broadcast(weights), "bucket", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            *[
+                F.sum(
+                    F.coalesce(F.col(f"w_{c}"), F.lit(0)) * F.col("cnt")
+                ).alias(f"s_{c}")
+                for c in LID_CLASSES
+            ]
+        )
+    )
+    best = F.greatest(*[F.col(f"s_{c}") for c in LID_CLASSES])
     pred = F.lit(None).cast("string")
-    for lang, _ in reversed(LID_LANGS):  # build CASE: FIRST match wins
-        pred = F.when(F.col(f"s_{lang}") == best, F.lit(lang)).otherwise(pred)
+    for c in reversed(LID_CLASSES):  # build CASE: FIRST match wins
+        pred = F.when(F.col(f"s_{c}") == best, F.lit(c)).otherwise(pred)
     return (
         per_doc.select("lang", pred.alias("pred_lang"), best.alias("best"))
         .groupBy("lang", "pred_lang")
@@ -1529,6 +1573,31 @@ def d45_langid_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "pred_lang")
     )
+
+
+def d45_langid_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL-based language identification (fastText-style char-n-gram
+    linear classifier), upgrading d5's stopword-ratio heuristic — and
+    since r9 the weights are TRAINED, not hash-mix stand-ins: one
+    exact-int pass over the doc_id%17!=0 split builds centered
+    per-class trigram-rate weights (see langid_train_confusion), and
+    the held-out docs are scored by integer argmax (deterministic
+    first-class-wins tiebreak), reported as the (true lang ×
+    predicted) confusion rollup a curation pipeline audits before
+    trusting per-language routing. The DuckDB twin replays TRAINING
+    and scoring bit-for-bit (same counts, same integer divisions).
+
+    On this driver corpus the confusion matrix is near-uniform
+    because the lang labels carry no textual signal (word-level NB
+    with the full train split = exact chance; see the constants-block
+    note); the trainer itself reaches a dominant diagonal on
+    signal-rich corpora (pinned in tests/test_operators.py).
+
+    Trigrams via a char-array slide: substring(text, i, 3) would
+    re-walk the UTF8 string to char offset i on every call (O(len²)
+    per doc); splitting to a char array ONCE per row makes each gram
+    three O(1) element_at reads."""
+    return langid_train_confusion(load(spark, sf_dir, "documents"))
 
 
 # RAG chunking geometry: 24-token windows on a 16-token stride (8-token
@@ -2949,6 +3018,10 @@ _ORACLE_TEMPLATE = {
                MIN(score) AS min_score, MAX(score) AS max_score
         FROM scored GROUP BY source ORDER BY source
     """,
+    # twin replays the TRAINING pass (r9): per-(class,bucket) counts
+    # over the doc_id%17!=0 split -> centered integer rate weights ->
+    # held-out scoring. Non-negative operands make DuckDB's flooring
+    # // identical to Spark's truncating div.
     "d45_langid_model": f"""
         WITH d AS (
           SELECT doc_id, lang, lower(text) AS lt FROM documents
@@ -2956,28 +3029,55 @@ _ORACLE_TEMPLATE = {
         g AS (
           SELECT doc_id, lang, substr(lt, CAST(i AS INTEGER), 3) AS g
           FROM d, unnest(generate_series(1, len(lt) - 2)) AS s(i)),
-        b AS (
-          SELECT doc_id, lang,
-                 {sql_portable_hash60("g")} % {LID_FEATURES} AS bucket
-          FROM g),
-        per AS (
-          SELECT doc_id, lang,
+        feat AS (
+          SELECT doc_id, lang, (doc_id % {LID_EVAL_MOD} = 0) AS is_eval,
+                 {sql_portable_hash60("g")} % {LID_FEATURES} AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM g GROUP BY 1, 2, 3, 4),
+        pb AS (
+          SELECT bucket,
                  {", ".join(
-                     f"CAST(SUM((bucket * {mix}) % {LID_WEIGHT_MOD}"
-                     f" - {LID_WEIGHT_MOD // 2}) AS BIGINT) AS s_{lang}"
-                     for lang, mix in LID_LANGS
+                     f"CAST(SUM(CASE WHEN lang = '{c}' THEN cnt ELSE 0 END)"
+                     f" AS BIGINT) AS n_{c}"
+                     for c in LID_CLASSES
+                 )},
+                 CAST(SUM(cnt) AS BIGINT) AS n_all
+          FROM feat WHERE NOT is_eval GROUP BY bucket),
+        tt AS (
+          SELECT {", ".join(
+                     f"CAST(SUM(n_{c}) AS BIGINT) AS t_{c}"
+                     for c in LID_CLASSES
+                 )},
+                 CAST(SUM(n_all) AS BIGINT) AS t_all
+          FROM pb),
+        w AS (
+          SELECT bucket,
+                 {", ".join(
+                     f"(n_{c} * {LID_RATE_SCALE}) // GREATEST(t_{c}, 1)"
+                     f" - (n_all * {LID_RATE_SCALE}) // GREATEST(t_all, 1)"
+                     f" AS w_{c}"
+                     for c in LID_CLASSES
                  )}
-          FROM b GROUP BY doc_id, lang),
+          FROM pb, tt),
+        per AS (
+          SELECT f.doc_id, f.lang,
+                 {", ".join(
+                     f"CAST(SUM(COALESCE(w.w_{c}, 0) * f.cnt) AS BIGINT)"
+                     f" AS s_{c}"
+                     for c in LID_CLASSES
+                 )}
+          FROM feat f LEFT JOIN w USING (bucket)
+          WHERE f.is_eval GROUP BY 1, 2),
         p AS (
           SELECT lang,
                  CASE {" ".join(
-                     "WHEN s_{l} = GREATEST({alls}) THEN '{l}'".format(
-                         l=lang,
-                         alls=", ".join(f"s_{x}" for x, _ in LID_LANGS),
+                     "WHEN s_{c} = GREATEST({alls}) THEN '{c}'".format(
+                         c=c,
+                         alls=", ".join(f"s_{x}" for x in LID_CLASSES),
                      )
-                     for lang, _ in LID_LANGS
+                     for c in LID_CLASSES
                  )} END AS pred_lang,
-                 GREATEST({", ".join(f"s_{lang}" for lang, _ in LID_LANGS)})
+                 GREATEST({", ".join(f"s_{c}" for c in LID_CLASSES)})
                    AS best
           FROM per)
         SELECT lang, pred_lang, COUNT(*) AS n_docs,
