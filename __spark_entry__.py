@@ -20,75 +20,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Insertion order is gate order (the driver caps its sweep at 50 rows).
-# Round-8 rotation (staleness rule: no key's driver row older than 2
-# rounds): the 30 keys whose most recent driver row is the r5 sweep
-# lead — they sit exactly AT the staleness boundary and MUST all be
-# stamped r8 (the r7 cap-marker miscount left 8 of them outside the
-# sweep; ADVICE flagged it). Then the EIGHT keys born in round 8
-# (never driver-validated), then the sim/dedup keys whose bucket-id
-# machinery the r8 LongType LSH widening touches (must re-green under
-# the new ids), then the oldest r6-stamped rows fill the 50 slots.
-# Everything after the cap marker: remaining r6-stamped block (leads
-# the r9 rotation), r7-stamped keys freshest at the bottom.
+# Round-9 rotation (staleness rule: no key's driver row older than 2
+# rounds): the 45 keys whose most recent driver row is the r6 sweep
+# fill slots 1..45 — they sit exactly AT the staleness boundary and
+# MUST all be stamped r9. The remaining five slots go to the keys
+# whose code or output changed this round: d18 (distributed prefix
+# sum — output hash unchanged, re-proven under the new plan), d28/d30
+# (distributed top-k vocab cut — hash-identical, re-proven), d45
+# (weights now TRAINED — output changed), and s21 (born in round 9,
+# never driver-validated). Everything after the cap marker:
+# r7-stamped keys lead the r10 rotation (they hit the staleness bound
+# next round), r8-stamped keys freshest at the bottom.
 _PRIORITY = [
-    # --- slots 1..30: every key whose most recent driver row is r5
-    "d13_hash_sample",
-    "d14_stratified_sample",
-    "d15_profile",
-    "d24_weighted_sample",
-    "d26_quality_buckets",
-    "d27_bloom_contamination",
-    "d28_token_zipf",
-    "d29_dsir_weights",
-    "d30_oov_rate",
-    "d31_token_surprisal",
-    "d32_doc_entropy",
-    "p1_pii_scan",
-    "m1_multimodal_meta",
-    "m2_resize_framesample",
-    "m3_audio_windows",
-    "q23_skyline_parts",
-    "dq1_constraint_report",
-    "e2_sessionization",
-    "e3_hourly_rollup",
-    "e4_user_asof_value",
-    "e5_funnel",
-    "e7_value_percentiles_approx",
-    "e12_heavy_hitters",
-    "e18_rolling_active_users",
-    "e19_gap_fill",
-    "e20_mad_outliers",
-    "e21_cusum_drift",
-    "e22_psi_drift",
-    "e23_seasonal_anomaly",
-    "distinct_users_daily",
-    # --- slots 31..38: born in round 8, never driver-hash-validated
-    "d44_bpe_tokens",
-    "d45_langid_model",
-    "s18_nn_descent",
-    "s19_ivfpq_ann",
-    "s20_pq_shortlist_sweep",
-    "d46_tokenizer_fertility",
-    "d47_decontaminate_apply",
-    "e29_trending_events",
-    # --- slots 39..46: code touched by the r8 LongType LSH widening
-    "s3_lsh_ann",
-    "s11_knn_graph",
-    "s12_graph_recall",
-    "d9_embedding_neardup",
-    "d3_minhash_lsh_dups",
-    "s7_semdedup",
-    "s4_ivf_ann",
-    "s8_pq_ann",
-    # --- slots 47..50: oldest r6-stamped rows, rotated in
-    "s13_matryoshka_recall",
-    "d33_split_leakage",
-    "d25_domain_mix",
-    "e1_event_counts",
-    # --- 50-slot cap lands HERE: exactly 50 keys above (30 r5-stamped
-    # + 8 born-in-r8 + 8 LSH-widening-touched + 4 oldest r6-stamped).
-    # The r6-stamped block below leads the r9 rotation (all of it must
-    # be stamped by r9 to stay within the 2-round staleness rule).
+    # --- slots 1..45: every key whose most recent driver row is r6
     "e6_value_percentiles",
     "e8_error_window_stats",
     "e9_json_props_stats",
@@ -134,7 +78,17 @@ _PRIORITY = [
     "sql1_revenue_by_nation",
     "setops_customer_activity",
     "setops_multiset_except",
-    # --- r7-stamped keys, freshest driver rows last
+    # --- slots 46..50: changed in r9 (d18/d28/d30 hash-preserving
+    # plan fixes, d45 trained weights, s21 born in r9)
+    "d18_sequence_packing",
+    "d28_token_zipf",
+    "d30_oov_rate",
+    "d45_langid_model",
+    "s21_nn_descent_converge",
+    # --- 50-slot cap lands HERE: exactly 50 keys above (45
+    # r6-stamped + 4 changed + 1 new). The r7-stamped block below
+    # leads the r10 rotation (all of it must be stamped by r10 to
+    # stay within the 2-round staleness rule).
     "d37_span_scrub",
     "d38_threshold_sweep",
     "d39_cluster_sizes",
@@ -164,7 +118,6 @@ _PRIORITY = [
     "d12_subword_stats",
     "d16_repetition",
     "d17_contamination",
-    "d18_sequence_packing",
     "d19_tfidf_top_terms",
     "d21_corpus_split",
     "d22_dup_spans",
@@ -178,6 +131,54 @@ _PRIORITY = [
     "d1_exact_dedup",
     "d5_lang_id",
     "d6_quality_score",
+    # --- r8-stamped keys, freshest driver rows last
+    "d13_hash_sample",
+    "d14_stratified_sample",
+    "d15_profile",
+    "d24_weighted_sample",
+    "d26_quality_buckets",
+    "d27_bloom_contamination",
+    "d29_dsir_weights",
+    "d31_token_surprisal",
+    "d32_doc_entropy",
+    "p1_pii_scan",
+    "m1_multimodal_meta",
+    "m2_resize_framesample",
+    "m3_audio_windows",
+    "q23_skyline_parts",
+    "dq1_constraint_report",
+    "e2_sessionization",
+    "e3_hourly_rollup",
+    "e4_user_asof_value",
+    "e5_funnel",
+    "e7_value_percentiles_approx",
+    "e12_heavy_hitters",
+    "e18_rolling_active_users",
+    "e19_gap_fill",
+    "e20_mad_outliers",
+    "e21_cusum_drift",
+    "e22_psi_drift",
+    "e23_seasonal_anomaly",
+    "distinct_users_daily",
+    "d44_bpe_tokens",
+    "s18_nn_descent",
+    "s19_ivfpq_ann",
+    "s20_pq_shortlist_sweep",
+    "d46_tokenizer_fertility",
+    "d47_decontaminate_apply",
+    "e29_trending_events",
+    "s3_lsh_ann",
+    "s11_knn_graph",
+    "s12_graph_recall",
+    "d9_embedding_neardup",
+    "d3_minhash_lsh_dups",
+    "s7_semdedup",
+    "s4_ivf_ann",
+    "s8_pq_ann",
+    "s13_matryoshka_recall",
+    "d33_split_leakage",
+    "d25_domain_mix",
+    "e1_event_counts",
 ]
 
 

@@ -39,6 +39,7 @@ ADAPTIVE = [
     "s16_knn_centrality",  # inherits s11's adaptive plane count
     "s17_ivf_probe_sweep",  # composes three s4 twins (IVF cells)
     "s18_nn_descent",  # expands the s11 twin (adaptive plane count)
+    "s21_nn_descent_converge",  # two s11-twin expansions + edge diffs
     "s19_ivfpq_ann",  # IVF cells + pq_shift from the catalog footer
     "s20_pq_shortlist_sweep",  # three cuts over the s19 adaptive chain
 ]

@@ -1792,3 +1792,68 @@ def test_langid_training_respects_holdout_split(spark):
     n_b, s_b = conf_b[("de", "de")]
     assert (n_a, n_b) == (2, 2)
     assert s_a == 2 * s_b and s_b > 0
+
+
+# ---- s21 iterated NN-descent (r9) -----------------------------------------
+
+
+def test_s21_termination_rule(spark, monkeypatch):
+    """The declarative early-stop must mirror the NN-descent loop:
+    a round that changes no edges is the last one reported, and its
+    converged flag is true."""
+    from yuki_spark.queries import sim
+
+    def df(rows):
+        return spark.createDataFrame(rows, "qid long, cid long")
+
+    exact = df([(0, 1), (0, 2), (0, 3)])
+    g0 = df([(0, 1), (0, 9)])
+    g_changed = df([(0, 1), (0, 2)])  # one edge differs from g0
+
+    def patch(exact_df, g0_df, g1_df, g2_df):
+        monkeypatch.setattr(sim, "_exact20", lambda s, d: exact_df)
+        monkeypatch.setattr(sim, "_graph", lambda s, d: g0_df)
+        monkeypatch.setattr(sim, "_graph_nnd", lambda s, d: g1_df)
+        monkeypatch.setattr(sim, "_graph_nnd2", lambda s, d: g2_df)
+
+    # converged in round 1: g1 == g0 -> ONE row, converged, no delta
+    patch(exact, g0, g0, g0)
+    got = sim.s21_nn_descent_converge(spark, "unused").collect()
+    assert [r["round"] for r in got] == [1]
+    assert got[0]["edges_changed"] == 0 and got[0]["converged"]
+    assert got[0]["hits_delta"] == 0
+
+    # converged in round 2: g1 != g0, g2 == g1 -> TWO rows, second
+    # converged; hit counts move with the edge sets
+    patch(exact, g0, g_changed, g_changed)
+    got = sim.s21_nn_descent_converge(spark, "unused").collect()
+    assert [r["round"] for r in got] == [1, 2]
+    assert got[0]["edges_changed"] == 1 and not got[0]["converged"]
+    assert got[0]["n_hits"] == 2 and got[0]["hits_delta"] == 1  # 1 -> 2 hits
+    assert got[1]["edges_changed"] == 0 and got[1]["converged"]
+    assert got[1]["hits_delta"] == 0
+
+
+def test_s21_live_recall_non_decreasing(spark):
+    """On the real sf0.001 deposits: every reported round keeps or
+    improves cohort recall (superset-candidate property), counts are
+    internally consistent, and the round sequence is contiguous."""
+    import os
+    import tempfile
+
+    from yuki_spark.queries import sim
+
+    with tempfile.TemporaryDirectory() as td:
+        os.environ["YUKI_SPARK_SIM_STORE"] = td
+        try:
+            rows = sim.s21_nn_descent_converge(
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        finally:
+            os.environ.pop("YUKI_SPARK_SIM_STORE", None)
+    assert [r["round"] for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r["hits_delta"] >= 0  # non-decreasing recall per round
+        assert r["n_possible"] == sim.ANN_NQ * sim.K
+        assert r["recall"] == r["n_hits"] / r["n_possible"]
+        assert r["converged"] == (r["edges_changed"] == 0)

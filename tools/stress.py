@@ -194,6 +194,9 @@ def main() -> None:
         "d44_bpe_tokens",
         "d45_langid_model",
         "s18_nn_descent",
+        # round-9: iterated NN-descent — two k² rounds + full-graph
+        # edge anti-joins must stay bounded by the n·k edge volume
+        "s21_nn_descent_converge",
         # IVF-ADC: the probed-cells-only ADC scan must beat/track s8's
         # whole-corpus ADC as n grows; the sweep + fertility audit are
         # deposit/agg consumers stressed to prove they stay cheap

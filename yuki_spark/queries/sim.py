@@ -4,6 +4,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import load, table_rows
 from ..operators import similarity
@@ -113,6 +114,22 @@ def _graph_nnd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "graph_nnd",
         {"k": K, "round": 1},
         lambda: similarity.nn_descent_round(emb, _graph(spark, sf_dir), k=K),
+    )
+
+
+def _graph_nnd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second NN-descent generation: one more neighbor-of-neighbor
+    round over the round-1 deposit (each generation is its own
+    persisted artifact, exactly like graph_nnd)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim_family.result(
+        spark,
+        sf_dir,
+        "graph_nnd2",
+        {"k": K, "round": 2},
+        lambda: similarity.nn_descent_round(
+            emb, _graph_nnd(spark, sf_dir), k=K
+        ),
     )
 
 
@@ -508,6 +525,85 @@ def s18_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s21_nn_descent_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NN-descent iterated to its standard termination (Dong et al.,
+    WWW 2011): run neighbor-of-neighbor refinement rounds and stop
+    when a round changes no edges. One row per EXECUTED round with
+    the convergence evidence a graph-ANN build monitors: recall vs
+    brute-force truth over the shared nq=20 cohort, the recall delta
+    against the previous generation, the number of edges the round
+    actually changed (full-graph grain, not just the cohort), and
+    the converged flag. Round 2 is reported only if round 1 changed
+    edges — the declarative form of the early-stop loop, identical
+    in both engines, so the oracle verifies the termination rule
+    itself. Recall is non-decreasing by construction (each round's
+    candidate set is a superset of the current edges under the same
+    (cosine desc, cid) tiebreak; pinned in tests).
+
+    Scale shape: generations are sim_family deposits (graph →
+    graph_nnd → graph_nnd2; each build is the O(n·k²) keyed-join
+    round of operators/similarity.py::nn_descent_round, audited at
+    10× in tools/stress.py); this harness then runs three cohort
+    hit-joins and two full-graph anti-joins — all equi-keyed over
+    n·k-row edge tables, followed by scalar aggregates. Nothing
+    corpus-sized is broadcast or windowed."""
+    nq = ANN_NQ
+    exact = _exact20(spark, sf_dir).select("qid", "cid")
+    gens = [
+        _graph(spark, sf_dir).select("qid", "cid"),
+        _graph_nnd(spark, sf_dir).select("qid", "cid"),
+        _graph_nnd2(spark, sf_dir).select("qid", "cid"),
+    ]
+
+    def hit_row(g: DataFrame, r: int) -> DataFrame:
+        return (
+            exact.join(g.where(F.col("qid") < nq), ["qid", "cid"])
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+            .select(F.lit(r).cast("bigint").alias("round"), "n_hits")
+        )
+
+    def ec_row(g_new: DataFrame, g_old: DataFrame, r: int) -> DataFrame:
+        return (
+            g_new.join(g_old, ["qid", "cid"], "left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("edges_changed"))
+            .select(F.lit(r).cast("bigint").alias("round"), "edges_changed")
+        )
+
+    hits = (
+        hit_row(gens[0], 0)
+        .unionByName(hit_row(gens[1], 1))
+        .unionByName(hit_row(gens[2], 2))
+    )
+    ecs = ec_row(gens[1], gens[0], 1).unionByName(ec_row(gens[2], gens[1], 2))
+    prev = hits.select(
+        (F.col("round") + 1).alias("round"),
+        F.col("n_hits").alias("prev_hits"),
+    )
+    prev_ec = ecs.select(
+        (F.col("round") + 1).alias("round"),
+        F.col("edges_changed").alias("prev_changed"),
+    )
+    return (
+        hits.where(F.col("round") >= 1)
+        .join(prev, "round")
+        .join(ecs, "round")
+        .join(prev_ec, "round", "left")
+        .where((F.col("round") == 1) | (F.col("prev_changed") > 0))
+        .select(
+            "round",
+            "n_hits",
+            F.lit(nq * K).cast("bigint").alias("n_possible"),
+            (F.col("n_hits").cast("double") / F.lit(float(nq * K))).alias(
+                "recall"
+            ),
+            (F.col("n_hits") - F.col("prev_hits")).alias("hits_delta"),
+            "edges_changed",
+            (F.col("edges_changed") == 0).alias("converged"),
+        )
+        .orderBy("round")
+    )
+
+
 MRL_DIMS = 16  # truncated-prefix width for the Matryoshka evaluation
 
 
@@ -653,6 +749,7 @@ QUERIES = {
     "s11_knn_graph": s11_knn_graph,
     "s12_graph_recall": s12_graph_recall,
     "s18_nn_descent": s18_nn_descent,
+    "s21_nn_descent_converge": s21_nn_descent_converge,
     "s13_matryoshka_recall": s13_matryoshka_recall,
     "s5_quantize_error": s5_quantize_error,
     "s7_semdedup": s7_semdedup,
@@ -1239,6 +1336,84 @@ def _s12_oracle() -> str:
     """
 
 
+def _nnd_round_ctes(src: str, out: str) -> str:
+    """CTE chunk expanding edge table ``src`` by one NN-descent round
+    into ``out`` (requires a ``vbn`` CTE with vec_id/sv/nrm in scope):
+    the exact SQL replay of operators/similarity.py::nn_descent_round
+    — neighbor-of-neighbor candidates, exact-int cosine re-rank, same
+    (cosine desc, cid) top-K order."""
+    return f"""non_{out} AS (
+          SELECT a.qid, b.cid FROM {src} a JOIN {src} b ON b.qid = a.cid
+          WHERE a.qid <> b.cid),
+        cand_{out} AS (
+          SELECT DISTINCT qid, cid FROM (
+            SELECT qid, cid FROM {src}
+            UNION ALL SELECT qid, cid FROM non_{out})),
+        sc_{out} AS (
+          SELECT cand.qid, cand.cid,
+                 round(CAST({_DOT.format(a='q.sv', b='c.sv')} AS DOUBLE)
+                   / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))), 9)
+                   AS cosine
+          FROM cand_{out} cand
+          JOIN vbn q ON q.vec_id = cand.qid
+          JOIN vbn c ON c.vec_id = cand.cid),
+        {out} AS (
+          SELECT qid, cid FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                        ORDER BY cosine DESC, cid) AS rk
+            FROM sc_{out})
+          WHERE rk <= {K})"""
+
+
+def _s21_oracle() -> str:
+    """Twin of s21_nn_descent_converge: the s11 graph twin expanded
+    by TWO NN-descent rounds (g0 -> g1 -> g2 via _nnd_round_ctes),
+    then per-round cohort hit counts, full-graph edge diffs, and the
+    same declarative early-stop filter (round 2 reported only if
+    round 1 changed edges)."""
+    nq = ANN_NQ
+    npos = nq * K
+    return f"""
+        WITH exact AS ({_s1_sql(nq)}),
+        g0 AS (SELECT qid, cid FROM ({_s11_oracle()})),
+        vb AS (
+          SELECT vec_id, {_SCALED} AS sv FROM embeddings),
+        vbn AS (
+          SELECT vec_id, sv, {_DOT.format(a='sv', b='sv')} AS nrm FROM vb),
+        {_nnd_round_ctes('g0', 'g1')},
+        {_nnd_round_ctes('g1', 'g2')},
+        hits AS (
+          SELECT CAST(0 AS BIGINT) AS round, CAST(COUNT(*) AS BIGINT) AS n_hits
+          FROM exact e JOIN g0 g ON g.qid = e.qid AND g.cid = e.cid
+          UNION ALL
+          SELECT CAST(1 AS BIGINT), CAST(COUNT(*) AS BIGINT)
+          FROM exact e JOIN g1 g ON g.qid = e.qid AND g.cid = e.cid
+          UNION ALL
+          SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT)
+          FROM exact e JOIN g2 g ON g.qid = e.qid AND g.cid = e.cid),
+        ec AS (
+          SELECT CAST(1 AS BIGINT) AS round,
+                 CAST(COUNT(*) AS BIGINT) AS edges_changed
+          FROM g1 WHERE NOT EXISTS (
+            SELECT 1 FROM g0 WHERE g0.qid = g1.qid AND g0.cid = g1.cid)
+          UNION ALL
+          SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT)
+          FROM g2 WHERE NOT EXISTS (
+            SELECT 1 FROM g1 WHERE g1.qid = g2.qid AND g1.cid = g2.cid))
+        SELECT h.round, h.n_hits, CAST({npos} AS BIGINT) AS n_possible,
+               CAST(h.n_hits AS DOUBLE) / CAST({npos} AS DOUBLE) AS recall,
+               h.n_hits - p.n_hits AS hits_delta,
+               e.edges_changed,
+               e.edges_changed = 0 AS converged
+        FROM hits h
+        JOIN hits p ON p.round = h.round - 1
+        JOIN ec e ON e.round = h.round
+        LEFT JOIN ec pe ON pe.round = h.round - 1
+        WHERE h.round >= 1 AND (h.round = 1 OR pe.edges_changed > 0)
+        ORDER BY h.round
+    """
+
+
 def _s18_oracle() -> str:
     """Twin of s18_nn_descent: the s11 graph twin expanded by one
     neighbor-of-neighbor round, exact-int re-ranked with the same
@@ -1506,6 +1681,7 @@ def build_oracle() -> dict[str, str]:
             "s11_knn_graph": _s11_oracle(),
             "s12_graph_recall": _s12_oracle(),
             "s18_nn_descent": _s18_oracle(),
+            "s21_nn_descent_converge": _s21_oracle(),
             "s13_matryoshka_recall": _s13_oracle(),
             "s14_mmr_rerank": _s14_oracle(),
             "s16_knn_centrality": _s16_oracle(),
