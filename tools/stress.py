@@ -217,6 +217,7 @@ def main() -> None:
         timings[n] = round(time.perf_counter() - t0, 2)
     audit, violations = lsh_population_audit(spark, out)
     skew = skew_join_audit(spark)
+    domain = offset_domain_audit(spark, out)
     # print BEFORE asserting: an audit failure must not discard the
     # timings this (long) run already paid for
     print(
@@ -228,11 +229,57 @@ def main() -> None:
                 "lsh_audit": audit,
                 "lsh_violations": violations,
                 "skew_join": skew,
+                "offset_domain": domain,
             }
         )
     )
     assert not violations, f"LSH population caps blown: {violations}"
     assert skew["skew_splits"] > 0, f"AQE skew-join split did not fire: {skew}"
+    # d43's offset table is the ONE remaining single-task window (over
+    # DISTINCT n_tokens values). Pin that its domain stays both small
+    # in absolute terms and ≪ the corpus, so a future data-model
+    # change (e.g. n_tokens becoming corpus-unique) can't silently
+    # recreate the corpus-grain window the r8 verdict flagged. d18's
+    # bucket domain is bounded by construction (PACK_BUCKETS) and
+    # audited here for the same reason.
+    assert domain["distinct_n_tokens"] <= 10_000, domain
+    assert domain["distinct_n_tokens"] * 10 <= domain["docs"], domain
+    assert domain["d18_offset_rows"] <= domain["d18_offset_cap"], domain
+
+
+def offset_domain_audit(spark, sf_dir: str) -> dict:
+    """Cardinalities of the broadcast offset tables behind d43's and
+    d18's distributed rank/prefix-sum decompositions."""
+    from pyspark.sql import functions as F
+
+    from yuki_spark.catalog import load
+    from yuki_spark.operators import text
+    from yuki_spark.queries.docs import PACK_BUCKETS
+
+    t = text.with_tokens(load(spark, sf_dir, "documents"))
+    row = t.agg(
+        F.countDistinct("n_tokens").alias("nt"),
+        F.count(F.lit(1)).alias("docs"),
+        F.countDistinct("lang").alias("langs"),
+    ).first()
+    bounds = t.agg(
+        F.min("doc_id").alias("lo"),
+        F.expr(f"((max(doc_id) - min(doc_id)) div {PACK_BUCKETS}) + 1").alias("bw"),
+    ).first()
+    d18_rows = (
+        t.select(
+            "lang",
+            F.expr(f"(doc_id - {bounds['lo']}) div {bounds['bw']}").alias("bkt"),
+        )
+        .distinct()
+        .count()
+    )
+    return {
+        "distinct_n_tokens": row["nt"],
+        "docs": row["docs"],
+        "d18_offset_rows": d18_rows,
+        "d18_offset_cap": row["langs"] * PACK_BUCKETS,
+    }
 
 
 def skew_join_audit(spark) -> dict:
