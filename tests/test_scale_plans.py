@@ -228,9 +228,9 @@ ALLOWED_BNLJ = {
     "d41_mix_planner": 1,  # single-row (corpus_tokens, n_sources) broadcast
     "d43_shard_balance": 1,  # single-row corpus_tokens broadcast
     # d18's distributed prefix sum broadcasts ONE (lo, bucket-width)
-    # row into both consumers of the bucketed doc stream (r9 fix for
-    # the per-lang corpus-grain window)
-    "d18_sequence_packing": 2,
+    # row, but the bucketed doc stream sits behind a lazy checkpoint
+    # (tokenize once for both consumers), so the visible plan shows 0
+    "d18_sequence_packing": 0,
     # d45's trained weights join a single-row totals broadcast into
     # the <=LID_FEATURES-row weight build (r9 trained-weights rewrite)
     "d45_langid_model": 1,

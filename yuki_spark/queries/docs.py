@@ -1137,8 +1137,12 @@ def d18_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"((max(doc_id) - min(doc_id)) div {PACK_BUCKETS}) + 1"
         ).alias("bw"),
     )
-    bucketed = docs.join(F.broadcast(bounds)).withColumn(
-        "bkt", F.expr("(doc_id - lo) div bw")
+    bucketed = (
+        docs.join(F.broadcast(bounds))
+        .withColumn("bkt", F.expr("(doc_id - lo) div bw"))
+        # tokenize once: the bucketed doc stream feeds BOTH the
+        # bucket-total aggregation and the within-bucket window
+        .localCheckpoint(eager=False)
     )
     per_bkt = bucketed.groupBy("lang", "bkt").agg(
         F.sum("n_tokens").alias("bkt_tokens")
@@ -1485,52 +1489,49 @@ def langid_train_confusion(docs: DataFrame) -> DataFrame:
     split, confusion rollup over the held-out docs. Factored out so
     tests can drive it with constructed signal-rich corpora.
 
-    Scale shape: one char-trigram explode compressed immediately to
-    (doc, bucket) count grain behind a lazy localCheckpoint (the
-    featurize stage runs ONCE for the train and eval consumers); the
-    weight build aggregates to bucket grain (≤ LID_FEATURES rows —
-    broadcastable at any corpus size) with a single-row totals
-    broadcast; eval scoring is a broadcast hash join + two hash-aggs.
-    No weight-table shuffle, no corpus-sized broadcast."""
+    Scale shape: the train/eval split happens BEFORE the char-trigram
+    explode (the splits are disjoint, so the two branches together
+    explode the corpus exactly once — no materialized featurize
+    table); training aggregates the gram stream STRAIGHT to bucket
+    grain (≤ LID_FEATURES rows — broadcastable at any corpus size)
+    with a single-row totals broadcast; eval scoring (1/LID_EVAL_MOD
+    of the corpus) is a (doc,bucket) hash-agg, a broadcast hash join
+    against the weight table, and two more hash-aggs. No weight-table
+    shuffle, no corpus-sized broadcast or materialization."""
     S = LID_RATE_SCALE
     base = docs.where(F.length("text") >= 3)
-    g = base.withColumn("cs", F.split(F.lower("text"), "")).select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(cs) - 2),"
-                " i -> concat(element_at(cs, i),"
-                " element_at(cs, i + 1), element_at(cs, i + 2)))"
-            )
-        ).alias("g"),
-    )
-    feat = (
-        g.select(
+
+    def grams(split: DataFrame) -> DataFrame:
+        g = split.withColumn("cs", F.split(F.lower("text"), "")).select(
             "doc_id",
             "lang",
-            (F.col("doc_id") % LID_EVAL_MOD == 0).alias("is_eval"),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(cs) - 2),"
+                    " i -> concat(element_at(cs, i),"
+                    " element_at(cs, i + 1), element_at(cs, i + 2)))"
+                )
+            ).alias("g"),
+        )
+        return g.select(
+            "doc_id",
+            "lang",
             (portable_hash60(F.col("g")) % F.lit(LID_FEATURES)).alias(
                 "bucket"
             ),
         )
-        .groupBy("doc_id", "lang", "is_eval", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=False)
-    )
+
     per_bucket = (
-        feat.where(~F.col("is_eval"))
+        grams(base.where(F.col("doc_id") % LID_EVAL_MOD != 0))
         .groupBy("bucket")
         .agg(
             *[
                 F.sum(
-                    F.when(F.col("lang") == c, F.col("cnt")).otherwise(
-                        F.lit(0)
-                    )
+                    F.when(F.col("lang") == c, F.lit(1)).otherwise(F.lit(0))
                 ).alias(f"n_{c}")
                 for c in LID_CLASSES
             ],
-            F.sum("cnt").alias("n_all"),
+            F.count(F.lit(1)).alias("n_all"),
         )
     )
     tots = per_bucket.agg(
@@ -1547,9 +1548,13 @@ def langid_train_confusion(docs: DataFrame) -> DataFrame:
             for c in LID_CLASSES
         ],
     )
+    eval_feat = (
+        grams(base.where(F.col("doc_id") % LID_EVAL_MOD == 0))
+        .groupBy("doc_id", "lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     per_doc = (
-        feat.where(F.col("is_eval"))
-        .join(F.broadcast(weights), "bucket", "left")
+        eval_feat.join(F.broadcast(weights), "bucket", "left")
         .groupBy("doc_id", "lang")
         .agg(
             *[
