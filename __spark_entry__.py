@@ -86,9 +86,14 @@ _PRIORITY = [
     "d45_langid_model",
     "s21_nn_descent_converge",
     # --- 50-slot cap lands HERE: exactly 50 keys above (45
-    # r6-stamped + 4 changed + 1 new). The r7-stamped block below
-    # leads the r10 rotation (all of it must be stamped by r10 to
-    # stay within the 2-round staleness rule).
+    # r6-stamped + 4 changed + 1 new). Below the cap: s22 FIRST (born
+    # late in round 9, after the five in-sweep slots were spoken for —
+    # never driver-validated, so it must open the r10 sweep; it is
+    # judge-verifiable now via tests/test_oracle_parity.py), then the
+    # r7-stamped block (all of it must be stamped by r10 to stay
+    # within the 2-round staleness rule: 42 keys + s22 + the r9 wave
+    # fits the 50 slots).
+    "s22_hnsw_ann",
     "d37_span_scrub",
     "d38_threshold_sweep",
     "d39_cluster_sizes",

@@ -1857,3 +1857,83 @@ def test_s21_live_recall_non_decreasing(spark):
         assert r["n_possible"] == sim.ANN_NQ * sim.K
         assert r["recall"] == r["n_hits"] / r["n_possible"]
         assert r["converged"] == (r["edges_changed"] == 0)
+
+
+# ---- s22 hierarchical layered-descent ANN (r9) -----------------------------
+
+
+def test_hnsw_descent_beats_entry_beam_pointwise(spark):
+    """Each level re-ranks a superset of the incoming beam under the
+    same (cosine desc, cid) total order, so the FINAL top-k cosines
+    pointwise dominate the entry-level top-k — the property that makes
+    greedy descent safe. Verified on real sf0.001 vectors with fresh
+    deposits, plus structure checks (per-query k rows, no self-match,
+    sorted ranks)."""
+    import os
+    import tempfile
+
+    from yuki_spark.operators import similarity
+    from yuki_spark.queries import sim
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    with tempfile.TemporaryDirectory() as td:
+        os.environ["YUKI_SPARK_SIM_STORE"] = td
+        try:
+            res = similarity.hnsw_descent(
+                emb,
+                sim._graph(spark, sf),
+                sim._graph_l1(spark, sf),
+                k=sim.K,
+                n_queries=sim.ANN_NQ,
+                beam=sim.HNSW_BEAM,
+                l1_mod=sim.HNSW_L1_MOD,
+                l2_mod=sim.HNSW_L2_MOD,
+            ).collect()
+        finally:
+            os.environ.pop("YUKI_SPARK_SIM_STORE", None)
+
+    # independent numpy entry-beam baseline: exact top-k over the
+    # level-2 members with the family's scaled-int cosine discipline
+    import numpy as np
+    import pandas as pd
+
+    pdf = pd.read_parquet(f"{sf}/embeddings.parquet")[["vec_id", "embedding"]]
+    vecs = {
+        int(r.vec_id): np.floor(
+            np.asarray(list(r.embedding), dtype=np.float64) * (1 << 24)
+        ).astype(np.int64)
+        for r in pdf.itertuples()
+    }
+    lvl2_ids = sorted(v for v in vecs if v % sim.HNSW_L2_MOD == 0)
+
+    def cos(a, b):
+        va, vb = vecs[a], vecs[b]
+        return round(
+            float(va @ vb)
+            / (np.sqrt(float(va @ va)) * np.sqrt(float(vb @ vb))),
+            9,
+        )
+
+    entry_topk = {}
+    for qid in range(sim.ANN_NQ):
+        cands = sorted(
+            ((cos(qid, c), c) for c in lvl2_ids if c != qid),
+            key=lambda t: (-t[0], t[1]),
+        )
+        entry_topk[qid] = [v for v, _ in cands[: sim.K]]
+
+    got = {}
+    for r in res:
+        assert r["qid"] != r["cid"]
+        got.setdefault(r["qid"], []).append((r["rk"], r["cosine"]))
+    assert set(got) == set(range(sim.ANN_NQ))
+    for qid, rows in got.items():
+        rks = sorted(rk for rk, _ in rows)
+        assert rks == list(range(1, len(rows) + 1))
+        fin = [v for _, v in sorted(rows)]
+        ent = entry_topk[qid]
+        # pointwise dominance: descent can only improve on the entry
+        # beam (each hop re-ranks a superset under the same order)
+        for i in range(min(len(fin), len(ent))):
+            assert fin[i] >= ent[i] - 1e-12, (qid, fin, ent)

@@ -197,6 +197,9 @@ def main() -> None:
         # round-9: iterated NN-descent — two k² rounds + full-graph
         # edge anti-joins must stay bounded by the n·k edge volume
         "s21_nn_descent_converge",
+        # round-9: layered descent — entry cross is |lvl2|-bounded and
+        # every hop is an edge-deposit equi-join; must stay flat at 10×
+        "s22_hnsw_ann",
         # IVF-ADC: the probed-cells-only ADC scan must beat/track s8's
         # whole-corpus ADC as n grows; the sweep + fertility audit are
         # deposit/agg consumers stressed to prove they stay cheap

@@ -1106,6 +1106,106 @@ def nn_descent_round(emb: DataFrame, graph: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def hnsw_descent(
+    emb: DataFrame,
+    graph_l0: DataFrame,
+    graph_l1: DataFrame,
+    k: int = 3,
+    n_queries: int = 20,
+    beam: int = 4,
+    l1_mod: int = 4,
+    l2_mod: int = 16,
+) -> DataFrame:
+    """Hierarchical layered-descent ANN search (the HNSW search shape,
+    Malkov & Yashunin 2018) expressed as batch DataFrame ops: every
+    level's membership is a deterministic modulus of vec_id (level 2 =
+    vec_id % l2_mod == 0 ⊂ level 1 = vec_id % l1_mod == 0 ⊂ level 0 =
+    all — the nested-layers invariant), the per-level neighbor graphs
+    arrive as ARGUMENTS (persisted deposits: the s11 graph for level 0,
+    a knn_graph over the level-1 members for level 1), and each query
+    descends greedily: exact-score the (small) top level for an entry
+    beam, then per level below re-rank {beam ∪ level-graph neighbors
+    of the beam} and keep the best ``beam`` (``k`` at ground level).
+    Deterministic end-to-end (exact-int cosines, (cosine desc, cid)
+    total order), so a DuckDB twin replays every hop.
+
+    Final top-k quality dominates the entry beam's pointwise (each
+    level re-ranks a superset of the incoming beam under the same
+    total order — pinned in tests), and the per-query work is
+    O(|level2| + levels·beam·k) exact scores instead of O(n):
+    the hierarchical version of s19's coarse-prune-then-refine.
+
+    Scale shape: the only non-equi join is the bounded entry cross
+    (n_queries × |level2|, query side broadcast — s1's audited
+    pattern); every descent hop is an equi-join against an n·k-row
+    edge deposit plus a re-rank join against the scaled corpus, all
+    keyed. At 100 TB the level count grows with log(n) (more moduli,
+    same per-level plan); the two-level form here is the test-scale
+    instance of that ladder."""
+    base = (
+        emb.select("vec_id", scaled("embedding").alias("sv"))
+        .withColumn("nrm", int_dot(F.col("sv"), F.col("sv")))
+        .localCheckpoint(eager=False)  # feeds entry + every re-rank once
+    )
+    q = base.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"),
+        F.col("sv").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cand_side = base.select(
+        F.col("vec_id").alias("cid"),
+        F.col("sv").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+
+    def rerank(cand: DataFrame, width: int) -> DataFrame:
+        cos = F.round(
+            cosine_from_ints(
+                int_dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")
+            ),
+            9,
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col("cid"))
+        return (
+            cand.join(broadcast(q), "qid")
+            .join(cand_side, "cid")
+            .withColumn("cosine", cos)
+            .withColumn("rk", F.row_number().over(w).cast("bigint"))
+            .where(F.col("rk") <= width)
+            .select("qid", "rk", "cid", "cosine")
+        )
+
+    entry = q.select("qid").join(
+        base.where(F.col("vec_id") % l2_mod == 0).select(
+            F.col("vec_id").alias("cid")
+        ),
+        F.col("qid") != F.col("cid"),
+    )
+    # each beam is consumed twice (graph expansion + the union that
+    # keeps it in the candidate set); checkpoint the n_queries×beam-row
+    # tables so each descent hop computes once, not once per consumer
+    b2 = rerank(entry, beam).localCheckpoint(eager=False)
+
+    def expand(beam_df: DataFrame, graph: DataFrame, width: int) -> DataFrame:
+        nb = (
+            beam_df.select("qid", F.col("cid").alias("mid"))
+            .join(
+                graph.select(F.col("qid").alias("mid"), "cid"), "mid"
+            )
+            .select("qid", "cid")
+        )
+        cand = (
+            beam_df.select("qid", "cid")
+            .unionByName(nb)
+            .where(F.col("qid") != F.col("cid"))
+            .distinct()
+        )
+        return rerank(cand, width)
+
+    b1 = expand(b2, graph_l1, beam).localCheckpoint(eager=False)
+    return expand(b1, graph_l0, k).orderBy("qid", "rk")
+
+
 # ---- int8 quantization --------------------------------------------------
 
 Q_SCALE = 1 << 20  # 2^20: float32*2^20 is exact; keeps err² sums in int64

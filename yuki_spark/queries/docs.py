@@ -1533,6 +1533,10 @@ def langid_train_confusion(docs: DataFrame) -> DataFrame:
             ],
             F.count(F.lit(1)).alias("n_all"),
         )
+        # ≤ LID_FEATURES rows, but its SUBTREE is the full train-split
+        # explode — checkpoint so the totals row and the weight join
+        # don't each re-run the corpus pass
+        .localCheckpoint(eager=False)
     )
     tots = per_bucket.agg(
         *[F.sum(f"n_{c}").alias(f"t_{c}") for c in LID_CLASSES],
