@@ -793,3 +793,100 @@ def test_avi_mjpeg_walk_roundtrip_property(payloads):
     got = codecs.avi_mjpeg_frames(avi)
     want = [f for f in frames if f[:2] == codecs.JPEG_SOI]
     assert got == want
+
+
+@given(
+    vecs=hst.lists(
+        hst.lists(
+            hst.floats(0.125, 2.0, allow_nan=False, width=32),
+            min_size=4,
+            max_size=4,
+        ).map(tuple),
+        min_size=8,
+        max_size=20,
+    )
+)
+@_SETTINGS
+def test_hnsw_descent_matches_python_reference(spark, vecs):
+    """The layered descent replayed by an independent python reference
+    on arbitrary corpora and arbitrary (exact) level graphs: identical
+    final top-k, row for row. Positive components keep every norm
+    nonzero; the level graphs are built exactly in python and handed
+    to BOTH sides, so this isolates the descent mechanics (entry beam,
+    superset expansion, re-rank order, self-exclusion)."""
+    import math
+    import struct
+
+    from yuki_spark.operators.similarity import hnsw_descent
+
+    K_, NQ, BEAM, L1, L2 = 2, 4, 2, 2, 4
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    sv = {
+        i: [math.floor(f32(x) * (1 << 24)) for x in v]
+        for i, v in enumerate(vecs)
+    }
+    ids = sorted(sv)
+
+    def cos(a, b):
+        da = sum(x * y for x, y in zip(sv[a], sv[b]))
+        na = math.sqrt(sum(x * x for x in sv[a]))
+        nb = math.sqrt(sum(x * x for x in sv[b]))
+        return round(da / (na * nb), 9)
+
+    def exact_graph(members):
+        edges = {}
+        for q in members:
+            cands = sorted(
+                ((cos(q, c), c) for c in members if c != q),
+                key=lambda t: (-t[0], t[1]),
+            )
+            edges[q] = [c for _, c in cands[:K_]]
+        return edges
+
+    g0 = exact_graph(ids)
+    g1 = exact_graph([i for i in ids if i % L1 == 0])
+
+    def topk(q, cand, width):
+        return sorted(
+            ((cos(q, c), c) for c in cand if c != q),
+            key=lambda t: (-t[0], t[1]),
+        )[:width]
+
+    expected = []
+    for q in range(min(NQ, len(ids))):
+        beam = [c for _, c in topk(q, [i for i in ids if i % L2 == 0], BEAM)]
+        for g in (g1, g0):
+            cand = set(beam)
+            for m in beam:
+                cand.update(g.get(m, []))
+            width = BEAM if g is g1 else K_
+            beam = [c for _, c in topk(q, cand, width)]
+        for rk, c in enumerate(beam, 1):
+            expected.append((q, rk, c, cos(q, c)))
+
+    emb = spark.createDataFrame(
+        [(i, list(v), 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+    def gdf(edges):
+        rows = [
+            (q, rk, c, cos(q, c))
+            for q, cs in edges.items()
+            for rk, c in enumerate(cs, 1)
+        ]
+        return spark.createDataFrame(
+            rows, "qid long, rk long, cid long, cosine double"
+        )
+
+    got = [
+        (r["qid"], r["rk"], r["cid"], r["cosine"])
+        for r in hnsw_descent(
+            emb, gdf(g0), gdf(g1), k=K_, n_queries=NQ, beam=BEAM,
+            l1_mod=L1, l2_mod=L2,
+        ).collect()
+    ]
+    assert sorted(got) == sorted(expected)
