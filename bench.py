@@ -150,6 +150,8 @@ def _main_body(sf_dir: str, sf: float) -> None:
         "s18_nn_descent",        # NN-descent refined-graph deposit
         "s19_ivfpq_ann",         # shortlist-independent IVF-ADC table
         "d44_bpe_tokens",        # tokenized-vocabulary deposit
+        "s21_nn_descent_converge",  # second NN-descent generation deposit
+        "s22_hnsw_ann",          # level-1 kNN graph deposit
     ]
     cold_build_s: dict[str, float] = {}
     for name in cold_keys:
