@@ -1887,7 +1887,6 @@ def test_hnsw_descent_beats_entry_beam_pointwise(spark):
                 k=sim.K,
                 n_queries=sim.ANN_NQ,
                 beam=sim.HNSW_BEAM,
-                l1_mod=sim.HNSW_L1_MOD,
                 l2_mod=sim.HNSW_L2_MOD,
             ).collect()
         finally:

@@ -886,7 +886,7 @@ def test_hnsw_descent_matches_python_reference(spark, vecs):
         (r["qid"], r["rk"], r["cid"], r["cosine"])
         for r in hnsw_descent(
             emb, gdf(g0), gdf(g1), k=K_, n_queries=NQ, beam=BEAM,
-            l1_mod=L1, l2_mod=L2,
+            l2_mod=L2,
         ).collect()
     ]
     assert sorted(got) == sorted(expected)

@@ -1113,16 +1113,17 @@ def hnsw_descent(
     k: int = 3,
     n_queries: int = 20,
     beam: int = 4,
-    l1_mod: int = 4,
     l2_mod: int = 16,
 ) -> DataFrame:
     """Hierarchical layered-descent ANN search (the HNSW search shape,
-    Malkov & Yashunin 2018) expressed as batch DataFrame ops: every
-    level's membership is a deterministic modulus of vec_id (level 2 =
-    vec_id % l2_mod == 0 ⊂ level 1 = vec_id % l1_mod == 0 ⊂ level 0 =
-    all — the nested-layers invariant), the per-level neighbor graphs
-    arrive as ARGUMENTS (persisted deposits: the s11 graph for level 0,
-    a knn_graph over the level-1 members for level 1), and each query
+    Malkov & Yashunin 2018) expressed as batch DataFrame ops: the
+    ENTRY level's membership is a deterministic modulus of vec_id
+    (level 2 = vec_id % l2_mod == 0), every level below is defined
+    entirely by its neighbor-graph ARGUMENT (persisted deposits: the
+    s11 graph for level 0, a knn_graph over the level-1 members for
+    level 1 — the caller keeps the nested-layers invariant level 2 ⊂
+    level 1 ⊂ all by building graph_l1 over a superset of the entry
+    members, e.g. a divisor modulus), and each query
     descends greedily: exact-score the (small) top level for an entry
     beam, then per level below re-rank {beam ∪ level-graph neighbors
     of the beam} and keep the best ``beam`` (``k`` at ground level).
@@ -1175,7 +1176,13 @@ def hnsw_descent(
             .select("qid", "rk", "cid", "cosine")
         )
 
-    entry = q.select("qid").join(
+    # the ONE non-equi join: bounded n_queries-row build side, and the
+    # broadcast hint is load-bearing — q sits behind the checkpoint's
+    # LogicalRDD whose size statistic is the default (huge), so
+    # without the hint JoinSelection degrades this to a cartesian
+    # that the (post-checkpoint) visible plan would hide from the
+    # plan-safety gate. Same pattern as cosine_topk's query side.
+    entry = broadcast(q.select("qid")).join(
         base.where(F.col("vec_id") % l2_mod == 0).select(
             F.col("vec_id").alias("cid")
         ),

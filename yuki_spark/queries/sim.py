@@ -124,30 +124,34 @@ HNSW_L2_MOD = 16
 HNSW_BEAM = 4
 
 
-def _l1_count(sf_dir: str) -> int:
-    """Level-1 member count from the catalog row count (vec_ids are
-    dense 0..n-1): ceil(n / HNSW_L1_MOD) — the SAME formula the oracle
-    twin uses, so both sides derive the identical adaptive plane
-    count for the level-1 graph."""
-    n = _emb_rows(sf_dir)
-    if n is None:
-        return 1
+def _l1_count(n: int) -> int:
+    """Level-1 member count from the corpus row count (vec_ids are
+    dense 0..n-1): ceil(n / HNSW_L1_MOD) — the SAME formula in the
+    Spark deposit and the oracle twin, so both derive the identical
+    adaptive plane count for the level-1 graph."""
     return (n + HNSW_L1_MOD - 1) // HNSW_L1_MOD
 
 
 def _graph_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Level-1 kNN graph deposit: the s11 bucket machinery over the
     vec_id % HNSW_L1_MOD == 0 member set (plane count adaptive to the
-    LEVEL size, not the corpus size)."""
+    LEVEL size, not the corpus size). An unreadable catalog footer
+    propagates None so knn_graph falls back to counting the FILTERED
+    member frame — never a made-up n (the r9 review caught a
+    fallback-to-1 here, which would have pinned the graph at the
+    minimum plane count and gone near-quadratic at scale)."""
     emb = load(spark, sf_dir, "embeddings").where(
         F.col("vec_id") % HNSW_L1_MOD == 0
     )
+    n = _emb_rows(sf_dir)
     return sim_family.result(
         spark,
         sf_dir,
         "graph_l1",
         {"k": K, "mod": HNSW_L1_MOD},
-        lambda: similarity.knn_graph(emb, k=K, n_est=_l1_count(sf_dir)),
+        lambda: similarity.knn_graph(
+            emb, k=K, n_est=None if n is None else _l1_count(n)
+        ),
     )
 
 
@@ -659,7 +663,6 @@ def s22_hnsw_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=K,
         n_queries=nq,
         beam=HNSW_BEAM,
-        l1_mod=HNSW_L1_MOD,
         l2_mod=HNSW_L2_MOD,
     ).select("qid", "cid")
     inter = exact.join(res, ["qid", "cid"]).groupBy("qid").agg(
@@ -1506,7 +1509,7 @@ def _s22_oracle() -> str:
     (cosine desc, cid) total order, then per-vector hit counts."""
     nq = ANN_NQ
     beam = HNSW_BEAM
-    n1 = _l1_count(_oracle_sf())
+    n1 = _l1_count(_oracle_emb_rows())  # loud fallback on footer failure
     cosexpr = (
         f"round(CAST({_DOT.format(a='q.sv', b='c.sv')} AS DOUBLE)"
         " / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))), 9)"
@@ -1576,26 +1579,7 @@ def _s18_oracle() -> str:
           SELECT vec_id, {_SCALED} AS sv FROM embeddings),
         vbn AS (
           SELECT vec_id, sv, {_DOT.format(a='sv', b='sv')} AS nrm FROM vb),
-        non AS (
-          SELECT a.qid, b.cid FROM g a JOIN g b ON b.qid = a.cid
-          WHERE a.qid <> b.cid),
-        cand AS (
-          SELECT DISTINCT qid, cid FROM (
-            SELECT qid, cid FROM g UNION ALL SELECT qid, cid FROM non)),
-        sc AS (
-          SELECT cand.qid, cand.cid,
-                 round(CAST({_DOT.format(a='q.sv', b='c.sv')} AS DOUBLE)
-                   / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))), 9)
-                   AS cosine
-          FROM cand
-          JOIN vbn q ON q.vec_id = cand.qid
-          JOIN vbn c ON c.vec_id = cand.cid),
-        ref AS (
-          SELECT qid, cid FROM (
-            SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
-                        ORDER BY cosine DESC, cid) AS rk
-            FROM sc)
-          WHERE rk <= {K}),
+        {_nnd_round_ctes('g', 'ref')},
         bh AS (
           SELECT e.qid, CAST(COUNT(g.cid) AS BIGINT) AS bh
           FROM exact e LEFT JOIN g ON g.qid = e.qid AND g.cid = e.cid
