@@ -94,6 +94,7 @@ _PRIORITY = [
     # within the 2-round staleness rule: 42 keys + s22 + the r9 wave
     # fits the 50 slots).
     "s22_hnsw_ann",
+    "s23_hnsw_beam_sweep",
     "d37_span_scrub",
     "d38_threshold_sweep",
     "d39_cluster_sizes",

@@ -41,6 +41,7 @@ _GLOBAL_AGG = {
     "s6_ann_recall",  # one evaluation row per index
     "s17_ivf_probe_sweep",  # one evaluation row per probe budget
     "s20_pq_shortlist_sweep",  # one evaluation row per shortlist budget
+    "s23_hnsw_beam_sweep",  # one evaluation row per beam width
     "s21_nn_descent_converge",  # empty graph: round 1 changes no edges,
     # so ONE trivially-converged round row is the correct report
     # (converged=true, 0 hits) — the termination rule working

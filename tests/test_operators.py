@@ -1936,3 +1936,31 @@ def test_hnsw_descent_beats_entry_beam_pointwise(spark):
         # beam (each hop re-ranks a superset under the same order)
         for i in range(min(len(fin), len(ent))):
             assert fin[i] >= ent[i] - 1e-12, (qid, fin, ent)
+
+
+def test_s23_sweep_consistent_with_s22_at_default_beam(spark):
+    """The sweep's HNSW_BEAM row must equal s22's per-vector table
+    summed — same deposits, same descent, different reporting grain
+    (the s20↔s19 consistency discipline for the layered family) —
+    and every row's arithmetic must be internally consistent."""
+    import os
+    import tempfile
+
+    from yuki_spark.queries import sim
+
+    sf = "/root/testdata/sf0.001"
+    with tempfile.TemporaryDirectory() as td:
+        os.environ["YUKI_SPARK_SIM_STORE"] = td
+        try:
+            sweep = {
+                r["beam"]: r
+                for r in sim.s23_hnsw_beam_sweep(spark, sf).collect()
+            }
+            per_vec = sim.s22_hnsw_ann(spark, sf).collect()
+        finally:
+            os.environ.pop("YUKI_SPARK_SIM_STORE", None)
+    assert sorted(sweep) == sorted(sim.HNSW_BEAM_SWEEP)
+    assert sweep[sim.HNSW_BEAM]["n_hits"] == sum(r["n_hits"] for r in per_vec)
+    for r in sweep.values():
+        assert r["n_possible"] == sim.ANN_NQ * sim.K
+        assert r["recall"] == r["n_hits"] / r["n_possible"]

@@ -200,6 +200,7 @@ def main() -> None:
         # round-9: layered descent — entry cross is |lvl2|-bounded and
         # every hop is an edge-deposit equi-join; must stay flat at 10×
         "s22_hnsw_ann",
+        "s23_hnsw_beam_sweep",
         # IVF-ADC: the probed-cells-only ADC scan must beat/track s8's
         # whole-corpus ADC as n grows; the sweep + fertility audit are
         # deposit/agg consumers stressed to prove they stay cheap

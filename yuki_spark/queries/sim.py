@@ -117,11 +117,14 @@ def _graph_nnd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# HNSW ladder geometry (s22): deterministic nested levels by vec_id
-# modulus; the beam is the search-time ef parameter.
+# HNSW ladder geometry (s22/s23): deterministic nested levels by
+# vec_id modulus; the beam is the search-time ef parameter, and the
+# sweep is the recall-vs-beam tuning curve (s20's discipline for the
+# layered-descent family).
 HNSW_L1_MOD = 4
 HNSW_L2_MOD = 16
 HNSW_BEAM = 4
+HNSW_BEAM_SWEEP = (2, 4, 8)
 
 
 def _l1_count(n: int) -> int:
@@ -685,6 +688,42 @@ def s22_hnsw_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s23_hnsw_beam_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-time tuning curve for the layered descent: cohort
+    recall at beam (ef) ∈ HNSW_BEAM_SWEEP, all widths served from the
+    SAME two graph deposits (graph + graph_l1 — an index is built
+    once; the beam is a pure query-time knob, exactly s20's
+    shortlist-sweep discipline for the ADC family). One aggregate row
+    per beam; the s22 default-width row equals s22's per-vector table
+    summed (pinned in tests). Recall is not forced monotone in beam —
+    greedy descent may trade a kept-beam slot for a neighbor — which
+    is precisely what the curve is for."""
+    nq = ANN_NQ
+    exact = _exact20(spark, sf_dir).select("qid", "cid")
+    emb = load(spark, sf_dir, "embeddings")
+    g0 = _graph(spark, sf_dir)
+    g1 = _graph_l1(spark, sf_dir)
+    out = None
+    for b in HNSW_BEAM_SWEEP:
+        res = similarity.hnsw_descent(
+            emb, g0, g1, k=K, n_queries=nq, beam=b, l2_mod=HNSW_L2_MOD
+        ).select("qid", "cid")
+        row = (
+            exact.join(res, ["qid", "cid"])
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+            .select(F.lit(b).cast("bigint").alias("beam"), "n_hits")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "beam",
+        "n_hits",
+        F.lit(nq * K).cast("bigint").alias("n_possible"),
+        (F.col("n_hits").cast("double") / F.lit(float(nq * K))).alias(
+            "recall"
+        ),
+    ).orderBy("beam")
+
+
 MRL_DIMS = 16  # truncated-prefix width for the Matryoshka evaluation
 
 
@@ -832,6 +871,7 @@ QUERIES = {
     "s18_nn_descent": s18_nn_descent,
     "s21_nn_descent_converge": s21_nn_descent_converge,
     "s22_hnsw_ann": s22_hnsw_ann,
+    "s23_hnsw_beam_sweep": s23_hnsw_beam_sweep,
     "s13_matryoshka_recall": s13_matryoshka_recall,
     "s5_quantize_error": s5_quantize_error,
     "s7_semdedup": s7_semdedup,
@@ -1500,23 +1540,14 @@ def _s21_oracle() -> str:
     """
 
 
-def _s22_oracle() -> str:
-    """Twin of s22_hnsw_ann: the full layered descent replayed in SQL
-    — exact entry scan of the level-2 members, beam expansion through
-    the level-1 graph twin (the s11 machinery restricted to
-    vec_id % HNSW_L1_MOD = 0 with the LEVEL-sized plane count) and
-    the level-0 graph twin, each hop an exact-int re-rank under the
-    (cosine desc, cid) total order, then per-vector hit counts."""
-    nq = ANN_NQ
-    beam = HNSW_BEAM
-    n1 = _l1_count(_oracle_emb_rows())  # loud fallback on footer failure
+def _hnsw_rerank_ctes(cand: str, out: str, width: int) -> str:
+    """CTE chunk: exact-int re-rank of candidate table ``cand`` into
+    top-``width`` table ``out`` (requires a ``vbn`` CTE in scope)."""
     cosexpr = (
         f"round(CAST({_DOT.format(a='q.sv', b='c.sv')} AS DOUBLE)"
         " / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))), 9)"
     )
-
-    def rerank(cand: str, out: str, width: int) -> str:
-        return f"""sc_{out} AS (
+    return f"""sc_{out} AS (
           SELECT cand.qid, cand.cid, {cosexpr} AS cosine
           FROM {cand} cand
           JOIN vbn q ON q.vec_id = cand.qid
@@ -1528,8 +1559,11 @@ def _s22_oracle() -> str:
             FROM sc_{out})
           WHERE rk <= {width})"""
 
-    def expand(beam_cte: str, graph_cte: str, out: str) -> str:
-        return f"""cand_{out} AS (
+
+def _hnsw_expand_ctes(beam_cte: str, graph_cte: str, out: str) -> str:
+    """CTE chunk: descent-hop candidates = beam ∪ graph neighbors of
+    the beam, self-matches dropped."""
+    return f"""cand_{out} AS (
           SELECT DISTINCT qid, cid FROM (
             SELECT qid, cid FROM {beam_cte}
             UNION ALL
@@ -1537,32 +1571,87 @@ def _s22_oracle() -> str:
             JOIN {graph_cte} g ON g.qid = b.cid)
           WHERE qid <> cid)"""
 
-    return f"""
-        WITH exact AS ({_s1_sql(nq)}),
+
+def _hnsw_descent_ctes(beam: int, suf: str) -> tuple[str, str]:
+    """The full layered descent for one beam width as a CTE chain
+    (entry scan → level-1 hop → level-0 hop); returns (ctes,
+    final_cte_name). Requires exact/gl0/gl1/vbn in scope."""
+    nq = ANN_NQ
+    ctes = f"""ent_cand{suf} AS (
+          SELECT q.vec_id AS qid, c.vec_id AS cid
+          FROM vbn q JOIN vbn c
+            ON c.vec_id % {HNSW_L2_MOD} = 0 AND c.vec_id <> q.vec_id
+          WHERE q.vec_id < {nq}),
+        {_hnsw_rerank_ctes(f'ent_cand{suf}', f'b2{suf}', beam)},
+        {_hnsw_expand_ctes(f'b2{suf}', 'gl1', f'b1{suf}')},
+        {_hnsw_rerank_ctes(f'cand_b1{suf}', f'b1{suf}', beam)},
+        {_hnsw_expand_ctes(f'b1{suf}', 'gl0', f'b0{suf}')},
+        {_hnsw_rerank_ctes(f'cand_b0{suf}', f'res{suf}', K)}"""
+    return ctes, f"res{suf}"
+
+
+def _hnsw_shared_ctes() -> str:
+    """exact truth + both level-graph twins + scaled-vector base —
+    the WITH prefix every HNSW twin shares."""
+    nq = ANN_NQ
+    n1 = _l1_count(_oracle_emb_rows())  # loud fallback on footer failure
+    return f"""exact AS ({_s1_sql(nq)}),
         gl0 AS (SELECT qid, cid FROM ({_s11_oracle()})),
         gl1 AS (SELECT qid, cid FROM (
           {_s11_oracle(f"WHERE vec_id % {HNSW_L1_MOD} = 0", n1)})),
         vb AS (
           SELECT vec_id, {_SCALED} AS sv FROM embeddings),
         vbn AS (
-          SELECT vec_id, sv, {_DOT.format(a='sv', b='sv')} AS nrm FROM vb),
-        ent_cand AS (
-          SELECT q.vec_id AS qid, c.vec_id AS cid
-          FROM vbn q JOIN vbn c
-            ON c.vec_id % {HNSW_L2_MOD} = 0 AND c.vec_id <> q.vec_id
-          WHERE q.vec_id < {nq}),
-        {rerank('ent_cand', 'b2', beam)},
-        {expand('b2', 'gl1', 'b1')},
-        {rerank('cand_b1', 'b1', beam)},
-        {expand('b1', 'gl0', 'b0')},
-        {rerank('cand_b0', 'res', K)},
+          SELECT vec_id, sv, {_DOT.format(a='sv', b='sv')} AS nrm FROM vb)"""
+
+
+def _s22_oracle() -> str:
+    """Twin of s22_hnsw_ann: the full layered descent replayed in SQL
+    — exact entry scan of the level-2 members, beam expansion through
+    the level-1 graph twin (the s11 machinery restricted to
+    vec_id % HNSW_L1_MOD = 0 with the LEVEL-sized plane count) and
+    the level-0 graph twin, each hop an exact-int re-rank under the
+    (cosine desc, cid) total order, then per-vector hit counts."""
+    descent, res = _hnsw_descent_ctes(HNSW_BEAM, "")
+    return f"""
+        WITH {_hnsw_shared_ctes()},
+        {descent},
         hits AS (
           SELECT e.qid, CAST(COUNT(r.cid) AS BIGINT) AS n_hits
-          FROM exact e LEFT JOIN res r ON r.qid = e.qid AND r.cid = e.cid
+          FROM exact e LEFT JOIN {res} r ON r.qid = e.qid AND r.cid = e.cid
           GROUP BY e.qid)
         SELECT qid, n_hits, CAST({K} AS BIGINT) AS n_possible,
                CAST(n_hits AS DOUBLE) / CAST({K} AS DOUBLE) AS recall
         FROM hits ORDER BY qid
+    """
+
+
+def _s23_oracle() -> str:
+    """Twin of s23_hnsw_beam_sweep: one descent chain per beam width
+    over the SAME shared exact/gl0/gl1/vbn prefix, cohort hit totals
+    per beam — the same composition discipline as _s17_oracle's
+    probe sweep."""
+    nq = ANN_NQ
+    npos = nq * K
+    chains, hit_rows = [], []
+    for b in HNSW_BEAM_SWEEP:
+        ctes, res = _hnsw_descent_ctes(b, f"_w{b}")
+        chains.append(ctes)
+        hit_rows.append(
+            f"""          SELECT CAST({b} AS BIGINT) AS beam,
+                 CAST(COUNT(*) AS BIGINT) AS n_hits
+          FROM {res} r JOIN exact e ON e.qid = r.qid AND e.cid = r.cid"""
+        )
+    chain_sql = ",\n        ".join(chains)
+    hits_sql = "\n          UNION ALL\n".join(hit_rows)
+    return f"""
+        WITH {_hnsw_shared_ctes()},
+        {chain_sql},
+        h AS (
+{hits_sql})
+        SELECT beam, n_hits, CAST({npos} AS BIGINT) AS n_possible,
+               CAST(n_hits AS DOUBLE) / CAST({npos} AS DOUBLE) AS recall
+        FROM h ORDER BY beam
     """
 
 
@@ -1816,6 +1905,7 @@ def build_oracle() -> dict[str, str]:
             "s18_nn_descent": _s18_oracle(),
             "s21_nn_descent_converge": _s21_oracle(),
             "s22_hnsw_ann": _s22_oracle(),
+            "s23_hnsw_beam_sweep": _s23_oracle(),
             "s13_matryoshka_recall": _s13_oracle(),
             "s14_mmr_rerank": _s14_oracle(),
             "s16_knn_centrality": _s16_oracle(),
