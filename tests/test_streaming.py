@@ -830,3 +830,107 @@ def test_histogram_accumulator_and_psi_drift(spark, event_dir, tmp_path):
 
     for r in e22_psi_drift(spark, SF_SMOKE).collect():
         assert abs(stream_psi[r["event_type"]]["psi_bits"] - r["psi_bits"]) < 1e-4
+
+
+def test_ann_serving_matches_batch_descent_and_replays(spark, tmp_path):
+    """Online ANN serving (run_ann_serving): query vectors stream in
+    against the persisted hierarchical index deposits and every
+    micro-batch is answered by the SAME layered descent the batch
+    path runs — the final snapshot equals a one-shot batch descent
+    over the last version of each query (serving == batch), a
+    re-sent query id overwrites its stale answer, and a forced batch
+    replay rewrites identical rows (idempotent sink)."""
+    import os as _os
+
+    from yuki_spark.operators.similarity import hnsw_descent
+    from yuki_spark.queries import sim
+
+    sf = "/root/testdata/sf0.001"
+    _os.environ["YUKI_SPARK_SIM_STORE"] = str(tmp_path / "simstore")
+    try:
+        corpus = spark.read.parquet(f"{sf}/embeddings.parquet")
+        g0 = sim._graph(spark, sf)
+        g1 = sim._graph_l1(spark, sf)
+
+        # query vectors copied from known corpus rows, ids far above
+        # the corpus id space (serving namespace must be disjoint)
+        src = {
+            r["vec_id"]: list(r["embedding"])
+            for r in corpus.where(F.col("vec_id").isin(5, 7, 9, 11)).collect()
+        }
+        sdir = tmp_path / "qstream"
+        sdir.mkdir()
+
+        def slice_file(name, rows):
+            tbl = pa.table(
+                {
+                    "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "embedding": pa.array(
+                        [r[1] for r in rows], pa.list_(pa.float32())
+                    ),
+                    "label": pa.array([0] * len(rows), pa.int32()),
+                }
+            )
+            pq.write_table(tbl, sdir / name)
+            time.sleep(0.05)
+
+        slice_file("part-0000.parquet", [(1000, src[5]), (1001, src[7])])
+        # 1001 re-queries with a DIFFERENT vector -> must overwrite
+        slice_file("part-0001.parquet", [(1001, src[9]), (1002, src[11])])
+
+        snap = str(tmp_path / "answers")
+        ckpt = str(tmp_path / "ann_ckpt")
+
+        def run_once():
+            q = st.run_ann_serving(
+                st.read_embedding_stream(
+                    spark, str(sdir), max_files_per_trigger=1
+                ),
+                corpus,
+                g0,
+                g1,
+                snap,
+                ckpt,
+            )
+            q.awaitTermination(120)
+
+        run_once()
+        got = sorted(
+            tuple(r)
+            for r in spark.read.parquet(snap)
+            .select("qid", "rk", "cid", "cosine")
+            .collect()
+        )
+        # serving == batch: one-shot descent over the LAST version of
+        # each query id
+        final_q = spark.createDataFrame(
+            [(1000, src[5], 0), (1001, src[9], 0), (1002, src[11], 0)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        want = sorted(
+            tuple(r)
+            for r in hnsw_descent(corpus, g0, g1, queries=final_q)
+            .select("qid", "rk", "cid", "cosine")
+            .collect()
+        )
+        assert got == want and len(got) > 0
+        assert {q for q, *_ in got} == {1000, 1001, 1002}
+        # a copied corpus vector's top answer scores cosine 1.0 only
+        # if the descent reached its source; what MUST hold is rank
+        # structure per query id
+        for qid in (1000, 1001, 1002):
+            rks = sorted(rk for q, rk, *_ in got if q == qid)
+            assert rks == list(range(1, len(rks) + 1))
+
+        # forced replay of the newest batch rewrites identical state
+        _force_batch_replay(ckpt)
+        run_once()
+        again = sorted(
+            tuple(r)
+            for r in spark.read.parquet(snap)
+            .select("qid", "rk", "cid", "cosine")
+            .collect()
+        )
+        assert again == got
+    finally:
+        _os.environ.pop("YUKI_SPARK_SIM_STORE", None)

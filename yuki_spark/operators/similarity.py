@@ -1114,6 +1114,7 @@ def hnsw_descent(
     n_queries: int = 20,
     beam: int = 4,
     l2_mod: int = 16,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """Hierarchical layered-descent ANN search (the HNSW search shape,
     Malkov & Yashunin 2018) expressed as batch DataFrame ops: the
@@ -1148,11 +1149,22 @@ def hnsw_descent(
         .withColumn("nrm", int_dot(F.col("sv"), F.col("sv")))
         .localCheckpoint(eager=False)  # feeds entry + every re-rank once
     )
-    q = base.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("qid"),
-        F.col("sv").alias("qv"),
-        F.col("nrm").alias("qn"),
-    )
+    if queries is None:
+        q = base.where(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("qid"),
+            F.col("sv").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+    else:
+        # external serving cohort: EVERY row of ``queries`` probes the
+        # index (n_queries is ignored); ids live in the caller's
+        # namespace — a query whose id collides with a corpus vec_id
+        # would have that one candidate excluded by the self-match
+        # guard, so serve with a disjoint id space
+        q = queries.select(
+            F.col("vec_id").alias("qid"),
+            scaled("embedding").alias("qv"),
+        ).withColumn("qn", int_dot(F.col("qv"), F.col("qv")))
     cand_side = base.select(
         F.col("vec_id").alias("cid"),
         F.col("sv").alias("cv"),

@@ -782,6 +782,69 @@ def run_upsert_snapshot(
     )
 
 
+def run_ann_serving(
+    sdf: DataFrame,
+    vectors: DataFrame,
+    graph_l0: DataFrame,
+    graph_l1: DataFrame,
+    snapshot_path: str,
+    checkpoint: str,
+    k: int = 3,
+    beam: int = 4,
+    l2_mod: int = 16,
+):
+    """Online ANN serving loop over the hierarchical index: the index
+    is the persisted deposit pair a batch build left behind (the s11
+    level-0 graph + s22's level-1 graph), ``sdf`` streams QUERY
+    vectors, and each micro-batch is answered by the same layered
+    descent the batch path runs (operators/similarity.hnsw_descent
+    with an external query cohort), upserted into a per-(qid, rk)
+    result snapshot — re-querying with a fresh vector overwrites the
+    stale answer, and a replayed batch rewrites identical rows
+    (idempotent sink, same discipline as run_upsert_snapshot).
+
+    Query ids live in the caller's namespace and must be disjoint
+    from corpus vec_ids (the descent's self-match guard). Scale
+    shape: per batch the descent costs O(|batch| · (|top level| +
+    levels·beam·k)) exact scores plus keyed joins against the n·k
+    edge deposits — the corpus is never re-scanned beyond the
+    checkpointed scaled-vector base, and nothing corpus-sized is
+    broadcast."""
+    from ..operators import similarity as sim
+    from ..operators.merge import merge_upsert
+
+    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = _dedup_per_key(batch_df, ["vec_id"]).localCheckpoint(
+            eager=True
+        )
+        res = sim.hnsw_descent(
+            vectors,
+            graph_l0,
+            graph_l1,
+            k=k,
+            beam=beam,
+            l2_mod=l2_mod,
+            queries=batch,
+        ).localCheckpoint(eager=True)
+        target = _read_snapshot_or_none(spark, snapshot_path)
+        merged = (
+            res
+            if target is None
+            else merge_upsert(target, res, ["qid", "rk"])
+        )
+        _atomic_overwrite(
+            merged.localCheckpoint(eager=True), snapshot_path
+        )
+
+    return (
+        sdf.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_sketch_accumulator(
     sdf: DataFrame,
     key: str,
