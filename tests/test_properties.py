@@ -890,3 +890,79 @@ def test_hnsw_descent_matches_python_reference(spark, vecs):
         ).collect()
     ]
     assert sorted(got) == sorted(expected)
+
+
+@given(
+    data=hst.data(),
+    vecs=hst.lists(
+        hst.lists(
+            hst.floats(0.125, 2.0, allow_nan=False, width=32),
+            min_size=4,
+            max_size=4,
+        ).map(tuple),
+        min_size=4,
+        max_size=12,
+    ),
+)
+@_SETTINGS
+def test_nn_descent_round_matches_python_reference(spark, data, vecs):
+    """One NN-descent round replayed by an independent python
+    reference on arbitrary corpora AND arbitrary (possibly bogus)
+    seed graphs: identical refined edge table, row for row. The seed
+    graph need not be a true kNN graph — the operator's contract is
+    purely 'candidates = edges ∪ neighbor-of-neighbor, exact-int
+    re-rank, top-k per vertex', and that must hold for any input."""
+    import math
+    import struct
+
+    from yuki_spark.operators.similarity import nn_descent_round
+
+    K_ = 2
+    ids = list(range(len(vecs)))
+    # arbitrary directed edge set over the ids (self-loops excluded)
+    pairs = [(a, b) for a in ids for b in ids if a != b]
+    edges = data.draw(
+        hst.lists(hst.sampled_from(pairs), min_size=1, max_size=16, unique=True)
+    )
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    sv = {
+        i: [math.floor(f32(x) * (1 << 24)) for x in v]
+        for i, v in enumerate(vecs)
+    }
+
+    def cos(a, b):
+        da = sum(x * y for x, y in zip(sv[a], sv[b]))
+        na = math.sqrt(sum(x * x for x in sv[a]))
+        nb = math.sqrt(sum(x * x for x in sv[b]))
+        return round(da / (na * nb), 9)
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    expected = []
+    for q in sorted(adj):
+        cand = set(adj[q])
+        for m in adj[q]:
+            cand.update(c for c in adj.get(m, []) if c != q)
+        top = sorted(
+            ((cos(q, c), c) for c in cand), key=lambda t: (-t[0], t[1])
+        )[:K_]
+        for rk, (v, c) in enumerate(top, 1):
+            expected.append((q, rk, c, v))
+
+    emb = spark.createDataFrame(
+        [(i, list(v), 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    graph = spark.createDataFrame(
+        [(a, 1, b, cos(a, b)) for a, b in edges],
+        "qid long, rk long, cid long, cosine double",
+    )
+    got = [
+        (r["qid"], r["rk"], r["cid"], r["cosine"])
+        for r in nn_descent_round(emb, graph, k=K_).collect()
+    ]
+    assert sorted(got) == sorted(expected)
