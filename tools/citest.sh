@@ -2,7 +2,7 @@
 # Two-process CI runner: splits the suite into two balanced halves and
 # runs them concurrently, each with its own Spark JVM on half the
 # cores. Single-process wall-clock is ~11 min (two Spark-heavy gates —
-# the 125-key oracle parity sweep and the 125-key empty-catalog sweep —
+# the every-key oracle parity sweep and the every-key empty-catalog sweep —
 # dominate); the split runs them beside the rest of the suite. Each
 # pytest process isolates its own artifact-store sandbox (conftest
 # mkdtemps a per-session YUKI_SPARK_DEDUP_STORE / _SIM_STORE), so the
