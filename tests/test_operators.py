@@ -1882,12 +1882,11 @@ def test_hnsw_descent_beats_entry_beam_pointwise(spark):
         try:
             res = similarity.hnsw_descent(
                 emb,
-                sim._graph(spark, sf),
-                sim._graph_l1(spark, sf),
+                [sim._graph_l1(spark, sf), sim._graph_nnd2(spark, sf)],
                 k=sim.K,
                 n_queries=sim.ANN_NQ,
                 beam=sim.HNSW_BEAM,
-                l2_mod=sim.HNSW_L2_MOD,
+                entry_mod=sim.HNSW_L2_MOD,
             ).collect()
         finally:
             os.environ.pop("YUKI_SPARK_SIM_STORE", None)

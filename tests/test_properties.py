@@ -885,8 +885,8 @@ def test_hnsw_descent_matches_python_reference(spark, vecs):
     got = [
         (r["qid"], r["rk"], r["cid"], r["cosine"])
         for r in hnsw_descent(
-            emb, gdf(g0), gdf(g1), k=K_, n_queries=NQ, beam=BEAM,
-            l2_mod=L2,
+            emb, [gdf(g1), gdf(g0)], k=K_, n_queries=NQ, beam=BEAM,
+            entry_mod=L2,
         ).collect()
     ]
     assert sorted(got) == sorted(expected)

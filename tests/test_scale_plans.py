@@ -355,6 +355,67 @@ def test_d18_bucket_decomposition_matches_single_window(spark):
     assert diff == 0
 
 
+def test_checkpoint_blind_spot_joins_pinned_pre_checkpoint(spark):
+    """The every-key plan gate cannot see inside localCheckpoint
+    subtrees (they surface as LogicalRDD leaves) — the two documented
+    blind-spot joins are pinned here on their UN-checkpointed forms:
+
+    1. hnsw_descent's entry join (similarity.hnsw_entry): its
+       broadcast hint is LOAD-BEARING at scale — once the corpus
+       base's size statistic outgrows the broadcast threshold (the
+       100 TB truth; at test sf the lazy checkpoint still carries a
+       small estimate), a hint-less JoinSelection degrades the
+       non-equi inner join to a CartesianProduct. Simulated the same
+       way as the cluster-profile SMJ gate: stats-based broadcast
+       DISABLED (threshold -1), where only the explicit hint keeps
+       the BNLJ; the hint-less twin build is asserted to actually
+       degrade, so this pin fails if the hint is ever dropped.
+    2. d18's bounds join (docs._d18_bucketed): the single-row bounds
+       aggregate must broadcast (BNLJ), never plan as a cartesian —
+       also pinned under the disabled threshold (F.broadcast is the
+       load-bearing marker there too).
+
+    Either pin failing means a refactor silently regressed a shape the
+    production checkpoint would hide from the gate."""
+    import re
+
+    from yuki_spark.catalog import load
+    from yuki_spark.operators import similarity, text
+    from yuki_spark.queries import docs as docs_mod
+    from yuki_spark.session import session_profile
+
+    def bnlj_nodes(plan: str) -> int:
+        # formatted explain names each node twice (tree + detail);
+        # the "(<id>) <Node>" detail header appears once per node
+        return len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan))
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    base = similarity.hnsw_base(emb)  # lazy checkpoint: LogicalRDD stats
+    q = base.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"))
+    docs = text.with_tokens(load(spark, SF_SMOKE, "documents")).select(
+        "lang", "doc_id", "n_tokens"
+    )
+    with session_profile(
+        spark, {"spark.sql.autoBroadcastJoinThreshold": "-1"}
+    ):
+        entry_plan = fmt_plan(spark, similarity.hnsw_entry(q, base, 16))
+        assert bnlj_nodes(entry_plan) == 1
+        assert "CartesianProduct" not in entry_plan
+        # the hint-less twin REALLY degrades under these stats — the
+        # pin above is meaningful, not vacuously green
+        nohint = q.select("qid").join(
+            base.where(F.col("vec_id") % 16 == 0).select(
+                F.col("vec_id").alias("cid")
+            ),
+            F.col("qid") != F.col("cid"),
+        )
+        assert "CartesianProduct" in fmt_plan(spark, nohint)
+
+        d18_plan = fmt_plan(spark, docs_mod._d18_bucketed(docs))
+        assert bnlj_nodes(d18_plan) == 1
+        assert "CartesianProduct" not in d18_plan
+
+
 def test_every_query_plan_scale_safe(spark, qs):
     """The PLANS.md audit as a gate, over EVERY queries() entry:
     zero row-at-a-time Python stages (BatchEvalPython) anywhere, zero

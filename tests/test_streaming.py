@@ -849,8 +849,8 @@ def test_ann_serving_matches_batch_descent_and_replays(spark, tmp_path):
     _os.environ["YUKI_SPARK_SIM_STORE"] = str(tmp_path / "simstore")
     try:
         corpus = spark.read.parquet(f"{sf}/embeddings.parquet")
-        g0 = sim._graph(spark, sf)
-        g1 = sim._graph_l1(spark, sf)
+        # production build order: serve the REFINED level-0 generation
+        graphs = [sim._graph_l1(spark, sf), sim._graph_nnd2(spark, sf)]
 
         # query vectors copied from known corpus rows, ids far above
         # the corpus id space (serving namespace must be disjoint)
@@ -887,8 +887,7 @@ def test_ann_serving_matches_batch_descent_and_replays(spark, tmp_path):
                     spark, str(sdir), max_files_per_trigger=1
                 ),
                 corpus,
-                g0,
-                g1,
+                graphs,
                 snap,
                 ckpt,
             )
@@ -909,7 +908,7 @@ def test_ann_serving_matches_batch_descent_and_replays(spark, tmp_path):
         )
         want = sorted(
             tuple(r)
-            for r in hnsw_descent(corpus, g0, g1, queries=final_q)
+            for r in hnsw_descent(corpus, graphs, queries=final_q)
             .select("qid", "rk", "cid", "cosine")
             .collect()
         )
@@ -932,5 +931,38 @@ def test_ann_serving_matches_batch_descent_and_replays(spark, tmp_path):
             .collect()
         )
         assert again == got
+
+        # SHRUNKEN re-query (r10, r9-ADVICE): a new serving stream at
+        # k=2 re-queries 1001 — the whole stale 3-row answer must be
+        # REPLACED by the fresh 2-row one (per-qid replacement; a
+        # per-(qid, rk) upsert would leave the stale rk=3 row mixed in)
+        sdir2 = tmp_path / "qstream2"
+        sdir2.mkdir()
+        tbl = pa.table(
+            {
+                "vec_id": pa.array([1001], pa.int64()),
+                "embedding": pa.array([src[5]], pa.list_(pa.float32())),
+                "label": pa.array([0], pa.int32()),
+            }
+        )
+        pq.write_table(tbl, sdir2 / "part-0000.parquet")
+        q2 = st.run_ann_serving(
+            st.read_embedding_stream(spark, str(sdir2)),
+            corpus,
+            graphs,
+            snap,
+            str(tmp_path / "ann_ckpt2"),
+            k=2,
+        )
+        q2.awaitTermination(120)
+        after = spark.read.parquet(snap)
+        rows_1001 = sorted(
+            r["rk"] for r in after.where(F.col("qid") == 1001).collect()
+        )
+        assert rows_1001 == [1, 2]  # no stale rk=3 survivor
+        # untouched query ids keep their full answers
+        assert sorted(
+            r["rk"] for r in after.where(F.col("qid") == 1000).collect()
+        ) == [1, 2, 3]
     finally:
         _os.environ.pop("YUKI_SPARK_SIM_STORE", None)

@@ -13,6 +13,8 @@ query only joins its bucket (shuffle on bucket key).
 """
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -1106,49 +1108,89 @@ def nn_descent_round(emb: DataFrame, graph: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
-def hnsw_descent(
-    emb: DataFrame,
-    graph_l0: DataFrame,
-    graph_l1: DataFrame,
-    k: int = 3,
-    n_queries: int = 20,
-    beam: int = 4,
-    l2_mod: int = 16,
-    queries: DataFrame | None = None,
-) -> DataFrame:
-    """Hierarchical layered-descent ANN search (the HNSW search shape,
-    Malkov & Yashunin 2018) expressed as batch DataFrame ops: the
-    ENTRY level's membership is a deterministic modulus of vec_id
-    (level 2 = vec_id % l2_mod == 0), every level below is defined
-    entirely by its neighbor-graph ARGUMENT (persisted deposits: the
-    s11 graph for level 0, a knn_graph over the level-1 members for
-    level 1 — the caller keeps the nested-layers invariant level 2 ⊂
-    level 1 ⊂ all by building graph_l1 over a superset of the entry
-    members, e.g. a divisor modulus), and each query
-    descends greedily: exact-score the (small) top level for an entry
-    beam, then per level below re-rank {beam ∪ level-graph neighbors
-    of the beam} and keep the best ``beam`` (``k`` at ground level).
-    Deterministic end-to-end (exact-int cosines, (cosine desc, cid)
-    total order), so a DuckDB twin replays every hop.
-
-    Final top-k quality dominates the entry beam's pointwise (each
-    level re-ranks a superset of the incoming beam under the same
-    total order — pinned in tests), and the per-query work is
-    O(|level2| + levels·beam·k) exact scores instead of O(n):
-    the hierarchical version of s19's coarse-prune-then-refine.
-
-    Scale shape: the only non-equi join is the bounded entry cross
-    (n_queries × |level2|, query side broadcast — s1's audited
-    pattern); every descent hop is an equi-join against an n·k-row
-    edge deposit plus a re-rank join against the scaled corpus, all
-    keyed. At 100 TB the level count grows with log(n) (more moduli,
-    same per-level plan); the two-level form here is the test-scale
-    instance of that ladder."""
-    base = (
+def hnsw_base(emb: DataFrame) -> DataFrame:
+    """The layered descent's scaled-vector corpus base: (vec_id, sv,
+    nrm), lazily checkpointed so entry scan + every re-rank hop read
+    one materialization. Build it ONCE and pass to every
+    :func:`hnsw_descent` call that shares the corpus (a beam sweep, a
+    serving loop's micro-batches) — otherwise each call pays its own
+    corpus scan + checkpoint."""
+    return (
         emb.select("vec_id", scaled("embedding").alias("sv"))
         .withColumn("nrm", int_dot(F.col("sv"), F.col("sv")))
         .localCheckpoint(eager=False)  # feeds entry + every re-rank once
     )
+
+
+def hnsw_entry(q: DataFrame, base: DataFrame, entry_mod: int) -> DataFrame:
+    """Entry-level candidates: every query × every entry member
+    (vec_id % entry_mod == 0), self-matches excluded. The ONE non-equi
+    join in the descent — bounded build side (the query cohort), and
+    the broadcast hint is LOAD-BEARING: q normally sits behind the
+    base checkpoint's LogicalRDD whose size statistic is the default
+    (huge), so without the hint JoinSelection degrades this to a
+    cartesian that the (post-checkpoint) visible plan would hide from
+    the plan-safety gate. Same pattern as cosine_topk's query side;
+    plan shape pinned by tests/test_scale_plans.py on the
+    UN-checkpointed form."""
+    return broadcast(q.select("qid")).join(
+        base.where(F.col("vec_id") % entry_mod == 0).select(
+            F.col("vec_id").alias("cid")
+        ),
+        F.col("qid") != F.col("cid"),
+    )
+
+
+def hnsw_descent(
+    emb: DataFrame,
+    graphs: Sequence[DataFrame],
+    k: int = 3,
+    n_queries: int = 20,
+    beam: int = 4,
+    entry_mod: int = 16,
+    queries: DataFrame | None = None,
+    base: DataFrame | None = None,
+) -> DataFrame:
+    """Hierarchical layered-descent ANN search (the HNSW search shape,
+    Malkov & Yashunin 2018) expressed as batch DataFrame ops: the
+    ENTRY level's membership is a deterministic modulus of vec_id
+    (entry members = vec_id % entry_mod == 0), and every level below
+    is defined entirely by its position in ``graphs`` — an ARBITRARY
+    ladder of neighbor-graph arguments ordered top level → level 0
+    (persisted deposits: e.g. [graph_l2, graph_l1, graph_l0] for a
+    3-level descent; the caller keeps the nested-layers invariant
+    entry ⊂ top graph's members ⊂ … ⊂ all by building each level
+    graph over a superset of the level above, e.g. divisor moduli).
+    Each query descends greedily: exact-score the (small) entry level
+    for an entry beam, then per level below re-rank {beam ∪
+    level-graph neighbors of the beam} and keep the best ``beam``
+    (``k`` at ground level). Deterministic end-to-end (exact-int
+    cosines, (cosine desc, cid) total order), so a DuckDB twin
+    replays every hop.
+
+    Final top-k quality dominates the entry beam's pointwise (each
+    level re-ranks a superset of the incoming beam under the same
+    total order — pinned in tests), and the per-query work is
+    O(|entry| + len(graphs)·beam·k) exact scores instead of O(n):
+    the hierarchical version of s19's coarse-prune-then-refine.
+    This is the "levels grow with log(n)" ladder made literal: at
+    100 TB the caller appends more graph deposits (more moduli) and
+    every added level is the same bounded per-level plan.
+
+    Scale shape: the only non-equi join is the bounded entry cross
+    (n_queries × |entry|, query side broadcast — s1's audited
+    pattern, see :func:`hnsw_entry`); every descent hop is an
+    equi-join against an n·k-row edge deposit plus a re-rank join
+    against the scaled corpus, all keyed.
+
+    ``base`` lets a caller that runs several descents over the same
+    corpus (a beam sweep, a serving loop) pass one prebuilt
+    :func:`hnsw_base` instead of paying a corpus scan + checkpoint
+    per call."""
+    if not graphs:
+        raise ValueError("hnsw_descent needs at least one level graph")
+    if base is None:
+        base = hnsw_base(emb)
     if queries is None:
         q = base.where(F.col("vec_id") < n_queries).select(
             F.col("vec_id").alias("qid"),
@@ -1188,22 +1230,11 @@ def hnsw_descent(
             .select("qid", "rk", "cid", "cosine")
         )
 
-    # the ONE non-equi join: bounded n_queries-row build side, and the
-    # broadcast hint is load-bearing — q sits behind the checkpoint's
-    # LogicalRDD whose size statistic is the default (huge), so
-    # without the hint JoinSelection degrades this to a cartesian
-    # that the (post-checkpoint) visible plan would hide from the
-    # plan-safety gate. Same pattern as cosine_topk's query side.
-    entry = broadcast(q.select("qid")).join(
-        base.where(F.col("vec_id") % l2_mod == 0).select(
-            F.col("vec_id").alias("cid")
-        ),
-        F.col("qid") != F.col("cid"),
-    )
+    entry = hnsw_entry(q, base, entry_mod)
     # each beam is consumed twice (graph expansion + the union that
     # keeps it in the candidate set); checkpoint the n_queries×beam-row
     # tables so each descent hop computes once, not once per consumer
-    b2 = rerank(entry, beam).localCheckpoint(eager=False)
+    bm = rerank(entry, beam).localCheckpoint(eager=False)
 
     def expand(beam_df: DataFrame, graph: DataFrame, width: int) -> DataFrame:
         nb = (
@@ -1221,8 +1252,12 @@ def hnsw_descent(
         )
         return rerank(cand, width)
 
-    b1 = expand(b2, graph_l1, beam).localCheckpoint(eager=False)
-    return expand(b1, graph_l0, k).orderBy("qid", "rk")
+    for i, graph in enumerate(graphs):
+        last = i == len(graphs) - 1
+        bm = expand(bm, graph, k if last else beam)
+        if not last:
+            bm = bm.localCheckpoint(eager=False)
+    return bm.orderBy("qid", "rk")
 
 
 # ---- int8 quantization --------------------------------------------------

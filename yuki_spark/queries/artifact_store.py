@@ -37,7 +37,15 @@ from pyspark.sql import DataFrame, SparkSession
 from ..catalog import table_path
 from ..pipeline.impressions import ImpressionStore, impression_id
 
-_build_lock = threading.Lock()
+# RE-ENTRANT: a deposit's builder may itself call deposit_or_reuse for
+# an upstream generation (the NN-descent chain graph → graph_nnd →
+# graph_nnd2 does exactly this when the whole chain is cold — the
+# nested build completes and publishes before the outer builder
+# continues, so same-thread re-entry is safe). A plain Lock deadlocked
+# here the first time a cold chain was entered from the TOP (r10: s22
+# serving graph_nnd2); cross-thread serialization of identical builds
+# is unchanged.
+_build_lock = threading.RLock()
 
 
 def default_store_root(env_var: str, name: str) -> str | None:

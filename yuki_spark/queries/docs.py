@@ -1101,6 +1101,25 @@ PACK_BUDGET = 512  # tokens per training sequence
 PACK_BUCKETS = 256
 
 
+def _d18_bucketed(docs: DataFrame) -> DataFrame:
+    """d18's order-preserving range-bucket stream, PRE-checkpoint: the
+    single-row bounds broadcast cross-join + bucket id. Factored out so
+    the plan-safety pin (tests/test_scale_plans.py) can assert the
+    BroadcastNestedLoopJoin shape on the un-checkpointed form — the
+    production checkpoint hides this subtree behind a LogicalRDD, the
+    documented plan-audit blind spot."""
+    bounds = docs.agg(
+        F.min("doc_id").alias("lo"),
+        # +1 then div keeps every bucket id strictly below PACK_BUCKETS
+        F.expr(
+            f"((max(doc_id) - min(doc_id)) div {PACK_BUCKETS}) + 1"
+        ).alias("bw"),
+    )
+    return docs.join(F.broadcast(bounds)).withColumn(
+        "bkt", F.expr("(doc_id - lo) div bw")
+    )
+
+
 def d18_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing for pretraining batches: docs stream in
     doc_id order per language and fill fixed token-budget sequences; a
@@ -1130,20 +1149,9 @@ def d18_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = text.with_tokens(load(spark, sf_dir, "documents")).select(
         "lang", "doc_id", "n_tokens"
     )
-    bounds = docs.agg(
-        F.min("doc_id").alias("lo"),
-        # +1 then div keeps every bucket id strictly below PACK_BUCKETS
-        F.expr(
-            f"((max(doc_id) - min(doc_id)) div {PACK_BUCKETS}) + 1"
-        ).alias("bw"),
-    )
-    bucketed = (
-        docs.join(F.broadcast(bounds))
-        .withColumn("bkt", F.expr("(doc_id - lo) div bw"))
-        # tokenize once: the bucketed doc stream feeds BOTH the
-        # bucket-total aggregation and the within-bucket window
-        .localCheckpoint(eager=False)
-    )
+    # tokenize once: the bucketed doc stream feeds BOTH the
+    # bucket-total aggregation and the within-bucket window
+    bucketed = _d18_bucketed(docs).localCheckpoint(eager=False)
     per_bkt = bucketed.groupBy("lang", "bkt").agg(
         F.sum("n_tokens").alias("bkt_tokens")
     )

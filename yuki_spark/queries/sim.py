@@ -577,7 +577,10 @@ def s21_nn_descent_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
     the converged flag. Round 2 is reported only if round 1 changed
     edges — the declarative form of the early-stop loop, identical
     in both engines, so the oracle verifies the termination rule
-    itself. Recall is non-decreasing by construction (each round's
+    itself; since r10 a converged round 1 also skips BUILDING the
+    round-2 generation (a bounded scalar check against the edge
+    deposits), not just reporting it. Recall is non-decreasing by
+    construction (each round's
     candidate set is a superset of the current edges under the same
     (cosine desc, cid) tiebreak; pinned in tests).
 
@@ -590,11 +593,18 @@ def s21_nn_descent_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized is broadcast or windowed."""
     nq = ANN_NQ
     exact = _exact20(spark, sf_dir).select("qid", "cid")
-    gens = [
-        _graph(spark, sf_dir).select("qid", "cid"),
-        _graph_nnd(spark, sf_dir).select("qid", "cid"),
-        _graph_nnd2(spark, sf_dir).select("qid", "cid"),
-    ]
+    g0 = _graph(spark, sf_dir).select("qid", "cid")
+    g1 = _graph_nnd(spark, sf_dir).select("qid", "cid")
+    # early-stop BEFORE paying for generation 2 (r10, r9-ADVICE): the
+    # declarative round-filter below prunes only the round-2 ROW, not
+    # the O(n·k²) round-2 BUILD — so check the round-1 edges_changed
+    # scalar first (one bounded limit(1) action over the n·k edge
+    # deposits) and skip the graph_nnd2 build entirely when round 1
+    # already converged. Reported output is identical either way (a
+    # converged round 1 is the last row in both forms).
+    gens = [g0, g1]
+    if g1.join(g0, ["qid", "cid"], "left_anti").limit(1).count() > 0:
+        gens.append(_graph_nnd2(spark, sf_dir).select("qid", "cid"))
 
     def hit_row(g: DataFrame, r: int) -> DataFrame:
         return (
@@ -610,12 +620,12 @@ def s21_nn_descent_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(r).cast("bigint").alias("round"), "edges_changed")
         )
 
-    hits = (
-        hit_row(gens[0], 0)
-        .unionByName(hit_row(gens[1], 1))
-        .unionByName(hit_row(gens[2], 2))
-    )
-    ecs = ec_row(gens[1], gens[0], 1).unionByName(ec_row(gens[2], gens[1], 2))
+    hits = hit_row(gens[0], 0)
+    for r in range(1, len(gens)):
+        hits = hits.unionByName(hit_row(gens[r], r))
+    ecs = ec_row(gens[1], gens[0], 1)
+    for r in range(2, len(gens)):
+        ecs = ecs.unionByName(ec_row(gens[r], gens[r - 1], r))
     prev = hits.select(
         (F.col("round") + 1).alias("round"),
         F.col("n_hits").alias("prev_hits"),
@@ -651,8 +661,11 @@ def s22_hnsw_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     the r8 verdict listed as the one missing ANN family. The ladder:
     entry beam from an exact scan of the tiny level-2 member set,
     greedy re-rank descents through the level-1 graph deposit
-    (graph_l1) and the level-0 s11 graph deposit
-    (operators/similarity.py::hnsw_descent). Per-vector recall rows
+    (graph_l1) and — since r10 — the CONVERGED level-0 graph deposit
+    (graph_nnd2: the production build order is build → refine →
+    serve, so the descent reads the strictly-better NN-descent
+    generation s21 left behind, not the raw s11 seed graph;
+    operators/similarity.py::hnsw_descent). Per-vector recall rows
     (s12's reporting grain) so the oracle binds WHICH vectors lose
     neighbors; final-beam quality pointwise dominates the entry beam
     by the superset-re-rank argument (pinned in tests)."""
@@ -661,12 +674,11 @@ def s22_hnsw_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     res = similarity.hnsw_descent(
         emb,
-        _graph(spark, sf_dir),
-        _graph_l1(spark, sf_dir),
+        [_graph_l1(spark, sf_dir), _graph_nnd2(spark, sf_dir)],
         k=K,
         n_queries=nq,
         beam=HNSW_BEAM,
-        l2_mod=HNSW_L2_MOD,
+        entry_mod=HNSW_L2_MOD,
     ).select("qid", "cid")
     inter = exact.join(res, ["qid", "cid"]).groupBy("qid").agg(
         F.count(F.lit(1)).alias("hits")
@@ -691,22 +703,26 @@ def s22_hnsw_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s23_hnsw_beam_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Search-time tuning curve for the layered descent: cohort
     recall at beam (ef) ∈ HNSW_BEAM_SWEEP, all widths served from the
-    SAME two graph deposits (graph + graph_l1 — an index is built
-    once; the beam is a pure query-time knob, exactly s20's
-    shortlist-sweep discipline for the ADC family). One aggregate row
-    per beam; the s22 default-width row equals s22's per-vector table
-    summed (pinned in tests). Recall is not forced monotone in beam —
-    greedy descent may trade a kept-beam slot for a neighbor — which
-    is precisely what the curve is for."""
+    SAME two graph deposits (graph_nnd2 + graph_l1 — an index is
+    built and refined once; the beam is a pure query-time knob,
+    exactly s20's shortlist-sweep discipline for the ADC family). One
+    aggregate row per beam; the s22 default-width row equals s22's
+    per-vector table summed (pinned in tests). Recall is not forced
+    monotone in beam — greedy descent may trade a kept-beam slot for
+    a neighbor — which is precisely what the curve is for. The
+    scaled-vector base is built ONCE (similarity.hnsw_base) and
+    shared across the sweep's descents, so the sweep pays one corpus
+    scan + checkpoint, not one per beam width."""
     nq = ANN_NQ
     exact = _exact20(spark, sf_dir).select("qid", "cid")
     emb = load(spark, sf_dir, "embeddings")
-    g0 = _graph(spark, sf_dir)
-    g1 = _graph_l1(spark, sf_dir)
+    graphs = [_graph_l1(spark, sf_dir), _graph_nnd2(spark, sf_dir)]
+    base = similarity.hnsw_base(emb)
     out = None
     for b in HNSW_BEAM_SWEEP:
         res = similarity.hnsw_descent(
-            emb, g0, g1, k=K, n_queries=nq, beam=b, l2_mod=HNSW_L2_MOD
+            emb, graphs, k=K, n_queries=nq, beam=b,
+            entry_mod=HNSW_L2_MOD, base=base,
         ).select("qid", "cid")
         row = (
             exact.join(res, ["qid", "cid"])
@@ -1572,37 +1588,65 @@ def _hnsw_expand_ctes(beam_cte: str, graph_cte: str, out: str) -> str:
           WHERE qid <> cid)"""
 
 
-def _hnsw_descent_ctes(beam: int, suf: str) -> tuple[str, str]:
+def _hnsw_descent_ctes(
+    beam: int,
+    suf: str,
+    graphs: tuple[str, ...] = ("gl1", "gl0"),
+    entry_mod: int = HNSW_L2_MOD,
+) -> tuple[str, str]:
     """The full layered descent for one beam width as a CTE chain
-    (entry scan → level-1 hop → level-0 hop); returns (ctes,
-    final_cte_name). Requires exact/gl0/gl1/vbn in scope."""
+    (entry scan → one expand+rerank hop per graph CTE in ``graphs``,
+    ordered top level → level 0 — the SQL replay of hnsw_descent's
+    arbitrary level list); returns (ctes, final_cte_name). Requires
+    exact/vbn and every named graph CTE in scope."""
     nq = ANN_NQ
-    ctes = f"""ent_cand{suf} AS (
+    parts = [
+        f"""ent_cand{suf} AS (
           SELECT q.vec_id AS qid, c.vec_id AS cid
           FROM vbn q JOIN vbn c
-            ON c.vec_id % {HNSW_L2_MOD} = 0 AND c.vec_id <> q.vec_id
-          WHERE q.vec_id < {nq}),
-        {_hnsw_rerank_ctes(f'ent_cand{suf}', f'b2{suf}', beam)},
-        {_hnsw_expand_ctes(f'b2{suf}', 'gl1', f'b1{suf}')},
-        {_hnsw_rerank_ctes(f'cand_b1{suf}', f'b1{suf}', beam)},
-        {_hnsw_expand_ctes(f'b1{suf}', 'gl0', f'b0{suf}')},
-        {_hnsw_rerank_ctes(f'cand_b0{suf}', f'res{suf}', K)}"""
-    return ctes, f"res{suf}"
+            ON c.vec_id % {entry_mod} = 0 AND c.vec_id <> q.vec_id
+          WHERE q.vec_id < {nq})""",
+        _hnsw_rerank_ctes(f"ent_cand{suf}", f"bent{suf}", beam),
+    ]
+    prev = f"bent{suf}"
+    for i, g in enumerate(graphs):
+        last = i == len(graphs) - 1
+        out = f"res{suf}" if last else f"b{len(graphs) - 1 - i}{suf}"
+        parts.append(_hnsw_expand_ctes(prev, g, out))
+        parts.append(_hnsw_rerank_ctes(f"cand_{out}", out, K if last else beam))
+        prev = out
+    return ",\n        ".join(parts), f"res{suf}"
 
 
-def _hnsw_shared_ctes() -> str:
-    """exact truth + both level-graph twins + scaled-vector base —
-    the WITH prefix every HNSW twin shares."""
+def _hnsw_shared_ctes(levels: int = 2) -> str:
+    """exact truth + scaled-vector base + the level-graph twins — the
+    WITH prefix every HNSW twin shares. gl0 is the CONVERGED second
+    NN-descent generation (the raw s11 graph twin expanded by two
+    _nnd_round_ctes rounds — exactly the graph_nnd2 deposit chain the
+    Spark side serves since r10: build → refine → serve).
+    ``levels=3`` adds gl2, the kNN-graph twin over the
+    vec_id % HNSW_L2_MOD member set (s24's 3-level ladder)."""
     nq = ANN_NQ
-    n1 = _l1_count(_oracle_emb_rows())  # loud fallback on footer failure
-    return f"""exact AS ({_s1_sql(nq)}),
-        gl0 AS (SELECT qid, cid FROM ({_s11_oracle()})),
-        gl1 AS (SELECT qid, cid FROM (
-          {_s11_oracle(f"WHERE vec_id % {HNSW_L1_MOD} = 0", n1)})),
-        vb AS (
-          SELECT vec_id, {_SCALED} AS sv FROM embeddings),
-        vbn AS (
-          SELECT vec_id, sv, {_DOT.format(a='sv', b='sv')} AS nrm FROM vb)"""
+    n = _oracle_emb_rows()  # loud fallback on footer failure
+    parts = [
+        f"exact AS ({_s1_sql(nq)})",
+        f"""vb AS (
+          SELECT vec_id, {_SCALED} AS sv FROM embeddings)""",
+        f"""vbn AS (
+          SELECT vec_id, sv, {_DOT.format(a='sv', b='sv')} AS nrm FROM vb)""",
+        f"g0raw AS (SELECT qid, cid FROM ({_s11_oracle()}))",
+        _nnd_round_ctes("g0raw", "g0r1"),
+        _nnd_round_ctes("g0r1", "gl0"),
+        f"""gl1 AS (SELECT qid, cid FROM (
+          {_s11_oracle(f"WHERE vec_id % {HNSW_L1_MOD} = 0", _l1_count(n))}))""",
+    ]
+    if levels >= 3:
+        n2 = (n + HNSW_L2_MOD - 1) // HNSW_L2_MOD
+        parts.append(
+            f"""gl2 AS (SELECT qid, cid FROM (
+          {_s11_oracle(f"WHERE vec_id % {HNSW_L2_MOD} = 0", n2)}))"""
+        )
+    return ",\n        ".join(parts)
 
 
 def _s22_oracle() -> str:

@@ -785,33 +785,40 @@ def run_upsert_snapshot(
 def run_ann_serving(
     sdf: DataFrame,
     vectors: DataFrame,
-    graph_l0: DataFrame,
-    graph_l1: DataFrame,
+    graphs,
     snapshot_path: str,
     checkpoint: str,
     k: int = 3,
     beam: int = 4,
-    l2_mod: int = 16,
+    entry_mod: int = 16,
 ):
     """Online ANN serving loop over the hierarchical index: the index
-    is the persisted deposit pair a batch build left behind (the s11
-    level-0 graph + s22's level-1 graph), ``sdf`` streams QUERY
-    vectors, and each micro-batch is answered by the same layered
-    descent the batch path runs (operators/similarity.hnsw_descent
-    with an external query cohort), upserted into a per-(qid, rk)
-    result snapshot — re-querying with a fresh vector overwrites the
-    stale answer, and a replayed batch rewrites identical rows
+    is the persisted graph-deposit ladder a batch build left behind
+    (``graphs``, ordered top level → level 0 — in production the
+    REFINED level-0 generation, graph_nnd2: build → refine → serve),
+    ``sdf`` streams QUERY vectors, and each micro-batch is answered
+    by the same layered descent the batch path runs
+    (operators/similarity.hnsw_descent with an external query
+    cohort). Each re-queried qid's answer is replaced WHOLE (target
+    anti-joined on qid alone before the union): a per-(qid, rk)
+    upsert would let stale higher-rank rows survive a re-query whose
+    fresh answer has fewer rows (k/beam lowered across restarts, a
+    shrunken candidate set). A replayed batch rewrites identical rows
     (idempotent sink, same discipline as run_upsert_snapshot).
 
     Query ids live in the caller's namespace and must be disjoint
     from corpus vec_ids (the descent's self-match guard). Scale
-    shape: per batch the descent costs O(|batch| · (|top level| +
-    levels·beam·k)) exact scores plus keyed joins against the n·k
-    edge deposits — the corpus is never re-scanned beyond the
-    checkpointed scaled-vector base, and nothing corpus-sized is
-    broadcast."""
+    shape: the scaled-vector corpus base (similarity.hnsw_base) is
+    built ONCE when the stream starts and shared by every
+    micro-batch, so per batch the descent costs O(|batch| ·
+    (|top level| + levels·beam·k)) exact scores plus keyed joins
+    against the n·k edge deposits — no per-batch corpus re-scan, and
+    nothing corpus-sized is broadcast. The snapshot rewrite itself is
+    O(snapshot) per batch (staged-rename discipline); on a lakehouse
+    it becomes the run_upsert_delta MERGE shape."""
     from ..operators import similarity as sim
-    from ..operators.merge import merge_upsert
+
+    base = sim.hnsw_base(vectors)  # one corpus scan for the whole stream
 
     def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -820,18 +827,20 @@ def run_ann_serving(
         )
         res = sim.hnsw_descent(
             vectors,
-            graph_l0,
-            graph_l1,
+            graphs,
             k=k,
             beam=beam,
-            l2_mod=l2_mod,
+            entry_mod=entry_mod,
             queries=batch,
+            base=base,
         ).localCheckpoint(eager=True)
         target = _read_snapshot_or_none(spark, snapshot_path)
         merged = (
             res
             if target is None
-            else merge_upsert(target, res, ["qid", "rk"])
+            else target.join(
+                res.select("qid").distinct(), "qid", "left_anti"
+            ).unionByName(res)
         )
         _atomic_overwrite(
             merged.localCheckpoint(eager=True), snapshot_path
