@@ -152,6 +152,7 @@ def _main_body(sf_dir: str, sf: float) -> None:
         "d44_bpe_tokens",        # tokenized-vocabulary deposit
         "s21_nn_descent_converge",  # second NN-descent generation deposit
         "s22_hnsw_ann",          # level-1 kNN graph deposit
+        "s24_hnsw_multilevel",   # level-2 kNN graph deposit (3-level ladder)
     ]
     cold_build_s: dict[str, float] = {}
     for name in cold_keys:

@@ -42,6 +42,7 @@ ADAPTIVE = [
     "s21_nn_descent_converge",  # two s11-twin expansions + edge diffs
     "s22_hnsw_ann",  # level-0 + level-sized level-1 s11 twins
     "s23_hnsw_beam_sweep",  # three descent chains over the same twins
+    "s24_hnsw_multilevel",  # 3-level chain + level-sized gl2 twin
     "s19_ivfpq_ann",  # IVF cells + pq_shift from the catalog footer
     "s20_pq_shortlist_sweep",  # three cuts over the s19 adaptive chain
 ]

@@ -201,6 +201,9 @@ def main() -> None:
         # every hop is an edge-deposit equi-join; must stay flat at 10×
         "s22_hnsw_ann",
         "s23_hnsw_beam_sweep",
+        # round-10: the 3-level ladder — one more bounded per-level
+        # block (graph_l2 deposit) on top of the same descent plan
+        "s24_hnsw_multilevel",
         # IVF-ADC: the probed-cells-only ADC scan must beat/track s8's
         # whole-corpus ADC as n grows; the sweep + fertility audit are
         # deposit/agg consumers stressed to prove they stay cheap

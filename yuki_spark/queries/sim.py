@@ -123,16 +123,21 @@ def _graph_nnd(spark: SparkSession, sf_dir: str) -> DataFrame:
 # layered-descent family).
 HNSW_L1_MOD = 4
 HNSW_L2_MOD = 16
+HNSW_L3_MOD = 64  # entry modulus of the 3-level ladder (s24)
 HNSW_BEAM = 4
 HNSW_BEAM_SWEEP = (2, 4, 8)
 
 
+def _lvl_count(n: int, mod: int) -> int:
+    """Member count of the vec_id % mod == 0 level from the corpus row
+    count (vec_ids are dense 0..n-1): ceil(n / mod) — the SAME formula
+    in the Spark deposit and the oracle twin, so both derive the
+    identical adaptive plane count for each level graph."""
+    return (n + mod - 1) // mod
+
+
 def _l1_count(n: int) -> int:
-    """Level-1 member count from the corpus row count (vec_ids are
-    dense 0..n-1): ceil(n / HNSW_L1_MOD) — the SAME formula in the
-    Spark deposit and the oracle twin, so both derive the identical
-    adaptive plane count for the level-1 graph."""
-    return (n + HNSW_L1_MOD - 1) // HNSW_L1_MOD
+    return _lvl_count(n, HNSW_L1_MOD)
 
 
 def _graph_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -154,6 +159,28 @@ def _graph_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"k": K, "mod": HNSW_L1_MOD},
         lambda: similarity.knn_graph(
             emb, k=K, n_est=None if n is None else _l1_count(n)
+        ),
+    )
+
+
+def _graph_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-2 kNN graph deposit (s24's 3-level ladder): the s11
+    bucket machinery over the vec_id % HNSW_L2_MOD == 0 member set,
+    plane count adaptive to THIS level's size — one more rung built
+    exactly like graph_l1, which is the point: every added level is
+    the same bounded per-level plan (the log(n) ladder claim made
+    executable)."""
+    emb = load(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % HNSW_L2_MOD == 0
+    )
+    n = _emb_rows(sf_dir)
+    return sim_family.result(
+        spark,
+        sf_dir,
+        "graph_l2",
+        {"k": K, "mod": HNSW_L2_MOD},
+        lambda: similarity.knn_graph(
+            emb, k=K, n_est=None if n is None else _lvl_count(n, HNSW_L2_MOD)
         ),
     )
 
@@ -680,6 +707,13 @@ def s22_hnsw_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         beam=HNSW_BEAM,
         entry_mod=HNSW_L2_MOD,
     ).select("qid", "cid")
+    return _per_vec_recall(exact, res)
+
+
+def _per_vec_recall(exact: DataFrame, res: DataFrame) -> DataFrame:
+    """Per-query-vector recall@K of ``res`` against the exact truth —
+    the reporting tail s22 and s24 share (s12's grain: the oracle
+    binds WHICH vectors lose neighbors)."""
     inter = exact.join(res, ["qid", "cid"]).groupBy("qid").agg(
         F.count(F.lit(1)).alias("hits")
     )
@@ -698,6 +732,50 @@ def s22_hnsw_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+def s24_hnsw_multilevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE-level layered-descent ANN (the log(n) ladder s22's
+    two-level form instantiates, one rung taller — proving
+    hnsw_descent's arbitrary level list with a driver-gated row, not
+    just a unit test): entry beam from an exact scan of the tiny
+    vec_id % HNSW_L3_MOD member set, then greedy re-rank descents
+    through graph_l2 (NEW deposit: the s11 machinery over the
+    % HNSW_L2_MOD members, level-sized plane count), graph_l1, and
+    the converged level-0 generation graph_nnd2. Per-vector recall
+    rows (same contract as s22, so the two ladders are directly
+    comparable per query vector).
+
+    Scale shape: identical per-level plan as s22 — each added level
+    is one more bounded entry/expand/re-rank block over its own n·k
+    edge deposit, which is exactly how the ladder grows with log(n)
+    at 100 TB; the entry scan SHRINKS (|entry| = n/64 vs n/16) as
+    levels are added. The DuckDB twin replays every hop including the
+    third graph build.
+
+    Honesty note: at TEST scale the extra level is over-deep — 500
+    vectors give an 8-member entry level, so the 3-level ladder's
+    recall sits below s22's 2-level form (0.067 vs 0.167 at sf0.01,
+    beam 4). That is the real trade (entry cost ÷4 for recall) and
+    exactly why ladder depth is a function of n: this key proves the
+    MECHANISM at a driver-gated grain, the depth choice belongs to
+    the corpus size."""
+    nq = ANN_NQ
+    exact = _exact20(spark, sf_dir).select("qid", "cid")
+    emb = load(spark, sf_dir, "embeddings")
+    res = similarity.hnsw_descent(
+        emb,
+        [
+            _graph_l2(spark, sf_dir),
+            _graph_l1(spark, sf_dir),
+            _graph_nnd2(spark, sf_dir),
+        ],
+        k=K,
+        n_queries=nq,
+        beam=HNSW_BEAM,
+        entry_mod=HNSW_L3_MOD,
+    ).select("qid", "cid")
+    return _per_vec_recall(exact, res)
 
 
 def s23_hnsw_beam_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -888,6 +966,7 @@ QUERIES = {
     "s21_nn_descent_converge": s21_nn_descent_converge,
     "s22_hnsw_ann": s22_hnsw_ann,
     "s23_hnsw_beam_sweep": s23_hnsw_beam_sweep,
+    "s24_hnsw_multilevel": s24_hnsw_multilevel,
     "s13_matryoshka_recall": s13_matryoshka_recall,
     "s5_quantize_error": s5_quantize_error,
     "s7_semdedup": s7_semdedup,
@@ -1649,16 +1728,11 @@ def _hnsw_shared_ctes(levels: int = 2) -> str:
     return ",\n        ".join(parts)
 
 
-def _s22_oracle() -> str:
-    """Twin of s22_hnsw_ann: the full layered descent replayed in SQL
-    — exact entry scan of the level-2 members, beam expansion through
-    the level-1 graph twin (the s11 machinery restricted to
-    vec_id % HNSW_L1_MOD = 0 with the LEVEL-sized plane count) and
-    the level-0 graph twin, each hop an exact-int re-rank under the
-    (cosine desc, cid) total order, then per-vector hit counts."""
-    descent, res = _hnsw_descent_ctes(HNSW_BEAM, "")
+def _hnsw_per_vec_sql(shared: str, descent: str, res: str) -> str:
+    """Per-vector recall tail over one descent chain — the SQL twin of
+    _per_vec_recall, shared by the s22 and s24 oracles."""
     return f"""
-        WITH {_hnsw_shared_ctes()},
+        WITH {shared},
         {descent},
         hits AS (
           SELECT e.qid, CAST(COUNT(r.cid) AS BIGINT) AS n_hits
@@ -1668,6 +1742,32 @@ def _s22_oracle() -> str:
                CAST(n_hits AS DOUBLE) / CAST({K} AS DOUBLE) AS recall
         FROM hits ORDER BY qid
     """
+
+
+def _s22_oracle() -> str:
+    """Twin of s22_hnsw_ann: the full layered descent replayed in SQL
+    — exact entry scan of the level-2 members, beam expansion through
+    the level-1 graph twin (the s11 machinery restricted to
+    vec_id % HNSW_L1_MOD = 0 with the LEVEL-sized plane count) and
+    the REFINED level-0 twin (the s11 twin expanded by two NN-descent
+    rounds — the graph_nnd2 chain), each hop an exact-int re-rank
+    under the (cosine desc, cid) total order, then per-vector hit
+    counts."""
+    descent, res = _hnsw_descent_ctes(HNSW_BEAM, "")
+    return _hnsw_per_vec_sql(_hnsw_shared_ctes(), descent, res)
+
+
+def _s24_oracle() -> str:
+    """Twin of s24_hnsw_multilevel: the 3-level descent replayed in
+    SQL — the shared prefix gains the gl2 graph twin (s11 machinery
+    over the vec_id % HNSW_L2_MOD members) and the chain gains one
+    more expand+rerank hop; everything else is mechanically the same
+    CTE builders as s22's twin, which is the generalization proof on
+    the oracle side too."""
+    descent, res = _hnsw_descent_ctes(
+        HNSW_BEAM, "", graphs=("gl2", "gl1", "gl0"), entry_mod=HNSW_L3_MOD
+    )
+    return _hnsw_per_vec_sql(_hnsw_shared_ctes(levels=3), descent, res)
 
 
 def _s23_oracle() -> str:
@@ -1950,6 +2050,7 @@ def build_oracle() -> dict[str, str]:
             "s21_nn_descent_converge": _s21_oracle(),
             "s22_hnsw_ann": _s22_oracle(),
             "s23_hnsw_beam_sweep": _s23_oracle(),
+            "s24_hnsw_multilevel": _s24_oracle(),
             "s13_matryoshka_recall": _s13_oracle(),
             "s14_mmr_rerank": _s14_oracle(),
             "s16_knn_centrality": _s16_oracle(),
