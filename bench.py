@@ -89,6 +89,47 @@ def _run(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def _guarded(fn, timeout_s: float) -> float | None:
+    """Run ``fn()`` on a daemon thread with a wall-clock limit; return
+    the elapsed seconds, or None on timeout (the fn's thread is left
+    behind — py4j opens a fresh gateway connection per thread, so the
+    NEXT key proceeds on its own connection).
+
+    This is the in-harness watchdog for the known py4j hang (SURVEY
+    §7.17): a run can freeze forever in a py4j response wait after
+    benign accumulator ERRORs — JVM idle, driver in futex — and
+    before r10 the only guard was an external ``timeout`` around the
+    whole bench, which cost the driver its ENTIRE perf artifact. Now
+    one hung key records a ``timed_out`` sentinel and the run
+    completes. fn exceptions re-raise here (a broken query must still
+    fail the bench loudly, not read as a hang)."""
+    import threading  # noqa: PLC0415
+
+    box: dict[str, object] = {}
+
+    def work() -> None:
+        try:
+            fn()
+        except BaseException as exc:  # noqa: BLE001 — re-raised below
+            box["err"] = exc
+
+    t0 = time.perf_counter()
+    th = threading.Thread(target=work, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if th.is_alive():
+        return None
+    if "err" in box:
+        raise box["err"]  # type: ignore[misc]
+    return time.perf_counter() - t0
+
+
+def _cancel_all_jobs(spark) -> None:
+    """Best-effort job cancel after a key timed out — itself guarded
+    (a truly hung gateway would hang the cancel call too)."""
+    _guarded(lambda: spark.sparkContext.cancelAllJobs(), 10.0)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -114,17 +155,24 @@ def main() -> None:
         shutil.rmtree(cold_root, ignore_errors=True)
 
 
-def _main_body(sf_dir: str, sf: float) -> None:
-    from __spark_entry__ import queries
+def _main_body(
+    sf_dir: str, sf: float, qs=None, out_path: str | None = None
+) -> dict:
+    """Benchmark body. ``qs``/``out_path`` are injectable so the
+    watchdog test can force a hang without touching the real query
+    surface; production calls leave both None."""
+    if qs is None:
+        from __spark_entry__ import queries
 
-    qs = queries()
+        qs = queries()
     names = [n for n in HEADLINE if n in qs]
     names += [n for n in qs if n not in set(HEADLINE)]  # never drop a key
 
     spark = get_spark("yuki_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    _run(qs["q1_pricing_summary"](spark, sf_dir))  # warm-up (JVM + codegen)
+    if "q1_pricing_summary" in qs:  # warm-up (JVM + codegen)
+        _guarded(lambda: _run(qs["q1_pricing_summary"](spark, sf_dir)), 300.0)
 
     # warm the Python/Arrow worker pool so the first Pandas-UDF query
     # isn't charged the one-time worker fork + import cost
@@ -134,7 +182,10 @@ def _main_body(sf_dir: str, sf: float) -> None:
     def _noop(s):
         return s
 
-    _run(spark.range(32).select(pandas_udf(_noop, "long")("id")))
+    _guarded(
+        lambda: _run(spark.range(32).select(pandas_udf(_noop, "long")("id"))),
+        300.0,
+    )
 
     # Cold phase: first run of each family's deposit-building consumers
     # against the fresh store — the measured one-time pipeline cost a
@@ -154,12 +205,24 @@ def _main_body(sf_dir: str, sf: float) -> None:
         "s22_hnsw_ann",          # level-1 kNN graph deposit
         "s24_hnsw_multilevel",   # level-2 kNN graph deposit (3-level ladder)
     ]
+    key_timeout = float(os.environ.get("SPARK_GRAFT_BENCH_KEY_TIMEOUT_S", "180"))
+    timed_out: dict[str, float] = {}
+
+    def guarded_key(name: str) -> float | None:
+        """One compile+run of ``name`` under the watchdog; records the
+        sentinel and cancels the orphaned jobs on timeout."""
+        dt = _guarded(lambda: _run(qs[name](spark, sf_dir)), key_timeout)
+        if dt is None and name not in timed_out:
+            timed_out[name] = key_timeout
+            _cancel_all_jobs(spark)
+        return dt
+
     cold_build_s: dict[str, float] = {}
     for name in cold_keys:
         if name in qs:
-            t0 = time.perf_counter()
-            _run(qs[name](spark, sf_dir))
-            cold_build_s[name] = round(time.perf_counter() - t0, 3)
+            dt = guarded_key(name)
+            if dt is not None:
+                cold_build_s[name] = round(dt, 3)
 
     # min of 3 runs per query (min = steady-state plan cost; the
     # per-query medians ride along so a noisy host is tellable from a
@@ -176,13 +239,17 @@ def _main_body(sf_dir: str, sf: float) -> None:
         for name in names:
             if rnd > 0 and time.perf_counter() - t_start > budget_s:
                 break
-            t0 = time.perf_counter()
-            _run(qs[name](spark, sf_dir))
-            samples[name].append(time.perf_counter() - t0)
+            if name in timed_out:
+                continue  # a hung key stays skipped; its row is the sentinel
+            dt = guarded_key(name)
+            if dt is not None:
+                samples[name].append(dt)
     per_query: dict[str, float] = {}
     medians: dict[str, float] = {}
     for name in names:
         times = sorted(samples[name])
+        if not times:
+            continue  # timed out before any sample: sentinel-only row
         n = len(times)
         # true median (avg of middles when even) — taking the upper
         # middle would report the WORSE of 2 samples on exactly the
@@ -199,6 +266,11 @@ def _main_body(sf_dir: str, sf: float) -> None:
         "queries": per_query,
         "medians": medians,
         "cold_build_s": cold_build_s,
+        # watchdog sentinels: keys whose run exceeded the per-key
+        # timeout (the py4j-hang guard) — excluded from queries/value
+        # so one hung key can't pollute the totals, named here so the
+        # artifact stays complete and the hang is VISIBLE
+        "timed_out": timed_out,
         "sf": sf,
         # round-over-round context: r5 un-capped the near-dup queries
         # to the full corpus; since r6 the dedup family (d2/d3/d11/d20/
@@ -218,7 +290,10 @@ def _main_body(sf_dir: str, sf: float) -> None:
     # bounded tail window, and BENCH_r03 lost the suite total plus the
     # first ~14 per-query mins to that truncation. The on-disk copy is
     # the canonical artifact; the stdout line stays for the driver.
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_results.json")
+    if out_path is None:
+        out_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_results.json"
+        )
     with open(out_path, "w") as fh:
         json.dump(report, fh, indent=1)
         fh.write("\n")
@@ -231,9 +306,10 @@ def _main_body(sf_dir: str, sf: float) -> None:
     # explicit omitted-count pointing at bench_results.json (the
     # committed full-precision artifact with all keys + medians).
     cold_json = json.dumps(cold_build_s, separators=(",", ":"))
+    to_json = json.dumps(timed_out, separators=(",", ":"))
     head = (
         f'{{"metric":"{report["metric"]}","value":{total},"unit":"sec","sf":{sf},'
-        f'"cold_build_s":{cold_json},'
+        f'"cold_build_s":{cold_json},"timed_out":{to_json},'
     )
     budget = 1850 - len(head) - len(
         '"queries":{},"omitted":999,"full":"bench_results.json"}'
@@ -255,6 +331,7 @@ def _main_body(sf_dir: str, sf: float) -> None:
     )
     print(line)
     json.loads(line)  # malformed stdout must fail HERE, not at the driver
+    return report
 
 
 if __name__ == "__main__":
