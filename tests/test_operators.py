@@ -1963,3 +1963,99 @@ def test_s23_sweep_consistent_with_s22_at_default_beam(spark):
     for r in sweep.values():
         assert r["n_possible"] == sim.ANN_NQ * sim.K
         assert r["recall"] == r["n_hits"] / r["n_possible"]
+
+
+# ---- batch deletion for the dedup family (r10) -----------------------------
+
+
+def test_remove_from_index_equals_from_scratch_after_two_round_ingest(spark):
+    """Two-round ingest then a deletion batch: the surviving band
+    index must equal a from-scratch band_index build over the
+    surviving corpus, row for row — the retraction path a
+    continuously-ingested corpus needs (GDPR erasure, licensing
+    takedowns) without ever re-deduping history."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    b1 = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    b2 = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+
+    # ingest round 1 + round 2: the persisted index is the union of
+    # each batch's band rows (exactly run_corpus_ingest's maintenance)
+    idx = dedup.band_index(dedup.token_sets(b1)).unionByName(
+        dedup.band_index(dedup.token_sets(b2))
+    )
+
+    # deletion batch: every doc_id % 7 == 3
+    rm = docs.where(F.col("doc_id") % 7 == 3).select("doc_id")
+    survived = dedup.remove_from_index(idx, rm)
+
+    scratch = dedup.band_index(
+        dedup.token_sets(
+            docs.join(rm, "doc_id", "left_anti").select("doc_id", "text")
+        )
+    )
+    got = sorted(tuple(r) for r in survived.collect())
+    want = sorted(tuple(r) for r in scratch.collect())
+    assert got == want and len(got) > 0
+
+
+def test_relabel_after_removal_equals_rebuild(spark):
+    """Incremental CC relabel == from-scratch dedup_clusters over the
+    surviving pairs, on every interesting shape at once: an untouched
+    component (labels survive verbatim), a component SPLIT by removing
+    its bridge doc (each side re-labels at its own min-id), a
+    component that evaporates (its last pair dies), and a removed doc
+    that was itself a component's min-id label."""
+
+    def pdf(rows):
+        return spark.createDataFrame(rows, "doc_a long, doc_b long")
+
+    # components: {1,2,3} chain via bridge 2; {10,11} untouched;
+    # {20,21,22} chain via bridge 21 but 20-21 survives; {30,31} where
+    # 30 (the label) is removed
+    pairs = pdf(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (30, 31)]
+    )
+    clusters = dedup.dedup_clusters(pairs)
+    rm = spark.createDataFrame([(2,), (22,), (30,)], "doc_id long")
+
+    got = sorted(
+        tuple(r)
+        for r in dedup.relabel_after_removal(clusters, pairs, rm).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in dedup.dedup_clusters(
+            dedup.surviving_pairs(pairs, rm)
+        ).collect()
+    )
+    assert got == want
+    asmap = dict(got)
+    # {1,3} evaporated (bridge removed, no surviving pairs touch them)
+    assert 1 not in asmap and 3 not in asmap and 2 not in asmap
+    assert asmap[10] == 10 and asmap[11] == 10  # untouched, verbatim
+    assert asmap[20] == 20 and asmap[21] == 20  # split survivor
+    assert 22 not in asmap
+    assert 31 not in asmap and 30 not in asmap  # label doc removed
+
+
+def test_relabel_after_removal_on_real_corpus(spark):
+    """On the real sf0.001 near-dup graph: incremental relabel after
+    deleting a hash-slice of docs equals the from-scratch rebuild."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cap = docs.where(F.col("doc_id") < 300).select("doc_id", "text")
+    pairs = dedup.minhash_lsh_pairs(cap, threshold=0.8).localCheckpoint(
+        eager=False
+    )
+    clusters = dedup.dedup_clusters(pairs)
+    rm = cap.where(F.col("doc_id") % 5 == 2).select("doc_id")
+    got = sorted(
+        tuple(r)
+        for r in dedup.relabel_after_removal(clusters, pairs, rm).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in dedup.dedup_clusters(
+            dedup.surviving_pairs(pairs, rm)
+        ).collect()
+    )
+    assert got == want and len(got) > 0

@@ -314,6 +314,77 @@ def incremental_neardup(
     )
 
 
+def remove_from_index(index: DataFrame, ids: DataFrame) -> DataFrame:
+    """Surviving band index after a batch DELETION: drop every
+    (doc_id, band, bkey) row of the removed docs. Band keys are a pure
+    per-doc function of the text, so the surviving index equals a
+    from-scratch :func:`band_index` build over the surviving corpus
+    row-for-row (tested) — the index a GDPR erasure / retraction batch
+    leaves behind keeps serving :func:`incremental_neardup` unchanged.
+
+    Scale shape: one keyed anti-join on doc_id — the removal set is
+    batch-sized (AQE broadcasts it), the index is O(N_BANDS · corpus)
+    rows and never rescanned as text."""
+    return index.join(ids.select("doc_id").distinct(), "doc_id", "left_anti")
+
+
+def surviving_pairs(pairs: DataFrame, ids: DataFrame) -> DataFrame:
+    """Near-dup pair table after a batch deletion: drop every pair
+    with a removed endpoint (two keyed anti-joins — the maintenance
+    step for a persisted pair deposit)."""
+    rm = ids.select("doc_id").distinct()
+    return pairs.join(
+        rm.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_anti"
+    ).join(rm.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_anti")
+
+
+def relabel_after_removal(
+    clusters: DataFrame,
+    pairs: DataFrame,
+    ids: DataFrame,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Incremental connected-component relabel after a batch deletion:
+    ONLY components that contained a removed doc recompute; every
+    untouched component keeps its rows verbatim (its membership AND
+    its min-id label are unchanged by construction — a component is
+    touched iff it lost a member). Contract: ``clusters`` is
+    :func:`dedup_clusters`' output over ``pairs``; the result equals
+    ``dedup_clusters(surviving_pairs(pairs, ids))`` — a from-scratch
+    rebuild on the surviving corpus — including component SPLITS
+    (removing a bridge doc relabels each side at its own min-id) and
+    evaporation (a doc whose every pair died drops out of the labels,
+    exactly as a from-scratch build never sees it). Tested against
+    the rebuild on both shapes.
+
+    Scale shape: the touched slice is deletion-sized (dup components
+    are small), so the CC iteration reruns over a few components'
+    edges, not the corpus graph; everything else is keyed
+    anti-/semi-joins against the label and pair tables."""
+    rm = ids.select("doc_id").distinct().localCheckpoint(eager=False)
+    touched = (
+        clusters.join(rm, "doc_id")
+        .select("cluster_id")
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds the keep-side anti-join
+        # AND the touched-members semi-join
+    )
+    # re-select: the key-first join output would otherwise flip the
+    # (doc_id, cluster_id) contract order
+    keep = clusters.join(touched, "cluster_id", "left_anti").select(
+        "doc_id", "cluster_id"
+    )
+    # members of touched components — both pair endpoints live in the
+    # same component, so one endpoint's membership selects the pair
+    tdocs = clusters.join(touched, "cluster_id").select(
+        F.col("doc_id").alias("doc_a")
+    )
+    p = surviving_pairs(
+        pairs.select("doc_a", "doc_b").join(tdocs, "doc_a", "left_semi"), rm
+    )
+    return keep.unionByName(dedup_clusters(p, max_iter))
+
+
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     """MinHash/LSH near-dup pairs, verified with exact Jaccard.
 
