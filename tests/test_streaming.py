@@ -622,6 +622,101 @@ def test_corpus_ingest_dedupes_across_batches(spark, tmp_path):
     assert sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect()) == [1, 3, 11, 21]
 
 
+def test_corpus_retract_reverses_ingest_and_readmits(spark, tmp_path):
+    """Continuous retraction (run_corpus_retract, the takedown twin of
+    the ingest loop): a streamed deletion batch removes the docs from
+    the corpus snapshot AND their band rows from the persisted index —
+    the maintained index equals a from-scratch build over the
+    surviving corpus — a re-ingested copy of the retracted content is
+    admitted as NOVEL again, and a forced replay of the retraction
+    batch rewrites identical snapshots (idempotent sink)."""
+    from yuki_spark.operators import dedup as dd
+
+    sdir = tmp_path / "doc_stream"
+    sdir.mkdir()
+    rdir = tmp_path / "retract_stream"
+    rdir.mkdir()
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+
+    def doc_slice(name, rows):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows]),
+                "lang": pa.array(["en"] * len(rows)),
+                "source": pa.array(["s"] * len(rows)),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, sdir / name)
+        time.sleep(0.05)
+
+    def ingest():
+        q = st.run_corpus_ingest(
+            st.read_document_stream(spark, str(sdir), max_files_per_trigger=1),
+            corpus,
+            index,
+            str(tmp_path / "ingest_ckpt"),
+            threshold=0.7,
+        )
+        q.awaitTermination(180)
+
+    doc_slice(
+        "part-0000.parquet",
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different words entirely unrelated text here"),
+            (5, "a third genuinely distinct document body of tokens"),
+        ],
+    )
+    ingest()
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus).collect()
+    ) == [1, 3, 5]
+
+    # retraction batch: take down doc 3
+    pq.write_table(
+        pa.table({"doc_id": pa.array([3], pa.int64())}), rdir / "rm-0.parquet"
+    )
+    rckpt = str(tmp_path / "retract_ckpt")
+
+    def retract():
+        q = st.run_corpus_retract(
+            st.read_retraction_stream(spark, str(rdir)), corpus, index, rckpt
+        )
+        q.awaitTermination(180)
+
+    retract()
+    surv = spark.read.parquet(corpus)
+    assert sorted(r["doc_id"] for r in surv.collect()) == [1, 5]
+    got_idx = sorted(
+        tuple(r) for r in spark.read.parquet(index).collect()
+    )
+    scratch = sorted(
+        tuple(r)
+        for r in dd.band_index(dd.token_sets(surv)).collect()
+    )
+    assert got_idx == scratch  # from-scratch equality at stream grain
+
+    # forced replay of the retraction batch: identical snapshots
+    _force_batch_replay(rckpt)
+    retract()
+    assert sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect()) == [1, 5]
+    assert sorted(tuple(r) for r in spark.read.parquet(index).collect()) == scratch
+
+    # the retracted CONTENT re-ingested under a new id is novel again
+    # (nothing of doc 3 survives in the index to flag it as a dup)
+    doc_slice(
+        "part-0001.parquet",
+        [(30, "completely different words entirely unrelated text here")],
+    )
+    ingest()
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus).collect()
+    ) == [1, 5, 30]
+
+
 def _force_batch_replay(ckpt: str) -> None:
     """Delete the newest commit marker (keeping its source offsets) so
     the next availableNow run genuinely RE-EXECUTES that batch against

@@ -547,6 +547,85 @@ def run_corpus_ingest(
     )
 
 
+def read_retraction_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-source stream of doc_id retraction requests — the takedown
+    feed for :func:`run_corpus_retract`."""
+    from pyspark.sql.types import LongType, StructField
+
+    return (
+        spark.readStream.schema(
+            StructType([StructField("doc_id", LongType())])
+        )
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(path)
+    )
+
+
+def run_corpus_retract(
+    sdf: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    checkpoint: str,
+):
+    """Continuous corpus RETRACTION — the takedown/GDPR-erasure twin of
+    :func:`run_corpus_ingest` (r10): each micro-batch of doc_ids is
+    removed from the corpus snapshot (keyed anti-join) and its band
+    rows dropped from the persisted near-dup index
+    (operators/dedup.remove_from_index), so the maintained state after
+    any ingest/retract interleaving equals a from-scratch build over
+    the surviving corpus (tested) — and a RE-INGESTED copy of retracted
+    content is admitted as novel again, because nothing of the removed
+    doc survives in the index.
+
+    Idempotent by construction: every step is an anti-join, so a
+    replayed batch removes nothing new and rewrites identical
+    snapshots (no batch-id header needed). Crash consistency: corpus
+    is overwritten first (staged-rename swap, never partial); a crash
+    before the index overwrite leaves stale index rows for absent
+    docs, which are (a) harmless to reads — incremental_neardup's
+    exact verification joins the CORPUS, so a candidate without a
+    surviving doc produces no verified pair — and (b) healed when the
+    interrupted batch replays. A retraction arriving before anything
+    was ingested is a no-op. Batch-side label artifacts are the
+    consumer's job: operators/dedup.relabel_after_removal recomputes
+    CC labels for exactly the components that lost a member.
+
+    Scale shape: per batch two keyed anti-joins sized by the deletion
+    batch (AQE broadcasts it) — the corpus text is never re-tokenized
+    and the index never rebuilt. The snapshot rewrites are the
+    plain-parquet stand-in for transactional deletes; on a lakehouse
+    table they become DELETE WHERE / MERGE."""
+    from ..operators import dedup as dd
+
+    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        ids = _dedup_per_key(batch_df.select("doc_id"), ["doc_id"]).localCheckpoint(
+            eager=True
+        )
+        corpus = _read_snapshot_or_none(spark, corpus_path)
+        if corpus is None:
+            return  # nothing ingested yet — retracting nothing
+        index = _read_snapshot_or_none(spark, index_path)
+        if index is None:
+            # ingest's heal rule: the index is DERIVED data
+            index = dd.band_index(dd.token_sets(corpus))
+        mc = corpus.join(ids, "doc_id", "left_anti").localCheckpoint(eager=True)
+        mi = dd.remove_from_index(index, ids).localCheckpoint(eager=True)
+        _atomic_overwrite(mc, corpus_path)
+        _atomic_overwrite(mi, index_path)
+
+    return (
+        sdf.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 EMBEDDING_SCHEMA = StructType(
     [
         StructField("vec_id", LongType()),
