@@ -804,22 +804,30 @@ def test_avi_mjpeg_walk_roundtrip_property(payloads):
         ).map(tuple),
         min_size=8,
         max_size=20,
-    )
+    ),
+    depth=hst.sampled_from([2, 3]),
 )
 @_SETTINGS
-def test_hnsw_descent_matches_python_reference(spark, vecs):
+def test_hnsw_descent_matches_python_reference(spark, vecs, depth):
     """The layered descent replayed by an independent python reference
-    on arbitrary corpora and arbitrary (exact) level graphs: identical
-    final top-k, row for row. Positive components keep every norm
-    nonzero; the level graphs are built exactly in python and handed
-    to BOTH sides, so this isolates the descent mechanics (entry beam,
-    superset expansion, re-rank order, self-exclusion)."""
+    on arbitrary corpora, arbitrary (exact) level graphs, AND an
+    arbitrary ladder DEPTH (2 or 3 levels — the r10 level-list
+    generalization property-proven, not just pinned at the s24
+    fixture): identical final top-k, row for row. Positive components
+    keep every norm nonzero; the level graphs are built exactly in
+    python and handed to BOTH sides, so this isolates the descent
+    mechanics (entry beam, superset expansion, re-rank order,
+    self-exclusion)."""
     import math
     import struct
 
     from yuki_spark.operators.similarity import hnsw_descent
 
-    K_, NQ, BEAM, L1, L2 = 2, 4, 2, 2, 4
+    K_, NQ, BEAM = 2, 4, 2
+    # one graph per level, level 0 first: members = ids % m == 0;
+    # the entry level sits one modulus above the top graph
+    graph_moduli = [1, 2] if depth == 2 else [1, 2, 4]
+    entry_mod = graph_moduli[-1] * 2
 
     def f32(x):
         return struct.unpack("f", struct.pack("f", x))[0]
@@ -846,8 +854,11 @@ def test_hnsw_descent_matches_python_reference(spark, vecs):
             edges[q] = [c for _, c in cands[:K_]]
         return edges
 
-    g0 = exact_graph(ids)
-    g1 = exact_graph([i for i in ids if i % L1 == 0])
+    # graphs in DESCENT order: top level first, level 0 last
+    graphs = [
+        exact_graph([i for i in ids if i % m == 0])
+        for m in reversed(graph_moduli)
+    ]
 
     def topk(q, cand, width):
         return sorted(
@@ -857,12 +868,14 @@ def test_hnsw_descent_matches_python_reference(spark, vecs):
 
     expected = []
     for q in range(min(NQ, len(ids))):
-        beam = [c for _, c in topk(q, [i for i in ids if i % L2 == 0], BEAM)]
-        for g in (g1, g0):
+        beam = [
+            c for _, c in topk(q, [i for i in ids if i % entry_mod == 0], BEAM)
+        ]
+        for li, g in enumerate(graphs):
             cand = set(beam)
             for m in beam:
                 cand.update(g.get(m, []))
-            width = BEAM if g is g1 else K_
+            width = K_ if li == len(graphs) - 1 else BEAM
             beam = [c for _, c in topk(q, cand, width)]
         for rk, c in enumerate(beam, 1):
             expected.append((q, rk, c, cos(q, c)))
@@ -885,8 +898,8 @@ def test_hnsw_descent_matches_python_reference(spark, vecs):
     got = [
         (r["qid"], r["rk"], r["cid"], r["cosine"])
         for r in hnsw_descent(
-            emb, [gdf(g1), gdf(g0)], k=K_, n_queries=NQ, beam=BEAM,
-            entry_mod=L2,
+            emb, [gdf(g) for g in graphs], k=K_, n_queries=NQ, beam=BEAM,
+            entry_mod=entry_mod,
         ).collect()
     ]
     assert sorted(got) == sorted(expected)
@@ -966,3 +979,50 @@ def test_nn_descent_round_matches_python_reference(spark, data, vecs):
         for r in nn_descent_round(emb, graph, k=K_).collect()
     ]
     assert sorted(got) == sorted(expected)
+
+
+@given(
+    data=hst.data(),
+    edges=hst.lists(
+        hst.tuples(hst.integers(0, 15), hst.integers(0, 15)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    ),
+)
+@_SETTINGS
+def test_relabel_after_removal_matches_rebuild_on_arbitrary_graphs(
+    spark, data, edges
+):
+    """Incremental CC relabel == from-scratch dedup_clusters over the
+    surviving pairs, for ARBITRARY pair graphs and ARBITRARY removal
+    sets (hypothesis picks both) — splits, merges-into-nothing,
+    removed min-labels, whole-component removals, and empty survivor
+    graphs all fall out of the same equality."""
+    pairs_rows = sorted({(min(a, b), max(a, b)) for a, b in edges})
+    nodes = sorted({x for p in pairs_rows for x in p})
+    rm_set = data.draw(
+        hst.sets(hst.sampled_from(nodes), min_size=0, max_size=len(nodes)),
+        label="removed",
+    )
+
+    pairs = spark.createDataFrame(pairs_rows, "doc_a long, doc_b long")
+    clusters = dedup.dedup_clusters(pairs)
+    rm = spark.createDataFrame(
+        [(int(x),) for x in sorted(rm_set)] or [(-1,)], "doc_id long"
+    )
+    got = sorted(
+        tuple(r)
+        for r in dedup.relabel_after_removal(clusters, pairs, rm).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in dedup.dedup_clusters(
+            dedup.surviving_pairs(pairs, rm)
+        ).collect()
+    )
+    assert got == want
+    # removed docs never survive in the labels
+    assert not ({d for d, _ in got} & rm_set)
