@@ -211,6 +211,11 @@ ALLOWED_BNLJ = {
     "q11_important_stock": 1,
     "q22_global_sales_opp": 1,
     "s1_cosine_topk": 1,
+    # s25 is s1's audited brute-force pattern over the int8 codes:
+    # the ONE non-equi join has the bounded nq=20 query cohort
+    # broadcast (the exact-truth baseline; the scale path is the
+    # LSH/IVF/graph ladder over the same codes)
+    "s25_int8_recall": 1,
     "d26_quality_buckets": 1,
     "d28_token_zipf": 1,  # single-row corpus-total broadcast (q11 pattern)
     # k-means assignment IS an n x k product with a k-row (10) broadcast

@@ -204,6 +204,9 @@ def main() -> None:
         # round-10: the 3-level ladder — one more bounded per-level
         # block (graph_l2 deposit) on top of the same descent plan
         "s24_hnsw_multilevel",
+        # round-10: int8-code brute force (s1's audited pattern over
+        # quantized vectors) — linear in n, must track s1's ratio
+        "s25_int8_recall",
         # IVF-ADC: the probed-cells-only ADC scan must beat/track s8's
         # whole-corpus ADC as n grows; the sweep + fertility audit are
         # deposit/agg consumers stressed to prove they stay cheap

@@ -55,6 +55,17 @@ def cosine_topk(
         .withColumn("nrm", int_dot(F.col("sv"), F.col("sv")))
         .localCheckpoint(eager=False)  # feeds query + candidate sides once
     )
+    return cosine_topk_from(base, k, n_queries)
+
+
+def cosine_topk_from(
+    base: DataFrame, k: int = 3, n_queries: int = 5
+) -> DataFrame:
+    """:func:`cosine_topk`'s core over a prebuilt integer-vector frame
+    (vec_id, sv[, nrm]) — callers with an alternative representation
+    (s25's int8 codes) reuse the identical scoring/tiebreak path."""
+    if "nrm" not in base.columns:
+        base = base.withColumn("nrm", int_dot(F.col("sv"), F.col("sv")))
     q = base.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"), F.col("sv").alias("qv"), F.col("nrm").alias("qn")
     )
@@ -73,6 +84,36 @@ def cosine_topk(
         .select("qid", "rk", "cid", "cosine")
         .orderBy("qid", "rk")
     )
+
+
+def int8_vectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, sv): the embeddings under the SAME symmetric int8
+    quantization :func:`quantize_error` accounts for — xi =
+    floor(x·2^20) exact, m = max|xi| per vector, q = sign·((2·127·|xi|
+    + m) div (2·m)) ∈ [−127, 127] — so s25 measures the retrieval
+    effect of exactly the compression s5 measures the reconstruction
+    error of. Pure int64 round-half-away arithmetic, bit-identical in
+    any engine. All-zero vectors (m = 0) are excluded: their cosine is
+    undefined under ANY representation (both engines drop them the
+    same way)."""
+    x = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda v: F.floor(v.cast("double") * F.lit(float(Q_SCALE))).cast(
+                "long"
+            ),
+        ).alias("xi"),
+    )
+    withm = x.withColumn(
+        "m", F.greatest(F.array_max("xi"), -F.array_min("xi"))
+    ).where(F.col("m") > 0)
+    qexpr = F.expr(
+        "transform(xi, v -> CASE WHEN v >= 0"
+        " THEN (2*127*v + m) div (2*m)"
+        " ELSE -((2*127*(-v) + m) div (2*m)) END)"
+    )
+    return withm.select("vec_id", qexpr.alias("sv"))
 
 
 def mmr_rerank(

@@ -818,6 +818,36 @@ def s23_hnsw_beam_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("beam")
 
 
+def s25_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval recall of SYMMETRIC-int8-quantized embeddings vs
+    full-precision truth (r10) — the decision table s5 lacks: s5
+    reports the reconstruction error of the int8 compression an index
+    ships at 100 TB (4× residency cut vs float32), this reports what
+    that compression does to RETRIEVAL — per-query-vector recall@K of
+    brute-force cosine over the int8 codes
+    (operators/similarity.int8_vectors — the exact same q =
+    sign·((2·127·|xi| + m) div 2m) quantizer s5 accounts for) against
+    the exact top-k deposit. Same per-vector contract as s12/s22/s24,
+    so the quantization ladder (full → matryoshka prefix (s13) → int8
+    (s25) → PQ codes (s8/s20)) reads on one axis.
+
+    Scale shape: identical to s1's audited brute-force pattern (the
+    correctness baseline — bounded query cohort broadcast, one corpus
+    scan); at 100 TB the same int8 codes ride the LSH/IVF/graph
+    ladder instead of a linear scan. Cosine over int8 codes is pure
+    int64 dot + rounded-9 division, so the DuckDB twin replays it
+    bit-for-bit."""
+    nq = ANN_NQ
+    exact = _exact20(spark, sf_dir).select("qid", "cid")
+    emb = load(spark, sf_dir, "embeddings")
+    res = similarity.cosine_topk_from(
+        similarity.int8_vectors(emb).localCheckpoint(eager=False),
+        k=K,
+        n_queries=nq,
+    ).select("qid", "cid")
+    return _per_vec_recall(exact, res)
+
+
 MRL_DIMS = 16  # truncated-prefix width for the Matryoshka evaluation
 
 
@@ -967,6 +997,7 @@ QUERIES = {
     "s22_hnsw_ann": s22_hnsw_ann,
     "s23_hnsw_beam_sweep": s23_hnsw_beam_sweep,
     "s24_hnsw_multilevel": s24_hnsw_multilevel,
+    "s25_int8_recall": s25_int8_recall,
     "s13_matryoshka_recall": s13_matryoshka_recall,
     "s5_quantize_error": s5_quantize_error,
     "s7_semdedup": s7_semdedup,
@@ -1799,6 +1830,50 @@ def _s23_oracle() -> str:
     """
 
 
+def _s25_oracle() -> str:
+    """Twin of s25_int8_recall: the s5 quantizer replayed in SQL
+    (same exact-int round-half-away q), brute-force cosine top-k over
+    the int8 codes, per-vector hit counts vs the exact twin."""
+    nq = ANN_NQ
+    return f"""
+        WITH exact AS ({_s1_sql(nq)}),
+        x AS (
+          SELECT vec_id, list_transform(embedding,
+            v -> CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT)) AS xi
+          FROM embeddings),
+        mm AS (
+          SELECT vec_id, xi,
+                 greatest(list_aggregate(xi, 'max'),
+                          -list_aggregate(xi, 'min')) AS m
+          FROM x),
+        q8 AS (
+          SELECT vec_id,
+                 list_transform(xi, v -> CASE WHEN v >= 0
+                   THEN (2*127*v + m) // (2*m)
+                   ELSE -((2*127*(-v) + m) // (2*m)) END) AS sv
+          FROM mm WHERE m > 0),
+        b AS (
+          SELECT vec_id, sv, {_DOT.format(a='sv', b='sv')} AS nrm FROM q8),
+        scored AS (
+          SELECT q.vec_id AS qid, c.vec_id AS cid,
+                 round(CAST({_DOT.format(a='q.sv', b='c.sv')} AS DOUBLE)
+                   / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))), 9) AS cosine
+          FROM b q JOIN b c ON q.vec_id < {nq} AND c.vec_id <> q.vec_id),
+        res AS (
+          SELECT qid, cid FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                        ORDER BY cosine DESC, cid) AS rk
+            FROM scored) WHERE rk <= {K}),
+        hits AS (
+          SELECT e.qid, CAST(COUNT(r.cid) AS BIGINT) AS n_hits
+          FROM exact e LEFT JOIN res r ON r.qid = e.qid AND r.cid = e.cid
+          GROUP BY e.qid)
+        SELECT qid, n_hits, CAST({K} AS BIGINT) AS n_possible,
+               CAST(n_hits AS DOUBLE) / CAST({K} AS DOUBLE) AS recall
+        FROM hits ORDER BY qid
+    """
+
+
 def _s18_oracle() -> str:
     """Twin of s18_nn_descent: the s11 graph twin expanded by one
     neighbor-of-neighbor round, exact-int re-ranked with the same
@@ -2051,6 +2126,7 @@ def build_oracle() -> dict[str, str]:
             "s22_hnsw_ann": _s22_oracle(),
             "s23_hnsw_beam_sweep": _s23_oracle(),
             "s24_hnsw_multilevel": _s24_oracle(),
+            "s25_int8_recall": _s25_oracle(),
             "s13_matryoshka_recall": _s13_oracle(),
             "s14_mmr_rerank": _s14_oracle(),
             "s16_knn_centrality": _s16_oracle(),
