@@ -91,12 +91,13 @@ _PRIORITY = [
     "d24_weighted_sample",
     # --- 50-slot cap lands HERE: exactly 50 keys above (2 changed +
     # 42 r7-stamped + 1 changed + 1 new + 4 pre-stamped). Below the
-    # cap: s25 FIRST (born late in r10 after the sweep slots were
-    # spoken for — never driver-validated, so it must open the r11
-    # sweep; judge-verifiable now via tests/test_oracle_parity.py),
+    # cap: s25 + d49 FIRST (born late in r10 after the sweep slots
+    # were spoken for — never driver-validated, so they must open the
+    # r11 sweep; judge-verifiable now via tests/test_oracle_parity.py),
     # then the remaining r8-stamped keys (they hit the staleness
     # bound in r11), then the r9-stamped wave, freshest last.
     "s25_int8_recall",
+    "d49_retraction_impact",
     "d26_quality_buckets",
     "d27_bloom_contamination",
     "d29_dsir_weights",

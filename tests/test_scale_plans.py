@@ -232,6 +232,7 @@ ALLOWED_BNLJ = {
     "d31_token_surprisal": 1,  # single-row corpus-total (N, log2 N) broadcast
     "d41_mix_planner": 1,  # single-row (corpus_tokens, n_sources) broadcast
     "d43_shard_balance": 1,  # single-row corpus_tokens broadcast
+    "d49_retraction_impact": 1,  # single-row min(source) broadcast
     # d18's distributed prefix sum broadcasts ONE (lo, bucket-width)
     # row, but the bucketed doc stream sits behind a lazy checkpoint
     # (tokenize once for both consumers), so the visible plan shows 0

@@ -207,6 +207,9 @@ def main() -> None:
         # round-10: int8-code brute force (s1's audited pattern over
         # quantized vectors) — linear in n, must track s1's ratio
         "s25_int8_recall",
+        # round-10: retraction pricing — deposit-label joins + one
+        # corpus tokenize pass; must stay deposit-cheap at 10×
+        "d49_retraction_impact",
         # IVF-ADC: the probed-cells-only ADC scan must beat/track s8's
         # whole-corpus ADC as n grows; the sweep + fertility audit are
         # deposit/agg consumers stressed to prove they stay cheap

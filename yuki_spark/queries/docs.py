@@ -387,6 +387,78 @@ def d39_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d49_retraction_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction IMPACT analysis (r10): what taking down one source
+    would cost, BEFORE running the removal — the planning/audit step
+    in front of the deletion machinery (operators/dedup.
+    remove_from_index / relabel_after_removal and the streaming
+    run_corpus_retract loop EXECUTE the removal; this query prices
+    it). The candidate removal set here is the corpus's
+    lexicographically first source (a deterministic stand-in both
+    engines derive identically — a production run substitutes its
+    takedown list). Per language: docs/tokens removed and surviving,
+    surviving docs sitting in a near-dup cluster that loses a member
+    (the components relabel_after_removal would recompute — its
+    workload, priced exactly), and surviving docs ORPHANED of their
+    canonical representative (cluster_id's doc removed — the rows
+    whose dedup labels must change).
+
+    Scale shape: one tokenize pass over the capped corpus (lazy
+    checkpoint feeds the min-source scalar and the rollup), one
+    single-row broadcast (q11's scalar-subquery pattern), keyed
+    left-joins against the DEPOSITED cluster labels
+    (O(docs-in-clusters) — tiny next to the corpus), one per-lang
+    hash-agg. No pair machinery runs — the expensive chain stays in
+    the dedup_family deposit."""
+    cap = doc_cap(sf_dir)
+    docs = (
+        text.with_tokens(load(spark, sf_dir, "documents"))
+        .where(F.col("doc_id") < cap)
+        .select("doc_id", "lang", "source", "n_tokens")
+        .localCheckpoint(eager=False)  # feeds the scalar + the rollup
+    )
+    rm_src = docs.agg(F.min("source").alias("rm_source"))
+    fl = (
+        docs.join(F.broadcast(rm_src))
+        .withColumn("removed", F.col("source") == F.col("rm_source"))
+        .join(dedup_family.clusters08(spark, sf_dir), "doc_id", "left")
+    )
+    touched = (
+        fl.where(F.col("removed") & F.col("cluster_id").isNotNull())
+        .select("cluster_id")
+        .distinct()
+        .withColumn("touched", F.lit(True))
+    )
+    orphan_lbls = (
+        fl.where("removed")
+        .select(F.col("doc_id").alias("cluster_id"))
+        .withColumn("orphaned_lbl", F.lit(True))
+    )
+
+    def csum(cond, val=None):
+        v = F.when(cond, F.lit(1) if val is None else val).otherwise(F.lit(0))
+        return F.sum(v).cast("bigint")
+
+    return (
+        fl.join(touched, "cluster_id", "left")
+        .join(orphan_lbls, "cluster_id", "left")
+        .groupBy("lang")
+        .agg(
+            csum(F.col("removed")).alias("removed_docs"),
+            csum(F.col("removed"), F.col("n_tokens")).alias("removed_tokens"),
+            csum(~F.col("removed")).alias("surv_docs"),
+            csum(~F.col("removed"), F.col("n_tokens")).alias("surv_tokens"),
+            csum(~F.col("removed") & (F.col("touched") == True)).alias(  # noqa: E712
+                "surv_in_touched"
+            ),
+            csum(
+                ~F.col("removed") & (F.col("orphaned_lbl") == True)  # noqa: E712
+            ).alias("orphaned_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
 def d20_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup materialization: Jaccard pairs -> connected
     components -> keep one representative per cluster -> surviving
@@ -1999,6 +2071,7 @@ QUERIES = {
     "d10_winnow_fingerprint": d10_winnow_fingerprint,
     "d11_dedup_clusters": d11_dedup_clusters,
     "d39_cluster_sizes": d39_cluster_sizes,
+    "d49_retraction_impact": d49_retraction_impact,
     "d16_repetition": d16_repetition,
     "d17_contamination": d17_contamination,
     "d47_decontaminate_apply": d47_decontaminate_apply,
@@ -2751,6 +2824,38 @@ _ORACLE_TEMPLATE = {
         u AS (SELECT * FROM hist UNION ALL SELECT * FROM singles)
         SELECT k, n_clusters, k * n_clusters AS n_docs
         FROM u WHERE n_clusters > 0 ORDER BY k
+    """,
+    # retraction pricing: removal set = min(source); cluster labels
+    # from the shared closure CTEs; touched = clusters losing a
+    # member, orphaned = surviving docs whose canonical label doc is
+    # removed
+    "d49_retraction_impact": _CC_CTES + f""",
+        labels AS (SELECT doc, MIN(lbl) AS cluster_id FROM reach GROUP BY doc),
+        base AS (
+          SELECT doc_id, lang, source, CAST(len({_T}) AS BIGINT) AS n_tokens
+          FROM documents WHERE doc_id < {PAIR_CAP}),
+        fl AS (
+          SELECT b.doc_id, b.lang, b.n_tokens,
+                 b.source = (SELECT MIN(source) FROM base) AS removed,
+                 l.cluster_id
+          FROM base b LEFT JOIN labels l ON l.doc = b.doc_id),
+        touched AS (
+          SELECT DISTINCT cluster_id FROM fl
+          WHERE removed AND cluster_id IS NOT NULL),
+        orphan AS (SELECT doc_id AS cluster_id FROM fl WHERE removed)
+        SELECT fl.lang,
+          CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS removed_docs,
+          CAST(SUM(CASE WHEN removed THEN n_tokens ELSE 0 END) AS BIGINT) AS removed_tokens,
+          CAST(SUM(CASE WHEN removed THEN 0 ELSE 1 END) AS BIGINT) AS surv_docs,
+          CAST(SUM(CASE WHEN removed THEN 0 ELSE n_tokens END) AS BIGINT) AS surv_tokens,
+          CAST(SUM(CASE WHEN NOT removed AND t.cluster_id IS NOT NULL
+                   THEN 1 ELSE 0 END) AS BIGINT) AS surv_in_touched,
+          CAST(SUM(CASE WHEN NOT removed AND o.cluster_id IS NOT NULL
+                   THEN 1 ELSE 0 END) AS BIGINT) AS orphaned_docs
+        FROM fl
+        LEFT JOIN touched t ON t.cluster_id = fl.cluster_id
+        LEFT JOIN orphan o ON o.cluster_id = fl.cluster_id
+        GROUP BY fl.lang ORDER BY fl.lang
     """,
     # survivors = docs that are not a non-canonical member of any
     # component (labels from the shared closure CTEs above)
