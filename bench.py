@@ -176,7 +176,6 @@ def _main_body(
 
     # warm the Python/Arrow worker pool so the first Pandas-UDF query
     # isn't charged the one-time worker fork + import cost
-    import pandas as pd  # noqa: PLC0415
     from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
 
     def _noop(s):

@@ -70,7 +70,10 @@ def test_forced_hang_yields_sentinel_and_complete_artifact(
     assert disk["timed_out"] == {"hangq": 3.0}
     assert "fastq" in disk["queries"]
 
-    # the stdout contract line parses and carries the sentinel too
+    # the stdout contract line parses, carries the sentinel, and stays
+    # inside the driver's ~2000-char stdout tail window (the reason
+    # the line truncates its queries dict in the first place)
     line = capsys.readouterr().out.strip().splitlines()[-1]
     parsed = json.loads(line)
     assert parsed["timed_out"] == {"hangq": 3.0}
+    assert len(line) <= 2000
