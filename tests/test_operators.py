@@ -2059,3 +2059,38 @@ def test_relabel_after_removal_on_real_corpus(spark):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_hnsw_ladder_moduli_geometry():
+    """The ladder-depth formula (the executable 'levels grow with
+    log n' claim): nested divisor moduli, entry level at least the
+    target size, one level deeper would undershoot it, depth monotone
+    in n, and the concrete instances the s22/s24 keys pin."""
+    from yuki_spark.operators.similarity import (
+        HNSW_BRANCHING,
+        HNSW_ENTRY_TARGET,
+        hnsw_ladder_moduli,
+    )
+
+    b, t = HNSW_BRANCHING, HNSW_ENTRY_TARGET
+    prev_depth = 0
+    for n in (1, 30, 500, 2_000, 20_000, 500_000, 10**9):
+        mods = hnsw_ladder_moduli(n)
+        # nested divisor ladder: b, b^2, ..., b^L
+        assert mods == [b**i for i in range(1, len(mods) + 1)]
+        entry_mod = b * mods[-1]
+        if len(mods) > 1:  # depth was chosen, not the floor
+            assert n // entry_mod >= t  # entry holds >= target members
+        assert n // (entry_mod * b) < t  # one deeper would undershoot
+        assert len(mods) >= prev_depth  # depth monotone in corpus size
+        prev_depth = len(mods)
+
+    # the two pinned key geometries: s22's 2-level ladder at the test
+    # corpus, s24's 3-level ladder once the corpus supports it
+    assert hnsw_ladder_moduli(500) == [4]        # entry mod 16 == s22
+    assert hnsw_ladder_moduli(b * 16 * t) == [4, 16]  # entry 64 == s24
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hnsw_ladder_moduli(0)

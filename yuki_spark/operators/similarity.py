@@ -1149,6 +1149,40 @@ def nn_descent_round(emb: DataFrame, graph: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+HNSW_BRANCHING = 4     # level-membership thinning factor (÷4 per rung)
+HNSW_ENTRY_TARGET = 24  # smallest useful exact-scan entry level
+
+
+def hnsw_ladder_moduli(
+    n: int,
+    branching: int = HNSW_BRANCHING,
+    entry_target: int = HNSW_ENTRY_TARGET,
+) -> list[int]:
+    """Ladder GEOMETRY from the corpus size — the executable form of
+    the "levels grow with log(n)" claim: returns the graph-level
+    moduli [b, b², …, b^L] (top graph last; the entry level sits one
+    rung above, modulus b^(L+1)), choosing the deepest ladder whose
+    entry level still holds ≥ ``entry_target`` members. The entry
+    scan is exact, so its size is the recall floor — deepening past
+    the target trades recall for nothing (s24's honesty note measures
+    exactly that at test scale). Every corpus growth by the branching
+    factor adds one level; each level is the same bounded
+    knn_graph-over-members plan (graph_l1/graph_l2's shape).
+
+    The s22/s24 keys pin FIXED two- and three-level instances (their
+    oracles replay fixed geometry); a production deployment derives
+    its ladder from this and builds one deposit per modulus:
+    hnsw_ladder_moduli(500) == [4] (s22's geometry, entry mod 16) and
+    the 3-level s24 geometry becomes the pick once n reaches
+    branching·entry_target·16 (pinned in tests)."""
+    if n < 1:
+        raise ValueError("corpus size must be positive")
+    levels = 1
+    while n // (branching ** (levels + 2)) >= entry_target:
+        levels += 1
+    return [branching ** i for i in range(1, levels + 1)]
+
+
 def hnsw_base(emb: DataFrame) -> DataFrame:
     """The layered descent's scaled-vector corpus base: (vec_id, sv,
     nrm), lazily checkpointed so entry scan + every re-rank hop read
