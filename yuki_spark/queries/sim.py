@@ -758,8 +758,10 @@ def s24_hnsw_multilevel(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall sits below s22's 2-level form (0.067 vs 0.167 at sf0.01,
     beam 4). That is the real trade (entry cost ÷4 for recall) and
     exactly why ladder depth is a function of n: this key proves the
-    MECHANISM at a driver-gated grain, the depth choice belongs to
-    the corpus size."""
+    MECHANISM at a driver-gated grain; the depth choice belongs to
+    the corpus size and is executable as
+    operators/similarity.hnsw_ladder_moduli (entry-size-targeted,
+    geometry pinned in tests)."""
     nq = ANN_NQ
     exact = _exact20(spark, sf_dir).select("qid", "cid")
     emb = load(spark, sf_dir, "embeddings")
