@@ -716,6 +716,21 @@ def test_corpus_retract_reverses_ingest_and_readmits(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(corpus).collect()
     ) == [1, 5, 30]
 
+    # a SECOND retraction after the re-ingest (ingest→retract→ingest→
+    # retract): state equality with a from-scratch build must hold at
+    # every point of the interleaving, not just after one cycle
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1], pa.int64())}), rdir / "rm-1.parquet"
+    )
+    retract()
+    surv2 = spark.read.parquet(corpus)
+    assert sorted(r["doc_id"] for r in surv2.collect()) == [5, 30]
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(index).collect()
+    ) == sorted(
+        tuple(r) for r in dd.band_index(dd.token_sets(surv2)).collect()
+    )
+
 
 def _force_batch_replay(ckpt: str) -> None:
     """Delete the newest commit marker (keeping its source offsets) so
