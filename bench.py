@@ -171,8 +171,21 @@ def _main_body(
     spark = get_spark("yuki_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm-up timeouts must be VISIBLE (r10 advice): a silently hung
+    # warm-up leaves an orphaned job running beneath every measured
+    # sample, skewing them invisibly. Record a sentinel row and cancel
+    # the orphaned jobs so the artifact says the run was degraded.
+    timed_out: dict[str, float] = {}
+
+    def guarded_warmup(label: str, fn) -> None:
+        if _guarded(fn, 300.0) is None:
+            timed_out[label] = 300.0
+            _cancel_all_jobs(spark)
+
     if "q1_pricing_summary" in qs:  # warm-up (JVM + codegen)
-        _guarded(lambda: _run(qs["q1_pricing_summary"](spark, sf_dir)), 300.0)
+        guarded_warmup(
+            "warmup_q1", lambda: _run(qs["q1_pricing_summary"](spark, sf_dir))
+        )
 
     # warm the Python/Arrow worker pool so the first Pandas-UDF query
     # isn't charged the one-time worker fork + import cost
@@ -181,9 +194,9 @@ def _main_body(
     def _noop(s):
         return s
 
-    _guarded(
+    guarded_warmup(
+        "warmup_pandas_udf",
         lambda: _run(spark.range(32).select(pandas_udf(_noop, "long")("id"))),
-        300.0,
     )
 
     # Cold phase: first run of each family's deposit-building consumers
@@ -205,19 +218,39 @@ def _main_body(
         "s24_hnsw_multilevel",   # level-2 kNN graph deposit (3-level ladder)
     ]
     key_timeout = float(os.environ.get("SPARK_GRAFT_BENCH_KEY_TIMEOUT_S", "180"))
-    timed_out: dict[str, float] = {}
+    # Cascade guard (r10 advice): if a hung key was a cold deposit
+    # build, the abandoned daemon thread can hold the artifact store's
+    # per-thread RLock forever when cancelAllJobs fails to unstick the
+    # py4j wait — every later deposit-consuming key then blocks on the
+    # lock and burns key_timeout each, turning ONE hang into a
+    # sentinel cascade that eats the whole remaining budget. After
+    # this many CONSECUTIVE timeouts, stop launching keys and ship the
+    # partial artifact (aborted_after names the cutoff) instead of
+    # sentinel-ing the tail.
+    cascade_limit = int(os.environ.get("SPARK_GRAFT_BENCH_CASCADE_LIMIT", "3"))
+    consecutive_timeouts = 0
+    aborted_after: str | None = None
 
     def guarded_key(name: str) -> float | None:
         """One compile+run of ``name`` under the watchdog; records the
         sentinel and cancels the orphaned jobs on timeout."""
+        nonlocal consecutive_timeouts, aborted_after
         dt = _guarded(lambda: _run(qs[name](spark, sf_dir)), key_timeout)
-        if dt is None and name not in timed_out:
-            timed_out[name] = key_timeout
-            _cancel_all_jobs(spark)
+        if dt is None:
+            if name not in timed_out:
+                timed_out[name] = key_timeout
+                _cancel_all_jobs(spark)
+            consecutive_timeouts += 1
+            if consecutive_timeouts >= cascade_limit and aborted_after is None:
+                aborted_after = name
+        else:
+            consecutive_timeouts = 0
         return dt
 
     cold_build_s: dict[str, float] = {}
     for name in cold_keys:
+        if aborted_after is not None:
+            break  # cascade guard tripped: ship the partial artifact
         if name in qs:
             dt = guarded_key(name)
             if dt is not None:
@@ -235,7 +268,11 @@ def _main_body(
     t_start = time.perf_counter()
     samples: dict[str, list[float]] = {n: [] for n in names}
     for rnd in range(runs):
+        if aborted_after is not None:
+            break  # cascade guard tripped: ship the partial artifact
         for name in names:
+            if aborted_after is not None:
+                break
             if rnd > 0 and time.perf_counter() - t_start > budget_s:
                 break
             if name in timed_out:
@@ -243,6 +280,12 @@ def _main_body(
             dt = guarded_key(name)
             if dt is not None:
                 samples[name].append(dt)
+            else:
+                # queries/timed_out must be DISJOINT (r10 advice): a
+                # key that hangs after earlier successful samples
+                # would otherwise appear in both, and its kept samples
+                # would read as a healthy row beside its sentinel
+                samples[name] = []
     per_query: dict[str, float] = {}
     medians: dict[str, float] = {}
     for name in names:
@@ -267,9 +310,17 @@ def _main_body(
         "cold_build_s": cold_build_s,
         # watchdog sentinels: keys whose run exceeded the per-key
         # timeout (the py4j-hang guard) — excluded from queries/value
-        # so one hung key can't pollute the totals, named here so the
-        # artifact stays complete and the hang is VISIBLE
+        # so one hung key can't pollute the totals (samples taken
+        # before a later hang are dropped too: the two sets are
+        # disjoint), named here so the artifact stays complete and
+        # the hang is VISIBLE. warmup_* entries mean a warm-up hung
+        # and the measured samples may ride above an orphaned job.
         "timed_out": timed_out,
+        # cascade guard: non-null means >= cascade_limit consecutive
+        # timeouts tripped the abort (likely an orphaned deposit-build
+        # thread holding the artifact-store RLock) and every key after
+        # this one was skipped — the artifact is deliberately partial
+        "aborted_after": aborted_after,
         "sf": sf,
         # round-over-round context: r5 un-capped the near-dup queries
         # to the full corpus; since r6 the dedup family (d2/d3/d11/d20/
@@ -306,9 +357,11 @@ def _main_body(
     # committed full-precision artifact with all keys + medians).
     cold_json = json.dumps(cold_build_s, separators=(",", ":"))
     to_json = json.dumps(timed_out, separators=(",", ":"))
+    ab_json = json.dumps(aborted_after)
     head = (
         f'{{"metric":"{report["metric"]}","value":{total},"unit":"sec","sf":{sf},'
         f'"cold_build_s":{cold_json},"timed_out":{to_json},'
+        f'"aborted_after":{ab_json},'
     )
     budget = 1850 - len(head) - len(
         '"queries":{},"omitted":999,"full":"bench_results.json"}'

@@ -2080,8 +2080,11 @@ def test_hnsw_ladder_moduli_geometry():
         assert mods == [b**i for i in range(1, len(mods) + 1)]
         entry_mod = b * mods[-1]
         if len(mods) > 1:  # depth was chosen, not the floor
-            assert n // entry_mod >= t  # entry holds >= target members
-        assert n // (entry_mod * b) < t  # one deeper would undershoot
+            # entry membership over dense vec_ids is ceil(n/mod) —
+            # the descent's _lvl_count formula, and the r10-advice
+            # fix: the depth rule uses ceil, not floor
+            assert -(-n // entry_mod) >= t
+        assert -(-n // (entry_mod * b)) < t  # one deeper undershoots
         assert len(mods) >= prev_depth  # depth monotone in corpus size
         prev_depth = len(mods)
 
@@ -2089,6 +2092,11 @@ def test_hnsw_ladder_moduli_geometry():
     # corpus, s24's 3-level ladder once the corpus supports it
     assert hnsw_ladder_moduli(500) == [4]        # entry mod 16 == s22
     assert hnsw_ladder_moduli(b * 16 * t) == [4, 16]  # entry 64 == s24
+    # ceil-vs-floor boundary: n = 64·t − 1 has floor(n/64) = t−1 but
+    # ceil(n/64) = t — the documented ">= entry_target members" rule
+    # (membership IS ceil over dense ids) keeps the deeper ladder
+    assert hnsw_ladder_moduli(b * 16 * t - 1) == [4, 16]
+    assert -(-(b * 16 * t - 1) // (b * 16)) == t  # membership == target
 
     import pytest as _pytest
 

@@ -1177,8 +1177,14 @@ def hnsw_ladder_moduli(
     branching·entry_target·16 (pinned in tests)."""
     if n < 1:
         raise ValueError("corpus size must be positive")
+    # entry-level membership over dense vec_ids 0..n-1 with the
+    # vec_id % mod == 0 rule is ceil(n / mod) — the same _lvl_count
+    # formula the descent uses — so the depth test must be ceil too:
+    # a floor here would leave boundary corpus sizes (ceil meets the
+    # target, floor misses by one) a level shallower than the
+    # documented "entry level still holds >= entry_target members".
     levels = 1
-    while n // (branching ** (levels + 2)) >= entry_target:
+    while -(-n // (branching ** (levels + 2))) >= entry_target:
         levels += 1
     return [branching ** i for i in range(1, levels + 1)]
 
