@@ -136,53 +136,42 @@ def _lvl_count(n: int, mod: int) -> int:
     return (n + mod - 1) // mod
 
 
-def _l1_count(n: int) -> int:
-    return _lvl_count(n, HNSW_L1_MOD)
+def _graph_level(spark: SparkSession, sf_dir: str, mod: int) -> DataFrame:
+    """Level kNN graph deposit for one ladder modulus: the s11 bucket
+    machinery over the vec_id % mod == 0 member set (plane count
+    adaptive to the LEVEL size, not the corpus size). The deposit name
+    encodes the rung index (graph_l1 = mod 4, graph_l2 = mod 16, …) so
+    the fixed s22/s24 ladders and the formula-derived s26 ladder SHARE
+    deposits whenever their moduli coincide — one build serves both.
+    An unreadable catalog footer propagates None so knn_graph falls
+    back to counting the FILTERED member frame — never a made-up n
+    (the r9 review caught a fallback-to-1 here, which would have
+    pinned the graph at the minimum plane count and gone
+    near-quadratic at scale)."""
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") % mod == 0)
+    n = _emb_rows(sf_dir)
+    lvl = (mod.bit_length() - 1) // 2  # mod = branching^lvl, branching = 4
+    return sim_family.result(
+        spark,
+        sf_dir,
+        f"graph_l{lvl}",
+        {"k": K, "mod": mod},
+        lambda: similarity.knn_graph(
+            emb, k=K, n_est=None if n is None else _lvl_count(n, mod)
+        ),
+    )
 
 
 def _graph_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Level-1 kNN graph deposit: the s11 bucket machinery over the
-    vec_id % HNSW_L1_MOD == 0 member set (plane count adaptive to the
-    LEVEL size, not the corpus size). An unreadable catalog footer
-    propagates None so knn_graph falls back to counting the FILTERED
-    member frame — never a made-up n (the r9 review caught a
-    fallback-to-1 here, which would have pinned the graph at the
-    minimum plane count and gone near-quadratic at scale)."""
-    emb = load(spark, sf_dir, "embeddings").where(
-        F.col("vec_id") % HNSW_L1_MOD == 0
-    )
-    n = _emb_rows(sf_dir)
-    return sim_family.result(
-        spark,
-        sf_dir,
-        "graph_l1",
-        {"k": K, "mod": HNSW_L1_MOD},
-        lambda: similarity.knn_graph(
-            emb, k=K, n_est=None if n is None else _l1_count(n)
-        ),
-    )
+    return _graph_level(spark, sf_dir, HNSW_L1_MOD)
 
 
 def _graph_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Level-2 kNN graph deposit (s24's 3-level ladder): the s11
-    bucket machinery over the vec_id % HNSW_L2_MOD == 0 member set,
-    plane count adaptive to THIS level's size — one more rung built
-    exactly like graph_l1, which is the point: every added level is
+    """Level-2 rung (s24's 3-level ladder): one more rung built
+    exactly like graph_l1, which is the point — every added level is
     the same bounded per-level plan (the log(n) ladder claim made
     executable)."""
-    emb = load(spark, sf_dir, "embeddings").where(
-        F.col("vec_id") % HNSW_L2_MOD == 0
-    )
-    n = _emb_rows(sf_dir)
-    return sim_family.result(
-        spark,
-        sf_dir,
-        "graph_l2",
-        {"k": K, "mod": HNSW_L2_MOD},
-        lambda: similarity.knn_graph(
-            emb, k=K, n_est=None if n is None else _lvl_count(n, HNSW_L2_MOD)
-        ),
-    )
+    return _graph_level(spark, sf_dir, HNSW_L2_MOD)
 
 
 def _graph_nnd2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -780,6 +769,55 @@ def s24_hnsw_multilevel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _per_vec_recall(exact, res)
 
 
+def s26_hnsw_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layered-descent ANN whose ladder GEOMETRY is derived from the
+    corpus size by the executable depth policy
+    (operators/similarity.hnsw_ladder_moduli) instead of pinned
+    constants — the r10-verdict gap: the formula existed and was
+    unit-pinned, but no driver-gated key actually ran the ladder it
+    chose. This key counts the catalog (footer-only read, bounded
+    count() fallback), derives the moduli, builds/reuses one level
+    deposit per rung (the SAME graph_l{i} deposits the fixed s22/s24
+    ladders read — coinciding moduli share builds), and descends with
+    the derived entry modulus. Per-vector recall rows (the s12/s22/s24
+    contract) plus the derived geometry as pinned columns, so the
+    DuckDB twin — which derives the SAME moduli from the same corpus
+    count — verifies both the descent and the depth choice: a formula
+    disagreement between the engines is a hash mismatch, not a silent
+    different-index comparison.
+
+    At n=500 (sf0.01) the formula picks [4] — s22's 2-level geometry;
+    at n=5000 (sf0.1) it picks [4, 16] — s24's 3-level geometry: the
+    key DEEPENS with the corpus across the driver's own test scales,
+    which is the log(n) ladder claim executed end-to-end.
+
+    Scale shape: identical per-level plan as s22/s24 (each rung one
+    bounded entry/expand/re-rank block over its own n·k edge deposit);
+    the only additions are the footer count and the O(log n) Python
+    loop deriving the moduli."""
+    nq = ANN_NQ
+    exact = _exact20(spark, sf_dir).select("qid", "cid")
+    emb = load(spark, sf_dir, "embeddings")
+    n = _emb_rows(sf_dir)
+    if n is None:
+        n = emb.count()  # bounded: parquet footer count, no row scan
+    mods = similarity.hnsw_ladder_moduli(n)
+    entry_mod = similarity.HNSW_BRANCHING * mods[-1]
+    graphs = [_graph_level(spark, sf_dir, m) for m in reversed(mods)]
+    graphs.append(_graph_nnd2(spark, sf_dir))  # converged level 0
+    res = similarity.hnsw_descent(
+        emb, graphs, k=K, n_queries=nq, beam=HNSW_BEAM, entry_mod=entry_mod
+    ).select("qid", "cid")
+    return _per_vec_recall(exact, res).select(
+        "qid",
+        "n_hits",
+        "n_possible",
+        "recall",
+        F.lit(len(mods) + 1).cast("bigint").alias("ladder_levels"),
+        F.lit(entry_mod).cast("bigint").alias("entry_mod"),
+    )
+
+
 def s23_hnsw_beam_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Search-time tuning curve for the layered descent: cohort
     recall at beam (ef) ∈ HNSW_BEAM_SWEEP, all widths served from the
@@ -1000,6 +1038,7 @@ QUERIES = {
     "s23_hnsw_beam_sweep": s23_hnsw_beam_sweep,
     "s24_hnsw_multilevel": s24_hnsw_multilevel,
     "s25_int8_recall": s25_int8_recall,
+    "s26_hnsw_adaptive": s26_hnsw_adaptive,
     "s13_matryoshka_recall": s13_matryoshka_recall,
     "s5_quantize_error": s5_quantize_error,
     "s7_semdedup": s7_semdedup,
@@ -1730,16 +1769,24 @@ def _hnsw_descent_ctes(
     return ",\n        ".join(parts), f"res{suf}"
 
 
-def _hnsw_shared_ctes(levels: int = 2) -> str:
+def _hnsw_shared_ctes(
+    levels: int = 2, mods: tuple[int, ...] | None = None
+) -> str:
     """exact truth + scaled-vector base + the level-graph twins — the
     WITH prefix every HNSW twin shares. gl0 is the CONVERGED second
     NN-descent generation (the raw s11 graph twin expanded by two
     _nnd_round_ctes rounds — exactly the graph_nnd2 deposit chain the
     Spark side serves since r10: build → refine → serve).
     ``levels=3`` adds gl2, the kNN-graph twin over the
-    vec_id % HNSW_L2_MOD member set (s24's 3-level ladder)."""
+    vec_id % HNSW_L2_MOD member set (s24's 3-level ladder); ``mods``
+    overrides the rung moduli outright (s26's formula-derived ladder:
+    one gl{i} twin per modulus, each the s11 machinery over its own
+    member set with the LEVEL-sized plane count — the same generality
+    _graph_level has on the Spark side)."""
     nq = ANN_NQ
     n = _oracle_emb_rows()  # loud fallback on footer failure
+    if mods is None:
+        mods = tuple(similarity.HNSW_BRANCHING**i for i in range(1, levels))
     parts = [
         f"exact AS ({_s1_sql(nq)})",
         f"""vb AS (
@@ -1749,21 +1796,21 @@ def _hnsw_shared_ctes(levels: int = 2) -> str:
         f"g0raw AS (SELECT qid, cid FROM ({_s11_oracle()}))",
         _nnd_round_ctes("g0raw", "g0r1"),
         _nnd_round_ctes("g0r1", "gl0"),
-        f"""gl1 AS (SELECT qid, cid FROM (
-          {_s11_oracle(f"WHERE vec_id % {HNSW_L1_MOD} = 0", _l1_count(n))}))""",
     ]
-    if levels >= 3:
-        n2 = (n + HNSW_L2_MOD - 1) // HNSW_L2_MOD
+    for i, mod in enumerate(mods, start=1):
         parts.append(
-            f"""gl2 AS (SELECT qid, cid FROM (
-          {_s11_oracle(f"WHERE vec_id % {HNSW_L2_MOD} = 0", n2)}))"""
+            f"""gl{i} AS (SELECT qid, cid FROM (
+          {_s11_oracle(f"WHERE vec_id % {mod} = 0", _lvl_count(n, mod))}))"""
         )
     return ",\n        ".join(parts)
 
 
-def _hnsw_per_vec_sql(shared: str, descent: str, res: str) -> str:
+def _hnsw_per_vec_sql(
+    shared: str, descent: str, res: str, extra_cols: str = ""
+) -> str:
     """Per-vector recall tail over one descent chain — the SQL twin of
-    _per_vec_recall, shared by the s22 and s24 oracles."""
+    _per_vec_recall, shared by the s22/s24/s26 oracles. ``extra_cols``
+    appends constant geometry columns (s26 pins its derived ladder)."""
     return f"""
         WITH {shared},
         {descent},
@@ -1772,7 +1819,7 @@ def _hnsw_per_vec_sql(shared: str, descent: str, res: str) -> str:
           FROM exact e LEFT JOIN {res} r ON r.qid = e.qid AND r.cid = e.cid
           GROUP BY e.qid)
         SELECT qid, n_hits, CAST({K} AS BIGINT) AS n_possible,
-               CAST(n_hits AS DOUBLE) / CAST({K} AS DOUBLE) AS recall
+               CAST(n_hits AS DOUBLE) / CAST({K} AS DOUBLE) AS recall{extra_cols}
         FROM hits ORDER BY qid
     """
 
@@ -1801,6 +1848,30 @@ def _s24_oracle() -> str:
         HNSW_BEAM, "", graphs=("gl2", "gl1", "gl0"), entry_mod=HNSW_L3_MOD
     )
     return _hnsw_per_vec_sql(_hnsw_shared_ctes(levels=3), descent, res)
+
+
+def _s26_oracle() -> str:
+    """Twin of s26_hnsw_adaptive: derive the SAME ladder moduli from
+    the SAME corpus count (hnsw_ladder_moduli over the gate catalog's
+    footer row count), emit one gl{i} graph twin per derived modulus,
+    run the descent chain with the derived entry modulus, and pin the
+    chosen geometry as constant columns — so an engine disagreement
+    about ladder DEPTH surfaces as a hash mismatch, not as two
+    different indexes being silently compared."""
+    n = _oracle_emb_rows()
+    mods = similarity.hnsw_ladder_moduli(n)
+    entry_mod = similarity.HNSW_BRANCHING * mods[-1]
+    graphs = tuple(f"gl{i}" for i in range(len(mods), 0, -1)) + ("gl0",)
+    descent, res = _hnsw_descent_ctes(
+        HNSW_BEAM, "", graphs=graphs, entry_mod=entry_mod
+    )
+    extra = (
+        f",\n               CAST({len(mods) + 1} AS BIGINT) AS ladder_levels"
+        f",\n               CAST({entry_mod} AS BIGINT) AS entry_mod"
+    )
+    return _hnsw_per_vec_sql(
+        _hnsw_shared_ctes(mods=tuple(mods)), descent, res, extra_cols=extra
+    )
 
 
 def _s23_oracle() -> str:
@@ -2129,6 +2200,7 @@ def build_oracle() -> dict[str, str]:
             "s23_hnsw_beam_sweep": _s23_oracle(),
             "s24_hnsw_multilevel": _s24_oracle(),
             "s25_int8_recall": _s25_oracle(),
+            "s26_hnsw_adaptive": _s26_oracle(),
             "s13_matryoshka_recall": _s13_oracle(),
             "s14_mmr_rerank": _s14_oracle(),
             "s16_knn_centrality": _s16_oracle(),
