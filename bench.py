@@ -213,6 +213,7 @@ def _main_body(
         "s18_nn_descent",        # NN-descent refined-graph deposit
         "s19_ivfpq_ann",         # shortlist-independent IVF-ADC table
         "d44_bpe_tokens",        # tokenized-vocabulary deposit
+        "d50_image_phash_dups",  # rep-grain PNG encode/decode + dHash pairs
         "s21_nn_descent_converge",  # second NN-descent generation deposit
         "s22_hnsw_ann",          # level-1 kNN graph deposit
         "s24_hnsw_multilevel",   # level-2 kNN graph deposit (3-level ladder)

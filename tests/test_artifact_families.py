@@ -258,3 +258,53 @@ def test_table_fingerprint_catches_same_size_same_mtime_rewrite(tmp_path):
     os.utime(f, ns=(st.st_atime_ns, st.st_mtime_ns))
     fp2 = table_fingerprint(str(tmp_path), "documents")
     assert fp1 != fp2
+
+
+def test_phash_collapse_equals_direct(spark, fresh_store):
+    """d50's rep-grain deposit path is bit-identical to running the
+    synth-PNG → decode → dHash → band pipeline over every document:
+    the thumbnail is a pure function of the token SET, so equal-set
+    members share their rep's fingerprint (incl. the empty-set group
+    at Hamming 0 — all-zero cells hash to 0, like SimHash's empty
+    fingerprint)."""
+    from yuki_spark.operators import multimodal as mm
+
+    rows = [
+        (0, "a b c"),
+        (1, "b a   c"),  # same set as 0 -> identical thumbnail
+        (2, ""),
+        (3, "   "),
+        (4, "a b d"),
+        (5, "x y z"),
+        (6, "c b a"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def direct(d):
+        return dedup.hamming_pairs_from_hashes(
+            mm.dhash56(mm.synth_token_png(d)), 6, n_chunks=7, chunk_bits=8
+        )
+
+    got = _sorted_rows(direct(docs), "doc_a", "doc_b")
+    g = dedup.set_groups(docs)
+    rp = dedup.hamming_pairs_from_hashes(
+        mm.dhash56(
+            mm.synth_token_png_from_sets(
+                dedup.token_sets(dedup._rep_docs(docs, g))
+            )
+        ),
+        6,
+        n_chunks=7,
+        chunk_bits=8,
+    )
+    collapsed = _sorted_rows(
+        dedup.expand_rep_simhash_pairs(rp, g), "doc_a", "doc_b"
+    )
+    assert collapsed == got
+    assert (0, 1, 0) in [(a, b, h) for a, b, h in collapsed]  # set-equal
+    assert (2, 3, 0) in [(a, b, h) for a, b, h in collapsed]  # empty pair
+
+    # and the deposit-backed query path matches the direct operator
+    assert _sorted_rows(
+        dedup_family.phash_pairs6(spark, SF_SMOKE), "doc_a", "doc_b"
+    ) == _sorted_rows(direct(_docs(spark)), "doc_a", "doc_b")

@@ -2102,3 +2102,139 @@ def test_hnsw_ladder_moduli_geometry():
 
     with _pytest.raises(ValueError):
         hnsw_ladder_moduli(0)
+
+
+def test_dhash56_decodes_real_png_and_encodes_gradients(spark):
+    """dhash56 runs the REAL stdlib PNG decode and sets bit r*7+c iff
+    the right neighbor is brighter; a uniform brightness shift leaves
+    the hash unchanged (the property that makes dHash perceptual)."""
+    from yuki_spark.operators import codecs
+    from yuki_spark.operators.multimodal import (
+        DHASH_CELLS,
+        DHASH_GRID_H,
+        DHASH_GRID_W,
+        dhash56,
+    )
+
+    base = [(i * 7) % 200 for i in range(DHASH_CELLS)]
+    shifted = [v + 55 for v in base]  # max 199+55=254: no clipping
+    rows = [
+        (0, codecs.encode_png(DHASH_GRID_W, DHASH_GRID_H, bytes(base), channels=1)),
+        (1, codecs.encode_png(DHASH_GRID_W, DHASH_GRID_H, bytes(shifted), channels=1)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    got = {r["doc_id"]: r["sh"] for r in dhash56(df).collect()}
+
+    want = 0
+    for r in range(DHASH_GRID_H):
+        for c in range(DHASH_GRID_W - 1):
+            if base[r * DHASH_GRID_W + c] < base[r * DHASH_GRID_W + c + 1]:
+                want |= 1 << (r * (DHASH_GRID_W - 1) + c)
+    assert got[0] == want
+    assert got[1] == want  # brightness-shift invariant
+    assert 0 <= want < (1 << 56)  # 56-bit: non-negative in int64
+
+    # a wrong-geometry payload fails LOUDLY, never hashes garbage
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [(9, codecs.encode_png(4, 4, bytes(16), channels=1))],
+        "doc_id long, media binary",
+    )
+    with _pytest.raises(Exception, match="dhash56 wants"):
+        dhash56(bad).collect()
+
+
+def test_synth_token_png_is_real_container_with_histogram_cells(spark):
+    """synth_token_png emits a decodable grayscale PNG whose pixels
+    are exactly the distinct-token bucket histogram (capped 255) —
+    the generative rule the d50 oracle recomputes in SQL."""
+    import hashlib
+
+    from yuki_spark.operators import codecs
+    from yuki_spark.operators.multimodal import (
+        DHASH_CELLS,
+        DHASH_GRID_H,
+        DHASH_GRID_W,
+        synth_token_png,
+    )
+
+    text = "alpha beta  beta gamma"
+    df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    payload = bytes(synth_token_png(df).collect()[0]["media"])
+    assert codecs.sniff(payload) == "png"
+    w, h, ch, px = codecs.decode_png(payload)
+    assert (w, h, ch) == (DHASH_GRID_W, DHASH_GRID_H, 1)
+
+    want = [0] * DHASH_CELLS
+    for tok in {"alpha", "beta", "gamma"}:  # DISTINCT tokens
+        h60 = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+        want[h60 % DHASH_CELLS] += 1
+    assert list(px) == want
+
+
+def test_hamming_pairs_from_hashes_contract(spark):
+    """Pigeonhole blocking is exact up to n_chunks-1 differing bits
+    (equals brute force) and REFUSES a threshold it cannot honor."""
+    import itertools
+    import random
+
+    import pytest as _pytest
+
+    from yuki_spark.operators.dedup import hamming_pairs_from_hashes
+
+    rng = random.Random(11)
+    vals = [rng.getrandbits(56) for _ in range(12)]
+    vals.append(vals[0] ^ 0b111111)  # exactly Hamming 6 from vals[0]
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "doc_id long, sh long")
+    got = sorted(
+        tuple(r)
+        for r in hamming_pairs_from_hashes(
+            df, 6, n_chunks=7, chunk_bits=8
+        ).collect()
+    )
+    want = sorted(
+        (a, b, bin(va ^ vb).count("1"))
+        for (a, va), (b, vb) in itertools.combinations(rows, 2)
+        if bin(va ^ vb).count("1") <= 6
+    )
+    assert got == want
+    assert (0, len(vals) - 1, 6) in got  # the boundary pair survives
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        hamming_pairs_from_hashes(df, 7, n_chunks=7, chunk_bits=8)
+
+
+def test_html_extraction_rules(spark):
+    """The d51 extraction core: chrome blocks (title/nav/footer) and
+    link-bearing or empty paragraphs drop; content paragraphs are
+    re-joined in document order, recovering the original text."""
+    import hashlib
+
+    from yuki_spark.operators import html
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta. gamma delta"), (2, "")],
+        "doc_id long, text string",
+    )
+    pages = html.synth_html(docs)
+
+    blocks = {
+        (r["doc_id"], r["pos"]): r for r in html.html_blocks(pages).collect()
+    }
+    tags1 = [blocks[(1, p)]["tag"] for p in range(7)]
+    assert tags1 == ["html", "title", "nav", "p", "p", "p", "footer"]
+    assert blocks[(1, 2)]["n_links"] == 2 and not blocks[(1, 2)]["keep"]
+    assert blocks[(1, 3)]["keep"] and blocks[(1, 3)]["btext"] == "alpha beta."
+    assert blocks[(1, 5)]["n_links"] == 1 and not blocks[(1, 5)]["keep"]
+
+    rep = {r["doc_id"]: r for r in html.extract_main_text(pages).collect()}
+    assert rep[1]["n_blocks"] == 7 and rep[1]["n_kept"] == 2
+    assert rep[1]["n_links"] == 4  # 2 nav + 1 related + 1 footer
+    want = "alpha beta. gamma delta"  # extraction recovers the text
+    assert rep[1]["extracted_len"] == len(want)
+    assert rep[1]["extracted_md5"] == hashlib.md5(want.encode()).hexdigest()
+    # empty doc: its lone paragraph is empty -> nothing kept
+    assert rep[2]["n_kept"] == 0
+    assert rep[2]["extracted_md5"] == hashlib.md5(b"").hexdigest()

@@ -740,13 +740,48 @@ def simhash_pairs_from(ts: DataFrame, max_hamming: int = 3) -> DataFrame:
         "doc_id",
         _simhash64(F.transform("toks", portable_hash60)).alias("sh"),
     ).localCheckpoint(eager=False)  # else the UDF runs once per chunk side (8x)
+    return hamming_pairs_from_hashes(
+        sh, max_hamming=max_hamming, n_chunks=4, chunk_bits=16
+    )
+
+
+def hamming_pairs_from_hashes(
+    sh: DataFrame,
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+    chunk_bits: int = 16,
+) -> DataFrame:
+    """Hamming-≤``max_hamming`` pairs over ANY per-doc integer
+    fingerprint column ``(doc_id, sh)`` — the pigeonhole blocking
+    behind :func:`simhash_pairs`, factored out (r11) so the
+    perceptual-hash image dedup key (d50) rides the same machinery:
+    split the fingerprint into ``n_chunks`` chunks of ``chunk_bits``
+    bits; any pair within Hamming ≤ n_chunks − 1 agrees on ≥1 chunk
+    (pigeonhole), so candidates join on chunk equality only and the
+    exact bit_count verifies. Caller contract:
+    ``max_hamming ≤ n_chunks − 1`` (asserted — a looser threshold
+    would silently lose pairs the blocking never surfaces).
+
+    Scale shape: one bounded explode (n_chunks rows/doc) + one
+    equi-join on (chunk, ckey); candidate volume is governed by chunk
+    entropy — ``chunk_bits`` = 16 gives 65k buckets/chunk (the d4
+    default), 8 gives 256 (d50's 56-bit hash), both audited at 10× in
+    tools/stress.py for the shipped keys."""
+    if max_hamming > n_chunks - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs >= {max_hamming + 1} chunks "
+            f"(got {n_chunks}): pigeonhole blocking would lose pairs"
+        )
+    mask = (1 << chunk_bits) - 1
     chunks = F.array(
         *[
             F.struct(
                 F.lit(i).alias("chunk"),
-                F.shiftrightunsigned(F.col("sh"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("ckey"),
+                F.shiftrightunsigned(F.col("sh"), chunk_bits * i)
+                .bitwiseAND(F.lit(mask))
+                .alias("ckey"),
             )
-            for i in range(4)
+            for i in range(n_chunks)
         ]
     )
     ex = sh.select("doc_id", "sh", F.explode(chunks).alias("c")).select(

@@ -19,7 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import portable_hash60
+from ..functions import portable_hash60, tokens
 from . import codecs
 from pyspark.sql.types import (
     BinaryType,
@@ -265,3 +265,121 @@ def frame_windows(
             yield pd.DataFrame({"doc_id": ids, "win_idx": idxs, "win": wins})
 
     return media.mapInPandas(run, WINDOW_SCHEMA)
+
+
+# ---- perceptual-hash image near-dup (d50) -------------------------------
+# Grid geometry of the synthetic "thumbnail": 8x8 grayscale cells, so
+# the difference hash over row-adjacent cell pairs is 8 rows x 7
+# comparisons = 56 bits — deliberately < 63 so the fingerprint stays
+# non-negative in a signed int64 on BOTH engines (the same headroom
+# rationale as functions.portable_hash60's 60-bit cut; a 64-bit dHash
+# would need 1<<63, which overflows signed BIGINT in DuckDB).
+DHASH_GRID_W = 8
+DHASH_GRID_H = 8
+DHASH_CELLS = DHASH_GRID_W * DHASH_GRID_H
+DHASH_BITS = (DHASH_GRID_W - 1) * DHASH_GRID_H  # 56
+
+
+def synth_token_png(docs: DataFrame) -> DataFrame:
+    """(doc_id, media): a REAL 8×8 grayscale PNG per document whose
+    pixel cells are the doc's distinct-token bucket histogram —
+    cell i = min(#distinct tokens with portable_hash60(tok) % 64 == i,
+    255). Near-duplicate documents share most tokens, so their
+    thumbnails differ in few cells and their difference hashes land
+    within a small Hamming radius — the deterministic stand-in for
+    "similar images have similar pHashes" that the oracle can
+    recompute from the text (the corpus ships no real images; the PNG
+    container, filters and zlib stream are REAL and round-trip the
+    cells losslessly, so :func:`dhash56`'s decode is a true codec
+    path, same discipline as extract_features).
+
+    The token buckets are computed JVM-side with the exact
+    tokenizer + portable hash the dedup family twins use
+    (functions.tokens / portable_hash60), so the Python stage only
+    counts and encodes — no tokenization-semantics drift between the
+    engines can hide in the UDF.
+
+    Scale shape: one linear projection + one Arrow ``mapInPandas``
+    pass (O(doc) rows in, O(doc) rows out, payloads ~100 B)."""
+    ts = docs.select(
+        "doc_id",
+        F.array_remove(F.array_distinct(tokens("text")), "").alias("toks"),
+    )
+    return synth_token_png_from_sets(ts)
+
+
+def synth_token_png_from_sets(ts: DataFrame) -> DataFrame:
+    """:func:`synth_token_png` over a precomputed token-set table
+    ``(doc_id, toks)`` — the thumbnail is a pure function of the
+    token SET (distinct-token histogram), which is exactly what lets
+    the dedup family's identical-set rep collapse carry the
+    perceptual-hash pipeline (queries/dedup_family.py): reps stand in
+    for members, hashes expand back."""
+    buckets = F.transform(
+        F.col("toks"), lambda t: portable_hash60(t) % DHASH_CELLS
+    )
+    src = ts.select("doc_id", buckets.alias("cells_src"))
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("media", BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            medias = []
+            for cl in pdf["cells_src"]:
+                counts = [0] * DHASH_CELLS
+                for c in cl:
+                    counts[int(c)] += 1
+                px = bytes(min(v, 255) for v in counts)
+                medias.append(
+                    codecs.encode_png(
+                        DHASH_GRID_W, DHASH_GRID_H, px, channels=1
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": medias})
+
+    return src.mapInPandas(run, schema)
+
+
+def dhash56(media: DataFrame) -> DataFrame:
+    """(doc_id, sh): 56-bit difference hash over the DECODED grayscale
+    pixels of a PNG payload column — the perceptual fingerprint
+    (dHash: bit (r·7 + c) set iff pixel[r][c] < pixel[r][c+1], the
+    gradient-direction encoding that survives brightness shifts).
+    The decode is the real stdlib codec (operators/codecs.decode_png:
+    chunk parse → inflate → unfilter); a non-grayscale or non-PNG
+    payload fails loudly rather than hashing garbage.
+
+    Scale shape: one Arrow ``mapInPandas`` pass, O(doc) rows, ~64
+    byte-compares per row."""
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("sh", LongType())]
+    )
+    w, h = DHASH_GRID_W, DHASH_GRID_H
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for b in pdf["media"]:
+                pw, ph, ch, px = codecs.decode_png(bytes(b))
+                if (pw, ph, ch) != (w, h, 1):
+                    raise codecs.UnsupportedMediaError(
+                        f"dhash56 wants {w}x{h} grayscale, got {pw}x{ph}x{ch}"
+                    )
+                dh = 0
+                for r in range(h):
+                    for c in range(w - 1):
+                        if px[r * w + c] < px[r * w + c + 1]:
+                            dh |= 1 << (r * (w - 1) + c)
+                outs.append(dh)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sh": pd.array(outs, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(run, schema)

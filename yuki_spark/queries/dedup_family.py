@@ -95,6 +95,8 @@ def _artifact(
     import sys
 
     from .. import functions as fns
+    from ..operators import codecs as codecs_mod
+    from ..operators import multimodal as mm_mod
     from ..operators import text as text_mod
 
     # operators/dedup.py builds on functions.tokens/portable_hash60 and
@@ -102,7 +104,7 @@ def _artifact(
     # address too, so an edit to tokenization invalidates every deposit
     # derived from it (the gates must never validate a stale deposit).
     version = FAMILY_VERSION + "+" + code_fingerprint(
-        sys.modules[__name__], dedup, fns, text_mod
+        sys.modules[__name__], dedup, fns, text_mod, mm_mod, codecs_mod
     )
     return deposit_or_reuse(
         spark,
@@ -126,12 +128,22 @@ def artifacts(
     but it keeps e.g. a first d33 run from paying d3's band/LSH pass
     (measured sf0.1: whole family cold 29.6 s; the exact-pairs chain
     alone ~22 s)."""
-    want = set(need) or {"rep_lsh95", "rep_clusters08", "rep_simhash3"}
+    want = set(need) or {
+        "rep_lsh95",
+        "rep_clusters08",
+        "rep_simhash3",
+        "rep_phash6",
+    }
     if "rep_lsh95" in want:
         want.update(("rep_bands", "rep_ts", "groups"))
     if "rep_clusters08" in want:
         want.update(("rep_pairs08",))
-    if "rep_bands" in want or "rep_pairs08" in want or "rep_simhash3" in want:
+    if (
+        "rep_bands" in want
+        or "rep_pairs08" in want
+        or "rep_simhash3" in want
+        or "rep_phash6" in want
+    ):
         want.update(("rep_ts", "groups"))
     cap = table_rows(sf_dir, "documents")
     fp = corpus_fingerprint(sf_dir, cap)
@@ -184,6 +196,24 @@ def artifacts(
             [fp, rts_id],
             lambda: dedup.simhash_pairs_from(rts, max_hamming=3),
         )
+    if "rep_phash6" in want:
+        # the d50 perceptual-hash pipeline at rep grain: the thumbnail
+        # is a pure function of the token SET (distinct-token bucket
+        # histogram), so reps stand in for members exactly as for
+        # simhash — encode real PNGs, decode, dHash, pigeonhole-band
+        from ..operators import multimodal as mm
+
+        out["rep_phash6"], _ = _artifact(
+            spark,
+            "rep_phash6",
+            [fp, rts_id],
+            lambda: dedup.hamming_pairs_from_hashes(
+                mm.dhash56(mm.synth_token_png_from_sets(rts)),
+                max_hamming=6,
+                n_chunks=7,
+                chunk_bits=8,
+            ),
+        )
     return out
 
 
@@ -226,6 +256,19 @@ def simhash_pairs3(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty-set group included — matching the direct path exactly)."""
     a = artifacts(spark, sf_dir, need=("rep_simhash3",))
     return dedup.expand_rep_simhash_pairs(a["rep_simhash3"], a["groups"])
+
+
+def phash_pairs6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d50's perceptual-hash image pairs (Hamming ≤ 6) from the shared
+    deposits — bit-identical to running the synth→decode→dHash→band
+    pipeline over every document directly: the thumbnail is a pure
+    function of the token set, so equal-set members share their rep's
+    fingerprint (cross pairs inherit the rep Hamming; intra-group
+    pairs emit at Hamming 0 including the empty-set group — an empty
+    doc's all-zero cells hash to 0, exactly like SimHash's empty
+    fingerprint). Pinned against the direct path in tests."""
+    a = artifacts(spark, sf_dir, need=("rep_phash6",))
+    return dedup.expand_rep_simhash_pairs(a["rep_phash6"], a["groups"])
 
 
 def clusters08(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -13,7 +13,7 @@ import os
 
 from ..catalog import load, table_rows
 from ..functions import DEC, portable_hash60, sql_portable_hash60
-from ..operators import bpe, dedup, multimodal, sampling, text
+from ..operators import bpe, dedup, html, multimodal, sampling, text
 from . import dedup_family
 
 # The near-dup pair queries (d2/d3/d4/d11/d20) bound their slice by a
@@ -72,6 +72,60 @@ def d4_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     deposits — set-collapsed since r6 (equal token sets have equal
     fingerprints), bit-identical to ``dedup.simhash_pairs(docs, 3)``."""
     return dedup_family.simhash_pairs3(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+def d51_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML main-content extraction report (r11 — the ingestion step
+    in front of every web-corpus pipeline; trafilatura's shape reduced
+    to its deterministic core in operators/html.py): wrap each doc in
+    a deterministic page skeleton (real chrome to strip: title + nav,
+    one <p> per sentence, a link-only related-reading paragraph, a
+    footer), segment into tag blocks, and keep the content blocks by
+    the structural + link-density rules. Per-page rows: block counts,
+    kept counts, anchor counts, and the length + md5 of the extracted
+    text (the column a downstream d6/d23 quality pass consumes in
+    place of raw text). The DuckDB twin replays synthesis, block
+    segmentation, tag-strip, link counting and the ordered re-join
+    end-to-end — a drifted regex semantics between the engines is a
+    hash mismatch.
+
+    Scale shape: linear string algebra + one page-bounded explode +
+    one hash aggregation back to page grain; no UDFs, no windows, no
+    non-equi joins."""
+    docs = load(spark, sf_dir, "documents")
+    return html.extract_main_text(html.synth_html(docs)).orderBy("doc_id")
+
+
+def d50_image_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash IMAGE near-dup pairs (r11 — the multimodal
+    dedup family the r10 verdict listed as the one missing
+    first-class LLM-pipeline component): synthesize a real 8×8
+    grayscale PNG thumbnail per document
+    (operators/multimodal.synth_token_png — distinct-token bucket
+    histogram as pixels, real zlib/filter container), DECODE it with
+    the stdlib codec, difference-hash the decoded pixels (dHash,
+    operators/multimodal.dhash56 — the gradient-direction fingerprint
+    production image dedup uses), then find Hamming ≤ 6 pairs via the
+    d4 pigeonhole banding machinery
+    (operators/dedup.hamming_pairs_from_hashes, 7 chunks × 8 bits —
+    exact: any pair within Hamming 6 shares a chunk, so blocking
+    cannot lose a pair). On a real image corpus only the synth step
+    changes (thumbnails come from the decoder); hash → band → verify
+    is this exact pipeline.
+
+    Served from the SHARED dedup-family deposits at rep grain
+    (queries/dedup_family.phash_pairs6): the thumbnail is a pure
+    function of the token set, so the identical-set collapse that
+    carries d3/d4 carries this too — bit-identical to running the
+    pipeline over every document directly (pinned in tests).
+
+    Scale shape: two linear Arrow passes (encode, decode+hash) at rep
+    grain, one bounded 7×/rep explode, one equi-join on (chunk, ckey)
+    with exact bit_count verification — d4's audited shape with
+    narrower chunk keys (256 buckets/chunk; near-dup-dense corpora
+    concentrate buckets exactly like d4's 16-bit chunks and ride the
+    same AQE skew handling)."""
+    return dedup_family.phash_pairs6(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 D38_THRESHOLDS = [80, 85, 90, 95]  # Jaccard thresholds as integer %
@@ -2052,6 +2106,8 @@ QUERIES = {
     "d38_threshold_sweep": d38_threshold_sweep,
     "d3_minhash_lsh_dups": d3_minhash_lsh_dups,
     "d4_simhash_dups": d4_simhash_dups,
+    "d50_image_phash_dups": d50_image_phash_dups,
+    "d51_html_extract": d51_html_extract,
     "d5_lang_id": d5_lang_id,
     "d45_langid_model": d45_langid_model,
     "d6_quality_score": d6_quality_score,
@@ -2929,6 +2985,96 @@ _ORACLE_TEMPLATE = {
                CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
         FROM fpa a JOIN fpa b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        ORDER BY doc_a, doc_b
+    """,
+    # d51 twin: the whole extraction chain replayed — synthesis (plain
+    # string concat/replace), block segmentation (chr(1) markers before
+    # each block-opening tag; RE2 and Java agree on '<(p|nav|footer|
+    # title)\b'), tag-strip + space-collapse, anchor counting, the
+    # keep rule, and the ordered re-join (string_agg ORDER BY pos ==
+    # Spark's array_sort over (pos, btext) structs).
+    "d51_html_extract": r"""
+        WITH h AS (
+          SELECT doc_id,
+                 '<html><head><title>doc ' || CAST(doc_id AS VARCHAR)
+                 || '</title></head><body>'
+                 || '<nav><a href="/">home</a> <a href="/about">about</a></nav>'
+                 || '<p>' || replace(text, '. ', '.</p><p>') || '</p>'
+                 || '<p>related: <a href="/r">more</a></p>'
+                 || '<footer><a href="/tos">terms</a> copyright example corp</footer></body></html>'
+                   AS html
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(html,
+                   '<(p|nav|footer|title)\b', chr(1) || '<\1', 'g'),
+                   chr(1)) AS bl
+          FROM h),
+        b0 AS (
+          SELECT doc_id, bl, unnest(range(1, len(bl) + 1)) AS i FROM m),
+        b AS (
+          SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, bl[i] AS block
+          FROM b0),
+        c AS (
+          SELECT doc_id, pos,
+                 regexp_extract(block, '^<([a-z]+)', 1) AS tag,
+                 trim(regexp_replace(regexp_replace(block,
+                   '<[^>]*>', ' ', 'g'), ' +', ' ', 'g')) AS btext,
+                 CAST((length(block)
+                   - length(replace(block, '<a ', ''))) // 3 AS BIGINT)
+                   AS n_links
+          FROM b),
+        k AS (
+          SELECT *,
+                 (tag = 'p' AND n_links = 0 AND length(btext) >= 1) AS keep
+          FROM c),
+        agg AS (
+          SELECT doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                 CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+                 CAST(SUM(n_links) AS BIGINT) AS n_links,
+                 COALESCE(string_agg(CASE WHEN keep THEN btext END,
+                   ' ' ORDER BY pos), '') AS extracted
+          FROM k GROUP BY doc_id)
+        SELECT doc_id, n_blocks, n_kept, n_links,
+               CAST(length(extracted) AS BIGINT) AS extracted_len,
+               md5(extracted) AS extracted_md5
+        FROM agg ORDER BY doc_id
+    """,
+    # d50 twin: recompute the thumbnail CELLS from the generative rule
+    # (distinct-token bucket histogram — the PNG encode/decode is
+    # lossless by construction, so the decoded pixels ARE the cells),
+    # then the 56-bit dHash (bit r*7+c set iff cell[r*8+c] <
+    # cell[r*8+c+1]) and all-pairs Hamming <= 6. Spark's 7x8-bit
+    # pigeonhole blocking is exact (any pair within Hamming 6 agrees
+    # on >= 1 chunk), so candidate pruning cannot change the set.
+    "d50_image_phash_dups": f"""
+        WITH d AS (
+          SELECT doc_id, list_filter(list_distinct({_T}), t -> t <> '') AS toks
+          FROM documents WHERE doc_id < {PAIR_CAP}),
+        tk AS (
+          SELECT doc_id, {sql_portable_hash60('tok')} % 64 AS cell
+          FROM (SELECT doc_id, unnest(toks) AS tok FROM d)),
+        cc AS (
+          SELECT doc_id, cell, LEAST(COUNT(*), 255) AS v
+          FROM tk GROUP BY doc_id, cell),
+        grid AS (
+          SELECT d.doc_id, g.cell, COALESCE(cc.v, 0) AS v
+          FROM d CROSS JOIN (SELECT unnest(range(0, 64)) AS cell) g
+          LEFT JOIN cc ON cc.doc_id = d.doc_id AND cc.cell = g.cell),
+        fp AS (
+          SELECT l.doc_id,
+                 CAST(COALESCE(SUM(CASE WHEN l.v < r.v
+                   THEN (CAST(1 AS BIGINT) << CAST((l.cell // 8) * 7 + (l.cell % 8) AS INT))
+                   ELSE 0 END), 0) AS BIGINT) AS sh
+          FROM grid l JOIN grid r ON r.doc_id = l.doc_id AND r.cell = l.cell + 1
+          WHERE l.cell % 8 < 7
+          GROUP BY l.doc_id)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 6
         ORDER BY doc_a, doc_b
     """,
     "d33_split_leakage": f"""
