@@ -2238,3 +2238,83 @@ def test_html_extraction_rules(spark):
     # empty doc: its lone paragraph is empty -> nothing kept
     assert rep[2]["n_kept"] == 0
     assert rep[2]["extracted_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_knn_graph_retract_exact_equality_and_level_repair(spark):
+    """Incremental graph maintenance under batch deletion
+    (similarity.knn_graph_retract): on an EXACT top-k graph the
+    repaired graph equals a from-scratch exact build over the
+    survivors ROW-FOR-ROW (ground level AND a ladder level restricted
+    to its members), untouched vertices keep their rows verbatim, and
+    on an APPROXIMATE deposit the repair is conservative (untouched
+    unchanged, touched exact, per-vertex recall non-decreasing)."""
+    import numpy as np
+
+    from yuki_spark.operators import similarity
+
+    rng = np.random.RandomState(7)
+    n, k = 120, 3
+    vecs = rng.standard_normal((n, 64)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]], 0) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    def exact(frame):
+        return similarity.cosine_topk(frame, k=k, n_queries=10**9)
+
+    g0 = exact(df)
+    removed = [4, 17, 50]  # 4 is also a mod-4 ladder member
+    ids = spark.createDataFrame([(i,) for i in removed], "vec_id long")
+    surv = df.join(ids, "vec_id", "left_anti")
+
+    got = sorted(
+        tuple(r) for r in similarity.knn_graph_retract(surv, g0, ids, k=k).collect()
+    )
+    want = sorted(tuple(r) for r in exact(surv).collect())
+    assert got == want  # from-scratch equality at ground level
+
+    # untouched vertices pass through VERBATIM (same rows incl. rk)
+    g0_rows = {}
+    touched = set()
+    for r in g0.collect():
+        g0_rows.setdefault(r["qid"], []).append(tuple(r))
+        if r["cid"] in removed:
+            touched.add(r["qid"])
+    for qid, grp in g0_rows.items():
+        if qid not in removed and qid not in touched:
+            assert [t for t in want if t[0] == qid] == sorted(grp)
+    assert touched  # the removal actually touched someone
+
+    # ladder level (members = vec_id % 4 == 0): repair against the
+    # surviving MEMBERS equals a from-scratch exact build over them
+    mem = df.where(F.col("vec_id") % 4 == 0)
+    g1 = exact(mem)
+    surv_mem = surv.where(F.col("vec_id") % 4 == 0)
+    got1 = sorted(
+        tuple(r)
+        for r in similarity.knn_graph_retract(
+            surv, g1, ids, k=k, members=surv_mem
+        ).collect()
+    )
+    assert got1 == sorted(tuple(r) for r in exact(surv_mem).collect())
+
+    # approximate deposit: conservative repair
+    base = similarity.knn_graph(df, k=k, n_planes=8)
+    rep = similarity.knn_graph_retract(surv, base, ids, k=k)
+    base_rows = {r["qid"]: set() for r in base.collect()}
+    touched_a = set()
+    for r in base.collect():
+        base_rows[r["qid"]].add((r["rk"], r["cid"], r["cosine"]))
+        if r["cid"] in removed:
+            touched_a.add(r["qid"])
+    rep_rows = {}
+    for r in rep.collect():
+        rep_rows.setdefault(r["qid"], set()).add((r["rk"], r["cid"], r["cosine"]))
+    exact_surv = {}
+    for t in want:
+        exact_surv.setdefault(t[0], set()).add((t[1], t[2], t[3]))
+    for qid, got_set in rep_rows.items():
+        if qid in touched_a:
+            assert got_set == exact_surv[qid]  # touched became exact
+        else:
+            assert got_set == base_rows[qid]  # untouched verbatim
+    assert not any(q in rep_rows for q in removed)

@@ -1076,3 +1076,225 @@ def test_ann_serving_matches_batch_descent_and_replays(spark, tmp_path):
         ) == [1, 2, 3]
     finally:
         _os.environ.pop("YUKI_SPARK_SIM_STORE", None)
+
+
+def test_embedding_retract_reverses_ingest_and_readmits(spark, tmp_path):
+    """Vector-side continuous retraction (run_embedding_retract, the
+    embedding twin of run_corpus_retract): a streamed deletion batch
+    removes the vectors from the snapshot AND their bucket rows from
+    the persisted sign-LSH index — the maintained index equals a
+    from-scratch nd_bucket_rows build over the survivors — a
+    re-ingested COLINEAR copy of retracted content is admitted as
+    NOVEL again, and a forced replay rewrites identical snapshots.
+    A second retract after the re-ingest pins state equality at every
+    point of the interleaving."""
+    from yuki_spark.operators import similarity as sim
+
+    sdir = tmp_path / "emb_stream"
+    sdir.mkdir()
+    rdir = tmp_path / "vec_retract_stream"
+    rdir.mkdir()
+    vectors = str(tmp_path / "vectors")
+    index = str(tmp_path / "emb_index")
+    bits = 6
+
+    def basis(i, scale=1.0):
+        v = [0.0] * 64
+        v[i] = scale
+        return v
+
+    def slice_file(name, rows):
+        tbl = pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "embedding": pa.array(
+                    [r[1] for r in rows], pa.list_(pa.float32())
+                ),
+                "label": pa.array([0] * len(rows), pa.int32()),
+            }
+        )
+        pq.write_table(tbl, sdir / name)
+        time.sleep(0.05)
+
+    def ingest():
+        q = st.run_embedding_ingest(
+            st.read_embedding_stream(spark, str(sdir), max_files_per_trigger=1),
+            vectors,
+            index,
+            str(tmp_path / "emb_ckpt"),
+            threshold=0.95,
+            bits=bits,
+        )
+        q.awaitTermination(180)
+
+    def scratch_index(frame):
+        return sorted(tuple(r) for r in sim.nd_bucket_rows(frame, bits).collect())
+
+    slice_file(
+        "part-0000.parquet", [(1, basis(0)), (3, basis(1)), (11, basis(2))]
+    )
+    ingest()
+    assert sorted(
+        r["vec_id"] for r in spark.read.parquet(vectors).collect()
+    ) == [1, 3, 11]
+
+    # retraction batch: take down vec 3
+    pq.write_table(
+        pa.table({"vec_id": pa.array([3], pa.int64())}), rdir / "rm-0.parquet"
+    )
+    rckpt = str(tmp_path / "vec_retract_ckpt")
+
+    def retract():
+        q = st.run_embedding_retract(
+            st.read_vec_retraction_stream(spark, str(rdir)),
+            vectors,
+            index,
+            rckpt,
+            bits=bits,
+        )
+        q.awaitTermination(180)
+
+    retract()
+    surv = spark.read.parquet(vectors)
+    assert sorted(r["vec_id"] for r in surv.collect()) == [1, 11]
+    got_idx = sorted(tuple(r) for r in spark.read.parquet(index).collect())
+    assert got_idx == scratch_index(surv)  # from-scratch equality
+
+    # forced replay of the retraction batch: identical snapshots
+    _force_batch_replay(rckpt)
+    retract()
+    assert sorted(
+        r["vec_id"] for r in spark.read.parquet(vectors).collect()
+    ) == [1, 11]
+    assert sorted(tuple(r) for r in spark.read.parquet(index).collect()) == got_idx
+
+    # the retracted DIRECTION re-ingested under a new id is novel
+    # again (colinear vectors share every bucket — nothing of vec 3
+    # survives in the index to flag it as a dup)
+    slice_file("part-0001.parquet", [(30, basis(1, 2.0))])
+    ingest()
+    assert sorted(
+        r["vec_id"] for r in spark.read.parquet(vectors).collect()
+    ) == [1, 11, 30]
+
+    # second cycle: ingest→retract→ingest→retract state equality
+    pq.write_table(
+        pa.table({"vec_id": pa.array([1], pa.int64())}), rdir / "rm-1.parquet"
+    )
+    retract()
+    surv2 = spark.read.parquet(vectors)
+    assert sorted(r["vec_id"] for r in surv2.collect()) == [11, 30]
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(index).collect()
+    ) == scratch_index(surv2)
+
+
+def test_embedding_retract_maintains_ladder_and_serving_equals_scratch(
+    spark, tmp_path
+):
+    """Ingest-retract-SERVE (the r10 verdict's churn gap): a streamed
+    retraction incrementally repairs the persisted kNN graph-ladder
+    deposits (similarity.knn_graph_retract — edges incident to removed
+    vectors dropped, touched vertices exactly re-ranked over surviving
+    level members), after which (a) each maintained deposit equals a
+    from-scratch exact build over the survivors ROW-FOR-ROW and (b)
+    the online serving loop's answers over the maintained ladder equal
+    a descent over a from-scratch ladder build."""
+    import numpy as np
+
+    from yuki_spark.operators import similarity as sim
+
+    rng = np.random.RandomState(11)
+    n, k, beam, entry_mod = 64, 3, 4, 16
+    vecs = rng.standard_normal((n, 64)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]], 0) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    vectors = str(tmp_path / "vectors")
+    index = str(tmp_path / "emb_index")
+    l0 = str(tmp_path / "graph_l0")
+    l1 = str(tmp_path / "graph_l1")
+    bits = 6
+
+    def exact(frame):
+        return sim.cosine_topk(frame, k=k, n_queries=10**9)
+
+    df.write.parquet(vectors)
+    sim.nd_bucket_rows(df, bits).write.parquet(index)
+    exact(df).write.parquet(l0)
+    exact(df.where(F.col("vec_id") % 4 == 0)).write.parquet(l1)
+
+    # retract an l1 member (4) and a ground-only vector (17)
+    rdir = tmp_path / "vec_retract_stream"
+    rdir.mkdir()
+    pq.write_table(
+        pa.table({"vec_id": pa.array([4, 17], pa.int64())}),
+        rdir / "rm-0.parquet",
+    )
+    q = st.run_embedding_retract(
+        st.read_vec_retraction_stream(spark, str(rdir)),
+        vectors,
+        index,
+        str(tmp_path / "vec_retract_ckpt"),
+        bits=bits,
+        graph_paths=[(l0, k, 1), (l1, k, 4)],
+    )
+    q.awaitTermination(180)
+
+    surv = spark.read.parquet(vectors)
+    assert sorted(r["vec_id"] for r in surv.collect()) == sorted(
+        set(range(n)) - {4, 17}
+    )
+    # (a) maintained deposits == from-scratch exact builds
+    assert sorted(tuple(r) for r in spark.read.parquet(l0).collect()) == sorted(
+        tuple(r) for r in exact(surv).collect()
+    )
+    scratch_l1 = exact(surv.where(F.col("vec_id") % 4 == 0))
+    assert sorted(tuple(r) for r in spark.read.parquet(l1).collect()) == sorted(
+        tuple(r) for r in scratch_l1.collect()
+    )
+
+    # (b) serve external queries over the MAINTAINED ladder; answers
+    # equal hnsw_descent over a from-scratch ladder on the survivors
+    qdir = tmp_path / "query_stream"
+    qdir.mkdir()
+    qrows = [(1000 + i, [float(x) for x in rng.standard_normal(64)], 0) for i in range(5)]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in qrows], pa.int64()),
+                "embedding": pa.array(
+                    [r[1] for r in qrows], pa.list_(pa.float32())
+                ),
+                "label": pa.array([0] * len(qrows), pa.int32()),
+            }
+        ),
+        qdir / "q-0.parquet",
+    )
+    snap = str(tmp_path / "answers")
+    sq = st.run_ann_serving(
+        st.read_embedding_stream(spark, str(qdir)),
+        surv,
+        [spark.read.parquet(l1), spark.read.parquet(l0)],
+        snap,
+        str(tmp_path / "serve_ckpt"),
+        k=k,
+        beam=beam,
+        entry_mod=entry_mod,
+    )
+    sq.awaitTermination(180)
+    qdf = spark.createDataFrame(
+        qrows, "vec_id long, embedding array<float>, label int"
+    )
+    want = sim.hnsw_descent(
+        surv,
+        [scratch_l1, exact(surv)],
+        k=k,
+        beam=beam,
+        entry_mod=entry_mod,
+        queries=qdf,
+    )
+    assert sorted(tuple(r) for r in spark.read.parquet(snap).collect()) == sorted(
+        tuple(r) for r in want.collect()
+    )

@@ -1149,6 +1149,86 @@ def nn_descent_round(emb: DataFrame, graph: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def knn_graph_retract(
+    survivors: DataFrame,
+    graph: DataFrame,
+    ids: DataFrame,
+    k: int = 3,
+    members: DataFrame | None = None,
+) -> DataFrame:
+    """Incrementally maintain a per-vertex top-k neighbor graph under
+    a batch DELETION — the graph-deposit analogue of
+    dedup.remove_from_index / relabel_after_removal, closing the r10
+    verdict's "graph-deposit maintenance under churn" gap (before
+    this, retracted vectors invalidated graph_nnd2/graph_l1/graph_l2
+    wholesale):
+
+    1. rows whose qid was removed are dropped (the vertex is gone),
+    2. rows pointing AT a removed cid identify the TOUCHED vertices,
+    3. untouched vertices keep their rows verbatim (their whole top-k
+       survived, and deletion only shrinks the candidate pool, so a
+       surviving top-k is still the top-k),
+    4. every touched vertex gets an EXACT re-ranked neighborhood over
+       the surviving pool (``members`` when given — a ladder level
+       repairs against its level members — else ``survivors``), under
+       the graph family's (cosine desc, cid) total order.
+
+    Invariant (pinned in tests): if the input graph is the exact
+    per-vertex top-k over the pre-removal pool, the output equals a
+    from-scratch exact build over the survivors ROW-FOR-ROW. On an
+    approximate deposit (knn_graph / nn_descent_round output) the
+    repair is strictly conservative: untouched neighborhoods are
+    unchanged and touched ones become exact, so per-vertex recall is
+    non-decreasing.
+
+    Scale shape: two keyed anti-joins + one semi-join sized by the
+    deletion batch (AQE broadcasts it), then one exact re-rank of the
+    touched cohort — |touched| is bounded by the removed set's
+    in-degree (≈ k·|batch|), broadcast against the pool:
+    O(|touched|·n) exact scores and NO shuffle of the corpus, versus
+    the O(n²/buckets · rounds) from-scratch rebuild it replaces. The
+    broadcast hint on the touched query side is load-bearing for the
+    same reason as :func:`hnsw_entry`'s."""
+    rm = ids.select("vec_id").distinct()
+    g = graph.join(
+        rm.withColumnRenamed("vec_id", "qid"), "qid", "left_anti"
+    ).localCheckpoint(eager=False)  # feeds touched + untouched once
+    touched = (
+        g.join(rm.withColumnRenamed("vec_id", "cid"), "cid", "left_semi")
+        .select("qid")
+        .distinct()
+    )
+    untouched = g.join(touched, "qid", "left_anti")
+    pool = members if members is not None else survivors
+    base = pool.select("vec_id", scaled("embedding").alias("sv")).withColumn(
+        "nrm", int_dot(F.col("sv"), F.col("sv"))
+    )
+    q = base.join(
+        touched.withColumnRenamed("qid", "vec_id"), "vec_id", "left_semi"
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("sv").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("cid"),
+        F.col("sv").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = F.round(
+        cosine_from_ints(int_dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")), 9
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col("cid"))
+    repaired = (
+        c.join(broadcast(q), F.col("qid") != F.col("cid"))
+        .withColumn("cosine", cos)
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= k)
+        .select("qid", "rk", "cid", "cosine")
+    )
+    return untouched.unionByName(repaired).orderBy("qid", "rk")
+
+
 HNSW_BRANCHING = 4     # level-membership thinning factor (÷4 per rung)
 HNSW_ENTRY_TARGET = 24  # smallest useful exact-scan entry level
 

