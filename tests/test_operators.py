@@ -2318,3 +2318,80 @@ def test_knn_graph_retract_exact_equality_and_level_repair(spark):
         else:
             assert got_set == base_rows[qid]  # untouched verbatim
     assert not any(q in rep_rows for q in removed)
+
+
+def test_knn_graph_ingest_exact_equality_and_conservative_merge(spark):
+    """Incremental graph maintenance under batch INSERTION
+    (similarity.knn_graph_ingest, knn_graph_retract's twin): on an
+    EXACT top-k graph the merged graph equals a from-scratch exact
+    build over the post-insertion pool ROW-FOR-ROW (ground level AND a
+    ladder level), re-applying the same batch is idempotent (replay),
+    and on an APPROXIMATE deposit per-vertex recall never decreases.
+    A retract→ingest round-trip restores the original graph exactly."""
+    import numpy as np
+
+    from yuki_spark.operators import similarity
+
+    rng = np.random.RandomState(13)
+    n, nb, k = 100, 8, 3
+    vecs = rng.standard_normal((n + nb, 64)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]], 0) for i in range(n + nb)]
+    full = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    old = full.where(F.col("vec_id") < n)
+    batch = full.where(F.col("vec_id") >= n)
+
+    def exact(frame):
+        return similarity.cosine_topk(frame, k=k, n_queries=10**9)
+
+    g_old = exact(old)
+    got = similarity.knn_graph_ingest(g_old, batch, k=k, members=full)
+    want = sorted(tuple(r) for r in exact(full).collect())
+    assert sorted(tuple(r) for r in got.collect()) == want
+
+    # replay: re-applying the same batch over the merged graph is a no-op
+    replay = similarity.knn_graph_ingest(
+        spark.createDataFrame(got.collect(), got.schema), batch, k=k, members=full
+    )
+    assert sorted(tuple(r) for r in replay.collect()) == want
+
+    # ladder level (members = vec_id % 4 == 0)
+    mem_old = old.where(F.col("vec_id") % 4 == 0)
+    mem_full = full.where(F.col("vec_id") % 4 == 0)
+    mem_batch = batch.where(F.col("vec_id") % 4 == 0)
+    got1 = similarity.knn_graph_ingest(
+        exact(mem_old), mem_batch, k=k, members=mem_full
+    )
+    assert sorted(tuple(r) for r in got1.collect()) == sorted(
+        tuple(r) for r in exact(mem_full).collect()
+    )
+
+    # retract→ingest round-trip: removing the batch from the merged
+    # graph restores the pre-insertion exact graph row-for-row
+    ids = batch.select("vec_id")
+    back = similarity.knn_graph_retract(old, got, ids, k=k)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in g_old.collect()
+    )
+
+    # approximate deposit: recall non-decreasing, new vertices exact
+    approx = similarity.knn_graph(old, k=k, n_planes=8)
+    rep = similarity.knn_graph_ingest(approx, batch, k=k, members=full)
+    truth_rows = {}
+    for t in want:
+        truth_rows.setdefault(t[0], set()).add(t[2])
+    base_hits = {}
+    for r in approx.collect():
+        base_hits.setdefault(r["qid"], set()).add(r["cid"])
+    rep_rows = {}
+    for r in rep.collect():
+        rep_rows.setdefault(r["qid"], set()).add(r["cid"])
+    for qid in range(n):  # existing vertices never lose a true edge
+        b = len(base_hits.get(qid, set()) & truth_rows[qid])
+        a = len(rep_rows.get(qid, set()) & truth_rows[qid])
+        assert a >= b
+    for qid in range(n, n + nb):  # new vertices are exact
+        assert rep_rows[qid] == truth_rows[qid]
+
+    # members is required — the graph's qid set cannot stand in
+    with pytest.raises(ValueError, match="member pool"):
+        similarity.knn_graph_ingest(g_old, batch, k=k)

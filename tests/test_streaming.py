@@ -1199,7 +1199,9 @@ def test_embedding_retract_maintains_ladder_and_serving_equals_scratch(
     level members), after which (a) each maintained deposit equals a
     from-scratch exact build over the survivors ROW-FOR-ROW and (b)
     the online serving loop's answers over the maintained ladder equal
-    a descent over a from-scratch ladder build."""
+    a descent over a from-scratch ladder build. An INGEST batch with
+    graph maintenance (knn_graph_ingest) then lands on the same
+    deposits, pinning churn in both directions before the serve."""
     import numpy as np
 
     from yuki_spark.operators import similarity as sim
@@ -1247,6 +1249,49 @@ def test_embedding_retract_maintains_ladder_and_serving_equals_scratch(
         set(range(n)) - {4, 17}
     )
     # (a) maintained deposits == from-scratch exact builds
+    assert sorted(tuple(r) for r in spark.read.parquet(l0).collect()) == sorted(
+        tuple(r) for r in exact(surv).collect()
+    )
+    scratch_l1 = exact(surv.where(F.col("vec_id") % 4 == 0))
+    assert sorted(tuple(r) for r in spark.read.parquet(l1).collect()) == sorted(
+        tuple(r) for r in scratch_l1.collect()
+    )
+
+    # INGEST direction: two novel vectors (204 is an l1 member) land
+    # through the ingest loop with graph maintenance — both deposits
+    # must equal from-scratch exact builds over the grown pool
+    sdir = tmp_path / "emb_stream"
+    sdir.mkdir()
+    newrows = [
+        (200, [float(x) for x in rng.standard_normal(64)], 0),
+        (204, [float(x) for x in rng.standard_normal(64)], 0),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in newrows], pa.int64()),
+                "embedding": pa.array(
+                    [r[1] for r in newrows], pa.list_(pa.float32())
+                ),
+                "label": pa.array([0] * len(newrows), pa.int32()),
+            }
+        ),
+        sdir / "in-0.parquet",
+    )
+    iq = st.run_embedding_ingest(
+        st.read_embedding_stream(spark, str(sdir)),
+        vectors,
+        index,
+        str(tmp_path / "emb_ingest_ckpt"),
+        threshold=0.95,
+        bits=bits,
+        graph_paths=[(l0, k, 1), (l1, k, 4)],
+    )
+    iq.awaitTermination(180)
+    surv = spark.read.parquet(vectors)
+    assert sorted(r["vec_id"] for r in surv.collect()) == sorted(
+        set(range(n)) - {4, 17} | {200, 204}
+    )
     assert sorted(tuple(r) for r in spark.read.parquet(l0).collect()) == sorted(
         tuple(r) for r in exact(surv).collect()
     )

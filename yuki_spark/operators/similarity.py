@@ -1229,6 +1229,101 @@ def knn_graph_retract(
     return untouched.unionByName(repaired).orderBy("qid", "rk")
 
 
+def knn_graph_ingest(
+    graph: DataFrame,
+    batch: DataFrame,
+    k: int = 3,
+    members: DataFrame | None = None,
+) -> DataFrame:
+    """Incrementally maintain a per-vertex top-k neighbor graph under
+    a batch INSERTION — :func:`knn_graph_retract`'s twin, closing the
+    ingest direction of the r10 verdict's churn gap. ``members`` is
+    the POST-insertion vertex pool (vec_id, embedding) — all vectors
+    for a ground-level graph, the level members for a ladder level; it
+    is REQUIRED (fails loud) because vertices can be edge-less, so the
+    graph's own qid set cannot stand in for it:
+
+    1. the NEW vertices get an exact top-k over the whole pool (one
+       broadcast re-rank, |batch| × n scores),
+    2. every EXISTING vertex re-cuts its top-k from {current edges} ∪
+       {its scores against the new batch} — correct because the new
+       pool's true top-k can only contain old-pool vectors (covered by
+       the current edges when those are exact) or new ones (all
+       scored), so no candidate outside the union can enter.
+
+    Invariant (pinned in tests): if the input graph is the exact
+    per-vertex top-k over the pre-insertion pool, the output equals a
+    from-scratch exact build over the post-insertion pool ROW-FOR-ROW.
+    On an approximate deposit the merge is strictly conservative: an
+    existing vertex's neighborhood only changes where a new vector
+    beats a current edge, so per-vertex recall is non-decreasing.
+
+    Scale shape: the batch side is broadcast everywhere (it is
+    micro-batch-sized); existing vertices pay one |pool| × |batch|
+    broadcast join + a top-k window over ≤ k + |batch| candidates per
+    vertex, and the corpus is never self-joined — O(n·|batch|) scores
+    total versus the O(n²/buckets · rounds) from-scratch rebuild."""
+    if members is None:
+        raise ValueError(
+            "knn_graph_ingest needs the post-insertion member pool "
+            "(vec_id, embedding) — vertices can be edge-less, so the "
+            "graph's qid set cannot stand in for it"
+        )
+    base = members.select("vec_id", scaled("embedding").alias("sv")).withColumn(
+        "nrm", int_dot(F.col("sv"), F.col("sv"))
+    ).localCheckpoint(eager=False)  # feeds new-vertex q, batch c, old q
+    bids = batch.select("vec_id").distinct()
+    newq = base.join(bids, "vec_id", "left_semi").select(
+        F.col("vec_id").alias("qid"),
+        F.col("sv").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    c_all = base.select(
+        F.col("vec_id").alias("cid"),
+        F.col("sv").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = F.round(
+        cosine_from_ints(int_dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")), 9
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col("cid"))
+    new_rows = (
+        c_all.join(broadcast(newq), F.col("qid") != F.col("cid"))
+        .withColumn("cosine", cos)
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= k)
+        .select("qid", "rk", "cid", "cosine")
+    )
+    # existing vertices: current edges ∪ scores against the new batch
+    oldq = base.join(bids, "vec_id", "left_anti").select(
+        F.col("vec_id").alias("qid"),
+        F.col("sv").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    c_new = base.join(bids, "vec_id", "left_semi").select(
+        F.col("vec_id").alias("cid"),
+        F.col("sv").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    vs_batch = (
+        oldq.join(broadcast(c_new), F.col("qid") != F.col("cid"))
+        .withColumn("cosine", cos)
+        .select("qid", "cid", "cosine")
+    )
+    old_kept = graph.join(bids.withColumnRenamed("vec_id", "qid"), "qid", "left_anti")
+    # distinct: a REPLAYED batch's vectors are already graph vertices,
+    # so an old edge into them and its vs_batch re-score are the same
+    # (qid, cid, cosine) row — without the dedup that row would occupy
+    # two top-k slots and break replay idempotence
+    merged = old_kept.select("qid", "cid", "cosine").unionByName(vs_batch).distinct()
+    old_rows = (
+        merged.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= k)
+        .select("qid", "rk", "cid", "cosine")
+    )
+    return old_rows.unionByName(new_rows).orderBy("qid", "rk")
+
+
 HNSW_BRANCHING = 4     # level-membership thinning factor (÷4 per rung)
 HNSW_ENTRY_TARGET = 24  # smallest useful exact-scan entry level
 
@@ -1267,6 +1362,22 @@ def hnsw_ladder_moduli(
     while -(-n // (branching ** (levels + 2))) >= entry_target:
         levels += 1
     return [branching ** i for i in range(1, levels + 1)]
+
+
+def churn_modulus(n: int, target: int = 256) -> int:
+    """Member-thinning modulus for the churn-maintenance demo grain
+    (s27): the smallest power of two whose member level (vec_id % mod
+    == 0, ceil(n/mod) members) holds ≤ ``target`` vectors — the same
+    executable-geometry discipline as :func:`hnsw_ladder_moduli`, so
+    the exact from-scratch twin stays bounded at ANY corpus size while
+    the maintenance operators it validates (knn_graph_retract /
+    knn_graph_ingest) are themselves corpus-grain."""
+    if n < 1:
+        raise ValueError("corpus size must be positive")
+    mod = 1
+    while -(-n // mod) > target:
+        mod *= 2
+    return mod
 
 
 def hnsw_base(emb: DataFrame) -> DataFrame:

@@ -818,6 +818,54 @@ def s26_hnsw_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s27_graph_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-deposit maintenance under CHURN, validated end-to-end:
+    a deterministic retract-then-ingest script runs the incremental
+    maintenance operators (operators/similarity.knn_graph_retract +
+    knn_graph_ingest — the r10-verdict churn gap, also wired into the
+    streaming loops via run_embedding_retract/run_embedding_ingest
+    graph_paths) over an exact member-level kNN graph, and returns the
+    maintained graph; the DuckDB twin computes the FROM-SCRATCH exact
+    top-k over the final pool, so the driver hash-verifies the
+    maintenance invariant itself (maintained ≡ rebuilt), not just row
+    shapes — the batch analogue of the streaming from-scratch-equality
+    pins in tests/test_streaming.py.
+
+    Script (all sets derived from vec_id, twin-replayable): members =
+    vec_id % mod == 0 at the ≤256-member demo grain
+    (similarity.churn_modulus — the same executable-geometry
+    discipline as s26's ladder formula, so the exact twin stays
+    bounded at any corpus size); with j = (vec_id div mod) % 5, the
+    initial pool excludes the LATE cohort (j = 3), the exact graph is
+    built over it, the j = 2 cohort is RETRACTED (incremental repair:
+    prune + exact re-rank of vertices that lost a neighbor), then the
+    late cohort is INGESTED (exact new neighborhoods + merge re-cut
+    of existing vertices against the batch).
+
+    Scale shape: the maintenance operators are corpus-grain (keyed
+    anti/semi joins sized by the churn batch + one broadcast re-rank
+    of the touched/new cohort — see their docstrings); only the
+    exact-build demo grain is bounded by churn_modulus. The four
+    non-equi joins all broadcast ≤256-member cohorts by construction
+    (count-gated in tests/test_scale_plans.py)."""
+    emb = load(spark, sf_dir, "embeddings")
+    n = _emb_rows(sf_dir)
+    if n is None:
+        n = emb.count()  # bounded: parquet footer count, no row scan
+    mod = similarity.churn_modulus(n)
+    members = emb.where(F.col("vec_id") % mod == 0)
+    j = F.expr(f"(vec_id div {mod}) % 5")
+    pool0 = members.where(j != 3)
+    late = members.where(j == 3)
+    rm = members.where(j == 2).select("vec_id")
+    g0 = similarity.cosine_topk(pool0, k=K, n_queries=2**62)
+    surv = pool0.join(rm, "vec_id", "left_anti")
+    g1 = similarity.knn_graph_retract(surv, g0, rm, k=K, members=surv)
+    final_pool = surv.unionByName(late)
+    g2 = similarity.knn_graph_ingest(g1, late, k=K, members=final_pool)
+    return g2.orderBy("qid", "rk")
+
+
 def s23_hnsw_beam_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Search-time tuning curve for the layered descent: cohort
     recall at beam (ef) ∈ HNSW_BEAM_SWEEP, all widths served from the

@@ -412,6 +412,7 @@ def _run_dedup_ingest(
     cross_dups,
     rebuild_index,
     primary_name: str,
+    maintain=None,
 ):
     """Shared foreachBatch skeleton of the two continuous-ingest
     loops (documents :func:`run_corpus_ingest`, embeddings
@@ -426,6 +427,13 @@ def _run_dedup_ingest(
       (self-matches of a replayed batch already excluded).
     - ``rebuild_index(primary)`` — the index is DERIVED data: a crash
       between the two overwrites is healed by re-deriving it.
+    - ``maintain(spark, novel, merged_primary)`` (optional) ->
+      [(path, DataFrame)] of derived side-deposits to overwrite after
+      the primary/index swap (e.g. kNN graph-ladder maintenance);
+      each frame must already be eagerly checkpointed. Crash before a
+      side overwrite leaves that deposit stale against the new
+      primary — healed when the interrupted batch replays (every
+      maintainer is idempotent by contract).
 
     A missing PRIMARY while the index exists fails loud (primary data
     cannot be derived back; plain parquet has no transaction log — a
@@ -465,8 +473,11 @@ def _run_dedup_ingest(
             merged_index = index_rows
         mp = merged_primary.localCheckpoint(eager=True)
         mi = merged_index.localCheckpoint(eager=True)
+        side = maintain(spark, novel, mp) if maintain is not None else []
         _atomic_overwrite(mp, primary_path)
         _atomic_overwrite(mi, index_path)
+        for spath, sdf_ in side:
+            _atomic_overwrite(sdf_, spath)
 
     return (
         sdf.writeStream.foreachBatch(apply_batch)
@@ -654,6 +665,7 @@ def run_embedding_ingest(
     checkpoint: str,
     threshold: float = 0.35,
     bits: int = 8,
+    graph_paths: "Sequence[tuple[str, int, int]] | None" = None,
 ):
     """Continuously ingest embedding vectors with cross-batch cosine
     near-dedup — the vector-side twin of :func:`run_corpus_ingest`
@@ -668,9 +680,16 @@ def run_embedding_ingest(
     bucket rows into the index snapshot, both keyed upserts so a
     replayed batch rewrites identical state (idempotent sink).
 
-    ``bits`` is FIXED for the index lifetime (see
-    similarity.nd_bucket_rows) — an adaptive width would shear the
-    index as the corpus grows. Scale notes: like the document ingest,
+    ``graph_paths`` (path, k, level_mod) optionally keeps persisted
+    kNN graph-ladder deposits current as novel vectors land
+    (similarity.knn_graph_ingest — new vertices get an exact
+    neighborhood, existing vertices re-cut top-k from current edges ∪
+    batch scores; the retraction twin is run_embedding_retract's
+    knn_graph_retract), so a serving loop never descends a ladder
+    that predates the corpus. ``bits`` is FIXED for the index lifetime
+    (see similarity.nd_bucket_rows) — an adaptive width would shear
+    the index as the corpus grows. Scale notes: like the document
+    ingest,
     the snapshot rewrite is the plain-parquet stand-in for a lakehouse
     MERGE INTO; the bucket join costs O(batch × colliding rows)
     regardless of corpus size, and the verification joins are keyed on
@@ -736,6 +755,32 @@ def run_embedding_ingest(
             .distinct()
         )
 
+    def maintain(spark, novel, merged_vectors):
+        side = []
+        for gpath, gk, gmod in graph_paths or []:
+            graph = _read_snapshot_or_none(spark, gpath)
+            if graph is None:
+                continue  # deposit not built yet — nothing to maintain
+            nb = (
+                novel
+                if gmod <= 1
+                else novel.where(F.col("vec_id") % gmod == 0)
+            )
+            mem = (
+                merged_vectors
+                if gmod <= 1
+                else merged_vectors.where(F.col("vec_id") % gmod == 0)
+            )
+            side.append(
+                (
+                    gpath,
+                    sim.knn_graph_ingest(
+                        graph, nb, k=gk, members=mem
+                    ).localCheckpoint(eager=True),
+                )
+            )
+        return side
+
     return _run_dedup_ingest(
         sdf,
         vectors_path,
@@ -747,6 +792,7 @@ def run_embedding_ingest(
         cross_dups=cross_dups,
         rebuild_index=lambda vectors: sim.nd_bucket_rows(vectors, bits),
         primary_name="vectors",
+        maintain=maintain if graph_paths else None,
     )
 
 
