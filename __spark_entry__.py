@@ -45,6 +45,7 @@ _PRIORITY = [
     "s26_hnsw_adaptive",
     "d50_image_phash_dups",
     "d51_html_extract",
+    "s27_graph_churn",
     # --- slots 6..48: every key whose most recent driver row is r8
     # (the 2-round staleness bound — all 43 MUST be stamped r11)
     "d25_domain_mix",
@@ -90,12 +91,12 @@ _PRIORITY = [
     "s4_ivf_ann",
     "s7_semdedup",
     "s8_pq_ann",
-    # --- slots 49..50: r9-stamped keys pre-stamped to flatten the
-    # r12 wave (47 r9 keys remain, fitting r12 with room for churn)
+    # --- slot 50: one r9-stamped key pre-stamped to flatten the r12
+    # wave (s27, born mid-r11, claims the other pre-stamp slot;
+    # 48 r9 keys then lead the r12 rotation)
     "cube_revenue",
-    "d18_sequence_packing",
     # --- 50-slot cap lands HERE: exactly 50 keys above (2 unswept +
-    # 3 new + 43 r8-stamped + 2 pre-stamped). Below the cap: the
+    # 4 new + 43 r8-stamped + 1 pre-stamped). Below the cap: the
     # remaining r9-stamped keys lead the r12 rotation, r10-stamped
     # keys freshest last.
     "d28_token_zipf",

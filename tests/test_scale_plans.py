@@ -216,6 +216,11 @@ ALLOWED_BNLJ = {
     # broadcast (the exact-truth baseline; the scale path is the
     # LSH/IVF/graph ladder over the same codes)
     "s25_int8_recall": 1,
+    # s27's churn script: exact member-graph build + retract-repair
+    # re-rank + ingest new-vertex/old-vs-batch scoring — every
+    # non-equi join broadcasts a cohort bounded <= 256 by
+    # similarity.churn_modulus (executable geometry, any corpus size)
+    "s27_graph_churn": 3,
     "d26_quality_buckets": 1,
     "d28_token_zipf": 1,  # single-row corpus-total broadcast (q11 pattern)
     # k-means assignment IS an n x k product with a k-row (10) broadcast

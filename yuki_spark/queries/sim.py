@@ -1087,6 +1087,7 @@ QUERIES = {
     "s24_hnsw_multilevel": s24_hnsw_multilevel,
     "s25_int8_recall": s25_int8_recall,
     "s26_hnsw_adaptive": s26_hnsw_adaptive,
+    "s27_graph_churn": s27_graph_churn,
     "s13_matryoshka_recall": s13_matryoshka_recall,
     "s5_quantize_error": s5_quantize_error,
     "s7_semdedup": s7_semdedup,
@@ -1651,6 +1652,34 @@ def _s11_oracle(where: str = "", n_members: int | None = None) -> str:
                    / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))), 9) AS cosine
           FROM qp q JOIN b c
             ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
+        SELECT qid, rk, cid, cosine FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS BIGINT) AS rk
+          FROM scored)
+        WHERE rk <= {K}
+        ORDER BY qid, rk
+    """
+
+
+def _s27_oracle() -> str:
+    """Twin of s27_graph_churn: the FROM-SCRATCH exact top-k over the
+    final pool (members at the churn_modulus demo grain, minus the
+    retracted j = 2 cohort — the late j = 3 cohort is back in after
+    its ingest). The Spark side runs retract-repair + ingest-merge
+    over the initial graph; equality with this rebuild IS the
+    maintenance invariant."""
+    n = _oracle_emb_rows()
+    mod = similarity.churn_modulus(n)
+    return f"""
+        WITH base AS (
+          SELECT vec_id, {_SCALED} AS sv FROM embeddings
+          WHERE vec_id % {mod} = 0 AND ((vec_id // {mod}) % 5) <> 2),
+        normed AS (
+          SELECT vec_id, sv, {_DOT.format(a='sv', b='sv')} AS nrm FROM base),
+        scored AS (
+          SELECT q.vec_id AS qid, c.vec_id AS cid,
+                 round(CAST({_DOT.format(a='q.sv', b='c.sv')} AS DOUBLE)
+                   / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))), 9) AS cosine
+          FROM normed q JOIN normed c ON q.vec_id <> c.vec_id)
         SELECT qid, rk, cid, cosine FROM (
           SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS BIGINT) AS rk
           FROM scored)
@@ -2249,6 +2278,7 @@ def build_oracle() -> dict[str, str]:
             "s24_hnsw_multilevel": _s24_oracle(),
             "s25_int8_recall": _s25_oracle(),
             "s26_hnsw_adaptive": _s26_oracle(),
+            "s27_graph_churn": _s27_oracle(),
             "s13_matryoshka_recall": _s13_oracle(),
             "s14_mmr_rerank": _s14_oracle(),
             "s16_knn_centrality": _s16_oracle(),
