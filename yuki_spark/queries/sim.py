@@ -853,7 +853,14 @@ def s27_graph_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n is None:
         n = emb.count()  # bounded: parquet footer count, no row scan
     mod = similarity.churn_modulus(n)
-    members = emb.where(F.col("vec_id") % mod == 0)
+    # one bounded materialization feeds all three maintenance stages
+    # (exact build, retract repair, ingest merge) — without it each
+    # stage re-scans the parquet and re-filters the member level
+    members = (
+        emb.select("vec_id", "embedding")
+        .where(F.col("vec_id") % mod == 0)
+        .localCheckpoint(eager=False)
+    )
     j = F.expr(f"(vec_id div {mod}) % 5")
     pool0 = members.where(j != 3)
     late = members.where(j == 3)
