@@ -99,6 +99,7 @@ _PRIORITY = [
     # 4 new + 43 r8-stamped + 1 pre-stamped). Below the cap: the
     # remaining r9-stamped keys lead the r12 rotation, r10-stamped
     # keys freshest last.
+    "d18_sequence_packing",
     "d28_token_zipf",
     "d30_oov_rate",
     "d45_langid_model",

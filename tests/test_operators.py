@@ -2395,3 +2395,55 @@ def test_knn_graph_ingest_exact_equality_and_conservative_merge(spark):
     # members is required — the graph's qid set cannot stand in
     with pytest.raises(ValueError, match="member pool"):
         similarity.knn_graph_ingest(g_old, batch, k=k)
+
+
+def test_relabel_after_addition_equals_rebuild(spark):
+    """Incremental CC relabel under edge addition == from-scratch
+    dedup_clusters over the union, on every interesting shape at once:
+    a MERGE of two components via a bridging new edge (both relabel at
+    the joint min), an extension of a component by a new doc, a
+    brand-new two-doc component, an intra-component edge (condensed
+    self-loop — no-op), and an untouched component (rows verbatim)."""
+
+    def pdf(rows):
+        return spark.createDataFrame(rows, "doc_a long, doc_b long")
+
+    # existing: {1,2} {5,6} {10,11} {20,21,22}
+    old = pdf([(1, 2), (5, 6), (10, 11), (20, 21), (21, 22)])
+    clusters = dedup.dedup_clusters(old)
+    # new: merge {1,2}+{5,6} via (2,5); extend {10,11} with 12;
+    # brand-new {30,31}; intra-component (20,22) no-op
+    new = pdf([(2, 5), (11, 12), (30, 31), (20, 22)])
+
+    got = sorted(
+        tuple(r) for r in dedup.relabel_after_addition(clusters, new).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in dedup.dedup_clusters(old.unionByName(new)).collect()
+    )
+    assert got == want
+    asmap = dict(got)
+    assert asmap[5] == 1 and asmap[6] == 1 and asmap[2] == 1  # merged
+    assert asmap[12] == 10  # extended
+    assert asmap[30] == 30 and asmap[31] == 30  # brand-new
+    assert asmap[20] == 20 and asmap[21] == 20 and asmap[22] == 20  # no-op
+
+
+def test_relabel_after_addition_on_real_corpus(spark):
+    """On the real sf0.001 near-dup graph: labels built from a prefix
+    of the pair table, then incrementally merged with the remaining
+    pairs, equal the from-scratch rebuild over all pairs."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cap = docs.where(F.col("doc_id") < 300).select("doc_id", "text")
+    pairs = dedup.minhash_lsh_pairs(cap, threshold=0.8).select(
+        "doc_a", "doc_b"
+    ).localCheckpoint(eager=False)
+    old = pairs.where((F.col("doc_a") + F.col("doc_b")) % 3 != 0)
+    new = pairs.where((F.col("doc_a") + F.col("doc_b")) % 3 == 0)
+    clusters = dedup.dedup_clusters(old)
+    got = sorted(
+        tuple(r) for r in dedup.relabel_after_addition(clusters, new).collect()
+    )
+    want = sorted(tuple(r) for r in dedup.dedup_clusters(pairs).collect())
+    assert got == want and len(got) > 0

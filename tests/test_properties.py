@@ -1026,3 +1026,60 @@ def test_relabel_after_removal_matches_rebuild_on_arbitrary_graphs(
     assert got == want
     # removed docs never survive in the labels
     assert not ({d for d, _ in got} & rm_set)
+
+
+@given(
+    data=hst.data(),
+    edges=hst.lists(
+        hst.tuples(hst.integers(0, 15), hst.integers(0, 15)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    ),
+)
+@_SETTINGS
+def test_relabel_after_addition_matches_rebuild_on_arbitrary_graphs(
+    spark, data, edges
+):
+    """Incremental CC relabel under edge ADDITION == from-scratch
+    dedup_clusters over the union, for ARBITRARY pair graphs split
+    arbitrarily into an existing set and a new batch (hypothesis picks
+    both) — merges across components, brand-new components, edges
+    inside an existing component (condensed self-loops), and an empty
+    existing graph all fall out of the same equality; re-applying the
+    batch over the merged labels is a no-op (replay idempotence)."""
+    pairs_rows = sorted({(min(a, b), max(a, b)) for a, b in edges})
+    new_set = data.draw(
+        hst.sets(
+            hst.sampled_from(pairs_rows), min_size=1, max_size=len(pairs_rows)
+        ),
+        label="new_batch",
+    )
+    old_rows = [p for p in pairs_rows if p not in new_set]
+    new_rows = sorted(new_set)
+
+    old = spark.createDataFrame(old_rows or [(-1, -2)], "doc_a long, doc_b long")
+    if not old_rows:
+        old = old.where("doc_a > 0")  # genuinely empty existing graph
+    new = spark.createDataFrame(new_rows, "doc_a long, doc_b long")
+    clusters = dedup.dedup_clusters(old)
+    got_df = dedup.relabel_after_addition(clusters, new)
+    got = sorted(tuple(r) for r in got_df.collect())
+    want = sorted(
+        tuple(r)
+        for r in dedup.dedup_clusters(
+            spark.createDataFrame(pairs_rows, "doc_a long, doc_b long")
+        ).collect()
+    )
+    assert got == want
+    # replay: re-applying the same batch over the merged labels moves
+    # nothing (every edge condenses to a self-loop)
+    merged = spark.createDataFrame(got or [(-1, -2)], "doc_id long, cluster_id long")
+    if not got:
+        merged = merged.where("doc_id > 0")
+    replay = sorted(
+        tuple(r) for r in dedup.relabel_after_addition(merged, new).collect()
+    )
+    assert replay == want

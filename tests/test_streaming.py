@@ -1343,3 +1343,131 @@ def test_embedding_retract_maintains_ladder_and_serving_equals_scratch(
     assert sorted(tuple(r) for r in spark.read.parquet(snap).collect()) == sorted(
         tuple(r) for r in want.collect()
     )
+
+
+def test_corpus_label_ingest_and_retract_maintain_cc_labels(spark, tmp_path):
+    """KEEP-ALL near-dup bookkeeping (run_corpus_label_ingest /
+    run_corpus_label_retract): documents are never dropped; the pair
+    and CC-label tables are maintained incrementally
+    (relabel_after_addition / relabel_after_removal) and provably
+    equal a from-scratch dedup_clusters(minhash_lsh_pairs(corpus))
+    build after every step of an ingest/ingest/replay/retract/retract/
+    re-ingest interleaving — merges, splits, evaporation and
+    re-admission all crossed."""
+    from yuki_spark.operators import dedup as dd
+
+    sdir = tmp_path / "doc_stream"
+    sdir.mkdir()
+    rdir = tmp_path / "retract_stream"
+    rdir.mkdir()
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    pairs = str(tmp_path / "pairs")
+    labels = str(tmp_path / "labels")
+
+    TA = "the quick brown fox jumps over the lazy dog"
+    TB = "completely different words entirely unrelated text here"
+    TC = "a third genuinely distinct document body of tokens"
+
+    def doc_slice(name, rows):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows]),
+                "lang": pa.array(["en"] * len(rows)),
+                "source": pa.array(["s"] * len(rows)),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, sdir / name)
+        time.sleep(0.05)
+
+    ickpt = str(tmp_path / "ingest_ckpt")
+
+    def ingest():
+        q = st.run_corpus_label_ingest(
+            st.read_document_stream(spark, str(sdir), max_files_per_trigger=1),
+            corpus,
+            index,
+            pairs,
+            labels,
+            ickpt,
+            threshold=0.8,
+        )
+        q.awaitTermination(180)
+
+    rckpt = str(tmp_path / "retract_ckpt")
+
+    def retract():
+        q = st.run_corpus_label_retract(
+            st.read_retraction_stream(spark, str(rdir)),
+            corpus,
+            index,
+            pairs,
+            labels,
+            rckpt,
+            threshold=0.8,
+        )
+        q.awaitTermination(180)
+
+    def assert_scratch_equal():
+        c = spark.read.parquet(corpus)
+        got = sorted(tuple(r) for r in spark.read.parquet(labels).collect())
+        want = sorted(
+            tuple(r)
+            for r in dd.dedup_clusters(
+                dd.minhash_lsh_pairs(c, 0.8).select("doc_a", "doc_b")
+            ).collect()
+        )
+        assert got == want
+        return dict(got)
+
+    # batch 1: three distinct docs -> no pairs, empty labels
+    doc_slice("part-0000.parquet", [(1, TA), (3, TB), (5, TC)])
+    ingest()
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus).collect()
+    ) == [1, 3, 5]
+    assert assert_scratch_equal() == {}
+
+    # batch 2: 7 and 11 duplicate TA (intra pair 7-11, cross 1-7/1-11),
+    # 9 duplicates TB (cross 3-9) -> components {1,7,11} and {3,9};
+    # every doc KEPT (the loop labels, it does not drop)
+    doc_slice("part-0001.parquet", [(7, TA), (9, TB), (11, TA)])
+    ingest()
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus).collect()
+    ) == [1, 3, 5, 7, 9, 11]
+    m = assert_scratch_equal()
+    assert m == {1: 1, 7: 1, 11: 1, 3: 3, 9: 3}
+
+    # forced replay of batch 2: identical state everywhere
+    _force_batch_replay(ickpt)
+    ingest()
+    m = assert_scratch_equal()
+    assert m == {1: 1, 7: 1, 11: 1, 3: 3, 9: 3}
+
+    # retract 1 (a component's min-id label): {7,11} relabels at 7
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1], pa.int64())}), rdir / "rm-0.parquet"
+    )
+    retract()
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus).collect()
+    ) == [3, 5, 7, 9, 11]
+    m = assert_scratch_equal()
+    assert m == {7: 7, 11: 7, 3: 3, 9: 3}
+
+    # retract 7 AND 9: {11} evaporates, {3} evaporates
+    pq.write_table(
+        pa.table({"doc_id": pa.array([7, 9], pa.int64())}), rdir / "rm-1.parquet"
+    )
+    retract()
+    m = assert_scratch_equal()
+    assert m == {}
+
+    # re-ingest TA under a new id: pairs with the surviving 11 again
+    doc_slice("part-0002.parquet", [(21, TA)])
+    ingest()
+    m = assert_scratch_equal()
+    assert m == {11: 11, 21: 11}

@@ -385,6 +385,68 @@ def relabel_after_removal(
     return keep.unionByName(dedup_clusters(p, max_iter))
 
 
+def relabel_after_addition(
+    clusters: DataFrame,
+    new_pairs: DataFrame,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Incremental connected-component relabel after a batch of new
+    EDGES — :func:`relabel_after_removal`'s twin (r11), the label-
+    maintenance step a keep-all near-dup bookkeeping pipeline runs as
+    new documents (and their verified pairs) land. Contract:
+    ``clusters`` is :func:`dedup_clusters`' output over the existing
+    pair table; the result equals ``dedup_clusters(pairs ∪
+    new_pairs)`` — a from-scratch rebuild — including component
+    MERGES (a new edge bridging two components relabels both at the
+    joint min-id) and brand-new components (both endpoints unseen).
+
+    The trick is the CONDENSED graph: each new edge maps its
+    endpoints to their current labels (an unlabeled endpoint — new
+    doc, or old doc with no prior pair — stands for itself), and CC
+    runs over THAT batch-sized graph only. Old labels are component
+    min-ids, so the min over a condensed component equals the true
+    min over every member of the merged components — the relabel is
+    exact, not approximate. Re-applying an already-merged batch
+    condenses every edge to a self-loop, so replay is a no-op
+    (idempotent by construction; pinned in tests).
+
+    Scale shape: two keyed left joins of the batch-sized edge table
+    against the label table, CC over a condensed graph bounded by the
+    batch (never the corpus graph), then one keyed join relabels the
+    touched components' members; untouched components never move."""
+    np_ = (
+        new_pairs.select("doc_a", "doc_b")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    lab = clusters.select("doc_id", "cluster_id")
+    la = np_.join(
+        lab.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left"
+    ).select(F.coalesce("cluster_id", "doc_a").alias("la"), "doc_b")
+    cond = la.join(
+        lab.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left"
+    ).select("la", F.coalesce("cluster_id", "doc_b").alias("lb"))
+    mapping = dedup_clusters(
+        cond.select(F.col("la").alias("doc_a"), F.col("lb").alias("doc_b")),
+        max_iter,
+    ).localCheckpoint(eager=False)  # feeds relabel join + new-doc rows
+    # nodes of the condensed graph are old labels or fresh doc_ids; a
+    # node appears in ``clusters`` iff it IS an old label (a labeled
+    # doc condenses to its label, never to itself)
+    old_labels = mapping.select(
+        F.col("doc_id").alias("cluster_id"),
+        F.col("cluster_id").alias("__new"),
+    )
+    relabeled = clusters.join(old_labels, "cluster_id").select(
+        "doc_id", F.col("__new").alias("cluster_id")
+    )
+    keep = clusters.join(
+        old_labels.select("cluster_id"), "cluster_id", "left_anti"
+    ).select("doc_id", "cluster_id")
+    fresh = mapping.join(clusters.select("doc_id"), "doc_id", "left_anti")
+    return keep.unionByName(relabeled).unionByName(fresh)
+
+
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     """MinHash/LSH near-dup pairs, verified with exact Jaccard.
 

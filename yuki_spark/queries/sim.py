@@ -801,7 +801,9 @@ def s26_hnsw_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _emb_rows(sf_dir)
     if n is None:
         n = emb.count()  # bounded: parquet footer count, no row scan
-    mods = similarity.hnsw_ladder_moduli(n)
+    # empty catalog: the shallowest ladder over zero vectors yields
+    # the correct empty output (the formula contract needs n >= 1)
+    mods = similarity.hnsw_ladder_moduli(max(n, 1))
     entry_mod = similarity.HNSW_BRANCHING * mods[-1]
     graphs = [_graph_level(spark, sf_dir, m) for m in reversed(mods)]
     graphs.append(_graph_nnd2(spark, sf_dir))  # converged level 0
@@ -852,7 +854,9 @@ def s27_graph_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _emb_rows(sf_dir)
     if n is None:
         n = emb.count()  # bounded: parquet footer count, no row scan
-    mod = similarity.churn_modulus(n)
+    # empty catalog (partition-pruned read, fresh pipeline): any
+    # modulus yields the correct empty output — use the smallest
+    mod = similarity.churn_modulus(max(n, 1))
     # one bounded materialization feeds all three maintenance stages
     # (exact build, retract repair, ingest merge) — without it each
     # stage re-scans the parquet and re-filters the member level

@@ -637,6 +637,184 @@ def run_corpus_retract(
     )
 
 
+def run_corpus_label_ingest(
+    sdf: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    pairs_path: str,
+    labels_path: str,
+    checkpoint: str,
+    threshold: float = 0.8,
+):
+    """KEEP-ALL near-dup bookkeeping ingest (r11): the labeling
+    alternative to :func:`run_corpus_ingest`'s drop-duplicates policy
+    — every document is kept, and the pipeline instead maintains the
+    near-dup PAIR table and the connected-component LABEL table (the
+    d11/d20 artifacts) continuously, so a downstream consumer picks
+    representatives at read time (d20's apply step) with labels that
+    are always current. Per micro-batch:
+
+    1. within-batch pairs (one tokenize + MinHash pass feeds the
+       intra check, the cross check AND the new index rows),
+    2. cross-batch pairs against the PERSISTED band index
+       (dedup.incremental_neardup — batch-sized band join, the corpus
+       is never re-deduped; replayed batches' self-matches excluded),
+    3. keyed upserts of docs/bands/pairs, then the label table is
+       incrementally relabeled (dedup.relabel_after_addition —
+       condensed CC over the batch-sized new-edge graph; merges
+       across components land at the joint min-id, replayed edges
+       condense to self-loops so replay is a no-op).
+
+    The maintained labels provably equal a from-scratch
+    dedup_clusters(minhash_lsh_pairs(corpus)) build after any
+    ingest/retract interleaving (pinned in tests). Heal rules: index,
+    pairs and labels are all DERIVED data — a missing snapshot
+    rebuilds from the corpus (one-time cost, loud in the plan, never
+    silent divergence). Crash consistency: the corpus is overwritten
+    first; stale derived rows heal when the interrupted batch
+    replays. Scale shape: everything per batch is batch-sized (band
+    joins, condensed CC) except the keyed upsert rewrites, which are
+    the plain-parquet stand-in for lakehouse MERGEs."""
+    from ..operators import dedup as dd
+    from ..operators.merge import merge_upsert
+
+    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = _dedup_per_key(batch_df, ["doc_id"]).localCheckpoint(eager=True)
+        ts = dd.token_sets(batch).localCheckpoint(eager=True)
+        bands = dd.band_index(ts).localCheckpoint(eager=True)
+        intra = dd.minhash_pairs_from(ts, bands, threshold).select(
+            "doc_a", "doc_b", "jac"
+        )
+        corpus = _read_snapshot_or_none(spark, corpus_path)
+        if corpus is None:
+            new_pairs = intra
+            mc, mi = batch, bands
+            mp = _dedup_per_key(new_pairs, ["doc_a", "doc_b"]).localCheckpoint(
+                eager=True
+            )
+            ml = dd.dedup_clusters(mp).localCheckpoint(eager=True)
+        else:
+            index = _read_snapshot_or_none(spark, index_path)
+            if index is None:
+                index = dd.band_index(dd.token_sets(corpus))
+            pairs = _read_snapshot_or_none(spark, pairs_path)
+            if pairs is None:
+                pairs = dd.minhash_lsh_pairs(corpus, threshold).select(
+                    "doc_a", "doc_b", "jac"
+                )
+            labels = _read_snapshot_or_none(spark, labels_path)
+            if labels is None:
+                labels = dd.dedup_clusters(pairs.select("doc_a", "doc_b"))
+            cross = (
+                dd.incremental_neardup(
+                    batch, index, corpus, threshold, new_ts=ts, new_bands=bands
+                )
+                # a replayed batch is already indexed: its self-match
+                # is not a pair, and batch-vs-batch collisions through
+                # the index are intra's job (canonicalized below)
+                .where(F.col("new_id") != F.col("indexed_id"))
+                .select(
+                    F.least("new_id", "indexed_id").alias("doc_a"),
+                    F.greatest("new_id", "indexed_id").alias("doc_b"),
+                    "jac",
+                )
+            )
+            new_pairs = _dedup_per_key(
+                intra.unionByName(cross), ["doc_a", "doc_b"]
+            ).localCheckpoint(eager=True)
+            mc = merge_upsert(corpus, batch, ["doc_id"]).localCheckpoint(
+                eager=True
+            )
+            mi = merge_upsert(index, bands, ["doc_id", "band"]).localCheckpoint(
+                eager=True
+            )
+            mp = merge_upsert(
+                pairs, new_pairs, ["doc_a", "doc_b"]
+            ).localCheckpoint(eager=True)
+            ml = dd.relabel_after_addition(
+                labels, new_pairs.select("doc_a", "doc_b")
+            ).localCheckpoint(eager=True)
+        _atomic_overwrite(mc, corpus_path)
+        _atomic_overwrite(mi, index_path)
+        _atomic_overwrite(mp, pairs_path)
+        _atomic_overwrite(ml, labels_path)
+
+    return (
+        sdf.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_corpus_label_retract(
+    sdf: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    pairs_path: str,
+    labels_path: str,
+    checkpoint: str,
+    threshold: float = 0.8,
+):
+    """Takedown twin of :func:`run_corpus_label_ingest` (r11): each
+    micro-batch of doc_ids is anti-joined out of the corpus and band
+    index, its pairs dropped (dedup.surviving_pairs), and the label
+    table incrementally relabeled (dedup.relabel_after_removal —
+    only components that LOST a member recompute, splits and
+    evaporation included), so the maintained labels equal a
+    from-scratch build over the survivors at every point of the
+    interleaving (pinned in tests). Idempotent by construction
+    (anti-joins + the relabel of an already-shrunk component is a
+    no-op); same heal and crash-consistency rules as the ingest
+    loop. ``threshold`` is only consulted on the pairs heal path and
+    must match the ingest loop's."""
+    from ..operators import dedup as dd
+
+    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        ids = _dedup_per_key(batch_df.select("doc_id"), ["doc_id"]).localCheckpoint(
+            eager=True
+        )
+        corpus = _read_snapshot_or_none(spark, corpus_path)
+        if corpus is None:
+            return  # nothing ingested yet — retracting nothing
+        index = _read_snapshot_or_none(spark, index_path)
+        if index is None:
+            index = dd.band_index(dd.token_sets(corpus))
+        pairs = _read_snapshot_or_none(spark, pairs_path)
+        if pairs is None:
+            pairs = dd.minhash_lsh_pairs(corpus, threshold).select(
+                "doc_a", "doc_b", "jac"
+            )
+        labels = _read_snapshot_or_none(spark, labels_path)
+        if labels is None:
+            labels = dd.dedup_clusters(pairs.select("doc_a", "doc_b"))
+        mc = corpus.join(ids, "doc_id", "left_anti").localCheckpoint(eager=True)
+        mi = dd.remove_from_index(index, ids).localCheckpoint(eager=True)
+        # relabel reads the PRE-removal pair table; compute both
+        # survivors and labels before any overwrite
+        ml = dd.relabel_after_removal(
+            labels, pairs.select("doc_a", "doc_b"), ids
+        ).localCheckpoint(eager=True)
+        mp = dd.surviving_pairs(pairs, ids).localCheckpoint(eager=True)
+        _atomic_overwrite(mc, corpus_path)
+        _atomic_overwrite(mi, index_path)
+        _atomic_overwrite(mp, pairs_path)
+        _atomic_overwrite(ml, labels_path)
+
+    return (
+        sdf.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 EMBEDDING_SCHEMA = StructType(
     [
         StructField("vec_id", LongType()),
