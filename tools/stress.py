@@ -221,6 +221,16 @@ def main() -> None:
         # two windows over the aggregated grid)
         "d47_decontaminate_apply",
         "e29_trending_events",
+        # round-11: the formula-derived ladder (depth GROWS with the
+        # 10x corpus — the log(n) claim stressed, one more bounded
+        # level block), the churn script (bounded <=256-member demo
+        # grain by churn_modulus at ANY n — must stay flat), the
+        # rep-grain perceptual-hash banding (d4's shape, narrower
+        # chunk keys), and the linear HTML extraction
+        "s26_hnsw_adaptive",
+        "s27_graph_churn",
+        "d50_image_phash_dups",
+        "d51_html_extract",
     ]
     qs["q1_pricing_summary"](spark, out).write.mode("overwrite").format("noop").save()
     timings = {}
