@@ -1300,6 +1300,47 @@ def test_embedding_retract_maintains_ladder_and_serving_equals_scratch(
         tuple(r) for r in scratch_l1.collect()
     )
 
+    # UPDATE: vec 204 re-ingested with a DIFFERENT embedding — the
+    # maintain hook's retract-then-ingest must shed its stale edges
+    # (and any edge pointing at its old version) before the merge, so
+    # both deposits still equal from-scratch builds over the new pool
+    updrow = [(204, [float(x) for x in rng.standard_normal(64)], 0)]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([204], pa.int64()),
+                "embedding": pa.array(
+                    [updrow[0][1]], pa.list_(pa.float32())
+                ),
+                "label": pa.array([0], pa.int32()),
+            }
+        ),
+        sdir / "in-1.parquet",
+    )
+    iq = st.run_embedding_ingest(
+        st.read_embedding_stream(spark, str(sdir)),
+        vectors,
+        index,
+        str(tmp_path / "emb_ingest_ckpt"),
+        threshold=0.95,
+        bits=bits,
+        graph_paths=[(l0, k, 1), (l1, k, 4)],
+    )
+    iq.awaitTermination(180)
+    surv = spark.read.parquet(vectors)
+    got204 = [
+        r["embedding"]
+        for r in surv.where(F.col("vec_id") == 204).collect()
+    ]
+    assert len(got204) == 1 and abs(got204[0][0] - updrow[0][1][0]) < 1e-6
+    assert sorted(tuple(r) for r in spark.read.parquet(l0).collect()) == sorted(
+        tuple(r) for r in exact(surv).collect()
+    )
+    scratch_l1 = exact(surv.where(F.col("vec_id") % 4 == 0))
+    assert sorted(tuple(r) for r in spark.read.parquet(l1).collect()) == sorted(
+        tuple(r) for r in scratch_l1.collect()
+    )
+
     # (b) serve external queries over the MAINTAINED ladder; answers
     # equal hnsw_descent over a from-scratch ladder on the survivors
     qdir = tmp_path / "query_stream"
@@ -1471,3 +1512,65 @@ def test_corpus_label_ingest_and_retract_maintain_cc_labels(spark, tmp_path):
     ingest()
     m = assert_scratch_equal()
     assert m == {11: 11, 21: 11}
+
+    # UPDATE: doc 21 re-ingested with TB — its stale pair with 11 must
+    # be retracted (no clustering on vanished content), and its NEW
+    # text pairs it with the surviving TB holder, doc 3
+    doc_slice("part-0003.parquet", [(21, TB)])
+    ingest()
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus).collect()
+    ) == [3, 5, 11, 21]
+    m = assert_scratch_equal()
+    assert m == {3: 3, 21: 3}  # 11 evaporated, 21 re-clustered on TB
+
+    # UPDATE back to TA: the 11-pair re-forms, the 3-pair dissolves
+    doc_slice("part-0004.parquet", [(21, TA)])
+    ingest()
+    m = assert_scratch_equal()
+    assert m == {11: 11, 21: 11}
+
+
+def test_corpus_label_ingest_fails_loud_on_missing_primary(spark, tmp_path):
+    """A missing corpus snapshot beside surviving derived snapshots is
+    an unrecoverable state (primary data cannot be derived back): the
+    labeling ingest must refuse to silently reinitialize the pair and
+    label history from one batch."""
+    import shutil
+
+    sdir = tmp_path / "doc_stream"
+    sdir.mkdir()
+    corpus = str(tmp_path / "corpus")
+    paths = [str(tmp_path / p) for p in ("index", "pairs", "labels")]
+
+    def doc_slice(name, rows):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows]),
+                "lang": pa.array(["en"] * len(rows)),
+                "source": pa.array(["s"] * len(rows)),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, sdir / name)
+        time.sleep(0.05)
+
+    def ingest(ckpt):
+        q = st.run_corpus_label_ingest(
+            st.read_document_stream(spark, str(sdir), max_files_per_trigger=1),
+            corpus,
+            *paths,
+            str(tmp_path / ckpt),
+            threshold=0.8,
+        )
+        q.awaitTermination(180)
+
+    doc_slice("part-0000.parquet", [(1, "alpha beta gamma delta tokens")])
+    ingest("ck1")
+    assert spark.read.parquet(corpus).count() == 1
+
+    shutil.rmtree(corpus)  # lose the primary, keep the derived state
+    doc_slice("part-0001.parquet", [(2, "some other words entirely")])
+    with pytest.raises(Exception, match="refusing to reinitialize"):
+        ingest("ck2")

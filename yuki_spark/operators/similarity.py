@@ -1258,6 +1258,15 @@ def knn_graph_ingest(
     existing vertex's neighborhood only changes where a new vector
     beats a current edge, so per-vertex recall is non-decreasing.
 
+    Contract: batch ids must be NEW to the pool, or a bit-identical
+    replay (the distinct() below makes that a no-op). An id that
+    RE-ENTERS with a different embedding violates the merge's
+    exactness — its stale edges describe a vector that no longer
+    exists, and step 2's candidate union cannot recover the old-pool
+    vector its old edge displaced — so updates must go through
+    :func:`knn_graph_retract` first (the streaming maintain hook does
+    exactly that: retract-then-ingest).
+
     Scale shape: the batch side is broadcast everywhere (it is
     micro-batch-sized); existing vertices pay one |pool| × |batch|
     broadcast join + a top-k window over ≤ k + |batch| candidates per

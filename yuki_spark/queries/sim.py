@@ -1679,7 +1679,7 @@ def _s27_oracle() -> str:
     over the initial graph; equality with this rebuild IS the
     maintenance invariant."""
     n = _oracle_emb_rows()
-    mod = similarity.churn_modulus(n)
+    mod = similarity.churn_modulus(max(n, 1))  # empty gate catalog
     return f"""
         WITH base AS (
           SELECT vec_id, {_SCALED} AS sv FROM embeddings
@@ -1947,7 +1947,7 @@ def _s26_oracle() -> str:
     about ladder DEPTH surfaces as a hash mismatch, not as two
     different indexes being silently compared."""
     n = _oracle_emb_rows()
-    mods = similarity.hnsw_ladder_moduli(n)
+    mods = similarity.hnsw_ladder_moduli(max(n, 1))  # empty gate catalog
     entry_mod = similarity.HNSW_BRANCHING * mods[-1]
     graphs = tuple(f"gl{i}" for i in range(len(mods), 0, -1)) + ("gl0",)
     descent, res = _hnsw_descent_ctes(

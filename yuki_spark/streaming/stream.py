@@ -558,20 +558,26 @@ def run_corpus_ingest(
     )
 
 
-def read_retraction_stream(
-    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+def _read_id_stream(
+    spark: SparkSession, path: str, id_col: str, max_files_per_trigger: int
 ) -> DataFrame:
-    """File-source stream of doc_id retraction requests — the takedown
-    feed for :func:`run_corpus_retract`."""
-    from pyspark.sql.types import LongType, StructField
-
+    """File-source stream of single-id retraction requests — the one
+    reader behind both takedown feeds (doc_id / vec_id)."""
     return (
         spark.readStream.schema(
-            StructType([StructField("doc_id", LongType())])
+            StructType([StructField(id_col, LongType())])
         )
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(path)
     )
+
+
+def read_retraction_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-source stream of doc_id retraction requests — the takedown
+    feed for :func:`run_corpus_retract` / :func:`run_corpus_label_retract`."""
+    return _read_id_stream(spark, path, "doc_id", max_files_per_trigger)
 
 
 def run_corpus_retract(
@@ -665,16 +671,28 @@ def run_corpus_label_ingest(
        across components land at the joint min-id, replayed edges
        condense to self-loops so replay is a no-op).
 
+    A batch doc whose doc_id ALREADY EXISTS in the corpus is an
+    UPDATE (or a replay): its old band rows, pairs and label edges
+    describe text that is being replaced, so the loop first RETRACTS
+    the updated ids from the index/pairs/labels views (surviving_pairs
+    + relabel_after_removal — batch-sized), then runs the cross check
+    and the additive relabel against the retracted state. A replayed
+    batch retracts-then-re-adds identical edges, landing on identical
+    snapshots (idempotent); a genuine content change drops the stale
+    pairs a plain upsert would have kept clustering on.
+
     The maintained labels provably equal a from-scratch
     dedup_clusters(minhash_lsh_pairs(corpus)) build after any
-    ingest/retract interleaving (pinned in tests). Heal rules: index,
-    pairs and labels are all DERIVED data — a missing snapshot
+    ingest/update/retract interleaving (pinned in tests). Heal rules:
+    index, pairs and labels are DERIVED data — a missing snapshot
     rebuilds from the corpus (one-time cost, loud in the plan, never
-    silent divergence). Crash consistency: the corpus is overwritten
-    first; stale derived rows heal when the interrupted batch
-    replays. Scale shape: everything per batch is batch-sized (band
-    joins, condensed CC) except the keyed upsert rewrites, which are
-    the plain-parquet stand-in for lakehouse MERGEs."""
+    silent divergence); a missing CORPUS while derived snapshots
+    exist fails loud (primary data cannot be derived back — the
+    shared skeleton's rule). Crash consistency: the corpus is
+    overwritten first; stale derived rows heal when the interrupted
+    batch replays. Scale shape: everything per batch is batch-sized
+    (band joins, condensed CC) except the keyed upsert rewrites,
+    which are the plain-parquet stand-in for lakehouse MERGEs."""
     from ..operators import dedup as dd
     from ..operators.merge import merge_upsert
 
@@ -690,6 +708,15 @@ def run_corpus_label_ingest(
         )
         corpus = _read_snapshot_or_none(spark, corpus_path)
         if corpus is None:
+            for dpath in (index_path, pairs_path, labels_path):
+                _, dp = _fs_path(spark, dpath)
+                if dp.getFileSystem(spark._jsc.hadoopConfiguration()).exists(dp):
+                    raise RuntimeError(
+                        f"corpus snapshot {corpus_path!r} missing while "
+                        f"derived snapshot {dpath!r} exists — refusing "
+                        "to reinitialize the pair/label history from "
+                        "one batch (primary data cannot be derived back)"
+                    )
             new_pairs = intra
             mc, mi = batch, bands
             mp = _dedup_per_key(new_pairs, ["doc_a", "doc_b"]).localCheckpoint(
@@ -708,13 +735,33 @@ def run_corpus_label_ingest(
             labels = _read_snapshot_or_none(spark, labels_path)
             if labels is None:
                 labels = dd.dedup_clusters(pairs.select("doc_a", "doc_b"))
+            # UPDATED (or replayed) ids: retract their stale state
+            # first — old band rows would cross-match other docs
+            # against text being replaced, and old pairs would keep
+            # the label graph clustered on vanished content
+            upd = (
+                batch.select("doc_id")
+                .join(corpus.select("doc_id"), "doc_id", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+            index = dd.remove_from_index(index, upd)
+            # the relabel reads the PRE-removal pair table; compute it
+            # before shrinking pairs to the survivors
+            labels = dd.relabel_after_removal(labels, pairs, upd)
+            pairs = dd.surviving_pairs(pairs, upd).localCheckpoint(eager=False)
             cross = (
                 dd.incremental_neardup(
-                    batch, index, corpus, threshold, new_ts=ts, new_bands=bands
+                    batch,
+                    index,
+                    corpus.join(upd, "doc_id", "left_anti"),
+                    threshold,
+                    new_ts=ts,
+                    new_bands=bands,
                 )
-                # a replayed batch is already indexed: its self-match
-                # is not a pair, and batch-vs-batch collisions through
-                # the index are intra's job (canonicalized below)
+                # updated ids were retracted above, so a replayed doc
+                # cannot self-match through its live index rows — but a
+                # STALE row for a crash-retracted doc could still echo
+                # its id back; never emit a self-pair
                 .where(F.col("new_id") != F.col("indexed_id"))
                 .select(
                     F.least("new_id", "indexed_id").alias("doc_a"),
@@ -859,12 +906,14 @@ def run_embedding_ingest(
     replayed batch rewrites identical state (idempotent sink).
 
     ``graph_paths`` (path, k, level_mod) optionally keeps persisted
-    kNN graph-ladder deposits current as novel vectors land
-    (similarity.knn_graph_ingest — new vertices get an exact
-    neighborhood, existing vertices re-cut top-k from current edges ∪
-    batch scores; the retraction twin is run_embedding_retract's
-    knn_graph_retract), so a serving loop never descends a ladder
-    that predates the corpus. ``bits`` is FIXED for the index lifetime
+    kNN graph-ladder deposits current as novel vectors land — each
+    level runs RETRACT-then-INGEST (knn_graph_retract then
+    knn_graph_ingest) so replayed or updated vec_ids shed their stale
+    edges before their current versions merge in; new vertices get an
+    exact neighborhood, existing vertices re-cut top-k from current
+    edges ∪ batch scores. The retraction twin is
+    run_embedding_retract's graph_paths. A serving loop therefore
+    never descends a ladder that predates the corpus. ``bits`` is FIXED for the index lifetime
     (see similarity.nd_bucket_rows) — an adaptive width would shear
     the index as the corpus grows. Scale notes: like the document
     ingest,
@@ -935,25 +984,40 @@ def run_embedding_ingest(
 
     def maintain(spark, novel, merged_vectors):
         side = []
+        nb_all = novel.select("vec_id", "embedding").localCheckpoint(eager=True)
         for gpath, gk, gmod in graph_paths or []:
             graph = _read_snapshot_or_none(spark, gpath)
             if graph is None:
                 continue  # deposit not built yet — nothing to maintain
             nb = (
-                novel
+                nb_all
                 if gmod <= 1
-                else novel.where(F.col("vec_id") % gmod == 0)
+                else nb_all.where(F.col("vec_id") % gmod == 0)
             )
+            if nb.isEmpty():
+                continue  # no level members in this batch — the
+                # deposit is already exact over the unchanged level
             mem = (
                 merged_vectors
                 if gmod <= 1
                 else merged_vectors.where(F.col("vec_id") % gmod == 0)
             )
+            # retract-then-ingest: a replayed or UPDATED vec_id is
+            # already a graph vertex, and its stale edges describe an
+            # embedding that may no longer exist — knn_graph_ingest's
+            # merge is only exact over ids new to the pool, so first
+            # remove the batch ids (exact re-rank of any vertex that
+            # pointed at them, over the pool WITHOUT the batch), then
+            # insert their current versions. Brand-new ids make the
+            # retract a no-op (nothing removed, nobody touched).
+            ids = nb.select("vec_id")
+            mem_wo = mem.join(ids, "vec_id", "left_anti")
+            g1 = sim.knn_graph_retract(mem_wo, graph, ids, k=gk, members=mem_wo)
             side.append(
                 (
                     gpath,
                     sim.knn_graph_ingest(
-                        graph, nb, k=gk, members=mem
+                        g1, nb, k=gk, members=mem
                     ).localCheckpoint(eager=True),
                 )
             )
@@ -979,15 +1043,7 @@ def read_vec_retraction_stream(
 ) -> DataFrame:
     """File-source stream of vec_id retraction requests — the takedown
     feed for :func:`run_embedding_retract`."""
-    from pyspark.sql.types import StructField
-
-    return (
-        spark.readStream.schema(
-            StructType([StructField("vec_id", LongType())])
-        )
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .parquet(path)
-    )
+    return _read_id_stream(spark, path, "vec_id", max_files_per_trigger)
 
 
 def run_embedding_retract(
