@@ -46,6 +46,7 @@ _PRIORITY = [
     "d50_image_phash_dups",
     "d51_html_extract",
     "s27_graph_churn",
+    "s28_filtered_ann",
     # --- slots 6..48: every key whose most recent driver row is r8
     # (the 2-round staleness bound — all 43 MUST be stamped r11)
     "d25_domain_mix",
@@ -91,14 +92,13 @@ _PRIORITY = [
     "s4_ivf_ann",
     "s7_semdedup",
     "s8_pq_ann",
-    # --- slot 50: one r9-stamped key pre-stamped to flatten the r12
-    # wave (s27, born mid-r11, claims the other pre-stamp slot;
-    # 48 r9 keys then lead the r12 rotation)
-    "cube_revenue",
     # --- 50-slot cap lands HERE: exactly 50 keys above (2 unswept +
-    # 4 new + 43 r8-stamped + 1 pre-stamped). Below the cap: the
+    # 5 born-r11 + 43 r8-stamped — s27/s28, born mid-r11, claimed the
+    # two pre-stamp slots; 49 r9 keys then lead the r12 rotation,
+    # cube_revenue first). Below the cap: the
     # remaining r9-stamped keys lead the r12 rotation, r10-stamped
     # keys freshest last.
+    "cube_revenue",
     "d18_sequence_packing",
     "d28_token_zipf",
     "d30_oov_rate",

@@ -221,6 +221,11 @@ ALLOWED_BNLJ = {
     # non-equi join broadcasts a cohort bounded <= 256 by
     # similarity.churn_modulus (executable geometry, any corpus size)
     "s27_graph_churn": 3,
+    # s28's exact same-tenant truth joins on an EXTRACTABLE equi key
+    # (qid % mod = cid % mod → SMJ/BHJ, <> as post-filter) — no BNLJ
+    # anywhere; the checkpoint-hidden form is still pinned in
+    # test_checkpoint_blind_spot_joins_pinned_pre_checkpoint
+    "s28_filtered_ann": 0,
     "d26_quality_buckets": 1,
     "d28_token_zipf": 1,  # single-row corpus-total broadcast (q11 pattern)
     # k-means assignment IS an n x k product with a k-row (10) broadcast
@@ -425,6 +430,28 @@ def test_checkpoint_blind_spot_joins_pinned_pre_checkpoint(spark):
         d18_plan = fmt_plan(spark, docs_mod._d18_bucketed(docs))
         assert bnlj_nodes(d18_plan) == 1
         assert "CartesianProduct" not in d18_plan
+
+        # 3. s28's exact same-tenant truth (sim._s28_exact_filtered)
+        # hides behind the exact_f lazy checkpoint in the production
+        # plan — pinned here on the un-checkpointed form. Unlike s1's
+        # pure-BNLJ brute force, the tenant predicate hands Catalyst
+        # an EQUI key (qid % mod = cid % mod), so even with stats
+        # broadcast disabled the join plans as a keyed join (SMJ/BHJ)
+        # with the <> as a post-filter — never a cartesian and never
+        # an unkeyed loop join. The pin fails if a predicate refactor
+        # loses the extractable equality.
+        from yuki_spark.queries import sim as sim_mod
+
+        s28_plan = fmt_plan(
+            spark, sim_mod._s28_exact_filtered(base, 5, sim_mod.S28_FILTER_MOD)
+        )
+        assert bnlj_nodes(s28_plan) == 0
+        assert "CartesianProduct" not in s28_plan
+        assert (
+            "SortMergeJoin" in s28_plan
+            or "BroadcastHashJoin" in s28_plan
+            or "ShuffledHashJoin" in s28_plan
+        )
 
 
 def test_every_query_plan_scale_safe(spark, qs):

@@ -229,6 +229,9 @@ def main() -> None:
         # chunk keys), and the linear HTML extraction
         "s26_hnsw_adaptive",
         "s27_graph_churn",
+        # pre/post-filter ANN: the tenant predicate must keep riding
+        # the probed-cell join as candidate volume grows
+        "s28_filtered_ann",
         "d50_image_phash_dups",
         "d51_html_extract",
     ]

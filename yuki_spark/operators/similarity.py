@@ -691,6 +691,73 @@ def ivf_ann(
     )
 
 
+def ivf_ann_filtered(
+    emb: DataFrame,
+    k: int = 3,
+    n_queries: int = 20,
+    nprobe: int = 3,
+    filter_mod: int = 2,
+) -> DataFrame:
+    """Attribute-FILTERED IVF ANN, pre-filter strategy (r11): each
+    query searches only candidates satisfying its metadata predicate —
+    here the deterministic tenant attribute vec_id % ``filter_mod``
+    (the stand-in for source/tenant/ACL columns a production vector
+    store filters on). The predicate lands BEFORE the top-k cut
+    (pre-filtering), so every query gets a full k from its own tenant
+    — versus post-filtering an unfiltered top-k, which starves when
+    the near neighbors belong to other tenants (s28 measures exactly
+    that trade against exact filtered truth).
+
+    Same deterministic machinery as :func:`ivf_ann` (exact-int
+    centroid sums, IEEE double-fold affinity, exact int-cosine
+    candidate scores), so the DuckDB twin replays it bit-for-bit.
+    Scale shape unchanged from ivf_ann — the tenant predicate is one
+    more pushed filter on the probed-cell join, shrinking candidate
+    volume by ~1/filter_mod."""
+    scored_cells, w_assign = _ivf_assignment(emb)
+    assigned = (
+        scored_cells.withColumn("rk", F.row_number().over(w_assign))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "sv", "nrm", "cell")
+    )
+    probes = (
+        scored_cells.where(F.col("vec_id") < n_queries)
+        .withColumn("rk", F.row_number().over(w_assign))
+        .where(F.col("rk") <= nprobe)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("sv").alias("qv"),
+            F.col("nrm").alias("qn"),
+            "cell",
+        )
+    )
+    cands = assigned.select(
+        F.col("vec_id").alias("cid"),
+        F.col("sv").alias("cv2"),
+        F.col("nrm").alias("cn"),
+        "cell",
+    )
+    cos = F.round(
+        cosine_from_ints(int_dot(F.col("qv"), F.col("cv2")), F.col("qn"), F.col("cn")),
+        9,
+    )
+    scored = (
+        cands.join(broadcast(probes), "cell")
+        .where(
+            (F.col("qid") != F.col("cid"))
+            & (F.col("qid") % filter_mod == F.col("cid") % filter_mod)
+        )
+        .withColumn("cosine", cos)
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col("cid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= k)
+        .select("qid", "rk", "cid", "cosine")
+        .orderBy("qid", "rk")
+    )
+
+
 SEMDEDUP_OUT = (
     "vec_id bigint, cell bigint, subcell bigint, pos bigint,"
     " max_prior_cos double, kept boolean"

@@ -877,6 +877,132 @@ def s27_graph_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g2.orderBy("qid", "rk")
 
 
+S28_FILTER_MOD = 2  # tenant attribute: vec_id parity (source/ACL stand-in)
+
+
+def _s28_exact_filtered(base: DataFrame, nq: int, mod: int) -> DataFrame:
+    """s28's exact same-tenant truth over a prebuilt (vec_id, sv, nrm)
+    base: brute-force top-K among candidates sharing the query's
+    tenant. The tenant predicate is an extractable equi key
+    (qid % mod = cid % mod), so the join plans KEYED (SMJ/BHJ with the
+    <> as post-filter) even when the lazy-checkpointed base's size
+    statistic won't carry — strictly safer than s1's loop join. The
+    caller checkpoints the result, so the shape is pinned
+    pre-checkpoint in tests/test_scale_plans.py."""
+    from pyspark.sql.window import Window
+
+    q = base.where(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("qid"),
+        F.col("sv").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("cid"),
+        F.col("sv").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = F.round(
+        similarity.cosine_from_ints(
+            similarity.int_dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")
+        ),
+        9,
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col("cid"))
+    return (
+        c.join(
+            F.broadcast(q),
+            (F.col("qid") != F.col("cid"))
+            & (F.col("qid") % mod == F.col("cid") % mod),
+        )
+        .withColumn("cosine", cos)
+        .withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") <= K)
+        .select("qid", "cid")
+    )
+
+
+def s28_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-FILTERED ANN decision table (r11): the metadata-
+    predicate search every production vector store runs (tenant /
+    source / ACL filters), measured as the pre-filter-vs-post-filter
+    trade the Qdrant/Milvus/FAISS docs all warn about. Per query
+    (same nq=20 cohort as the rest of the family, tenant = vec_id %
+    2): hits@k of (a) PRE-filter IVF — the predicate pushed below the
+    top-k cut (operators/similarity.ivf_ann_filtered), every query
+    gets a full k from its own tenant — and (b) POST-filter — the
+    s4 unfiltered top-k deposit filtered afterwards, which STARVES
+    when near neighbors belong to other tenants (post_kept < k is
+    the starvation signal) — each scored against exact brute-force
+    same-tenant truth. Everything is the family's deterministic
+    machinery (exact-int centroids, double-fold affinity, rounded-9
+    int-cosines), so the DuckDB twin replays all three result sets
+    and the whole decision table bit-for-bit.
+
+    Scale shape: the exact-truth pass broadcasts the nq=20 query
+    cohort, and the tenant predicate hands Catalyst an extractable
+    EQUI key (qid % mod = cid % mod) — the join plans keyed, not as
+    s1's loop join; pre-filter IVF is s4's probed-cell equi-join with
+    one more pushed predicate; post-filter reads the existing ivf20
+    DEPOSIT (zero new cold builds). Aggregations are nq-bounded."""
+    nq = ANN_NQ
+    mod = S28_FILTER_MOD
+    emb = load(spark, sf_dir, "embeddings")
+    base = (
+        emb.select("vec_id", similarity.scaled("embedding").alias("sv"))
+        .withColumn("nrm", similarity.int_dot(F.col("sv"), F.col("sv")))
+        .localCheckpoint(eager=False)  # feeds query + candidate sides
+    )
+    exact_f = _s28_exact_filtered(base, nq, mod).localCheckpoint(
+        eager=False
+    )  # joined by three consumers; the non-equi join inside is pinned
+    # pre-checkpoint by test_checkpoint_blind_spot_joins_pinned_pre_checkpoint
+    pre = similarity.ivf_ann_filtered(
+        emb, k=K, n_queries=nq, nprobe=3, filter_mod=mod
+    ).select("qid", "cid")
+    post = (
+        _ivf20(spark, sf_dir)
+        .where(F.col("qid") % mod == F.col("cid") % mod)
+        .select("qid", "cid")
+    )
+    npos = exact_f.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_possible")
+    )
+    ph = (
+        exact_f.join(pre, ["qid", "cid"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pre_hits"))
+    )
+    sh = (
+        exact_f.join(post, ["qid", "cid"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("post_hits"))
+    )
+    pk = post.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("post_kept")
+    )
+    return (
+        npos.join(ph, "qid", "left")
+        .join(sh, "qid", "left")
+        .join(pk, "qid", "left")
+        .select(
+            "qid",
+            "n_possible",
+            F.coalesce("pre_hits", F.lit(0)).cast("bigint").alias("pre_hits"),
+            F.coalesce("post_hits", F.lit(0)).cast("bigint").alias("post_hits"),
+            F.coalesce("post_kept", F.lit(0)).cast("bigint").alias("post_kept"),
+            (
+                F.coalesce("pre_hits", F.lit(0)).cast("double")
+                / F.col("n_possible").cast("double")
+            ).alias("recall_pre"),
+            (
+                F.coalesce("post_hits", F.lit(0)).cast("double")
+                / F.col("n_possible").cast("double")
+            ).alias("recall_post"),
+        )
+        .orderBy("qid")
+    )
+
+
 def s23_hnsw_beam_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Search-time tuning curve for the layered descent: cohort
     recall at beam (ef) ∈ HNSW_BEAM_SWEEP, all widths served from the
@@ -1099,6 +1225,7 @@ QUERIES = {
     "s25_int8_recall": s25_int8_recall,
     "s26_hnsw_adaptive": s26_hnsw_adaptive,
     "s27_graph_churn": s27_graph_churn,
+    "s28_filtered_ann": s28_filtered_ann,
     "s13_matryoshka_recall": s13_matryoshka_recall,
     "s5_quantize_error": s5_quantize_error,
     "s7_semdedup": s7_semdedup,
@@ -1335,11 +1462,12 @@ def _ivf_prefix() -> str:
           FROM aff)"""
 
 
-def _s4_oracle(nq: int = 20, nprobe: int = 3) -> str:
+def _s4_oracle(nq: int = 20, nprobe: int = 3, pred: str = "") -> str:
     """Twin of ivf_ann: identical exact-int centroid sums per label,
     identical double-fold affinity (same IEEE op order as Spark's
     aggregate/zip_with left fold), identical int-cosine candidate
-    scores."""
+    scores. ``pred`` injects an extra candidate predicate below the
+    top-k cut — ivf_ann_filtered's pre-filter twin (s28)."""
     return f"""
         WITH {_ivf_prefix()},
         assigned AS (
@@ -1352,12 +1480,73 @@ def _s4_oracle(nq: int = 20, nprobe: int = 3) -> str:
                  round(CAST({_DOT.format(a='q.qv', b='c.cv2')} AS DOUBLE)
                    / (sqrt(CAST(q.qn AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))), 9) AS cosine
           FROM probes q JOIN assigned c USING (cell)
-          WHERE q.qid <> c.cid)
+          WHERE q.qid <> c.cid {pred})
         SELECT qid, rk, cid, cosine FROM (
           SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS BIGINT) AS rk
           FROM scored)
         WHERE rk <= {K}
         ORDER BY qid, rk
+    """
+
+
+def _s28_oracle(nq: int = 20) -> str:
+    """Twin of s28_filtered_ann: exact same-tenant truth (the _s1
+    brute-force body plus the tenant predicate), the s4 twin with the
+    predicate pushed below the top-k cut (pre-filter), the plain s4
+    twin filtered afterwards (post-filter), then the same nq-bounded
+    decision-table aggregation."""
+    mod = S28_FILTER_MOD
+    exactf = f"""
+        WITH base AS (
+          SELECT vec_id, {_SCALED} AS sv FROM embeddings),
+        normed AS (
+          SELECT vec_id, sv, {_DOT.format(a='sv', b='sv')} AS nrm FROM base),
+        scored AS (
+          SELECT q.vec_id AS qid, c.vec_id AS cid,
+                 round(CAST({_DOT.format(a='q.sv', b='c.sv')} AS DOUBLE)
+                   / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))), 9) AS cosine
+          FROM normed q JOIN normed c
+            ON q.vec_id < {nq} AND q.vec_id <> c.vec_id
+           AND q.vec_id % {mod} = c.vec_id % {mod})
+        SELECT qid, cid FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rk
+          FROM scored)
+        WHERE rk <= {K}
+    """
+    pre_twin = _s4_oracle(nq, 3, pred=f"AND q.qid % {mod} = c.cid % {mod}")
+    return f"""
+        WITH exactf AS ({exactf}),
+        pre AS (SELECT qid, cid FROM ({pre_twin})),
+        post AS (
+          SELECT qid, cid FROM ({_s4_oracle(nq, 3)})
+          WHERE qid % {mod} = cid % {mod}),
+        npos AS (
+          SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_possible
+          FROM exactf GROUP BY qid),
+        ph AS (
+          SELECT e.qid, CAST(COUNT(*) AS BIGINT) AS pre_hits
+          FROM exactf e JOIN pre p ON p.qid = e.qid AND p.cid = e.cid
+          GROUP BY e.qid),
+        sh AS (
+          SELECT e.qid, CAST(COUNT(*) AS BIGINT) AS post_hits
+          FROM exactf e JOIN post p ON p.qid = e.qid AND p.cid = e.cid
+          GROUP BY e.qid),
+        pk AS (
+          SELECT qid, CAST(COUNT(*) AS BIGINT) AS post_kept
+          FROM post GROUP BY qid)
+        SELECT n.qid AS qid, n.n_possible AS n_possible,
+               CAST(COALESCE(ph.pre_hits, 0) AS BIGINT) AS pre_hits,
+               CAST(COALESCE(sh.post_hits, 0) AS BIGINT) AS post_hits,
+               CAST(COALESCE(pk.post_kept, 0) AS BIGINT) AS post_kept,
+               CAST(COALESCE(ph.pre_hits, 0) AS DOUBLE)
+                 / CAST(n.n_possible AS DOUBLE) AS recall_pre,
+               CAST(COALESCE(sh.post_hits, 0) AS DOUBLE)
+                 / CAST(n.n_possible AS DOUBLE) AS recall_post
+        FROM npos n
+        LEFT JOIN ph ON ph.qid = n.qid
+        LEFT JOIN sh ON sh.qid = n.qid
+        LEFT JOIN pk ON pk.qid = n.qid
+        ORDER BY qid
     """
 
 
@@ -2290,6 +2479,7 @@ def build_oracle() -> dict[str, str]:
             "s25_int8_recall": _s25_oracle(),
             "s26_hnsw_adaptive": _s26_oracle(),
             "s27_graph_churn": _s27_oracle(),
+            "s28_filtered_ann": _s28_oracle(),
             "s13_matryoshka_recall": _s13_oracle(),
             "s14_mmr_rerank": _s14_oracle(),
             "s16_knn_centrality": _s16_oracle(),
