@@ -1574,3 +1574,75 @@ def test_corpus_label_ingest_fails_loud_on_missing_primary(spark, tmp_path):
     doc_slice("part-0001.parquet", [(2, "some other words entirely")])
     with pytest.raises(Exception, match="refusing to reinitialize"):
         ingest("ck2")
+
+
+def test_corpus_label_retract_heals_missing_derived_snapshots(spark, tmp_path):
+    """The labeling loops' derived-data heal rule: index, pairs and
+    labels snapshots lost after a crash are rebuilt from the corpus by
+    the next retraction batch, and the retraction applied on top still
+    equals the from-scratch build over the survivors."""
+    import shutil
+
+    from yuki_spark.operators import dedup as dd
+
+    sdir = tmp_path / "doc_stream"
+    sdir.mkdir()
+    rdir = tmp_path / "retract_stream"
+    rdir.mkdir()
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    pairs = str(tmp_path / "pairs")
+    labels = str(tmp_path / "labels")
+
+    TA = "the quick brown fox jumps over the lazy dog"
+    TB = "completely different words entirely unrelated text here"
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([TA, TA, TB]),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["s"] * 3),
+            "n_chars": pa.array([len(TA), len(TA), len(TB)], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, sdir / "part-0000.parquet")
+    q = st.run_corpus_label_ingest(
+        st.read_document_stream(spark, str(sdir)),
+        corpus,
+        index,
+        pairs,
+        labels,
+        str(tmp_path / "ickpt"),
+        threshold=0.8,
+    )
+    q.awaitTermination(180)
+    assert dict(
+        (r["doc_id"], r["cluster_id"])
+        for r in spark.read.parquet(labels).collect()
+    ) == {1: 1, 2: 1}
+
+    # crash aftermath: every DERIVED snapshot lost, corpus intact
+    for p in (index, pairs, labels):
+        shutil.rmtree(p)
+
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1], pa.int64())}), rdir / "rm-0.parquet"
+    )
+    rq = st.run_corpus_label_retract(
+        st.read_retraction_stream(spark, str(rdir)),
+        corpus,
+        index,
+        pairs,
+        labels,
+        str(tmp_path / "rckpt"),
+        threshold=0.8,
+    )
+    rq.awaitTermination(180)
+    surv = spark.read.parquet(corpus)
+    assert sorted(r["doc_id"] for r in surv.collect()) == [2, 3]
+    # all three derived snapshots healed AND retracted correctly
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(index).collect()
+    ) == sorted(tuple(r) for r in dd.band_index(dd.token_sets(surv)).collect())
+    assert spark.read.parquet(pairs).count() == 0  # the 1-2 pair died
+    assert spark.read.parquet(labels).count() == 0  # 2's component evaporated
