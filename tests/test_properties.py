@@ -1083,3 +1083,79 @@ def test_relabel_after_addition_matches_rebuild_on_arbitrary_graphs(
         tuple(r) for r in dedup.relabel_after_addition(merged, new).collect()
     )
     assert replay == want
+
+
+@given(
+    data=hst.data(),
+    rows=hst.lists(
+        hst.lists(hst.integers(-2, 2), min_size=4, max_size=4),
+        min_size=4,
+        max_size=14,
+    ),
+)
+@_SETTINGS
+def test_graph_churn_maintenance_matches_rebuild_on_arbitrary_vectors(
+    spark, data, rows
+):
+    """knn_graph_retract / knn_graph_ingest == from-scratch exact
+    builds for ARBITRARY small-int vector sets (ties everywhere:
+    duplicate and colinear vectors force equal cosines, exercising the
+    (cosine desc, cid) total order) and ARBITRARY removal/insertion
+    splits chosen by hypothesis. Zero vectors are excluded (cosine
+    undefined — the family drops them by contract)."""
+    from yuki_spark.operators import similarity
+
+    vecs = [v for v in rows if any(x != 0 for x in v)]
+    if len(vecs) < 3:
+        return
+    n = len(vecs)
+    k = 2
+    full_rows = [
+        (i, [float(x) for x in v] + [0.0] * 60, 0) for i, v in enumerate(vecs)
+    ]
+    full = spark.createDataFrame(
+        full_rows, "vec_id long, embedding array<float>, label int"
+    )
+
+    def exact(frame):
+        return similarity.cosine_topk(frame, k=k, n_queries=10**9)
+
+    # RETRACT: arbitrary removal set (never everything)
+    rm_set = data.draw(
+        hst.sets(hst.sampled_from(range(n)), min_size=1, max_size=n - 1),
+        label="removed",
+    )
+    ids = spark.createDataFrame([(int(i),) for i in sorted(rm_set)], "vec_id long")
+    surv = full.join(ids, "vec_id", "left_anti")
+    got_r = sorted(
+        tuple(r)
+        for r in similarity.knn_graph_retract(surv, exact(full), ids, k=k).collect()
+    )
+    assert got_r == sorted(tuple(r) for r in exact(surv).collect())
+
+    # INGEST: arbitrary batch split (at least one old, one new)
+    batch_set = data.draw(
+        hst.sets(hst.sampled_from(range(n)), min_size=1, max_size=n - 1),
+        label="batch",
+    )
+    old = full.join(
+        spark.createDataFrame(
+            [(int(i),) for i in sorted(batch_set)], "vec_id long"
+        ),
+        "vec_id",
+        "left_anti",
+    )
+    batch = full.join(
+        spark.createDataFrame(
+            [(int(i),) for i in sorted(batch_set)], "vec_id long"
+        ),
+        "vec_id",
+        "left_semi",
+    )
+    got_i = sorted(
+        tuple(r)
+        for r in similarity.knn_graph_ingest(
+            exact(old), batch, k=k, members=full
+        ).collect()
+    )
+    assert got_i == sorted(tuple(r) for r in exact(full).collect())
