@@ -45,6 +45,9 @@ ADAPTIVE = [
     "s24_hnsw_multilevel",  # 3-level chain + level-sized gl2 twin
     "s19_ivfpq_ann",  # IVF cells + pq_shift from the catalog footer
     "s20_pq_shortlist_sweep",  # three cuts over the s19 adaptive chain
+    "s26_hnsw_adaptive",  # ladder moduli derived from the footer count
+    "s27_graph_churn",  # churn_modulus demo grain from the footer count
+    "s28_filtered_ann",  # composes the s4 adaptive chain (IVF cells)
 ]
 
 
