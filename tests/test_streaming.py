@@ -1646,3 +1646,43 @@ def test_corpus_label_retract_heals_missing_derived_snapshots(spark, tmp_path):
     ) == sorted(tuple(r) for r in dd.band_index(dd.token_sets(surv)).collect())
     assert spark.read.parquet(pairs).count() == 0  # the 1-2 pair died
     assert spark.read.parquet(labels).count() == 0  # 2's component evaporated
+
+
+def test_embedding_retract_heals_missing_index(spark, tmp_path):
+    """run_embedding_retract's derived-data heal rule: a lost index
+    snapshot is rebuilt from the intact vectors snapshot (fixed bit
+    width) before the removal applies — the surviving index equals a
+    from-scratch build over the survivors."""
+    import shutil
+
+    from yuki_spark.operators import similarity as sim
+
+    rng_rows = [(i, [float(i + 1)] * 64, 0) for i in range(6)]
+    df = spark.createDataFrame(
+        rng_rows, "vec_id long, embedding array<float>, label int"
+    )
+    vectors = str(tmp_path / "vectors")
+    index = str(tmp_path / "emb_index")
+    bits = 6
+    df.write.parquet(vectors)
+    sim.nd_bucket_rows(df, bits).write.parquet(index)
+    shutil.rmtree(index)  # crash aftermath: derived snapshot lost
+
+    rdir = tmp_path / "vec_retract_stream"
+    rdir.mkdir()
+    pq.write_table(
+        pa.table({"vec_id": pa.array([2, 5], pa.int64())}), rdir / "rm.parquet"
+    )
+    q = st.run_embedding_retract(
+        st.read_vec_retraction_stream(spark, str(rdir)),
+        vectors,
+        index,
+        str(tmp_path / "ckpt"),
+        bits=bits,
+    )
+    q.awaitTermination(180)
+    surv = spark.read.parquet(vectors)
+    assert sorted(r["vec_id"] for r in surv.collect()) == [0, 1, 3, 4]
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(index).collect()
+    ) == sorted(tuple(r) for r in sim.nd_bucket_rows(surv, bits).collect())
