@@ -23,16 +23,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-11 rotation (staleness rule: no key's driver row older than 2
 # rounds): s25/d49 open the sweep — born in r10 AFTER that sweep
 # closed, so they carry zero CORRECTNESS rows (the r10 verdict's hard
-# constraint); then the three keys born THIS round (s26 formula-
+# constraint); then the FIVE keys born THIS round (s26 formula-
 # derived ladder, d50 perceptual-hash image near-dup, d51 HTML
-# extraction — a new key is swept the round it ships); then all 43
-# keys whose most recent driver row is the r8 sweep (they sit exactly
-# AT the staleness boundary and MUST all be stamped r11); then two
-# r9-stamped keys (cube_revenue, d18_sequence_packing) pre-stamped to
-# flatten the r12 wave — 47 r9 keys remain, so r12 fits them with
-# slots to spare for churn. Below the cap: the remaining r9-stamped
-# keys lead the r12 rotation, r10-stamped keys freshest at the
-# bottom.
+# extraction, s27 graph-churn maintenance, s28 filtered ANN — a new
+# key is swept the round it ships); then all 43 keys whose most
+# recent driver row is the r8 sweep (they sit exactly AT the
+# staleness boundary and MUST all be stamped r11). That fills the 50
+# exactly — s27/s28 consumed the pre-stamp slots, so NO r9 key is
+# pre-stamped this round. Below the cap: all 49 r9-stamped keys lead
+# the r12 rotation (cube_revenue first; they fit 50 slots with one
+# spare), r10-stamped keys freshest at the bottom.
 _PRIORITY = [
     # --- slots 1..2: born in r10 AFTER that sweep closed — never
     # driver-validated (judge-green in tests/test_oracle_parity.py);

@@ -631,7 +631,11 @@ def _ivf_assignment(emb: DataFrame):
 
 
 def ivf_ann(
-    emb: DataFrame, k: int = 3, n_queries: int = 20, nprobe: int = 3
+    emb: DataFrame,
+    k: int = 3,
+    n_queries: int = 20,
+    nprobe: int = 3,
+    filter_mod: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into cells (label
     centroids as the codebook — at real scale a k-means pass), then
@@ -647,7 +651,12 @@ def ivf_ann(
 
     Shuffle shape at 100 TB: the corpus partitions by cell id once;
     queries broadcast with their probed cell list; scoring joins on
-    cell id only — no full-corpus scan per query."""
+    cell id only — no full-corpus scan per query.
+
+    ``filter_mod`` adds the attribute predicate qid % mod == cid %
+    mod BELOW the top-k cut (pre-filtered search — s28; mirrors the
+    twin's injectable ``pred``); None keeps the unfiltered family
+    behavior byte-for-byte."""
     scored_cells, w_assign = _ivf_assignment(emb)
     assigned = (
         scored_cells.withColumn("rk", F.row_number().over(w_assign))
@@ -682,6 +691,10 @@ def ivf_ann(
         .where(F.col("qid") != F.col("cid"))
         .withColumn("cosine", cos)
     )
+    if filter_mod is not None:
+        scored = scored.where(
+            F.col("qid") % filter_mod == F.col("cid") % filter_mod
+        )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col("cid"))
     return (
         scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
@@ -699,62 +712,23 @@ def ivf_ann_filtered(
     filter_mod: int = 2,
 ) -> DataFrame:
     """Attribute-FILTERED IVF ANN, pre-filter strategy (r11): each
-    query searches only candidates satisfying its metadata predicate —
-    here the deterministic tenant attribute vec_id % ``filter_mod``
-    (the stand-in for source/tenant/ACL columns a production vector
-    store filters on). The predicate lands BEFORE the top-k cut
+    query searches only candidates satisfying its metadata predicate -
+    the deterministic tenant attribute vec_id % ``filter_mod`` (the
+    stand-in for source/tenant/ACL columns a production vector store
+    filters on). The predicate lands BEFORE the top-k cut
     (pre-filtering), so every query gets a full k from its own tenant
-    — versus post-filtering an unfiltered top-k, which starves when
+    - versus post-filtering an unfiltered top-k, which starves when
     the near neighbors belong to other tenants (s28 measures exactly
     that trade against exact filtered truth).
 
-    Same deterministic machinery as :func:`ivf_ann` (exact-int
-    centroid sums, IEEE double-fold affinity, exact int-cosine
-    candidate scores), so the DuckDB twin replays it bit-for-bit.
-    Scale shape unchanged from ivf_ann — the tenant predicate is one
-    more pushed filter on the probed-cell join, shrinking candidate
-    volume by ~1/filter_mod."""
-    scored_cells, w_assign = _ivf_assignment(emb)
-    assigned = (
-        scored_cells.withColumn("rk", F.row_number().over(w_assign))
-        .where(F.col("rk") == 1)
-        .select("vec_id", "sv", "nrm", "cell")
-    )
-    probes = (
-        scored_cells.where(F.col("vec_id") < n_queries)
-        .withColumn("rk", F.row_number().over(w_assign))
-        .where(F.col("rk") <= nprobe)
-        .select(
-            F.col("vec_id").alias("qid"),
-            F.col("sv").alias("qv"),
-            F.col("nrm").alias("qn"),
-            "cell",
-        )
-    )
-    cands = assigned.select(
-        F.col("vec_id").alias("cid"),
-        F.col("sv").alias("cv2"),
-        F.col("nrm").alias("cn"),
-        "cell",
-    )
-    cos = F.round(
-        cosine_from_ints(int_dot(F.col("qv"), F.col("cv2")), F.col("qn"), F.col("cn")),
-        9,
-    )
-    scored = (
-        cands.join(broadcast(probes), "cell")
-        .where(
-            (F.col("qid") != F.col("cid"))
-            & (F.col("qid") % filter_mod == F.col("cid") % filter_mod)
-        )
-        .withColumn("cosine", cos)
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col("cid"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rk") <= k)
-        .select("qid", "rk", "cid", "cosine")
-        .orderBy("qid", "rk")
+    One pipeline, not a fork: this delegates to :func:`ivf_ann` with
+    its ``filter_mod`` engaged (mirroring the twin, where the same
+    need is one injectable predicate on _s4_oracle), so the filtered
+    path can never drift from the s4 family's deterministic machinery
+    (exact-int centroid sums, IEEE double-fold affinity, rounded-9
+    int-cosines)."""
+    return ivf_ann(
+        emb, k=k, n_queries=n_queries, nprobe=nprobe, filter_mod=filter_mod
     )
 
 

@@ -947,11 +947,9 @@ def s28_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     nq = ANN_NQ
     mod = S28_FILTER_MOD
     emb = load(spark, sf_dir, "embeddings")
-    base = (
-        emb.select("vec_id", similarity.scaled("embedding").alias("sv"))
-        .withColumn("nrm", similarity.int_dot(F.col("sv"), F.col("sv")))
-        .localCheckpoint(eager=False)  # feeds query + candidate sides
-    )
+    # the family's one scaled-base builder (checkpointed, feeds query
+    # + candidate sides) — not a local re-implementation
+    base = similarity.hnsw_base(emb)
     exact_f = _s28_exact_filtered(base, nq, mod).localCheckpoint(
         eager=False
     )  # joined by three consumers; the non-equi join inside is pinned

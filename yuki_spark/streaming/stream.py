@@ -709,8 +709,11 @@ def run_corpus_label_ingest(
         corpus = _read_snapshot_or_none(spark, corpus_path)
         if corpus is None:
             for dpath in (index_path, pairs_path, labels_path):
-                _, dp = _fs_path(spark, dpath)
-                if dp.getFileSystem(spark._jsc.hadoopConfiguration()).exists(dp):
+                # the snapshot reader, not a raw exists(): it heals a
+                # mid-swap .old first (a stranded derived snapshot must
+                # still trip this guard) and fails loud on a marker-less
+                # partial write — same semantics as _run_dedup_ingest's
+                if _read_snapshot_or_none(spark, dpath) is not None:
                     raise RuntimeError(
                         f"corpus snapshot {corpus_path!r} missing while "
                         f"derived snapshot {dpath!r} exists — refusing "
