@@ -97,7 +97,11 @@ _PRIORITY = [
     # two pre-stamp slots; 49 r9 keys then lead the r12 rotation,
     # cube_revenue first). Below the cap: the
     # remaining r9-stamped keys lead the r12 rotation, r10-stamped
-    # keys freshest last.
+    # keys freshest last. d52 (born LATE r11, after the 50 above were
+    # locked by the staleness constraint) leads: like s25/d49 last
+    # round, it is judge-green in the local parity gate and MUST open
+    # the r12 sweep.
+    "d52_bigram_lm_perplexity",
     "cube_revenue",
     "d18_sequence_packing",
     "d28_token_zipf",

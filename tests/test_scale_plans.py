@@ -240,6 +240,7 @@ ALLOWED_BNLJ = {
     # k_active broadcast for the quota
     "s10_cluster_balance": 1,
     "d31_token_surprisal": 1,  # single-row corpus-total (N, log2 N) broadcast
+    "d52_bigram_lm_perplexity": 1,  # same d31 pattern: single-row l2N broadcast
     "d41_mix_planner": 1,  # single-row (corpus_tokens, n_sources) broadcast
     "d43_shard_balance": 1,  # single-row corpus_tokens broadcast
     "d49_retraction_impact": 1,  # single-row min(source) broadcast

@@ -234,6 +234,10 @@ def main() -> None:
         "s28_filtered_ann",
         "d50_image_phash_dups",
         "d51_html_extract",
+        # stupid-backoff bigram LM: bigram/context/unigram TYPE-grain
+        # aggs + type-grain log2 chains — token-volume linearity and
+        # type-grain boundedness are the things to watch at 10x
+        "d52_bigram_lm_perplexity",
     ]
     qs["q1_pricing_summary"](spark, out).write.mode("overwrite").format("noop").save()
     timings = {}

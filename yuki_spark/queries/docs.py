@@ -1989,6 +1989,116 @@ def p1_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d52_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff bigram-LM perplexity over a held-out split (r11;
+    Brants et al. 2007's "stupid backoff" at exact-arithmetic grain —
+    the KenLM/CCNet perplexity GATE d31 approximates at unigram grain
+    and d35 thresholds without a true LM): train the LM on the even
+    doc_ids (bigram counts c(ab), context totals c(a·), next-token
+    unigrams c(·b), corpus total N), score every ODD doc's transitions
+    as -log2 P with P(b|a) = c(ab)/c(a·) when the bigram was seen,
+    else α·c(·b)/N with α = 1/2 — exactly one extra bit, keeping the
+    whole model inside the portable integer-log2 primitive
+    (functions.with_plog2; no libm, both engines bit-identical). A
+    NEVER-seen next token backs off to count 1 (l2 = 0). Per-doc mean
+    bits is the perplexity exponent a quality pipeline buckets on;
+    per-source rollup with the backoff-transition count (the
+    out-of-domain signal) and min/avg/max.
+
+    The held-out split is the production-true shape — scoring the
+    training corpus with itself never exercises backoff (every
+    occurrence's bigram is in the counts by construction).
+
+    Scale shape: one bigram explode (linear), three hash-aggs at
+    bigram/context/unigram TYPE grain, log2 chains at type grain
+    only, one single-row N broadcast (d31's audited pattern), then
+    keyed type-grain joins back to the eval occurrences and doc/
+    source hash-aggs. DECIMAL-quantized at type grain before the
+    per-doc sum, so both engines sum identical decimals in any
+    order."""
+    from ..functions import DEC, with_plog2
+
+    t = text.with_tokens(load(spark, sf_dir, "documents"))
+    bg = t.select(
+        "doc_id",
+        "source",
+        F.explode(text._zip_ngrams("toks", 2)).alias("bigram"),
+    )
+    train = bg.where(F.col("doc_id") % 2 == 0)
+    ev = bg.where(F.col("doc_id") % 2 == 1)
+    c2 = with_plog2(
+        train.groupBy("bigram").agg(F.count(F.lit(1)).alias("ct2")),
+        "ct2",
+        "l2c2",
+    )
+    c1 = with_plog2(
+        c2.groupBy(F.substring_index("bigram", " ", 1).alias("ctx")).agg(
+            F.sum("ct2").alias("ct1")
+        ),
+        "ct1",
+        "l2c1",
+    )
+    cu = with_plog2(
+        c2.groupBy(F.substring_index("bigram", " ", -1).alias("nxt")).agg(
+            F.sum("ct2").alias("ctu")
+        ),
+        "ctu",
+        "l2cu",
+    )
+    nn = with_plog2(c2.agg(F.sum("ct2").alias("N")), "N", "l2n")
+    types = (
+        ev.select("bigram")
+        .distinct()
+        .withColumn("ctx", F.substring_index("bigram", " ", 1))
+        .withColumn("nxt", F.substring_index("bigram", " ", -1))
+        .join(c2.select("bigram", "l2c2"), "bigram", "left")
+        .join(c1.select("ctx", "l2c1"), "ctx", "left")
+        .join(cu.select("nxt", "l2cu"), "nxt", "left")
+        .crossJoin(F.broadcast(nn.select("l2n")))
+    )
+    bits = F.when(
+        F.col("l2c2").isNotNull(), F.col("l2c1") - F.col("l2c2")
+    ).otherwise(
+        F.lit(1.0) + F.col("l2n") - F.coalesce(F.col("l2cu"), F.lit(0.0))
+    )
+    sb = types.select(
+        "bigram",
+        bits.cast(DEC).alias("s_bits"),
+        F.when(F.col("l2c2").isNull(), 1).otherwise(0).alias("backoff"),
+    )
+    per_doc = (
+        ev.join(sb, "bigram")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_bg"),
+            F.sum("backoff").cast("bigint").alias("n_backoff"),
+            F.sum("s_bits").alias("sum_bits"),  # DEC-exact, any order
+            (F.sum("s_bits").cast("double") / F.count(F.lit(1))).alias(
+                "mean_bits"
+            ),
+        )
+    )
+    # avg is TRANSITION-weighted (Σ quantized bits / Σ transitions):
+    # the decimal sums are exact in any order and there is exactly ONE
+    # double division per group — re-quantizing the per-doc double
+    # means would land on DECIMAL rounding boundaries the two engines
+    # break differently (observed at sf0.1). min/max stay doc-level.
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bg").cast("bigint").alias("n_bigrams"),
+            F.sum("n_backoff").cast("bigint").alias("n_backoff"),
+            (
+                F.sum("sum_bits").cast("double") / F.sum("n_bg")
+            ).alias("avg_bits"),
+            F.min("mean_bits").alias("min_bits"),
+            F.max("mean_bits").alias("max_bits"),
+        )
+        .orderBy("source")
+    )
+
+
 def d31_token_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM surprisal quality signal (the CCNet/Wenzek-style LM
     filter with the corpus as its own LM): each token's surprisal is
@@ -2102,6 +2212,7 @@ QUERIES = {
     "d40_classifier_filter": d40_classifier_filter,
     "d34_rag_chunking": d34_rag_chunking,
     "d35_bigram_rarity": d35_bigram_rarity,
+    "d52_bigram_lm_perplexity": d52_bigram_lm_perplexity,
     "d2_ngram_jaccard_dups": d2_ngram_jaccard_dups,
     "d38_threshold_sweep": d38_threshold_sweep,
     "d3_minhash_lsh_dups": d3_minhash_lsh_dups,
@@ -2301,10 +2412,67 @@ def _d32_oracle() -> str:
     """
 
 
+def _d52_oracle() -> str:
+    from ..functions import sql_plog2_ctes
+
+    return f"""
+        WITH t AS (
+          SELECT doc_id, source, {_T} AS toks FROM documents),
+        occ AS (
+          SELECT doc_id, source,
+                 unnest(list_transform(range(1, greatest(len(toks), 1)),
+                        i -> toks[i] || ' ' || toks[i+1])) AS bigram
+          FROM t),
+        trn AS (SELECT * FROM occ WHERE doc_id % 2 = 0),
+        ev AS (SELECT * FROM occ WHERE doc_id % 2 = 1),
+        c20 AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS ct2
+                FROM trn GROUP BY bigram),
+        c10 AS (SELECT split_part(bigram, ' ', 1) AS ctx,
+                       CAST(SUM(ct2) AS BIGINT) AS ct1
+                FROM c20 GROUP BY ctx),
+        cu0 AS (SELECT split_part(bigram, ' ', 2) AS nxt,
+                       CAST(SUM(ct2) AS BIGINT) AS ctu
+                FROM c20 GROUP BY nxt),
+        n0 AS (SELECT CAST(SUM(ct2) AS BIGINT) AS N FROM c20),
+        {sql_plog2_ctes("c2", "c20", "ct2", "l2c2", max_bits=33)},
+        {sql_plog2_ctes("c1", "c10", "ct1", "l2c1", max_bits=33)},
+        {sql_plog2_ctes("cu", "cu0", "ctu", "l2cu", max_bits=33)},
+        {sql_plog2_ctes("nn", "n0", "N", "l2n", max_bits=33)},
+        et AS (SELECT DISTINCT bigram FROM ev),
+        sb AS (
+          SELECT et.bigram,
+                 CAST(CASE WHEN c2.l2c2 IS NOT NULL
+                           THEN c1.l2c1 - c2.l2c2
+                           ELSE CAST(1 AS DOUBLE) + nn.l2n
+                                - COALESCE(cu.l2cu, CAST(0 AS DOUBLE)) END
+                      AS DECIMAL(18,6)) AS s_bits,
+                 CASE WHEN c2.l2c2 IS NULL THEN 1 ELSE 0 END AS backoff
+          FROM et
+          LEFT JOIN c2 ON c2.bigram = et.bigram
+          LEFT JOIN c1 ON c1.ctx = split_part(et.bigram, ' ', 1)
+          LEFT JOIN cu ON cu.nxt = split_part(et.bigram, ' ', 2)
+          CROSS JOIN nn),
+        pd AS (
+          SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_bg,
+                 CAST(SUM(backoff) AS BIGINT) AS n_backoff,
+                 SUM(s_bits) AS sum_bits,
+                 CAST(SUM(s_bits) AS DOUBLE) / COUNT(*) AS mean_bits
+          FROM ev JOIN sb USING (bigram) GROUP BY doc_id, source)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_bg) AS BIGINT) AS n_bigrams,
+               CAST(SUM(n_backoff) AS BIGINT) AS n_backoff,
+               CAST(SUM(sum_bits) AS DOUBLE) / SUM(n_bg) AS avg_bits,
+               MIN(mean_bits) AS min_bits,
+               MAX(mean_bits) AS max_bits
+        FROM pd GROUP BY source ORDER BY source
+    """
+
+
 _ORACLE_TEMPLATE = {
     "p1_pii_scan": _p1_oracle(),
     "d31_token_surprisal": _d31_oracle(),
     "d32_doc_entropy": _d32_oracle(),
+    "d52_bigram_lm_perplexity": _d52_oracle(),
     "d26_quality_buckets": f"""
         WITH q AS (
           SELECT source,
