@@ -20,88 +20,30 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Insertion order is gate order (the driver caps its sweep at 50 rows).
-# Round-11 rotation (staleness rule: no key's driver row older than 2
-# rounds): s25/d49 open the sweep — born in r10 AFTER that sweep
-# closed, so they carry zero CORRECTNESS rows (the r10 verdict's hard
-# constraint); then the FIVE keys born THIS round (s26 formula-
-# derived ladder, d50 perceptual-hash image near-dup, d51 HTML
-# extraction, s27 graph-churn maintenance, s28 filtered ANN — a new
-# key is swept the round it ships); then all 43 keys whose most
-# recent driver row is the r8 sweep (they sit exactly AT the
-# staleness boundary and MUST all be stamped r11). That fills the 50
-# exactly — s27/s28 consumed the pre-stamp slots, so NO r9 key is
-# pre-stamped this round. Below the cap: all 49 r9-stamped keys lead
-# the r12 rotation (cube_revenue first; they fit 50 slots with one
-# spare), r10-stamped keys freshest at the bottom.
+# Round-12 rotation (staleness rule: no key's driver row older than 2
+# rounds): d52 opens the sweep — born LATE r11 after that rotation
+# locked, so it carries zero CORRECTNESS rows (the r11 verdict's hard
+# constraint); then ALL 49 keys whose most recent driver row is the
+# r9 sweep (they sit exactly AT the staleness boundary and MUST all
+# be stamped r12; cube_revenue first per the r11 verdict). That fills
+# the 50 slots exactly — zero room for r12-born keys, so (like d52
+# last round) keys born this round go directly below the cap,
+# judge-green in the local parity gate, and MUST open the r13 sweep.
+# r13 planning note: 50 r10-stamped keys hit the staleness bound at
+# r13 while r12-born keys must also sweep — r13 overflows by the
+# r12-born count. Mitigation per the r11 verdict: the r12 close-out
+# runs local sf0.01 parity for the tail r10-stamped keys (see
+# _R13_PRESTAMP note below) so the displaced handful are freshly
+# judge-green even though their driver row stays r10.
 _PRIORITY = [
-    # --- slots 1..2: born in r10 AFTER that sweep closed — never
-    # driver-validated (judge-green in tests/test_oracle_parity.py);
-    # the r10 verdict orders them to open the r11 sweep
-    "s25_int8_recall",
-    "d49_retraction_impact",
-    # --- slots 3..5: born in r11 (formula-derived HNSW ladder,
-    # perceptual-hash image near-dup, HTML extraction) — swept the
-    # round they ship
-    "s26_hnsw_adaptive",
-    "d50_image_phash_dups",
-    "d51_html_extract",
-    "s27_graph_churn",
-    "s28_filtered_ann",
-    # --- slots 6..48: every key whose most recent driver row is r8
-    # (the 2-round staleness bound — all 43 MUST be stamped r11)
-    "d25_domain_mix",
-    "d26_quality_buckets",
-    "d27_bloom_contamination",
-    "d29_dsir_weights",
-    "d31_token_surprisal",
-    "d32_doc_entropy",
-    "d33_split_leakage",
-    "d3_minhash_lsh_dups",
-    "d44_bpe_tokens",
-    "d46_tokenizer_fertility",
-    "d47_decontaminate_apply",
-    "d9_embedding_neardup",
-    "distinct_users_daily",
-    "dq1_constraint_report",
-    "e12_heavy_hitters",
-    "e18_rolling_active_users",
-    "e19_gap_fill",
-    "e1_event_counts",
-    "e20_mad_outliers",
-    "e21_cusum_drift",
-    "e22_psi_drift",
-    "e23_seasonal_anomaly",
-    "e29_trending_events",
-    "e2_sessionization",
-    "e3_hourly_rollup",
-    "e4_user_asof_value",
-    "e5_funnel",
-    "e7_value_percentiles_approx",
-    "m1_multimodal_meta",
-    "m2_resize_framesample",
-    "m3_audio_windows",
-    "p1_pii_scan",
-    "q23_skyline_parts",
-    "s11_knn_graph",
-    "s12_graph_recall",
-    "s13_matryoshka_recall",
-    "s18_nn_descent",
-    "s19_ivfpq_ann",
-    "s20_pq_shortlist_sweep",
-    "s3_lsh_ann",
-    "s4_ivf_ann",
-    "s7_semdedup",
-    "s8_pq_ann",
-    # --- 50-slot cap lands HERE: exactly 50 keys above (2 unswept +
-    # 5 born-r11 + 43 r8-stamped — s27/s28, born mid-r11, claimed the
-    # two pre-stamp slots; 49 r9 keys then lead the r12 rotation,
-    # cube_revenue first). Below the cap: the
-    # remaining r9-stamped keys lead the r12 rotation, r10-stamped
-    # keys freshest last. d52 (born LATE r11, after the 50 above were
-    # locked by the staleness constraint) leads: like s25/d49 last
-    # round, it is judge-green in the local parity gate and MUST open
-    # the r12 sweep.
+    # --- slot 1: born LATE r11 after the 50-slot rotation locked —
+    # never driver-validated (judge-green in tests/test_oracle_parity
+    # .py and verified locally at sf0.001/0.01/0.1); the r11 verdict
+    # orders it to open the r12 sweep
     "d52_bigram_lm_perplexity",
+    # --- slots 2..50: every key whose most recent driver row is r9
+    # (the 2-round staleness bound — all 49 MUST be stamped r12;
+    # cube_revenue leads per the r11 verdict)
     "cube_revenue",
     "d18_sequence_packing",
     "d28_token_zipf",
@@ -151,6 +93,12 @@ _PRIORITY = [
     "w3_moving_avg_events",
     "w4_mom_growth",
     "w5_rank_distribution",
+    # --- 50-slot cap lands HERE: exactly 50 keys above (1 born-late-
+    # r11 + 49 r9-stamped). Below the cap: keys born in r12 first
+    # (they open the r13 sweep alongside the 50 r10-stamped keys —
+    # r13's builder puts r12-born keys first, then r10-stamped keys,
+    # locally pre-verified tail last), then the 50 r10-stamped keys,
+    # then the 50 r11-stamped keys freshest at the bottom.
     "d10_winnow_fingerprint",
     "d11_dedup_clusters",
     "d12_subword_stats",
@@ -201,6 +149,57 @@ _PRIORITY = [
     "s5_quantize_error",
     "s6_ann_recall",
     "s9_kmeans_refine",
+    # --- r11-stamped (freshest driver rows — swept last)
+    "s25_int8_recall",
+    "d49_retraction_impact",
+    "s26_hnsw_adaptive",
+    "d50_image_phash_dups",
+    "d51_html_extract",
+    "s27_graph_churn",
+    "s28_filtered_ann",
+    "d25_domain_mix",
+    "d26_quality_buckets",
+    "d27_bloom_contamination",
+    "d29_dsir_weights",
+    "d31_token_surprisal",
+    "d32_doc_entropy",
+    "d33_split_leakage",
+    "d3_minhash_lsh_dups",
+    "d44_bpe_tokens",
+    "d46_tokenizer_fertility",
+    "d47_decontaminate_apply",
+    "d9_embedding_neardup",
+    "distinct_users_daily",
+    "dq1_constraint_report",
+    "e12_heavy_hitters",
+    "e18_rolling_active_users",
+    "e19_gap_fill",
+    "e1_event_counts",
+    "e20_mad_outliers",
+    "e21_cusum_drift",
+    "e22_psi_drift",
+    "e23_seasonal_anomaly",
+    "e29_trending_events",
+    "e2_sessionization",
+    "e3_hourly_rollup",
+    "e4_user_asof_value",
+    "e5_funnel",
+    "e7_value_percentiles_approx",
+    "m1_multimodal_meta",
+    "m2_resize_framesample",
+    "m3_audio_windows",
+    "p1_pii_scan",
+    "q23_skyline_parts",
+    "s11_knn_graph",
+    "s12_graph_recall",
+    "s13_matryoshka_recall",
+    "s18_nn_descent",
+    "s19_ivfpq_ann",
+    "s20_pq_shortlist_sweep",
+    "s3_lsh_ann",
+    "s4_ivf_ann",
+    "s7_semdedup",
+    "s8_pq_ann",
 ]
 
 
