@@ -2320,6 +2320,32 @@ def test_knn_graph_retract_exact_equality_and_level_repair(spark):
     assert not any(q in rep_rows for q in removed)
 
 
+def test_knn_graph_retract_raises_on_pool_grain_mismatch(spark):
+    """Contract guard (r11 advice): a touched vertex absent from the
+    repair pool — a ground-level graph repaired against a thinned
+    members level — must FAIL LOUD at execution instead of silently
+    losing the vertex's rows, mirroring knn_graph_ingest's members
+    guard. And the guard must stay invisible when the contract holds
+    (covered by the equality tests above: same rows, no extras)."""
+    import numpy as np
+
+    from yuki_spark.operators import similarity
+
+    rng = np.random.RandomState(11)
+    n, k = 60, 3
+    vecs = rng.standard_normal((n, 16)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]], 0) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    g0 = similarity.cosine_topk(df, k=k, n_queries=10**9)  # ground level
+    ids = spark.createDataFrame([(5,), (9,)], "vec_id long")
+    surv = df.join(ids, "vec_id", "left_anti")
+    # members at a MISMATCHED grain: mod-4 level — touched vertices
+    # that are not multiples of 4 are absent from the pool
+    mem = surv.where(F.col("vec_id") % 4 == 0)
+    with pytest.raises(Exception, match="absent from the repair pool"):
+        similarity.knn_graph_retract(surv, g0, ids, k=k, members=mem).collect()
+
+
 def test_knn_graph_ingest_exact_equality_and_conservative_merge(spark):
     """Incremental graph maintenance under batch INSERTION
     (similarity.knn_graph_ingest, knn_graph_retract's twin): on an

@@ -1229,7 +1229,14 @@ def knn_graph_retract(
     O(|touched|·n) exact scores and NO shuffle of the corpus, versus
     the O(n²/buckets · rounds) from-scratch rebuild it replaces. The
     broadcast hint on the touched query side is load-bearing for the
-    same reason as :func:`hnsw_entry`'s."""
+    same reason as :func:`hnsw_entry`'s.
+
+    Contract (fails loud, like :func:`knn_graph_ingest`'s members
+    guard): every touched vertex must be present in the repair pool —
+    a graph deposit and a ``members`` level built at mismatched
+    moduli would otherwise silently lose the mismatched vertices'
+    rows. Violations raise at execution time via an assert_true
+    poison branch that is empty whenever the contract holds."""
     rm = ids.select("vec_id").distinct()
     g = graph.join(
         rm.withColumnRenamed("vec_id", "qid"), "qid", "left_anti"
@@ -1267,7 +1274,35 @@ def knn_graph_retract(
         .where(F.col("rk") <= k)
         .select("qid", "rk", "cid", "cosine")
     )
-    return untouched.unionByName(repaired).orderBy("qid", "rk")
+    # Contract guard (mirrors knn_graph_ingest's members check, made
+    # lazy): a touched vertex ABSENT from the repair pool — graph and
+    # members built at mismatched level moduli — would silently lose
+    # its rows through the left_semi above. Surface it as a runtime
+    # error instead: the anti-join is empty when the contract holds
+    # (zero extra rows, s27's hash unchanged) and any violating row
+    # trips assert_true at execution. The condition references a
+    # column, so it is not constant-folded away at plan time.
+    bad = touched.join(
+        base.select(F.col("vec_id").alias("qid")), "qid", "left_anti"
+    )
+    poison = bad.select(
+        "qid",
+        F.lit(0).cast("bigint").alias("rk"),
+        F.col("qid").alias("cid"),
+        F.assert_true(
+            F.col("qid").isNull(),
+            F.concat_ws(
+                " ",
+                F.lit("knn_graph_retract: touched vertex"),
+                F.col("qid").cast("string"),
+                F.lit(
+                    "is absent from the repair pool — graph and"
+                    " members were built at mismatched grains"
+                ),
+            ),
+        ).cast("double").alias("cosine"),
+    )
+    return untouched.unionByName(repaired).unionByName(poison).orderBy("qid", "rk")
 
 
 def knn_graph_ingest(

@@ -933,7 +933,10 @@ def s28_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     s4 unfiltered top-k deposit filtered afterwards, which STARVES
     when near neighbors belong to other tenants (post_kept < k is
     the starvation signal) — each scored against exact brute-force
-    same-tenant truth. Everything is the family's deterministic
+    same-tenant truth. Coverage is keyed off the query COHORT (r11
+    advice): a query whose tenant has no candidates at all appears as
+    an n_possible=0 row with NULL recalls instead of silently
+    vanishing from the table. Everything is the family's deterministic
     machinery (exact-int centroids, double-fold affinity, rounded-9
     int-cosines), so the DuckDB twin replays all three result sets
     and the whole decision table bit-for-bit.
@@ -962,8 +965,24 @@ def s28_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("qid") % mod == F.col("cid") % mod)
         .select("qid", "cid")
     )
-    npos = exact_f.groupBy("qid").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_possible")
+    # Coverage is keyed off the QUERY COHORT, not the exact-truth
+    # groupBy (r11 advice): a query whose tenant has zero same-tenant
+    # candidates would otherwise vanish from the table entirely —
+    # whole-tenant starvation must surface as an n_possible=0 row
+    # (recalls NULL: 0-of-0 is undefined, not perfect), not as a
+    # missing row.
+    qcohort = base.where(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("qid")
+    )
+    npos = qcohort.join(
+        exact_f.groupBy("qid").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_possible")
+        ),
+        "qid",
+        "left",
+    ).select(
+        "qid",
+        F.coalesce("n_possible", F.lit(0)).cast("bigint").alias("n_possible"),
     )
     ph = (
         exact_f.join(pre, ["qid", "cid"])
@@ -988,13 +1007,15 @@ def s28_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("pre_hits", F.lit(0)).cast("bigint").alias("pre_hits"),
             F.coalesce("post_hits", F.lit(0)).cast("bigint").alias("post_hits"),
             F.coalesce("post_kept", F.lit(0)).cast("bigint").alias("post_kept"),
-            (
+            F.when(
+                F.col("n_possible") > 0,
                 F.coalesce("pre_hits", F.lit(0)).cast("double")
-                / F.col("n_possible").cast("double")
+                / F.col("n_possible").cast("double"),
             ).alias("recall_pre"),
-            (
+            F.when(
+                F.col("n_possible") > 0,
                 F.coalesce("post_hits", F.lit(0)).cast("double")
-                / F.col("n_possible").cast("double")
+                / F.col("n_possible").cast("double"),
             ).alias("recall_post"),
         )
         .orderBy("qid")
@@ -1518,9 +1539,14 @@ def _s28_oracle(nq: int = 20) -> str:
         post AS (
           SELECT qid, cid FROM ({_s4_oracle(nq, 3)})
           WHERE qid % {mod} = cid % {mod}),
-        npos AS (
+        qc AS (
+          SELECT vec_id AS qid FROM embeddings WHERE vec_id < {nq}),
+        npos0 AS (
           SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_possible
           FROM exactf GROUP BY qid),
+        npos AS (
+          SELECT qc.qid, CAST(COALESCE(npos0.n_possible, 0) AS BIGINT) AS n_possible
+          FROM qc LEFT JOIN npos0 ON npos0.qid = qc.qid),
         ph AS (
           SELECT e.qid, CAST(COUNT(*) AS BIGINT) AS pre_hits
           FROM exactf e JOIN pre p ON p.qid = e.qid AND p.cid = e.cid
@@ -1536,10 +1562,12 @@ def _s28_oracle(nq: int = 20) -> str:
                CAST(COALESCE(ph.pre_hits, 0) AS BIGINT) AS pre_hits,
                CAST(COALESCE(sh.post_hits, 0) AS BIGINT) AS post_hits,
                CAST(COALESCE(pk.post_kept, 0) AS BIGINT) AS post_kept,
-               CAST(COALESCE(ph.pre_hits, 0) AS DOUBLE)
-                 / CAST(n.n_possible AS DOUBLE) AS recall_pre,
-               CAST(COALESCE(sh.post_hits, 0) AS DOUBLE)
-                 / CAST(n.n_possible AS DOUBLE) AS recall_post
+               CASE WHEN n.n_possible > 0 THEN
+                 CAST(COALESCE(ph.pre_hits, 0) AS DOUBLE)
+                   / CAST(n.n_possible AS DOUBLE) END AS recall_pre,
+               CASE WHEN n.n_possible > 0 THEN
+                 CAST(COALESCE(sh.post_hits, 0) AS DOUBLE)
+                   / CAST(n.n_possible AS DOUBLE) END AS recall_post
         FROM npos n
         LEFT JOIN ph ON ph.qid = n.qid
         LEFT JOIN sh ON sh.qid = n.qid

@@ -1091,6 +1091,23 @@ def run_embedding_retract(
     re-ranks it against base, where it no longer exists) and are
     healed when the interrupted batch replays.
 
+    Single-writer ORDERING contract for shared ``graph_paths``
+    deposits: the stale-rows-heal-on-replay guarantee holds only if
+    the interrupted retract batch replays BEFORE any ingest-
+    maintenance batch advances the same graph deposit. The heal works
+    because a stale edge into a removed cid marks its vertex as
+    touched; an interleaved knn_graph_ingest merge can displace
+    exactly that edge with a fresher batch neighbor, after which the
+    replayed retract no longer sees the vertex as touched and the
+    deposit stays short of a from-scratch build. So a graph deposit
+    must have ONE maintenance writer: interleave retract-then-ingest
+    inside a single loop (run_embedding_ingest's ``maintain`` hook
+    does exactly this per batch) rather than pointing two concurrent
+    streams at the same path (the replay-first direction is exercised
+    by tests/test_streaming.py's embedding-retract replay tests; the
+    interleaved-writer direction is out of contract by this
+    paragraph).
+
     Scale shape: per batch, keyed anti-joins sized by the deletion
     batch (AQE broadcasts it) plus one exact re-rank of the touched
     cohort (|touched| ≤ in-degree of the removed set ≈ k·|batch|,
