@@ -2134,6 +2134,28 @@ def test_dhash56_decodes_real_png_and_encodes_gradients(spark):
     assert got[1] == want  # brightness-shift invariant
     assert 0 <= want < (1 << 56)  # 56-bit: non-negative in int64
 
+    # the vectorized numpy pack (r12) stays bit-identical to the
+    # scalar reference loop on arbitrary pixels, incl. the all-bits
+    # extremes
+    import numpy as _np
+
+    rng = _np.random.RandomState(3)
+    for px in [
+        rng.randint(0, 256, DHASH_CELLS).astype("uint8").tobytes(),
+        bytes(range(DHASH_CELLS)),          # every compare true
+        bytes(reversed(range(DHASH_CELLS))),  # every compare false
+    ]:
+        rdf = spark.createDataFrame(
+            [(7, codecs.encode_png(DHASH_GRID_W, DHASH_GRID_H, px, channels=1))],
+            "doc_id long, media binary",
+        )
+        ref = 0
+        for r in range(DHASH_GRID_H):
+            for c in range(DHASH_GRID_W - 1):
+                if px[r * DHASH_GRID_W + c] < px[r * DHASH_GRID_W + c + 1]:
+                    ref |= 1 << (r * (DHASH_GRID_W - 1) + c)
+        assert dhash56(rdf).collect()[0]["sh"] == ref
+
     # a wrong-geometry payload fails LOUDLY, never hashes garbage
     import pytest as _pytest
 

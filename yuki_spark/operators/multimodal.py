@@ -353,12 +353,21 @@ def dhash56(media: DataFrame) -> DataFrame:
     chunk parse → inflate → unfilter); a non-grayscale or non-PNG
     payload fails loudly rather than hashing garbage.
 
-    Scale shape: one Arrow ``mapInPandas`` pass, O(doc) rows, ~64
-    byte-compares per row."""
+    Scale shape: one Arrow ``mapInPandas`` pass, O(doc) rows; the
+    gradient compare + bit pack is vectorized numpy over the decoded
+    buffer (r11 advice — the hash stays bit-identical to the scalar
+    ``px[i] < px[i+1]`` loop it replaces, pinned against golden
+    values in tests), so per-row Python work is just the PNG decode."""
+    import numpy as np
+
     schema = StructType(
         [StructField("doc_id", LongType()), StructField("sh", LongType())]
     )
     w, h = DHASH_GRID_W, DHASH_GRID_H
+    # bit (r·(w-1) + c) weights for the flattened h×(w-1) compare grid
+    weights = np.left_shift(
+        np.uint64(1), np.arange(h * (w - 1), dtype=np.uint64)
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -369,12 +378,9 @@ def dhash56(media: DataFrame) -> DataFrame:
                     raise codecs.UnsupportedMediaError(
                         f"dhash56 wants {w}x{h} grayscale, got {pw}x{ph}x{ch}"
                     )
-                dh = 0
-                for r in range(h):
-                    for c in range(w - 1):
-                        if px[r * w + c] < px[r * w + c + 1]:
-                            dh |= 1 << (r * (w - 1) + c)
-                outs.append(dh)
+                arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+                bits = (arr[:, :-1] < arr[:, 1:]).reshape(-1)
+                outs.append(int((bits.astype(np.uint64) * weights).sum()))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
