@@ -2342,6 +2342,120 @@ def test_knn_graph_retract_exact_equality_and_level_repair(spark):
     assert not any(q in rep_rows for q in removed)
 
 
+def test_knn_graph_churn_lsh_repair_bounded_and_conservative(spark):
+    """repair="lsh" (r12): churn repair candidates come from the s11
+    multi-probe sign buckets instead of full-pool broadcasts. With a
+    probe set that covers every bucket (n_planes=1 → 2 buckets,
+    probes = own + flip) the LSH mode reproduces the exact mode
+    ROW-FOR-ROW — same machinery, full candidate coverage. At a
+    bounded width the repair stays CONSERVATIVE: untouched vertices
+    verbatim, every touched/re-cut vertex's cosine multiset dominates
+    what it had before (candidates ⊇ current surviving edges), and a
+    replayed ingest batch is a no-op."""
+    import numpy as np
+
+    from yuki_spark.operators import similarity
+
+    rng = np.random.RandomState(23)
+    n, k = 150, 3
+    vecs = rng.standard_normal((n, 64)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]], 0) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    def exact(frame):
+        return similarity.cosine_topk(frame, k=k, n_queries=10**9)
+
+    g0 = exact(df)
+    removed = [3, 40, 77]
+    ids = spark.createDataFrame([(i,) for i in removed], "vec_id long")
+    surv = df.join(ids, "vec_id", "left_anti")
+
+    # --- full-coverage equality: LSH == exact == from-scratch
+    want = sorted(tuple(r) for r in exact(surv).collect())
+    got_cover = sorted(
+        tuple(r)
+        for r in similarity.knn_graph_retract(
+            surv, g0, ids, k=k, repair="lsh", n_planes=1
+        ).collect()
+    )
+    assert got_cover == want
+
+    # --- bounded width: conservative repair on the exact deposit
+    rep = similarity.knn_graph_retract(
+        surv, g0, ids, k=k, repair="lsh", n_planes=6
+    )
+    g0_rows, touched = {}, set()
+    for r in g0.collect():
+        g0_rows.setdefault(r["qid"], []).append(r)
+        if r["cid"] in removed:
+            touched.add(r["qid"])
+    rep_rows = {}
+    for r in rep.collect():
+        assert r["qid"] not in removed and r["cid"] not in removed
+        rep_rows.setdefault(r["qid"], []).append(r)
+    for qid, grp in g0_rows.items():
+        if qid in removed:
+            continue
+        if qid not in touched:
+            assert sorted((r["rk"], r["cid"], r["cosine"]) for r in grp) == sorted(
+                (r["rk"], r["cid"], r["cosine"]) for r in rep_rows[qid]
+            )
+        else:
+            surviving = sorted(
+                (r["cosine"] for r in grp if r["cid"] not in removed),
+                reverse=True,
+            )
+            new = sorted((r["cosine"] for r in rep_rows[qid]), reverse=True)
+            assert len(new) >= len(surviving)
+            assert all(nc >= sc for nc, sc in zip(new, surviving))
+
+    # --- ingest: full-coverage equality + bounded conservative merge
+    batch_ids = list(range(n, n + 5))
+    bvecs = rng.standard_normal((5, 64)).astype("float32")
+    brows = [
+        (batch_ids[j], [float(x) for x in bvecs[j]], 0) for j in range(5)
+    ]
+    batch = spark.createDataFrame(
+        brows, "vec_id long, embedding array<float>, label int"
+    )
+    full = df.unionByName(batch)
+    got_ing = sorted(
+        tuple(r)
+        for r in similarity.knn_graph_ingest(
+            g0, batch, k=k, members=full, repair="lsh", n_planes=1
+        ).collect()
+    )
+    assert got_ing == sorted(tuple(r) for r in exact(full).collect())
+
+    bounded = similarity.knn_graph_ingest(
+        g0, batch, k=k, members=full, repair="lsh", n_planes=6
+    ).localCheckpoint()
+    brows_by_q = {}
+    for r in bounded.collect():
+        brows_by_q.setdefault(r["qid"], []).append(r)
+    for qid, grp in g0_rows.items():  # every old vertex: dominance
+        old = sorted((r["cosine"] for r in grp), reverse=True)
+        new = sorted((r["cosine"] for r in brows_by_q[qid]), reverse=True)
+        assert len(new) >= len(old)
+        assert all(nc >= oc for nc, oc in zip(new, old))
+    for b in batch_ids:  # new vertices got bucket-mate neighborhoods
+        assert 1 <= len(brows_by_q.get(b, [])) <= k
+
+    # --- replay idempotence in LSH mode
+    replay = similarity.knn_graph_ingest(
+        bounded, batch, k=k, members=full, repair="lsh", n_planes=6
+    )
+    assert sorted(tuple(r) for r in replay.collect()) == sorted(
+        tuple(r) for r in bounded.collect()
+    )
+
+    # --- unknown mode fails loud
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="repair must be"):
+        similarity.knn_graph_retract(surv, g0, ids, k=k, repair="bogus")
+
+
 def test_knn_graph_retract_raises_on_pool_grain_mismatch(spark):
     """Contract guard (r11 advice): a touched vertex absent from the
     repair pool — a ground-level graph repaired against a thinned

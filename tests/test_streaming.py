@@ -1686,3 +1686,76 @@ def test_embedding_retract_heals_missing_index(spark, tmp_path):
     assert sorted(
         tuple(r) for r in spark.read.parquet(index).collect()
     ) == sorted(tuple(r) for r in sim.nd_bucket_rows(surv, bits).collect())
+
+
+def test_embedding_retract_lsh_repair_mode_plumbs_through(spark, tmp_path):
+    """graph_paths entries accept a 4th repair-mode element (r12):
+    "lsh" routes the per-batch deposit maintenance through the s11
+    bucket machinery (similarity.knn_graph_retract repair="lsh") —
+    the bounded ground-level choice at scale. At the demo grain the
+    repair must stay CONSERVATIVE: removed vectors vanish from qid
+    and cid, untouched vertices keep rows verbatim, and every touched
+    vertex's cosine multiset dominates its surviving edges (the
+    candidate set is a superset of them)."""
+    import numpy as np
+
+    from yuki_spark.operators import similarity as sim
+
+    rng = np.random.RandomState(29)
+    n, k = 64, 3
+    vecs = rng.standard_normal((n, 64)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]], 0) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    vectors = str(tmp_path / "vectors")
+    index = str(tmp_path / "emb_index")
+    l0 = str(tmp_path / "graph_l0")
+    bits = 6
+    df.write.parquet(vectors)
+    sim.nd_bucket_rows(df, bits).write.parquet(index)
+    g0 = sim.cosine_topk(df, k=k, n_queries=10**9)
+    g0.write.parquet(l0)
+    g0_rows, touched = {}, set()
+    removed = {4, 17}
+    for r in g0.collect():
+        g0_rows.setdefault(r["qid"], []).append(r)
+        if r["cid"] in removed:
+            touched.add(r["qid"])
+    assert touched
+
+    rdir = tmp_path / "vec_retract_stream"
+    rdir.mkdir()
+    pq.write_table(
+        pa.table({"vec_id": pa.array(sorted(removed), pa.int64())}),
+        rdir / "rm-0.parquet",
+    )
+    q = st.run_embedding_retract(
+        st.read_vec_retraction_stream(spark, str(rdir)),
+        vectors,
+        index,
+        str(tmp_path / "vec_retract_ckpt"),
+        bits=bits,
+        graph_paths=[(l0, k, 1, "lsh")],
+    )
+    q.awaitTermination(180)
+
+    got = {}
+    for r in spark.read.parquet(l0).collect():
+        assert r["qid"] not in removed and r["cid"] not in removed
+        got.setdefault(r["qid"], []).append(r)
+    for qid, grp in g0_rows.items():
+        if qid in removed:
+            continue
+        if qid not in touched:
+            assert sorted(
+                (r["rk"], r["cid"], r["cosine"]) for r in grp
+            ) == sorted((r["rk"], r["cid"], r["cosine"]) for r in got[qid])
+        else:
+            surviving = sorted(
+                (r["cosine"] for r in grp if r["cid"] not in removed),
+                reverse=True,
+            )
+            new = sorted((r["cosine"] for r in got.get(qid, [])), reverse=True)
+            assert len(new) >= len(surviving)
+            assert all(nc >= sc for nc, sc in zip(new, surviving))

@@ -248,6 +248,7 @@ def main() -> None:
     audit, violations = lsh_population_audit(spark, out)
     skew = skew_join_audit(spark)
     domain = offset_domain_audit(spark, out)
+    churn = churn_repair_audit(spark, SRC, out)
     # print BEFORE asserting: an audit failure must not discard the
     # timings this (long) run already paid for
     print(
@@ -260,11 +261,16 @@ def main() -> None:
                 "lsh_violations": violations,
                 "skew_join": skew,
                 "offset_domain": domain,
+                "churn_repair": churn,
             }
         )
     )
     assert not violations, f"LSH population caps blown: {violations}"
     assert skew["skew_splits"] > 0, f"AQE skew-join split did not fire: {skew}"
+    # LSH churn repair: per-touched candidate volume must stay ~flat
+    # as n grows K× (adaptive planes absorb the growth; 4× headroom
+    # for bucket skew). The exact-mode equivalent would grow by K.
+    assert churn["pairs_ratio"] <= 4, f"churn repair work grew: {churn}"
     # d43's offset table is the ONE remaining single-task window (over
     # DISTINCT n_tokens values). Pin that its domain stays both small
     # in absolute terms and ≪ the corpus, so a future data-model
@@ -275,6 +281,67 @@ def main() -> None:
     assert domain["distinct_n_tokens"] <= 10_000, domain
     assert domain["distinct_n_tokens"] * 10 <= domain["docs"], domain
     assert domain["d18_offset_rows"] <= domain["d18_offset_cap"], domain
+
+
+def churn_repair_audit(spark, src: str, out: str) -> dict:
+    """Per-batch churn-repair work must stay ~flat as the corpus
+    grows (r12, closing the r11 verdict's O(touched·n) wart): in
+    knn_graph_retract/ingest's ``repair="lsh"`` mode the exact scores
+    a churn batch pays are the multi-probe bucket candidate pairs —
+    O(touched · (planes+1) · expected-bucket ≤ ANN_TARGET_BUCKET) —
+    not a broadcast against the full pool. Measured directly: the
+    candidate-pair count for a fixed 32-vertex touched cohort at 1×
+    vs K×. The adaptive plane width grows with log(n), so
+    pairs-per-touched should move by at most a small skew factor
+    while n grows 10×; the exact-mode equivalent would grow by
+    exactly K. (The bucketing pass itself is one linear column-
+    algebra scan — in the streaming loop the bucket table is the
+    persisted index, paid at ingest, not per batch.)"""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from yuki_spark.catalog import load, table_rows
+    from yuki_spark.operators import similarity as S
+
+    res: dict = {}
+    for tag, d in (("1x", src), ("kx", out)):
+        n = table_rows(d, "embeddings")
+        planes = S.adaptive_planes(n)
+        emb = load(spark, d, "embeddings")
+        bucketed = S._sign_bucketed(emb, planes).localCheckpoint(eager=False)
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("bigint"))
+                for i in range(planes)
+            ],
+        )
+        touched = bucketed.orderBy("vec_id").limit(32).select("vec_id")
+        qb = bucketed.join(touched, "vec_id", "left_semi").select(
+            F.col("vec_id").alias("qid"), F.explode(probes).alias("bucket")
+        )
+        cb = bucketed.select(F.col("vec_id").alias("cid"), "bucket")
+        t0 = _t.perf_counter()
+        pairs = (
+            qb.join(cb, "bucket")
+            .where(F.col("qid") != F.col("cid"))
+            .select("qid", "cid")
+            .distinct()
+            .count()
+        )
+        res[tag] = {
+            "n": n,
+            "planes": planes,
+            "touched": 32,
+            "cand_pairs": pairs,
+            "pairs_per_touched": round(pairs / 32, 1),
+            "wall_s": round(_t.perf_counter() - t0, 2),
+        }
+    res["pairs_ratio"] = round(
+        res["kx"]["pairs_per_touched"] / max(res["1x"]["pairs_per_touched"], 1.0), 2
+    )
+    return res
 
 
 def offset_domain_audit(spark, sf_dir: str) -> dict:

@@ -1196,6 +1196,9 @@ def knn_graph_retract(
     ids: DataFrame,
     k: int = 3,
     members: DataFrame | None = None,
+    repair: str = "exact",
+    n_planes: int | None = None,
+    n_est: int | None = None,
 ) -> DataFrame:
     """Incrementally maintain a per-vertex top-k neighbor graph under
     a batch DELETION — the graph-deposit analogue of
@@ -1222,14 +1225,43 @@ def knn_graph_retract(
     unchanged and touched ones become exact, so per-vertex recall is
     non-decreasing.
 
-    Scale shape: two keyed anti-joins + one semi-join sized by the
-    deletion batch (AQE broadcasts it), then one exact re-rank of the
-    touched cohort — |touched| is bounded by the removed set's
-    in-degree (≈ k·|batch|), broadcast against the pool:
-    O(|touched|·n) exact scores and NO shuffle of the corpus, versus
-    the O(n²/buckets · rounds) from-scratch rebuild it replaces. The
-    broadcast hint on the touched query side is load-bearing for the
-    same reason as :func:`hnsw_entry`'s.
+    Repair modes (r11 verdict item 3 — bound per-batch maintenance
+    independent of corpus size):
+
+    - ``repair="exact"`` (default): the touched cohort is broadcast
+      against the FULL pool for an exact re-rank — O(|touched|·n)
+      scores per batch. Right when the pool is a bounded ladder level
+      (s27's ≤256-member churn grain, any mod>1 level) where n IS the
+      bound, and required for the maintained ≡ from-scratch-rebuild
+      hash invariant.
+    - ``repair="lsh"``: repair candidates come from the s11 bucket
+      machinery instead — the pool is sign-bucketed
+      (:func:`_sign_bucketed`, ``n_planes`` defaulting to
+      :func:`adaptive_planes` of ``n_est``/a pool count), each
+      touched vertex multi-probes its bucket ± one bit flip, and only
+      bucket mates ∪ the vertex's own SURVIVING edges are exactly
+      re-ranked. Per-batch work is O(|touched| · (planes+1) ·
+      expected-bucket ≤ ANN_TARGET_BUCKET) scores — independent of n
+      at fixed planes, log-n via the adaptive width — the mode a
+      ground-level (mod=1) maintained graph runs at 100 TB. Keeping
+      the surviving edges in the candidate set makes the repair
+      strictly conservative on APPROXIMATE deposits: a touched
+      vertex's new top-k is drawn from a superset of what it already
+      had, so per-vertex recall is non-decreasing (pinned in tests);
+      from-scratch equality is the exact mode's contract only
+      (though the LSH mode reproduces it whenever the probe set
+      covers every bucket — also pinned).
+
+    Scale shape (exact mode): two keyed anti-joins + one semi-join
+    sized by the deletion batch (AQE broadcasts it), then one exact
+    re-rank of the touched cohort — |touched| is bounded by the
+    removed set's in-degree (≈ k·|batch|), broadcast against the
+    pool: O(|touched|·n) exact scores and NO shuffle of the corpus,
+    versus the O(n²/buckets · rounds) from-scratch rebuild it
+    replaces. The broadcast hint on the touched query side is
+    load-bearing for the same reason as :func:`hnsw_entry`'s. The
+    LSH mode replaces the broadcast non-equi join with bucket
+    equi-joins — no BNLJ at all.
 
     Contract (fails loud, like :func:`knn_graph_ingest`'s members
     guard): every touched vertex must be present in the repair pool —
@@ -1237,6 +1269,8 @@ def knn_graph_retract(
     moduli would otherwise silently lose the mismatched vertices'
     rows. Violations raise at execution time via an assert_true
     poison branch that is empty whenever the contract holds."""
+    if repair not in ("exact", "lsh"):
+        raise ValueError(f"repair must be 'exact' or 'lsh', got {repair!r}")
     rm = ids.select("vec_id").distinct()
     g = graph.join(
         rm.withColumnRenamed("vec_id", "qid"), "qid", "left_anti"
@@ -1248,32 +1282,95 @@ def knn_graph_retract(
     )
     untouched = g.join(touched, "qid", "left_anti")
     pool = members if members is not None else survivors
-    base = pool.select("vec_id", scaled("embedding").alias("sv")).withColumn(
-        "nrm", int_dot(F.col("sv"), F.col("sv"))
-    )
-    q = base.join(
-        touched.withColumnRenamed("qid", "vec_id"), "vec_id", "left_semi"
-    ).select(
-        F.col("vec_id").alias("qid"),
-        F.col("sv").alias("qv"),
-        F.col("nrm").alias("qn"),
-    )
-    c = base.select(
-        F.col("vec_id").alias("cid"),
-        F.col("sv").alias("cv"),
-        F.col("nrm").alias("cn"),
-    )
     cos = F.round(
         cosine_from_ints(int_dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")), 9
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col("cid"))
-    repaired = (
-        c.join(broadcast(q), F.col("qid") != F.col("cid"))
-        .withColumn("cosine", cos)
-        .withColumn("rk", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rk") <= k)
-        .select("qid", "rk", "cid", "cosine")
-    )
+    if repair == "lsh":
+        if n_planes is None:
+            n_planes = adaptive_planes(n_est if n_est is not None else pool.count())
+        if n_planes > 62:
+            raise ValueError(
+                f"n_planes={n_planes} exceeds the int64 bucket-id budget"
+            )
+        bucketed = _sign_bucketed(pool, n_planes).localCheckpoint(
+            eager=False
+        )  # feeds probe, candidate, and both score sides once
+        base = bucketed.select("vec_id", "sv", "nrm")
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("bigint"))
+                for i in range(n_planes)
+            ],
+        )
+        qb = bucketed.join(
+            touched.withColumnRenamed("qid", "vec_id"), "vec_id", "left_semi"
+        ).select(F.col("vec_id").alias("qid"), F.explode(probes).alias("bucket"))
+        cb = bucketed.select(F.col("vec_id").alias("cid"), "bucket")
+        # surviving current edges stay candidates: the re-rank draws
+        # from a superset of the vertex's present neighborhood, which
+        # is what makes per-vertex recall non-decreasing on
+        # approximate deposits (edges at a matching grain point at
+        # pool members; g already dropped removed qids, and removed
+        # cids are filtered here)
+        kept = (
+            g.join(touched, "qid", "left_semi")
+            .join(rm.withColumnRenamed("vec_id", "cid"), "cid", "left_anti")
+            .select("qid", "cid")
+        )
+        cand = (
+            qb.join(cb, "bucket")
+            .where(F.col("qid") != F.col("cid"))
+            .select("qid", "cid")
+            .unionByName(kept)
+            .distinct()
+        )
+        repaired = (
+            cand.join(
+                base.select(
+                    F.col("vec_id").alias("qid"),
+                    F.col("sv").alias("qv"),
+                    F.col("nrm").alias("qn"),
+                ),
+                "qid",
+            )
+            .join(
+                base.select(
+                    F.col("vec_id").alias("cid"),
+                    F.col("sv").alias("cv"),
+                    F.col("nrm").alias("cn"),
+                ),
+                "cid",
+            )
+            .withColumn("cosine", cos)
+            .withColumn("rk", F.row_number().over(w).cast("bigint"))
+            .where(F.col("rk") <= k)
+            .select("qid", "rk", "cid", "cosine")
+        )
+    else:
+        base = pool.select("vec_id", scaled("embedding").alias("sv")).withColumn(
+            "nrm", int_dot(F.col("sv"), F.col("sv"))
+        )
+        q = base.join(
+            touched.withColumnRenamed("qid", "vec_id"), "vec_id", "left_semi"
+        ).select(
+            F.col("vec_id").alias("qid"),
+            F.col("sv").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+        c = base.select(
+            F.col("vec_id").alias("cid"),
+            F.col("sv").alias("cv"),
+            F.col("nrm").alias("cn"),
+        )
+        repaired = (
+            c.join(broadcast(q), F.col("qid") != F.col("cid"))
+            .withColumn("cosine", cos)
+            .withColumn("rk", F.row_number().over(w).cast("bigint"))
+            .where(F.col("rk") <= k)
+            .select("qid", "rk", "cid", "cosine")
+        )
     # Contract guard (mirrors knn_graph_ingest's members check, made
     # lazy): a touched vertex ABSENT from the repair pool — graph and
     # members built at mismatched level moduli — would silently lose
@@ -1310,6 +1407,9 @@ def knn_graph_ingest(
     batch: DataFrame,
     k: int = 3,
     members: DataFrame | None = None,
+    repair: str = "exact",
+    n_planes: int | None = None,
+    n_est: int | None = None,
 ) -> DataFrame:
     """Incrementally maintain a per-vertex top-k neighbor graph under
     a batch INSERTION — :func:`knn_graph_retract`'s twin, closing the
@@ -1343,17 +1443,33 @@ def knn_graph_ingest(
     :func:`knn_graph_retract` first (the streaming maintain hook does
     exactly that: retract-then-ingest).
 
-    Scale shape: the batch side is broadcast everywhere (it is
-    micro-batch-sized); existing vertices pay one |pool| × |batch|
-    broadcast join + a top-k window over ≤ k + |batch| candidates per
-    vertex, and the corpus is never self-joined — O(n·|batch|) scores
-    total versus the O(n²/buckets · rounds) from-scratch rebuild."""
+    Scale shape (``repair="exact"``, the default): the batch side is
+    broadcast everywhere (it is micro-batch-sized); existing vertices
+    pay one |pool| × |batch| broadcast join + a top-k window over
+    ≤ k + |batch| candidates per vertex, and the corpus is never
+    self-joined — O(n·|batch|) scores total versus the O(n²/buckets ·
+    rounds) from-scratch rebuild. ``repair="lsh"`` routes BOTH passes
+    through the s11 bucket machinery instead (r11 verdict item 3):
+    new vertices draw candidates from their multi-probed sign
+    buckets, and an existing vertex is re-cut only where a batch
+    vector probes into its bucket — per-batch work O(|batch| ·
+    (planes+1) · expected-bucket) scores, independent of n at fixed
+    planes, so a ground-level maintained graph pays batch-sized (not
+    corpus-sized) work per churn batch. The merge stays conservative
+    (current edges always candidates → per-vertex recall
+    non-decreasing) and replay-idempotent; from-scratch equality is
+    the exact mode's contract only (the LSH mode reproduces it when
+    the probe set covers every bucket — pinned in tests)."""
     if members is None:
         raise ValueError(
             "knn_graph_ingest needs the post-insertion member pool "
             "(vec_id, embedding) — vertices can be edge-less, so the "
             "graph's qid set cannot stand in for it"
         )
+    if repair not in ("exact", "lsh"):
+        raise ValueError(f"repair must be 'exact' or 'lsh', got {repair!r}")
+    if repair == "lsh":
+        return _knn_graph_ingest_lsh(graph, batch, k, members, n_planes, n_est)
     base = members.select("vec_id", scaled("embedding").alias("sv")).withColumn(
         "nrm", int_dot(F.col("sv"), F.col("sv"))
     ).localCheckpoint(eager=False)  # feeds new-vertex q, batch c, old q
@@ -1400,6 +1516,99 @@ def knn_graph_ingest(
     # so an old edge into them and its vs_batch re-score are the same
     # (qid, cid, cosine) row — without the dedup that row would occupy
     # two top-k slots and break replay idempotence
+    merged = old_kept.select("qid", "cid", "cosine").unionByName(vs_batch).distinct()
+    old_rows = (
+        merged.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= k)
+        .select("qid", "rk", "cid", "cosine")
+    )
+    return old_rows.unionByName(new_rows).orderBy("qid", "rk")
+
+
+def _knn_graph_ingest_lsh(
+    graph: DataFrame,
+    batch: DataFrame,
+    k: int,
+    members: DataFrame,
+    n_planes: int | None,
+    n_est: int | None,
+) -> DataFrame:
+    """:func:`knn_graph_ingest`'s ``repair="lsh"`` body: candidates
+    from the s11 multi-probe sign buckets instead of full-pool
+    broadcasts, bounding per-batch work independent of corpus size
+    (see the caller's docstring for the contract)."""
+    if n_planes is None:
+        n_planes = adaptive_planes(n_est if n_est is not None else members.count())
+    if n_planes > 62:
+        raise ValueError(f"n_planes={n_planes} exceeds the int64 bucket-id budget")
+    bucketed = _sign_bucketed(members, n_planes).localCheckpoint(
+        eager=False
+    )  # feeds batch probes, candidate side, and both score sides once
+    bids = batch.select("vec_id").distinct()
+    probes = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("bigint"))
+            for i in range(n_planes)
+        ],
+    )
+    qside = bucketed.select(
+        F.col("vec_id").alias("qid"),
+        F.col("sv").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cside = bucketed.select(
+        F.col("vec_id").alias("cid"),
+        F.col("sv").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = F.round(
+        cosine_from_ints(int_dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")), 9
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col("cid"))
+    # new vertices: candidates = multi-probed bucket mates
+    qb_new = bucketed.join(bids, "vec_id", "left_semi").select(
+        F.col("vec_id").alias("qid"), F.explode(probes).alias("bucket")
+    )
+    cb = bucketed.select(F.col("vec_id").alias("cid"), "bucket")
+    cand_new = (
+        qb_new.join(cb, "bucket")
+        .where(F.col("qid") != F.col("cid"))
+        .select("qid", "cid")
+        .distinct()
+    )
+    new_rows = (
+        cand_new.join(qside, "qid")
+        .join(cside, "cid")
+        .withColumn("cosine", cos)
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= k)
+        .select("qid", "rk", "cid", "cosine")
+    )
+    # existing vertices: re-cut only where a batch vector probes into
+    # the vertex's bucket — candidates = {current edges} ∪ {bucket
+    # collisions with the batch}; everyone else keeps rows verbatim
+    # through the top-k window (≤ k rows in, same ≤ k rows out)
+    bq = bucketed.join(bids, "vec_id", "left_semi").select(
+        F.col("vec_id").alias("cid"), F.explode(probes).alias("bucket")
+    )
+    oldb = bucketed.join(bids, "vec_id", "left_anti").select(
+        F.col("vec_id").alias("qid"), "bucket"
+    )
+    cand_old = (
+        oldb.join(bq, "bucket")
+        .where(F.col("qid") != F.col("cid"))
+        .select("qid", "cid")
+        .distinct()
+    )
+    vs_batch = (
+        cand_old.join(qside, "qid")
+        .join(cside, "cid")
+        .withColumn("cosine", cos)
+        .select("qid", "cid", "cosine")
+    )
+    old_kept = graph.join(bids.withColumnRenamed("vec_id", "qid"), "qid", "left_anti")
+    # distinct: replay idempotence — see the exact mode's comment
     merged = old_kept.select("qid", "cid", "cosine").unionByName(vs_batch).distinct()
     old_rows = (
         merged.withColumn("rk", F.row_number().over(w).cast("bigint"))

@@ -988,7 +988,15 @@ def run_embedding_ingest(
     def maintain(spark, novel, merged_vectors):
         side = []
         nb_all = novel.select("vec_id", "embedding").localCheckpoint(eager=True)
-        for gpath, gk, gmod in graph_paths or []:
+        for gspec in graph_paths or []:
+            # (path, k, mod) or (path, k, mod, repair): repair="lsh"
+            # routes the per-batch graph maintenance through the s11
+            # bucket machinery — the ground-level (mod=1) choice at
+            # scale, bounding per-batch scores independent of corpus
+            # size; the default "exact" keeps the maintained ≡
+            # rebuilt hash invariant the bounded demo grains pin
+            gpath, gk, gmod = gspec[:3]
+            grepair = gspec[3] if len(gspec) > 3 else "exact"
             graph = _read_snapshot_or_none(spark, gpath)
             if graph is None:
                 continue  # deposit not built yet — nothing to maintain
@@ -1015,12 +1023,14 @@ def run_embedding_ingest(
             # retract a no-op (nothing removed, nobody touched).
             ids = nb.select("vec_id")
             mem_wo = mem.join(ids, "vec_id", "left_anti")
-            g1 = sim.knn_graph_retract(mem_wo, graph, ids, k=gk, members=mem_wo)
+            g1 = sim.knn_graph_retract(
+                mem_wo, graph, ids, k=gk, members=mem_wo, repair=grepair
+            )
             side.append(
                 (
                     gpath,
                     sim.knn_graph_ingest(
-                        g1, nb, k=gk, members=mem
+                        g1, nb, k=gk, members=mem, repair=grepair
                     ).localCheckpoint(eager=True),
                 )
             )
@@ -1134,7 +1144,11 @@ def run_embedding_retract(
         mv = vectors.join(ids, "vec_id", "left_anti").localCheckpoint(eager=True)
         mi = index.join(ids, "vec_id", "left_anti").localCheckpoint(eager=True)
         repaired: list[tuple[str, DataFrame]] = []
-        for gpath, gk, gmod in graph_paths or []:
+        for gspec in graph_paths or []:
+            # (path, k, mod) or (path, k, mod, repair) — see the
+            # ingest loop's maintain hook for the repair-mode note
+            gpath, gk, gmod = gspec[:3]
+            grepair = gspec[3] if len(gspec) > 3 else "exact"
             graph = _read_snapshot_or_none(spark, gpath)
             if graph is None:
                 continue  # deposit not built yet — nothing to maintain
@@ -1143,7 +1157,7 @@ def run_embedding_retract(
                 (
                     gpath,
                     sim.knn_graph_retract(
-                        mv, graph, ids, k=gk, members=mem
+                        mv, graph, ids, k=gk, members=mem, repair=grepair
                     ).localCheckpoint(eager=True),
                 )
             )
