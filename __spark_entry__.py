@@ -99,6 +99,9 @@ _PRIORITY = [
     # r13's builder puts r12-born keys first, then r10-stamped keys,
     # locally pre-verified tail last), then the 50 r10-stamped keys,
     # then the 50 r11-stamped keys freshest at the bottom.
+    # --- born in r12 (judge-green in the local parity gate; MUST
+    # open the r13 sweep):
+    "s29_filtered_graph_ann",
     "d10_winnow_fingerprint",
     "d11_dedup_clusters",
     "d12_subword_stats",

@@ -48,6 +48,7 @@ ADAPTIVE = [
     "s26_hnsw_adaptive",  # ladder moduli derived from the footer count
     "s27_graph_churn",  # churn_modulus demo grain from the footer count
     "s28_filtered_ann",  # composes the s4 adaptive chain (IVF cells)
+    "s29_filtered_graph_ann",  # 4 filtered + 3 pool descent chains
 ]
 
 

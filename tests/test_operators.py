@@ -2061,6 +2061,61 @@ def test_relabel_after_removal_on_real_corpus(spark):
     assert got == want and len(got) > 0
 
 
+def test_hnsw_descent_keep_and_candidate_pool(spark):
+    """The r12 filtered-search knobs on hnsw_descent: ``keep``
+    (filtered beam) with an always-true predicate reproduces the
+    plain descent row-for-row; with a real tenant predicate every
+    returned cid passes it; ``collect_candidates`` returns a scored
+    pool that is a SUPERSET of the final beam at the same width, with
+    bit-identical cosines on the shared pairs."""
+    import os
+    import tempfile
+
+    from yuki_spark.operators import similarity
+    from yuki_spark.queries import sim
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    with tempfile.TemporaryDirectory() as td:
+        os.environ["YUKI_SPARK_SIM_STORE"] = td
+        try:
+            graphs = [sim._graph_l1(spark, sf), sim._graph_nnd2(spark, sf)]
+            base = similarity.hnsw_base(emb)
+            kw = dict(
+                k=sim.K,
+                n_queries=sim.ANN_NQ,
+                beam=sim.HNSW_BEAM,
+                entry_mod=sim.HNSW_L2_MOD,
+                base=base,
+            )
+            plain = similarity.hnsw_descent(emb, graphs, **kw).collect()
+            trivial = similarity.hnsw_descent(
+                emb, graphs, keep=F.lit(True), **kw
+            ).collect()
+            assert sorted(map(tuple, plain)) == sorted(map(tuple, trivial))
+
+            filt = similarity.hnsw_descent(
+                emb,
+                graphs,
+                keep=F.col("qid") % 2 == F.col("cid") % 2,
+                **kw,
+            ).collect()
+            assert filt  # something survives at 1/2 selectivity
+            assert all(r["qid"] % 2 == r["cid"] % 2 for r in filt)
+
+            pool = similarity.hnsw_descent(
+                emb, graphs, collect_candidates=True, **kw
+            ).collect()
+        finally:
+            os.environ.pop("YUKI_SPARK_SIM_STORE", None)
+
+    pool_map = {(r["qid"], r["cid"]): r["cosine"] for r in pool}
+    assert len(pool_map) == len(pool)  # distinct pairs
+    for r in plain:  # final beam ⊆ pool, cosines bit-identical
+        assert pool_map[(r["qid"], r["cid"])] == r["cosine"]
+    assert len(pool_map) > len(plain)  # strictly more than the beam
+
+
 def test_hnsw_ladder_moduli_geometry():
     """The ladder-depth formula (the executable 'levels grow with
     log n' claim): nested divisor moduli, entry level at least the

@@ -454,6 +454,18 @@ def test_checkpoint_blind_spot_joins_pinned_pre_checkpoint(spark):
             or "ShuffledHashJoin" in s28_plan
         )
 
+        # 4. s29's filtered-beam entry (r12): hnsw_entry's bounded
+        # cross with the tenant predicate applied on top (hnsw_descent
+        # keep=...). Pinned: never a cartesian under disabled stats —
+        # either the broadcast hint keeps the bounded BNLJ or the
+        # extractable equi key upgrades it to a keyed join.
+        fentry = similarity.hnsw_entry(q, base, 16).where(
+            F.col("qid") % 2 == F.col("cid") % 2
+        )
+        fplan = fmt_plan(spark, fentry)
+        assert "CartesianProduct" not in fplan
+        assert bnlj_nodes(fplan) <= 1
+
 
 def test_every_query_plan_scale_safe(spark, qs):
     """The PLANS.md audit as a gate, over EVERY queries() entry:

@@ -238,6 +238,11 @@ def main() -> None:
         # aggs + type-grain log2 chains — token-volume linearity and
         # type-grain boundedness are the things to watch at 10x
         "d52_bigram_lm_perplexity",
+        # round-12: filtered graph ANN — 4 filtered descents + 3
+        # shared unfiltered pools over the same two graph deposits;
+        # every hop/pool stays nq-bounded, so the 10x cost must track
+        # s23's (deposit build + bounded serving)
+        "s29_filtered_graph_ann",
     ]
     qs["q1_pricing_summary"](spark, out).write.mode("overwrite").format("noop").save()
     timings = {}

@@ -1716,6 +1716,8 @@ def hnsw_descent(
     entry_mod: int = 16,
     queries: DataFrame | None = None,
     base: DataFrame | None = None,
+    keep: Column | None = None,
+    collect_candidates: bool = False,
 ) -> DataFrame:
     """Hierarchical layered-descent ANN search (the HNSW search shape,
     Malkov & Yashunin 2018) expressed as batch DataFrame ops: the
@@ -1752,7 +1754,32 @@ def hnsw_descent(
     ``base`` lets a caller that runs several descents over the same
     corpus (a beam sweep, a serving loop) pass one prebuilt
     :func:`hnsw_base` instead of paying a corpus scan + checkpoint
-    per call."""
+    per call.
+
+    ``keep`` (a boolean Column over the candidate pair's ``qid`` /
+    ``cid``) turns the search into the FILTERED-beam descent every
+    production vector store runs for tenant/ACL predicates (the
+    Qdrant/Weaviate filtered-HNSW shape): the graph EXPANSION still
+    walks the unfiltered deposits — a beam member's neighbors are
+    generated regardless of their attributes — but only predicate-
+    passing candidates are re-ranked into the beam, at the entry
+    scan and at every hop. A selective predicate thins the beam
+    (starvation: fewer than k passing candidates survive); the
+    caller's counter-knob is widening ``beam`` by roughly the
+    inverse selectivity. The filter changes candidate SETS only —
+    per-hop work stays bounded by the same O(|entry| +
+    len(graphs)·beam·k) envelope, shrunk by the predicate.
+
+    ``collect_candidates=True`` returns the distinct union of EVERY
+    candidate the descent scored — (qid, cid, cosine) across the
+    entry scan and all hop expansions — instead of the final beam:
+    the scored POOL of an unfiltered routing pass, which a filtered
+    search can post-filter under a predicate too selective for the
+    filtered beam to navigate (severed routes). The pool is a
+    superset of the final beam at the same width and its size is the
+    same bounded per-query envelope. Composes with ``keep`` (the
+    pool is then predicate-filtered too), though the filtered-pool
+    question s29 asks uses one or the other."""
     if not graphs:
         raise ValueError("hnsw_descent needs at least one level graph")
     if base is None:
@@ -1779,19 +1806,28 @@ def hnsw_descent(
         F.col("nrm").alias("cn"),
     )
 
+    collected: list[DataFrame] = []  # scored pools (collect_candidates)
+
     def rerank(cand: DataFrame, width: int) -> DataFrame:
+        if keep is not None:
+            cand = cand.where(keep)
         cos = F.round(
             cosine_from_ints(
                 int_dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")
             ),
             9,
         )
-        w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col("cid"))
-        return (
+        scored = (
             cand.join(broadcast(q), "qid")
             .join(cand_side, "cid")
             .withColumn("cosine", cos)
-            .withColumn("rk", F.row_number().over(w).cast("bigint"))
+            .select("qid", "cid", "cosine")
+        )
+        if collect_candidates:
+            collected.append(scored)
+        w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col("cid"))
+        return (
+            scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
             .where(F.col("rk") <= width)
             .select("qid", "rk", "cid", "cosine")
         )
@@ -1823,6 +1859,11 @@ def hnsw_descent(
         bm = expand(bm, graph, k if last else beam)
         if not last:
             bm = bm.localCheckpoint(eager=False)
+    if collect_candidates:
+        pool = collected[0]
+        for s in collected[1:]:
+            pool = pool.unionByName(s)
+        return pool.distinct().orderBy("qid", "cid")
     return bm.orderBy("qid", "rk")
 
 

@@ -878,6 +878,14 @@ def s27_graph_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 S28_FILTER_MOD = 2  # tenant attribute: vec_id parity (source/ACL stand-in)
+S29_FILTER_MODS = (2, 8)  # s29 selectivity sweep: 1/2 and 1/8 tenants
+
+
+def _s29_cells() -> list[tuple[int, int, int]]:
+    """s29's decision-table cells: (filter_mod, widen, effective
+    beam) — each selectivity at the base width and at the width
+    widened by the inverse selectivity (the filtered-HNSW knob)."""
+    return [(m, w, HNSW_BEAM * w) for m in S29_FILTER_MODS for w in (1, m)]
 
 
 def _s28_exact_filtered(base: DataFrame, nq: int, mod: int) -> DataFrame:
@@ -1020,6 +1028,185 @@ def s28_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+def s29_filtered_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered search on the GRAPH ladder (r12, the r11 verdict's
+    item 2): s28 proves the pre/post-filter trade for IVF; production
+    vector stores run the tenant/ACL predicate through the HNSW
+    descent, and there are two query-time shapes (the Qdrant/
+    Weaviate/ACORN design space), both measured here per QUERY
+    (s12/s22's reporting grain — the oracle binds WHICH queries
+    starve) at two selectivities (tenant = vec_id % filter_mod ∈
+    {2, 8}, s28's attribute family) and two beam widths (base, and
+    widened by the inverse selectivity — the production rule of
+    thumb):
+
+    - strategy='beam' — the FILTERED BEAM: expansion walks the
+      unfiltered graph deposits but only predicate-passing
+      candidates are re-ranked into the beam
+      (operators/similarity.hnsw_descent ``keep=``). Cheapest, but a
+      selective filter SEVERS routes (a passing vertex's neighbors
+      mostly fail the predicate), so it starves — visibly, as
+      n_kept < K rows.
+    - strategy='route' — ROUTE UNFILTERED, answer filtered: the
+      descent navigates without the predicate and the answer is the
+      top-K predicate-passing candidates among everything any hop
+      scored (``collect_candidates=True`` pool). Pays the same hop
+      work as an unfiltered search and recovers where 'beam'
+      starves; when even this floor is too low the answer is s28's
+      pre-filter (run the predicate through the INDEX, not the
+      descent).
+
+    Each cell row carries n_kept (starvation), n_hits, n_possible,
+    recall vs exact brute-force same-tenant truth. Coverage keys off
+    the nq query cohort (s28's r11-advice discipline), so an
+    empty-tenant query surfaces as n_possible=0 with NULL recall
+    instead of vanishing.
+
+    Scale shape: one shared hnsw_base; one filtered descent per cell
+    + one unfiltered pool per DISTINCT effective beam (the beam-4
+    pool serves both selectivities) — every descent is s22's audited
+    per-level plan (bounded entry cross, nq=20 broadcast build — the
+    s1 pattern — then equi-join hops against n·k edge deposits);
+    pools are O(nq·(|entry| + levels·beam·k)) rows re-ranked by one
+    per-query window; exact truth is s28's keyed-equi-join pass
+    (tenant predicate extractable). Everything nq-bounded after the
+    deposits. Deterministic end-to-end, so the DuckDB twin replays
+    every filtered hop, every pool, and the whole table
+    bit-for-bit."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql.window import Window
+
+    nq = ANN_NQ
+    emb = load(spark, sf_dir, "embeddings")
+    graphs = [_graph_l1(spark, sf_dir), _graph_nnd2(spark, sf_dir)]
+    base = similarity.hnsw_base(emb)
+    base.count()  # materialize the shared checkpoint on the MAIN
+    # thread before fanning out — concurrent first-touch of one lazy
+    # checkpoint from several jobs would race
+    qcohort = base.where(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("qid")
+    )
+    # Build AND materialize all 9 independent chains (2 exact
+    # truths, 4 filtered descents, 3 unfiltered pools) CONCURRENTLY:
+    # the dominant cost at test scale is driver-side plan
+    # construction + analysis (py4j expression building, one Catalyst
+    # analysis per checkpoint boundary), and the chains' bounded jobs
+    # leave most of the cluster idle — the thread pool overlaps both.
+    # Deposits and the shared base are prebuilt on the main thread
+    # (no deposit accessor runs off-thread; concurrent first-touch of
+    # one lazy checkpoint would race, hence base.count() above).
+
+    def _build_exact(mod: int) -> DataFrame:
+        return _s28_exact_filtered(base, nq, mod).localCheckpoint(eager=True)
+
+    def _build_beam(mod: int, widen: int) -> DataFrame:
+        return (
+            similarity.hnsw_descent(
+                emb,
+                graphs,
+                k=K,
+                n_queries=nq,
+                beam=HNSW_BEAM * widen,
+                entry_mod=HNSW_L2_MOD,
+                base=base,
+                keep=F.col("qid") % mod == F.col("cid") % mod,
+            )
+            .select("qid", "cid")
+            .localCheckpoint(eager=True)
+        )
+
+    def _build_pool(b: int) -> DataFrame:
+        return similarity.hnsw_descent(
+            emb,
+            graphs,
+            k=K,
+            n_queries=nq,
+            beam=b,
+            entry_mod=HNSW_L2_MOD,
+            base=base,
+            collect_candidates=True,
+        ).localCheckpoint(eager=True)
+
+    with ThreadPoolExecutor(max_workers=9) as ex:
+        ef = {m: ex.submit(_build_exact, m) for m in S29_FILTER_MODS}
+        bf = {
+            (m, w): ex.submit(_build_beam, m, w)
+            for m in S29_FILTER_MODS
+            for w in (1, m)
+        }
+        pf = {
+            b: ex.submit(_build_pool, b)
+            for b in sorted({b for _, _, b in _s29_cells()})
+        }
+        exact_fs = {k: f.result() for k, f in ef.items()}
+        beam_results = {k: f.result() for k, f in bf.items()}
+        pools = {k: f.result() for k, f in pf.items()}
+
+    out = None
+    for mod in S29_FILTER_MODS:
+        exact_f = exact_fs[mod]
+        npos = qcohort.join(
+            exact_f.groupBy("qid").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_possible")
+            ),
+            "qid",
+            "left",
+        ).select(
+            "qid",
+            F.coalesce("n_possible", F.lit(0)).cast("bigint").alias("n_possible"),
+        )
+        for widen in (1, mod):
+            beam_eff = HNSW_BEAM * widen
+            wq = Window.partitionBy("qid").orderBy(
+                F.desc("cosine"), F.col("cid")
+            )
+            route_res = (
+                pools[beam_eff]
+                .where(F.col("qid") % mod == F.col("cid") % mod)
+                .withColumn("rk", F.row_number().over(wq))
+                .where(F.col("rk") <= K)
+                .select("qid", "cid")
+            )
+            for strat, res in (
+                ("beam", beam_results[(mod, widen)]),
+                ("route", route_res),
+            ):
+                hits = (
+                    exact_f.join(res, ["qid", "cid"])
+                    .groupBy("qid")
+                    .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+                )
+                kept = res.groupBy("qid").agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_kept")
+                )
+                row = (
+                    npos.join(hits, "qid", "left")
+                    .join(kept, "qid", "left")
+                    .select(
+                        F.lit(mod).cast("bigint").alias("filter_mod"),
+                        F.lit(widen).cast("bigint").alias("widen"),
+                        F.lit(beam_eff).cast("bigint").alias("beam"),
+                        F.lit(strat).alias("strategy"),
+                        "qid",
+                        F.coalesce("n_kept", F.lit(0))
+                        .cast("bigint")
+                        .alias("n_kept"),
+                        F.coalesce("n_hits", F.lit(0))
+                        .cast("bigint")
+                        .alias("n_hits"),
+                        "n_possible",
+                        F.when(
+                            F.col("n_possible") > 0,
+                            F.coalesce("n_hits", F.lit(0)).cast("double")
+                            / F.col("n_possible").cast("double"),
+                        ).alias("recall"),
+                    )
+                )
+                out = row if out is None else out.unionByName(row)
+    return out.orderBy("filter_mod", "widen", "strategy", "qid")
 
 
 def s23_hnsw_beam_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1245,6 +1432,7 @@ QUERIES = {
     "s26_hnsw_adaptive": s26_hnsw_adaptive,
     "s27_graph_churn": s27_graph_churn,
     "s28_filtered_ann": s28_filtered_ann,
+    "s29_filtered_graph_ann": s29_filtered_graph_ann,
     "s13_matryoshka_recall": s13_matryoshka_recall,
     "s5_quantize_error": s5_quantize_error,
     "s7_semdedup": s7_semdedup,
@@ -1574,6 +1762,105 @@ def _s28_oracle(nq: int = 20) -> str:
         LEFT JOIN pk ON pk.qid = n.qid
         ORDER BY qid
     """
+
+
+def _s29_oracle() -> str:
+    """Twin of s29_filtered_graph_ann: per cell, one FILTERED
+    descent-chain replay (the tenant predicate riding
+    _hnsw_descent_ctes' ``pred`` hook exactly where the Spark side
+    applies ``keep``) plus one unfiltered pool per distinct beam
+    (the per-hop sc_* scored sets _hnsw_rerank_ctes already emits,
+    unioned — the collect_candidates twin), then the per-query
+    decision rows for both strategies against the same-tenant exact
+    truth with cohort-keyed coverage."""
+    nq = ANN_NQ
+    cosexpr = (
+        f"round(CAST({_DOT.format(a='q.sv', b='c.sv')} AS DOUBLE)"
+        " / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))), 9)"
+    )
+    parts = [_hnsw_shared_ctes()]
+    parts.append(
+        f"qc AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < {nq})"
+    )
+    for m in S29_FILTER_MODS:
+        parts.append(
+            f"""exf{m} AS (
+          SELECT qid, cid FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                        ORDER BY cosine DESC, cid) AS rk
+            FROM (
+              SELECT q.vec_id AS qid, c.vec_id AS cid, {cosexpr} AS cosine
+              FROM vbn q JOIN vbn c
+                ON q.vec_id < {nq} AND q.vec_id <> c.vec_id
+               AND q.vec_id % {m} = c.vec_id % {m}))
+          WHERE rk <= {K})"""
+        )
+    beams = sorted({b for _, _, b in _s29_cells()})
+    for b in beams:
+        ctes, res = _hnsw_descent_ctes(b, f"_p{b}")
+        parts.append(ctes)
+        sc_names = [f"sc_bent_p{b}", f"sc_b1_p{b}", f"sc_{res}"]
+        union = " UNION ALL ".join(f"SELECT * FROM {s}" for s in sc_names)
+        parts.append(
+            f"pool_p{b} AS (SELECT DISTINCT qid, cid, cosine FROM ({union}))"
+        )
+    rows = []
+    for m, w, b in _s29_cells():
+        suf = f"_{m}_{w}"
+        ctes, beam_res = _hnsw_descent_ctes(
+            b, suf, pred=f"{{q}} % {m} = {{c}} % {m}"
+        )
+        parts.append(ctes)
+        parts.append(
+            f"""rt{suf} AS (
+          SELECT qid, cid FROM (
+            SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+                        ORDER BY cosine DESC, cid) AS rk
+            FROM pool_p{b} WHERE qid % {m} = cid % {m})
+          WHERE rk <= {K})"""
+        )
+        for strat, res_cte in (("beam", beam_res), ("route", f"rt{suf}")):
+            ss = f"{suf}_{strat}"
+            parts.append(
+                f"""np{ss} AS (
+          SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_possible
+          FROM exf{m} GROUP BY qid)"""
+            )
+            parts.append(
+                f"""ph{ss} AS (
+          SELECT e.qid, CAST(COUNT(*) AS BIGINT) AS n_hits
+          FROM exf{m} e JOIN {res_cte} r
+            ON r.qid = e.qid AND r.cid = e.cid
+          GROUP BY e.qid)"""
+            )
+            parts.append(
+                f"""kp{ss} AS (
+          SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_kept
+          FROM {res_cte} GROUP BY qid)"""
+            )
+            rows.append(
+                f"""SELECT CAST({m} AS BIGINT) AS filter_mod,
+                 CAST({w} AS BIGINT) AS widen,
+                 CAST({b} AS BIGINT) AS beam,
+                 '{strat}' AS strategy,
+                 qc.qid AS qid,
+                 CAST(COALESCE(kp.n_kept, 0) AS BIGINT) AS n_kept,
+                 CAST(COALESCE(ph.n_hits, 0) AS BIGINT) AS n_hits,
+                 CAST(COALESCE(np.n_possible, 0) AS BIGINT) AS n_possible,
+                 CASE WHEN COALESCE(np.n_possible, 0) > 0 THEN
+                   CAST(COALESCE(ph.n_hits, 0) AS DOUBLE)
+                     / CAST(np.n_possible AS DOUBLE) END AS recall
+          FROM qc
+          LEFT JOIN np{ss} np ON np.qid = qc.qid
+          LEFT JOIN ph{ss} ph ON ph.qid = qc.qid
+          LEFT JOIN kp{ss} kp ON kp.qid = qc.qid"""
+            )
+    body = " UNION ALL ".join(f"({r})" for r in rows)
+    return (
+        "WITH "
+        + ",\n        ".join(parts)
+        + f" SELECT * FROM ({body}) ORDER BY filter_mod, widen, strategy, qid"
+    )
 
 
 _SUBDOT = (
@@ -2030,16 +2317,22 @@ def _hnsw_rerank_ctes(cand: str, out: str, width: int) -> str:
           WHERE rk <= {width})"""
 
 
-def _hnsw_expand_ctes(beam_cte: str, graph_cte: str, out: str) -> str:
+def _hnsw_expand_ctes(
+    beam_cte: str, graph_cte: str, out: str, pred: str = ""
+) -> str:
     """CTE chunk: descent-hop candidates = beam ∪ graph neighbors of
-    the beam, self-matches dropped."""
+    the beam, self-matches dropped. ``pred`` (a template over {q}/{c}
+    vertex ids) is the filtered-beam predicate — the expansion walks
+    the unfiltered graph, the filter prunes candidates before the
+    re-rank (hnsw_descent's ``keep`` twin)."""
+    extra = f" AND {pred.format(q='qid', c='cid')}" if pred else ""
     return f"""cand_{out} AS (
           SELECT DISTINCT qid, cid FROM (
             SELECT qid, cid FROM {beam_cte}
             UNION ALL
             SELECT b.qid, g.cid FROM {beam_cte} b
             JOIN {graph_cte} g ON g.qid = b.cid)
-          WHERE qid <> cid)"""
+          WHERE qid <> cid{extra})"""
 
 
 def _hnsw_descent_ctes(
@@ -2047,26 +2340,33 @@ def _hnsw_descent_ctes(
     suf: str,
     graphs: tuple[str, ...] = ("gl1", "gl0"),
     entry_mod: int = HNSW_L2_MOD,
+    pred: str = "",
 ) -> tuple[str, str]:
     """The full layered descent for one beam width as a CTE chain
     (entry scan → one expand+rerank hop per graph CTE in ``graphs``,
     ordered top level → level 0 — the SQL replay of hnsw_descent's
     arbitrary level list); returns (ctes, final_cte_name). Requires
-    exact/vbn and every named graph CTE in scope."""
+    exact/vbn and every named graph CTE in scope. ``pred`` (template
+    over {q}/{c}) replays the filtered-beam descent — applied at the
+    entry scan and before every hop's re-rank, exactly where
+    hnsw_descent applies ``keep``."""
     nq = ANN_NQ
+    ent_extra = (
+        f" AND {pred.format(q='q.vec_id', c='c.vec_id')}" if pred else ""
+    )
     parts = [
         f"""ent_cand{suf} AS (
           SELECT q.vec_id AS qid, c.vec_id AS cid
           FROM vbn q JOIN vbn c
             ON c.vec_id % {entry_mod} = 0 AND c.vec_id <> q.vec_id
-          WHERE q.vec_id < {nq})""",
+          WHERE q.vec_id < {nq}{ent_extra})""",
         _hnsw_rerank_ctes(f"ent_cand{suf}", f"bent{suf}", beam),
     ]
     prev = f"bent{suf}"
     for i, g in enumerate(graphs):
         last = i == len(graphs) - 1
         out = f"res{suf}" if last else f"b{len(graphs) - 1 - i}{suf}"
-        parts.append(_hnsw_expand_ctes(prev, g, out))
+        parts.append(_hnsw_expand_ctes(prev, g, out, pred=pred))
         parts.append(_hnsw_rerank_ctes(f"cand_{out}", out, K if last else beam))
         prev = out
     return ",\n        ".join(parts), f"res{suf}"
@@ -2506,6 +2806,7 @@ def build_oracle() -> dict[str, str]:
             "s26_hnsw_adaptive": _s26_oracle(),
             "s27_graph_churn": _s27_oracle(),
             "s28_filtered_ann": _s28_oracle(),
+            "s29_filtered_graph_ann": _s29_oracle(),
             "s13_matryoshka_recall": _s13_oracle(),
             "s14_mmr_rerank": _s14_oracle(),
             "s16_knn_centrality": _s16_oracle(),
