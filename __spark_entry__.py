@@ -102,6 +102,7 @@ _PRIORITY = [
     # --- born in r12 (judge-green in the local parity gate; MUST
     # open the r13 sweep):
     "s29_filtered_graph_ann",
+    "s30_ivf_churn",
     "d10_winnow_fingerprint",
     "d11_dedup_clusters",
     "d12_subword_stats",

@@ -2116,6 +2116,61 @@ def test_hnsw_descent_keep_and_candidate_pool(spark):
     assert len(pool_map) > len(plain)  # strictly more than the beam
 
 
+def test_ivf_frozen_assignment_and_drift_trigger(spark):
+    """s30's operator contracts: (1) maintained ≡ rebuilt — dropping
+    retracted rows and assigning the ingest batch at a FROZEN
+    codebook equals re-assigning the whole final pool at the same
+    codebook row-for-row (assignment is a pure per-vector function);
+    (2) the retrain-trigger policy on synthetically shifted
+    codebooks: identical → drift 0 / no retrain; scaled copy →
+    drift 0 (cosine scale-invariance); opposite direction → drift 2;
+    a cell present on one side only → drift 1; both fire the
+    trigger."""
+    import numpy as np
+
+    from yuki_spark.operators import similarity
+
+    rng = np.random.RandomState(41)
+    n = 100
+    vecs = rng.standard_normal((n, 64)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]], i % 3) for i in range(n)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    j = F.col("vec_id") % 5
+    pool0, late = emb.where(j != 3), emb.where(j == 3)
+    rm = emb.where(j == 2).select("vec_id")
+    cents = similarity.ivf_codebook(pool0).localCheckpoint()
+    a0 = similarity.ivf_assign(pool0, cents)
+    maintained = a0.join(rm, "vec_id", "left_anti").unionByName(
+        similarity.ivf_assign(late, cents)
+    )
+    rebuilt = similarity.ivf_assign(emb.where(j != 2), cents)
+    assert sorted(map(tuple, maintained.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+
+    # trigger policy on synthetic codebooks
+    same = similarity.ivf_codebook_drift(cents, cents, 0.1).collect()
+    assert all(r["drift"] == 0.0 and not r["retrain"] for r in same)
+    doubled = cents.select(
+        "cell", F.transform("cv", lambda x: x * 2).alias("cv")
+    )
+    scaled = similarity.ivf_codebook_drift(cents, doubled, 0.1).collect()
+    assert all(r["drift"] == 0.0 and not r["retrain"] for r in scaled)
+    flipped = cents.select(
+        "cell", F.transform("cv", lambda x: -x).alias("cv")
+    )
+    opp = similarity.ivf_codebook_drift(cents, flipped, 0.1).collect()
+    assert all(r["drift"] == 2.0 and r["retrain"] for r in opp)
+    missing = similarity.ivf_codebook_drift(
+        cents, cents.where(F.col("cell") != 0), 0.1
+    ).collect()
+    gone = [r for r in missing if r["cell"] == 0]
+    assert len(gone) == 1 and gone[0]["drift"] == 1.0 and gone[0]["retrain"]
+    assert all(r["drift"] == 0.0 for r in missing if r["cell"] != 0)
+
+
 def test_hnsw_ladder_moduli_geometry():
     """The ladder-depth formula (the executable 'levels grow with
     log n' claim): nested divisor moduli, entry level at least the

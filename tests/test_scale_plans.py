@@ -226,6 +226,12 @@ ALLOWED_BNLJ = {
     # anywhere; the checkpoint-hidden form is still pinned in
     # test_checkpoint_blind_spot_joins_pinned_pre_checkpoint
     "s28_filtered_ann": 0,
+    # s30's two broadcast-codebook assignment passes (initial pool +
+    # ingest batch): the k-means assignment shape — an n × n_cells
+    # product whose build side is the ≤n_labels-row FROZEN codebook,
+    # constant-size at any corpus scale (same rationale as s9's
+    # deposit-hidden fit; here the maintenance chain IS the product)
+    "s30_ivf_churn": 2,
     "d26_quality_buckets": 1,
     "d28_token_zipf": 1,  # single-row corpus-total broadcast (q11 pattern)
     # k-means assignment IS an n x k product with a k-row (10) broadcast

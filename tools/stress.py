@@ -243,6 +243,10 @@ def main() -> None:
         # every hop/pool stays nq-bounded, so the 10x cost must track
         # s23's (deposit build + bounded serving)
         "s29_filtered_graph_ann",
+        # round-12: IVF churn maintenance — two broadcast-codebook
+        # assignment passes + codebook-grain drift; must stay linear
+        # (the broadcast side is the <=n_labels-row frozen codebook)
+        "s30_ivf_churn",
     ]
     qs["q1_pricing_summary"](spark, out).write.mode("overwrite").format("noop").save()
     timings = {}

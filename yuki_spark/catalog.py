@@ -61,16 +61,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pushes filters into the parquet reader downstream."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Spark 4 defaults inferTimestampNTZ=true, so µs-without-tz
+    # parquet (orders/lineitem dates) reads as TIMESTAMP_NTZ in a
+    # fresh session — and as TIMESTAMP once anything flipped the conf:
+    # an ORDER-DEPENDENT schema (r12 finding — the snapshot gate only
+    # passed when an events load happened to run first). Pin it off
+    # unconditionally (runtime-settable), for ANY caller session.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
         # events.parquet has shipped as TIMESTAMP(NANOS) (which a
-        # default session refuses to read) and as plain µs-without-tz
-        # (which Spark 4 infers as TIMESTAMP_NTZ, breaking epoch
-        # casts). The engine must behave identically under ANY
-        # caller-provided SparkSession and either file flavor, so set
-        # the (runtime-settable) escape hatches here, not only in our
+        # default session refuses to read) and as plain µs-without-tz.
+        # The engine must behave identically under ANY caller-provided
+        # SparkSession and either file flavor, so set the
+        # (runtime-settable) escape hatch here, not only in our
         # session factory.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(table_path(sf_dir, name))
     ts_type = dict(df.dtypes).get("ts")
     if name == "events" and ts_type == "bigint":

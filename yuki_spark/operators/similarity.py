@@ -587,18 +587,17 @@ def cosine_neardup_pairs_exact(
     )
 
 
-def _ivf_assignment(emb: DataFrame):
-    """Exact-int IVF cell assignment shared by :func:`ivf_ann` and
-    :func:`semdedup`: returns ``(scored_cells, w_assign)`` where
-    ``scored_cells`` carries every (vector, cell, affinity) row and
-    ``w_assign`` ranks cells per vector (deterministic tiebreak)."""
-    base = emb.select("vec_id", "label", scaled("embedding").alias("sv")).withColumn(
-        "nrm", int_dot(F.col("sv"), F.col("sv"))
-    )
-
-    # codebook: exact integer per-dim sums per label, one array per cell
-    cents = (
-        base.select("label", F.posexplode("sv").alias("dim", "sx"))
+def ivf_codebook(emb: DataFrame) -> DataFrame:
+    """(cell, cv): the IVF codebook — exact int64 per-dim SUMS of
+    scaled vectors per label (cosine is scale-invariant, so cos(v, Σ)
+    ≡ cos(v, mean) with zero float division whose rounding could
+    drift between engines). Factored out of :func:`_ivf_assignment`
+    (r12) so a churn loop can FREEZE a codebook built over one corpus
+    snapshot and keep assigning against it — assignment at a frozen
+    codebook is a pure per-vector function, which is exactly what
+    makes incremental index maintenance exact (s30)."""
+    return (
+        emb.select("label", F.posexplode(scaled("embedding")).alias("dim", "sx"))
         .groupBy("label", "dim")
         .agg(F.sum("sx").alias("cs"))
         .groupBy("label")
@@ -609,8 +608,11 @@ def _ivf_assignment(emb: DataFrame):
         )
     )
 
-    # double-fold affinity: products can exceed 2^53 so they round,
-    # but both engines run the same IEEE ops in the same order
+
+def _ivf_affinity() -> Column:
+    """Double-fold cell affinity over (sv, nrm, cv) columns: products
+    can exceed 2^53 so they round, but both engines run the same IEEE
+    ops in the same order (left fold, like DuckDB's list_reduce)."""
     dot_cv = F.aggregate(
         F.zip_with("sv", "cv", lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -621,10 +623,99 @@ def _ivf_assignment(emb: DataFrame):
         F.lit(0.0),
         lambda a, x: a + x,
     )
-    affinity = dot_cv / (F.sqrt(F.col("nrm").cast("double")) * F.sqrt(ncv))
+    return dot_cv / (F.sqrt(F.col("nrm").cast("double")) * F.sqrt(ncv))
 
+
+def ivf_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cell, aff): best-cell assignment of ``emb`` at an
+    EXPLICIT (typically frozen) codebook — the incremental-ingest
+    path of IVF deposit maintenance under churn (s30): newly
+    ingested vectors are assigned by one broadcast-codebook pass, and
+    because assignment is a pure per-vector function of (embedding,
+    codebook), the maintained deposit equals a from-scratch
+    re-assignment of the whole surviving corpus at the same centroids
+    ROW-FOR-ROW (the invariant s30's DuckDB twin hash-checks).
+    ``aff`` is the double-fold affinity rounded to 9 (ranking uses
+    the raw double, the family's s4 discipline).
+
+    Scale shape: one broadcast of the ≤n_cells-row codebook against
+    the corpus (the k-means assignment shape) + one per-vector
+    window; linear, no corpus shuffle beyond the window's."""
+    base = emb.select("vec_id", scaled("embedding").alias("sv")).withColumn(
+        "nrm", int_dot(F.col("sv"), F.col("sv"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("aff"), "cell")
+    return (
+        base.join(broadcast(cents))
+        .withColumn("aff", _ivf_affinity())
+        .withColumn("ark", F.row_number().over(w))
+        .where(F.col("ark") == 1)
+        .select("vec_id", "cell", F.round("aff", 9).alias("aff"))
+    )
+
+
+def ivf_codebook_drift(
+    frozen: DataFrame, current: DataFrame, threshold: float
+) -> DataFrame:
+    """(cell, drift, retrain): per-cell STALENESS of a frozen IVF
+    codebook against the centroids the current corpus implies —
+    drift = round(1 − cos(frozen cv, current cv), 9) under the
+    family's double-fold IEEE discipline (s15's drift machinery at
+    codebook grain), and ``retrain`` = drift > ``threshold`` — the
+    re-train trigger a production index runs between incremental
+    assignments (centroids stay frozen until the monitor fires; the
+    policy is pinned in tests with synthetically shifted codebooks).
+    A cell present on only one side (a label fully churned in or
+    out) surfaces with drift = 1.0 — maximal staleness — rather than
+    vanishing. Bounded: codebook-grain rows in, codebook-grain rows
+    out."""
+    f = frozen.select("cell", F.col("cv").alias("fv"))
+    c = current.select("cell", F.col("cv").alias("nv"))
+    dd = F.aggregate(
+        F.zip_with("fv", "nv", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    nf = F.aggregate(
+        F.transform("fv", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    nn = F.aggregate(
+        F.transform("nv", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    drift = F.when(
+        F.col("fv").isNull() | F.col("nv").isNull(), F.lit(1.0)
+    ).otherwise(F.round(F.lit(1.0) - dd / (F.sqrt(nf) * F.sqrt(nn)), 9))
+    return (
+        f.join(c, "cell", "full")
+        .select(
+            "cell",
+            drift.alias("drift"),
+        )
+        .withColumn("retrain", F.col("drift") > F.lit(threshold))
+        .orderBy("cell")
+    )
+
+
+def _ivf_assignment(emb: DataFrame):
+    """Exact-int IVF cell assignment shared by :func:`ivf_ann` and
+    :func:`semdedup`: returns ``(scored_cells, w_assign)`` where
+    ``scored_cells`` carries every (vector, cell, affinity) row and
+    ``w_assign`` ranks cells per vector (deterministic tiebreak).
+    The codebook build and the double-fold affinity are the factored
+    :func:`ivf_codebook` / :func:`_ivf_affinity` (r12) — one copy of
+    each, shared with the churn-maintenance path."""
+    base = emb.select("vec_id", "label", scaled("embedding").alias("sv")).withColumn(
+        "nrm", int_dot(F.col("sv"), F.col("sv"))
+    )
+    cents = ivf_codebook(emb)
     scored_cells = (
-        base.join(broadcast(cents)).withColumn("aff", affinity).localCheckpoint(eager=False)
+        base.join(broadcast(cents))
+        .withColumn("aff", _ivf_affinity())
+        .localCheckpoint(eager=False)
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("aff"), "cell")
     return scored_cells, w_assign

@@ -877,6 +877,71 @@ def s27_graph_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g2.orderBy("qid", "rk")
 
 
+S30_DRIFT_MAX = 0.25  # re-train trigger: splits the test catalogs'
+# per-cell drifts (0.12–0.36) so the flag DIFFERENTIATES — some cells
+# retrain, some hold — at every sf; the policy logic itself is pinned
+# in tests with synthetically shifted codebooks
+
+
+def s30_ivf_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF deposit maintenance under CHURN (r12, the r11 verdict's
+    item 4): the band index and the kNN graph ladders are maintained
+    incrementally; this closes the coarse-quantizer family. A
+    production IVF index does NOT recluster per churn batch — the
+    centroids stay FROZEN between retrains, and because cell
+    assignment at a frozen codebook is a pure per-vector function
+    (operators/similarity.ivf_assign), maintenance is exact:
+
+    1. freeze the codebook over the initial pool (j = vec_id % 5 ≠ 3,
+       the s27 churn-script discipline — all sets derived from vec_id
+       so the twin replays them; similarity.ivf_codebook),
+    2. build the assignment deposit over that pool,
+    3. RETRACT the j = 2 cohort — assignment rows just drop (keyed
+       anti-join),
+    4. INGEST the j = 3 cohort at the frozen codebook — one broadcast-
+       codebook pass over the batch only,
+    5. run the centroid-staleness monitor: per-cell drift = round(1 −
+       cos(frozen centroid, current-corpus centroid), 9) (s15's drift
+       machinery at codebook grain, similarity.ivf_codebook_drift)
+       with the retrain trigger drift > S30_DRIFT_MAX (policy pinned
+       in tests with synthetically shifted codebooks; a fully
+       churned-in/out cell reads drift = 1.0).
+
+    The returned table is the MAINTAINED assignment deposit (vec_id,
+    cell, aff) with each cell's staleness row joined on; the DuckDB
+    twin re-assigns the final corpus FROM SCRATCH at the same frozen
+    centroids, so the driver hash-verifies the maintained ≡ rebuilt
+    invariant itself (s27's discipline for the graph family) plus
+    the monitor bit-for-bit.
+
+    Scale shape: two codebook builds (64× posexplode → label×dim hash
+    agg → ≤n_cells rows), two broadcast-codebook assignment passes
+    (the k-means assignment shape — a ≤n_cells-row build side at any
+    corpus scale), one keyed anti-join, one codebook-grain drift
+    join. Linear end-to-end; per-batch maintenance cost is the BATCH
+    size, not the corpus."""
+    emb = load(spark, sf_dir, "embeddings")
+    j = F.col("vec_id") % 5
+    pool0 = emb.where(j != 3)
+    late = emb.where(j == 3)
+    rm = emb.where(j == 2).select("vec_id")
+    cents = similarity.ivf_codebook(pool0).localCheckpoint(
+        eager=False
+    )  # FROZEN codebook: feeds both assignment passes + the monitor
+    a0 = similarity.ivf_assign(pool0, cents)
+    a1 = a0.join(rm, "vec_id", "left_anti")
+    a2 = a1.unionByName(similarity.ivf_assign(late, cents))
+    final_pool = pool0.join(rm, "vec_id", "left_anti").unionByName(late)
+    drift = similarity.ivf_codebook_drift(
+        cents, similarity.ivf_codebook(final_pool), S30_DRIFT_MAX
+    )
+    return (
+        a2.join(drift, "cell")
+        .select("vec_id", "cell", "aff", "drift", "retrain")
+        .orderBy("vec_id")
+    )
+
+
 S28_FILTER_MOD = 2  # tenant attribute: vec_id parity (source/ACL stand-in)
 S29_FILTER_MODS = (2, 8)  # s29 selectivity sweep: 1/2 and 1/8 tenants
 
@@ -1433,6 +1498,7 @@ QUERIES = {
     "s27_graph_churn": s27_graph_churn,
     "s28_filtered_ann": s28_filtered_ann,
     "s29_filtered_graph_ann": s29_filtered_graph_ann,
+    "s30_ivf_churn": s30_ivf_churn,
     "s13_matryoshka_recall": s13_matryoshka_recall,
     "s5_quantize_error": s5_quantize_error,
     "s7_semdedup": s7_semdedup,
@@ -1761,6 +1827,64 @@ def _s28_oracle(nq: int = 20) -> str:
         LEFT JOIN sh ON sh.qid = n.qid
         LEFT JOIN pk ON pk.qid = n.qid
         ORDER BY qid
+    """
+
+
+def _s30_oracle() -> str:
+    """Twin of s30_ivf_churn: the from-scratch REBUILD — re-assign the
+    final corpus at the codebook frozen over the initial pool
+    (identical exact-int centroid sums, identical double-fold
+    affinity in Spark's left-fold IEEE op order), plus the per-cell
+    staleness monitor — so the hash equality IS the maintained ≡
+    rebuilt invariant."""
+    thr = S30_DRIFT_MAX
+
+    def cb(src: str, name: str) -> str:
+        return f"""ex_{name} AS (
+          SELECT label, CAST(generate_subscripts(sv, 1) AS INT) AS dim,
+                 unnest(sv) AS sx
+          FROM {src}),
+        cd_{name} AS (
+          SELECT label, dim, CAST(SUM(sx) AS BIGINT) AS cs
+          FROM ex_{name} GROUP BY label, dim),
+        {name} AS (
+          SELECT label AS cell, list(cs ORDER BY dim) AS cv
+          FROM cd_{name} GROUP BY label)"""
+
+    return f"""
+        WITH base AS (
+          SELECT vec_id, label, {_SCALED} AS sv FROM embeddings),
+        b AS (
+          SELECT vec_id, label, sv, {_DOT.format(a='sv', b='sv')} AS nrm
+          FROM base),
+        pool0 AS (SELECT * FROM b WHERE vec_id % 5 <> 3),
+        finalp AS (SELECT * FROM b WHERE vec_id % 5 <> 2),
+        {cb('pool0', 'cents0')},
+        {cb('finalp', 'cents1')},
+        aff AS (
+          SELECT v.vec_id, c.cell,
+                 {_DDOT.format(a='v.sv', b='c.cv')}
+                   / (sqrt(CAST(v.nrm AS DOUBLE))
+                      * sqrt({_DDOT.format(a='c.cv', b='c.cv')})) AS a
+          FROM finalp v CROSS JOIN cents0 c),
+        asg AS (
+          SELECT vec_id, cell, round(a, 9) AS aff FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY a DESC, cell) AS ark
+            FROM aff)
+          WHERE ark = 1),
+        dr AS (
+          SELECT COALESCE(f.cell, n.cell) AS cell,
+                 CASE WHEN f.cell IS NULL OR n.cell IS NULL THEN 1.0
+                      ELSE round(1.0 - {_DDOT.format(a='f.cv', b='n.cv')}
+                        / (sqrt({_DDOT.format(a='f.cv', b='f.cv')})
+                           * sqrt({_DDOT.format(a='n.cv', b='n.cv')})), 9)
+                 END AS drift
+          FROM cents0 f FULL JOIN cents1 n ON n.cell = f.cell)
+        SELECT a.vec_id AS vec_id, a.cell AS cell, a.aff AS aff,
+               d.drift AS drift, d.drift > {thr} AS retrain
+        FROM asg a JOIN dr d ON d.cell = a.cell
+        ORDER BY a.vec_id
     """
 
 
@@ -2807,6 +2931,7 @@ def build_oracle() -> dict[str, str]:
             "s27_graph_churn": _s27_oracle(),
             "s28_filtered_ann": _s28_oracle(),
             "s29_filtered_graph_ann": _s29_oracle(),
+            "s30_ivf_churn": _s30_oracle(),
             "s13_matryoshka_recall": _s13_oracle(),
             "s14_mmr_rerank": _s14_oracle(),
             "s16_knn_centrality": _s16_oracle(),

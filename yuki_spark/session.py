@@ -44,6 +44,13 @@ def get_spark(app_name: str = "yuki_spark", shuffle_partitions: int | None = Non
         # events.parquet stores TIMESTAMP(NANOS); read as long, converted
         # to a microsecond timestamp in catalog.load (matches DuckDB's µs).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Spark 4 defaults inferTimestampNTZ=true, so µs-without-tz
+        # parquet (orders/lineitem dates) would read as TIMESTAMP_NTZ
+        # in a fresh session and as TIMESTAMP after the first events
+        # load flipped the conf — an order-dependent schema. Pin it
+        # off so every date column is a UTC instant from the start
+        # (catalog.load repeats this for caller-provided sessions).
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     return builder.getOrCreate()
 
