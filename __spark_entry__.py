@@ -103,6 +103,7 @@ _PRIORITY = [
     # open the r13 sweep):
     "s29_filtered_graph_ann",
     "s30_ivf_churn",
+    "d53_video_phash_dups",
     "d10_winnow_fingerprint",
     "d11_dedup_clusters",
     "d12_subword_stats",

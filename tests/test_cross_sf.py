@@ -49,6 +49,7 @@ ADAPTIVE = [
     "s27_graph_churn",  # churn_modulus demo grain from the footer count
     "s28_filtered_ann",  # composes the s4 adaptive chain (IVF cells)
     "s29_filtered_graph_ann",  # 4 filtered + 3 pool descent chains
+    "d53_video_phash_dups",  # PAIR_CAP all-pairs twin from the footer
 ]
 
 

@@ -1692,6 +1692,89 @@ def test_avi_mjpeg_pure_python_keyframe_sampling(spark):
             codecs.decode_video_keyframes(fake)
 
 
+def test_motion_png_avi_and_token_video_roundtrip(spark):
+    """r12's Motion-PNG container path (d53's synth corpus): PNG
+    frames wrapped in a real RIFF/AVI ('MPNG' fourcc) come back
+    byte-identical through the pure-Python chunk walk with IHDR
+    dimensions, and synth_token_video → frame_sample → dhash56 equals
+    hashing the per-chunk histogram PNGs directly (the container
+    round trip is lossless, so the composed pipeline can't drift from
+    the generative rule the oracle replays)."""
+    from yuki_spark.operators import codecs, multimodal
+    from yuki_spark.operators.multimodal import DHASH_GRID_H, DHASH_GRID_W
+
+    pngs = [
+        codecs.encode_png(
+            DHASH_GRID_W, DHASH_GRID_H,
+            bytes((i * 7 + j) % 251 for j in range(64)), channels=1,
+        )
+        for i in range(4)
+    ]
+    avi = codecs.encode_avi_mjpeg(
+        pngs, DHASH_GRID_W, DHASH_GRID_H, fourcc=b"MPNG"
+    )
+    assert codecs.is_video(avi)
+    assert codecs.png_dims(pngs[0]) == (DHASH_GRID_W, DHASH_GRID_H)
+    kf = codecs.decode_video_keyframes(avi, n_frames=4)
+    assert [(w, h) for w, h, _ in kf] == [(8, 8)] * 4
+    assert [f for _, _, f in kf] == pngs  # payloads ship as-is
+
+    # composed pipeline == direct per-chunk hashing
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "xi"),  # fewer tokens than frames: short video
+        ],
+        "doc_id long, text string",
+    )
+    nf = 4
+    video = multimodal.synth_token_video(docs, n_frames=nf)
+    frames = multimodal.frame_sample(video, n_frames=nf)
+    composed = {
+        (r["doc_id"], r["sh"])
+        for r in multimodal.dhash56(
+            frames.select(
+                (F.col("doc_id") * nf + F.col("frame_idx")).alias("doc_id"),
+                F.col("frame").alias("media"),
+            )
+        ).collect()
+    }
+    # direct: hash the per-chunk PNGs without the container round trip
+    from yuki_spark.functions import tokens as _tokens
+
+    tk = docs.select(
+        "doc_id", F.filter(_tokens("text"), lambda t: t != "").alias("tk")
+    ).where(F.size("tk") > 0)
+    chunks = (
+        tk.select(
+            "doc_id", F.size("tk").alias("L"),
+            F.posexplode("tk").alias("pos", "tok"),
+        )
+        .withColumn("chunk", F.expr(f"(pos * {nf}) div L"))
+        .groupBy("doc_id", "chunk")
+        .agg(F.collect_set("tok").alias("toks"))
+    )
+    direct_png = multimodal.synth_token_png_from_sets(
+        chunks.select(
+            (F.col("doc_id") * nf + F.col("chunk")).alias("doc_id"), "toks"
+        )
+    )
+    direct = {
+        (r["doc_id"], r["sh"])
+        for r in multimodal.dhash56(direct_png).collect()
+    }
+    assert composed == direct
+    # identical docs → identical frame-hash multisets; the 2-token doc
+    # got a short video
+    by_doc = {}
+    for fid, sh in composed:
+        by_doc.setdefault(fid // nf, []).append(sh)
+    assert sorted(by_doc[0]) == sorted(by_doc[1])
+    assert len(by_doc[3]) < nf
+
+
 def test_ivfpq_equals_ivf_when_shortlist_unbounded(spark):
     """IVF-ADC's only loss vs plain IVF (same nprobe) is the ADC
     shortlist cut: with the shortlist wider than any probed candidate

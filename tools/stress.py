@@ -247,6 +247,11 @@ def main() -> None:
         # assignment passes + codebook-grain drift; must stay linear
         # (the broadcast side is the <=n_labels-row frozen codebook)
         "s30_ivf_churn",
+        # round-12: video perceptual dedup — array-native chunk/hash
+        # projection + four linear Arrow passes + the 2x28-bit
+        # banding; token-volume linearity + candidate boundedness are
+        # the things to watch at 10x
+        "d53_video_phash_dups",
     ]
     qs["q1_pricing_summary"](spark, out).write.mode("overwrite").format("noop").save()
     timings = {}

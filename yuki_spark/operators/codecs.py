@@ -337,12 +337,15 @@ def jpeg_dims(data: bytes) -> tuple[int, int]:
 
 
 def avi_mjpeg_frames(data: bytes) -> list[bytes]:
-    """Every JPEG frame payload in a RIFF/AVI container, in stream
-    order: an iterative chunk walk (LIST recursion via an explicit
-    stack, even-size padding per the RIFF spec) collecting video
-    chunks ('##dc'/'##db') that carry a JPEG SOI. Returns [] for an
-    AVI with no MJPEG frames (a compressed-codec AVI — the PyAV path
-    owns those)."""
+    """Every self-contained image frame payload in a RIFF/AVI
+    container, in stream order: an iterative chunk walk (LIST
+    recursion via an explicit stack, even-size padding per the RIFF
+    spec) collecting video chunks ('##dc'/'##db') that carry a JPEG
+    SOI (Motion-JPEG) or — since r12 — a PNG magic (Motion-PNG, the
+    'MPNG' AVI codec: every frame a self-contained PNG, the
+    video-grain perceptual-dedup key's container). Returns [] for an
+    AVI with neither (a compressed-codec AVI — the PyAV path owns
+    those)."""
     if not (data[:4] == b"RIFF" and data[8:12] == b"AVI "):
         raise UnsupportedMediaError("not a RIFF/AVI container")
     end = min(len(data), 8 + struct.unpack("<I", data[4:8])[0])
@@ -361,7 +364,7 @@ def avi_mjpeg_frames(data: bytes) -> list[bytes]:
                 walk(i + 12, body_end)  # skip the list type
             elif fourcc[2:4] in (b"dc", b"db"):
                 body = data[i + 8 : body_end]
-                if body[:2] == JPEG_SOI:
+                if body[:2] == JPEG_SOI or body[:8] == PNG_MAGIC:
                     frames.append(body)
             i += 8 + size + (size & 1)
 
@@ -370,13 +373,19 @@ def avi_mjpeg_frames(data: bytes) -> list[bytes]:
 
 
 def encode_avi_mjpeg(
-    frames: list[bytes], width: int, height: int, fps: int = 10
+    frames: list[bytes], width: int, height: int, fps: int = 10,
+    fourcc: bytes = b"MJPG",
 ) -> bytes:
-    """Minimal valid RIFF/AVI Motion-JPEG container around JPEG frame
-    payloads (avih + vids/MJPG strl headers + movi; no idx1 — players
-    that need seeking rebuild it). The deterministic test-container
-    builder for the pure-Python sampling path."""
+    """Minimal valid RIFF/AVI container around self-contained image
+    frame payloads (avih + vids strl headers + movi; no idx1 —
+    players that need seeking rebuild it): Motion-JPEG by default,
+    Motion-PNG with ``fourcc=b"MPNG"`` (r12 — the synthetic video
+    corpus carries PNG frames so the downstream perceptual hash runs
+    a real pixel decode). The deterministic container builder for the
+    pure-Python sampling path."""
     n = len(frames)
+    if len(fourcc) != 4:
+        raise UnsupportedMediaError("fourcc must be 4 bytes")
 
     def chunk(fourcc: bytes, body: bytes) -> bytes:
         return fourcc + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
@@ -392,12 +401,13 @@ def encode_avi_mjpeg(
         n, 0, 1, 0, width, height, 0, 0, 0, 0,
     )
     strh = (
-        b"vids" + b"MJPG"
+        b"vids" + fourcc
         + struct.pack("<10I", 0, 0, 0, 1, max(fps, 1), 0, n, 0, 0xFFFFFFFF, 0)
         + struct.pack("<4h", 0, 0, width, height)
     )
     strf = struct.pack(
-        "<I2i2H2I2i2I", 40, width, height, 1, 24, 0x47504A4D,  # 'MJPG'
+        "<I2i2H2I2i2I", 40, width, height, 1, 24,
+        struct.unpack("<I", fourcc)[0],  # biCompression = fourcc LE
         width * height * 3, 0, 0, 0, 0,
     )
     hdrl = lst(
@@ -432,6 +442,16 @@ def encode_stub_jpeg(width: int, height: int, seed: int = 0) -> bytes:
     return JPEG_SOI + app0 + dqt + sof0 + dht + sos + entropy + b"\xff\xd9"
 
 
+def png_dims(data: bytes) -> tuple[int, int]:
+    """(width, height) from a PNG's IHDR — a pure header parse (no
+    pixel decode; the sampler's contract is container-level, exactly
+    like :func:`jpeg_dims`)."""
+    if data[:8] != PNG_MAGIC or data[12:16] != b"IHDR" or len(data) < 24:
+        raise UnsupportedMediaError("not a PNG payload")
+    w, h = struct.unpack(">II", data[16:24])
+    return int(w), int(h)
+
+
 def decode_video_keyframes(data: bytes, n_frames: int = 4) -> list[tuple[int, int, bytes]]:
     """REAL keyframe extraction from a video container via PyAV when
     it is importable: up to ``n_frames`` keyframes (decoder skips
@@ -449,11 +469,16 @@ def decode_video_keyframes(data: bytes, n_frames: int = 4) -> list[tuple[int, in
     if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
         mj = avi_mjpeg_frames(data)
         if mj:
-            # Motion-JPEG: every frame is an I-frame and already a
-            # self-contained image payload — pure-Python container
-            # path, no codec library needed (frames ship as JPEG
-            # bytes; dimensions from the SOF marker walk)
-            return [(*jpeg_dims(f), f) for f in mj[:n_frames]]
+            # Motion-JPEG / Motion-PNG: every frame is an I-frame and
+            # already a self-contained image payload — pure-Python
+            # container path, no codec library needed (dimensions from
+            # the SOF marker walk or the PNG IHDR; payloads ship
+            # downstream as-is, PNG frames pixel-decodable by the
+            # stdlib codec)
+            return [
+                (*(png_dims(f) if f[:8] == PNG_MAGIC else jpeg_dims(f)), f)
+                for f in mj[:n_frames]
+            ]
     if not _HAS_AV:
         raise UnsupportedMediaError(
             "video payload but PyAV is not installed — install av to "

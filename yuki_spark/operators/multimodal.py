@@ -344,6 +344,86 @@ def synth_token_png_from_sets(ts: DataFrame) -> DataFrame:
     return src.mapInPandas(run, schema)
 
 
+def synth_token_video(docs: DataFrame, n_frames: int = 4) -> DataFrame:
+    """(doc_id, media): a REAL RIFF/AVI Motion-PNG video per document
+    — the token SEQUENCE split into ``n_frames`` contiguous chunks,
+    each chunk's distinct-token bucket histogram rendered as an 8×8
+    grayscale PNG frame (the :func:`synth_token_png` rule at frame
+    grain), the frames wrapped in a real AVI container
+    (codecs.encode_avi_mjpeg with the 'MPNG' fourcc). Documents that
+    share long stretches of text share frame thumbnails, so a
+    frame-level perceptual hash finds partially-overlapping videos —
+    the deterministic stand-in for near-dup video detection that the
+    oracle can recompute from the text, with every container/codec
+    step REAL (chunk walk, PNG encode/decode). Chunk i covers token
+    positions [ceil(i·L/n), ceil((i+1)·L/n)) — identical to the
+    per-position rule (pos·n) div L the SQL twin replays. Chunks with
+    no tokens are dropped (a doc with fewer tokens than frames yields
+    a shorter video); docs with no tokens yield no video row.
+
+    Chunking, slicing and bucket hashing are all ARRAY-native
+    JVM-side column algebra (the dedup family's tokenizer + portable
+    hash inside nested transforms) — no token-grain explode, no
+    shuffle at all before the single Arrow pass that counts, encodes
+    and wraps (no semantics can drift in the UDF: it only
+    histograms integers it was handed).
+
+    Scale shape: one tokenize + per-row slice/hash projection
+    (O(tokens) work, zero exchanges), one Arrow ``mapInPandas`` pass
+    at doc grain (payloads ~0.5 KB)."""
+    tk = docs.select(
+        "doc_id", F.filter(tokens("text"), lambda t: t != "").alias("tk")
+    ).where(F.size("tk") > 0)
+    starts = [
+        f"(((size(tk) * {i}) + {n_frames - 1}) div {n_frames})"
+        for i in range(n_frames + 1)
+    ]
+    slices = F.array(
+        *[
+            F.expr(
+                f"array_distinct(slice(tk, {starts[i]} + 1,"
+                f" {starts[i + 1]} - {starts[i]}))"
+            )
+            for i in range(n_frames)
+        ]
+    )
+    cells = F.transform(
+        slices,
+        lambda ch: F.transform(ch, lambda t: portable_hash60(t) % DHASH_CELLS),
+    )
+    src = tk.select("doc_id", cells.alias("chunks_src"))
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("media", BinaryType()),
+        ]
+    )
+    w, h = DHASH_GRID_W, DHASH_GRID_H
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            medias = []
+            for chunks in pdf["chunks_src"]:
+                frames = []
+                for cl in chunks:
+                    if len(cl) == 0:
+                        continue  # empty chunk: doc shorter than n_frames
+                    counts = [0] * DHASH_CELLS
+                    for c in cl:
+                        counts[int(c)] += 1
+                    frames.append(
+                        codecs.encode_png(
+                            w, h, bytes(min(v, 255) for v in counts), channels=1
+                        )
+                    )
+                medias.append(
+                    codecs.encode_avi_mjpeg(frames, w, h, fourcc=b"MPNG")
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": medias})
+
+    return src.mapInPandas(run, schema)
+
+
 def dhash56(media: DataFrame) -> DataFrame:
     """(doc_id, sh): 56-bit difference hash over the DECODED grayscale
     pixels of a PNG payload column — the perceptual fingerprint

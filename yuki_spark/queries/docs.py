@@ -128,6 +128,104 @@ def d50_image_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_family.phash_pairs6(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
+D53_FRAMES = 4  # frames per synthetic video (token-sequence chunks)
+D53_HAMMING = 1  # frame-match radius: chunk histograms are ~4x
+# sparser than d50's doc-level thumbnails, so the d50 radius (6) is
+# pure noise at frame grain (measured: 99k of 125k possible video
+# pairs at sf0.001 vs 520 at radius 1) — frames must be
+# near-identical to count as the same content
+D53_MIN_CONTAIN = 0.5  # report pairs where either side's frame
+# containment reaches 1/2 — the near-dup-video cut
+
+
+def d53_video_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-grain perceptual near-dup pairs (r12 — composes m2's
+    real container keyframe extraction with d50's dHash, the
+    near-dup-video family every multimodal corpus needs): synthesize
+    a REAL RIFF/AVI Motion-PNG video per document
+    (operators/multimodal.synth_token_video — the token sequence
+    split into D53_FRAMES contiguous chunks, each chunk's
+    distinct-token histogram a real 8×8 grayscale PNG frame), run the
+    REAL container walk (multimodal.frame_sample →
+    codecs.decode_video_keyframes' pure-Python RIFF chunk parse, the
+    m2 machinery), difference-hash each decoded frame
+    (multimodal.dhash56 — a true PNG pixel decode per frame), find
+    frame-level Hamming ≤ D53_HAMMING pairs via the d4/d50 pigeonhole
+    banding (operators/dedup.hamming_pairs_from_hashes, 2×28-bit
+    chunks — exact blocking at this radius, with high-entropy bucket
+    keys so candidate volume stays low), and roll cross-video frame
+    matches up to a
+    video-grain CONTAINMENT score: matched_x / n_frames_x per side,
+    pairs kept where either side reaches D53_MIN_CONTAIN (a clip
+    wholly contained in a longer video scores 1.0 on its side — the
+    asymmetric signal symmetric overlap misses). On a real video
+    corpus only the synth step changes (frames come from the
+    decoder); walk → hash → band → roll-up is this exact pipeline.
+
+    Scale shape: one tokenize/posexplode pass, two linear Arrow
+    passes (PNG-encode, container-wrap) + two more (walk, decode+
+    hash) at frame grain (≤ D53_FRAMES rows/doc), one bounded
+    7×/frame explode + equi-join on (chunk, ckey) with exact
+    bit_count verification (d50's audited shape), then a keyed
+    video-grain roll-up. The twin recomputes frame cells from the
+    generative rule (PNG and container round-trips are lossless —
+    pinned in tests) and replays the roll-up bit-for-bit."""
+    nf = D53_FRAMES
+    docs = load(spark, sf_dir, "documents")
+    video = multimodal.synth_token_video(docs, n_frames=nf)
+    frames = multimodal.frame_sample(video, n_frames=nf)
+    sh = multimodal.dhash56(
+        frames.select(
+            (F.col("doc_id") * nf + F.col("frame_idx")).alias("doc_id"),
+            F.col("frame").alias("media"),
+        )
+    ).localCheckpoint(eager=False)  # feeds pairs + per-video counts
+    pairs = dedup.hamming_pairs_from_hashes(
+        sh, D53_HAMMING, n_chunks=2, chunk_bits=28
+    )
+    cross = pairs.where(
+        F.expr(f"doc_a div {nf}") != F.expr(f"doc_b div {nf}")
+    )
+    roll = (
+        cross.select(
+            F.expr(f"doc_a div {nf}").alias("video_a"),
+            F.expr(f"doc_b div {nf}").alias("video_b"),
+            "doc_a",
+            "doc_b",
+        )
+        .groupBy("video_a", "video_b")
+        .agg(
+            F.countDistinct("doc_a").cast("bigint").alias("matched_a"),
+            F.countDistinct("doc_b").cast("bigint").alias("matched_b"),
+            F.count(F.lit(1)).cast("bigint").alias("n_frame_pairs"),
+        )
+    )
+    nfr = sh.groupBy(F.expr(f"doc_id div {nf}").alias("video")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nf")
+    )
+    contain = F.greatest(
+        F.col("matched_a").cast("double") / F.col("nf_a").cast("double"),
+        F.col("matched_b").cast("double") / F.col("nf_b").cast("double"),
+    )
+    return (
+        roll.join(nfr.select(F.col("video").alias("video_a"), F.col("nf").alias("nf_a")), "video_a")
+        .join(nfr.select(F.col("video").alias("video_b"), F.col("nf").alias("nf_b")), "video_b")
+        .withColumn("containment", contain)
+        .where(F.col("containment") >= D53_MIN_CONTAIN)
+        .select(
+            "video_a",
+            "video_b",
+            "nf_a",
+            "nf_b",
+            "matched_a",
+            "matched_b",
+            "n_frame_pairs",
+            "containment",
+        )
+        .orderBy("video_a", "video_b")
+    )
+
+
 D38_THRESHOLDS = [80, 85, 90, 95]  # Jaccard thresholds as integer %
 
 
@@ -2218,6 +2316,7 @@ QUERIES = {
     "d3_minhash_lsh_dups": d3_minhash_lsh_dups,
     "d4_simhash_dups": d4_simhash_dups,
     "d50_image_phash_dups": d50_image_phash_dups,
+    "d53_video_phash_dups": d53_video_phash_dups,
     "d51_html_extract": d51_html_extract,
     "d5_lang_id": d5_lang_id,
     "d45_langid_model": d45_langid_model,
@@ -3244,6 +3343,75 @@ _ORACLE_TEMPLATE = {
         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.sh, b.sh)) <= 6
         ORDER BY doc_a, doc_b
+    """,
+    # d53 twin: recompute per-FRAME thumbnail cells from the
+    # generative rule (token sequence → n_frames contiguous chunks →
+    # distinct-token bucket histogram; the PNG encode/decode and the
+    # RIFF container wrap/walk are lossless round trips pinned in
+    # tests), then the 56-bit per-frame dHash, all-pairs Hamming <= 1
+    # across videos (Spark's 2x28-bit pigeonhole blocking is exact at
+    # this radius), and the video-grain containment roll-up.
+    "d53_video_phash_dups": f"""
+        WITH d AS (
+          SELECT doc_id, list_filter({_T}, t -> t <> '') AS tk
+          FROM documents WHERE doc_id < {PAIR_CAP}),
+        nz AS (
+          SELECT doc_id, tk, len(tk) AS L FROM d WHERE len(tk) > 0),
+        pos AS (
+          SELECT doc_id, L,
+                 CAST(generate_subscripts(tk, 1) - 1 AS BIGINT) AS pos,
+                 unnest(tk) AS tok
+          FROM nz),
+        ck AS (
+          SELECT DISTINCT doc_id, (pos * 4) // L AS chunk, tok FROM pos),
+        tk2 AS (
+          SELECT doc_id, chunk, {sql_portable_hash60('tok')} % 64 AS cell
+          FROM ck),
+        cc AS (
+          SELECT doc_id, chunk, cell, LEAST(COUNT(*), 255) AS v
+          FROM tk2 GROUP BY doc_id, chunk, cell),
+        fr AS (SELECT DISTINCT doc_id, chunk FROM ck),
+        grid AS (
+          SELECT fr.doc_id, fr.chunk, g.cell, COALESCE(cc.v, 0) AS v
+          FROM fr CROSS JOIN (SELECT unnest(range(0, 64)) AS cell) g
+          LEFT JOIN cc ON cc.doc_id = fr.doc_id AND cc.chunk = fr.chunk
+                      AND cc.cell = g.cell),
+        fp AS (
+          SELECT l.doc_id, l.chunk,
+                 CAST(COALESCE(SUM(CASE WHEN l.v < r.v
+                   THEN (CAST(1 AS BIGINT) << CAST((l.cell // 8) * 7 + (l.cell % 8) AS INT))
+                   ELSE 0 END), 0) AS BIGINT) AS sh
+          FROM grid l JOIN grid r ON r.doc_id = l.doc_id
+                                 AND r.chunk = l.chunk AND r.cell = l.cell + 1
+          WHERE l.cell % 8 < 7
+          GROUP BY l.doc_id, l.chunk),
+        fpairs AS (
+          SELECT a.doc_id AS va, a.chunk AS ca, b.doc_id AS vb, b.chunk AS cb
+          FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.sh, b.sh)) <= 1),
+        roll AS (
+          SELECT va AS video_a, vb AS video_b,
+                 CAST(COUNT(DISTINCT ca) AS BIGINT) AS matched_a,
+                 CAST(COUNT(DISTINCT cb) AS BIGINT) AS matched_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_frame_pairs
+          FROM fpairs GROUP BY va, vb),
+        nfr AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf
+          FROM fp GROUP BY doc_id)
+        SELECT r.video_a AS video_a, r.video_b AS video_b,
+               na.nf AS nf_a, nb.nf AS nf_b,
+               r.matched_a AS matched_a, r.matched_b AS matched_b,
+               r.n_frame_pairs AS n_frame_pairs,
+               greatest(CAST(r.matched_a AS DOUBLE) / CAST(na.nf AS DOUBLE),
+                        CAST(r.matched_b AS DOUBLE) / CAST(nb.nf AS DOUBLE))
+                 AS containment
+        FROM roll r
+        JOIN nfr na ON na.doc_id = r.video_a
+        JOIN nfr nb ON nb.doc_id = r.video_b
+        WHERE greatest(CAST(r.matched_a AS DOUBLE) / CAST(na.nf AS DOUBLE),
+                       CAST(r.matched_b AS DOUBLE) / CAST(nb.nf AS DOUBLE))
+              >= 0.5
+        ORDER BY video_a, video_b
     """,
     "d33_split_leakage": f"""
         WITH d AS (
