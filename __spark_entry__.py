@@ -104,6 +104,7 @@ _PRIORITY = [
     "s29_filtered_graph_ann",
     "s30_ivf_churn",
     "d53_video_phash_dups",
+    "d54_perplexity_filter",
     "d10_winnow_fingerprint",
     "d11_dedup_clusters",
     "d12_subword_stats",

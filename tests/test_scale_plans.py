@@ -247,6 +247,11 @@ ALLOWED_BNLJ = {
     "s10_cluster_balance": 1,
     "d31_token_surprisal": 1,  # single-row corpus-total (N, log2 N) broadcast
     "d52_bigram_lm_perplexity": 1,  # same d31 pattern: single-row l2N broadcast
+    # d54 = d52's chain (single-row l2N broadcast, visible twice here
+    # because the tokenized-frame checkpoint exposes more of the
+    # chain) + the single-row percentile-cutoff broadcast (the
+    # q11/d26 scalar pattern) — every build side is one row
+    "d54_perplexity_filter": 3,
     "d41_mix_planner": 1,  # single-row (corpus_tokens, n_sources) broadcast
     "d43_shard_balance": 1,  # single-row corpus_tokens broadcast
     "d49_retraction_impact": 1,  # single-row min(source) broadcast

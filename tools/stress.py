@@ -252,6 +252,10 @@ def main() -> None:
         # banding; token-volume linearity + candidate boundedness are
         # the things to watch at 10x
         "d53_video_phash_dups",
+        # round-12: the perplexity APPLY — d52's type-grain chain + a
+        # single-row percentile broadcast + one lang hash-agg; must
+        # track d52's cost (shared chain), nothing super-linear
+        "d54_perplexity_filter",
     ]
     qs["q1_pricing_summary"](spark, out).write.mode("overwrite").format("noop").save()
     timings = {}

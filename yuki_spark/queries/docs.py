@@ -2087,36 +2087,14 @@ def p1_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def d52_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stupid-backoff bigram-LM perplexity over a held-out split (r11;
-    Brants et al. 2007's "stupid backoff" at exact-arithmetic grain —
-    the KenLM/CCNet perplexity GATE d31 approximates at unigram grain
-    and d35 thresholds without a true LM): train the LM on the even
-    doc_ids (bigram counts c(ab), context totals c(a·), next-token
-    unigrams c(·b), corpus total N), score every ODD doc's transitions
-    as -log2 P with P(b|a) = c(ab)/c(a·) when the bigram was seen,
-    else α·c(·b)/N with α = 1/2 — exactly one extra bit, keeping the
-    whole model inside the portable integer-log2 primitive
-    (functions.with_plog2; no libm, both engines bit-identical). A
-    NEVER-seen next token backs off to count 1 (l2 = 0). Per-doc mean
-    bits is the perplexity exponent a quality pipeline buckets on;
-    per-source rollup with the backoff-transition count (the
-    out-of-domain signal) and min/avg/max.
-
-    The held-out split is the production-true shape — scoring the
-    training corpus with itself never exercises backoff (every
-    occurrence's bigram is in the counts by construction).
-
-    Scale shape: one bigram explode (linear), three hash-aggs at
-    bigram/context/unigram TYPE grain, log2 chains at type grain
-    only, one single-row N broadcast (d31's audited pattern), then
-    keyed type-grain joins back to the eval occurrences and doc/
-    source hash-aggs. DECIMAL-quantized at type grain before the
-    per-doc sum, so both engines sum identical decimals in any
-    order."""
+def _d52_per_doc(t: DataFrame) -> DataFrame:
+    """d52's per-doc scoring chain over a tokenized corpus frame —
+    (doc_id, source, n_bg, n_backoff, sum_bits, mean_bits) for every
+    scorable eval doc (odd doc_ids with >= 1 bigram), shared by the
+    d52 report and the d54 APPLY step (see d52's docstring for the
+    model and determinism discipline)."""
     from ..functions import DEC, with_plog2
 
-    t = text.with_tokens(load(spark, sf_dir, "documents"))
     bg = t.select(
         "doc_id",
         "source",
@@ -2176,6 +2154,38 @@ def d52_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    return per_doc
+
+
+def d52_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff bigram-LM perplexity over a held-out split (r11;
+    Brants et al. 2007's "stupid backoff" at exact-arithmetic grain —
+    the KenLM/CCNet perplexity GATE d31 approximates at unigram grain
+    and d35 thresholds without a true LM): train the LM on the even
+    doc_ids (bigram counts c(ab), context totals c(a·), next-token
+    unigrams c(·b), corpus total N), score every ODD doc's transitions
+    as -log2 P with P(b|a) = c(ab)/c(a·) when the bigram was seen,
+    else α·c(·b)/N with α = 1/2 — exactly one extra bit, keeping the
+    whole model inside the portable integer-log2 primitive
+    (functions.with_plog2; no libm, both engines bit-identical). A
+    NEVER-seen next token backs off to count 1 (l2 = 0). Per-doc mean
+    bits is the perplexity exponent a quality pipeline buckets on;
+    per-source rollup with the backoff-transition count (the
+    out-of-domain signal) and min/avg/max.
+
+    The held-out split is the production-true shape — scoring the
+    training corpus with itself never exercises backoff (every
+    occurrence's bigram is in the counts by construction).
+
+    Scale shape: one bigram explode (linear), three hash-aggs at
+    bigram/context/unigram TYPE grain, log2 chains at type grain
+    only, one single-row N broadcast (d31's audited pattern), then
+    keyed type-grain joins back to the eval occurrences and doc/
+    source hash-aggs. DECIMAL-quantized at type grain before the
+    per-doc sum, so both engines sum identical decimals in any
+    order."""
+    t = text.with_tokens(load(spark, sf_dir, "documents"))
+    per_doc = _d52_per_doc(t)
     # avg is TRANSITION-weighted (Σ quantized bits / Σ transitions):
     # the decimal sums are exact in any order and there is exactly ONE
     # double division per group — re-quantizing the per-doc double
@@ -2194,6 +2204,66 @@ def d52_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("mean_bits").alias("max_bits"),
         )
         .orderBy("source")
+    )
+
+
+D54_PCT = 0.75  # keep the best three quarters by LM bits — the
+# relative cutoff guarantees BOTH branches (kept and dropped) are
+# non-empty at every catalog, unlike a fixed bits threshold
+
+
+def d54_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-gate APPLY step (r12 — d52 measures, this FILTERS,
+    the d47/d20 measure-then-apply discipline): score the held-out
+    split with d52's stupid-backoff bigram LM (the shared
+    _d52_per_doc chain — identical model, identical exact-arithmetic
+    bits), cut at the exact interpolated D54_PCT percentile of
+    per-doc mean bits (one single-row aggregate broadcast back — the
+    d26 cutoff pattern, quantile_cont-paired), KEEP docs at or below
+    the cutoff, and report the surviving corpus per LANGUAGE:
+    scored/kept/dropped counts, the kept TOKEN budget (what actually
+    feeds the training mix), the kept doc_id sum (the id pin that
+    binds WHICH docs survived — d33's discipline, count+sum together
+    pin the set), and the cutoff itself. Docs with fewer than two
+    tokens have no transitions and are not scored (they never reach
+    the gate); the relative cutoff exercises both branches at every
+    test sf by construction.
+
+    Scale shape: d52's audited chain (type-grain aggs + keyed joins,
+    one single-row N broadcast) + one corpus-frame join for
+    (lang, n_tokens), one single-row percentile broadcast, one lang
+    hash-agg. The tokenized frame is checkpointed — it feeds both
+    the scoring chain and the budget join."""
+    t = text.with_tokens(load(spark, sf_dir, "documents")).localCheckpoint(
+        eager=False
+    )  # feeds the d52 chain + the lang/token-budget join
+    per_doc = _d52_per_doc(t)
+    scored = per_doc.join(t.select("doc_id", "lang", "n_tokens"), "doc_id")
+    cut = scored.agg(
+        F.expr(f"percentile(mean_bits, {D54_PCT}D)").alias("bits_cutoff")
+    )
+    lab = scored.crossJoin(F.broadcast(cut)).withColumn(
+        "kept", F.col("mean_bits") <= F.col("bits_cutoff")
+    )
+    return (
+        lab.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(~F.col("kept"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.sum(F.when(F.col("kept"), F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+            F.sum(F.when(F.col("kept"), F.col("doc_id")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_id_sum"),
+            F.max("bits_cutoff").alias("bits_cutoff"),
+        )
+        .orderBy("lang")
     )
 
 
@@ -2311,6 +2381,7 @@ QUERIES = {
     "d34_rag_chunking": d34_rag_chunking,
     "d35_bigram_rarity": d35_bigram_rarity,
     "d52_bigram_lm_perplexity": d52_bigram_lm_perplexity,
+    "d54_perplexity_filter": d54_perplexity_filter,
     "d2_ngram_jaccard_dups": d2_ngram_jaccard_dups,
     "d38_threshold_sweep": d38_threshold_sweep,
     "d3_minhash_lsh_dups": d3_minhash_lsh_dups,
@@ -2511,11 +2582,13 @@ def _d32_oracle() -> str:
     """
 
 
-def _d52_oracle() -> str:
+def _d52_pd_ctes() -> str:
+    """The d52 scoring chain through the per-doc table ``pd`` as a
+    WITH-body prefix — shared by the d52 report twin and the d54
+    apply twin (one copy of the model SQL)."""
     from ..functions import sql_plog2_ctes
 
-    return f"""
-        WITH t AS (
+    return f"""t AS (
           SELECT doc_id, source, {_T} AS toks FROM documents),
         occ AS (
           SELECT doc_id, source,
@@ -2556,7 +2629,12 @@ def _d52_oracle() -> str:
                  CAST(SUM(backoff) AS BIGINT) AS n_backoff,
                  SUM(s_bits) AS sum_bits,
                  CAST(SUM(s_bits) AS DOUBLE) / COUNT(*) AS mean_bits
-          FROM ev JOIN sb USING (bigram) GROUP BY doc_id, source)
+          FROM ev JOIN sb USING (bigram) GROUP BY doc_id, source)"""
+
+
+def _d52_oracle() -> str:
+    return f"""
+        WITH {_d52_pd_ctes()}
         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(n_bg) AS BIGINT) AS n_bigrams,
                CAST(SUM(n_backoff) AS BIGINT) AS n_backoff,
@@ -2567,11 +2645,45 @@ def _d52_oracle() -> str:
     """
 
 
+def _d54_oracle() -> str:
+    """Twin of d54_perplexity_filter: the shared d52 chain, the lang/
+    token-budget join, quantile_cont at D54_PCT (the e6/d26-proven
+    percentile pairing), and the per-language kept/dropped roll-up."""
+    return f"""
+        WITH {_d52_pd_ctes()},
+        dl AS (
+          SELECT doc_id, lang, CAST(len({_T}) AS BIGINT) AS n_tokens
+          FROM documents),
+        sc AS (
+          SELECT pd.doc_id, pd.mean_bits, dl.lang, dl.n_tokens
+          FROM pd JOIN dl USING (doc_id)),
+        cut AS (SELECT quantile_cont(mean_bits, {D54_PCT}) AS bits_cutoff
+                FROM sc),
+        lab AS (
+          SELECT sc.*, cut.bits_cutoff,
+                 (sc.mean_bits <= cut.bits_cutoff) AS kept
+          FROM sc CROSS JOIN cut)
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_scored,
+               CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept,
+               CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT)
+                 AS n_dropped,
+               CAST(SUM(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT)
+                 AS kept_tokens,
+               CAST(SUM(CASE WHEN kept THEN doc_id ELSE 0 END) AS BIGINT)
+                 AS kept_id_sum,
+               MAX(bits_cutoff) AS bits_cutoff
+        FROM lab GROUP BY lang ORDER BY lang
+    """
+
+
 _ORACLE_TEMPLATE = {
     "p1_pii_scan": _p1_oracle(),
     "d31_token_surprisal": _d31_oracle(),
     "d32_doc_entropy": _d32_oracle(),
     "d52_bigram_lm_perplexity": _d52_oracle(),
+    "d54_perplexity_filter": _d54_oracle(),
     "d26_quality_buckets": f"""
         WITH q AS (
           SELECT source,
