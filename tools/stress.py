@@ -312,9 +312,13 @@ def churn_repair_audit(spark, src: str, out: str) -> dict:
     vs K×. The adaptive plane width grows with log(n), so
     pairs-per-touched should move by at most a small skew factor
     while n grows 10×; the exact-mode equivalent would grow by
-    exactly K. (The bucketing pass itself is one linear column-
-    algebra scan — in the streaming loop the bucket table is the
-    persisted index, paid at ingest, not per batch.)"""
+    exactly K. (Each repair call also pays one linear no-shuffle
+    sign-bucketing scan of the pool — a production loop would persist
+    the bucketed pool as a deposit beside the graph to amortize it;
+    the operators accept but do not yet wire that, see
+    knn_graph_retract's docstring.) The probe set comes from the SAME
+    _multi_probes helper the operators use, so this audit cannot
+    drift from the candidates the repair actually generates."""
     import time as _t
 
     from pyspark.sql import functions as F
@@ -328,13 +332,7 @@ def churn_repair_audit(spark, src: str, out: str) -> dict:
         planes = S.adaptive_planes(n)
         emb = load(spark, d, "embeddings")
         bucketed = S._sign_bucketed(emb, planes).localCheckpoint(eager=False)
-        probes = F.array(
-            F.col("bucket"),
-            *[
-                F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("bigint"))
-                for i in range(planes)
-            ],
-        )
+        probes = S._multi_probes(planes)
         touched = bucketed.orderBy("vec_id").limit(32).select("vec_id")
         qb = bucketed.join(touched, "vec_id", "left_semi").select(
             F.col("vec_id").alias("qid"), F.explode(probes).alias("bucket")

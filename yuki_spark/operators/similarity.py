@@ -957,6 +957,22 @@ def _plane_lit(planes: np.ndarray, i: int) -> Column:
     return F.array(*[F.lit(int(v)) for v in planes[i]])
 
 
+def _multi_probes(n_planes: int) -> Column:
+    """The multi-probe bucket set of a row's sign ``bucket`` column:
+    the bucket itself plus every single-bit flip — ONE copy of the
+    probe geometry for every LSH consumer (lsh_ann, knn_graph, the
+    churn-repair branches, tools/stress.py's flatness audit): a probe
+    change that skipped one site would silently divorce an audit or a
+    repair from the candidates the serving path actually generates."""
+    return F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("bigint"))
+            for i in range(n_planes)
+        ],
+    )
+
+
 def _sign_bucketed(emb: DataFrame, n_planes: int) -> DataFrame:
     """(vec_id, sv, nrm, bucket): scaled vectors with their
     random-hyperplane sign bucket — shared by lsh_ann and knn_graph
@@ -1114,13 +1130,7 @@ def lsh_ann(
     bucketed = _sign_bucketed(emb, n_planes).localCheckpoint(
         eager=False
     )  # feeds query + candidate sides once
-    probes = F.array(
-        F.col("bucket"),
-        *[
-            F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("bigint"))
-            for i in range(n_planes)
-        ],
-    )
+    probes = _multi_probes(n_planes)
     q = bucketed.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"),
         F.col("sv").alias("qv"),
@@ -1186,13 +1196,7 @@ def knn_graph(
     bucketed = _sign_bucketed(emb, n_planes).localCheckpoint(
         eager=False
     )  # feeds probe + candidate sides once
-    probes = F.array(
-        F.col("bucket"),
-        *[
-            F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("bigint"))
-            for i in range(n_planes)
-        ],
-    )
+    probes = _multi_probes(n_planes)
     q = bucketed.select(
         F.col("vec_id").alias("qid"),
         F.col("sv").alias("qv"),
@@ -1331,10 +1335,19 @@ def knn_graph_retract(
       :func:`adaptive_planes` of ``n_est``/a pool count), each
       touched vertex multi-probes its bucket ± one bit flip, and only
       bucket mates ∪ the vertex's own SURVIVING edges are exactly
-      re-ranked. Per-batch work is O(|touched| · (planes+1) ·
-      expected-bucket ≤ ANN_TARGET_BUCKET) scores — independent of n
-      at fixed planes, log-n via the adaptive width — the mode a
-      ground-level (mod=1) maintained graph runs at 100 TB. Keeping
+      re-ranked. Per-batch SCORING work is O(|touched| · (planes+1) ·
+      expected-bucket ≤ ANN_TARGET_BUCKET) — independent of n at
+      fixed planes, log-n via the adaptive width — versus exact
+      mode's O(|touched| · n) scores; honestly, each call still pays
+      ONE linear no-shuffle pass over the pool (the sign-bucketing
+      column algebra, plus a pool count when neither ``n_planes`` nor
+      ``n_est`` is given) — a production loop amortizes that by
+      persisting the bucketed pool as a deposit alongside the graph,
+      which this API admits but does not yet wire. A touched vertex
+      whose surviving edges AND probe buckets are both empty falls
+      back to an exact-mode re-rank rather than vanishing (broadcast
+      bounded by the starved count; empty in the common case).
+      Keeping
       the surviving edges in the candidate set makes the repair
       strictly conservative on APPROXIMATE deposits: a touched
       vertex's new top-k is drawn from a superset of what it already
@@ -1388,13 +1401,7 @@ def knn_graph_retract(
             eager=False
         )  # feeds probe, candidate, and both score sides once
         base = bucketed.select("vec_id", "sv", "nrm")
-        probes = F.array(
-            F.col("bucket"),
-            *[
-                F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("bigint"))
-                for i in range(n_planes)
-            ],
-        )
+        probes = _multi_probes(n_planes)
         qb = bucketed.join(
             touched.withColumnRenamed("qid", "vec_id"), "vec_id", "left_semi"
         ).select(F.col("vec_id").alias("qid"), F.explode(probes).alias("bucket"))
@@ -1438,7 +1445,39 @@ def knn_graph_retract(
             .withColumn("rk", F.row_number().over(w).cast("bigint"))
             .where(F.col("rk") <= k)
             .select("qid", "rk", "cid", "cosine")
+        ).localCheckpoint(eager=False)  # feeds the union + the
+        # starvation anti-join once
+        # Starvation fallback (r12 review): a touched vertex whose
+        # surviving edges were ALL removed and whose probe buckets
+        # hold no mates (a whole near-dup cluster retracted — near-
+        # identical vectors share every plane sign) would otherwise
+        # VANISH from the deposit, where exact mode always re-ranks it
+        # to k fresh rows. Such vertices get the exact-mode re-rank;
+        # the anti-join is empty in the common case, and the broadcast
+        # build side is bounded by the starved count ≤ |touched|.
+        starved = touched.join(
+            repaired.select("qid").distinct(), "qid", "left_anti"
         )
+        sq = base.join(
+            starved.withColumnRenamed("qid", "vec_id"), "vec_id", "left_semi"
+        ).select(
+            F.col("vec_id").alias("qid"),
+            F.col("sv").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+        srows = (
+            base.select(
+                F.col("vec_id").alias("cid"),
+                F.col("sv").alias("cv"),
+                F.col("nrm").alias("cn"),
+            )
+            .join(broadcast(sq), F.col("qid") != F.col("cid"))
+            .withColumn("cosine", cos)
+            .withColumn("rk", F.row_number().over(w).cast("bigint"))
+            .where(F.col("rk") <= k)
+            .select("qid", "rk", "cid", "cosine")
+        )
+        repaired = repaired.unionByName(srows)
     else:
         base = pool.select("vec_id", scaled("embedding").alias("sv")).withColumn(
             "nrm", int_dot(F.col("sv"), F.col("sv"))
@@ -1543,10 +1582,14 @@ def knn_graph_ingest(
     through the s11 bucket machinery instead (r11 verdict item 3):
     new vertices draw candidates from their multi-probed sign
     buckets, and an existing vertex is re-cut only where a batch
-    vector probes into its bucket — per-batch work O(|batch| ·
-    (planes+1) · expected-bucket) scores, independent of n at fixed
-    planes, so a ground-level maintained graph pays batch-sized (not
-    corpus-sized) work per churn batch. The merge stays conservative
+    vector probes into its bucket — per-batch SCORING work is
+    O(|batch| · (planes+1) · expected-bucket), independent of n at
+    fixed planes (vs exact mode's O(n·|batch|)); each call still pays
+    one linear no-shuffle sign-bucketing pass over the pool (see
+    knn_graph_retract's honesty note — persist the bucketed pool to
+    amortize at true scale). A new vertex whose probe buckets hold no
+    mates falls back to an exact-mode re-rank instead of entering the
+    graph edge-less. The merge stays conservative
     (current edges always candidates → per-vertex recall
     non-decreasing) and replay-idempotent; from-scratch equality is
     the exact mode's contract only (the LSH mode reproduces it when
@@ -1636,13 +1679,7 @@ def _knn_graph_ingest_lsh(
         eager=False
     )  # feeds batch probes, candidate side, and both score sides once
     bids = batch.select("vec_id").distinct()
-    probes = F.array(
-        F.col("bucket"),
-        *[
-            F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("bigint"))
-            for i in range(n_planes)
-        ],
-    )
+    probes = _multi_probes(n_planes)
     qside = bucketed.select(
         F.col("vec_id").alias("qid"),
         F.col("sv").alias("qv"),
@@ -1675,7 +1712,31 @@ def _knn_graph_ingest_lsh(
         .withColumn("rk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rk") <= k)
         .select("qid", "rk", "cid", "cosine")
+    ).localCheckpoint(eager=False)  # feeds the union + the
+    # starvation anti-join once
+    # Starvation fallback (r12 review, knn_graph_retract's twin): a
+    # new vertex whose probe buckets hold no mates would otherwise
+    # enter the graph edge-less and invisible; it gets the exact-mode
+    # re-rank over the pool — empty anti-join in the common case,
+    # broadcast build bounded by the starved-batch count.
+    starved_new = bids.join(
+        new_rows.select(F.col("qid").alias("vec_id")).distinct(),
+        "vec_id",
+        "left_anti",
     )
+    snq = bucketed.join(starved_new, "vec_id", "left_semi").select(
+        F.col("vec_id").alias("qid"),
+        F.col("sv").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    s_rows = (
+        cside.join(broadcast(snq), F.col("qid") != F.col("cid"))
+        .withColumn("cosine", cos)
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= k)
+        .select("qid", "rk", "cid", "cosine")
+    )
+    new_rows = new_rows.unionByName(s_rows)
     # existing vertices: re-cut only where a batch vector probes into
     # the vertex's bucket — candidates = {current edges} ∪ {bucket
     # collisions with the batch}; everyone else keeps rows verbatim
