@@ -2710,6 +2710,71 @@ def test_knn_graph_lsh_starvation_fallback(spark):
     assert sorted(map(tuple, new_rows)) == sorted(map(tuple, exact_new))
 
 
+def test_knn_graph_lsh_persisted_bucket_table_equivalence(spark):
+    """r12: repair="lsh" with a PERSISTED (vec_id, bucket) table —
+    the deposit that amortizes the per-batch plane scan — must equal
+    the compute-inline path ROW-FOR-ROW at the same n_planes (the
+    table IS _sign_bucketed's projection), and must fail loud when
+    n_planes is omitted (probe flips at a different width would probe
+    garbage)."""
+    import numpy as np
+
+    from yuki_spark.operators import similarity
+
+    rng = np.random.RandomState(61)
+    n, k, planes = 80, 3, 6
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(64)], 0) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    g0 = similarity.cosine_topk(df, k=k, n_queries=10**9)
+    ids = spark.createDataFrame([(4,), (17,)], "vec_id long")
+    surv = df.join(ids, "vec_id", "left_anti")
+    tbl = (
+        similarity._sign_bucketed(surv, planes)
+        .select("vec_id", "bucket")
+        .localCheckpoint()
+    )
+    inline = similarity.knn_graph_retract(
+        surv, g0, ids, k=k, repair="lsh", n_planes=planes
+    )
+    deposit = similarity.knn_graph_retract(
+        surv, g0, ids, k=k, repair="lsh", n_planes=planes, bucketed=tbl
+    )
+    assert sorted(map(tuple, inline.collect())) == sorted(
+        map(tuple, deposit.collect())
+    )
+
+    batch = spark.createDataFrame(
+        [(200, [float(x) for x in rng.standard_normal(64)], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    full = surv.unionByName(batch)
+    tbl_full = (
+        similarity._sign_bucketed(full, planes)
+        .select("vec_id", "bucket")
+        .localCheckpoint()
+    )
+    base_graph = similarity.cosine_topk(surv, k=k, n_queries=10**9)
+    inline_i = similarity.knn_graph_ingest(
+        base_graph, batch, k=k, members=full, repair="lsh", n_planes=planes
+    )
+    deposit_i = similarity.knn_graph_ingest(
+        base_graph, batch, k=k, members=full, repair="lsh",
+        n_planes=planes, bucketed=tbl_full,
+    )
+    assert sorted(map(tuple, inline_i.collect())) == sorted(
+        map(tuple, deposit_i.collect())
+    )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fixed n_planes"):
+        similarity.knn_graph_retract(
+            surv, g0, ids, k=k, repair="lsh", bucketed=tbl
+        )
+
+
 def test_knn_graph_retract_raises_on_pool_grain_mismatch(spark):
     """Contract guard (r11 advice): a touched vertex absent from the
     repair pool — a ground-level graph repaired against a thinned

@@ -1759,3 +1759,63 @@ def test_embedding_retract_lsh_repair_mode_plumbs_through(spark, tmp_path):
             new = sorted((r["cosine"] for r in got.get(qid, [])), reverse=True)
             assert len(new) >= len(surviving)
             assert all(nc >= sc for nc, sc in zip(new, surviving))
+
+    # the bucket SIDECAR (r12): healed at the sidecar's frozen width,
+    # pruned of the retracted ids, and byte-equal to a from-scratch
+    # recompute over the survivors at that width — the deposit that
+    # removes the per-batch plane scan from subsequent batches
+    surv_df = spark.read.parquet(vectors)
+    side = spark.read.parquet(l0 + "_buckets")
+    np_ = side.select("n_planes").first()["n_planes"]
+    assert np_ == sim.adaptive_planes(n - len(removed))
+    want_b = sorted(
+        (r["vec_id"], r["bucket"])
+        for r in sim._sign_bucketed(surv_df, np_)
+        .select("vec_id", "bucket")
+        .collect()
+    )
+    assert sorted((r["vec_id"], r["bucket"]) for r in side.collect()) == want_b
+
+    # an INGEST batch through the maintenance hook now reads the
+    # sidecar instead of re-bucketing, appends the batch at the SAME
+    # frozen width, and the maintained sidecar equals a from-scratch
+    # recompute over the grown pool at that width
+    sdir = tmp_path / "emb_stream"
+    sdir.mkdir()
+    newrows = [(200, [float(x) for x in rng.standard_normal(64)], 0)]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in newrows], pa.int64()),
+                "embedding": pa.array(
+                    [r[1] for r in newrows], pa.list_(pa.float32())
+                ),
+                "label": pa.array([0] * len(newrows), pa.int32()),
+            }
+        ),
+        sdir / "in-0.parquet",
+    )
+    iq = st.run_embedding_ingest(
+        st.read_embedding_stream(spark, str(sdir)),
+        vectors,
+        index,
+        str(tmp_path / "emb_ingest_ckpt"),
+        threshold=0.95,
+        bits=bits,
+        graph_paths=[(l0, k, 1, "lsh")],
+    )
+    iq.awaitTermination(180)
+    full = spark.read.parquet(vectors)
+    side2 = spark.read.parquet(l0 + "_buckets")
+    assert side2.select("n_planes").first()["n_planes"] == np_  # frozen
+    want_b2 = sorted(
+        (r["vec_id"], r["bucket"])
+        for r in sim._sign_bucketed(full, np_)
+        .select("vec_id", "bucket")
+        .collect()
+    )
+    assert (
+        sorted((r["vec_id"], r["bucket"]) for r in side2.collect()) == want_b2
+    )
+    # and the graph gained the new vertex (bucket mates or fallback)
+    assert any(r["qid"] == 200 for r in spark.read.parquet(l0).collect())

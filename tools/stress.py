@@ -312,11 +312,11 @@ def churn_repair_audit(spark, src: str, out: str) -> dict:
     vs K×. The adaptive plane width grows with log(n), so
     pairs-per-touched should move by at most a small skew factor
     while n grows 10×; the exact-mode equivalent would grow by
-    exactly K. (Each repair call also pays one linear no-shuffle
-    sign-bucketing scan of the pool — a production loop would persist
-    the bucketed pool as a deposit beside the graph to amortize it;
-    the operators accept but do not yet wire that, see
-    knn_graph_retract's docstring.) The probe set comes from the SAME
+    exactly K. (Without a persisted bucket table each repair
+    call also pays one linear no-shuffle sign-bucketing scan of the
+    pool; the streaming loops persist exactly that table as a
+    per-deposit "_buckets" sidecar at a frozen width and hand it to
+    the operators' ``bucketed`` parameter — see knn_graph_retract.) The probe set comes from the SAME
     _multi_probes helper the operators use, so this audit cannot
     drift from the candidates the repair actually generates."""
     import time as _t

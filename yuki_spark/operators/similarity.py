@@ -1285,6 +1285,52 @@ def nn_descent_round(emb: DataFrame, graph: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def _lsh_pool(
+    pool: DataFrame,
+    n_planes: int | None,
+    n_est: int | None,
+    bucketed: DataFrame | None,
+) -> tuple[DataFrame, int]:
+    """((vec_id, sv, nrm, bucket), n_planes) for the LSH repair
+    branches. Without a persisted table: one _sign_bucketed pass
+    (n_planes adaptive from n_est / a pool count). With one — the
+    (vec_id, bucket) DEPOSIT a maintenance loop persists beside the
+    graph (streaming stream.py's "_buckets" sidecar) — the per-batch
+    plane-dot scan disappears: the pool only pays the cheap scaled-
+    vector projection, joined to its persisted buckets. ``n_planes``
+    is then REQUIRED and must be the width the table was built at
+    (the nd_bucket_rows fixed-width contract — probe flips at a
+    different width would silently probe garbage). Contract: the
+    table covers the pool (the sidecar heal/maintain rules guarantee
+    it; a TOUCHED vertex missing from the table trips the caller's
+    pool-grain poison guard)."""
+    if bucketed is not None:
+        if n_planes is None:
+            raise ValueError(
+                "a persisted bucket table needs its fixed n_planes — "
+                "probe flips must match the width it was built at"
+            )
+        if n_planes > 62:
+            raise ValueError(
+                f"n_planes={n_planes} exceeds the int64 bucket-id budget"
+            )
+        base = pool.select("vec_id", scaled("embedding").alias("sv")).withColumn(
+            "nrm", int_dot(F.col("sv"), F.col("sv"))
+        )
+        bdf = base.join(
+            bucketed.select("vec_id", "bucket"), "vec_id"
+        ).localCheckpoint(eager=False)  # feeds probe/candidate/score sides
+        return bdf, n_planes
+    if n_planes is None:
+        n_planes = adaptive_planes(n_est if n_est is not None else pool.count())
+    if n_planes > 62:
+        raise ValueError(f"n_planes={n_planes} exceeds the int64 bucket-id budget")
+    return (
+        _sign_bucketed(pool, n_planes).localCheckpoint(eager=False),
+        n_planes,
+    )
+
+
 def knn_graph_retract(
     survivors: DataFrame,
     graph: DataFrame,
@@ -1294,6 +1340,7 @@ def knn_graph_retract(
     repair: str = "exact",
     n_planes: int | None = None,
     n_est: int | None = None,
+    bucketed: DataFrame | None = None,
 ) -> DataFrame:
     """Incrementally maintain a per-vertex top-k neighbor graph under
     a batch DELETION — the graph-deposit analogue of
@@ -1338,12 +1385,14 @@ def knn_graph_retract(
       re-ranked. Per-batch SCORING work is O(|touched| · (planes+1) ·
       expected-bucket ≤ ANN_TARGET_BUCKET) — independent of n at
       fixed planes, log-n via the adaptive width — versus exact
-      mode's O(|touched| · n) scores; honestly, each call still pays
-      ONE linear no-shuffle pass over the pool (the sign-bucketing
-      column algebra, plus a pool count when neither ``n_planes`` nor
-      ``n_est`` is given) — a production loop amortizes that by
-      persisting the bucketed pool as a deposit alongside the graph,
-      which this API admits but does not yet wire. A touched vertex
+      mode's O(|touched| · n) scores. Without a persisted table each
+      call pays ONE linear no-shuffle sign-bucketing pass (plus a
+      pool count when neither ``n_planes`` nor ``n_est`` is given);
+      passing ``bucketed`` — the (vec_id, bucket) deposit the
+      streaming loops persist beside each "lsh" graph as a
+      ``_buckets`` sidecar (healed/maintained at a FROZEN width) —
+      removes the plane-dot scan, leaving only the cheap scaled-
+      vector projection. A touched vertex
       whose surviving edges AND probe buckets are both empty falls
       back to an exact-mode re-rank rather than vanishing (broadcast
       bounded by the starved count; empty in the common case).
@@ -1391,21 +1440,13 @@ def knn_graph_retract(
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col("cid"))
     if repair == "lsh":
-        if n_planes is None:
-            n_planes = adaptive_planes(n_est if n_est is not None else pool.count())
-        if n_planes > 62:
-            raise ValueError(
-                f"n_planes={n_planes} exceeds the int64 bucket-id budget"
-            )
-        bucketed = _sign_bucketed(pool, n_planes).localCheckpoint(
-            eager=False
-        )  # feeds probe, candidate, and both score sides once
-        base = bucketed.select("vec_id", "sv", "nrm")
+        bdf, n_planes = _lsh_pool(pool, n_planes, n_est, bucketed)
+        base = bdf.select("vec_id", "sv", "nrm")
         probes = _multi_probes(n_planes)
-        qb = bucketed.join(
+        qb = bdf.join(
             touched.withColumnRenamed("qid", "vec_id"), "vec_id", "left_semi"
         ).select(F.col("vec_id").alias("qid"), F.explode(probes).alias("bucket"))
-        cb = bucketed.select(F.col("vec_id").alias("cid"), "bucket")
+        cb = bdf.select(F.col("vec_id").alias("cid"), "bucket")
         # surviving current edges stay candidates: the re-rank draws
         # from a superset of the vertex's present neighborhood, which
         # is what makes per-vertex recall non-decreasing on
@@ -1540,6 +1581,7 @@ def knn_graph_ingest(
     repair: str = "exact",
     n_planes: int | None = None,
     n_est: int | None = None,
+    bucketed: DataFrame | None = None,
 ) -> DataFrame:
     """Incrementally maintain a per-vertex top-k neighbor graph under
     a batch INSERTION — :func:`knn_graph_retract`'s twin, closing the
@@ -1584,10 +1626,10 @@ def knn_graph_ingest(
     buckets, and an existing vertex is re-cut only where a batch
     vector probes into its bucket — per-batch SCORING work is
     O(|batch| · (planes+1) · expected-bucket), independent of n at
-    fixed planes (vs exact mode's O(n·|batch|)); each call still pays
-    one linear no-shuffle sign-bucketing pass over the pool (see
-    knn_graph_retract's honesty note — persist the bucketed pool to
-    amortize at true scale). A new vertex whose probe buckets hold no
+    fixed planes (vs exact mode's O(n·|batch|)); pass ``bucketed``
+    (the streaming loops' ``_buckets`` sidecar) to drop the per-call
+    sign-bucketing scan — see knn_graph_retract's cost note. A new
+    vertex whose probe buckets hold no
     mates falls back to an exact-mode re-rank instead of entering the
     graph edge-less. The merge stays conservative
     (current edges always candidates → per-vertex recall
@@ -1603,7 +1645,9 @@ def knn_graph_ingest(
     if repair not in ("exact", "lsh"):
         raise ValueError(f"repair must be 'exact' or 'lsh', got {repair!r}")
     if repair == "lsh":
-        return _knn_graph_ingest_lsh(graph, batch, k, members, n_planes, n_est)
+        return _knn_graph_ingest_lsh(
+            graph, batch, k, members, n_planes, n_est, bucketed
+        )
     base = members.select("vec_id", scaled("embedding").alias("sv")).withColumn(
         "nrm", int_dot(F.col("sv"), F.col("sv"))
     ).localCheckpoint(eager=False)  # feeds new-vertex q, batch c, old q
@@ -1666,26 +1710,21 @@ def _knn_graph_ingest_lsh(
     members: DataFrame,
     n_planes: int | None,
     n_est: int | None,
+    bucketed: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`knn_graph_ingest`'s ``repair="lsh"`` body: candidates
     from the s11 multi-probe sign buckets instead of full-pool
     broadcasts, bounding per-batch work independent of corpus size
     (see the caller's docstring for the contract)."""
-    if n_planes is None:
-        n_planes = adaptive_planes(n_est if n_est is not None else members.count())
-    if n_planes > 62:
-        raise ValueError(f"n_planes={n_planes} exceeds the int64 bucket-id budget")
-    bucketed = _sign_bucketed(members, n_planes).localCheckpoint(
-        eager=False
-    )  # feeds batch probes, candidate side, and both score sides once
+    bdf, n_planes = _lsh_pool(members, n_planes, n_est, bucketed)
     bids = batch.select("vec_id").distinct()
     probes = _multi_probes(n_planes)
-    qside = bucketed.select(
+    qside = bdf.select(
         F.col("vec_id").alias("qid"),
         F.col("sv").alias("qv"),
         F.col("nrm").alias("qn"),
     )
-    cside = bucketed.select(
+    cside = bdf.select(
         F.col("vec_id").alias("cid"),
         F.col("sv").alias("cv"),
         F.col("nrm").alias("cn"),
@@ -1695,10 +1734,10 @@ def _knn_graph_ingest_lsh(
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col("cid"))
     # new vertices: candidates = multi-probed bucket mates
-    qb_new = bucketed.join(bids, "vec_id", "left_semi").select(
+    qb_new = bdf.join(bids, "vec_id", "left_semi").select(
         F.col("vec_id").alias("qid"), F.explode(probes).alias("bucket")
     )
-    cb = bucketed.select(F.col("vec_id").alias("cid"), "bucket")
+    cb = bdf.select(F.col("vec_id").alias("cid"), "bucket")
     cand_new = (
         qb_new.join(cb, "bucket")
         .where(F.col("qid") != F.col("cid"))
@@ -1724,7 +1763,7 @@ def _knn_graph_ingest_lsh(
         "vec_id",
         "left_anti",
     )
-    snq = bucketed.join(starved_new, "vec_id", "left_semi").select(
+    snq = bdf.join(starved_new, "vec_id", "left_semi").select(
         F.col("vec_id").alias("qid"),
         F.col("sv").alias("qv"),
         F.col("nrm").alias("qn"),
@@ -1741,10 +1780,10 @@ def _knn_graph_ingest_lsh(
     # the vertex's bucket — candidates = {current edges} ∪ {bucket
     # collisions with the batch}; everyone else keeps rows verbatim
     # through the top-k window (≤ k rows in, same ≤ k rows out)
-    bq = bucketed.join(bids, "vec_id", "left_semi").select(
+    bq = bdf.join(bids, "vec_id", "left_semi").select(
         F.col("vec_id").alias("cid"), F.explode(probes).alias("bucket")
     )
-    oldb = bucketed.join(bids, "vec_id", "left_anti").select(
+    oldb = bdf.join(bids, "vec_id", "left_anti").select(
         F.col("vec_id").alias("qid"), "bucket"
     )
     cand_old = (

@@ -1023,17 +1023,44 @@ def run_embedding_ingest(
             # retract a no-op (nothing removed, nobody touched).
             ids = nb.select("vec_id")
             mem_wo = mem.join(ids, "vec_id", "left_anti")
+            kw_r, kw_i = {}, {}
+            bucket_side = None
+            if grepair == "lsh":
+                # the bucket SIDECAR (gpath + "_buckets") removes the
+                # per-batch plane-dot scan: read/heal it, drop the
+                # batch ids (update case), append the batch bucketed
+                # at the sidecar's FROZEN width — a pure per-vector
+                # function, so maintained ≡ rebuilt at fixed width
+                bpath = gpath + "_buckets"
+                btbl, np_ = _lsh_bucket_sidecar(spark, bpath, mem_wo)
+                btbl_wo = btbl.join(ids, "vec_id", "left_anti").localCheckpoint(
+                    eager=True
+                )
+                newb = sim._sign_bucketed(nb, np_).select("vec_id", "bucket")
+                btbl_full = btbl_wo.unionByName(newb).localCheckpoint(
+                    eager=True
+                )
+                kw_r = dict(n_planes=np_, bucketed=btbl_wo)
+                kw_i = dict(n_planes=np_, bucketed=btbl_full)
+                bucket_side = (
+                    bpath,
+                    btbl_full.withColumn(
+                        "n_planes", F.lit(np_).cast("int")
+                    ).localCheckpoint(eager=True),
+                )
             g1 = sim.knn_graph_retract(
-                mem_wo, graph, ids, k=gk, members=mem_wo, repair=grepair
+                mem_wo, graph, ids, k=gk, members=mem_wo, repair=grepair, **kw_r
             )
             side.append(
                 (
                     gpath,
                     sim.knn_graph_ingest(
-                        g1, nb, k=gk, members=mem, repair=grepair
+                        g1, nb, k=gk, members=mem, repair=grepair, **kw_i
                     ).localCheckpoint(eager=True),
                 )
             )
+            if bucket_side is not None:
+                side.append(bucket_side)
         return side
 
     return _run_dedup_ingest(
@@ -1049,6 +1076,30 @@ def run_embedding_ingest(
         primary_name="vectors",
         maintain=maintain if graph_paths else None,
     )
+
+
+def _lsh_bucket_sidecar(
+    spark: SparkSession, path: str, pool: DataFrame
+):
+    """Read (or heal) the persisted LSH bucket sidecar of a
+    repair="lsh" graph deposit: (vec_id, bucket, n_planes) rows, one
+    per pool vector, at the FIXED plane width chosen when the sidecar
+    was first built (similarity._lsh_pool's fixed-width contract —
+    the deposit that removes the per-batch plane-dot scan from graph
+    maintenance). Missing or empty → DERIVED-data heal: rebuild from
+    the given pool at adaptive_planes(pool size). Returns
+    ((vec_id, bucket) frame, n_planes)."""
+    from ..operators import similarity as sim
+
+    snap = _read_snapshot_or_none(spark, path)
+    row = None if snap is None else snap.select("n_planes").first()
+    if row is None:
+        np_ = sim.adaptive_planes(max(pool.count(), 1))
+        return (
+            sim._sign_bucketed(pool, np_).select("vec_id", "bucket"),
+            np_,
+        )
+    return snap.select("vec_id", "bucket"), int(row["n_planes"])
 
 
 def read_vec_retraction_stream(
@@ -1153,11 +1204,30 @@ def run_embedding_retract(
             if graph is None:
                 continue  # deposit not built yet — nothing to maintain
             mem = mv if gmod <= 1 else mv.where(F.col("vec_id") % gmod == 0)
+            kw = {}
+            if grepair == "lsh":
+                # bucket sidecar: heal from the POST-removal pool,
+                # else drop the retracted ids (pure anti-join —
+                # replay-idempotent) and repair against the deposit
+                bpath = gpath + "_buckets"
+                btbl, np_ = _lsh_bucket_sidecar(spark, bpath, mem)
+                btbl = btbl.join(ids, "vec_id", "left_anti").localCheckpoint(
+                    eager=True
+                )
+                kw = dict(n_planes=np_, bucketed=btbl)
+                repaired.append(
+                    (
+                        bpath,
+                        btbl.withColumn(
+                            "n_planes", F.lit(np_).cast("int")
+                        ).localCheckpoint(eager=True),
+                    )
+                )
             repaired.append(
                 (
                     gpath,
                     sim.knn_graph_retract(
-                        mv, graph, ids, k=gk, members=mem, repair=grepair
+                        mv, graph, ids, k=gk, members=mem, repair=grepair, **kw
                     ).localCheckpoint(eager=True),
                 )
             )
