@@ -1819,3 +1819,27 @@ def test_embedding_retract_lsh_repair_mode_plumbs_through(spark, tmp_path):
     )
     # and the graph gained the new vertex (bucket mates or fallback)
     assert any(r["qid"] == 200 for r in spark.read.parquet(l0).collect())
+
+    # crash replay: force the ingest batch to RE-EXECUTE against the
+    # already-merged snapshots — the sidecar maintenance is anti-join
+    # + fixed-width re-bucketing (pure per-vector), so the replayed
+    # batch must leave sidecar AND graph byte-stable
+    before_side = sorted(map(tuple, side2.collect()))
+    before_graph = sorted(
+        map(tuple, spark.read.parquet(l0).collect())
+    )
+    _force_batch_replay(str(tmp_path / "emb_ingest_ckpt"))
+    rq = st.run_embedding_ingest(
+        st.read_embedding_stream(spark, str(sdir)),
+        vectors,
+        index,
+        str(tmp_path / "emb_ingest_ckpt"),
+        threshold=0.95,
+        bits=bits,
+        graph_paths=[(l0, k, 1, "lsh")],
+    )
+    rq.awaitTermination(180)
+    assert sorted(
+        map(tuple, spark.read.parquet(l0 + "_buckets").collect())
+    ) == before_side
+    assert sorted(map(tuple, spark.read.parquet(l0).collect())) == before_graph
