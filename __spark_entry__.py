@@ -117,6 +117,9 @@ _PRIORITY = [
     # below, letting the LAST four (s2_label_centroids,
     # s5_quantize_error, s6_ann_recall, s9_kmeans_refine — the
     # cheapest, most-stable family tails) be the displaced handful.
+    # Those four were ADDITIONALLY parity-verified manually at sf0.1
+    # at the r12 close (bit-exact vs DuckDB — on top of the sf0.01
+    # citest sweep), so the displaced evidence is two-scale fresh.
     "d10_winnow_fingerprint",
     "d11_dedup_clusters",
     "d12_subword_stats",
