@@ -20,30 +20,163 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Insertion order is gate order (the driver caps its sweep at 50 rows).
-# Round-12 rotation (staleness rule: no key's driver row older than 2
-# rounds): d52 opens the sweep — born LATE r11 after that rotation
-# locked, so it carries zero CORRECTNESS rows (the r11 verdict's hard
-# constraint); then ALL 49 keys whose most recent driver row is the
-# r9 sweep (they sit exactly AT the staleness boundary and MUST all
-# be stamped r12; cube_revenue first per the r11 verdict). That fills
-# the 50 slots exactly — zero room for r12-born keys, so (like d52
-# last round) keys born this round go directly below the cap,
-# judge-green in the local parity gate, and MUST open the r13 sweep.
-# r13 planning note: 50 r10-stamped keys hit the staleness bound at
-# r13 while r12-born keys must also sweep — r13 overflows by the
-# r12-born count. Mitigation per the r11 verdict: the r12 close-out
-# runs local sf0.01 parity for the tail r10-stamped keys (see
-# _R13_PRESTAMP note below) so the displaced handful are freshly
-# judge-green even though their driver row stays r10.
+# Round-13 rotation (staleness rule: no key's driver row older than 2
+# rounds — at r13 the valid stamps are r11/r12/r13, so the 50 keys
+# whose latest row is r10 hit the bound and must re-sweep). The
+# must-sweep set is 4 r12-born keys (zero CORRECTNESS rows — the hard
+# constraint, they open the sweep per the r12 verdict) + 50
+# r10-stamped = 54 > 50. Per the r12 verdict and the _R13_PRESTAMP
+# note recorded at the r12 close, the LAST four r10-stamped keys
+# (s2_label_centroids, s5_quantize_error, s6_ann_recall,
+# s9_kmeans_refine — the cheapest, most-stable family tails) are the
+# displaced handful: their evidence is two-scale fresh (full 154-key
+# sf0.01 parity sweep in the r12 citest + manual sf0.1 bit-exact
+# parity at the r12 close), so their driver row staying r10 until r14
+# is covered. They move directly below the cap and MUST open r14.
 _PRIORITY = [
-    # --- slot 1: born LATE r11 after the 50-slot rotation locked —
-    # never driver-validated (judge-green in tests/test_oracle_parity
-    # .py and verified locally at sf0.001/0.01/0.1); the r11 verdict
-    # orders it to open the r12 sweep
+    # --- slots 1..4: born r12 AFTER that round's rotation locked —
+    # never driver-validated (judge-green in the full 154-key local
+    # parity sweep at the r12 close); the r12 verdict orders them to
+    # open the r13 sweep
+    "s29_filtered_graph_ann",
+    "s30_ivf_churn",
+    "d53_video_phash_dups",
+    "d54_perplexity_filter",
+    # --- slots 5..50: the r10-stamped keys at the staleness bound,
+    # in the order the r12 close recorded (46 of 50; the displaced
+    # tail four sit below the cap with two-scale prestamp evidence)
+    "d10_winnow_fingerprint",
+    "d11_dedup_clusters",
+    "d12_subword_stats",
+    "d13_hash_sample",
+    "d14_stratified_sample",
+    "d15_profile",
+    "d16_repetition",
+    "d17_contamination",
+    "d19_tfidf_top_terms",
+    "d1_exact_dedup",
+    "d20_dedup_apply",
+    "d21_corpus_split",
+    "d22_dup_spans",
+    "d23_gopher_filter",
+    "d24_weighted_sample",
+    "d2_ngram_jaccard_dups",
+    "d34_rag_chunking",
+    "d35_bigram_rarity",
+    "d36_cross_source_dups",
+    "d37_span_scrub",
+    "d38_threshold_sweep",
+    "d39_cluster_sizes",
+    "d40_classifier_filter",
+    "d41_mix_planner",
+    "d42_source_novelty",
+    "d43_shard_balance",
+    "d4_simhash_dups",
+    "d5_lang_id",
+    "d6_quality_score",
+    "d7_token_stats",
+    "d8_fingerprint",
+    "e24_common_paths",
+    "e25_interarrival",
+    "e26_funnel_latency",
+    "e27_ab_lift",
+    "e28_hll_users",
+    "s10_cluster_balance",
+    "s14_mmr_rerank",
+    "s15_label_drift",
+    "s16_knn_centrality",
+    "s17_ivf_probe_sweep",
+    "s1_cosine_topk",
+    "s21_nn_descent_converge",
+    "s22_hnsw_ann",
+    "s23_hnsw_beam_sweep",
+    "s24_hnsw_multilevel",
+    # --- 50-slot cap lands HERE: exactly 50 keys above (4 r12-born +
+    # 46 r10-stamped). Below the cap: first the four DISPLACED
+    # r10-stamped keys (driver row r10 + two-scale prestamps — they
+    # MUST open the r14 sweep), then keys born in r13 (each with an
+    # _R14_PRESTAMP-style note when the round closes), then the 50
+    # r11-stamped keys (they hit the staleness bound at r14 and fill
+    # r14's remaining slots), then the 50 r12-stamped keys freshest
+    # at the bottom.
+    # --- displaced r10-stamped tail (per _R13_PRESTAMP recorded at
+    # the r12 close: full 154-key sf0.01 parity sweep + manual sf0.1
+    # bit-exact parity, both at the r12 close — two-scale fresh):
+    "s2_label_centroids",
+    "s5_quantize_error",
+    "s6_ann_recall",
+    "s9_kmeans_refine",
+    # --- born in r13 go HERE as they land (zero driver rows;
+    # judge-green in the local parity gate; they MUST sweep in r14
+    # alongside the displaced four):
+    # _R14_PRESTAMP: r14's must-sweep set is the 4 displaced
+    # r10-stamped keys above + any r13-born keys + the 50
+    # r11-stamped keys below (> 50 total). The displaced four and the
+    # r13-born keys take the leading slots (oldest/zero evidence
+    # first); r11-stamped keys fill the rest, and the LAST seven
+    # r11-stamped keys in the order below (s3_lsh_ann, s4_ivf_ann,
+    # s7_semdedup, s8_pq_ann, s19_ivfpq_ann, s20_pq_shortlist_sweep,
+    # d9_embedding_neardup — stable sim-family tails) become r14's
+    # displaced handful. The r13 close-out runs the FULL local parity
+    # gate (tests/test_oracle_parity.py, every key, sf0.01 vs DuckDB)
+    # so the whole r11-stamped block is freshly judge-green locally;
+    # the seven named keys get additional manual sf0.1 parity at the
+    # r13 close, mirroring the two-scale discipline that covered this
+    # round's displaced four.
+    # --- r11-stamped (hit the bound at r14; ordered so r14's
+    # displaced tail is the LAST seven):
+    "s25_int8_recall",
+    "d49_retraction_impact",
+    "s26_hnsw_adaptive",
+    "d50_image_phash_dups",
+    "d51_html_extract",
+    "s27_graph_churn",
+    "s28_filtered_ann",
+    "d25_domain_mix",
+    "d26_quality_buckets",
+    "d27_bloom_contamination",
+    "d29_dsir_weights",
+    "d31_token_surprisal",
+    "d32_doc_entropy",
+    "d33_split_leakage",
+    "d3_minhash_lsh_dups",
+    "d44_bpe_tokens",
+    "d46_tokenizer_fertility",
+    "d47_decontaminate_apply",
+    "distinct_users_daily",
+    "dq1_constraint_report",
+    "e12_heavy_hitters",
+    "e18_rolling_active_users",
+    "e19_gap_fill",
+    "e1_event_counts",
+    "e20_mad_outliers",
+    "e21_cusum_drift",
+    "e22_psi_drift",
+    "e23_seasonal_anomaly",
+    "e29_trending_events",
+    "e2_sessionization",
+    "e3_hourly_rollup",
+    "e4_user_asof_value",
+    "e5_funnel",
+    "e7_value_percentiles_approx",
+    "m1_multimodal_meta",
+    "m2_resize_framesample",
+    "m3_audio_windows",
+    "p1_pii_scan",
+    "q23_skyline_parts",
+    "s11_knn_graph",
+    "s12_graph_recall",
+    "s13_matryoshka_recall",
+    "s18_nn_descent",
+    "s3_lsh_ann",
+    "s4_ivf_ann",
+    "s7_semdedup",
+    "s8_pq_ann",
+    "s19_ivfpq_ann",
+    "s20_pq_shortlist_sweep",
+    "d9_embedding_neardup",
+    # --- r12-stamped (freshest driver rows — swept last)
     "d52_bigram_lm_perplexity",
-    # --- slots 2..50: every key whose most recent driver row is r9
-    # (the 2-round staleness bound — all 49 MUST be stamped r12;
-    # cube_revenue leads per the r11 verdict)
     "cube_revenue",
     "d18_sequence_packing",
     "d28_token_zipf",
@@ -93,134 +226,6 @@ _PRIORITY = [
     "w3_moving_avg_events",
     "w4_mom_growth",
     "w5_rank_distribution",
-    # --- 50-slot cap lands HERE: exactly 50 keys above (1 born-late-
-    # r11 + 49 r9-stamped). Below the cap: keys born in r12 first
-    # (they open the r13 sweep alongside the 50 r10-stamped keys —
-    # r13's builder puts r12-born keys first, then r10-stamped keys,
-    # locally pre-verified tail last), then the 50 r10-stamped keys,
-    # then the 50 r11-stamped keys freshest at the bottom.
-    # --- born in r12 (judge-green in the local parity gate; MUST
-    # open the r13 sweep):
-    "s29_filtered_graph_ann",
-    "s30_ivf_churn",
-    "d53_video_phash_dups",
-    "d54_perplexity_filter",
-    # _R13_PRESTAMP: the four r12-born keys above displace exactly
-    # four r10-stamped keys from r13's 50-slot sweep (50 r10 keys +
-    # 4 born = 54 > 50). Mitigation, per the r11 verdict: the r12
-    # close-out ran the FULL 154-key local parity gate
-    # (tests/test_oracle_parity.py at sf0.01 — row count + sorted
-    # values vs DuckDB) in tools/citest.sh, so every r10-stamped key
-    # is freshly judge-green locally even though four driver rows
-    # will stay r10 until r14. r13's builder should put the four
-    # r12-born keys first, then the r10-stamped keys in the order
-    # below, letting the LAST four (s2_label_centroids,
-    # s5_quantize_error, s6_ann_recall, s9_kmeans_refine — the
-    # cheapest, most-stable family tails) be the displaced handful.
-    # Those four were ADDITIONALLY parity-verified manually at sf0.1
-    # at the r12 close (bit-exact vs DuckDB — on top of the sf0.01
-    # citest sweep), so the displaced evidence is two-scale fresh.
-    "d10_winnow_fingerprint",
-    "d11_dedup_clusters",
-    "d12_subword_stats",
-    "d13_hash_sample",
-    "d14_stratified_sample",
-    "d15_profile",
-    "d16_repetition",
-    "d17_contamination",
-    "d19_tfidf_top_terms",
-    "d1_exact_dedup",
-    "d20_dedup_apply",
-    "d21_corpus_split",
-    "d22_dup_spans",
-    "d23_gopher_filter",
-    "d24_weighted_sample",
-    "d2_ngram_jaccard_dups",
-    "d34_rag_chunking",
-    "d35_bigram_rarity",
-    "d36_cross_source_dups",
-    "d37_span_scrub",
-    "d38_threshold_sweep",
-    "d39_cluster_sizes",
-    "d40_classifier_filter",
-    "d41_mix_planner",
-    "d42_source_novelty",
-    "d43_shard_balance",
-    "d4_simhash_dups",
-    "d5_lang_id",
-    "d6_quality_score",
-    "d7_token_stats",
-    "d8_fingerprint",
-    "e24_common_paths",
-    "e25_interarrival",
-    "e26_funnel_latency",
-    "e27_ab_lift",
-    "e28_hll_users",
-    "s10_cluster_balance",
-    "s14_mmr_rerank",
-    "s15_label_drift",
-    "s16_knn_centrality",
-    "s17_ivf_probe_sweep",
-    "s1_cosine_topk",
-    "s21_nn_descent_converge",
-    "s22_hnsw_ann",
-    "s23_hnsw_beam_sweep",
-    "s24_hnsw_multilevel",
-    "s2_label_centroids",
-    "s5_quantize_error",
-    "s6_ann_recall",
-    "s9_kmeans_refine",
-    # --- r11-stamped (freshest driver rows — swept last)
-    "s25_int8_recall",
-    "d49_retraction_impact",
-    "s26_hnsw_adaptive",
-    "d50_image_phash_dups",
-    "d51_html_extract",
-    "s27_graph_churn",
-    "s28_filtered_ann",
-    "d25_domain_mix",
-    "d26_quality_buckets",
-    "d27_bloom_contamination",
-    "d29_dsir_weights",
-    "d31_token_surprisal",
-    "d32_doc_entropy",
-    "d33_split_leakage",
-    "d3_minhash_lsh_dups",
-    "d44_bpe_tokens",
-    "d46_tokenizer_fertility",
-    "d47_decontaminate_apply",
-    "d9_embedding_neardup",
-    "distinct_users_daily",
-    "dq1_constraint_report",
-    "e12_heavy_hitters",
-    "e18_rolling_active_users",
-    "e19_gap_fill",
-    "e1_event_counts",
-    "e20_mad_outliers",
-    "e21_cusum_drift",
-    "e22_psi_drift",
-    "e23_seasonal_anomaly",
-    "e29_trending_events",
-    "e2_sessionization",
-    "e3_hourly_rollup",
-    "e4_user_asof_value",
-    "e5_funnel",
-    "e7_value_percentiles_approx",
-    "m1_multimodal_meta",
-    "m2_resize_framesample",
-    "m3_audio_windows",
-    "p1_pii_scan",
-    "q23_skyline_parts",
-    "s11_knn_graph",
-    "s12_graph_recall",
-    "s13_matryoshka_recall",
-    "s18_nn_descent",
-    "s19_ivfpq_ann",
-    "s20_pq_shortlist_sweep",
-    "s3_lsh_ann",
-    "s4_ivf_ann",
-    "s7_semdedup",
-    "s8_pq_ann",
 ]
 
 
