@@ -1843,3 +1843,40 @@ def test_embedding_retract_lsh_repair_mode_plumbs_through(spark, tmp_path):
         map(tuple, spark.read.parquet(l0 + "_buckets").collect())
     ) == before_side
     assert sorted(map(tuple, spark.read.parquet(l0).collect())) == before_graph
+
+
+def test_lsh_bucket_sidecar_heals_partial_coverage(spark, tmp_path):
+    """A PARTIAL sidecar (e.g. the deposit advanced with repair="exact"
+    for some batches — those never touch the sidecar — then switched
+    back to "lsh") must be healed on read, not trusted: pool vectors
+    absent from it are signed at the FROZEN width and appended,
+    because _lsh_pool's inner join would otherwise silently drop them
+    from the repair candidate pool with no signal (r12 advice)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from yuki_spark.operators import similarity as sim
+
+    rng = np.random.RandomState(31)
+    n = 48
+    vecs = rng.standard_normal((n, 16)).astype("float32")
+    pool = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    # freeze a width DIFFERENT from what adaptive_planes(n) would pick,
+    # so the heal provably reads the frozen width off the sidecar
+    np_frozen = sim.adaptive_planes(n) + 2
+    full = sim._sign_bucketed(pool, np_frozen).select("vec_id", "bucket")
+    bpath = str(tmp_path / "graph_l0_buckets")
+    # persist a sidecar covering only the even half of the pool
+    full.where(F.col("vec_id") % 2 == 0).withColumn(
+        "n_planes", F.lit(np_frozen).cast("int")
+    ).write.parquet(bpath)
+
+    healed, np_got = st._lsh_bucket_sidecar(spark, bpath, pool)
+    assert np_got == np_frozen
+    assert sorted(map(tuple, healed.collect())) == sorted(
+        map(tuple, full.collect())
+    )

@@ -288,6 +288,10 @@ def main() -> None:
     # LSH churn repair: per-touched candidate volume must stay ~flat
     # as n grows K× (adaptive planes absorb the growth; 4× headroom
     # for bucket skew). The exact-mode equivalent would grow by K.
+    # A None ratio means ZERO candidate pairs at 1x — the baseline is
+    # degenerate (audit corpus too small to populate any bucket twice),
+    # which should never happen at the audited SFs: fail loud.
+    assert churn["pairs_ratio"] is not None, f"degenerate 1x baseline: {churn}"
     assert churn["pairs_ratio"] <= 4, f"churn repair work grew: {churn}"
     # d43's offset table is the ONE remaining single-task window (over
     # DISTINCT n_tokens values). Pin that its domain stays both small
@@ -354,8 +358,12 @@ def churn_repair_audit(spark, src: str, out: str) -> dict:
             "pairs_per_touched": round(pairs / 32, 1),
             "wall_s": round(_t.perf_counter() - t0, 2),
         }
-    res["pairs_ratio"] = round(
-        res["kx"]["pairs_per_touched"] / max(res["1x"]["pairs_per_touched"], 1.0), 2
+    # guard only against a ZERO baseline (no candidate pairs at 1x —
+    # ratio undefined, report None); clamping to 1.0 would silently
+    # rescale a sub-1.0 true baseline and both inflate and mask growth
+    base = res["1x"]["pairs_per_touched"]
+    res["pairs_ratio"] = (
+        round(res["kx"]["pairs_per_touched"] / base, 2) if base > 0 else None
     )
     return res
 

@@ -3475,9 +3475,11 @@ _ORACLE_TEMPLATE = {
                  unnest(tk) AS tok
           FROM nz),
         ck AS (
-          SELECT DISTINCT doc_id, (pos * 4) // L AS chunk, tok FROM pos),
+          SELECT DISTINCT doc_id, (pos * {D53_FRAMES}) // L AS chunk, tok
+          FROM pos),
         tk2 AS (
-          SELECT doc_id, chunk, {sql_portable_hash60('tok')} % 64 AS cell
+          SELECT doc_id, chunk,
+                 {sql_portable_hash60('tok')} % {multimodal.DHASH_CELLS} AS cell
           FROM ck),
         cc AS (
           SELECT doc_id, chunk, cell, LEAST(COUNT(*), 255) AS v
@@ -3485,7 +3487,8 @@ _ORACLE_TEMPLATE = {
         fr AS (SELECT DISTINCT doc_id, chunk FROM ck),
         grid AS (
           SELECT fr.doc_id, fr.chunk, g.cell, COALESCE(cc.v, 0) AS v
-          FROM fr CROSS JOIN (SELECT unnest(range(0, 64)) AS cell) g
+          FROM fr CROSS JOIN
+            (SELECT unnest(range(0, {multimodal.DHASH_CELLS})) AS cell) g
           LEFT JOIN cc ON cc.doc_id = fr.doc_id AND cc.chunk = fr.chunk
                       AND cc.cell = g.cell),
         fp AS (
@@ -3500,7 +3503,7 @@ _ORACLE_TEMPLATE = {
         fpairs AS (
           SELECT a.doc_id AS va, a.chunk AS ca, b.doc_id AS vb, b.chunk AS cb
           FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-          WHERE bit_count(xor(a.sh, b.sh)) <= 1),
+          WHERE bit_count(xor(a.sh, b.sh)) <= {D53_HAMMING}),
         roll AS (
           SELECT va AS video_a, vb AS video_b,
                  CAST(COUNT(DISTINCT ca) AS BIGINT) AS matched_a,
@@ -3522,7 +3525,7 @@ _ORACLE_TEMPLATE = {
         JOIN nfr nb ON nb.doc_id = r.video_b
         WHERE greatest(CAST(r.matched_a AS DOUBLE) / CAST(na.nf AS DOUBLE),
                        CAST(r.matched_b AS DOUBLE) / CAST(nb.nf AS DOUBLE))
-              >= 0.5
+              >= {D53_MIN_CONTAIN}
         ORDER BY video_a, video_b
     """,
     "d33_split_leakage": f"""

@@ -1087,8 +1087,14 @@ def _lsh_bucket_sidecar(
     was first built (similarity._lsh_pool's fixed-width contract —
     the deposit that removes the per-batch plane-dot scan from graph
     maintenance). Missing or empty → DERIVED-data heal: rebuild from
-    the given pool at adaptive_planes(pool size). Returns
-    ((vec_id, bucket) frame, n_planes)."""
+    the given pool at adaptive_planes(pool size). A PARTIAL sidecar
+    (e.g. the deposit was advanced with repair="exact" for some
+    batches — those never touch the sidecar — then switched back to
+    "lsh") is healed too: pool vectors absent from the sidecar are
+    signed at the FROZEN width and appended, because _lsh_pool's
+    inner join would otherwise silently drop them from the repair
+    candidate pool with no signal (only TOUCHED missing vertices trip
+    the poison guard). Returns ((vec_id, bucket) frame, n_planes)."""
     from ..operators import similarity as sim
 
     snap = _read_snapshot_or_none(spark, path)
@@ -1099,7 +1105,18 @@ def _lsh_bucket_sidecar(
             sim._sign_bucketed(pool, np_).select("vec_id", "bucket"),
             np_,
         )
-    return snap.select("vec_id", "bucket"), int(row["n_planes"])
+    np_ = int(row["n_planes"])
+    have = snap.select("vec_id", "bucket")
+    # bucketing is a pure per-vector function at the frozen width, so
+    # the heal is exactly: sign the uncovered ids, append (a zero-row
+    # anti-join makes this a no-op branch — no count job needed)
+    uncovered = pool.join(
+        have.select("vec_id").distinct(), "vec_id", "left_anti"
+    )
+    have = have.unionByName(
+        sim._sign_bucketed(uncovered, np_).select("vec_id", "bucket")
+    )
+    return have, np_
 
 
 def read_vec_retraction_stream(
