@@ -2254,6 +2254,70 @@ def test_ivf_frozen_assignment_and_drift_trigger(spark):
     assert all(r["drift"] == 0.0 for r in missing if r["cell"] != 0)
 
 
+def test_pq_frozen_code_maintenance_and_drift_trigger(spark):
+    """s31's operator contracts, one quantizer level below s30:
+    (1) maintained ≡ rebuilt — the PQ code deposit after a keyed
+    anti-join retract + per-vector batch encode equals a from-scratch
+    re-encode of the final pool row-for-row (sign-cell encoding
+    consults NO pool statistic, so it commutes with churn);
+    (2) the subspace-grain retrain-trigger policy on synthetically
+    shifted codebooks: identical → drift 0 / no retrain; scaled copy
+    → drift 0 (cosine scale-invariance); opposite direction → drift
+    2; a (sub, code) cell present on one side only → drift 1; both
+    fire the trigger."""
+    import numpy as np
+
+    from yuki_spark.operators import similarity
+
+    rng = np.random.RandomState(43)
+    n = 100
+    vecs = rng.standard_normal((n, 64)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    j = F.col("vec_id") % 5
+    pool0, late = emb.where(j != 3), emb.where(j == 3)
+    rm = emb.where(j == 2).select("vec_id")
+    d0 = similarity.pq_encode(pool0)
+    maintained = d0.join(rm, "vec_id", "left_anti").unionByName(
+        similarity.pq_encode(late)
+    )
+    rebuilt = similarity.pq_encode(emb.where(j != 2))
+    assert sorted(map(tuple, maintained.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+
+    # trigger policy on synthetic subspace codebooks
+    shift = similarity.pq_shift(n)
+    base = pool0.select(
+        "vec_id", similarity.scaled("embedding").alias("sv")
+    )
+    cb = similarity.pq_codebook(
+        similarity._pq_coded(base), shift
+    ).localCheckpoint()
+    same = similarity.pq_codebook_drift(cb, cb, 0.1).collect()
+    assert same and all(r["drift"] == 0.0 and not r["retrain"] for r in same)
+    doubled = cb.select(
+        "sub", "code", F.transform("cv", lambda x: x * 2).alias("cv")
+    )
+    scl = similarity.pq_codebook_drift(cb, doubled, 0.1).collect()
+    assert all(r["drift"] == 0.0 and not r["retrain"] for r in scl)
+    flipped = cb.select(
+        "sub", "code", F.transform("cv", lambda x: -x).alias("cv")
+    )
+    opp = similarity.pq_codebook_drift(cb, flipped, 0.1).collect()
+    assert all(r["drift"] == 2.0 and r["retrain"] for r in opp)
+    missing = similarity.pq_codebook_drift(
+        cb, cb.where((F.col("sub") != 0) | (F.col("code") != 0)), 0.1
+    ).collect()
+    gone = [r for r in missing if r["sub"] == 0 and r["code"] == 0]
+    assert len(gone) == 1 and gone[0]["drift"] == 1.0 and gone[0]["retrain"]
+    assert all(
+        r["drift"] == 0.0
+        for r in missing
+        if not (r["sub"] == 0 and r["code"] == 0)
+    )
+
+
 def test_hnsw_ladder_moduli_geometry():
     """The ladder-depth formula (the executable 'levels grow with
     log n' claim): nested divisor moduli, entry level at least the

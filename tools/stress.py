@@ -247,6 +247,10 @@ def main() -> None:
         # assignment passes + codebook-grain drift; must stay linear
         # (the broadcast side is the <=n_labels-row frozen codebook)
         "s30_ivf_churn",
+        # round-13: PQ code-deposit churn — two per-vector encode
+        # passes (no join) + two <=128-row codebook aggs + the
+        # broadcast drift join; must stay linear like s30
+        "s31_pq_churn",
         # round-12: video perceptual dedup — array-native chunk/hash
         # projection + four linear Arrow passes + the 2x28-bit
         # banding; token-volume linearity + candidate boundedness are

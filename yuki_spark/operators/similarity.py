@@ -2200,12 +2200,14 @@ def pq_ann(
     return _pq_rerank(adc, base, k, shortlist)
 
 
-def _pq_lut(coded: DataFrame, shift: int, n_queries: int) -> DataFrame:
-    """Codebook + query ADC lookup table (qid, sub, code, part): the
-    per-(sub, code) down-shifted exact-int centroid sums dotted with
-    every query's subvectors — shared by pq_ann and ivfpq_ann (ONE
-    copy of the codebook arithmetic the twins mirror)."""
-    cb = (
+def pq_codebook(coded: DataFrame, shift: int) -> DataFrame:
+    """(sub, code, cv): the PQ codebook — per-(subspace, cell)
+    down-shifted exact-int per-dim centroid SUMS over the coded pool
+    (:func:`_pq_coded` rows). Factored out of :func:`_pq_lut` (r13)
+    so a churn loop can FREEZE a codebook built over one corpus
+    snapshot while the code deposit is maintained incrementally
+    (s31) — ONE copy of the codebook arithmetic the twins mirror."""
+    return (
         coded.select("sub", "code", F.posexplode("subv").alias("dim", "sx"))
         .groupBy("sub", "code", "dim")
         .agg(F.sum("sx").alias("cs"))
@@ -2217,6 +2219,54 @@ def _pq_lut(coded: DataFrame, shift: int, n_queries: int) -> DataFrame:
         )
         .select("sub", "code", F.transform("pairs", lambda p: p["cs"]).alias("cv"))
     )
+
+
+def pq_encode(emb: DataFrame) -> DataFrame:
+    """(vec_id, sub, code): the PQ CODE rows of ``emb`` — the
+    incremental-ingest path of PQ code-deposit maintenance under
+    churn (s31). The sign-cell encode is a pure PER-VECTOR function
+    (no pool statistics touch it), so a maintained deposit (keyed
+    anti-join on retract, one batch encode on ingest) equals a
+    from-scratch re-encode of the surviving corpus ROW-FOR-ROW — the
+    invariant s31's DuckDB twin hash-checks. Scale shape: one linear
+    pass, PQ_M rows out per vector, no join, no shuffle beyond the
+    caller's."""
+    base = emb.select("vec_id", scaled("embedding").alias("sv"))
+    return _pq_coded(base).select("vec_id", "sub", "code")
+
+
+def pq_codebook_drift(
+    frozen: DataFrame, current: DataFrame, threshold: float
+) -> DataFrame:
+    """(sub, code, drift, retrain): per-SUBSPACE-cell staleness of a
+    frozen PQ codebook against the centroid sums the current corpus
+    implies — :func:`ivf_codebook_drift`'s machinery applied at
+    subspace grain via the packed key sub·2^PQ_BITS + code (the
+    retrain trigger a production PQ index runs between incremental
+    re-encodes; codes stay frozen until the monitor fires). A
+    (sub, code) cell populated on only one side — fully churned in or
+    out — surfaces with drift = 1.0. Bounded: ≤ PQ_M·2^PQ_BITS rows
+    in and out."""
+    ncells = 1 << PQ_BITS
+    key = (F.col("sub") * ncells + F.col("code")).alias("cell")
+    d = ivf_codebook_drift(
+        frozen.select(key, "cv"), current.select(key, "cv"), threshold
+    )
+    return d.select(
+        F.expr(f"CAST(cell DIV {ncells} AS INT)").alias("sub"),
+        F.expr(f"CAST(cell % {ncells} AS INT)").alias("code"),
+        "drift",
+        "retrain",
+    )
+
+
+def _pq_lut(coded: DataFrame, shift: int, n_queries: int) -> DataFrame:
+    """Codebook + query ADC lookup table (qid, sub, code, part): the
+    per-(sub, code) down-shifted exact-int centroid sums dotted with
+    every query's subvectors — shared by pq_ann and ivfpq_ann (ONE
+    copy of the codebook arithmetic, :func:`pq_codebook`, that the
+    twins mirror)."""
+    cb = pq_codebook(coded, shift)
     return (
         coded.where(F.col("vec_id") < n_queries)
         .select(F.col("vec_id").alias("qid"), "sub", "subv")

@@ -942,6 +942,82 @@ def s30_ivf_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+S31_DRIFT_MAX = 0.01  # re-train trigger: splits the test catalogs'
+# subspace-cell drift distributions (measured cell ranges under the
+# 20% churn script: sf0.001 [0.0014, 0.064], sf0.01 [0.0025, 0.126],
+# sf0.1 [0.0005, 0.025] — 0.01 sits inside every range), so BOTH
+# retrain branches are live at every sf; a fully churned-in/out cell
+# reads 1.0. Policy pinned in tests with synthetically shifted
+# codebooks like S30_DRIFT_MAX.
+
+
+def s31_pq_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ CODE-deposit maintenance under CHURN (r13, the r12 verdict's
+    item 2): s30 closed the coarse quantizer; this closes the code
+    residency — a production PQ index does NOT re-learn its subspace
+    codebooks per churn batch, and the code rows themselves are a pure
+    PER-VECTOR function (sign cells, operators/similarity.pq_encode),
+    so maintenance is exact:
+
+    1. freeze the subspace codebook over the initial pool (j = vec_id
+       % 5 ≠ 3, the s27/s30 churn-script discipline — all cohorts
+       derived from vec_id so the twin replays them;
+       similarity.pq_codebook at the frozen pq_shift geometry),
+    2. build the code deposit over that pool (vec_id, sub, code),
+    3. RETRACT the j = 2 cohort — code rows just drop (keyed
+       anti-join),
+    4. INGEST the j = 3 cohort — one per-vector batch encode
+       (similarity.pq_encode; no pool statistic is consulted, exactly
+       s30's frozen-codebook argument one level down),
+    5. run the codebook-staleness monitor at SUBSPACE grain: per
+       (sub, code) drift = round(1 − cos(frozen centroid sums,
+       current-corpus centroid sums), 9)
+       (similarity.pq_codebook_drift — ivf_codebook_drift's machinery
+       on the packed subspace key) with the retrain trigger drift >
+       S31_DRIFT_MAX (policy pinned in tests with synthetically
+       shifted codebooks; a fully churned-in/out cell reads 1.0).
+
+    The returned table is the MAINTAINED code deposit with each
+    cell's staleness row joined on; the DuckDB twin re-encodes the
+    final corpus FROM SCRATCH and rebuilds both codebooks from the
+    generative rule, so the driver hash-verifies maintained ≡ rebuilt
+    itself (the s27/s30 discipline for the code family).
+
+    Scale shape: two linear encode passes (PQ_M rows per vector, no
+    join), two codebook aggs (≤ PQ_M·2^PQ_BITS rows out), one keyed
+    anti-join, one broadcast join of the ≤128-row drift table.
+    Per-batch maintenance cost is the BATCH size, not the corpus —
+    and codes are 32 bits/vector, so the maintained deposit is the
+    64×-compressed residency s8/s19 serve from."""
+    emb = load(spark, sf_dir, "embeddings")
+    n = _emb_rows(sf_dir)
+    if n is None:
+        n = emb.count()
+    shift = similarity.pq_shift(max(n, 1))
+    j = F.col("vec_id") % 5
+    pool0 = emb.where(j != 3)
+    late = emb.where(j == 3)
+    rm = emb.where(j == 2).select("vec_id")
+    base0 = pool0.select(
+        "vec_id", similarity.scaled("embedding").alias("sv")
+    )
+    cb0 = similarity.pq_codebook(similarity._pq_coded(base0), shift)
+    d0 = similarity.pq_encode(pool0)
+    d1 = d0.join(rm, "vec_id", "left_anti")
+    d2 = d1.unionByName(similarity.pq_encode(late))
+    final_pool = pool0.join(rm, "vec_id", "left_anti").unionByName(late)
+    basef = final_pool.select(
+        "vec_id", similarity.scaled("embedding").alias("sv")
+    )
+    cb1 = similarity.pq_codebook(similarity._pq_coded(basef), shift)
+    drift = similarity.pq_codebook_drift(cb0, cb1, S31_DRIFT_MAX)
+    return (
+        d2.join(F.broadcast(drift), ["sub", "code"])
+        .select("vec_id", "sub", "code", "drift", "retrain")
+        .orderBy("vec_id", "sub")
+    )
+
+
 S28_FILTER_MOD = 2  # tenant attribute: vec_id parity (source/ACL stand-in)
 S29_FILTER_MODS = (2, 8)  # s29 selectivity sweep: 1/2 and 1/8 tenants
 
@@ -1499,6 +1575,7 @@ QUERIES = {
     "s28_filtered_ann": s28_filtered_ann,
     "s29_filtered_graph_ann": s29_filtered_graph_ann,
     "s30_ivf_churn": s30_ivf_churn,
+    "s31_pq_churn": s31_pq_churn,
     "s13_matryoshka_recall": s13_matryoshka_recall,
     "s5_quantize_error": s5_quantize_error,
     "s7_semdedup": s7_semdedup,
@@ -1885,6 +1962,70 @@ def _s30_oracle() -> str:
                d.drift AS drift, d.drift > {thr} AS retrain
         FROM asg a JOIN dr d ON d.cell = a.cell
         ORDER BY a.vec_id
+    """
+
+
+def _s31_oracle() -> str:
+    """Twin of s31_pq_churn: the from-scratch REBUILD — re-encode the
+    final corpus' sign-cell codes (identical comparison algebra),
+    rebuild BOTH codebooks from the generative rule at the same
+    frozen down-shift (>> is arithmetic in both engines), and replay
+    the subspace-grain staleness monitor — so the hash equality IS
+    the maintained ≡ rebuilt invariant for the code deposit."""
+    m, sd, bits = similarity.PQ_M, similarity.PQ_SUBDIM, similarity.PQ_BITS
+    shift = similarity.pq_shift(max(_oracle_emb_rows(), 1))
+    thr = S31_DRIFT_MAX
+    code = " + ".join(
+        f"(CASE WHEN subv[{j + 1}] >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(bits)
+    )
+    # subspace-width DOUBLE dot (the drift cosine folds doubles like
+    # Spark's F.aggregate; _DDOT is 64-wide — indexing past an 8-dim
+    # codebook vector would NULL the whole reduce)
+    sddot = (
+        "list_reduce(list_transform(range(1, {d}),"
+        " i -> CAST({{a}}[i] AS DOUBLE) * CAST({{b}}[i] AS DOUBLE)),"
+        " (acc, x) -> acc + x)"
+    ).format(d=sd + 1)
+
+    def cb(src: str, name: str) -> str:
+        return f"""ex_{name} AS (
+          SELECT sub, code, CAST(generate_subscripts(subv, 1) AS INT) AS dim,
+                 unnest(subv) AS sx
+          FROM {src}),
+        cd_{name} AS (
+          SELECT sub, code, dim, CAST(SUM(sx) AS BIGINT) >> {shift} AS cs
+          FROM ex_{name} GROUP BY sub, code, dim),
+        {name} AS (
+          SELECT sub, code, list(cs ORDER BY dim) AS cv
+          FROM cd_{name} GROUP BY sub, code)"""
+
+    return f"""
+        WITH base AS (
+          SELECT vec_id, {_SCALED} AS sv FROM embeddings),
+        subs AS (
+          SELECT vec_id, CAST(s.sub AS INT) AS sub,
+                 list_slice(sv, s.sub * {sd} + 1, s.sub * {sd} + {sd}) AS subv
+          FROM base CROSS JOIN (SELECT unnest(range(0, {m})) AS sub) s),
+        coded AS (
+          SELECT vec_id, sub, subv, ({code}) AS code FROM subs),
+        c0 AS (SELECT * FROM coded WHERE vec_id % 5 <> 3),
+        cf AS (SELECT * FROM coded WHERE vec_id % 5 <> 2),
+        {cb('c0', 'cb0')},
+        {cb('cf', 'cb1')},
+        dr AS (
+          SELECT COALESCE(f.sub, n.sub) AS sub,
+                 COALESCE(f.code, n.code) AS code,
+                 CASE WHEN f.sub IS NULL OR n.sub IS NULL THEN 1.0
+                      ELSE round(1.0 - {sddot.format(a='f.cv', b='n.cv')}
+                        / (sqrt({sddot.format(a='f.cv', b='f.cv')})
+                           * sqrt({sddot.format(a='n.cv', b='n.cv')})), 9)
+                 END AS drift
+          FROM cb0 f FULL JOIN cb1 n ON n.sub = f.sub AND n.code = f.code)
+        SELECT c.vec_id AS vec_id, c.sub AS sub, c.code AS code,
+               d.drift AS drift, d.drift > {thr} AS retrain
+        FROM cf c JOIN dr d ON d.sub = c.sub AND d.code = c.code
+        ORDER BY c.vec_id, c.sub
     """
 
 
@@ -2932,6 +3073,7 @@ def build_oracle() -> dict[str, str]:
             "s28_filtered_ann": _s28_oracle(),
             "s29_filtered_graph_ann": _s29_oracle(),
             "s30_ivf_churn": _s30_oracle(),
+            "s31_pq_churn": _s31_oracle(),
             "s13_matryoshka_recall": _s13_oracle(),
             "s14_mmr_rerank": _s14_oracle(),
             "s16_knn_centrality": _s16_oracle(),
