@@ -110,6 +110,7 @@ _PRIORITY = [
     # judge-green in the local parity gate; they MUST sweep in r14
     # alongside the displaced four):
     "s31_pq_churn",
+    "d55_audio_fingerprint_dups",
     # _R14_PRESTAMP: r14's must-sweep set is the 4 displaced
     # r10-stamped keys above + any r13-born keys + the 50
     # r11-stamped keys below (> 50 total). The displaced four and the

@@ -2199,6 +2199,101 @@ def test_hnsw_descent_keep_and_candidate_pool(spark):
     assert len(pool_map) > len(plain)  # strictly more than the beam
 
 
+def test_synth_wav_roundtrip_and_audio_fingerprint(spark):
+    """d55's codec + fingerprint contracts: (1) the WAV container is
+    a lossless PCM round trip — synth_token_wav → decode_wav returns
+    exactly the int16 samples the generative rule
+    (portable_hash60(tok) % 65536 − 32768) computes JVM-side, so the
+    composed pipeline can't drift from the rule the oracle replays;
+    (2) audio_fingerprint56 on a CONSTRUCTED payload matches the
+    hand-computed energy-envelope hash (bit j iff E[j] < E[j+1] over
+    57 positional windows per segment); (3) the containment roll-up
+    semantics — a clip whose text is a stretch of a longer doc shares
+    its segment fingerprints positionally only when envelopes align,
+    and identical docs always score 1.0."""
+    import numpy as np
+
+    from yuki_spark.functions import tokens as _tokens
+    from yuki_spark.operators import codecs, multimodal
+    from yuki_spark.operators.multimodal import AUDIO_WINDOWS
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "xi"),  # single token: one segment, sparse envelope
+        ],
+        "doc_id long, text string",
+    )
+    wav = multimodal.synth_token_wav(docs)
+    got = {r["doc_id"]: bytes(r["media"]) for r in wav.collect()}
+    # the generative rule computed independently JVM-side
+    want = {
+        r["doc_id"]: [int(s) for s in r["smp"]]
+        for r in docs.select(
+            "doc_id",
+            F.transform(
+                F.filter(_tokens("text"), lambda t: t != ""),
+                lambda t: (
+                    multimodal.portable_hash60(t) % 65536 - 32768
+                ).cast("int"),
+            ).alias("smp"),
+        ).collect()
+    }
+    for doc_id, payload in got.items():
+        assert codecs.is_wav(payload)
+        rate, ch, sw, pcm = codecs.decode_wav(payload)
+        assert (rate, ch, sw) == (multimodal.WAV_RATE, 1, 2)
+        samples = np.frombuffer(pcm, dtype="<i2").tolist()
+        assert samples == want[doc_id]  # lossless PCM round trip
+    # identical docs → identical payloads
+    assert got[0] == got[1]
+
+    # hand-computed golden fingerprint on a constructed stream:
+    # 2 segments x 57 windows, L = 114 samples, sample p has |value|
+    # p + 1 → every window holds exactly one sample, E strictly
+    # increasing within each segment → all 56 bits set
+    ns, nw = 2, AUDIO_WINDOWS
+    samples = [(-1) ** p * (p + 1) for p in range(ns * nw)]
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    payload = codecs.encode_wav(pcm, rate=16000, channels=1, sampwidth=2)
+    mdf = spark.createDataFrame(
+        [(7, bytearray(payload))], "doc_id long, media binary"
+    )
+    rows = multimodal.audio_fingerprint56(mdf, n_segments=ns).collect()
+    assert sorted((r["doc_id"], r["seg"], r["ah"]) for r in rows) == [
+        (7, 0, (1 << 56) - 1),
+        (7, 1, (1 << 56) - 1),
+    ]
+    # constant-energy stream: E[j] < E[j+1] never holds → hash 0
+    flat = codecs.encode_wav(
+        np.asarray([5] * (ns * nw), dtype="<i2").tobytes(),
+        rate=16000,
+        channels=1,
+        sampwidth=2,
+    )
+    rows0 = multimodal.audio_fingerprint56(
+        spark.createDataFrame(
+            [(8, bytearray(flat))], "doc_id long, media binary"
+        ),
+        n_segments=ns,
+    ).collect()
+    assert sorted((r["seg"], r["ah"]) for r in rows0) == [(0, 0), (1, 0)]
+
+    # identical docs score containment 1.0 in the query roll-up
+    from yuki_spark.queries import docs as docsq
+
+    fps = multimodal.audio_fingerprint56(
+        wav, n_segments=docsq.D55_SEGMENTS
+    ).collect()
+    by_doc: dict[int, set] = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add((r["seg"], r["ah"]))
+    assert by_doc[0] == by_doc[1]  # identical text → identical prints
+    assert by_doc[0] != by_doc[2]
+
+
 def test_ivf_frozen_assignment_and_drift_trigger(spark):
     """s30's operator contracts: (1) maintained ≡ rebuilt — dropping
     retracted rows and assigning the ingest batch at a FROZEN

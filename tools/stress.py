@@ -260,6 +260,12 @@ def main() -> None:
         # single-row percentile broadcast + one lang hash-agg; must
         # track d52's cost (shared chain), nothing super-linear
         "d54_perplexity_filter",
+        # round-13: audio perceptual dedup — one hash projection + two
+        # linear Arrow passes (WAV encode, decode+window+hash) at clip
+        # grain + the 2x28-bit banding; token-volume linearity +
+        # candidate boundedness are the things to watch at 10x (d53's
+        # shape on the third modality)
+        "d55_audio_fingerprint_dups",
     ]
     qs["q1_pricing_summary"](spark, out).write.mode("overwrite").format("noop").save()
     timings = {}

@@ -23,6 +23,7 @@ from ..functions import portable_hash60, tokens
 from . import codecs
 from pyspark.sql.types import (
     BinaryType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -465,6 +466,144 @@ def dhash56(media: DataFrame) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "sh": pd.array(outs, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(run, schema)
+
+
+# ---- audio energy-envelope fingerprint near-dup (d55) --------------------
+# Chromaprint's shape reduced to its deterministic integer core: the
+# PCM stream is split into segments (the clip grain pairs roll up to),
+# each segment into AUDIO_WINDOWS energy sub-windows, and the
+# fingerprint encodes the energy-envelope GRADIENT — bit j set iff
+# E[j] < E[j+1] — the dHash discipline on the sample stream. 57
+# windows → 56 delta bits, the same signed-int64 headroom rationale as
+# DHASH_BITS (a 64-bit fingerprint would need 1<<63, overflowing
+# signed BIGINT in DuckDB).
+AUDIO_WINDOWS = 57
+AUDIO_FP_BITS = AUDIO_WINDOWS - 1  # 56
+WAV_RATE = 16000  # container metadata only; windowing is positional
+
+
+def synth_token_wav(docs: DataFrame) -> DataFrame:
+    """(doc_id, media): a REAL RIFF/PCM WAV per document whose int16
+    mono sample stream is the token SEQUENCE under the portable hash —
+    sample p = portable_hash60(tok_p) % 65536 − 32768. Documents that
+    share long stretches of text share stretches of waveform, so an
+    energy-envelope fingerprint finds partially-overlapping clips —
+    the deterministic stand-in for perceptual audio dedup that the
+    oracle can recompute from the text (the corpus ships no real
+    audio; the WAV container is REAL and PCM round-trips losslessly
+    through the stdlib codec, so :func:`audio_fingerprint56`'s decode
+    is a true codec path — the d50/d53 discipline on the third
+    modality). Docs with no tokens yield no row.
+
+    The samples are computed JVM-side with the exact tokenizer +
+    portable hash the dedup family twins use — the Python stage only
+    packs integers it was handed into little-endian PCM and wraps the
+    container; no semantics can drift in the UDF.
+
+    Scale shape: one tokenize + per-row hash projection (O(tokens)
+    work, zero exchanges), one Arrow ``mapInPandas`` pass at doc
+    grain (payloads 2 B/token + 44 B header)."""
+    import numpy as np
+
+    tk = docs.select(
+        "doc_id", F.filter(tokens("text"), lambda t: t != "").alias("tk")
+    ).where(F.size("tk") > 0)
+    samples = F.transform(
+        F.col("tk"),
+        lambda t: (portable_hash60(t) % 65536 - 32768).cast("int"),
+    )
+    src = tk.select("doc_id", samples.alias("samples_src"))
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("media", BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            medias = []
+            for s in pdf["samples_src"]:
+                pcm = np.asarray(s, dtype="<i2").tobytes()
+                medias.append(
+                    codecs.encode_wav(
+                        pcm, rate=WAV_RATE, channels=1, sampwidth=2
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": medias})
+
+    return src.mapInPandas(run, schema)
+
+
+def audio_fingerprint56(media: DataFrame, n_segments: int = 4) -> DataFrame:
+    """(doc_id, seg, ah): 56-bit energy-envelope difference hash per
+    SEGMENT of a WAV payload column — the audio analog of
+    :func:`dhash56`. The decode is the real stdlib codec
+    (operators/codecs.decode_wav); a non-mono or non-16-bit payload
+    fails loudly rather than hashing garbage. Sample p of an L-sample
+    stream lands in global window (p · n_segments · AUDIO_WINDOWS)
+    div L — segment = div AUDIO_WINDOWS, sub-window = mod
+    AUDIO_WINDOWS (the d53 positional-chunk rule one level deeper) —
+    each (segment, window) accumulates Σ|sample| exactly in int64,
+    and bit j of the segment's hash is set iff E[j] < E[j+1].
+    Segments with no samples are dropped (a short clip yields fewer
+    segments); windows with no samples read E = 0 — all integer
+    compares, bit-identical in any engine.
+
+    Scale shape: one Arrow ``mapInPandas`` pass, ≤ n_segments rows
+    out per clip; the windowing/energy/pack is vectorized numpy over
+    the decoded buffer, so per-row Python work is just the WAV
+    header parse."""
+    import numpy as np
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("seg", IntegerType()),
+            StructField("ah", LongType()),
+        ]
+    )
+    nw = AUDIO_WINDOWS
+    weights = np.left_shift(
+        np.int64(1), np.arange(AUDIO_FP_BITS, dtype=np.int64)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc: list[int] = []
+            out_seg: list[int] = []
+            out_ah: list[int] = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["media"]):
+                rate, ch, sw, pcm = codecs.decode_wav(bytes(b))
+                if (ch, sw) != (1, 2):
+                    raise codecs.UnsupportedMediaError(
+                        f"audio_fingerprint56 wants mono 16-bit, got "
+                        f"{ch}ch {sw * 8}-bit"
+                    )
+                s = np.abs(np.frombuffer(pcm, dtype="<i2").astype(np.int64))
+                L = len(s)
+                if L == 0:
+                    continue
+                pos = np.arange(L, dtype=np.int64)
+                wg = (pos * (n_segments * nw)) // L
+                energy = np.zeros((n_segments, nw), dtype=np.int64)
+                np.add.at(energy, (wg // nw, wg % nw), s)
+                fps = ((energy[:, :-1] < energy[:, 1:]) * weights).sum(
+                    axis=1
+                )
+                for g in np.unique(wg // nw):
+                    out_doc.append(int(doc_id))
+                    out_seg.append(int(g))
+                    out_ah.append(int(fps[g]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(out_doc, dtype="int64"),
+                    "seg": pd.array(out_seg, dtype="int32"),
+                    "ah": pd.array(out_ah, dtype="int64"),
                 }
             )
 

@@ -226,6 +226,104 @@ def d53_video_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+D55_SEGMENTS = 4  # segments per synthetic clip (positional chunks)
+D55_HAMMING = 1  # segment-match radius: energy envelopes over ~57
+# sparse sub-windows behave like d53's frame thumbnails — matches must
+# be near-identical to count as the same content
+D55_MIN_CONTAIN = 0.5  # report pairs where either side's segment
+# containment reaches 1/2 — the near-dup-clip cut (d53's rule)
+
+
+def d55_audio_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO-grain perceptual near-dup pairs (r13 — completes the
+    image (d50) / video (d53) / audio modality triad the r12 verdict
+    ordered): synthesize a REAL RIFF/PCM WAV per document
+    (operators/multimodal.synth_token_wav — the token sequence as an
+    int16 sample stream under the portable hash), DECODE it with the
+    real stdlib codec (codecs.decode_wav — the m3 machinery), compute
+    a 56-bit energy-envelope difference fingerprint per positional
+    SEGMENT (multimodal.audio_fingerprint56 — chromaprint's shape
+    reduced to its integer core: per-sub-window Σ|sample| energies,
+    bit j set iff E[j] < E[j+1], the dHash discipline on the sample
+    stream), find segment-level Hamming ≤ D55_HAMMING pairs via the
+    d4/d50/d53 pigeonhole banding
+    (operators/dedup.hamming_pairs_from_hashes, 2×28-bit chunks —
+    exact blocking at this radius), and roll cross-clip segment
+    matches up to a clip-grain CONTAINMENT score: matched_x /
+    n_segments_x per side, pairs kept where either side reaches
+    D55_MIN_CONTAIN (a jingle wholly contained in a longer clip
+    scores 1.0 on its side). On a real audio corpus only the synth
+    step changes (samples come from the decoder); decode → window →
+    hash → band → roll-up is this exact pipeline.
+
+    Scale shape: one tokenize/hash projection + two linear Arrow
+    passes (WAV-encode, decode+window+hash) at clip grain
+    (≤ D55_SEGMENTS rows/doc out), one bounded 2×/segment explode +
+    equi-join on (chunk, ckey) with exact bit_count verification
+    (d50/d53's audited shape), then a keyed clip-grain roll-up. The
+    twin recomputes window energies from the generative rule (the
+    PCM round trip is lossless — pinned in tests) and replays the
+    roll-up bit-for-bit."""
+    ns = D55_SEGMENTS
+    docs = load(spark, sf_dir, "documents")
+    wav = multimodal.synth_token_wav(docs)
+    fps = multimodal.audio_fingerprint56(wav, n_segments=ns)
+    sh = fps.select(
+        (F.col("doc_id") * ns + F.col("seg")).alias("doc_id"),
+        F.col("ah").alias("sh"),
+    ).localCheckpoint(eager=False)  # feeds pairs + per-clip counts
+    pairs = dedup.hamming_pairs_from_hashes(
+        sh, D55_HAMMING, n_chunks=2, chunk_bits=28
+    )
+    cross = pairs.where(
+        F.expr(f"doc_a div {ns}") != F.expr(f"doc_b div {ns}")
+    )
+    roll = (
+        cross.select(
+            F.expr(f"doc_a div {ns}").alias("clip_a"),
+            F.expr(f"doc_b div {ns}").alias("clip_b"),
+            "doc_a",
+            "doc_b",
+        )
+        .groupBy("clip_a", "clip_b")
+        .agg(
+            F.countDistinct("doc_a").cast("bigint").alias("matched_a"),
+            F.countDistinct("doc_b").cast("bigint").alias("matched_b"),
+            F.count(F.lit(1)).cast("bigint").alias("n_seg_pairs"),
+        )
+    )
+    nsg = sh.groupBy(F.expr(f"doc_id div {ns}").alias("clip")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nsg")
+    )
+    contain = F.greatest(
+        F.col("matched_a").cast("double") / F.col("ns_a").cast("double"),
+        F.col("matched_b").cast("double") / F.col("ns_b").cast("double"),
+    )
+    return (
+        roll.join(
+            nsg.select(F.col("clip").alias("clip_a"), F.col("nsg").alias("ns_a")),
+            "clip_a",
+        )
+        .join(
+            nsg.select(F.col("clip").alias("clip_b"), F.col("nsg").alias("ns_b")),
+            "clip_b",
+        )
+        .withColumn("containment", contain)
+        .where(F.col("containment") >= D55_MIN_CONTAIN)
+        .select(
+            "clip_a",
+            "clip_b",
+            "ns_a",
+            "ns_b",
+            "matched_a",
+            "matched_b",
+            "n_seg_pairs",
+            "containment",
+        )
+        .orderBy("clip_a", "clip_b")
+    )
+
+
 D38_THRESHOLDS = [80, 85, 90, 95]  # Jaccard thresholds as integer %
 
 
@@ -2388,6 +2486,7 @@ QUERIES = {
     "d4_simhash_dups": d4_simhash_dups,
     "d50_image_phash_dups": d50_image_phash_dups,
     "d53_video_phash_dups": d53_video_phash_dups,
+    "d55_audio_fingerprint_dups": d55_audio_fingerprint_dups,
     "d51_html_extract": d51_html_extract,
     "d5_lang_id": d5_lang_id,
     "d45_langid_model": d45_langid_model,
@@ -3527,6 +3626,80 @@ _ORACLE_TEMPLATE = {
                        CAST(r.matched_b AS DOUBLE) / CAST(nb.nf AS DOUBLE))
               >= {D53_MIN_CONTAIN}
         ORDER BY video_a, video_b
+    """,
+    # d55 twin: recompute per-SEGMENT window energies from the
+    # generative rule (token sequence → int16 sample stream under the
+    # portable hash → positional segment/sub-window split → exact
+    # Σ|sample| per window; the WAV encode/decode is a lossless PCM
+    # round trip pinned in tests), then the 56-bit energy-envelope
+    # difference hash, all-pairs Hamming <= D55_HAMMING across clips
+    # (Spark's 2x28-bit pigeonhole blocking is exact at this radius),
+    # and the clip-grain containment roll-up.
+    "d55_audio_fingerprint_dups": f"""
+        WITH d AS (
+          SELECT doc_id, list_filter({_T}, t -> t <> '') AS tk
+          FROM documents WHERE doc_id < {PAIR_CAP}),
+        nz AS (
+          SELECT doc_id, tk, len(tk) AS L FROM d WHERE len(tk) > 0),
+        pos AS (
+          SELECT doc_id, L,
+                 CAST(generate_subscripts(tk, 1) - 1 AS BIGINT) AS pos,
+                 unnest(tk) AS tok
+          FROM nz),
+        smp AS (
+          SELECT doc_id,
+                 (pos * {D55_SEGMENTS * multimodal.AUDIO_WINDOWS}) // L AS w,
+                 ABS({sql_portable_hash60('tok')} % 65536 - 32768) AS a
+          FROM pos),
+        en AS (
+          SELECT doc_id, w // {multimodal.AUDIO_WINDOWS} AS seg,
+                 w % {multimodal.AUDIO_WINDOWS} AS win,
+                 CAST(SUM(a) AS BIGINT) AS e
+          FROM smp GROUP BY doc_id, w // {multimodal.AUDIO_WINDOWS},
+                            w % {multimodal.AUDIO_WINDOWS}),
+        sg AS (SELECT DISTINCT doc_id, seg FROM en),
+        grid AS (
+          SELECT sg.doc_id, sg.seg, g.win, COALESCE(en.e, 0) AS e
+          FROM sg CROSS JOIN
+            (SELECT unnest(range(0, {multimodal.AUDIO_WINDOWS})) AS win) g
+          LEFT JOIN en ON en.doc_id = sg.doc_id AND en.seg = sg.seg
+                      AND en.win = g.win),
+        fp AS (
+          SELECT l.doc_id, l.seg,
+                 CAST(COALESCE(SUM(CASE WHEN l.e < r.e
+                   THEN (CAST(1 AS BIGINT) << CAST(l.win AS INT))
+                   ELSE 0 END), 0) AS BIGINT) AS ah
+          FROM grid l JOIN grid r ON r.doc_id = l.doc_id
+                                 AND r.seg = l.seg AND r.win = l.win + 1
+          WHERE l.win < {multimodal.AUDIO_WINDOWS - 1}
+          GROUP BY l.doc_id, l.seg),
+        fpairs AS (
+          SELECT a.doc_id AS ka, a.seg AS sa, b.doc_id AS kb, b.seg AS sb
+          FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.ah, b.ah)) <= {D55_HAMMING}),
+        roll AS (
+          SELECT ka AS clip_a, kb AS clip_b,
+                 CAST(COUNT(DISTINCT sa) AS BIGINT) AS matched_a,
+                 CAST(COUNT(DISTINCT sb) AS BIGINT) AS matched_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_seg_pairs
+          FROM fpairs GROUP BY ka, kb),
+        nsg AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nsg
+          FROM fp GROUP BY doc_id)
+        SELECT r.clip_a AS clip_a, r.clip_b AS clip_b,
+               na.nsg AS ns_a, nb.nsg AS ns_b,
+               r.matched_a AS matched_a, r.matched_b AS matched_b,
+               r.n_seg_pairs AS n_seg_pairs,
+               greatest(CAST(r.matched_a AS DOUBLE) / CAST(na.nsg AS DOUBLE),
+                        CAST(r.matched_b AS DOUBLE) / CAST(nb.nsg AS DOUBLE))
+                 AS containment
+        FROM roll r
+        JOIN nsg na ON na.doc_id = r.clip_a
+        JOIN nsg nb ON nb.doc_id = r.clip_b
+        WHERE greatest(CAST(r.matched_a AS DOUBLE) / CAST(na.nsg AS DOUBLE),
+                       CAST(r.matched_b AS DOUBLE) / CAST(nb.nsg AS DOUBLE))
+              >= {D55_MIN_CONTAIN}
+        ORDER BY clip_a, clip_b
     """,
     "d33_split_leakage": f"""
         WITH d AS (
