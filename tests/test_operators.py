@@ -2413,6 +2413,101 @@ def test_pq_frozen_code_maintenance_and_drift_trigger(spark):
     )
 
 
+def test_d56_trigram_backoff_chain_branches_live(spark):
+    """d56's stupid-backoff chain exercises ALL THREE branches at the
+    parity-gate catalog (trigram hit, bigram backoff, unigram
+    backoff) — a dead branch would mean the driver hash never
+    verifies that leg of the model. Also pins the d52→d56 grain
+    relation: the trigram chain scores a subset of d52's eval docs
+    (≥ 3 tokens instead of ≥ 2) with strictly more context."""
+    from yuki_spark.catalog import load
+    from yuki_spark.operators import text
+    from yuki_spark.queries import docs as docsq
+
+    sf = "/root/testdata/sf0.001"
+    rows = docsq.d56_trigram_lm_perplexity(spark, sf).collect()
+    tg = sum(r["n_trigrams"] for r in rows)
+    b1 = sum(r["n_backoff_bigram"] for r in rows)
+    b2 = sum(r["n_backoff_unigram"] for r in rows)
+    assert tg - b1 - b2 > 0, "trigram-hit branch dead"
+    assert b1 > 0, "bigram-backoff branch dead"
+    assert b2 > 0, "unigram-backoff branch dead"
+    # every scored doc is an odd-id doc with >= 3 tokens
+    t = text.with_tokens(load(spark, sf, "documents"))
+    pd = docsq._d56_per_doc(t)
+    ids = {r["doc_id"] for r in pd.select("doc_id").collect()}
+    ok = {
+        r["doc_id"]
+        for r in t.where(
+            (F.col("doc_id") % 2 == 1) & (F.col("n_tokens") >= 3)
+        ).collect()
+    }
+    assert ids == ok
+
+
+def test_filtered_ann_strategy_policy():
+    """The executable filtered-ANN policy (r13): constructed
+    starvation cases + the invariants that make it a POLICY rather
+    than a lookup — 'pre' exactly at/below the selectivity cliff,
+    'beam' only when the effective beam keeps >= k expected passing
+    slots, 'route' in the starvation gap; monotone in beam (widening
+    never demotes beam→route) and in selectivity (loosening the
+    filter never re-introduces 'pre'); s29's shipped cells pinned."""
+    import pytest as _pytest
+
+    from yuki_spark.operators.similarity import (
+        FILTERED_ANN_PRE_MAX,
+        filtered_ann_strategy,
+    )
+    from yuki_spark.queries.sim import HNSW_BEAM, K, S29_FILTER_MODS
+
+    # constructed starvation: selective tenant at base width starves
+    assert filtered_ann_strategy(0.5, 3, 4) == "route"  # 2 expected < 3
+    assert filtered_ann_strategy(0.5, 3, 8) == "beam"  # widened: 4 >= 3
+    assert filtered_ann_strategy(0.125, 3, 32) == "pre"  # at the cliff
+    assert filtered_ann_strategy(1.0 / 64, 3, 10**6) == "pre"  # below it
+    assert filtered_ann_strategy(1.0, 3, 3) == "beam"  # no-op filter
+    assert filtered_ann_strategy(1.0, 3, 2) == "route"  # beam < k at sel 1
+
+    # the cliff is exact: one step above FILTERED_ANN_PRE_MAX leaves
+    # 'pre' and lands in beam-vs-route by expectation
+    just_above = FILTERED_ANN_PRE_MAX * 1.01
+    assert filtered_ann_strategy(just_above, 3, 1) == "route"
+    assert filtered_ann_strategy(just_above, 3, 10**4) == "beam"
+
+    # monotone in beam: widening never demotes beam → route
+    for sel in (0.2, 0.5, 0.9):
+        seen_beam = False
+        for beam in range(1, 40):
+            s = filtered_ann_strategy(sel, 3, beam)
+            assert s in ("beam", "route")
+            if s == "beam":
+                seen_beam = True
+            assert not (seen_beam and s == "route")
+
+    # monotone in selectivity: loosening the filter never returns 'pre'
+    sels = [i / 64 for i in range(1, 65)]
+    labels = [filtered_ann_strategy(s, 3, 8) for s in sels]
+    last_pre = max(i for i, l in enumerate(labels) if l == "pre")
+    assert all(l == "pre" for l in labels[: last_pre + 1])
+
+    # the shipped s29 grid exercises all three labels
+    grid = {
+        filtered_ann_strategy(1.0 / m, K, HNSW_BEAM * w)
+        for m in S29_FILTER_MODS
+        for w in (1, m)
+    }
+    assert grid == {"pre", "beam", "route"}
+
+    # contract violations fail loud
+    with _pytest.raises(ValueError):
+        filtered_ann_strategy(0.0, 3, 4)
+    with _pytest.raises(ValueError):
+        filtered_ann_strategy(1.5, 3, 4)
+    with _pytest.raises(ValueError):
+        filtered_ann_strategy(0.5, 0, 4)
+
+
 def test_hnsw_ladder_moduli_geometry():
     """The ladder-depth formula (the executable 'levels grow with
     log n' claim): nested divisor moduli, entry level at least the

@@ -247,6 +247,7 @@ ALLOWED_BNLJ = {
     "s10_cluster_balance": 1,
     "d31_token_surprisal": 1,  # single-row corpus-total (N, log2 N) broadcast
     "d52_bigram_lm_perplexity": 1,  # same d31 pattern: single-row l2N broadcast
+    "d56_trigram_lm_perplexity": 1,  # same d31/d52 pattern: single-row l2N broadcast
     # d54 = d52's chain (single-row l2N broadcast, visible twice here
     # because the tokenized-frame checkpoint exposes more of the
     # chain) + the single-row percentile-cutoff broadcast (the

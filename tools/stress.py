@@ -260,6 +260,10 @@ def main() -> None:
         # single-row percentile broadcast + one lang hash-agg; must
         # track d52's cost (shared chain), nothing super-linear
         "d54_perplexity_filter",
+        # round-13: order-3 LM — d52's type-grain shape with one more
+        # explode+agg level (5 type-grain hash-aggs); token-volume
+        # linearity is the thing to watch at 10x
+        "d56_trigram_lm_perplexity",
         # round-13: audio perceptual dedup — one hash projection + two
         # linear Arrow passes (WAV encode, decode+window+hash) at clip
         # grain + the 2x28-bit banding; token-volume linearity +

@@ -1813,6 +1813,54 @@ HNSW_BRANCHING = 4     # level-membership thinning factor (÷4 per rung)
 HNSW_ENTRY_TARGET = 24  # smallest useful exact-scan entry level
 
 
+# The pre-filter cliff for attribute-filtered ANN: at or below this
+# selectivity, running the predicate through the INDEX (s28's
+# ivf_ann_filtered pre-filter) beats any descent shape — the s28/s29
+# decision tables measure exactly this (the mod-8 tenant's filtered
+# beams starve at every shipped width while pre-filter holds full-k
+# recall). 1/8 is the coarsest selectivity the shipped tables show
+# starving; production deployments re-derive it from their own s29
+# table, the way hnsw_ladder_moduli re-derives ladder depth from n.
+FILTERED_ANN_PRE_MAX = 1.0 / 8.0
+
+
+def filtered_ann_strategy(selectivity: float, k: int, beam: int) -> str:
+    """Executable query-time POLICY for attribute-filtered ANN — the
+    DECISION the s28/s29 tables inform (r13, the r12 verdict's item
+    4; the :func:`hnsw_ladder_moduli` discipline applied to the
+    strategy knob — an executable formula instead of a table the
+    operator reads by hand):
+
+    - ``'pre'`` when selectivity ≤ FILTERED_ANN_PRE_MAX: the
+      predicate prunes so hard that running it through the index
+      (s28's pre-filter) is both cheapest and recall-safest — every
+      query gets a full k from its own tenant.
+    - ``'beam'`` when beam · selectivity ≥ k: the filtered beam
+      (hnsw_descent ``keep=``) keeps enough predicate-passing slots
+      per hop in expectation to fill the answer — starvation not
+      predicted, cheapest descent wins. ``beam`` is the EFFECTIVE
+      width (base × widen — the production widen-by-1/selectivity
+      rule of thumb feeds in here).
+    - ``'route'`` otherwise: starvation predicted (the filtered beam
+      would keep < k candidates in expectation), so navigate
+      unfiltered and answer from the scored pool
+      (``collect_candidates=True``).
+
+    Pure scalar function — callable at plan-build time (s29 stamps
+    the decision on every cell row so the DuckDB twin hash-verifies
+    the policy itself) and cheap enough for per-query dispatch when
+    selectivity stats are per-tenant."""
+    if not 0.0 < selectivity <= 1.0:
+        raise ValueError(f"selectivity must be in (0, 1], got {selectivity}")
+    if k < 1 or beam < 1:
+        raise ValueError("k and beam must be positive")
+    if selectivity <= FILTERED_ANN_PRE_MAX:
+        return "pre"
+    if beam * selectivity >= k:
+        return "beam"
+    return "route"
+
+
 def hnsw_ladder_moduli(
     n: int,
     branching: int = HNSW_BRANCHING,

@@ -2305,37 +2305,199 @@ def d52_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _d56_per_doc(t: DataFrame) -> DataFrame:
+    """d56's per-doc scoring chain over a tokenized corpus frame —
+    (doc_id, source, n_tg, n_bo1, n_bo2, sum_bits, mean_bits) for
+    every scorable eval doc (odd doc_ids with ≥ 1 trigram), shared by
+    the d56 report and the d54 APPLY step (the order-3 upgrade of
+    _d52_per_doc; see d56's docstring for the model). All counts
+    derive from the TRAIN TRIGRAM stream (the d52 discipline one
+    order up): trigram c3(abc), trigram-context ct2(ab·), backoff
+    bigram cb(bc) = Σₐc3, backoff context cbt(b·) = Σ_c cb, next
+    unigram cu(c), total N."""
+    from ..functions import DEC, with_plog2
+
+    tg = t.select(
+        "doc_id",
+        "source",
+        F.explode(text._zip_ngrams("toks", 3)).alias("trigram"),
+    )
+    train = tg.where(F.col("doc_id") % 2 == 0)
+    ev = tg.where(F.col("doc_id") % 2 == 1)
+    c3 = with_plog2(
+        train.groupBy("trigram").agg(F.count(F.lit(1)).alias("ct3")),
+        "ct3",
+        "l2c3",
+    )
+    ct2 = with_plog2(
+        c3.groupBy(F.substring_index("trigram", " ", 2).alias("ctx2")).agg(
+            F.sum("ct3").alias("ctc2")
+        ),
+        "ctc2",
+        "l2ct2",
+    )
+    cb = with_plog2(
+        c3.groupBy(F.substring_index("trigram", " ", -2).alias("bg")).agg(
+            F.sum("ct3").alias("ctb")
+        ),
+        "ctb",
+        "l2cb",
+    )
+    cbt = with_plog2(
+        cb.groupBy(F.substring_index("bg", " ", 1).alias("mid")).agg(
+            F.sum("ctb").alias("ctm")
+        ),
+        "ctm",
+        "l2cbt",
+    )
+    cu = with_plog2(
+        c3.groupBy(F.substring_index("trigram", " ", -1).alias("nxt")).agg(
+            F.sum("ct3").alias("ctu")
+        ),
+        "ctu",
+        "l2cu",
+    )
+    nn = with_plog2(c3.agg(F.sum("ct3").alias("N")), "N", "l2n")
+    types = (
+        ev.select("trigram")
+        .distinct()
+        .withColumn("ctx2", F.substring_index("trigram", " ", 2))
+        .withColumn("bg", F.substring_index("trigram", " ", -2))
+        .withColumn("mid", F.substring_index("bg", " ", 1))
+        .withColumn("nxt", F.substring_index("trigram", " ", -1))
+        .join(c3.select("trigram", "l2c3"), "trigram", "left")
+        .join(ct2.select("ctx2", "l2ct2"), "ctx2", "left")
+        .join(cb.select("bg", "l2cb"), "bg", "left")
+        .join(cbt.select("mid", "l2cbt"), "mid", "left")
+        .join(cu.select("nxt", "l2cu"), "nxt", "left")
+        .crossJoin(F.broadcast(nn.select("l2n")))
+    )
+    bits = (
+        F.when(F.col("l2c3").isNotNull(), F.col("l2ct2") - F.col("l2c3"))
+        .when(
+            F.col("l2cb").isNotNull(),
+            F.lit(1.0) + F.col("l2cbt") - F.col("l2cb"),
+        )
+        .otherwise(
+            F.lit(2.0) + F.col("l2n") - F.coalesce(F.col("l2cu"), F.lit(0.0))
+        )
+    )
+    sb = types.select(
+        "trigram",
+        bits.cast(DEC).alias("s_bits"),
+        F.when(
+            F.col("l2c3").isNull() & F.col("l2cb").isNotNull(), 1
+        )
+        .otherwise(0)
+        .alias("bo1"),
+        F.when(F.col("l2c3").isNull() & F.col("l2cb").isNull(), 1)
+        .otherwise(0)
+        .alias("bo2"),
+    )
+    return (
+        ev.join(sb, "trigram")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tg"),
+            F.sum("bo1").cast("bigint").alias("n_bo1"),
+            F.sum("bo2").cast("bigint").alias("n_bo2"),
+            F.sum("s_bits").alias("sum_bits"),  # DEC-exact, any order
+            (F.sum("s_bits").cast("double") / F.count(F.lit(1))).alias(
+                "mean_bits"
+            ),
+        )
+    )
+
+
+def d56_trigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff TRIGRAM-LM perplexity over a held-out split
+    (r13, the r12 verdict's item 5 — the order-3 upgrade of d52,
+    matching what CCNet/KenLM-class quality gates actually run; the
+    bigram gate was the quality family's weakest link): train on the
+    even doc_ids, score every ODD doc's trigram transitions as -log2
+    of the Brants et al. 2007 stupid-backoff chain with α = 1/2
+    (exactly one extra bit per backoff level, keeping the whole model
+    inside the portable integer-log2 primitive — no libm, both
+    engines bit-identical):
+
+      P(c|ab) = c3(abc)/ct2(ab·)            trigram seen
+              = ½ · cb(bc)/cbt(b·)          else, backoff bigram seen
+              = ¼ · cu(c)/N                 else (never-seen final
+                                            token backs off to count
+                                            1 → l2 = 0, the d52 rule)
+
+    Every count derives from the train TRIGRAM stream (the d52
+    discipline one order up), so the model is self-consistent and
+    the DuckDB twin rebuilds it from the same generative rule.
+    Per-source rollup with BOTH backoff-level transition counts (the
+    out-of-domain signal at each order — trigram-hit and
+    bigram-backoff are live at every test sf, and the unigram tail is
+    live at the parity-gate catalogs sf0.001/sf0.01 [7 transitions
+    each] while legitimately ZERO at sf0.1, whose larger train split
+    covers every eval backoff bigram — measured, pinned) and
+    min/avg/max bits; avg is transition-weighted over the exact
+    DECIMAL sums (the d52 determinism note). d54's APPLY step
+    consumes this chain's per-doc scores unchanged.
+
+    Scale shape: one trigram explode (linear), five hash-aggs at
+    trigram/context/bigram/mid/unigram TYPE grain, log2 chains at
+    type grain only, one single-row N broadcast, then keyed
+    type-grain joins back to the eval occurrences and doc/source
+    hash-aggs — d52's audited shape with one more explode+agg
+    level."""
+    t = text.with_tokens(load(spark, sf_dir, "documents"))
+    per_doc = _d56_per_doc(t)
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tg").cast("bigint").alias("n_trigrams"),
+            F.sum("n_bo1").cast("bigint").alias("n_backoff_bigram"),
+            F.sum("n_bo2").cast("bigint").alias("n_backoff_unigram"),
+            (F.sum("sum_bits").cast("double") / F.sum("n_tg")).alias(
+                "avg_bits"
+            ),
+            F.min("mean_bits").alias("min_bits"),
+            F.max("mean_bits").alias("max_bits"),
+        )
+        .orderBy("source")
+    )
+
+
 D54_PCT = 0.75  # keep the best three quarters by LM bits — the
 # relative cutoff guarantees BOTH branches (kept and dropped) are
 # non-empty at every catalog, unlike a fixed bits threshold
 
 
 def d54_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perplexity-gate APPLY step (r12 — d52 measures, this FILTERS,
-    the d47/d20 measure-then-apply discipline): score the held-out
-    split with d52's stupid-backoff bigram LM (the shared
-    _d52_per_doc chain — identical model, identical exact-arithmetic
-    bits), cut at the exact interpolated D54_PCT percentile of
-    per-doc mean bits (one single-row aggregate broadcast back — the
-    d26 cutoff pattern, quantile_cont-paired), KEEP docs at or below
-    the cutoff, and report the surviving corpus per LANGUAGE:
-    scored/kept/dropped counts, the kept TOKEN budget (what actually
-    feeds the training mix), the kept doc_id sum (the id pin that
-    binds WHICH docs survived — d33's discipline, count+sum together
-    pin the set), and the cutoff itself. Docs with fewer than two
-    tokens have no transitions and are not scored (they never reach
-    the gate); the relative cutoff exercises both branches at every
-    test sf by construction.
+    """Perplexity-gate APPLY step (r12; since r13 fed by the TRIGRAM
+    LM — d56 measures, this FILTERS, the d47/d20 measure-then-apply
+    discipline): score the held-out split with d56's stupid-backoff
+    order-3 LM (the shared _d56_per_doc chain — identical model,
+    identical exact-arithmetic bits; the r12 verdict's LM-upgrade
+    item, matching what CCNet/KenLM-class gates actually run), cut at
+    the exact interpolated D54_PCT percentile of per-doc mean bits
+    (one single-row aggregate broadcast back — the d26 cutoff
+    pattern, quantile_cont-paired; at 1e9+ scored docs swap in e7's
+    KLL approx_percentile, the family's documented 100 TB path), KEEP
+    docs at or below the cutoff, and report the surviving corpus per
+    LANGUAGE: scored/kept/dropped counts, the kept TOKEN budget (what
+    actually feeds the training mix), the kept doc_id sum (the id pin
+    that binds WHICH docs survived — d33's discipline, count+sum
+    together pin the set), and the cutoff itself. Docs with fewer
+    than three tokens have no trigram transitions and are not scored
+    (they never reach the gate); the relative cutoff exercises both
+    branches at every test sf by construction.
 
-    Scale shape: d52's audited chain (type-grain aggs + keyed joins,
+    Scale shape: d56's audited chain (type-grain aggs + keyed joins,
     one single-row N broadcast) + one corpus-frame join for
     (lang, n_tokens), one single-row percentile broadcast, one lang
     hash-agg. The tokenized frame is checkpointed — it feeds both
     the scoring chain and the budget join."""
     t = text.with_tokens(load(spark, sf_dir, "documents")).localCheckpoint(
         eager=False
-    )  # feeds the d52 chain + the lang/token-budget join
-    per_doc = _d52_per_doc(t)
+    )  # feeds the d56 chain + the lang/token-budget join
+    per_doc = _d56_per_doc(t)
     scored = per_doc.join(t.select("doc_id", "lang", "n_tokens"), "doc_id")
     cut = scored.agg(
         F.expr(f"percentile(mean_bits, {D54_PCT}D)").alias("bits_cutoff")
@@ -2479,6 +2641,7 @@ QUERIES = {
     "d34_rag_chunking": d34_rag_chunking,
     "d35_bigram_rarity": d35_bigram_rarity,
     "d52_bigram_lm_perplexity": d52_bigram_lm_perplexity,
+    "d56_trigram_lm_perplexity": d56_trigram_lm_perplexity,
     "d54_perplexity_filter": d54_perplexity_filter,
     "d2_ngram_jaccard_dups": d2_ngram_jaccard_dups,
     "d38_threshold_sweep": d38_threshold_sweep,
@@ -2744,12 +2907,99 @@ def _d52_oracle() -> str:
     """
 
 
-def _d54_oracle() -> str:
-    """Twin of d54_perplexity_filter: the shared d52 chain, the lang/
-    token-budget join, quantile_cont at D54_PCT (the e6/d26-proven
-    percentile pairing), and the per-language kept/dropped roll-up."""
+def _d56_pd_ctes() -> str:
+    """The d56 trigram scoring chain through the per-doc table ``pd``
+    as a WITH-body prefix — shared by the d56 report twin and the d54
+    apply twin (one copy of the order-3 model SQL; _d52_pd_ctes' shape
+    one order up). Tokens contain no spaces (tokenizer contract), so
+    split_part composition is the exact twin of Spark's
+    substring_index context/backoff keys."""
+    from ..functions import sql_plog2_ctes
+
+    ctx2 = "split_part({0}, ' ', 1) || ' ' || split_part({0}, ' ', 2)"
+    bg = "split_part({0}, ' ', 2) || ' ' || split_part({0}, ' ', 3)"
+    return f"""t AS (
+          SELECT doc_id, source, {_T} AS toks FROM documents),
+        occ AS (
+          SELECT doc_id, source,
+                 unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                   AS trigram
+          FROM t),
+        trn AS (SELECT * FROM occ WHERE doc_id % 2 = 0),
+        ev AS (SELECT * FROM occ WHERE doc_id % 2 = 1),
+        c30 AS (SELECT trigram, CAST(COUNT(*) AS BIGINT) AS ct3
+                FROM trn GROUP BY trigram),
+        ct20 AS (SELECT {ctx2.format('trigram')} AS ctx2,
+                        CAST(SUM(ct3) AS BIGINT) AS ctc2
+                 FROM c30 GROUP BY ctx2),
+        cb0 AS (SELECT {bg.format('trigram')} AS bg,
+                       CAST(SUM(ct3) AS BIGINT) AS ctb
+                FROM c30 GROUP BY bg),
+        cbt0 AS (SELECT split_part(bg, ' ', 1) AS mid,
+                        CAST(SUM(ctb) AS BIGINT) AS ctm
+                 FROM cb0 GROUP BY mid),
+        cu0 AS (SELECT split_part(trigram, ' ', 3) AS nxt,
+                       CAST(SUM(ct3) AS BIGINT) AS ctu
+                FROM c30 GROUP BY nxt),
+        n0 AS (SELECT CAST(SUM(ct3) AS BIGINT) AS N FROM c30),
+        {sql_plog2_ctes("c3", "c30", "ct3", "l2c3", max_bits=33)},
+        {sql_plog2_ctes("ct2", "ct20", "ctc2", "l2ct2", max_bits=33)},
+        {sql_plog2_ctes("cb", "cb0", "ctb", "l2cb", max_bits=33)},
+        {sql_plog2_ctes("cbt", "cbt0", "ctm", "l2cbt", max_bits=33)},
+        {sql_plog2_ctes("cu", "cu0", "ctu", "l2cu", max_bits=33)},
+        {sql_plog2_ctes("nn", "n0", "N", "l2n", max_bits=33)},
+        et AS (SELECT DISTINCT trigram FROM ev),
+        sb AS (
+          SELECT et.trigram,
+                 CAST(CASE WHEN c3.l2c3 IS NOT NULL
+                           THEN ct2.l2ct2 - c3.l2c3
+                           WHEN cb.l2cb IS NOT NULL
+                           THEN CAST(1 AS DOUBLE) + cbt.l2cbt - cb.l2cb
+                           ELSE CAST(2 AS DOUBLE) + nn.l2n
+                                - COALESCE(cu.l2cu, CAST(0 AS DOUBLE)) END
+                      AS DECIMAL(18,6)) AS s_bits,
+                 CASE WHEN c3.l2c3 IS NULL AND cb.l2cb IS NOT NULL
+                      THEN 1 ELSE 0 END AS bo1,
+                 CASE WHEN c3.l2c3 IS NULL AND cb.l2cb IS NULL
+                      THEN 1 ELSE 0 END AS bo2
+          FROM et
+          LEFT JOIN c3 ON c3.trigram = et.trigram
+          LEFT JOIN ct2 ON ct2.ctx2 = {ctx2.format('et.trigram')}
+          LEFT JOIN cb ON cb.bg = {bg.format('et.trigram')}
+          LEFT JOIN cbt ON cbt.mid = split_part(et.trigram, ' ', 2)
+          LEFT JOIN cu ON cu.nxt = split_part(et.trigram, ' ', 3)
+          CROSS JOIN nn),
+        pd AS (
+          SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_tg,
+                 CAST(SUM(bo1) AS BIGINT) AS n_bo1,
+                 CAST(SUM(bo2) AS BIGINT) AS n_bo2,
+                 SUM(s_bits) AS sum_bits,
+                 CAST(SUM(s_bits) AS DOUBLE) / COUNT(*) AS mean_bits
+          FROM ev JOIN sb USING (trigram) GROUP BY doc_id, source)"""
+
+
+def _d56_oracle() -> str:
     return f"""
-        WITH {_d52_pd_ctes()},
+        WITH {_d56_pd_ctes()}
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tg) AS BIGINT) AS n_trigrams,
+               CAST(SUM(n_bo1) AS BIGINT) AS n_backoff_bigram,
+               CAST(SUM(n_bo2) AS BIGINT) AS n_backoff_unigram,
+               CAST(SUM(sum_bits) AS DOUBLE) / SUM(n_tg) AS avg_bits,
+               MIN(mean_bits) AS min_bits,
+               MAX(mean_bits) AS max_bits
+        FROM pd GROUP BY source ORDER BY source
+    """
+
+
+def _d54_oracle() -> str:
+    """Twin of d54_perplexity_filter: the shared d56 TRIGRAM chain
+    (since r13 — the LM upgrade), the lang/token-budget join,
+    quantile_cont at D54_PCT (the e6/d26-proven percentile pairing),
+    and the per-language kept/dropped roll-up."""
+    return f"""
+        WITH {_d56_pd_ctes()},
         dl AS (
           SELECT doc_id, lang, CAST(len({_T}) AS BIGINT) AS n_tokens
           FROM documents),
@@ -2782,6 +3032,7 @@ _ORACLE_TEMPLATE = {
     "d31_token_surprisal": _d31_oracle(),
     "d32_doc_entropy": _d32_oracle(),
     "d52_bigram_lm_perplexity": _d52_oracle(),
+    "d56_trigram_lm_perplexity": _d56_oracle(),
     "d54_perplexity_filter": _d54_oracle(),
     "d26_quality_buckets": f"""
         WITH q AS (

@@ -1205,6 +1205,16 @@ def s29_filtered_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty-tenant query surfaces as n_possible=0 with NULL recall
     instead of vanishing.
 
+    Since r13 every row also carries ``auto_strategy`` — the
+    EXECUTABLE policy's pick for its cell
+    (operators/similarity.filtered_ann_strategy: 'pre' at/below the
+    FILTERED_ANN_PRE_MAX selectivity cliff the s28/s29 tables
+    measure, 'beam' when the effective beam keeps ≥ K expected
+    predicate-passing slots, 'route' when starvation is predicted) —
+    stamped from the scalar function on the Spark side while the
+    DuckDB twin replays the formula in SQL, so the policy itself is
+    hash-verified (the r12 verdict's tables-to-decision item).
+
     Scale shape: one shared hnsw_base; one filtered descent per cell
     + one unfiltered pool per DISTINCT effective beam (the beam-4
     pool serves both selectivities) — every descent is s22's audited
@@ -1331,6 +1341,15 @@ def s29_filtered_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit(widen).cast("bigint").alias("widen"),
                         F.lit(beam_eff).cast("bigint").alias("beam"),
                         F.lit(strat).alias("strategy"),
+                        # the executable POLICY's pick for this cell
+                        # (r13): stamped from the scalar function so
+                        # the twin's in-SQL replay of the formula
+                        # hash-verifies the policy itself
+                        F.lit(
+                            similarity.filtered_ann_strategy(
+                                1.0 / mod, K, beam_eff
+                            )
+                        ).alias("auto_strategy"),
                         "qid",
                         F.coalesce("n_kept", F.lit(0))
                         .cast("bigint")
@@ -2108,6 +2127,10 @@ def _s29_oracle() -> str:
                  CAST({w} AS BIGINT) AS widen,
                  CAST({b} AS BIGINT) AS beam,
                  '{strat}' AS strategy,
+                 CASE WHEN 1.0 / {m} <= {similarity.FILTERED_ANN_PRE_MAX}
+                        THEN 'pre'
+                      WHEN {b} * (1.0 / {m}) >= {K} THEN 'beam'
+                      ELSE 'route' END AS auto_strategy,
                  qc.qid AS qid,
                  CAST(COALESCE(kp.n_kept, 0) AS BIGINT) AS n_kept,
                  CAST(COALESCE(ph.n_hits, 0) AS BIGINT) AS n_hits,
