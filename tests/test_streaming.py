@@ -622,6 +622,140 @@ def test_corpus_ingest_dedupes_across_batches(spark, tmp_path):
     assert sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect()) == [1, 3, 11, 21]
 
 
+def test_corpus_dhash_sidecar_maintained_across_churn(spark, tmp_path):
+    """r13: the d50 perceptual-hash deposit is maintained as a SIDE
+    deposit of the corpus loops (the _buckets sidecar discipline on
+    the dHash family — the last rebuild-on-churn deposit the r12
+    verdict named). Across an ingest → retract → ingest cycle the
+    maintained sidecar must equal a from-scratch recompute over the
+    surviving corpus row-for-row, heal whole when missing, and stay
+    byte-stable under a forced batch replay."""
+    from yuki_spark.streaming.stream import _dhash_rows
+
+    sdir = tmp_path / "doc_stream"
+    sdir.mkdir()
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    dhash = str(tmp_path / "corpus_dhash")
+
+    def slice_file(name, rows):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows]),
+                "lang": pa.array(["en"] * len(rows)),
+                "source": pa.array(["s"] * len(rows)),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, sdir / name)
+        time.sleep(0.05)
+
+    def assert_sidecar_matches_corpus():
+        got = sorted(
+            (r["doc_id"], r["sh"])
+            for r in spark.read.parquet(dhash).collect()
+        )
+        want = sorted(
+            (r["doc_id"], r["sh"])
+            for r in _dhash_rows(spark.read.parquet(corpus)).collect()
+        )
+        assert got == want
+
+    slice_file(
+        "part-0000.parquet",
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different words entirely unrelated text here"),
+        ],
+    )
+    slice_file(
+        "part-0001.parquet",
+        [(11, "genuinely novel second batch content tokens")],
+    )
+    q = st.run_corpus_ingest(
+        st.read_document_stream(spark, str(sdir), max_files_per_trigger=1),
+        corpus,
+        index,
+        str(tmp_path / "ingest_ckpt"),
+        threshold=0.7,
+        dhash_path=dhash,
+    )
+    q.awaitTermination(180)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus).collect()
+    ) == [1, 3, 11]
+    assert_sidecar_matches_corpus()
+
+    # retract doc 3: the sidecar is pruned by the same keyed anti-join
+    rdir = tmp_path / "retract_stream"
+    rdir.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([3], pa.int64())}),
+        rdir / "rm-0.parquet",
+    )
+    rq = st.run_corpus_retract(
+        st.read_retraction_stream(spark, str(rdir)),
+        corpus,
+        index,
+        str(tmp_path / "retract_ckpt"),
+        dhash_path=dhash,
+    )
+    rq.awaitTermination(180)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus).collect()
+    ) == [1, 11]
+    assert_sidecar_matches_corpus()
+
+    # a later ingest batch appends at the same grain; replaying it
+    # against merged state leaves the sidecar byte-stable
+    slice_file(
+        "part-0002.parquet",
+        [(21, "late arriving but fresh content never seen before")],
+    )
+    q2 = st.run_corpus_ingest(
+        st.read_document_stream(spark, str(sdir), max_files_per_trigger=1),
+        corpus,
+        index,
+        str(tmp_path / "ingest_ckpt"),
+        threshold=0.7,
+        dhash_path=dhash,
+    )
+    q2.awaitTermination(180)
+    assert_sidecar_matches_corpus()
+    before = sorted(map(tuple, spark.read.parquet(dhash).collect()))
+    _force_batch_replay(str(tmp_path / "ingest_ckpt"))
+    q3 = st.run_corpus_ingest(
+        st.read_document_stream(spark, str(sdir), max_files_per_trigger=1),
+        corpus,
+        index,
+        str(tmp_path / "ingest_ckpt"),
+        threshold=0.7,
+        dhash_path=dhash,
+    )
+    q3.awaitTermination(180)
+    assert sorted(map(tuple, spark.read.parquet(dhash).collect())) == before
+
+    # heal rule: a deleted sidecar is rebuilt WHOLE on the next batch
+    import shutil
+
+    shutil.rmtree(dhash)
+    slice_file(
+        "part-0003.parquet",
+        [(30, "final batch with wholly new material for the heal path")],
+    )
+    q4 = st.run_corpus_ingest(
+        st.read_document_stream(spark, str(sdir), max_files_per_trigger=1),
+        corpus,
+        index,
+        str(tmp_path / "ingest_ckpt"),
+        threshold=0.7,
+        dhash_path=dhash,
+    )
+    q4.awaitTermination(180)
+    assert_sidecar_matches_corpus()
+
+
 def test_corpus_retract_reverses_ingest_and_readmits(spark, tmp_path):
     """Continuous retraction (run_corpus_retract, the takedown twin of
     the ingest loop): a streamed deletion batch removes the docs from

@@ -487,12 +487,26 @@ def _run_dedup_ingest(
     )
 
 
+def _dhash_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh): the d50 perceptual-hash rows of a document frame
+    — a pure PER-DOCUMENT function (token histogram → real PNG →
+    decode → dHash), which is exactly what makes the persisted dHash
+    sidecar maintainable under churn: anti-join on retract, one batch
+    pass on ingest, maintained ≡ rebuilt row-for-row."""
+    from ..operators import multimodal
+
+    return multimodal.dhash56(multimodal.synth_token_png(docs)).select(
+        "doc_id", "sh"
+    )
+
+
 def run_corpus_ingest(
     sdf: DataFrame,
     corpus_path: str,
     index_path: str,
     checkpoint: str,
     threshold: float = 0.8,
+    dhash_path: "str | None" = None,
 ):
     """Continuously ingest documents with cross-batch near-dedup — the
     end-to-end production shape for a growing pretraining corpus:
@@ -506,6 +520,17 @@ def run_corpus_ingest(
     snapshot, both doc-keyed upserts so a replayed batch rewrites the
     identical state (idempotent sink; crash-consistency protocol in
     :func:`_run_dedup_ingest`).
+
+    With ``dhash_path`` set, the d50 perceptual-hash deposit is
+    maintained as a SIDE deposit per batch (r13 — the _buckets
+    sidecar discipline on the dHash family, closing the last
+    rebuild-on-churn deposit the r12 verdict named): dHash rows are a
+    pure per-document function, so ingest appends one batch-sized
+    pass over the NOVEL docs (the batch ids anti-joined out first for
+    the replay/update case) and the maintained sidecar equals a
+    from-scratch recompute over the surviving corpus row-for-row
+    (pinned in tests). Missing sidecar → derived-data heal from the
+    merged corpus.
 
     Scale notes: the per-batch snapshot rewrite is the plain-parquet
     stand-in for a transactional MERGE — on a lakehouse table
@@ -544,6 +569,19 @@ def run_corpus_ingest(
             .distinct()
         )
 
+    def maintain(spark, novel, merged_corpus):
+        snap = _read_snapshot_or_none(spark, dhash_path)
+        if snap is None:
+            # derived-data heal: the sidecar is a pure function of the
+            # corpus — rebuild it whole from the merged snapshot
+            rows = _dhash_rows(merged_corpus)
+        else:
+            kept = snap.select("doc_id", "sh").join(
+                novel.select("doc_id"), "doc_id", "left_anti"
+            )
+            rows = kept.unionByName(_dhash_rows(novel))
+        return [(dhash_path, rows.localCheckpoint(eager=True))]
+
     return _run_dedup_ingest(
         sdf,
         corpus_path,
@@ -555,6 +593,7 @@ def run_corpus_ingest(
         cross_dups=cross_dups,
         rebuild_index=lambda corpus: dd.band_index(dd.token_sets(corpus)),
         primary_name="corpus",
+        maintain=maintain if dhash_path is not None else None,
     )
 
 
@@ -585,6 +624,7 @@ def run_corpus_retract(
     corpus_path: str,
     index_path: str,
     checkpoint: str,
+    dhash_path: "str | None" = None,
 ):
     """Continuous corpus RETRACTION — the takedown/GDPR-erasure twin of
     :func:`run_corpus_ingest` (r10): each micro-batch of doc_ids is
@@ -607,7 +647,9 @@ def run_corpus_retract(
     interrupted batch replays. A retraction arriving before anything
     was ingested is a no-op. Batch-side label artifacts are the
     consumer's job: operators/dedup.relabel_after_removal recomputes
-    CC labels for exactly the components that lost a member.
+    CC labels for exactly the components that lost a member. With
+    ``dhash_path`` set, the d50 perceptual-hash sidecar is pruned by
+    the same keyed anti-join (r13; see :func:`run_corpus_ingest`).
 
     Scale shape: per batch two keyed anti-joins sized by the deletion
     batch (AQE broadcasts it) — the corpus text is never re-tokenized
@@ -632,8 +674,21 @@ def run_corpus_retract(
             index = dd.band_index(dd.token_sets(corpus))
         mc = corpus.join(ids, "doc_id", "left_anti").localCheckpoint(eager=True)
         mi = dd.remove_from_index(index, ids).localCheckpoint(eager=True)
+        md = None
+        if dhash_path is not None:
+            dsnap = _read_snapshot_or_none(spark, dhash_path)
+            # dHash rows are a pure per-document function: retract is
+            # one keyed anti-join (r13 — the sidecar discipline on the
+            # d50 deposit). Missing sidecar → nothing to maintain (it
+            # heals whole on the next ingest batch).
+            if dsnap is not None:
+                md = dsnap.join(ids, "doc_id", "left_anti").localCheckpoint(
+                    eager=True
+                )
         _atomic_overwrite(mc, corpus_path)
         _atomic_overwrite(mi, index_path)
+        if md is not None:
+            _atomic_overwrite(md, dhash_path)
 
     return (
         sdf.writeStream.foreachBatch(apply_batch)
