@@ -755,6 +755,43 @@ def test_corpus_dhash_sidecar_maintained_across_churn(spark, tmp_path):
     q4.awaitTermination(180)
     assert_sidecar_matches_corpus()
 
+    # MIXED-MODE reconcile (the r13 review's hole): a retract batch
+    # run WITHOUT dhash_path leaves a dead row behind, and an ingest
+    # batch run WITHOUT it leaves a gap — the next dhash_path batch
+    # must reconcile both directions against the corpus, so an erased
+    # doc's perceptual hash cannot outlive the takedown
+    rdir2 = tmp_path / "retract_stream2"
+    rdir2.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([11], pa.int64())}),
+        rdir2 / "rm-0.parquet",
+    )
+    rq2 = st.run_corpus_retract(
+        st.read_retraction_stream(spark, str(rdir2)),
+        corpus,
+        index,
+        str(tmp_path / "retract_ckpt2"),
+        # dhash_path deliberately OMITTED: the sidecar goes stale
+    )
+    rq2.awaitTermination(180)
+    assert 11 in {r["doc_id"] for r in spark.read.parquet(dhash).collect()}
+    slice_file(
+        "part-0004.parquet",
+        [(40, "reconcile trigger batch with brand new unrelated words")],
+    )
+    q5 = st.run_corpus_ingest(
+        st.read_document_stream(spark, str(sdir), max_files_per_trigger=1),
+        corpus,
+        index,
+        str(tmp_path / "ingest_ckpt"),
+        threshold=0.7,
+        dhash_path=dhash,
+    )
+    q5.awaitTermination(180)
+    side_ids = {r["doc_id"] for r in spark.read.parquet(dhash).collect()}
+    assert 11 not in side_ids  # dead row reconciled away
+    assert_sidecar_matches_corpus()
+
 
 def test_corpus_retract_reverses_ingest_and_readmits(spark, tmp_path):
     """Continuous retraction (run_corpus_retract, the takedown twin of
@@ -2012,5 +2049,22 @@ def test_lsh_bucket_sidecar_heals_partial_coverage(spark, tmp_path):
     healed, np_got = st._lsh_bucket_sidecar(spark, bpath, pool)
     assert np_got == np_frozen
     assert sorted(map(tuple, healed.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+    # and the OTHER direction: rows for vectors no longer in the pool
+    # (left behind by exact-mode batches that never touch the sidecar)
+    # are pruned on read, so the persisted deposit cannot accumulate
+    # dead vectors without bound
+    bpath2 = str(tmp_path / "graph_l0b_buckets")
+    dead = spark.createDataFrame(
+        [(900, 0), (901, 3)], "vec_id long, bucket long"
+    )
+    full.unionByName(dead).withColumn(
+        "n_planes", F.lit(np_frozen).cast("int")
+    ).write.parquet(bpath2)
+    healed2, np2 = st._lsh_bucket_sidecar(spark, bpath2, pool)
+    assert np2 == np_frozen
+    assert sorted(map(tuple, healed2.collect())) == sorted(
         map(tuple, full.collect())
     )

@@ -372,12 +372,14 @@ def churn_repair_audit(spark, src: str, out: str) -> dict:
             "pairs_per_touched": round(pairs / 32, 1),
             "wall_s": round(_t.perf_counter() - t0, 2),
         }
-    # guard only against a ZERO baseline (no candidate pairs at 1x —
-    # ratio undefined, report None); clamping to 1.0 would silently
-    # rescale a sub-1.0 true baseline and both inflate and mask growth
-    base = res["1x"]["pairs_per_touched"]
+    # ratio from the UNROUNDED counts (the display value rounds to one
+    # decimal, which would both fabricate a zero baseline at 1 pair
+    # and distort the <=4 growth gate on small baselines); guard only
+    # against a truly ZERO baseline (ratio undefined, report None) —
+    # clamping to 1.0 would silently rescale a sub-1.0 true baseline
+    base = res["1x"]["cand_pairs"]
     res["pairs_ratio"] = (
-        round(res["kx"]["pairs_per_touched"] / base, 2) if base > 0 else None
+        round(res["kx"]["cand_pairs"] / base, 2) if base > 0 else None
     )
     return res
 

@@ -1001,8 +1001,14 @@ def s31_pq_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     base0 = pool0.select(
         "vec_id", similarity.scaled("embedding").alias("sv")
     )
-    cb0 = similarity.pq_codebook(similarity._pq_coded(base0), shift)
-    d0 = similarity.pq_encode(pool0)
+    # ONE encode pass over the initial pool feeds BOTH the frozen
+    # codebook and the code deposit (checkpointed: two consumers of a
+    # corpus-sized projection would otherwise recompute it — the
+    # multi-consumer-subtree rule; no join inside, so nothing hides
+    # from the plan gate)
+    coded0 = similarity._pq_coded(base0).localCheckpoint(eager=False)
+    cb0 = similarity.pq_codebook(coded0, shift)
+    d0 = coded0.select("vec_id", "sub", "code")
     d1 = d0.join(rm, "vec_id", "left_anti")
     d2 = d1.unionByName(similarity.pq_encode(late))
     final_pool = pool0.join(rm, "vec_id", "left_anti").unionByName(late)

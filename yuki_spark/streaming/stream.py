@@ -576,10 +576,25 @@ def run_corpus_ingest(
             # corpus — rebuild it whole from the merged snapshot
             rows = _dhash_rows(merged_corpus)
         else:
-            kept = snap.select("doc_id", "sh").join(
-                novel.select("doc_id"), "doc_id", "left_anti"
+            # RECONCILE against the merged corpus rather than trusting
+            # the snapshot (a batch run with dhash_path omitted would
+            # otherwise leave permanent gaps and dead rows — the
+            # mixed-mode hole the r13 review flagged): prune rows for
+            # docs no longer in the corpus (keyed semi join), recompute
+            # exactly the uncovered docs (keyed anti join — the NOVEL
+            # batch when healthy, plus any gap). Two corpus-grain
+            # keyed joins; the expensive synth→decode→hash pass stays
+            # bounded to the uncovered set. Replayed novel docs are
+            # already covered and keep their rows verbatim (the hash
+            # is a pure per-document function).
+            ids = merged_corpus.select("doc_id")
+            valid = snap.select("doc_id", "sh").join(
+                ids, "doc_id", "left_semi"
             )
-            rows = kept.unionByName(_dhash_rows(novel))
+            uncovered = merged_corpus.join(
+                valid.select("doc_id"), "doc_id", "left_anti"
+            )
+            rows = valid.unionByName(_dhash_rows(uncovered))
         return [(dhash_path, rows.localCheckpoint(eager=True))]
 
     return _run_dedup_ingest(
@@ -677,14 +692,17 @@ def run_corpus_retract(
         md = None
         if dhash_path is not None:
             dsnap = _read_snapshot_or_none(spark, dhash_path)
-            # dHash rows are a pure per-document function: retract is
-            # one keyed anti-join (r13 — the sidecar discipline on the
-            # d50 deposit). Missing sidecar → nothing to maintain (it
-            # heals whole on the next ingest batch).
+            # dHash rows are a pure per-document function: retract
+            # RECONCILES by one keyed semi join against the surviving
+            # corpus (r13 — the sidecar discipline on the d50
+            # deposit), which drops the batch ids AND any dead rows a
+            # mixed-mode history left behind. Coverage gaps (docs
+            # never hashed) heal on the next ingest batch; a missing
+            # sidecar is nothing to maintain.
             if dsnap is not None:
-                md = dsnap.join(ids, "doc_id", "left_anti").localCheckpoint(
-                    eager=True
-                )
+                md = dsnap.join(
+                    mc.select("doc_id"), "doc_id", "left_semi"
+                ).localCheckpoint(eager=True)
         _atomic_overwrite(mc, corpus_path)
         _atomic_overwrite(mi, index_path)
         if md is not None:
@@ -1161,10 +1179,16 @@ def _lsh_bucket_sidecar(
             np_,
         )
     np_ = int(row["n_planes"])
-    have = snap.select("vec_id", "bucket")
-    # bucketing is a pure per-vector function at the frozen width, so
-    # the heal is exactly: sign the uncovered ids, append (a zero-row
-    # anti-join makes this a no-op branch — no count job needed)
+    # RECONCILE against the pool in both directions (bucketing is a
+    # pure per-vector function at the frozen width): prune rows for
+    # vectors no longer in the pool (exact-mode retract batches never
+    # touch the sidecar, so dead rows would otherwise accumulate
+    # without bound — the r13 review's finding), then sign exactly the
+    # uncovered ids and append (zero-row anti-join = no-op branch, no
+    # count job needed).
+    have = snap.select("vec_id", "bucket").join(
+        pool.select("vec_id"), "vec_id", "left_semi"
+    )
     uncovered = pool.join(
         have.select("vec_id").distinct(), "vec_id", "left_anti"
     )
