@@ -260,6 +260,10 @@ def main() -> None:
         # single-row percentile broadcast + one lang hash-agg; must
         # track d52's cost (shared chain), nothing super-linear
         "d54_perplexity_filter",
+        # round-13: policy-dispatched filtered ANN — a strict subset
+        # of s29's audited chains (two exact truths, one pool, one
+        # filtered descent, one IVF pre pass); 10x cost must track s29
+        "s32_filtered_ann_auto",
         # round-13: order-3 LM — d52's type-grain shape with one more
         # explode+agg level (5 type-grain hash-aggs); token-volume
         # linearity is the thing to watch at 10x

@@ -1375,6 +1375,164 @@ def s29_filtered_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("filter_mod", "widen", "strategy", "qid")
 
 
+def s32_filtered_ann_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-DISPATCHED filtered ANN (r13): s28/s29 measure the
+    design space and stamp the executable policy's pick
+    (operators/similarity.filtered_ann_strategy); this key EXECUTES
+    that pick per cell — the production query path, where the engine
+    chooses pre-filter / filtered-beam / route-from-pool from
+    (selectivity, k, effective beam) and runs exactly that machinery:
+
+    - 'pre' cells run s28's predicate-through-the-index IVF
+      (similarity.ivf_ann_filtered — width-independent, so both
+      widths of a pre tenant share one result),
+    - 'beam' cells run s22's descent with the predicate riding
+      ``keep=`` at the cell's effective width,
+    - 'route' cells navigate unfiltered and answer from the scored
+      pool (collect_candidates).
+
+    Per-query rows against the same exact same-tenant truth and
+    cohort-keyed coverage as s29 — so the table shows what the AUTO
+    dispatch actually delivers (recall, starvation) where s29 shows
+    the whole design space. The strategy column is stamped from the
+    scalar policy on the Spark side while the twin replays the
+    formula in SQL AND assembles the matching machinery, so a policy
+    divergence is a driver hash mismatch, not a silent wrong plan.
+
+    Scale shape: strictly a subset of s29's audited chains (at the
+    shipped constants: two exact truths, one pool, one filtered
+    descent, one IVF pre-filter pass shared by both pre cells) —
+    everything nq-bounded after the shared deposits; chains built and
+    materialized concurrently (driver-side plan construction
+    dominates at test scale, the s29 note)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql.window import Window
+
+    nq = ANN_NQ
+    emb = load(spark, sf_dir, "embeddings")
+    cells = _s29_cells()
+    choices = {
+        (m, w, b): similarity.filtered_ann_strategy(1.0 / m, K, b)
+        for m, w, b in cells
+    }
+    graphs = [_graph_l1(spark, sf_dir), _graph_nnd2(spark, sf_dir)]
+    base = similarity.hnsw_base(emb)
+    base.count()  # materialize the shared checkpoint on the MAIN
+    # thread before fanning out (s29's concurrency note)
+    qcohort = base.where(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("qid")
+    )
+
+    def _build_exact(mod: int) -> DataFrame:
+        return _s28_exact_filtered(base, nq, mod).localCheckpoint(eager=True)
+
+    def _build_beam(mod: int, b: int) -> DataFrame:
+        return (
+            similarity.hnsw_descent(
+                emb, graphs, k=K, n_queries=nq, beam=b,
+                entry_mod=HNSW_L2_MOD, base=base,
+                keep=F.col("qid") % mod == F.col("cid") % mod,
+            )
+            .select("qid", "cid")
+            .localCheckpoint(eager=True)
+        )
+
+    def _build_pool(b: int) -> DataFrame:
+        return similarity.hnsw_descent(
+            emb, graphs, k=K, n_queries=nq, beam=b,
+            entry_mod=HNSW_L2_MOD, base=base, collect_candidates=True,
+        ).localCheckpoint(eager=True)
+
+    def _build_pre(mod: int) -> DataFrame:
+        return (
+            similarity.ivf_ann_filtered(
+                emb, k=K, n_queries=nq, nprobe=3, filter_mod=mod
+            )
+            .select("qid", "cid")
+            .localCheckpoint(eager=True)
+        )
+
+    mods = sorted({m for m, _, _ in cells})
+    pool_beams = sorted(
+        {b for (m, w, b), s in choices.items() if s == "route"}
+    )
+    beam_cells = sorted(
+        {(m, b) for (m, w, b), s in choices.items() if s == "beam"}
+    )
+    pre_mods = sorted({m for (m, w, b), s in choices.items() if s == "pre"})
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        ef = {m: ex.submit(_build_exact, m) for m in mods}
+        pf = {b: ex.submit(_build_pool, b) for b in pool_beams}
+        bf = {mb: ex.submit(_build_beam, *mb) for mb in beam_cells}
+        prf = {m: ex.submit(_build_pre, m) for m in pre_mods}
+        exact_fs = {k2: f.result() for k2, f in ef.items()}
+        pools = {k2: f.result() for k2, f in pf.items()}
+        beams = {k2: f.result() for k2, f in bf.items()}
+        pres = {k2: f.result() for k2, f in prf.items()}
+
+    out = None
+    for m, w, b in cells:
+        strat = choices[(m, w, b)]
+        if strat == "pre":
+            res = pres[m]
+        elif strat == "beam":
+            res = beams[(m, b)]
+        else:
+            wq = Window.partitionBy("qid").orderBy(
+                F.desc("cosine"), F.col("cid")
+            )
+            res = (
+                pools[b]
+                .where(F.col("qid") % m == F.col("cid") % m)
+                .withColumn("rk", F.row_number().over(wq))
+                .where(F.col("rk") <= K)
+                .select("qid", "cid")
+            )
+        exact_f = exact_fs[m]
+        npos = qcohort.join(
+            exact_f.groupBy("qid").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_possible")
+            ),
+            "qid",
+            "left",
+        ).select(
+            "qid",
+            F.coalesce("n_possible", F.lit(0)).cast("bigint").alias(
+                "n_possible"
+            ),
+        )
+        hits = (
+            exact_f.join(res, ["qid", "cid"])
+            .groupBy("qid")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+        )
+        kept = res.groupBy("qid").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept")
+        )
+        row = (
+            npos.join(hits, "qid", "left")
+            .join(kept, "qid", "left")
+            .select(
+                F.lit(m).cast("bigint").alias("filter_mod"),
+                F.lit(w).cast("bigint").alias("widen"),
+                F.lit(b).cast("bigint").alias("beam"),
+                F.lit(strat).alias("strategy"),
+                "qid",
+                F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+                F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+                "n_possible",
+                F.when(
+                    F.col("n_possible") > 0,
+                    F.coalesce("n_hits", F.lit(0)).cast("double")
+                    / F.col("n_possible").cast("double"),
+                ).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("filter_mod", "widen", "qid")
+
+
 def s23_hnsw_beam_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Search-time tuning curve for the layered descent: cohort
     recall at beam (ef) ∈ HNSW_BEAM_SWEEP, all widths served from the
@@ -1601,6 +1759,7 @@ QUERIES = {
     "s29_filtered_graph_ann": s29_filtered_graph_ann,
     "s30_ivf_churn": s30_ivf_churn,
     "s31_pq_churn": s31_pq_churn,
+    "s32_filtered_ann_auto": s32_filtered_ann_auto,
     "s13_matryoshka_recall": s13_matryoshka_recall,
     "s5_quantize_error": s5_quantize_error,
     "s7_semdedup": s7_semdedup,
@@ -2154,6 +2313,123 @@ def _s29_oracle() -> str:
         "WITH "
         + ",\n        ".join(parts)
         + f" SELECT * FROM ({body}) ORDER BY filter_mod, widen, strategy, qid"
+    )
+
+
+def _s32_oracle() -> str:
+    """Twin of s32_filtered_ann_auto: the SQL formula replays the
+    policy (divergence from the Spark-side scalar call = driver hash
+    mismatch on the strategy column) and the matching machinery is
+    assembled per cell — s28's predicate-pushed IVF twin for 'pre'
+    cells, _hnsw_descent_ctes with ``pred`` for 'beam' cells, the
+    pooled sc_* union cut for 'route' cells — against the same exact
+    same-tenant truth and cohort coverage as the s29 twin."""
+    nq = ANN_NQ
+    cosexpr = (
+        f"round(CAST({_DOT.format(a='q.sv', b='c.sv')} AS DOUBLE)"
+        " / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))), 9)"
+    )
+    cells = _s29_cells()
+    choices = {
+        (m, w, b): similarity.filtered_ann_strategy(1.0 / m, K, b)
+        for m, w, b in cells
+    }
+    parts = [_hnsw_shared_ctes()]
+    parts.append(
+        f"qc AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < {nq})"
+    )
+    for m in sorted({m for m, _, _ in cells}):
+        parts.append(
+            f"""exf{m} AS (
+          SELECT qid, cid FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                        ORDER BY cosine DESC, cid) AS rk
+            FROM (
+              SELECT q.vec_id AS qid, c.vec_id AS cid, {cosexpr} AS cosine
+              FROM vbn q JOIN vbn c
+                ON q.vec_id < {nq} AND q.vec_id <> c.vec_id
+               AND q.vec_id % {m} = c.vec_id % {m}))
+          WHERE rk <= {K})"""
+        )
+    for b in sorted({b for (m, w, b), s in choices.items() if s == "route"}):
+        ctes, res = _hnsw_descent_ctes(b, f"_ap{b}")
+        parts.append(ctes)
+        sc_names = [f"sc_bent_ap{b}", f"sc_b1_ap{b}", f"sc_{res}"]
+        union = " UNION ALL ".join(f"SELECT * FROM {s}" for s in sc_names)
+        parts.append(
+            f"pool_ap{b} AS (SELECT DISTINCT qid, cid, cosine FROM ({union}))"
+        )
+    for m, b in sorted(
+        {(m, b) for (m, w, b), s in choices.items() if s == "beam"}
+    ):
+        ctes, beam_res = _hnsw_descent_ctes(
+            b, f"_ab{m}_{b}", pred=f"{{q}} % {m} = {{c}} % {m}"
+        )
+        parts.append(ctes)
+        parts.append(f"bres_{m}_{b} AS (SELECT qid, cid FROM {beam_res})")
+    for m in sorted({m for (m, w, b), s in choices.items() if s == "pre"}):
+        pre_twin = _s4_oracle(nq, 3, pred=f"AND q.qid % {m} = c.cid % {m}")
+        parts.append(f"pre{m} AS (SELECT qid, cid FROM ({pre_twin}))")
+    rows = []
+    for m, w, b in cells:
+        strat = choices[(m, w, b)]
+        suf = f"a_{m}_{w}"
+        if strat == "pre":
+            res_cte = f"pre{m}"
+        elif strat == "beam":
+            res_cte = f"bres_{m}_{b}"
+        else:
+            parts.append(
+                f"""rt{suf} AS (
+          SELECT qid, cid FROM (
+            SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+                        ORDER BY cosine DESC, cid) AS rk
+            FROM pool_ap{b} WHERE qid % {m} = cid % {m})
+          WHERE rk <= {K})"""
+            )
+            res_cte = f"rt{suf}"
+        parts.append(
+            f"""np{suf} AS (
+          SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_possible
+          FROM exf{m} GROUP BY qid)"""
+        )
+        parts.append(
+            f"""ph{suf} AS (
+          SELECT e.qid, CAST(COUNT(*) AS BIGINT) AS n_hits
+          FROM exf{m} e JOIN {res_cte} r
+            ON r.qid = e.qid AND r.cid = e.cid
+          GROUP BY e.qid)"""
+        )
+        parts.append(
+            f"""kp{suf} AS (
+          SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_kept
+          FROM {res_cte} GROUP BY qid)"""
+        )
+        rows.append(
+            f"""SELECT CAST({m} AS BIGINT) AS filter_mod,
+                 CAST({w} AS BIGINT) AS widen,
+                 CAST({b} AS BIGINT) AS beam,
+                 CASE WHEN 1.0 / {m} <= {similarity.FILTERED_ANN_PRE_MAX}
+                        THEN 'pre'
+                      WHEN {b} * (1.0 / {m}) >= {K} THEN 'beam'
+                      ELSE 'route' END AS strategy,
+                 qc.qid AS qid,
+                 CAST(COALESCE(kp.n_kept, 0) AS BIGINT) AS n_kept,
+                 CAST(COALESCE(ph.n_hits, 0) AS BIGINT) AS n_hits,
+                 CAST(COALESCE(np.n_possible, 0) AS BIGINT) AS n_possible,
+                 CASE WHEN COALESCE(np.n_possible, 0) > 0 THEN
+                   CAST(COALESCE(ph.n_hits, 0) AS DOUBLE)
+                     / CAST(np.n_possible AS DOUBLE) END AS recall
+          FROM qc
+          LEFT JOIN np{suf} np ON np.qid = qc.qid
+          LEFT JOIN ph{suf} ph ON ph.qid = qc.qid
+          LEFT JOIN kp{suf} kp ON kp.qid = qc.qid"""
+        )
+    body = " UNION ALL ".join(f"({r})" for r in rows)
+    return (
+        "WITH "
+        + ",\n        ".join(parts)
+        + f" SELECT * FROM ({body}) ORDER BY filter_mod, widen, qid"
     )
 
 
@@ -3103,6 +3379,7 @@ def build_oracle() -> dict[str, str]:
             "s29_filtered_graph_ann": _s29_oracle(),
             "s30_ivf_churn": _s30_oracle(),
             "s31_pq_churn": _s31_oracle(),
+            "s32_filtered_ann_auto": _s32_oracle(),
             "s13_matryoshka_recall": _s13_oracle(),
             "s14_mmr_rerank": _s14_oracle(),
             "s16_knn_centrality": _s16_oracle(),
