@@ -2228,18 +2228,23 @@ def test_synth_wav_roundtrip_and_audio_fingerprint(spark):
     )
     wav = multimodal.synth_token_wav(docs)
     got = {r["doc_id"]: bytes(r["media"]) for r in wav.collect()}
-    # the generative rule computed independently JVM-side
+    # the generative rule computed independently in plain Python (the
+    # Spark side derives it JVM-side — a bug in either surfaces here)
+    S = multimodal.WAV_SAMPLES_PER_TOKEN
+    hrows = docs.select(
+        "doc_id",
+        F.transform(
+            F.filter(_tokens("text"), lambda t: t != ""),
+            lambda t: multimodal.portable_hash60(t),
+        ).alias("hs"),
+    ).collect()
     want = {
-        r["doc_id"]: [int(s) for s in r["smp"]]
-        for r in docs.select(
-            "doc_id",
-            F.transform(
-                F.filter(_tokens("text"), lambda t: t != ""),
-                lambda t: (
-                    multimodal.portable_hash60(t) % 65536 - 32768
-                ).cast("int"),
-            ).alias("smp"),
-        ).collect()
+        r["doc_id"]: [
+            (int(h) >> ((i * 7) % 45)) % 65536 - 32768
+            for h in r["hs"]
+            for i in range(S)
+        ]
+        for r in hrows
     }
     for doc_id, payload in got.items():
         assert codecs.is_wav(payload)

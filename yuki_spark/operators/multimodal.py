@@ -484,39 +484,59 @@ def dhash56(media: DataFrame) -> DataFrame:
 AUDIO_WINDOWS = 57
 AUDIO_FP_BITS = AUDIO_WINDOWS - 1  # 56
 WAV_RATE = 16000  # container metadata only; windowing is positional
+# Samples emitted per token: 32 overlapping 16-bit slices of the
+# token's 60-bit hash (shift (i·7) mod 45 walks 32 DISTINCT offsets).
+# One sample per token left the energy sub-windows mostly EMPTY at
+# the corpus's 10-100-token doc lengths (≤ 1 sample per 57-window
+# segment cell), collapsing ~5000 distinct texts to ~250 fingerprints
+# and blowing the banding join up quadratically (measured: 115M
+# candidate pairs at the 10x stress corpus); 32 samples/token puts
+# ~4-8 samples in every window, so envelopes separate distinct
+# content while identical prefixes still match (the containment
+# signal).
+WAV_SAMPLES_PER_TOKEN = 32
 
 
 def synth_token_wav(docs: DataFrame) -> DataFrame:
     """(doc_id, media): a REAL RIFF/PCM WAV per document whose int16
     mono sample stream is the token SEQUENCE under the portable hash —
-    sample p = portable_hash60(tok_p) % 65536 − 32768. Documents that
-    share long stretches of text share stretches of waveform, so an
-    energy-envelope fingerprint finds partially-overlapping clips —
-    the deterministic stand-in for perceptual audio dedup that the
-    oracle can recompute from the text (the corpus ships no real
-    audio; the WAV container is REAL and PCM round-trips losslessly
-    through the stdlib codec, so :func:`audio_fingerprint56`'s decode
-    is a true codec path — the d50/d53 discipline on the third
-    modality). Docs with no tokens yield no row.
+    token p emits WAV_SAMPLES_PER_TOKEN samples, sample i being the
+    16-bit slice (h_p >> ((i·7) mod 45)) mod 65536 − 32768 of its
+    60-bit hash. Documents that share long stretches of text share
+    stretches of waveform, so an energy-envelope fingerprint finds
+    partially-overlapping clips — the deterministic stand-in for
+    perceptual audio dedup that the oracle can recompute from the
+    text (the corpus ships no real audio; the WAV container is REAL
+    and PCM round-trips losslessly through the stdlib codec, so
+    :func:`audio_fingerprint56`'s decode is a true codec path — the
+    d50/d53 discipline on the third modality). Docs with no tokens
+    yield no row.
 
     The samples are computed JVM-side with the exact tokenizer +
-    portable hash the dedup family twins use — the Python stage only
-    packs integers it was handed into little-endian PCM and wraps the
-    container; no semantics can drift in the UDF.
+    portable hash the dedup family twins use (shiftright is
+    arithmetic on the non-negative hash in both engines) — the
+    Python stage only packs integers it was handed into
+    little-endian PCM and wraps the container; no semantics can
+    drift in the UDF.
 
-    Scale shape: one tokenize + per-row hash projection (O(tokens)
-    work, zero exchanges), one Arrow ``mapInPandas`` pass at doc
-    grain (payloads 2 B/token + 44 B header)."""
+    Scale shape: one tokenize + per-row hash/slice projection
+    (O(tokens · 32) work, zero exchanges), one Arrow ``mapInPandas``
+    pass at doc grain (payloads 64 B/token + 44 B header)."""
     import numpy as np
 
     tk = docs.select(
         "doc_id", F.filter(tokens("text"), lambda t: t != "").alias("tk")
     ).where(F.size("tk") > 0)
-    samples = F.transform(
-        F.col("tk"),
-        lambda t: (portable_hash60(t) % 65536 - 32768).cast("int"),
+    hs = F.transform(F.col("tk"), lambda t: portable_hash60(t))
+    samples = F.expr(
+        f"flatten(transform(hs, h -> transform("
+        f"sequence(0, {WAV_SAMPLES_PER_TOKEN - 1}), "
+        f"i -> CAST(shiftright(h, CAST((i * 7) % 45 AS INT)) % 65536"
+        f" - 32768 AS INT))))"
     )
-    src = tk.select("doc_id", samples.alias("samples_src"))
+    src = tk.select("doc_id", hs.alias("hs")).select(
+        "doc_id", samples.alias("samples_src")
+    )
     schema = StructType(
         [
             StructField("doc_id", LongType()),

@@ -3899,9 +3899,15 @@ _ORACLE_TEMPLATE = {
           FROM nz),
         smp AS (
           SELECT doc_id,
-                 (pos * {D55_SEGMENTS * multimodal.AUDIO_WINDOWS}) // L AS w,
-                 ABS({sql_portable_hash60('tok')} % 65536 - 32768) AS a
-          FROM pos),
+                 ((pos * {multimodal.WAV_SAMPLES_PER_TOKEN} + i.i)
+                   * {D55_SEGMENTS * multimodal.AUDIO_WINDOWS})
+                   // (L * {multimodal.WAV_SAMPLES_PER_TOKEN}) AS w,
+                 ABS(({sql_portable_hash60('tok')}
+                        >> CAST((i.i * 7) % 45 AS INT))
+                     % 65536 - 32768) AS a
+          FROM pos CROSS JOIN
+            (SELECT unnest(range(0,
+               {multimodal.WAV_SAMPLES_PER_TOKEN})) AS i) i),
         en AS (
           SELECT doc_id, w // {multimodal.AUDIO_WINDOWS} AS seg,
                  w % {multimodal.AUDIO_WINDOWS} AS win,
