@@ -637,6 +637,7 @@ def test_corpus_dhash_sidecar_maintained_across_churn(spark, tmp_path):
     corpus = str(tmp_path / "corpus")
     index = str(tmp_path / "index")
     dhash = str(tmp_path / "corpus_dhash")
+    audio = str(tmp_path / "corpus_audio")
 
     def slice_file(name, rows):
         tbl = pa.table(
@@ -652,6 +653,8 @@ def test_corpus_dhash_sidecar_maintained_across_churn(spark, tmp_path):
         time.sleep(0.05)
 
     def assert_sidecar_matches_corpus():
+        from yuki_spark.streaming.stream import _audio_rows
+
         got = sorted(
             (r["doc_id"], r["sh"])
             for r in spark.read.parquet(dhash).collect()
@@ -661,6 +664,13 @@ def test_corpus_dhash_sidecar_maintained_across_churn(spark, tmp_path):
             for r in _dhash_rows(spark.read.parquet(corpus)).collect()
         )
         assert got == want
+        got_a = sorted(
+            map(tuple, spark.read.parquet(audio).collect())
+        )
+        want_a = sorted(
+            map(tuple, _audio_rows(spark.read.parquet(corpus)).collect())
+        )
+        assert got_a == want_a
 
     slice_file(
         "part-0000.parquet",
@@ -680,6 +690,7 @@ def test_corpus_dhash_sidecar_maintained_across_churn(spark, tmp_path):
         str(tmp_path / "ingest_ckpt"),
         threshold=0.7,
         dhash_path=dhash,
+        audio_path=audio,
     )
     q.awaitTermination(180)
     assert sorted(
@@ -700,6 +711,7 @@ def test_corpus_dhash_sidecar_maintained_across_churn(spark, tmp_path):
         index,
         str(tmp_path / "retract_ckpt"),
         dhash_path=dhash,
+        audio_path=audio,
     )
     rq.awaitTermination(180)
     assert sorted(
@@ -720,6 +732,7 @@ def test_corpus_dhash_sidecar_maintained_across_churn(spark, tmp_path):
         str(tmp_path / "ingest_ckpt"),
         threshold=0.7,
         dhash_path=dhash,
+        audio_path=audio,
     )
     q2.awaitTermination(180)
     assert_sidecar_matches_corpus()
@@ -732,6 +745,7 @@ def test_corpus_dhash_sidecar_maintained_across_churn(spark, tmp_path):
         str(tmp_path / "ingest_ckpt"),
         threshold=0.7,
         dhash_path=dhash,
+        audio_path=audio,
     )
     q3.awaitTermination(180)
     assert sorted(map(tuple, spark.read.parquet(dhash).collect())) == before
@@ -751,6 +765,7 @@ def test_corpus_dhash_sidecar_maintained_across_churn(spark, tmp_path):
         str(tmp_path / "ingest_ckpt"),
         threshold=0.7,
         dhash_path=dhash,
+        audio_path=audio,
     )
     q4.awaitTermination(180)
     assert_sidecar_matches_corpus()
@@ -786,6 +801,7 @@ def test_corpus_dhash_sidecar_maintained_across_churn(spark, tmp_path):
         str(tmp_path / "ingest_ckpt"),
         threshold=0.7,
         dhash_path=dhash,
+        audio_path=audio,
     )
     q5.awaitTermination(180)
     side_ids = {r["doc_id"] for r in spark.read.parquet(dhash).collect()}

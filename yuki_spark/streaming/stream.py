@@ -500,6 +500,38 @@ def _dhash_rows(docs: DataFrame) -> DataFrame:
     )
 
 
+def _audio_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, seg, ah): the d55 audio-fingerprint rows of a document
+    frame — pure per-document like :func:`_dhash_rows` (token stream →
+    real WAV → decode → per-segment energy-envelope hash), so the
+    same sidecar discipline applies. n_segments=4 is the d55 clip
+    grain (queries/docs.D55_SEGMENTS)."""
+    from ..operators import multimodal
+
+    return multimodal.audio_fingerprint56(
+        multimodal.synth_token_wav(docs), n_segments=4
+    )
+
+
+def _reconcile_doc_sidecar(snap, merged_corpus: DataFrame, rows_fn):
+    """Reconcile a pure-per-document sidecar against the corpus it
+    derives from: missing snapshot → rebuild whole; otherwise prune
+    rows for departed docs (keyed semi join) and recompute exactly
+    the uncovered docs (keyed anti join — the novel batch when
+    healthy, plus any gap a batch run without the sidecar argument
+    left). The expensive synth→decode→hash pass stays bounded to the
+    uncovered set; covered docs keep their rows verbatim (the rows
+    are a pure function of the document)."""
+    if snap is None:
+        return rows_fn(merged_corpus)
+    ids = merged_corpus.select("doc_id")
+    valid = snap.join(ids, "doc_id", "left_semi")
+    uncovered = merged_corpus.join(
+        valid.select("doc_id").distinct(), "doc_id", "left_anti"
+    )
+    return valid.unionByName(rows_fn(uncovered))
+
+
 def run_corpus_ingest(
     sdf: DataFrame,
     corpus_path: str,
@@ -507,6 +539,7 @@ def run_corpus_ingest(
     checkpoint: str,
     threshold: float = 0.8,
     dhash_path: "str | None" = None,
+    audio_path: "str | None" = None,
 ):
     """Continuously ingest documents with cross-batch near-dedup — the
     end-to-end production shape for a growing pretraining corpus:
@@ -521,16 +554,18 @@ def run_corpus_ingest(
     identical state (idempotent sink; crash-consistency protocol in
     :func:`_run_dedup_ingest`).
 
-    With ``dhash_path`` set, the d50 perceptual-hash deposit is
-    maintained as a SIDE deposit per batch (r13 — the _buckets
-    sidecar discipline on the dHash family, closing the last
-    rebuild-on-churn deposit the r12 verdict named): dHash rows are a
-    pure per-document function, so ingest appends one batch-sized
-    pass over the NOVEL docs (the batch ids anti-joined out first for
-    the replay/update case) and the maintained sidecar equals a
-    from-scratch recompute over the surviving corpus row-for-row
-    (pinned in tests). Missing sidecar → derived-data heal from the
-    merged corpus.
+    With ``dhash_path`` / ``audio_path`` set, the d50 perceptual-hash
+    and d55 audio-fingerprint deposits are maintained as SIDE
+    deposits per batch (r13 — the _buckets sidecar discipline on the
+    pure-per-document families, closing the last rebuild-on-churn
+    deposits the r12 verdict named): the rows are pure functions of
+    each document, so every maintained batch RECONCILES the sidecar
+    against the merged corpus (prune departed docs by keyed semi
+    join, recompute exactly the uncovered set — the novel batch when
+    healthy, plus any gap or dead row a batch run without the
+    argument left) and the result equals a from-scratch recompute
+    over the surviving corpus row-for-row (pinned in tests). Missing
+    sidecar → derived-data heal from the merged corpus.
 
     Scale notes: the per-batch snapshot rewrite is the plain-parquet
     stand-in for a transactional MERGE — on a lakehouse table
@@ -569,33 +604,26 @@ def run_corpus_ingest(
             .distinct()
         )
 
+    sidecars = [
+        (p, cols, fn)
+        for p, cols, fn in (
+            (dhash_path, ["doc_id", "sh"], _dhash_rows),
+            (audio_path, ["doc_id", "seg", "ah"], _audio_rows),
+        )
+        if p is not None
+    ]
+
     def maintain(spark, novel, merged_corpus):
-        snap = _read_snapshot_or_none(spark, dhash_path)
-        if snap is None:
-            # derived-data heal: the sidecar is a pure function of the
-            # corpus — rebuild it whole from the merged snapshot
-            rows = _dhash_rows(merged_corpus)
-        else:
-            # RECONCILE against the merged corpus rather than trusting
-            # the snapshot (a batch run with dhash_path omitted would
-            # otherwise leave permanent gaps and dead rows — the
-            # mixed-mode hole the r13 review flagged): prune rows for
-            # docs no longer in the corpus (keyed semi join), recompute
-            # exactly the uncovered docs (keyed anti join — the NOVEL
-            # batch when healthy, plus any gap). Two corpus-grain
-            # keyed joins; the expensive synth→decode→hash pass stays
-            # bounded to the uncovered set. Replayed novel docs are
-            # already covered and keep their rows verbatim (the hash
-            # is a pure per-document function).
-            ids = merged_corpus.select("doc_id")
-            valid = snap.select("doc_id", "sh").join(
-                ids, "doc_id", "left_semi"
+        side = []
+        for path, cols, fn in sidecars:
+            snap = _read_snapshot_or_none(spark, path)
+            rows = _reconcile_doc_sidecar(
+                None if snap is None else snap.select(*cols),
+                merged_corpus,
+                fn,
             )
-            uncovered = merged_corpus.join(
-                valid.select("doc_id"), "doc_id", "left_anti"
-            )
-            rows = valid.unionByName(_dhash_rows(uncovered))
-        return [(dhash_path, rows.localCheckpoint(eager=True))]
+            side.append((path, rows.localCheckpoint(eager=True)))
+        return side
 
     return _run_dedup_ingest(
         sdf,
@@ -608,7 +636,7 @@ def run_corpus_ingest(
         cross_dups=cross_dups,
         rebuild_index=lambda corpus: dd.band_index(dd.token_sets(corpus)),
         primary_name="corpus",
-        maintain=maintain if dhash_path is not None else None,
+        maintain=maintain if sidecars else None,
     )
 
 
@@ -640,6 +668,7 @@ def run_corpus_retract(
     index_path: str,
     checkpoint: str,
     dhash_path: "str | None" = None,
+    audio_path: "str | None" = None,
 ):
     """Continuous corpus RETRACTION — the takedown/GDPR-erasure twin of
     :func:`run_corpus_ingest` (r10): each micro-batch of doc_ids is
@@ -663,8 +692,9 @@ def run_corpus_retract(
     was ingested is a no-op. Batch-side label artifacts are the
     consumer's job: operators/dedup.relabel_after_removal recomputes
     CC labels for exactly the components that lost a member. With
-    ``dhash_path`` set, the d50 perceptual-hash sidecar is pruned by
-    the same keyed anti-join (r13; see :func:`run_corpus_ingest`).
+    ``dhash_path`` / ``audio_path`` set, the d50 perceptual-hash and
+    d55 audio-fingerprint sidecars are reconciled against the
+    surviving corpus (r13; see :func:`run_corpus_ingest`).
 
     Scale shape: per batch two keyed anti-joins sized by the deletion
     batch (AQE broadcasts it) — the corpus text is never re-tokenized
@@ -689,24 +719,31 @@ def run_corpus_retract(
             index = dd.band_index(dd.token_sets(corpus))
         mc = corpus.join(ids, "doc_id", "left_anti").localCheckpoint(eager=True)
         mi = dd.remove_from_index(index, ids).localCheckpoint(eager=True)
-        md = None
-        if dhash_path is not None:
-            dsnap = _read_snapshot_or_none(spark, dhash_path)
-            # dHash rows are a pure per-document function: retract
+        side = []
+        for path in (dhash_path, audio_path):
+            if path is None:
+                continue
+            dsnap = _read_snapshot_or_none(spark, path)
+            # sidecar rows are pure per-document functions: retract
             # RECONCILES by one keyed semi join against the surviving
-            # corpus (r13 — the sidecar discipline on the d50
-            # deposit), which drops the batch ids AND any dead rows a
-            # mixed-mode history left behind. Coverage gaps (docs
+            # corpus (r13 — the sidecar discipline on the d50/d55
+            # deposits), which drops the batch ids AND any dead rows
+            # a mixed-mode history left behind. Coverage gaps (docs
             # never hashed) heal on the next ingest batch; a missing
             # sidecar is nothing to maintain.
             if dsnap is not None:
-                md = dsnap.join(
-                    mc.select("doc_id"), "doc_id", "left_semi"
-                ).localCheckpoint(eager=True)
+                side.append(
+                    (
+                        path,
+                        dsnap.join(
+                            mc.select("doc_id"), "doc_id", "left_semi"
+                        ).localCheckpoint(eager=True),
+                    )
+                )
         _atomic_overwrite(mc, corpus_path)
         _atomic_overwrite(mi, index_path)
-        if md is not None:
-            _atomic_overwrite(md, dhash_path)
+        for path, sdf_ in side:
+            _atomic_overwrite(sdf_, path)
 
     return (
         sdf.writeStream.foreachBatch(apply_batch)
