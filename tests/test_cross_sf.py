@@ -50,6 +50,9 @@ ADAPTIVE = [
     "s28_filtered_ann",  # composes the s4 adaptive chain (IVF cells)
     "s29_filtered_graph_ann",  # 4 filtered + 3 pool descent chains
     "d53_video_phash_dups",  # PAIR_CAP all-pairs twin from the footer
+    "s31_pq_churn",  # pq_shift geometry from the catalog footer
+    "s32_filtered_ann_auto",  # policy-dispatched s29/s4 chains
+    "d55_audio_fingerprint_dups",  # PAIR_CAP all-pairs twin from the footer
 ]
 
 
