@@ -113,6 +113,7 @@ _PRIORITY = [
     "d55_audio_fingerprint_dups",
     "d56_trigram_lm_perplexity",
     "s32_filtered_ann_auto",
+    "d57_bpe_train",
     # _R14_PRESTAMP: r14's must-sweep set is the 4 displaced
     # r10-stamped keys above + any r13-born keys + the 50
     # r11-stamped keys below (> 50 total). The displaced four and the

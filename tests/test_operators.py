@@ -2418,6 +2418,76 @@ def test_pq_frozen_code_maintenance_and_drift_trigger(spark):
     )
 
 
+def test_bpe_train_matches_list_based_reference(spark):
+    """d57's trainer contract: the DataFrame loop (paren-string
+    replace passes + single-row broadcasts) learns EXACTLY the merges
+    an independent list-based Sennrich-reference trainer learns on
+    the same (word, freq) vocabulary — winner pair, weighted count,
+    and post-merge corpus token count per iteration — including the
+    leftmost-non-overlapping apply on runs ('bbbb' + (b,b) → [bb,bb])
+    and the deterministic count-then-pair tiebreak."""
+    from collections import Counter
+
+    from yuki_spark.operators import bpe
+
+    def reference(word_freqs, n):
+        seqs = [(list(w), f) for w, f in word_freqs]
+        out = []
+        for it in range(1, n + 1):
+            c = Counter()
+            for syms, f in seqs:
+                for a, b in zip(syms, syms[1:]):
+                    c[(a, b)] += f
+            if not c:
+                break
+            (a, b), cnt = min(
+                c.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
+            )
+            nxt = []
+            for syms, f in seqs:
+                merged, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == a
+                        and syms[i + 1] == b
+                    ):
+                        merged.append(a + b)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                nxt.append((merged, f))
+            seqs = nxt
+            tokens_after = sum(f * len(s) for s, f in seqs)
+            out.append((it, a, b, a + b, cnt, tokens_after))
+        return out
+
+    word_freqs = [
+        ("bbbb", 3),      # run: leftmost non-overlap must give [bb, bb]
+        ("abab", 5),      # overlapping-count case: (a,b) ×2, (b,a) ×1
+        ("table", 7),
+        ("tablet", 2),
+        ("stable", 4),
+        ("zzz", 6),       # run of odd length: [zz, z]
+        ("ab", 9),
+        ("ba", 9),        # tiebreak territory vs "ab"-derived pairs
+    ]
+    vocab = spark.createDataFrame(word_freqs, "word string, freq long")
+    got = [
+        (
+            r["iteration"],
+            r["sym_a"],
+            r["sym_b"],
+            r["merged"],
+            r["pair_count"],
+            r["tokens_after"],
+        )
+        for r in bpe.bpe_train_merges(vocab, 6).collect()
+    ]
+    assert got == reference(word_freqs, 6)
+
+
 def test_d56_trigram_backoff_chain_branches_live(spark):
     """d56's stupid-backoff chain exercises ALL THREE branches at the
     parity-gate catalog (trigram hit, bigram backoff, unigram

@@ -248,6 +248,12 @@ ALLOWED_BNLJ = {
     "d31_token_surprisal": 1,  # single-row corpus-total (N, log2 N) broadcast
     "d52_bigram_lm_perplexity": 1,  # same d31 pattern: single-row l2N broadcast
     "d56_trigram_lm_perplexity": 1,  # same d31/d52 pattern: single-row l2N broadcast
+    # d57's visible plan is the merge-table assembly: one single-row
+    # top-1 × single-row tokens-after broadcast per learned merge
+    # (D57_MERGES = 8); the vocabulary-grain states sit behind
+    # lineage-truncating checkpoints and their per-iteration shape is
+    # pinned by the list-based reference test instead
+    "d57_bpe_train": 8,
     # d54 = d52's chain (single-row l2N broadcast, visible twice here
     # because the tokenized-frame checkpoint exposes more of the
     # chain) + the single-row percentile-cutoff broadcast (the

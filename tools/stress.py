@@ -260,6 +260,10 @@ def main() -> None:
         # single-row percentile broadcast + one lang hash-agg; must
         # track d52's cost (shared chain), nothing super-linear
         "d54_perplexity_filter",
+        # round-13: BPE training — one corpus explode + capped-vocab
+        # iterations; the cap makes the loop cost corpus-INDEPENDENT,
+        # so 10x must move only the corpus pass
+        "d57_bpe_train",
         # round-13: policy-dispatched filtered ANN — a strict subset
         # of s29's audited chains (two exact truths, one pool, one
         # filtered descent, one IVF pre pass); 10x cost must track s29

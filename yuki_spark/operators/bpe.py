@@ -162,3 +162,103 @@ def sql_bpe_ctes(vocab_rel: str = "vocab") -> str:
           WHERE NOT EXISTS (SELECT 1 FROM merges m
                             WHERE strpos(b.s, '(' || m.a || ')(' || m.b || ')') > 0))
     """
+
+
+def bpe_train_merges(vocab: DataFrame, n_merges: int = 8) -> DataFrame:
+    """LEARN a BPE merges table from a (word, freq) vocabulary — the
+    tokenizer-TRAINING step (Sennrich et al. 2016 §3.2) that produces
+    the artifact :func:`bpe_tokenize` applies. Each iteration counts
+    every adjacent symbol pair over the current segmentation (each
+    occurrence weighted by the word's corpus frequency — overlapping
+    occurrences all count, the reference algorithm's multiset), picks
+    the most frequent pair (ties broken by the pair string ascending —
+    deterministic in any engine), and merges its leftmost
+    non-overlapping occurrences in every word (one ``replace`` pass on
+    the paren-wrapped representation IS one merge pass — the module
+    docstring's argument; merging (a,b) never creates a new (a,b)).
+
+    Returns one row per iteration: ``(iteration, sym_a, sym_b,
+    merged, pair_count, tokens_after)`` where ``tokens_after`` is the
+    corpus token count under the segmentation after that merge
+    (Σ freq · symbols — the quantity tokenizer training curves
+    plot). If the vocabulary exhausts its pairs before ``n_merges``
+    (every word a single symbol), the remaining iterations emit no
+    rows — the DuckDB twin mirrors the same empty cross join.
+
+    Scale shape: training runs at (typically frequency-capped)
+    VOCABULARY grain, never the corpus — per iteration one bounded
+    explode + hash-agg + single-row top-1 broadcast + one linear
+    replace pass; each state is lineage-truncated (localCheckpoint)
+    so N iterations cost N bounded jobs, not an exponential replay.
+    The corpus pass that builds (word, freq) is the caller's one
+    explode + agg (d44's shape)."""
+    from . import text
+
+    state = vocab.select(
+        F.regexp_replace("word", "(.)", "($1)").alias("s"),
+        F.col("freq").cast("bigint").alias("freq"),
+    ).localCheckpoint(eager=False)
+    out: DataFrame | None = None
+    for it in range(1, n_merges + 1):
+        syms = state.withColumn(
+            "syms",
+            F.split(F.expr("substring(s, 2, length(s) - 2)"), "\\)\\("),
+        )
+        pc = (
+            syms.select("freq", F.explode(text._zip_ngrams("syms", 2)).alias("p"))
+            .groupBy("p")
+            .agg(F.sum("freq").alias("c"))
+        )
+        top1 = (
+            pc.orderBy(F.desc("c"), F.asc("p"))
+            .limit(1)
+            .select(
+                F.substring_index("p", " ", 1).alias("sym_a"),
+                F.substring_index("p", " ", -1).alias("sym_b"),
+                F.col("c").alias("pair_count"),
+            )
+            .localCheckpoint(eager=True)  # single row, feeds state + report
+        )
+        state = (
+            state.crossJoin(F.broadcast(top1))
+            .select(
+                F.replace(
+                    F.col("s"),
+                    F.concat(
+                        F.lit("("),
+                        F.col("sym_a"),
+                        F.lit(")("),
+                        F.col("sym_b"),
+                        F.lit(")"),
+                    ),
+                    F.concat(
+                        F.lit("("), F.col("sym_a"), F.col("sym_b"), F.lit(")")
+                    ),
+                ).alias("s"),
+                "freq",
+            )
+            .localCheckpoint(eager=False)
+        )
+        ta = state.agg(
+            F.sum(
+                F.col("freq")
+                * (
+                    F.length("s")
+                    - F.length(F.replace(F.col("s"), F.lit("("), F.lit("")))
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("tokens_after")
+        )
+        row = (
+            top1.select(
+                F.lit(it).cast("bigint").alias("iteration"),
+                "sym_a",
+                "sym_b",
+                F.concat("sym_a", "sym_b").alias("merged"),
+                F.col("pair_count").cast("bigint").alias("pair_count"),
+            )
+            .crossJoin(F.broadcast(ta))
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("iteration")

@@ -468,6 +468,53 @@ def _bpe_word_counts(spark: SparkSession, sf_dir: str, dim: str):
     return wc, vt
 
 
+D57_VOCAB = 512  # frequency-capped training vocabulary (freq desc,
+# word asc tiebreak — deterministic in any engine); real tokenizer
+# training caps the same way, just at millions of types
+D57_MERGES = 8  # learned merge table size at the test grain
+
+
+def d57_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING (r13 — d44/d46 APPLY a fixed merges
+    artifact; this LEARNS one, the canonical missing tokenizer step:
+    Sennrich et al. 2016 §3.2, the loop GPT-2/SentencePiece-BPE run
+    offline): one corpus pass to (word, freq), cap to the D57_VOCAB
+    most frequent words (freq desc, word asc — the deterministic
+    training-vocab cut real trainers make), then D57_MERGES
+    iterations of count-adjacent-pairs → argmax (count desc, pair
+    asc) → merge leftmost-non-overlapping everywhere
+    (operators/bpe.bpe_train_merges — each apply is ONE replace pass
+    on the paren-wrapped representation, the proven d44 machinery run
+    in reverse). Output: the learned merge table itself, one row per
+    iteration with the winning pair, its weighted occurrence count,
+    and the corpus token count under the post-merge segmentation (the
+    compression curve tokenizer training plots).
+
+    The DuckDB twin unrolls the same iterations as CTE blocks
+    (pairs → top-1 → replace → token count), so the driver hash
+    verifies the LEARNED ARTIFACT end-to-end — which pair won every
+    round, by how much, and what it bought.
+
+    Scale shape: one corpus explode + word hash-agg, one bounded
+    top-V cut, then D57_MERGES bounded vocabulary-grain jobs (each a
+    ≤V-row explode/agg + single-row broadcast + linear replace).
+    Nothing corpus-sized iterates; the iteration count is the
+    artifact size, fixed by the caller."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{bpe.WORD_RE}', 0)")
+        ).alias("word")
+    )
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(D57_VOCAB)
+    )
+    return bpe.bpe_train_merges(vocab, D57_MERGES)
+
+
 def d44_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE BPE token accounting per source (d12's pretokenizer counts
     are the approximation; this applies a real rank-ordered merges
@@ -2658,6 +2705,7 @@ QUERIES = {
     "d8_fingerprint": d8_fingerprint,
     "d12_subword_stats": d12_subword_stats,
     "d44_bpe_tokens": d44_bpe_tokens,
+    "d57_bpe_train": d57_bpe_train,
     "d46_tokenizer_fertility": d46_tokenizer_fertility,
     "d13_hash_sample": d13_hash_sample,
     "d24_weighted_sample": d24_weighted_sample,
@@ -2842,6 +2890,69 @@ def _d32_oracle() -> str:
         FROM doc
         ORDER BY entropy ASC, doc_id LIMIT 15
     """
+
+
+def _d57_oracle() -> str:
+    """Twin of d57_bpe_train: the same frequency-capped vocabulary,
+    then D57_MERGES UNROLLED iteration blocks (adjacent-pair count →
+    deterministic top-1 → leftmost-non-overlapping replace → weighted
+    token count), so the learned merge table hash-matches row for
+    row. All-ASCII symbols make every sort/tiebreak byte-identical
+    across engines; exhaustion (empty top-1) empties the cross joins
+    on both sides the same way."""
+    parts = [
+        f"""words AS (
+          SELECT unnest(regexp_extract_all(lower(text), '{bpe.WORD_RE}'))
+            AS word
+          FROM documents),
+        vc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+               FROM words GROUP BY word),
+        v0 AS (SELECT word, freq FROM vc
+               ORDER BY freq DESC, word LIMIT {D57_VOCAB}),
+        st0 AS (SELECT regexp_replace(word, '(.)', '(\\1)', 'g') AS s, freq
+                FROM v0)"""
+    ]
+    rows = []
+    for i in range(1, D57_MERGES + 1):
+        p = i - 1
+        parts.append(
+            f"""sy{i} AS (
+          SELECT freq, string_split(substr(s, 2, len(s) - 2), ')(') AS a
+          FROM st{p}),
+        pp{i} AS (
+          SELECT freq,
+                 unnest(list_transform(range(1, greatest(len(a), 1)),
+                        j -> a[j] || ' ' || a[j+1])) AS p
+          FROM sy{i}),
+        pc{i} AS (SELECT p, CAST(SUM(freq) AS BIGINT) AS c
+                  FROM pp{i} GROUP BY p),
+        t{i} AS (SELECT split_part(p, ' ', 1) AS sym_a,
+                        split_part(p, ' ', 2) AS sym_b,
+                        c AS pair_count
+                 FROM pc{i} ORDER BY c DESC, p LIMIT 1),
+        st{i} AS (SELECT replace(st.s,
+                          '(' || t.sym_a || ')(' || t.sym_b || ')',
+                          '(' || t.sym_a || t.sym_b || ')') AS s, st.freq
+                  FROM st{p} st CROSS JOIN t{i} t),
+        ta{i} AS (SELECT CAST(SUM(freq * (length(s)
+                          - length(replace(s, '(', '')))) AS BIGINT)
+                    AS tokens_after
+                  FROM st{i})"""
+        )
+        rows.append(
+            f"""SELECT CAST({i} AS BIGINT) AS iteration,
+                 t.sym_a AS sym_a, t.sym_b AS sym_b,
+                 t.sym_a || t.sym_b AS merged,
+                 t.pair_count AS pair_count,
+                 ta.tokens_after AS tokens_after
+          FROM t{i} t CROSS JOIN ta{i} ta"""
+        )
+    body = " UNION ALL ".join(f"({r})" for r in rows)
+    return (
+        "\n        WITH "
+        + ",\n        ".join(parts)
+        + f"\n        SELECT * FROM ({body}) ORDER BY iteration\n    "
+    )
 
 
 def _d52_pd_ctes() -> str:
@@ -3326,6 +3437,7 @@ _ORACLE_TEMPLATE = {
                CAST(SUM(n_subwords) AS DOUBLE) / COUNT(*) AS avg_subwords
         FROM t GROUP BY source ORDER BY source
     """,
+    "d57_bpe_train": _d57_oracle(),
     "d44_bpe_tokens": f"""
         WITH RECURSIVE
         {_sql_bpe_wc("source")},
