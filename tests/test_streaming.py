@@ -808,6 +808,36 @@ def test_corpus_dhash_sidecar_maintained_across_churn(spark, tmp_path):
     assert 11 not in side_ids  # dead row reconciled away
     assert_sidecar_matches_corpus()
 
+    # UPDATE case (second self-review): an upserted doc_id with NEW
+    # content must get its sidecar rows RECOMPUTED — a covered id with
+    # stale rows is the one case pure-function coverage can't excuse
+    old40 = {
+        (r["seg"], r["ah"])
+        for r in spark.read.parquet(audio).collect()
+        if r["doc_id"] == 40
+    }
+    slice_file(
+        "part-0005.parquet",
+        [(40, "entirely rewritten content for the update recompute case")],
+    )
+    q6 = st.run_corpus_ingest(
+        st.read_document_stream(spark, str(sdir), max_files_per_trigger=1),
+        corpus,
+        index,
+        str(tmp_path / "ingest_ckpt"),
+        threshold=0.7,
+        dhash_path=dhash,
+        audio_path=audio,
+    )
+    q6.awaitTermination(180)
+    new40 = {
+        (r["seg"], r["ah"])
+        for r in spark.read.parquet(audio).collect()
+        if r["doc_id"] == 40
+    }
+    assert new40 and new40 != old40  # rows track the NEW content
+    assert_sidecar_matches_corpus()
+
 
 def test_corpus_retract_reverses_ingest_and_readmits(spark, tmp_path):
     """Continuous retraction (run_corpus_retract, the takedown twin of

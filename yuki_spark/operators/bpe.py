@@ -194,6 +194,8 @@ def bpe_train_merges(vocab: DataFrame, n_merges: int = 8) -> DataFrame:
     explode + agg (d44's shape)."""
     from . import text
 
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be positive, got {n_merges}")
     state = vocab.select(
         F.regexp_replace("word", "(.)", "($1)").alias("s"),
         F.col("freq").cast("bigint").alias("freq"),

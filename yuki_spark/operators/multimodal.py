@@ -483,6 +483,9 @@ def dhash56(media: DataFrame) -> DataFrame:
 # signed BIGINT in DuckDB).
 AUDIO_WINDOWS = 57
 AUDIO_FP_BITS = AUDIO_WINDOWS - 1  # 56
+AUDIO_SEGMENTS = 4  # clip grain (positional segments per clip) — ONE
+# constant shared by the d55 query, its oracle, and the streaming
+# sidecar so the maintained deposit can't drift from the query grain
 WAV_RATE = 16000  # container metadata only; windowing is positional
 # Samples emitted per token: 32 overlapping 16-bit slices of the
 # token's 60-bit hash (shift (i·7) mod 45 walks 32 DISTINCT offsets).
@@ -559,7 +562,9 @@ def synth_token_wav(docs: DataFrame) -> DataFrame:
     return src.mapInPandas(run, schema)
 
 
-def audio_fingerprint56(media: DataFrame, n_segments: int = 4) -> DataFrame:
+def audio_fingerprint56(
+    media: DataFrame, n_segments: int = AUDIO_SEGMENTS
+) -> DataFrame:
     """(doc_id, seg, ah): 56-bit energy-envelope difference hash per
     SEGMENT of a WAV payload column — the audio analog of
     :func:`dhash56`. The decode is the real stdlib codec

@@ -226,7 +226,9 @@ def d53_video_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-D55_SEGMENTS = 4  # segments per synthetic clip (positional chunks)
+D55_SEGMENTS = multimodal.AUDIO_SEGMENTS  # clip grain — the operator
+# owns the constant so the streaming sidecar shares it (4 positional
+# chunks per clip)
 D55_HAMMING = 1  # segment-match radius: energy envelopes over ~57
 # sparse sub-windows behave like d53's frame thumbnails — matches must
 # be near-identical to count as the same content

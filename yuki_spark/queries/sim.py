@@ -1035,6 +1035,99 @@ def _s29_cells() -> list[tuple[int, int, int]]:
     return [(m, w, HNSW_BEAM * w) for m in S29_FILTER_MODS for w in (1, m)]
 
 
+def _fann_exact(base: DataFrame, nq: int, mod: int) -> DataFrame:
+    """Eagerly-checkpointed exact same-tenant truth — the shared
+    per-mod chain of the filtered-ANN family (s29's decision table
+    and s32's policy dispatch build the SAME truth; one copy)."""
+    return _s28_exact_filtered(base, nq, mod).localCheckpoint(eager=True)
+
+
+def _fann_beam(emb, graphs, base, nq: int, mod: int, beam: int) -> DataFrame:
+    """Filtered-beam descent at an effective width — the predicate
+    rides hnsw_descent's ``keep=`` (shared by s29/s32)."""
+    return (
+        similarity.hnsw_descent(
+            emb, graphs, k=K, n_queries=nq, beam=beam,
+            entry_mod=HNSW_L2_MOD, base=base,
+            keep=F.col("qid") % mod == F.col("cid") % mod,
+        )
+        .select("qid", "cid")
+        .localCheckpoint(eager=True)
+    )
+
+
+def _fann_pool(emb, graphs, base, nq: int, beam: int) -> DataFrame:
+    """Unfiltered scored pool (collect_candidates) at an effective
+    width (shared by s29/s32; one pool serves every tenant at that
+    width)."""
+    return similarity.hnsw_descent(
+        emb, graphs, k=K, n_queries=nq, beam=beam,
+        entry_mod=HNSW_L2_MOD, base=base, collect_candidates=True,
+    ).localCheckpoint(eager=True)
+
+
+def _fann_route_cut(pool: DataFrame, mod: int) -> DataFrame:
+    """Route-from-pool answer: the top-K predicate-passing candidates
+    among everything any hop scored (shared by s29/s32)."""
+    from pyspark.sql.window import Window
+
+    wq = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col("cid"))
+    return (
+        pool.where(F.col("qid") % mod == F.col("cid") % mod)
+        .withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") <= K)
+        .select("qid", "cid")
+    )
+
+
+def _fann_npos(qcohort: DataFrame, exact_f: DataFrame) -> DataFrame:
+    """Cohort-keyed coverage (n_possible per query; empty tenants
+    surface as 0 rather than vanishing — the r11-advice discipline,
+    shared by s29/s32)."""
+    return qcohort.join(
+        exact_f.groupBy("qid").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_possible")
+        ),
+        "qid",
+        "left",
+    ).select(
+        "qid",
+        F.coalesce("n_possible", F.lit(0)).cast("bigint").alias("n_possible"),
+    )
+
+
+def _fann_cell_rows(
+    npos: DataFrame, exact_f: DataFrame, res: DataFrame, lits
+) -> DataFrame:
+    """One strategy-cell's per-query metric rows (n_kept, n_hits,
+    n_possible, recall vs the exact truth), prefixed by the caller's
+    literal columns — the row assembly both s29 and s32 emit."""
+    hits = (
+        exact_f.join(res, ["qid", "cid"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    kept = res.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept")
+    )
+    return (
+        npos.join(hits, "qid", "left")
+        .join(kept, "qid", "left")
+        .select(
+            *lits,
+            "qid",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            "n_possible",
+            F.when(
+                F.col("n_possible") > 0,
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                / F.col("n_possible").cast("double"),
+            ).alias("recall"),
+        )
+    )
+
+
 def _s28_exact_filtered(base: DataFrame, nq: int, mod: int) -> DataFrame:
     """s28's exact same-tenant truth over a prebuilt (vec_id, sv, nrm)
     base: brute-force top-K among candidates sharing the query's
@@ -1234,8 +1327,6 @@ def s29_filtered_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit."""
     from concurrent.futures import ThreadPoolExecutor
 
-    from pyspark.sql.window import Window
-
     nq = ANN_NQ
     emb = load(spark, sf_dir, "embeddings")
     graphs = [_graph_l1(spark, sf_dir), _graph_nnd2(spark, sf_dir)]
@@ -1255,47 +1346,21 @@ def s29_filtered_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Deposits and the shared base are prebuilt on the main thread
     # (no deposit accessor runs off-thread; concurrent first-touch of
     # one lazy checkpoint would race, hence base.count() above).
-
-    def _build_exact(mod: int) -> DataFrame:
-        return _s28_exact_filtered(base, nq, mod).localCheckpoint(eager=True)
-
-    def _build_beam(mod: int, widen: int) -> DataFrame:
-        return (
-            similarity.hnsw_descent(
-                emb,
-                graphs,
-                k=K,
-                n_queries=nq,
-                beam=HNSW_BEAM * widen,
-                entry_mod=HNSW_L2_MOD,
-                base=base,
-                keep=F.col("qid") % mod == F.col("cid") % mod,
-            )
-            .select("qid", "cid")
-            .localCheckpoint(eager=True)
-        )
-
-    def _build_pool(b: int) -> DataFrame:
-        return similarity.hnsw_descent(
-            emb,
-            graphs,
-            k=K,
-            n_queries=nq,
-            beam=b,
-            entry_mod=HNSW_L2_MOD,
-            base=base,
-            collect_candidates=True,
-        ).localCheckpoint(eager=True)
-
+    # The chain builders are the module-level _fann_* helpers shared
+    # with s32's policy dispatch — one copy of the machinery.
     with ThreadPoolExecutor(max_workers=9) as ex:
-        ef = {m: ex.submit(_build_exact, m) for m in S29_FILTER_MODS}
+        ef = {
+            m: ex.submit(_fann_exact, base, nq, m) for m in S29_FILTER_MODS
+        }
         bf = {
-            (m, w): ex.submit(_build_beam, m, w)
+            (m, w): ex.submit(
+                _fann_beam, emb, graphs, base, nq, m, HNSW_BEAM * w
+            )
             for m in S29_FILTER_MODS
             for w in (1, m)
         }
         pf = {
-            b: ex.submit(_build_pool, b)
+            b: ex.submit(_fann_pool, emb, graphs, base, nq, b)
             for b in sorted({b for _, _, b in _s29_cells()})
         }
         exact_fs = {k: f.result() for k, f in ef.items()}
@@ -1305,44 +1370,19 @@ def s29_filtered_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = None
     for mod in S29_FILTER_MODS:
         exact_f = exact_fs[mod]
-        npos = qcohort.join(
-            exact_f.groupBy("qid").agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_possible")
-            ),
-            "qid",
-            "left",
-        ).select(
-            "qid",
-            F.coalesce("n_possible", F.lit(0)).cast("bigint").alias("n_possible"),
-        )
+        npos = _fann_npos(qcohort, exact_f)
         for widen in (1, mod):
             beam_eff = HNSW_BEAM * widen
-            wq = Window.partitionBy("qid").orderBy(
-                F.desc("cosine"), F.col("cid")
-            )
-            route_res = (
-                pools[beam_eff]
-                .where(F.col("qid") % mod == F.col("cid") % mod)
-                .withColumn("rk", F.row_number().over(wq))
-                .where(F.col("rk") <= K)
-                .select("qid", "cid")
-            )
+            route_res = _fann_route_cut(pools[beam_eff], mod)
             for strat, res in (
                 ("beam", beam_results[(mod, widen)]),
                 ("route", route_res),
             ):
-                hits = (
-                    exact_f.join(res, ["qid", "cid"])
-                    .groupBy("qid")
-                    .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
-                )
-                kept = res.groupBy("qid").agg(
-                    F.count(F.lit(1)).cast("bigint").alias("n_kept")
-                )
-                row = (
-                    npos.join(hits, "qid", "left")
-                    .join(kept, "qid", "left")
-                    .select(
+                row = _fann_cell_rows(
+                    npos,
+                    exact_f,
+                    res,
+                    [
                         F.lit(mod).cast("bigint").alias("filter_mod"),
                         F.lit(widen).cast("bigint").alias("widen"),
                         F.lit(beam_eff).cast("bigint").alias("beam"),
@@ -1356,20 +1396,7 @@ def s29_filtered_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 1.0 / mod, K, beam_eff
                             )
                         ).alias("auto_strategy"),
-                        "qid",
-                        F.coalesce("n_kept", F.lit(0))
-                        .cast("bigint")
-                        .alias("n_kept"),
-                        F.coalesce("n_hits", F.lit(0))
-                        .cast("bigint")
-                        .alias("n_hits"),
-                        "n_possible",
-                        F.when(
-                            F.col("n_possible") > 0,
-                            F.coalesce("n_hits", F.lit(0)).cast("double")
-                            / F.col("n_possible").cast("double"),
-                        ).alias("recall"),
-                    )
+                    ],
                 )
                 out = row if out is None else out.unionByName(row)
     return out.orderBy("filter_mod", "widen", "strategy", "qid")
@@ -1407,8 +1434,6 @@ def s32_filtered_ann_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominates at test scale, the s29 note)."""
     from concurrent.futures import ThreadPoolExecutor
 
-    from pyspark.sql.window import Window
-
     nq = ANN_NQ
     emb = load(spark, sf_dir, "embeddings")
     cells = _s29_cells()
@@ -1423,26 +1448,6 @@ def s32_filtered_ann_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     qcohort = base.where(F.col("vec_id") < nq).select(
         F.col("vec_id").alias("qid")
     )
-
-    def _build_exact(mod: int) -> DataFrame:
-        return _s28_exact_filtered(base, nq, mod).localCheckpoint(eager=True)
-
-    def _build_beam(mod: int, b: int) -> DataFrame:
-        return (
-            similarity.hnsw_descent(
-                emb, graphs, k=K, n_queries=nq, beam=b,
-                entry_mod=HNSW_L2_MOD, base=base,
-                keep=F.col("qid") % mod == F.col("cid") % mod,
-            )
-            .select("qid", "cid")
-            .localCheckpoint(eager=True)
-        )
-
-    def _build_pool(b: int) -> DataFrame:
-        return similarity.hnsw_descent(
-            emb, graphs, k=K, n_queries=nq, beam=b,
-            entry_mod=HNSW_L2_MOD, base=base, collect_candidates=True,
-        ).localCheckpoint(eager=True)
 
     def _build_pre(mod: int) -> DataFrame:
         return (
@@ -1461,10 +1466,17 @@ def s32_filtered_ann_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         {(m, b) for (m, w, b), s in choices.items() if s == "beam"}
     )
     pre_mods = sorted({m for (m, w, b), s in choices.items() if s == "pre"})
+    # chain builders are s29's module-level _fann_* helpers — one copy
     with ThreadPoolExecutor(max_workers=8) as ex:
-        ef = {m: ex.submit(_build_exact, m) for m in mods}
-        pf = {b: ex.submit(_build_pool, b) for b in pool_beams}
-        bf = {mb: ex.submit(_build_beam, *mb) for mb in beam_cells}
+        ef = {m: ex.submit(_fann_exact, base, nq, m) for m in mods}
+        pf = {
+            b: ex.submit(_fann_pool, emb, graphs, base, nq, b)
+            for b in pool_beams
+        }
+        bf = {
+            (m, b): ex.submit(_fann_beam, emb, graphs, base, nq, m, b)
+            for m, b in beam_cells
+        }
         prf = {m: ex.submit(_build_pre, m) for m in pre_mods}
         exact_fs = {k2: f.result() for k2, f in ef.items()}
         pools = {k2: f.result() for k2, f in pf.items()}
@@ -1479,55 +1491,18 @@ def s32_filtered_ann_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         elif strat == "beam":
             res = beams[(m, b)]
         else:
-            wq = Window.partitionBy("qid").orderBy(
-                F.desc("cosine"), F.col("cid")
-            )
-            res = (
-                pools[b]
-                .where(F.col("qid") % m == F.col("cid") % m)
-                .withColumn("rk", F.row_number().over(wq))
-                .where(F.col("rk") <= K)
-                .select("qid", "cid")
-            )
+            res = _fann_route_cut(pools[b], m)
         exact_f = exact_fs[m]
-        npos = qcohort.join(
-            exact_f.groupBy("qid").agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_possible")
-            ),
-            "qid",
-            "left",
-        ).select(
-            "qid",
-            F.coalesce("n_possible", F.lit(0)).cast("bigint").alias(
-                "n_possible"
-            ),
-        )
-        hits = (
-            exact_f.join(res, ["qid", "cid"])
-            .groupBy("qid")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
-        )
-        kept = res.groupBy("qid").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_kept")
-        )
-        row = (
-            npos.join(hits, "qid", "left")
-            .join(kept, "qid", "left")
-            .select(
+        row = _fann_cell_rows(
+            _fann_npos(qcohort, exact_f),
+            exact_f,
+            res,
+            [
                 F.lit(m).cast("bigint").alias("filter_mod"),
                 F.lit(w).cast("bigint").alias("widen"),
                 F.lit(b).cast("bigint").alias("beam"),
                 F.lit(strat).alias("strategy"),
-                "qid",
-                F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
-                F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
-                "n_possible",
-                F.when(
-                    F.col("n_possible") > 0,
-                    F.coalesce("n_hits", F.lit(0)).cast("double")
-                    / F.col("n_possible").cast("double"),
-                ).alias("recall"),
-            )
+            ],
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("filter_mod", "widen", "qid")
@@ -2213,27 +2188,15 @@ def _s31_oracle() -> str:
     """
 
 
-def _s29_oracle() -> str:
-    """Twin of s29_filtered_graph_ann: per cell, one FILTERED
-    descent-chain replay (the tenant predicate riding
-    _hnsw_descent_ctes' ``pred`` hook exactly where the Spark side
-    applies ``keep``) plus one unfiltered pool per distinct beam
-    (the per-hop sc_* scored sets _hnsw_rerank_ctes already emits,
-    unioned — the collect_candidates twin), then the per-query
-    decision rows for both strategies against the same-tenant exact
-    truth with cohort-keyed coverage."""
-    nq = ANN_NQ
+def _fann_exf_cte(m: int, nq: int) -> str:
+    """The exact same-tenant truth CTE ``exf{m}`` — shared verbatim by
+    the s29 and s32 twins (one copy of the truth SQL, mirroring the
+    Spark side's shared _fann_exact)."""
     cosexpr = (
         f"round(CAST({_DOT.format(a='q.sv', b='c.sv')} AS DOUBLE)"
         " / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))), 9)"
     )
-    parts = [_hnsw_shared_ctes()]
-    parts.append(
-        f"qc AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < {nq})"
-    )
-    for m in S29_FILTER_MODS:
-        parts.append(
-            f"""exf{m} AS (
+    return f"""exf{m} AS (
           SELECT qid, cid FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
                         ORDER BY cosine DESC, cid) AS rk
@@ -2243,16 +2206,48 @@ def _s29_oracle() -> str:
                 ON q.vec_id < {nq} AND q.vec_id <> c.vec_id
                AND q.vec_id % {m} = c.vec_id % {m}))
           WHERE rk <= {K})"""
-        )
+
+
+def _fann_pool_cte_block(b: int, tag: str) -> tuple[list[str], str]:
+    """Unfiltered scored-pool CTEs at one effective beam (the
+    collect_candidates twin: the per-hop sc_* scored sets unioned) —
+    shared by the s29 and s32 twins. Returns (cte_strings,
+    pool_cte_name); ``tag`` namespaces the descent CTEs so the two
+    twins can't collide."""
+    ctes, res = _hnsw_descent_ctes(b, f"{tag}{b}")
+    sc_names = [f"sc_bent{tag}{b}", f"sc_b1{tag}{b}", f"sc_{res}"]
+    union = " UNION ALL ".join(f"SELECT * FROM {s}" for s in sc_names)
+    pool = f"pool{tag}{b}"
+    return (
+        [
+            ctes,
+            f"{pool} AS (SELECT DISTINCT qid, cid, cosine FROM ({union}))",
+        ],
+        pool,
+    )
+
+
+def _s29_oracle() -> str:
+    """Twin of s29_filtered_graph_ann: per cell, one FILTERED
+    descent-chain replay (the tenant predicate riding
+    _hnsw_descent_ctes' ``pred`` hook exactly where the Spark side
+    applies ``keep``) plus one unfiltered pool per distinct beam
+    (the per-hop sc_* scored sets _hnsw_rerank_ctes already emits,
+    unioned — the collect_candidates twin), then the per-query
+    decision rows for both strategies against the same-tenant exact
+    truth with cohort-keyed coverage. Truth/pool CTEs come from the
+    _fann_* helpers shared with the s32 twin."""
+    nq = ANN_NQ
+    parts = [_hnsw_shared_ctes()]
+    parts.append(
+        f"qc AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < {nq})"
+    )
+    for m in S29_FILTER_MODS:
+        parts.append(_fann_exf_cte(m, nq))
     beams = sorted({b for _, _, b in _s29_cells()})
     for b in beams:
-        ctes, res = _hnsw_descent_ctes(b, f"_p{b}")
-        parts.append(ctes)
-        sc_names = [f"sc_bent_p{b}", f"sc_b1_p{b}", f"sc_{res}"]
-        union = " UNION ALL ".join(f"SELECT * FROM {s}" for s in sc_names)
-        parts.append(
-            f"pool_p{b} AS (SELECT DISTINCT qid, cid, cosine FROM ({union}))"
-        )
+        block, _pool = _fann_pool_cte_block(b, "_p")
+        parts.extend(block)
     rows = []
     for m, w, b in _s29_cells():
         suf = f"_{m}_{w}"
@@ -2325,10 +2320,6 @@ def _s32_oracle() -> str:
     pooled sc_* union cut for 'route' cells — against the same exact
     same-tenant truth and cohort coverage as the s29 twin."""
     nq = ANN_NQ
-    cosexpr = (
-        f"round(CAST({_DOT.format(a='q.sv', b='c.sv')} AS DOUBLE)"
-        " / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))), 9)"
-    )
     cells = _s29_cells()
     choices = {
         (m, w, b): similarity.filtered_ann_strategy(1.0 / m, K, b)
@@ -2339,26 +2330,10 @@ def _s32_oracle() -> str:
         f"qc AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < {nq})"
     )
     for m in sorted({m for m, _, _ in cells}):
-        parts.append(
-            f"""exf{m} AS (
-          SELECT qid, cid FROM (
-            SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
-                        ORDER BY cosine DESC, cid) AS rk
-            FROM (
-              SELECT q.vec_id AS qid, c.vec_id AS cid, {cosexpr} AS cosine
-              FROM vbn q JOIN vbn c
-                ON q.vec_id < {nq} AND q.vec_id <> c.vec_id
-               AND q.vec_id % {m} = c.vec_id % {m}))
-          WHERE rk <= {K})"""
-        )
+        parts.append(_fann_exf_cte(m, nq))
     for b in sorted({b for (m, w, b), s in choices.items() if s == "route"}):
-        ctes, res = _hnsw_descent_ctes(b, f"_ap{b}")
-        parts.append(ctes)
-        sc_names = [f"sc_bent_ap{b}", f"sc_b1_ap{b}", f"sc_{res}"]
-        union = " UNION ALL ".join(f"SELECT * FROM {s}" for s in sc_names)
-        parts.append(
-            f"pool_ap{b} AS (SELECT DISTINCT qid, cid, cosine FROM ({union}))"
-        )
+        block, _pool = _fann_pool_cte_block(b, "_ap")
+        parts.extend(block)
     for m, b in sorted(
         {(m, b) for (m, w, b), s in choices.items() if s == "beam"}
     ):

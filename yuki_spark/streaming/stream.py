@@ -504,29 +504,55 @@ def _audio_rows(docs: DataFrame) -> DataFrame:
     """(doc_id, seg, ah): the d55 audio-fingerprint rows of a document
     frame — pure per-document like :func:`_dhash_rows` (token stream →
     real WAV → decode → per-segment energy-envelope hash), so the
-    same sidecar discipline applies. n_segments=4 is the d55 clip
-    grain (queries/docs.D55_SEGMENTS)."""
+    same sidecar discipline applies. The segment count is the d55
+    clip grain (multimodal.AUDIO_SEGMENTS — one constant, shared with
+    the query and its oracle, so the maintained sidecar can't drift
+    from the deposit grain)."""
     from ..operators import multimodal
 
     return multimodal.audio_fingerprint56(
-        multimodal.synth_token_wav(docs), n_segments=4
+        multimodal.synth_token_wav(docs),
+        n_segments=multimodal.AUDIO_SEGMENTS,
     )
 
 
-def _reconcile_doc_sidecar(snap, merged_corpus: DataFrame, rows_fn):
+def _audio_eligible(docs: DataFrame) -> DataFrame:
+    """Docs that PRODUCE audio-fingerprint rows: synth_token_wav drops
+    token-less docs, so reconciling against the unfiltered corpus
+    would classify them as permanently uncovered and re-run the
+    synth→decode→hash pass over them on every maintained batch (r13
+    second-review finding)."""
+    from ..functions import tokens
+
+    return docs.where(
+        F.size(F.filter(tokens("text"), lambda t: t != "")) > 0
+    )
+
+
+def _reconcile_doc_sidecar(
+    snap, batch_ids, merged_corpus: DataFrame, rows_fn, eligible=None
+):
     """Reconcile a pure-per-document sidecar against the corpus it
-    derives from: missing snapshot → rebuild whole; otherwise prune
-    rows for departed docs (keyed semi join) and recompute exactly
-    the uncovered docs (keyed anti join — the novel batch when
-    healthy, plus any gap a batch run without the sidecar argument
-    left). The expensive synth→decode→hash pass stays bounded to the
-    uncovered set; covered docs keep their rows verbatim (the rows
+    derives from: missing snapshot → rebuild whole; otherwise drop
+    the CURRENT BATCH's rows first (an upserted doc's rows must be
+    recomputed from its NEW content — keeping them because the id is
+    covered would serve stale hashes), prune rows for departed docs
+    (keyed semi join), and recompute exactly the uncovered docs
+    (keyed anti join — the batch when healthy, plus any gap a batch
+    run without the sidecar argument left). ``eligible`` restricts
+    the coverage domain to docs that produce rows at all (token-less
+    docs would otherwise re-run the synth pass every batch). The
+    expensive synth→decode→hash pass stays bounded to the uncovered
+    set; untouched covered docs keep their rows verbatim (the rows
     are a pure function of the document)."""
+    src = merged_corpus if eligible is None else eligible(merged_corpus)
     if snap is None:
-        return rows_fn(merged_corpus)
-    ids = merged_corpus.select("doc_id")
-    valid = snap.join(ids, "doc_id", "left_semi")
-    uncovered = merged_corpus.join(
+        return rows_fn(src)
+    ids = src.select("doc_id")
+    valid = snap.join(batch_ids, "doc_id", "left_anti").join(
+        ids, "doc_id", "left_semi"
+    )
+    uncovered = src.join(
         valid.select("doc_id").distinct(), "doc_id", "left_anti"
     )
     return valid.unionByName(rows_fn(uncovered))
@@ -605,22 +631,29 @@ def run_corpus_ingest(
         )
 
     sidecars = [
-        (p, cols, fn)
-        for p, cols, fn in (
-            (dhash_path, ["doc_id", "sh"], _dhash_rows),
-            (audio_path, ["doc_id", "seg", "ah"], _audio_rows),
+        (p, cols, fn, el)
+        for p, cols, fn, el in (
+            (dhash_path, ["doc_id", "sh"], _dhash_rows, None),
+            (
+                audio_path,
+                ["doc_id", "seg", "ah"],
+                _audio_rows,
+                _audio_eligible,
+            ),
         )
         if p is not None
     ]
 
     def maintain(spark, novel, merged_corpus):
         side = []
-        for path, cols, fn in sidecars:
+        for path, cols, fn, el in sidecars:
             snap = _read_snapshot_or_none(spark, path)
             rows = _reconcile_doc_sidecar(
                 None if snap is None else snap.select(*cols),
+                novel.select("doc_id"),
                 merged_corpus,
                 fn,
+                eligible=el,
             )
             side.append((path, rows.localCheckpoint(eager=True)))
         return side
