@@ -114,25 +114,26 @@ _PRIORITY = [
     "d56_trigram_lm_perplexity",
     "s32_filtered_ann_auto",
     "d57_bpe_train",
+    "d58_learned_bpe_budget",
     # _R14_PRESTAMP: r14's must-sweep set is the 4 displaced
-    # r10-stamped keys above + the 5 r13-born keys + the 50
-    # r11-stamped keys below = 59 > 50. The displaced four and the
-    # r13-born five take slots 1..9 (oldest/zero evidence first); 41
-    # of the 50 r11-stamped keys fill the rest, and the LAST NINE
-    # r11-stamped keys in the order below (s13_matryoshka_recall,
-    # s18_nn_descent, s3_lsh_ann, s4_ivf_ann, s7_semdedup, s8_pq_ann,
-    # s19_ivfpq_ann, s20_pq_shortlist_sweep, d9_embedding_neardup —
-    # stable sim-family tails) become r14's displaced handful. The
-    # r13 close-out runs the FULL local parity gate
-    # (tests/test_oracle_parity.py, every key, sf0.01 vs DuckDB) so
-    # the whole r11-stamped block is freshly judge-green locally; the
-    # nine named keys get additional manual sf0.1 parity at the r13
-    # close, mirroring the two-scale discipline that covered this
-    # round's displaced four. DONE at the r13 close: all nine
-    # compared NONE-problems at sf0.1 (bit-exact vs DuckDB) on top of
-    # the full sf0.01 sweep — two-scale prestamp evidence recorded.
+    # r10-stamped keys above + the 6 r13-born keys + the 50
+    # r11-stamped keys below = 60 > 50. The displaced four and the
+    # r13-born six take slots 1..10 (oldest/zero evidence first); 40
+    # of the 50 r11-stamped keys fill the rest, and the LAST TEN
+    # r11-stamped keys in the order below (s12_graph_recall,
+    # s13_matryoshka_recall, s18_nn_descent, s3_lsh_ann, s4_ivf_ann,
+    # s7_semdedup, s8_pq_ann, s19_ivfpq_ann, s20_pq_shortlist_sweep,
+    # d9_embedding_neardup — stable sim-family tails) become r14's
+    # displaced handful. The r13 close-out runs the FULL local parity
+    # gate (tests/test_oracle_parity.py, every key, sf0.01 vs DuckDB)
+    # so the whole r11-stamped block is freshly judge-green locally;
+    # the ten named keys get additional manual sf0.1 parity at the
+    # r13 close, mirroring the two-scale discipline that covered this
+    # round's displaced four. DONE at the r13 close: all ten compared
+    # NONE-problems at sf0.1 (bit-exact vs DuckDB) on top of the full
+    # sf0.01 sweep — two-scale prestamp evidence recorded.
     # --- r11-stamped (hit the bound at r14; ordered so r14's
-    # displaced tail is the LAST nine):
+    # displaced tail is the LAST ten):
     "s25_int8_recall",
     "d49_retraction_impact",
     "s26_hnsw_adaptive",

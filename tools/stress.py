@@ -264,6 +264,10 @@ def main() -> None:
         # iterations; the cap makes the loop cost corpus-INDEPENDENT,
         # so 10x must move only the corpus pass
         "d57_bpe_train",
+        # round-13: learned-artifact application — d57's training +
+        # full-vocab replace passes + the d44 broadcast-join shape;
+        # vocab grain, so 10x must move only the corpus pass
+        "d58_learned_bpe_budget",
         # round-13: policy-dispatched filtered ANN — a strict subset
         # of s29's audited chains (two exact truths, one pool, one
         # filtered descent, one IVF pre pass); 10x cost must track s29

@@ -192,6 +192,16 @@ def bpe_train_merges(vocab: DataFrame, n_merges: int = 8) -> DataFrame:
     so N iterations cost N bounded jobs, not an exponential replay.
     The corpus pass that builds (word, freq) is the caller's one
     explode + agg (d44's shape)."""
+    out, _tops = bpe_train_merge_frames(vocab, n_merges)
+    return out
+
+
+def bpe_train_merge_frames(vocab: DataFrame, n_merges: int = 8):
+    """:func:`bpe_train_merges`'s core, additionally returning the
+    per-iteration single-row (sym_a, sym_b, pair_count) frames so a
+    caller can APPLY the learned artifact without collecting it to
+    the driver (:func:`bpe_apply_merge_frames` / d58). Returns
+    ``(report_df, [top1_frame, ...])``."""
     from . import text
 
     if n_merges < 1:
@@ -201,6 +211,7 @@ def bpe_train_merges(vocab: DataFrame, n_merges: int = 8) -> DataFrame:
         F.col("freq").cast("bigint").alias("freq"),
     ).localCheckpoint(eager=False)
     out: DataFrame | None = None
+    tops: list[DataFrame] = []
     for it in range(1, n_merges + 1):
         syms = state.withColumn(
             "syms",
@@ -263,4 +274,56 @@ def bpe_train_merges(vocab: DataFrame, n_merges: int = 8) -> DataFrame:
             .crossJoin(F.broadcast(ta))
         )
         out = row if out is None else out.unionByName(row)
-    return out.orderBy("iteration")
+        tops.append(top1)
+    return out.orderBy("iteration"), tops
+
+
+def bpe_apply_merge_frames(words: DataFrame, tops) -> DataFrame:
+    """Tokenize a DISTINCT-word frame with a LEARNED merges artifact
+    (the per-iteration single-row frames from
+    :func:`bpe_train_merge_frames`) WITHOUT collecting it to the
+    driver: the merges apply in rank order, one leftmost
+    non-overlapping ``replace`` pass each — exact, because a rank-k
+    pair's symbols exist before iteration k, so no later merge can
+    create a new rank-k occurrence (the single-pass-per-rank ==
+    exhaustive-min-rank-loop argument; holds for UNSEEN words too).
+    Returns ``(word, n_tok)`` — the learned segmentation's token
+    count, with n_tok counted as the '(' population of the terminal
+    paren string.
+
+    Scale shape: |merges| single-row broadcasts + linear replace
+    passes at vocabulary grain, each state lineage-truncated — the
+    same bounded loop as training, minus the pair counting."""
+    state = words.select(
+        "word", F.regexp_replace("word", "(.)", "($1)").alias("s")
+    ).localCheckpoint(eager=False)
+    for top1 in tops:
+        state = (
+            state.crossJoin(F.broadcast(top1.select("sym_a", "sym_b")))
+            .select(
+                "word",
+                F.replace(
+                    F.col("s"),
+                    F.concat(
+                        F.lit("("),
+                        F.col("sym_a"),
+                        F.lit(")("),
+                        F.col("sym_b"),
+                        F.lit(")"),
+                    ),
+                    F.concat(
+                        F.lit("("), F.col("sym_a"), F.col("sym_b"), F.lit(")")
+                    ),
+                ).alias("s"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return state.select(
+        "word",
+        (
+            F.length("s")
+            - F.length(F.replace(F.col("s"), F.lit("("), F.lit("")))
+        )
+        .cast("bigint")
+        .alias("n_tok"),
+    )

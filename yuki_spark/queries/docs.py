@@ -517,6 +517,74 @@ def d57_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_train_merges(vocab, D57_MERGES)
 
 
+def d58_learned_bpe_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget accounting under the LEARNED tokenizer (r13 —
+    closes the train→apply loop: d57 learns the merge artifact, this
+    key APPLIES it corpus-wide the way d44 applies the FIXED one —
+    the d47/d20 measure-then-apply discipline at the tokenizer
+    level). One corpus pass to (doc, source, word) counts; the
+    D57-capped vocabulary trains the same D57_MERGES artifact
+    (operators/bpe.bpe_train_merge_frames — the merges stay
+    DataFrames, never collected); the FULL distinct vocabulary —
+    including words the capped training never saw — is tokenized by
+    rank-ordered replace passes (bpe_apply_merge_frames; exact: a
+    rank-k pair's symbols predate iteration k, so one pass per rank
+    is the exhaustive min-rank loop); and the per-source roll-up
+    reports docs, word instances, the LEARNED token budget, letters,
+    and the chars-per-token compression the artifact actually buys on
+    the whole corpus (vs d57's tokens_after, which is the TRAINING
+    vocabulary's curve). The DuckDB twin re-learns and re-applies
+    from scratch via the shared d57 CTE blocks.
+
+    Scale shape: one corpus explode + two hash-aggs; training and
+    application both run at VOCABULARY grain (bounded single-row
+    broadcasts + linear replace passes); the tokenized vocab
+    broadcast-joins back to the counts — d44's audited shape with a
+    learned artifact."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{bpe.WORD_RE}', 0)")
+        ).alias("word"),
+    )
+    wc = words.groupBy("doc_id", "source", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    vocab = (
+        wc.groupBy("word")
+        .agg(F.sum("cnt").cast("bigint").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(D57_VOCAB)
+    )
+    _report, tops = bpe.bpe_train_merge_frames(vocab, D57_MERGES)
+    vt = bpe.bpe_apply_merge_frames(
+        wc.select("word").distinct(), tops
+    )
+    j = wc.join(F.broadcast(vt), "word")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.sum("cnt").cast("bigint").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_tok"))
+            .cast("bigint")
+            .alias("n_learned_tokens"),
+            F.sum(F.col("cnt") * F.length("word").cast("bigint"))
+            .cast("bigint")
+            .alias("n_chars"),
+            (
+                F.sum(F.col("cnt") * F.length("word").cast("bigint")).cast(
+                    "double"
+                )
+                / F.sum(F.col("cnt") * F.col("n_tok")).cast("double")
+            ).alias("chars_per_token"),
+        )
+        .orderBy("source")
+    )
+
+
 def d44_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE BPE token accounting per source (d12's pretokenizer counts
     are the approximation; this applies a real rank-ordered merges
@@ -2708,6 +2776,7 @@ QUERIES = {
     "d12_subword_stats": d12_subword_stats,
     "d44_bpe_tokens": d44_bpe_tokens,
     "d57_bpe_train": d57_bpe_train,
+    "d58_learned_bpe_budget": d58_learned_bpe_budget,
     "d46_tokenizer_fertility": d46_tokenizer_fertility,
     "d13_hash_sample": d13_hash_sample,
     "d24_weighted_sample": d24_weighted_sample,
@@ -2894,27 +2963,15 @@ def _d32_oracle() -> str:
     """
 
 
-def _d57_oracle() -> str:
-    """Twin of d57_bpe_train: the same frequency-capped vocabulary,
-    then D57_MERGES UNROLLED iteration blocks (adjacent-pair count →
-    deterministic top-1 → leftmost-non-overlapping replace → weighted
-    token count), so the learned merge table hash-matches row for
-    row. All-ASCII symbols make every sort/tiebreak byte-identical
-    across engines; exhaustion (empty top-1) empties the cross joins
-    on both sides the same way."""
-    parts = [
-        f"""words AS (
-          SELECT unnest(regexp_extract_all(lower(text), '{bpe.WORD_RE}'))
-            AS word
-          FROM documents),
-        vc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
-               FROM words GROUP BY word),
-        v0 AS (SELECT word, freq FROM vc
-               ORDER BY freq DESC, word LIMIT {D57_VOCAB}),
-        st0 AS (SELECT regexp_replace(word, '(.)', '(\\1)', 'g') AS s, freq
-                FROM v0)"""
-    ]
-    rows = []
+def _d57_iter_ctes() -> tuple[list[str], list[str]]:
+    """The D57_MERGES unrolled training-iteration CTE blocks
+    (adjacent-pair count → deterministic top-1 → leftmost
+    non-overlapping replace → weighted token count), starting from a
+    caller-provided ``st0`` — shared by the d57 report twin and the
+    d58 apply twin (one copy of the training SQL). Returns
+    ``(iteration_ctes, report_row_selects)``."""
+    parts: list[str] = []
+    rows: list[str] = []
     for i in range(1, D57_MERGES + 1):
         p = i - 1
         parts.append(
@@ -2949,11 +3006,96 @@ def _d57_oracle() -> str:
                  ta.tokens_after AS tokens_after
           FROM t{i} t CROSS JOIN ta{i} ta"""
         )
+    return parts, rows
+
+
+def _d57_oracle() -> str:
+    """Twin of d57_bpe_train: the same frequency-capped vocabulary,
+    then D57_MERGES UNROLLED iteration blocks (adjacent-pair count →
+    deterministic top-1 → leftmost-non-overlapping replace → weighted
+    token count), so the learned merge table hash-matches row for
+    row. All-ASCII symbols make every sort/tiebreak byte-identical
+    across engines; exhaustion (empty top-1) empties the cross joins
+    on both sides the same way."""
+    parts = [
+        f"""words AS (
+          SELECT unnest(regexp_extract_all(lower(text), '{bpe.WORD_RE}'))
+            AS word
+          FROM documents),
+        vc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+               FROM words GROUP BY word),
+        v0 AS (SELECT word, freq FROM vc
+               ORDER BY freq DESC, word LIMIT {D57_VOCAB}),
+        st0 AS (SELECT regexp_replace(word, '(.)', '(\\1)', 'g') AS s, freq
+                FROM v0)"""
+    ]
+    iter_parts, rows = _d57_iter_ctes()
+    parts.extend(iter_parts)
     body = " UNION ALL ".join(f"({r})" for r in rows)
     return (
         "\n        WITH "
         + ",\n        ".join(parts)
         + f"\n        SELECT * FROM ({body}) ORDER BY iteration\n    "
+    )
+
+
+def _d58_oracle() -> str:
+    """Twin of d58_learned_bpe_budget: re-LEARN the artifact via the
+    shared d57 iteration blocks, re-APPLY it to the full vocabulary
+    (one rank-ordered replace CTE per merge), and roll up the learned
+    token budget per source."""
+    parts = [
+        f"""words AS (
+          SELECT doc_id, source,
+                 unnest(regexp_extract_all(lower(text), '{bpe.WORD_RE}'))
+            AS word
+          FROM documents),
+        wc AS (SELECT doc_id, source, word,
+                      CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM words GROUP BY doc_id, source, word),
+        vc AS (SELECT word, CAST(SUM(cnt) AS BIGINT) AS freq
+               FROM wc GROUP BY word),
+        v0 AS (SELECT word, freq FROM vc
+               ORDER BY freq DESC, word LIMIT {D57_VOCAB}),
+        st0 AS (SELECT regexp_replace(word, '(.)', '(\\1)', 'g') AS s, freq
+                FROM v0)"""
+    ]
+    iter_parts, _rows = _d57_iter_ctes()
+    parts.extend(iter_parts)
+    parts.append(
+        """aw0 AS (
+          SELECT word, regexp_replace(word, '(.)', '(\\1)', 'g') AS s
+          FROM (SELECT DISTINCT word FROM wc))"""
+    )
+    for i in range(1, D57_MERGES + 1):
+        parts.append(
+            f"""aw{i} AS (
+          SELECT word, replace(aw.s,
+                  '(' || t.sym_a || ')(' || t.sym_b || ')',
+                  '(' || t.sym_a || t.sym_b || ')') AS s
+          FROM aw{i - 1} aw CROSS JOIN t{i} t)"""
+        )
+    parts.append(
+        f"""vt AS (
+          SELECT word,
+                 CAST(length(s) - length(replace(s, '(', '')) AS BIGINT)
+                   AS n_tok
+          FROM aw{D57_MERGES})"""
+    )
+    return (
+        "\n        WITH "
+        + ",\n        ".join(parts)
+        + """
+        SELECT source,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(SUM(cnt) AS BIGINT) AS n_words,
+               CAST(SUM(cnt * n_tok) AS BIGINT) AS n_learned_tokens,
+               CAST(SUM(cnt * length(word)) AS BIGINT) AS n_chars,
+               CAST(SUM(cnt * length(word)) AS DOUBLE)
+                 / CAST(SUM(cnt * n_tok) AS DOUBLE) AS chars_per_token
+        FROM wc JOIN vt USING (word)
+        GROUP BY source ORDER BY source
+    """
     )
 
 
@@ -3440,6 +3582,7 @@ _ORACLE_TEMPLATE = {
         FROM t GROUP BY source ORDER BY source
     """,
     "d57_bpe_train": _d57_oracle(),
+    "d58_learned_bpe_budget": _d58_oracle(),
     "d44_bpe_tokens": f"""
         WITH RECURSIVE
         {_sql_bpe_wc("source")},
