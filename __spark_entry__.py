@@ -20,120 +20,39 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Insertion order is gate order (the driver caps its sweep at 50 rows).
-# Round-13 rotation (staleness rule: no key's driver row older than 2
-# rounds — at r13 the valid stamps are r11/r12/r13, so the 50 keys
-# whose latest row is r10 hit the bound and must re-sweep). The
-# must-sweep set is 4 r12-born keys (zero CORRECTNESS rows — the hard
-# constraint, they open the sweep per the r12 verdict) + 50
-# r10-stamped = 54 > 50. Per the r12 verdict and the _R13_PRESTAMP
-# note recorded at the r12 close, the LAST four r10-stamped keys
-# (s2_label_centroids, s5_quantize_error, s6_ann_recall,
-# s9_kmeans_refine — the cheapest, most-stable family tails) are the
-# displaced handful: their evidence is two-scale fresh (full 154-key
-# sf0.01 parity sweep in the r12 citest + manual sf0.1 bit-exact
-# parity at the r12 close), so their driver row staying r10 until r14
-# is covered. They move directly below the cap and MUST open r14.
+# Round-14 rotation (staleness rule: no key's driver row older than 2
+# rounds — at r14 the valid stamps are r12/r13/r14, so the 50 keys
+# whose latest row is r11 hit the bound and must re-sweep). The
+# must-sweep set is the 4 r10-stamped keys displaced at r13 (driver
+# row r10 + two-scale prestamps recorded in the r13 _R14_PRESTAMP
+# note) + the 6 r13-born keys (zero CORRECTNESS rows — the hard
+# constraint) + 50 r11-stamped = 60 > 50. Per the r13 verdict and the
+# _R14_PRESTAMP note recorded at the r13 close, the displaced four
+# and the r13-born six open the sweep (oldest/zero evidence first),
+# 40 of the 50 r11-stamped keys fill the rest, and the LAST TEN
+# r11-stamped keys (stable sim-family tails, two-scale prestamp
+# evidence recorded at the r13 close: full sf0.01 parity sweep +
+# manual sf0.1 bit-exact compare) become r14's displaced handful.
 _PRIORITY = [
-    # --- slots 1..4: born r12 AFTER that round's rotation locked —
-    # never driver-validated (judge-green in the full 154-key local
-    # parity sweep at the r12 close); the r12 verdict orders them to
-    # open the r13 sweep
-    "s29_filtered_graph_ann",
-    "s30_ivf_churn",
-    "d53_video_phash_dups",
-    "d54_perplexity_filter",
-    # --- slots 5..50: the r10-stamped keys at the staleness bound,
-    # in the order the r12 close recorded (46 of 50; the displaced
-    # tail four sit below the cap with two-scale prestamp evidence)
-    "d10_winnow_fingerprint",
-    "d11_dedup_clusters",
-    "d12_subword_stats",
-    "d13_hash_sample",
-    "d14_stratified_sample",
-    "d15_profile",
-    "d16_repetition",
-    "d17_contamination",
-    "d19_tfidf_top_terms",
-    "d1_exact_dedup",
-    "d20_dedup_apply",
-    "d21_corpus_split",
-    "d22_dup_spans",
-    "d23_gopher_filter",
-    "d24_weighted_sample",
-    "d2_ngram_jaccard_dups",
-    "d34_rag_chunking",
-    "d35_bigram_rarity",
-    "d36_cross_source_dups",
-    "d37_span_scrub",
-    "d38_threshold_sweep",
-    "d39_cluster_sizes",
-    "d40_classifier_filter",
-    "d41_mix_planner",
-    "d42_source_novelty",
-    "d43_shard_balance",
-    "d4_simhash_dups",
-    "d5_lang_id",
-    "d6_quality_score",
-    "d7_token_stats",
-    "d8_fingerprint",
-    "e24_common_paths",
-    "e25_interarrival",
-    "e26_funnel_latency",
-    "e27_ab_lift",
-    "e28_hll_users",
-    "s10_cluster_balance",
-    "s14_mmr_rerank",
-    "s15_label_drift",
-    "s16_knn_centrality",
-    "s17_ivf_probe_sweep",
-    "s1_cosine_topk",
-    "s21_nn_descent_converge",
-    "s22_hnsw_ann",
-    "s23_hnsw_beam_sweep",
-    "s24_hnsw_multilevel",
-    # --- 50-slot cap lands HERE: exactly 50 keys above (4 r12-born +
-    # 46 r10-stamped). Below the cap: first the four DISPLACED
-    # r10-stamped keys (driver row r10 + two-scale prestamps — they
-    # MUST open the r14 sweep), then keys born in r13 (each with an
-    # _R14_PRESTAMP-style note when the round closes), then the 50
-    # r11-stamped keys (they hit the staleness bound at r14 and fill
-    # r14's remaining slots), then the 50 r12-stamped keys freshest
-    # at the bottom.
-    # --- displaced r10-stamped tail (per _R13_PRESTAMP recorded at
-    # the r12 close: full 154-key sf0.01 parity sweep + manual sf0.1
-    # bit-exact parity, both at the r12 close — two-scale fresh):
+    # --- slots 1..4: r10-stamped keys displaced at r13 (two-scale
+    # prestamp evidence from the r12 AND r13 closes; the r13 verdict
+    # orders them to open the r14 sweep)
     "s2_label_centroids",
     "s5_quantize_error",
     "s6_ann_recall",
     "s9_kmeans_refine",
-    # --- born in r13 go HERE as they land (zero driver rows;
-    # judge-green in the local parity gate; they MUST sweep in r14
-    # alongside the displaced four):
+    # --- slots 5..10: born r13 AFTER that round's rotation locked —
+    # never driver-validated (judge-green in the full 160-key local
+    # parity sweep at the r13 close, sf0.01 + sf0.1 parity at birth)
     "s31_pq_churn",
     "d55_audio_fingerprint_dups",
     "d56_trigram_lm_perplexity",
     "s32_filtered_ann_auto",
     "d57_bpe_train",
     "d58_learned_bpe_budget",
-    # _R14_PRESTAMP: r14's must-sweep set is the 4 displaced
-    # r10-stamped keys above + the 6 r13-born keys + the 50
-    # r11-stamped keys below = 60 > 50. The displaced four and the
-    # r13-born six take slots 1..10 (oldest/zero evidence first); 40
-    # of the 50 r11-stamped keys fill the rest, and the LAST TEN
-    # r11-stamped keys in the order below (s12_graph_recall,
-    # s13_matryoshka_recall, s18_nn_descent, s3_lsh_ann, s4_ivf_ann,
-    # s7_semdedup, s8_pq_ann, s19_ivfpq_ann, s20_pq_shortlist_sweep,
-    # d9_embedding_neardup — stable sim-family tails) become r14's
-    # displaced handful. The r13 close-out runs the FULL local parity
-    # gate (tests/test_oracle_parity.py, every key, sf0.01 vs DuckDB)
-    # so the whole r11-stamped block is freshly judge-green locally;
-    # the ten named keys get additional manual sf0.1 parity at the
-    # r13 close, mirroring the two-scale discipline that covered this
-    # round's displaced four. DONE at the r13 close: all ten compared
-    # NONE-problems at sf0.1 (bit-exact vs DuckDB) on top of the full
-    # sf0.01 sweep — two-scale prestamp evidence recorded.
-    # --- r11-stamped (hit the bound at r14; ordered so r14's
-    # displaced tail is the LAST ten):
+    # --- slots 11..50: the r11-stamped keys at the staleness bound,
+    # in the order the r13 close recorded (40 of 50; the displaced
+    # tail ten sit below the cap with two-scale prestamp evidence)
     "s25_int8_recall",
     "d49_retraction_impact",
     "s26_hnsw_adaptive",
@@ -174,6 +93,17 @@ _PRIORITY = [
     "p1_pii_scan",
     "q23_skyline_parts",
     "s11_knn_graph",
+    # --- 50-slot cap lands HERE: exactly 50 keys above (4 displaced
+    # r10 + 6 r13-born + 40 r11-stamped). Below the cap: first the
+    # ten DISPLACED r11-stamped keys (driver row r11 + two-scale
+    # prestamps — they MUST open the r15 sweep), then keys born in
+    # r14 (each with an _R15_PRESTAMP-style note when the round
+    # closes), then the 50 r12-stamped keys (they hit the staleness
+    # bound at r15 and fill r15's remaining slots), then the 50
+    # r13-stamped keys freshest at the bottom.
+    # --- displaced r11-stamped tail (per _R14_PRESTAMP recorded at
+    # the r13 close: full 160-key sf0.01 parity sweep + manual sf0.1
+    # bit-exact parity, both at the r13 close — two-scale fresh):
     "s12_graph_recall",
     "s13_matryoshka_recall",
     "s18_nn_descent",
@@ -184,7 +114,24 @@ _PRIORITY = [
     "s19_ivfpq_ann",
     "s20_pq_shortlist_sweep",
     "d9_embedding_neardup",
-    # --- r12-stamped (freshest driver rows — swept last)
+    # --- born in r14 go HERE as they land (zero driver rows;
+    # judge-green in the local parity gate; they MUST sweep in r15
+    # alongside the displaced ten):
+    # _R15_PRESTAMP (arithmetic updated at the r14 close): r15's
+    # must-sweep set is the 10 displaced r11-stamped keys above + any
+    # r14-born keys + the 50 r12-stamped keys below = 60+ > 50. The
+    # displaced ten and any r14-born keys take the head slots, the
+    # r12-stamped block fills the rest, and the overflow displaces
+    # the LAST r12-stamped keys in the order below (the stable
+    # TPC-H/set-ops tails: semi_anti_parts, setops_customer_activity,
+    # setops_multiset_except, sql1_revenue_by_nation,
+    # union_dedup_keys, w1_top_customers_per_nation,
+    # w2_running_revenue, w3_moving_avg_events, w4_mom_growth,
+    # w5_rank_distribution), each requiring fresh two-scale prestamp
+    # evidence (full sf0.01 parity sweep + manual sf0.1 compare)
+    # recorded at the r14 close.
+    # --- r12-stamped (hit the bound at r15; ordered so r15's
+    # displaced tail is the LAST ten):
     "d52_bigram_lm_perplexity",
     "cube_revenue",
     "d18_sequence_packing",
@@ -235,6 +182,57 @@ _PRIORITY = [
     "w3_moving_avg_events",
     "w4_mom_growth",
     "w5_rank_distribution",
+    # --- r13-stamped (freshest driver rows — swept last)
+    "s29_filtered_graph_ann",
+    "s30_ivf_churn",
+    "d53_video_phash_dups",
+    "d54_perplexity_filter",
+    "d10_winnow_fingerprint",
+    "d11_dedup_clusters",
+    "d12_subword_stats",
+    "d13_hash_sample",
+    "d14_stratified_sample",
+    "d15_profile",
+    "d16_repetition",
+    "d17_contamination",
+    "d19_tfidf_top_terms",
+    "d1_exact_dedup",
+    "d20_dedup_apply",
+    "d21_corpus_split",
+    "d22_dup_spans",
+    "d23_gopher_filter",
+    "d24_weighted_sample",
+    "d2_ngram_jaccard_dups",
+    "d34_rag_chunking",
+    "d35_bigram_rarity",
+    "d36_cross_source_dups",
+    "d37_span_scrub",
+    "d38_threshold_sweep",
+    "d39_cluster_sizes",
+    "d40_classifier_filter",
+    "d41_mix_planner",
+    "d42_source_novelty",
+    "d43_shard_balance",
+    "d4_simhash_dups",
+    "d5_lang_id",
+    "d6_quality_score",
+    "d7_token_stats",
+    "d8_fingerprint",
+    "e24_common_paths",
+    "e25_interarrival",
+    "e26_funnel_latency",
+    "e27_ab_lift",
+    "e28_hll_users",
+    "s10_cluster_balance",
+    "s14_mmr_rerank",
+    "s15_label_drift",
+    "s16_knn_centrality",
+    "s17_ivf_probe_sweep",
+    "s1_cosine_topk",
+    "s21_nn_descent_converge",
+    "s22_hnsw_ann",
+    "s23_hnsw_beam_sweep",
+    "s24_hnsw_multilevel",
 ]
 
 
