@@ -2488,6 +2488,40 @@ def test_bpe_train_matches_list_based_reference(spark):
     assert got == reference(word_freqs, 6)
 
 
+def test_bpe_exhausted_merges_apply_as_noop(spark):
+    """r13 advice: if training exhausts its pair supply before
+    n_merges, the empty per-iteration merge frames must apply as
+    NO-OPS — the old crossJoin against an empty single-row frame
+    silently annihilated the ENTIRE words/state frame (total data
+    loss on small vocabularies). Pins: (1) the report stops emitting
+    rows at exhaustion, (2) the post-exhaustion state keeps every
+    word, (3) applying the exhausted artifact to UNSEEN words
+    segments them under the learned merges instead of returning
+    an empty frame."""
+    from yuki_spark.operators import bpe
+
+    vocab = spark.createDataFrame(
+        [("ab", 3), ("a", 2)], "word string, freq long"
+    )
+    # iter 1 merges (a, b); iters 2..4 find zero pairs (every word a
+    # single symbol) and must be no-ops
+    report, tops = bpe.bpe_train_merge_frames(vocab, 4)
+    rows = report.collect()
+    assert [
+        (r["iteration"], r["sym_a"], r["sym_b"], r["pair_count"]) for r in rows
+    ] == [(1, "a", "b", 3)]
+    assert len(tops) == 4 and tops[1].count() == 0
+
+    words = spark.createDataFrame(
+        [("ab",), ("a",), ("ba",), ("abab",)], "word string"
+    )
+    got = {
+        r["word"]: r["n_tok"]
+        for r in bpe.bpe_apply_merge_frames(words, tops).collect()
+    }
+    assert got == {"ab": 1, "a": 1, "ba": 2, "abab": 2}
+
+
 def test_d56_trigram_backoff_chain_branches_live(spark):
     """d56's stupid-backoff chain exercises ALL THREE branches at the
     parity-gate catalog (trigram hit, bigram backoff, unigram

@@ -183,7 +183,9 @@ def bpe_train_merges(vocab: DataFrame, n_merges: int = 8) -> DataFrame:
     (Σ freq · symbols — the quantity tokenizer training curves
     plot). If the vocabulary exhausts its pairs before ``n_merges``
     (every word a single symbol), the remaining iterations emit no
-    rows — the DuckDB twin mirrors the same empty cross join.
+    rows, and the remaining merge passes are NO-OPS on the state
+    (left join + coalesce, never an empty cross join that would
+    annihilate it) — the DuckDB twin mirrors both halves.
 
     Scale shape: training runs at (typically frequency-capped)
     VOCABULARY grain, never the corpus — per iteration one bounded
@@ -194,6 +196,37 @@ def bpe_train_merges(vocab: DataFrame, n_merges: int = 8) -> DataFrame:
     explode + agg (d44's shape)."""
     out, _tops = bpe_train_merge_frames(vocab, n_merges)
     return out
+
+
+def _merge_pass(state: DataFrame, top1: DataFrame, keep: list) -> DataFrame:
+    """One leftmost-non-overlapping merge pass of a single-row
+    (sym_a, sym_b) frame over paren-string state. A LEFT join on TRUE
+    (same broadcast-nested-loop physical shape as a cross join against
+    a one-row build side) rather than ``crossJoin``, so an EMPTY merge
+    frame — training exhausted its pair supply before ``n_merges`` —
+    applies as a NO-OP instead of silently annihilating the entire
+    state frame (r13 advice: the empty-frame total-data-loss mode)."""
+    return state.join(
+        F.broadcast(top1.select("sym_a", "sym_b")), F.lit(True), "left"
+    ).select(
+        *keep,
+        F.coalesce(
+            F.replace(
+                F.col("s"),
+                F.concat(
+                    F.lit("("),
+                    F.col("sym_a"),
+                    F.lit(")("),
+                    F.col("sym_b"),
+                    F.lit(")"),
+                ),
+                F.concat(
+                    F.lit("("), F.col("sym_a"), F.col("sym_b"), F.lit(")")
+                ),
+            ),
+            F.col("s"),
+        ).alias("s"),
+    )
 
 
 def bpe_train_merge_frames(vocab: DataFrame, n_merges: int = 8):
@@ -232,25 +265,8 @@ def bpe_train_merge_frames(vocab: DataFrame, n_merges: int = 8):
             )
             .localCheckpoint(eager=True)  # single row, feeds state + report
         )
-        state = (
-            state.crossJoin(F.broadcast(top1))
-            .select(
-                F.replace(
-                    F.col("s"),
-                    F.concat(
-                        F.lit("("),
-                        F.col("sym_a"),
-                        F.lit(")("),
-                        F.col("sym_b"),
-                        F.lit(")"),
-                    ),
-                    F.concat(
-                        F.lit("("), F.col("sym_a"), F.col("sym_b"), F.lit(")")
-                    ),
-                ).alias("s"),
-                "freq",
-            )
-            .localCheckpoint(eager=False)
+        state = _merge_pass(state, top1, ["freq"]).localCheckpoint(
+            eager=False
         )
         ta = state.agg(
             F.sum(
@@ -293,30 +309,15 @@ def bpe_apply_merge_frames(words: DataFrame, tops) -> DataFrame:
 
     Scale shape: |merges| single-row broadcasts + linear replace
     passes at vocabulary grain, each state lineage-truncated — the
-    same bounded loop as training, minus the pair counting."""
+    same bounded loop as training, minus the pair counting. An EMPTY
+    merge frame (exhausted training) is a NO-OP pass, not an
+    annihilating cross join — see :func:`_merge_pass`."""
     state = words.select(
         "word", F.regexp_replace("word", "(.)", "($1)").alias("s")
     ).localCheckpoint(eager=False)
     for top1 in tops:
-        state = (
-            state.crossJoin(F.broadcast(top1.select("sym_a", "sym_b")))
-            .select(
-                "word",
-                F.replace(
-                    F.col("s"),
-                    F.concat(
-                        F.lit("("),
-                        F.col("sym_a"),
-                        F.lit(")("),
-                        F.col("sym_b"),
-                        F.lit(")"),
-                    ),
-                    F.concat(
-                        F.lit("("), F.col("sym_a"), F.col("sym_b"), F.lit(")")
-                    ),
-                ).alias("s"),
-            )
-            .localCheckpoint(eager=False)
+        state = _merge_pass(state, top1, ["word"]).localCheckpoint(
+            eager=False
         )
     return state.select(
         "word",

@@ -2989,10 +2989,11 @@ def _d57_iter_ctes() -> tuple[list[str], list[str]]:
                         split_part(p, ' ', 2) AS sym_b,
                         c AS pair_count
                  FROM pc{i} ORDER BY c DESC, p LIMIT 1),
-        st{i} AS (SELECT replace(st.s,
+        st{i} AS (SELECT coalesce(replace(st.s,
                           '(' || t.sym_a || ')(' || t.sym_b || ')',
-                          '(' || t.sym_a || t.sym_b || ')') AS s, st.freq
-                  FROM st{p} st CROSS JOIN t{i} t),
+                          '(' || t.sym_a || t.sym_b || ')'), st.s) AS s,
+                         st.freq
+                  FROM st{p} st LEFT JOIN t{i} t ON TRUE),
         ta{i} AS (SELECT CAST(SUM(freq * (length(s)
                           - length(replace(s, '(', '')))) AS BIGINT)
                     AS tokens_after
@@ -3015,8 +3016,9 @@ def _d57_oracle() -> str:
     deterministic top-1 → leftmost-non-overlapping replace → weighted
     token count), so the learned merge table hash-matches row for
     row. All-ASCII symbols make every sort/tiebreak byte-identical
-    across engines; exhaustion (empty top-1) empties the cross joins
-    on both sides the same way."""
+    across engines; exhaustion (empty top-1) emits no report row and
+    leaves the state untouched on both sides the same way (LEFT JOIN
+    ON TRUE + coalesce, mirroring bpe._merge_pass's no-op guard)."""
     parts = [
         f"""words AS (
           SELECT unnest(regexp_extract_all(lower(text), '{bpe.WORD_RE}'))
@@ -3070,10 +3072,10 @@ def _d58_oracle() -> str:
     for i in range(1, D57_MERGES + 1):
         parts.append(
             f"""aw{i} AS (
-          SELECT word, replace(aw.s,
+          SELECT word, coalesce(replace(aw.s,
                   '(' || t.sym_a || ')(' || t.sym_b || ')',
-                  '(' || t.sym_a || t.sym_b || ')') AS s
-          FROM aw{i - 1} aw CROSS JOIN t{i} t)"""
+                  '(' || t.sym_a || t.sym_b || ')'), aw.s) AS s
+          FROM aw{i - 1} aw LEFT JOIN t{i} t ON TRUE)"""
         )
     parts.append(
         f"""vt AS (
