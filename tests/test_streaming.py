@@ -653,7 +653,7 @@ def test_corpus_dhash_sidecar_maintained_across_churn(spark, tmp_path):
         time.sleep(0.05)
 
     def assert_sidecar_matches_corpus():
-        from yuki_spark.streaming.stream import _audio_rows
+        from yuki_spark.streaming.stream import _audio_sidecar_rows
 
         got = sorted(
             (r["doc_id"], r["sh"])
@@ -667,8 +667,14 @@ def test_corpus_dhash_sidecar_maintained_across_churn(spark, tmp_path):
         got_a = sorted(
             map(tuple, spark.read.parquet(audio).collect())
         )
+        # the rebuilt twin is the TOTAL row function (fingerprints +
+        # silent sentinels), so maintained ≡ rebuilt covers the
+        # sentinel rows too
         want_a = sorted(
-            map(tuple, _audio_rows(spark.read.parquet(corpus)).collect())
+            map(
+                tuple,
+                _audio_sidecar_rows(spark.read.parquet(corpus)).collect(),
+            )
         )
         assert got_a == want_a
 
@@ -681,7 +687,14 @@ def test_corpus_dhash_sidecar_maintained_across_churn(spark, tmp_path):
     )
     slice_file(
         "part-0001.parquet",
-        [(11, "genuinely novel second batch content tokens")],
+        # doc 12 is TOKEN-LESS: it must land in the audio sidecar as
+        # the silent sentinel row (seg = AUDIO_SILENT_SEG), making its
+        # coverage a keyed fact — later batches must not re-tokenize
+        # the corpus to rediscover that it yields no fingerprint
+        [
+            (11, "genuinely novel second batch content tokens"),
+            (12, "   "),
+        ],
     )
     q = st.run_corpus_ingest(
         st.read_document_stream(spark, str(sdir), max_files_per_trigger=1),
@@ -695,8 +708,15 @@ def test_corpus_dhash_sidecar_maintained_across_churn(spark, tmp_path):
     q.awaitTermination(180)
     assert sorted(
         r["doc_id"] for r in spark.read.parquet(corpus).collect()
-    ) == [1, 3, 11]
+    ) == [1, 3, 11, 12]
     assert_sidecar_matches_corpus()
+    from yuki_spark.streaming.stream import AUDIO_SILENT_SEG
+
+    assert {
+        (r["seg"], r["ah"])
+        for r in spark.read.parquet(audio).collect()
+        if r["doc_id"] == 12
+    } == {(AUDIO_SILENT_SEG, 0)}
 
     # retract doc 3: the sidecar is pruned by the same keyed anti-join
     rdir = tmp_path / "retract_stream"
@@ -716,7 +736,7 @@ def test_corpus_dhash_sidecar_maintained_across_churn(spark, tmp_path):
     rq.awaitTermination(180)
     assert sorted(
         r["doc_id"] for r in spark.read.parquet(corpus).collect()
-    ) == [1, 11]
+    ) == [1, 11, 12]
     assert_sidecar_matches_corpus()
 
     # a later ingest batch appends at the same grain; replaying it

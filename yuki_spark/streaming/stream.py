@@ -516,22 +516,35 @@ def _audio_rows(docs: DataFrame) -> DataFrame:
     )
 
 
-def _audio_eligible(docs: DataFrame) -> DataFrame:
-    """Docs that PRODUCE audio-fingerprint rows: synth_token_wav drops
-    token-less docs, so reconciling against the unfiltered corpus
-    would classify them as permanently uncovered and re-run the
-    synth→decode→hash pass over them on every maintained batch (r13
-    second-review finding)."""
+AUDIO_SILENT_SEG = -1
+
+
+def _audio_sidecar_rows(docs: DataFrame) -> DataFrame:
+    """TOTAL per-document audio sidecar rows: the d55 fingerprint rows
+    for docs with tokens, plus one SENTINEL row ``(doc_id,
+    AUDIO_SILENT_SEG, 0)`` for token-less docs (synth_token_wav drops
+    them — real segments are always seg ≥ 0, so the sentinel can't
+    collide). Totality is what makes sidecar COVERAGE a pure keyed
+    projection: every corpus doc owns rows, so the reconcile's
+    uncovered set is one doc_id anti-join — no per-batch corpus
+    re-tokenize to rediscover which docs are eligible (the r13
+    eligibility filter re-paid a corpus-linear tokenize every
+    maintained batch; r14 advice). The tokenize that SPLITS
+    eligible/silent here runs only over the docs handed in — the
+    uncovered set on maintained batches, the whole corpus only on
+    heal."""
     from ..functions import tokens
 
-    return docs.where(
-        F.size(F.filter(tokens("text"), lambda t: t != "")) > 0
+    has_tokens = F.size(F.filter(tokens("text"), lambda t: t != "")) > 0
+    silent = docs.where(~has_tokens).select(
+        "doc_id",
+        F.lit(AUDIO_SILENT_SEG).cast("int").alias("seg"),
+        F.lit(0).cast("long").alias("ah"),
     )
+    return _audio_rows(docs.where(has_tokens)).unionByName(silent)
 
 
-def _reconcile_doc_sidecar(
-    snap, batch_ids, merged_corpus: DataFrame, rows_fn, eligible=None
-):
+def _reconcile_doc_sidecar(snap, batch_ids, merged_corpus: DataFrame, rows_fn):
     """Reconcile a pure-per-document sidecar against the corpus it
     derives from: missing snapshot → rebuild whole; otherwise drop
     the CURRENT BATCH's rows first (an upserted doc's rows must be
@@ -539,20 +552,18 @@ def _reconcile_doc_sidecar(
     covered would serve stale hashes), prune rows for departed docs
     (keyed semi join), and recompute exactly the uncovered docs
     (keyed anti join — the batch when healthy, plus any gap a batch
-    run without the sidecar argument left). ``eligible`` restricts
-    the coverage domain to docs that produce rows at all (token-less
-    docs would otherwise re-run the synth pass every batch). The
-    expensive synth→decode→hash pass stays bounded to the uncovered
-    set; untouched covered docs keep their rows verbatim (the rows
-    are a pure function of the document)."""
-    src = merged_corpus if eligible is None else eligible(merged_corpus)
+    run without the sidecar argument left). ``rows_fn`` must be TOTAL
+    (emit ≥ 1 row for every doc — see :func:`_audio_sidecar_rows`),
+    which is what keeps the whole reconcile keyed: the expensive
+    synth→decode→hash pass AND any eligibility tokenize stay bounded
+    to the uncovered set; untouched covered docs keep their rows
+    verbatim (the rows are a pure function of the document)."""
     if snap is None:
-        return rows_fn(src)
-    ids = src.select("doc_id")
+        return rows_fn(merged_corpus)
     valid = snap.join(batch_ids, "doc_id", "left_anti").join(
-        ids, "doc_id", "left_semi"
+        merged_corpus.select("doc_id"), "doc_id", "left_semi"
     )
-    uncovered = src.join(
+    uncovered = merged_corpus.join(
         valid.select("doc_id").distinct(), "doc_id", "left_anti"
     )
     return valid.unionByName(rows_fn(uncovered))
@@ -631,29 +642,23 @@ def run_corpus_ingest(
         )
 
     sidecars = [
-        (p, cols, fn, el)
-        for p, cols, fn, el in (
-            (dhash_path, ["doc_id", "sh"], _dhash_rows, None),
-            (
-                audio_path,
-                ["doc_id", "seg", "ah"],
-                _audio_rows,
-                _audio_eligible,
-            ),
+        (p, cols, fn)
+        for p, cols, fn in (
+            (dhash_path, ["doc_id", "sh"], _dhash_rows),
+            (audio_path, ["doc_id", "seg", "ah"], _audio_sidecar_rows),
         )
         if p is not None
     ]
 
     def maintain(spark, novel, merged_corpus):
         side = []
-        for path, cols, fn, el in sidecars:
+        for path, cols, fn in sidecars:
             snap = _read_snapshot_or_none(spark, path)
             rows = _reconcile_doc_sidecar(
                 None if snap is None else snap.select(*cols),
                 novel.select("doc_id"),
                 merged_corpus,
                 fn,
-                eligible=el,
             )
             side.append((path, rows.localCheckpoint(eager=True)))
         return side
