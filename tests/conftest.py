@@ -18,6 +18,7 @@ os.environ.setdefault(
     "YUKI_SPARK_DEDUP_STORE", os.path.join(_ARTIFACT_TMP, "dedup")
 )
 os.environ.setdefault("YUKI_SPARK_SIM_STORE", os.path.join(_ARTIFACT_TMP, "sim"))
+os.environ.setdefault("YUKI_SPARK_LM_STORE", os.path.join(_ARTIFACT_TMP, "lm"))
 
 
 @pytest.fixture(scope="session")

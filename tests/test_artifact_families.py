@@ -190,6 +190,34 @@ def test_sim_family_reuses_ann_deposits(spark, monkeypatch, tmp_path):
     assert dict(sim_family.COMPUTES) == snapshot  # zero recomputes
 
 
+def test_lm_family_trains_once_for_both_consumers(spark, monkeypatch, tmp_path):
+    """The LM score store (queries/lm_family.py, r14): the first of
+    d56/d54 pays the corpus-sized trigram train+score chain; the
+    other reads the per_doc3 deposit and computes nothing — and the
+    deposit-backed per-doc table is bit-identical to the direct
+    _d56_per_doc run (DEC sums + per-doc doubles survive the parquet
+    roundtrip exactly)."""
+    from yuki_spark.operators import text
+    from yuki_spark.queries import docs as docsq
+    from yuki_spark.queries import lm_family
+
+    monkeypatch.setenv("YUKI_SPARK_LM_STORE", str(tmp_path / "lmstore"))
+    lm_family.COMPUTES.clear()
+
+    docsq.d56_trigram_lm_perplexity(spark, SF_SMOKE).collect()
+    assert lm_family.COMPUTES == {"per_doc3": 1}
+    docsq.d54_perplexity_filter(spark, SF_SMOKE).collect()
+    docsq.d56_trigram_lm_perplexity(spark, SF_SMOKE).collect()
+    assert lm_family.COMPUTES == {"per_doc3": 1}  # zero retrains
+
+    direct = docsq._d56_per_doc(
+        text.with_tokens(load(spark, SF_SMOKE, "documents"))
+    )
+    assert _sorted_rows(
+        lm_family.scored_per_doc3(spark, SF_SMOKE), "doc_id"
+    ) == _sorted_rows(direct, "doc_id")
+
+
 def test_unwritable_store_degrades_to_unpersisted(spark, monkeypatch, tmp_path):
     """Correctness is never hostage to the store disk: with an
     unwritable store root the family queries still produce their

@@ -247,18 +247,22 @@ ALLOWED_BNLJ = {
     "s10_cluster_balance": 1,
     "d31_token_surprisal": 1,  # single-row corpus-total (N, log2 N) broadcast
     "d52_bigram_lm_perplexity": 1,  # same d31 pattern: single-row l2N broadcast
-    "d56_trigram_lm_perplexity": 1,  # same d31/d52 pattern: single-row l2N broadcast
+    # d56 reads the LM family's per_doc3 deposit since r14 (the whole
+    # trigram chain, l2N broadcast included, lives inside the one-time
+    # builder — the s4/s7 checkpoint-hidden pattern, pinned instead by
+    # the list-based reference test + oracle parity)
+    "d56_trigram_lm_perplexity": 0,
     # d57's visible plan is the merge-table assembly: one single-row
     # top-1 × single-row tokens-after broadcast per learned merge
     # (D57_MERGES = 8); the vocabulary-grain states sit behind
     # lineage-truncating checkpoints and their per-iteration shape is
     # pinned by the list-based reference test instead
     "d57_bpe_train": 8,
-    # d54 = d52's chain (single-row l2N broadcast, visible twice here
-    # because the tokenized-frame checkpoint exposes more of the
-    # chain) + the single-row percentile-cutoff broadcast (the
-    # q11/d26 scalar pattern) — every build side is one row
-    "d54_perplexity_filter": 3,
+    # d54's visible plan since r14 is the per_doc3 deposit read + the
+    # single-row percentile-cutoff broadcast (the q11/d26 scalar
+    # pattern); the scoring chain's joins live inside the LM family's
+    # one-time builder
+    "d54_perplexity_filter": 1,
     "d41_mix_planner": 1,  # single-row (corpus_tokens, n_sources) broadcast
     "d43_shard_balance": 1,  # single-row corpus_tokens broadcast
     "d49_retraction_impact": 1,  # single-row min(source) broadcast

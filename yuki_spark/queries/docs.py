@@ -2561,9 +2561,14 @@ def d56_trigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     type grain only, one single-row N broadcast, then keyed
     type-grain joins back to the eval occurrences and doc/source
     hash-aggs — d52's audited shape with one more explode+agg
-    level."""
-    t = text.with_tokens(load(spark, sf_dir, "documents"))
-    per_doc = _d56_per_doc(t)
+    level. Since r14 the whole chain lives inside the LM family's
+    one-time per_doc3 deposit (queries/lm_family.py — train once,
+    score once, both consumers read; the r13 verdict's named
+    improvement): this key's visible plan is the deposit read + one
+    source hash-agg."""
+    from . import lm_family
+
+    per_doc = lm_family.scored_per_doc3(spark, sf_dir)
     return (
         per_doc.groupBy("source")
         .agg(
@@ -2606,15 +2611,15 @@ def d54_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (they never reach the gate); the relative cutoff exercises both
     branches at every test sf by construction.
 
-    Scale shape: d56's audited chain (type-grain aggs + keyed joins,
-    one single-row N broadcast) + one corpus-frame join for
+    Scale shape: the LM family's per_doc3 deposit read (the d56
+    chain trains ONCE per corpus inside the one-time builder —
+    queries/lm_family.py, r14) + one corpus-frame join for
     (lang, n_tokens), one single-row percentile broadcast, one lang
-    hash-agg. The tokenized frame is checkpointed — it feeds both
-    the scoring chain and the budget join."""
-    t = text.with_tokens(load(spark, sf_dir, "documents")).localCheckpoint(
-        eager=False
-    )  # feeds the d56 chain + the lang/token-budget join
-    per_doc = _d56_per_doc(t)
+    hash-agg."""
+    from . import lm_family
+
+    t = text.with_tokens(load(spark, sf_dir, "documents"))
+    per_doc = lm_family.scored_per_doc3(spark, sf_dir)
     scored = per_doc.join(t.select("doc_id", "lang", "n_tokens"), "doc_id")
     cut = scored.agg(
         F.expr(f"percentile(mean_bits, {D54_PCT}D)").alias("bits_cutoff")

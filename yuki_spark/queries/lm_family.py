@@ -1,0 +1,94 @@
+"""Shared, content-addressed artifacts for the LM quality family —
+the language-model analogue of :mod:`.dedup_family` / :mod:`.sim_family`.
+
+A production perplexity gate trains its LM ONCE per corpus snapshot
+and scores with it many times; before round 14 the d56 report and the
+d54 apply step each re-ran the whole corpus-sized trigram chain
+inline (trigram explode + five type-grain count aggregations + the
+eval-type joins — the r13 verdict's named improvement). This module
+deposits the chain's terminal table through the impression store
+(SURVEY §2.1 O5: content-addressed, skip-if-deposited), exactly the
+dedup/sim family discipline:
+
+- ``per_doc3`` — the trigram stupid-backoff per-doc score table
+  ``(doc_id, source, n_tg, n_bo1, n_bo2, sum_bits, mean_bits)`` over
+  the held-out split (docs.py:_d56_per_doc — the model itself, the
+  five train count tables, and the eval joins all live inside the
+  one-time builder). Per-EVAL-DOC grain: small next to the corpus
+  text, and a bit-exact parquet roundtrip — sum_bits is DECIMAL
+  (exact in any order) and mean_bits is computed per doc BEFORE the
+  deposit, so consumers' rollups reproduce the inline results
+  hash-for-hash.
+
+Both consumers (d56's per-source report, d54's percentile gate) read
+the deposit and do cheap per-doc-grain rollups. The content address
+covers the documents table fingerprint plus a code hash of this
+module, the scoring chain's home module (queries/docs.py), the
+tokenizer, and the portable-log2 primitives — any edit invalidates
+the deposit, so the correctness gates can never validate a stale one.
+
+100 TB shape: the deposit IS what a production quality gate persists —
+a scored-docs table at held-out grain; re-scoring after a corpus
+refresh is one builder run, and every downstream mix/filter decision
+reads scores instead of re-training the LM.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .artifact_store import (
+    code_fingerprint,
+    default_store_root,
+    deposit_or_reuse,
+    table_fingerprint,
+)
+
+# Effective version folds in a code hash of this module + the chain's
+# source modules (see dedup_family for the rationale); bump for
+# deliberate semantic changes that don't touch those files.
+LM_VERSION = "r14-1"
+
+COMPUTES: dict[str, int] = {}
+
+
+def store_root() -> str | None:
+    return default_store_root("YUKI_SPARK_LM_STORE", "yuki_spark-lm-family")
+
+
+def scored_per_doc3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deposit-or-reuse the trigram-LM per-doc score table for this
+    corpus (the shared train-once artifact behind d56 and d54).
+    Returns the UNORDERED deposit read — consumers' rollups are
+    order-insensitive by construction (DEC-exact sums, per-doc
+    doubles computed before the deposit)."""
+    import importlib
+    import sys
+
+    from .. import functions as fns
+    from ..catalog import load
+    from ..operators import text as text_mod
+
+    # the scoring chain lives in queries/docs.py, which imports this
+    # module — import by name to avoid the import-time cycle (the
+    # sim_family pattern)
+    docs_mod = importlib.import_module(__package__ + ".docs")
+    version = LM_VERSION + "+" + code_fingerprint(
+        sys.modules[__name__], docs_mod, fns, text_mod
+    )
+    fp = table_fingerprint(sf_dir, "documents", {})
+
+    def builder() -> DataFrame:
+        t = text_mod.with_tokens(load(spark, sf_dir, "documents"))
+        return docs_mod._d56_per_doc(t)
+
+    df, _ = deposit_or_reuse(
+        spark,
+        store_root(),
+        "lm_family.per_doc3",
+        version,
+        [fp],
+        builder,
+        COMPUTES,
+        "per_doc3",
+    )
+    return df
