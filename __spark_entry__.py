@@ -11,7 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from yuki_spark.queries import docs, events, sim, tpch
+from yuki_spark.queries import curation, docs, events, sim, tpch
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -117,6 +117,13 @@ _PRIORITY = [
     # --- born in r14 go HERE as they land (zero driver rows;
     # judge-green in the local parity gate; they MUST sweep in r15
     # alongside the displaced ten):
+    # pl1 (r14-born): the composed curation-pipeline key. Its oracle
+    # embeds the all-pairs CC fragment, so it is a PAIR-FAMILY twin
+    # (sf0.01 by design, the d2/d3/d11/d20/d33 rule); birth evidence =
+    # sf0.01 oracle parity + the component stages' own two-scale
+    # parity (d51/d5/d23/d20/d47/d21/d18/d58 all driver-green) + the
+    # composed-equals-direct e2e pin in tests/test_pipeline_e2e.py.
+    "pl1_curation_pipeline",
     # _R15_PRESTAMP (arithmetic updated at the r14 close): r15's
     # must-sweep set is the 10 displaced r11-stamped keys above + any
     # r14-born keys + the 50 r12-stamped keys below = 60+ > 50. The
@@ -242,6 +249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged.update(events.QUERIES)
     merged.update(docs.QUERIES)
     merged.update(sim.QUERIES)
+    merged.update(curation.QUERIES)
     out = {k: merged[k] for k in _PRIORITY if k in merged}
     out.update(merged)
     return out
@@ -255,6 +263,7 @@ def oracle_sql() -> dict[str, str]:
     # moment the module was first imported
     out.update(docs.build_oracle())
     out.update(sim.build_oracle())
+    out.update(curation.build_oracle())
     out.update(events.ORACLE)
     out.update(tpch.ORACLE)
     return out

@@ -147,6 +147,7 @@ def main() -> None:
     os.environ["YUKI_SPARK_DEDUP_STORE"] = os.path.join(cold_root, "dedup")
     os.environ["YUKI_SPARK_SIM_STORE"] = os.path.join(cold_root, "sim")
     os.environ["YUKI_SPARK_LM_STORE"] = os.path.join(cold_root, "lm")
+    os.environ["YUKI_SPARK_PIPE_STORE"] = os.path.join(cold_root, "pipe")
     try:
         _main_body(sf_dir, sf)
     finally:
@@ -219,6 +220,7 @@ def _main_body(
         "s22_hnsw_ann",          # level-1 kNN graph deposit
         "s24_hnsw_multilevel",   # level-2 kNN graph deposit (3-level ladder)
         "d56_trigram_lm_perplexity",  # trigram-LM per-doc score deposit (r14)
+        "pl1_curation_pipeline",  # the composed DAG's report impression (r14)
     ]
     key_timeout = float(os.environ.get("SPARK_GRAFT_BENCH_KEY_TIMEOUT_S", "180"))
     # Cascade guard (r10 advice): if a hung key was a cold deposit

@@ -19,6 +19,9 @@ os.environ.setdefault(
 )
 os.environ.setdefault("YUKI_SPARK_SIM_STORE", os.path.join(_ARTIFACT_TMP, "sim"))
 os.environ.setdefault("YUKI_SPARK_LM_STORE", os.path.join(_ARTIFACT_TMP, "lm"))
+os.environ.setdefault(
+    "YUKI_SPARK_PIPE_STORE", os.path.join(_ARTIFACT_TMP, "pipe")
+)
 
 
 @pytest.fixture(scope="session")

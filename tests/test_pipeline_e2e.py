@@ -90,6 +90,57 @@ def test_corpus_curation_end_to_end(spark, tmp_path):
     ]
 
 
+def test_real_curation_chain_composed_run(spark, tmp_path, monkeypatch):
+    """The r13 verdict's flagship item: the REAL curation chain
+    (d51 extract → d5 lang-id → d23 Gopher → d3/d11/d20 near-dup drop
+    → d47 decontaminate → d21 split → d18 pack → d57/d58 learned
+    budget) composed as ONE Pipeline DAG run. Pins: (1) the composed
+    run's deposited report equals the direct function-composition of
+    the same stage operators, row for row; (2) a re-run of the
+    unchanged DAG reuses the deposit (status ``reused``) and returns
+    identical rows; (3) the queries() surface (pl1) reads the same
+    deposit."""
+    from yuki_spark.pipeline.backends import LocalBackend
+    from yuki_spark.pipeline.impressions import ImpressionStore
+    from yuki_spark.queries import curation as C
+
+    monkeypatch.setenv("YUKI_SPARK_PIPE_STORE", str(tmp_path / "pipestore"))
+    store = ImpressionStore(str(tmp_path / "pipestore"))
+
+    pipe = C.build_pipeline(spark, SF_SMOKE)
+    out = LocalBackend(store, persist={"curation_report"}).run(spark, pipe)
+    assert out["statuses"]["curation_report"] == "finished"
+    got = [
+        tuple(r)
+        for r in out["results"]["curation_report"].orderBy("lang").collect()
+    ]
+    assert got and got[0][1] > 0  # a non-degenerate funnel
+
+    fr = C.curated_frames(spark, SF_SMOKE)
+    want = [
+        tuple(r)
+        for r in C.curation_report(
+            fr["lang_kept"],
+            fr["gopher_kept"],
+            fr["decontaminated"],
+            fr["train_split"],
+        ).collect()
+    ]
+    assert got == want  # composed == direct, bit for bit
+
+    pipe2 = C.build_pipeline(spark, SF_SMOKE)
+    out2 = LocalBackend(store, persist={"curation_report"}).run(spark, pipe2)
+    assert out2["statuses"]["curation_report"] == "reused"
+    assert [
+        tuple(r)
+        for r in out2["results"]["curation_report"].orderBy("lang").collect()
+    ] == got
+
+    assert [
+        tuple(r) for r in C.pl1_curation_pipeline(spark, SF_SMOKE).collect()
+    ] == got
+
+
 def test_per_task_log_collection(spark, tmp_path):
     """Every run deposits a logs.json artifact at each task's content
     address — explain string + observed metrics for executed tasks,

@@ -282,6 +282,14 @@ def main() -> None:
         # candidate boundedness are the things to watch at 10x (d53's
         # shape on the third modality)
         "d55_audio_fingerprint_dups",
+        # round-14: the composed curation DAG — runs the real chain
+        # end-to-end (extract -> lang -> gopher -> dedup family ->
+        # decontaminate -> split -> pack -> learned-BPE budget) and
+        # deposits the report; at 10x the things to watch are the
+        # extraction string algebra (linear), the funnel joins, and
+        # that the dedup stage stays a keyed anti-join against the
+        # family deposit rather than a re-cluster
+        "pl1_curation_pipeline",
     ]
     qs["q1_pricing_summary"](spark, out).write.mode("overwrite").format("noop").save()
     timings = {}

@@ -105,23 +105,29 @@ def html_blocks(pages: DataFrame) -> DataFrame:
     return out.withColumn("keep", keep)
 
 
-def extract_main_text(pages: DataFrame) -> DataFrame:
-    """Page-grain extraction report over :func:`html_blocks`:
-    (doc_id, n_blocks, n_kept, n_links, extracted_len, extracted_md5)
-    where the extracted text is the kept blocks joined in document
-    order — the column a downstream quality/filter pass (d6/d23)
-    consumes in place of raw text. One hash aggregation; the
-    order-sensitive join rides array_sort over (pos, btext) structs,
-    not a window."""
-    b = html_blocks(pages)
+def _extracted_expr():
+    """The kept-blocks-joined-in-document-order aggregate expression —
+    one definition shared by the d51 report and the curation
+    pipeline's text-replacement stage. Order rides array_sort over
+    (pos, btext) structs, not a window."""
     kept_structs = F.array_sort(
         F.collect_list(
             F.when(F.col("keep"), F.struct("pos", "btext"))
         )
     )
-    extracted = F.concat_ws(
+    return F.concat_ws(
         " ", F.transform(kept_structs, lambda x: x["btext"])
     )
+
+
+def extract_main_text(pages: DataFrame) -> DataFrame:
+    """Page-grain extraction report over :func:`html_blocks`:
+    (doc_id, n_blocks, n_kept, n_links, extracted_len, extracted_md5)
+    where the extracted text is the kept blocks joined in document
+    order — the column a downstream quality/filter pass (d6/d23)
+    consumes in place of raw text. One hash aggregation."""
+    b = html_blocks(pages)
+    extracted = _extracted_expr()
     return (
         b.groupBy("doc_id")
         .agg(
@@ -131,4 +137,17 @@ def extract_main_text(pages: DataFrame) -> DataFrame:
             F.length(extracted).cast("bigint").alias("extracted_len"),
             F.md5(extracted).alias("extracted_md5"),
         )
+    )
+
+
+def extract_text(pages: DataFrame) -> DataFrame:
+    """(doc_id, text): the extracted main text itself — what a real
+    web-corpus pipeline feeds its downstream quality/dedup stages in
+    place of the raw page (d51 reports on the extraction; this is the
+    materialization the curation pipeline consumes). Same aggregate
+    as :func:`extract_main_text`, projected to the text column."""
+    return (
+        html_blocks(pages)
+        .groupBy("doc_id")
+        .agg(_extracted_expr().alias("text"))
     )

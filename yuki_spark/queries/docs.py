@@ -1583,11 +1583,18 @@ def d18_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     local prefix sum is EXACTLY the old global cumsum (prefix sums
     decompose over ordered buckets), so the output hash is unchanged;
     tests pin equality against the single-window form."""
-    from pyspark.sql.window import Window
-
     docs = text.with_tokens(load(spark, sf_dir, "documents")).select(
         "lang", "doc_id", "n_tokens"
     )
+    return pack_stats(docs)
+
+
+def pack_stats(docs: DataFrame) -> DataFrame:
+    """d18's per-language packing rollup over any (lang, doc_id,
+    n_tokens) frame — shared by the standalone key and the curation
+    pipeline's pack stage (same distributed prefix sum, same exact
+    integer division)."""
+    from pyspark.sql.window import Window
     # tokenize once: the bucketed doc stream feeds BOTH the
     # bucket-total aggregation and the within-bucket window
     bucketed = _d18_bucketed(docs).localCheckpoint(eager=False)
@@ -1792,13 +1799,12 @@ GOPHER_MIN_STOP = 2  # ≥2 English stopword hits
 GOPHER_MAX_DUP10 = 1  # dup-bigram fraction ≤ 1/10
 
 
-def d23_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-rule quality filter matrix: per-document pass/fail for
-    word-count bounds, mean-word-length bounds, stopword presence, and
-    duplicate-bigram share, rolled up per source with an all-rules
-    pass count. Map-only per-doc array algebra (JVM, no explode for
-    the first three rules) + one broadcast-sized rollup."""
-    t = text.with_tokens(load(spark, sf_dir, "documents"))
+def gopher_doc_flags(t: DataFrame, *keep_cols: str) -> DataFrame:
+    """Per-document Gopher rule booleans (wc_ok, mwl_ok, stop_ok,
+    rep_ok) over a tokenized frame, plus ``keep_cols`` carried
+    through — the shared core of the d23 report matrix and the
+    curation pipeline's filter stage. Map-only per-doc array algebra
+    (JVM, no explode for the first three rules)."""
     sum_len = F.aggregate(
         F.transform("toks", lambda x: F.length(x).cast("bigint")),
         F.lit(0).cast("bigint"),
@@ -1809,7 +1815,7 @@ def d23_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("bigint")
     bigrams = text._zip_ngrams("toks", 2)
     q = t.select(
-        "source",
+        *keep_cols,
         F.col("n_tokens").alias("nt"),
         sum_len.alias("sl"),
         hits.alias("sw"),
@@ -1822,13 +1828,23 @@ def d23_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stop_ok = F.col("sw") >= GOPHER_MIN_STOP
     rep_ok = (F.col("nb") - F.col("nd")) * 10 <= F.col("nb") * GOPHER_MAX_DUP10
-    flags = q.select(
-        "source",
+    return q.select(
+        *keep_cols,
         wc_ok.alias("wc_ok"),
         mwl_ok.alias("mwl_ok"),
         stop_ok.alias("stop_ok"),
         rep_ok.alias("rep_ok"),
     )
+
+
+def d23_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality filter matrix: per-document pass/fail for
+    word-count bounds, mean-word-length bounds, stopword presence, and
+    duplicate-bigram share, rolled up per source with an all-rules
+    pass count. Map-only per-doc array algebra (JVM, no explode for
+    the first three rules) + one broadcast-sized rollup."""
+    t = text.with_tokens(load(spark, sf_dir, "documents"))
+    flags = gopher_doc_flags(t, "source")
 
     def n(c):  # exact BIGINT rule counters
         return F.sum(F.when(F.col(c), 1).otherwise(0)).cast("bigint")
@@ -2837,6 +2853,54 @@ _HITS = {l: text.sql_hits(l) for l in ("en", "fr", "de", "es")}
 # closure logic): the recursive CTE computes transitive closure
 # (UNION = set semantics -> fixpoint); MIN over reachable nodes is the
 # canonical label dedup_clusters' min-label propagation converges to.
+# d51's synthesis + block-segmentation + extraction chain as a CTE
+# block (h/m/b0/b/c/k/agg, ending in agg(doc_id, n_blocks, n_kept,
+# n_links, extracted)) — one source of truth shared by the d51 report
+# twin and the composed curation-pipeline twin (queries/curation.py).
+D51_EXTRACT_CTES = r"""h AS (
+          SELECT doc_id,
+                 '<html><head><title>doc ' || CAST(doc_id AS VARCHAR)
+                 || '</title></head><body>'
+                 || '<nav><a href="/">home</a> <a href="/about">about</a></nav>'
+                 || '<p>' || replace(text, '. ', '.</p><p>') || '</p>'
+                 || '<p>related: <a href="/r">more</a></p>'
+                 || '<footer><a href="/tos">terms</a> copyright example corp</footer></body></html>'
+                   AS html
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(html,
+                   '<(p|nav|footer|title)\b', chr(1) || '<\1', 'g'),
+                   chr(1)) AS bl
+          FROM h),
+        b0 AS (
+          SELECT doc_id, bl, unnest(range(1, len(bl) + 1)) AS i FROM m),
+        b AS (
+          SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, bl[i] AS block
+          FROM b0),
+        c AS (
+          SELECT doc_id, pos,
+                 regexp_extract(block, '^<([a-z]+)', 1) AS tag,
+                 trim(regexp_replace(regexp_replace(block,
+                   '<[^>]*>', ' ', 'g'), ' +', ' ', 'g')) AS btext,
+                 CAST((length(block)
+                   - length(replace(block, '<a ', ''))) // 3 AS BIGINT)
+                   AS n_links
+          FROM b),
+        k AS (
+          SELECT *,
+                 (tag = 'p' AND n_links = 0 AND length(btext) >= 1) AS keep
+          FROM c),
+        agg AS (
+          SELECT doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                 CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+                 CAST(SUM(n_links) AS BIGINT) AS n_links,
+                 COALESCE(string_agg(CASE WHEN keep THEN btext END,
+                   ' ' ORDER BY pos), '') AS extracted
+          FROM k GROUP BY doc_id)"""
+
 _CC_CTES = f"""
         WITH RECURSIVE d AS (
           SELECT doc_id,
@@ -3987,49 +4051,7 @@ _ORACLE_TEMPLATE = {
     # keep rule, and the ordered re-join (string_agg ORDER BY pos ==
     # Spark's array_sort over (pos, btext) structs).
     "d51_html_extract": r"""
-        WITH h AS (
-          SELECT doc_id,
-                 '<html><head><title>doc ' || CAST(doc_id AS VARCHAR)
-                 || '</title></head><body>'
-                 || '<nav><a href="/">home</a> <a href="/about">about</a></nav>'
-                 || '<p>' || replace(text, '. ', '.</p><p>') || '</p>'
-                 || '<p>related: <a href="/r">more</a></p>'
-                 || '<footer><a href="/tos">terms</a> copyright example corp</footer></body></html>'
-                   AS html
-          FROM documents),
-        m AS (
-          SELECT doc_id,
-                 string_split(regexp_replace(html,
-                   '<(p|nav|footer|title)\b', chr(1) || '<\1', 'g'),
-                   chr(1)) AS bl
-          FROM h),
-        b0 AS (
-          SELECT doc_id, bl, unnest(range(1, len(bl) + 1)) AS i FROM m),
-        b AS (
-          SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, bl[i] AS block
-          FROM b0),
-        c AS (
-          SELECT doc_id, pos,
-                 regexp_extract(block, '^<([a-z]+)', 1) AS tag,
-                 trim(regexp_replace(regexp_replace(block,
-                   '<[^>]*>', ' ', 'g'), ' +', ' ', 'g')) AS btext,
-                 CAST((length(block)
-                   - length(replace(block, '<a ', ''))) // 3 AS BIGINT)
-                   AS n_links
-          FROM b),
-        k AS (
-          SELECT *,
-                 (tag = 'p' AND n_links = 0 AND length(btext) >= 1) AS keep
-          FROM c),
-        agg AS (
-          SELECT doc_id,
-                 CAST(COUNT(*) AS BIGINT) AS n_blocks,
-                 CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_kept,
-                 CAST(SUM(n_links) AS BIGINT) AS n_links,
-                 COALESCE(string_agg(CASE WHEN keep THEN btext END,
-                   ' ' ORDER BY pos), '') AS extracted
-          FROM k GROUP BY doc_id)
+        WITH """ + D51_EXTRACT_CTES + r"""
         SELECT doc_id, n_blocks, n_kept, n_links,
                CAST(length(extracted) AS BIGINT) AS extracted_len,
                md5(extracted) AS extracted_md5
