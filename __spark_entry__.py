@@ -124,6 +124,13 @@ _PRIORITY = [
     # parity (d51/d5/d23/d20/d47/d21/d18/d58 all driver-green) + the
     # composed-equals-direct e2e pin in tests/test_pipeline_e2e.py.
     "pl1_curation_pipeline",
+    # d59/d60 (r14-born): quality-classifier TRAIN (batch perceptron
+    # + Collins averaging, integer-exact) and the percentile-budget
+    # APPLY — the second train→apply loop after d57/d58. Birth
+    # evidence: sf0.01 AND sf0.1 oracle parity (recorded at the r14
+    # close) + the separable-corpus trainer reference test.
+    "d59_classifier_train",
+    "d60_learned_classifier_filter",
     # _R15_PRESTAMP (arithmetic updated at the r14 close): r15's
     # must-sweep set is the 10 displaced r11-stamped keys above + any
     # r14-born keys + the 50 r12-stamped keys below = 60+ > 50. The

@@ -46,6 +46,9 @@ _GLOBAL_AGG = {
     # so ONE trivially-converged round row is the correct report
     # (converged=true, 0 hits) — the termination rule working
     "dq1_constraint_report",  # one report row per constraint, even empty
+    "d59_classifier_train",  # one training-curve row per iteration —
+    # an empty corpus trains an empty model in CLF_TRAIN_ITERS passes
+    # (0 mistakes, 0-weight artifact), the d57 report-grain rule
     "p1_pii_scan",  # unions deterministic literal PII rows into the
     # scan (the corpus is PII-free by design), so an empty corpus
     # still yields the two synthetic source groups

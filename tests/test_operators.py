@@ -2488,6 +2488,70 @@ def test_bpe_train_matches_list_based_reference(spark):
     assert got == reference(word_freqs, 6)
 
 
+def test_perceptron_trainer_matches_reference_and_separates(spark):
+    """d59's trainer contract (the d45 discipline: the driver corpus
+    is non-separable by construction, so the LEARNING machinery is
+    proven on constructed signal): (1) on a linearly separable
+    corpus (positives use bucket set A, negatives set B) the batch
+    perceptron drives the mistake count to ZERO and keeps it there;
+    (2) every iteration's mistake counts and weight checksum match an
+    independent numpy reference of the same batch rule exactly."""
+    import numpy as np
+
+    from yuki_spark.operators import classifier
+
+    rng = np.random.RandomState(7)
+    n, nb = 60, 16
+    X = np.zeros((n, nb), dtype=np.int64)
+    y = np.array([1 if i % 2 == 0 else -1 for i in range(n)])
+    for i in range(n):
+        # positives draw counts from buckets 0..7, negatives 8..15
+        base = 0 if y[i] == 1 else 8
+        for _ in range(5):
+            X[i, base + rng.randint(8)] += rng.randint(1, 4)
+
+    def reference(K):
+        w = np.zeros(nb, dtype=np.int64)
+        rows = []
+        for it in range(1, K + 1):
+            score = X @ w
+            mis = (y * score) <= 0
+            w = w + (X[mis] * y[mis, None]).sum(axis=0)
+            rows.append(
+                (
+                    it,
+                    int(mis.sum()),
+                    int((mis & (y == 1)).sum()),
+                    int((mis & (y == -1)).sum()),
+                    int((w != 0).sum()),
+                    int((w * (np.arange(nb) + 1)).sum()),
+                )
+            )
+        return rows
+
+    feat = spark.createDataFrame(
+        [
+            (i, b, int(X[i, b]))
+            for i in range(n)
+            for b in range(nb)
+            if X[i, b]
+        ],
+        "doc_id long, bucket long, x long",
+    )
+    lbl = spark.createDataFrame(
+        [(i, int(y[i])) for i in range(n)], "doc_id long, y long"
+    )
+    report, w_avg = classifier.perceptron_train(feat, lbl, 4)
+    got = [tuple(r) for r in report.collect()]
+    assert got == reference(4)
+    # separable: mistakes hit zero after the first update and stay
+    assert [g[1] for g in got][1:] == [0, 0, 0]
+    # and the averaged model classifies the corpus perfectly
+    sc = {r["doc_id"]: r["score"] for r in
+          classifier._scores(feat, lbl, w_avg).collect()}
+    assert all((sc[i] > 0) == (y[i] == 1) for i in range(n))
+
+
 def test_bpe_exhausted_merges_apply_as_noop(spark):
     """r13 advice: if training exhausts its pair supply before
     n_merges, the empty per-iteration merge frames must apply as

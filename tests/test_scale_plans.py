@@ -258,6 +258,16 @@ ALLOWED_BNLJ = {
     # lineage-truncating checkpoints and their per-iteration shape is
     # pinned by the list-based reference test instead
     "d57_bpe_train": 8,
+    # d59's visible plan is the training-curve assembly: one
+    # single-row (mistake stats × weight stats) broadcast per
+    # iteration (CLF_TRAIN_ITERS = 5); the corpus-grain score/grad
+    # passes sit behind the eager weight checkpoints and are pinned
+    # by the numpy-reference trainer test instead (the d57 pattern)
+    "d59_classifier_train": 5,
+    # d60 = the single-row percentile-cutoff broadcast (the q11/d26/
+    # d54 scalar pattern); the training loop hides behind the eager
+    # weight checkpoints
+    "d60_learned_classifier_filter": 1,
     # d54's visible plan since r14 is the per_doc3 deposit read + the
     # single-row percentile-cutoff broadcast (the q11/d26 scalar
     # pattern); the scoring chain's joins live inside the LM family's

@@ -290,6 +290,11 @@ def main() -> None:
         # that the dedup stage stays a keyed anti-join against the
         # family deposit rather than a re-cluster
         "pl1_curation_pipeline",
+        # round-14: perceptron train + percentile-budget apply — the
+        # feature build is one explode + (doc,bucket) hash-agg; each
+        # training pass is a broadcast weight join + two hash-aggs;
+        # token-volume linearity × CLF_TRAIN_ITERS is the 10x watch
+        "d60_learned_classifier_filter",
     ]
     qs["q1_pricing_summary"](spark, out).write.mode("overwrite").format("noop").save()
     timings = {}

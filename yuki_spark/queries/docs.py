@@ -1921,6 +1921,147 @@ def d40_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CLF_TRAIN_ITERS = 5  # perceptron passes — the artifact size (d57's rule)
+
+
+def _clf_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, bucket, x): d40's hashing-trick feature map
+    (portable 60-bit token hash mod CLF_FEATURES) aggregated to
+    per-doc bucket counts — the exact-int feature table the trained
+    classifier shares with the fixed-weight one."""
+    from ..functions import portable_hash60, tokens
+
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    return (
+        tok.select(
+            "doc_id",
+            (portable_hash60(F.col("tok")) % F.lit(CLF_FEATURES)).alias(
+                "bucket"
+            ),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+
+
+def _clf_labels(docs: DataFrame) -> DataFrame:
+    """(doc_id, y): weak labels for quality-classifier training — the
+    d23 Gopher all-rules verdict as ±1 (the DCLM/fastText recipe:
+    distill a rule-based filter into a cheap linear model that
+    generalizes past the rules' hard thresholds)."""
+    fl = gopher_doc_flags(text.with_tokens(docs), "doc_id")
+    return fl.select(
+        "doc_id",
+        F.when(
+            F.col("wc_ok")
+            & F.col("mwl_ok")
+            & F.col("stop_ok")
+            & F.col("rep_ok"),
+            1,
+        )
+        .otherwise(-1)
+        .cast("bigint")
+        .alias("y"),
+    )
+
+
+def d59_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier TRAINING (r14 — d40 applies a fixed weight
+    table; this LEARNS one, the second train→apply loop after d57/d58:
+    the fastText/DCLM recipe of training a linear model on weak
+    labels, here the d23 Gopher all-rules verdict). The trainer is
+    the batch perceptron with Collins-2002 averaging
+    (operators/classifier.py) — order-free
+    integer aggregates per pass, so the learned weights are
+    bit-identical in any engine and the DuckDB twin re-trains from
+    scratch via unrolled iteration CTEs. Output: the training curve —
+    one row per iteration with the mistake counts measured under the
+    PRE-update weights (split by label sign: the class-imbalance
+    signal) and the post-update artifact's size and integer checksum.
+
+    Scale shape: one token explode + (doc,bucket) hash-agg builds the
+    feature table once (lineage-truncated); each of the
+    CLF_TRAIN_ITERS passes is a broadcast join against the
+    ≤CLF_FEATURES-row weight table + one doc-grain and one
+    bucket-grain hash-agg. Nothing corpus-sized iterates or reaches
+    the driver."""
+    from ..operators import classifier
+
+    docs = load(spark, sf_dir, "documents")
+    report, _w = classifier.perceptron_train(
+        _clf_features(docs), _clf_labels(docs), CLF_TRAIN_ITERS
+    )
+    return report
+
+
+CLF_KEEP_PCT = 0.25  # keep the top three quarters by learned score —
+# budget-targeted selection (the DCLM/fastText deployment rule: the
+# cutoff is chosen to hit a kept-data budget, not at raw zero), and
+# the same both-branches-live-at-every-catalog guarantee as d54
+
+
+def d60_learned_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide APPLY of the LEARNED quality classifier (r14 —
+    closes d59's loop the way d58 closes d57's): re-train the
+    perceptron, score every document with the AVERAGED model (the
+    batch iterates oscillate on non-separable data; the deployed
+    model is Σ_t w_t — Collins 2002), keep the top CLF_KEEP_PCT-
+    complement by score (exact percentile cutoff broadcast back —
+    d54's pattern, quantile_cont-paired; at 1e9+ docs swap in e7's
+    KLL approx_percentile), and report per source: doc counts, kept
+    counts + id pin (WHICH docs the model keeps), the kept token
+    budget, the cutoff, and the model↔rule agreement rate (how
+    faithfully the distilled model ranks its teacher's verdict — the
+    quantity a production run monitors before swapping the model in).
+    Honesty note (the d45 precedent): on THIS driver corpus the
+    Gopher verdict is dominated by interval rules a linear
+    bag-of-words model cannot represent, so agreement is weak by
+    construction of the data; tests/test_operators.py proves the same
+    trainer separates a constructed linearly-separable corpus to zero
+    mistakes.
+
+    Scale shape: d59's bounded training loop + ONE extra scoring pass
+    (broadcast weight join, doc-grain agg) + a keyed join back to the
+    corpus frame for (source, n_tokens), one single-row percentile
+    broadcast, one source hash-agg."""
+    from ..operators import classifier
+
+    docs = load(spark, sf_dir, "documents")
+    feat = _clf_features(docs)
+    lbl = _clf_labels(docs)
+    _report, w = classifier.perceptron_train(feat, lbl, CLF_TRAIN_ITERS)
+    sc = classifier._scores(feat, lbl, w)
+    t = text.with_tokens(docs).select("doc_id", "source", "n_tokens")
+    cut = sc.agg(
+        F.expr(f"percentile(score, {CLF_KEEP_PCT}D)").alias("score_cutoff")
+    )
+    j = t.join(sc, "doc_id").crossJoin(F.broadcast(cut))
+    kept = F.col("score") >= F.col("score_cutoff")
+    agree = ((F.col("y") == 1) & kept) | ((F.col("y") == -1) & ~kept)
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(kept, F.col("doc_id")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_id_sum"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+            F.sum(F.when(agree, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_agree"),
+            (
+                F.sum(F.when(agree, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("agree_rate"),
+            F.max("score_cutoff").alias("score_cutoff"),
+        )
+        .orderBy("source")
+    )
+
+
 # Model-based language ID (d45): char-trigram hashing-trick linear
 # classifier, TRAINED (since r9) on the corpus itself instead of the
 # r8 hash-mix weight stand-in. Training is one exact-int pass over
@@ -2798,6 +2939,8 @@ QUERIES = {
     "d44_bpe_tokens": d44_bpe_tokens,
     "d57_bpe_train": d57_bpe_train,
     "d58_learned_bpe_budget": d58_learned_bpe_budget,
+    "d59_classifier_train": d59_classifier_train,
+    "d60_learned_classifier_filter": d60_learned_classifier_filter,
     "d46_tokenizer_fertility": d46_tokenizer_fertility,
     "d13_hash_sample": d13_hash_sample,
     "d24_weighted_sample": d24_weighted_sample,
@@ -3077,6 +3220,164 @@ def _d57_iter_ctes() -> tuple[list[str], list[str]]:
           FROM t{i} t CROSS JOIN ta{i} ta"""
         )
     return parts, rows
+
+
+def _d59_base_ctes() -> str:
+    """The perceptron twins' shared base: the hashed feature table and
+    the Gopher-verdict labels, MATERIALIZED (each is referenced once
+    per unrolled iteration — inlining would re-expand the corpus scan
+    K times), plus the empty zero-model w0."""
+    from ..functions import sql_portable_hash60
+    from ..operators.text import sql_hits
+
+    return f"""feat AS MATERIALIZED (
+          SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS x
+          FROM (SELECT doc_id,
+                       {sql_portable_hash60('tok')} % {CLF_FEATURES} AS bucket
+                FROM (SELECT doc_id, unnest({text.SQL_TOKS}) AS tok
+                      FROM documents))
+          GROUP BY doc_id, bucket),
+        lq AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS nt,
+                 CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                   AS BIGINT) AS sl,
+                 {sql_hits('en', 'toks')} AS sw,
+                 CAST(len(bg) AS BIGINT) AS nb,
+                 CAST(len(list_distinct(bg)) AS BIGINT) AS nd
+          FROM (SELECT doc_id, toks,
+                       list_transform(range(1, greatest(len(toks), 1)),
+                                      i -> toks[i] || ' ' || toks[i+1]) AS bg
+                FROM (SELECT doc_id, {text.SQL_TOKS} AS toks FROM documents))),
+        lbl AS MATERIALIZED (
+          SELECT doc_id,
+                 CASE WHEN nt >= {GOPHER_WC[0]} AND nt <= {GOPHER_WC[1]}
+                       AND sl >= {GOPHER_MWL[0]} * nt
+                       AND sl <= {GOPHER_MWL[1]} * nt
+                       AND sw >= {GOPHER_MIN_STOP}
+                       AND (nb - nd) * 10 <= nb * {GOPHER_MAX_DUP10}
+                      THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y
+          FROM lq),
+        w0 AS (SELECT CAST(NULL AS BIGINT) AS bucket,
+                      CAST(NULL AS BIGINT) AS val
+               WHERE FALSE)"""
+
+
+def _d59_iter_ctes() -> tuple[list[str], list[str]]:
+    """The CLF_TRAIN_ITERS unrolled perceptron-iteration CTE blocks
+    (score under the previous weights → mistake set → bucket-grain
+    gradient → weight merge, zero weights dropped), shared by the d59
+    training-curve twin and the d60 apply twin. The weight and
+    mistake tables are MATERIALIZED per iteration — each is
+    referenced twice (next score + report row / gradient), so
+    inlining would double the plan per level (the d57 twin lesson,
+    measured: exponential)."""
+    parts: list[str] = []
+    rows: list[str] = []
+    for i in range(1, CLF_TRAIN_ITERS + 1):
+        p = i - 1
+        parts.append(
+            f"""sc{i} AS (
+          SELECT l.doc_id, l.y, COALESCE(s.score, 0) AS score
+          FROM lbl l LEFT JOIN (
+            SELECT f.doc_id, CAST(SUM(f.x * w.val) AS BIGINT) AS score
+            FROM feat f JOIN w{p} w USING (bucket) GROUP BY f.doc_id) s
+          USING (doc_id)),
+        mis{i} AS MATERIALIZED (
+          SELECT doc_id, y FROM sc{i} WHERE y * score <= 0),
+        g{i} AS (
+          SELECT bucket, CAST(SUM(m.y * f.x) AS BIGINT) AS val
+          FROM feat f JOIN mis{i} m USING (doc_id) GROUP BY bucket),
+        w{i} AS MATERIALIZED (
+          SELECT bucket, CAST(SUM(val) AS BIGINT) AS val
+          FROM (SELECT * FROM w{p} UNION ALL SELECT * FROM g{i})
+          GROUP BY bucket HAVING SUM(val) <> 0)"""
+        )
+        rows.append(
+            f"""SELECT CAST({i} AS BIGINT) AS iteration,
+                 m.n_mistakes, m.n_pos_mis, m.n_neg_mis, w.w_nnz, w.w_pin
+          FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_mistakes,
+                       CAST(COALESCE(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END), 0)
+                         AS BIGINT) AS n_pos_mis,
+                       CAST(COALESCE(SUM(CASE WHEN y = -1 THEN 1 ELSE 0 END), 0)
+                         AS BIGINT) AS n_neg_mis
+                FROM mis{i}) m
+          CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS w_nnz,
+                             CAST(COALESCE(SUM(val * (bucket + 1)), 0)
+                               AS BIGINT) AS w_pin
+                      FROM w{i}) w"""
+        )
+    return parts, rows
+
+
+def _d59_oracle() -> str:
+    """Twin of d59_classifier_train: re-train the batch perceptron
+    from scratch via unrolled iteration CTEs, so the driver hash
+    verifies the whole training curve AND the learned artifact's
+    checksum per pass."""
+    parts = [_d59_base_ctes()]
+    iter_parts, rows = _d59_iter_ctes()
+    parts.extend(iter_parts)
+    body = " UNION ALL ".join(f"({r})" for r in rows)
+    return (
+        "\n        WITH "
+        + ",\n        ".join(parts)
+        + f"\n        SELECT * FROM ({body}) ORDER BY iteration\n    "
+    )
+
+
+def _d60_oracle() -> str:
+    """Twin of d60_learned_classifier_filter: re-train via the shared
+    d59 iteration blocks, score the corpus with the final weights,
+    and roll up the keep decisions + model↔rule agreement per
+    source."""
+    parts = [_d59_base_ctes()]
+    iter_parts, _rows = _d59_iter_ctes()
+    parts.extend(iter_parts)
+    K = CLF_TRAIN_ITERS
+    wsum = " UNION ALL ".join(f"SELECT * FROM w{t}" for t in range(1, K + 1))
+    parts.append(
+        f"""wavg AS (
+          SELECT bucket, CAST(SUM(val) AS BIGINT) AS val
+          FROM ({wsum}) GROUP BY bucket HAVING SUM(val) <> 0),
+        fsc AS MATERIALIZED (
+          SELECT l.doc_id, l.y, COALESCE(s.score, 0) AS score
+          FROM lbl l LEFT JOIN (
+            SELECT f.doc_id, CAST(SUM(f.x * w.val) AS BIGINT) AS score
+            FROM feat f JOIN wavg w USING (bucket) GROUP BY f.doc_id) s
+          USING (doc_id)),
+        cut AS (SELECT quantile_cont(score, {CLF_KEEP_PCT}) AS score_cutoff
+                FROM fsc),
+        crp AS (
+          SELECT doc_id, source, CAST(len({text.SQL_TOKS}) AS BIGINT)
+            AS n_tokens
+          FROM documents),
+        dec AS (
+          SELECT crp.source, crp.doc_id, crp.n_tokens, fsc.y,
+                 cut.score_cutoff,
+                 (fsc.score >= cut.score_cutoff) AS kept
+          FROM crp JOIN fsc USING (doc_id) CROSS JOIN cut)"""
+    )
+    return (
+        "\n        WITH "
+        + ",\n        ".join(parts)
+        + """
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept,
+               CAST(SUM(CASE WHEN kept THEN doc_id ELSE 0 END) AS BIGINT)
+                 AS kept_id_sum,
+               CAST(SUM(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT)
+                 AS kept_tokens,
+               CAST(SUM(CASE WHEN (y = 1 AND kept) OR (y = -1 AND NOT kept)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+               CAST(SUM(CASE WHEN (y = 1 AND kept) OR (y = -1 AND NOT kept)
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) AS agree_rate,
+               MAX(score_cutoff) AS score_cutoff
+        FROM dec GROUP BY source ORDER BY source
+    """
+    )
 
 
 def _d57_oracle() -> str:
@@ -3653,6 +3954,8 @@ _ORACLE_TEMPLATE = {
         FROM t GROUP BY source ORDER BY source
     """,
     "d57_bpe_train": _d57_oracle(),
+    "d59_classifier_train": _d59_oracle(),
+    "d60_learned_classifier_filter": _d60_oracle(),
     "d58_learned_bpe_budget": _d58_oracle(),
     "d44_bpe_tokens": f"""
         WITH RECURSIVE
