@@ -221,6 +221,7 @@ def _main_body(
         "s24_hnsw_multilevel",   # level-2 kNN graph deposit (3-level ladder)
         "d56_trigram_lm_perplexity",  # trigram-LM per-doc score deposit (r14)
         "pl1_curation_pipeline",  # the composed DAG's report impression (r14)
+        "d59_classifier_train",  # perceptron clf_curve/clf_w deposit (r14)
     ]
     key_timeout = float(os.environ.get("SPARK_GRAFT_BENCH_KEY_TIMEOUT_S", "180"))
     # Cascade guard (r10 advice): if a hung key was a cold deposit

@@ -217,6 +217,32 @@ def test_lm_family_trains_once_for_both_consumers(spark, monkeypatch, tmp_path):
         lm_family.scored_per_doc3(spark, SF_SMOKE), "doc_id"
     ) == _sorted_rows(direct, "doc_id")
 
+    # the classifier pair (r14 review's double-train finding): ONE
+    # training run deposits both the curve and the averaged weights;
+    # d59 then d60 share it, and the deposit-backed artifacts are
+    # bit-identical to a direct perceptron_train run
+    from yuki_spark.operators import classifier
+
+    docsq.d59_classifier_train(spark, SF_SMOKE).collect()
+    assert lm_family.COMPUTES.get("clf_curve") == 1
+    assert lm_family.COMPUTES.get("clf_w") == 1
+    docsq.d60_learned_classifier_filter(spark, SF_SMOKE).collect()
+    docsq.d59_classifier_train(spark, SF_SMOKE).collect()
+    assert lm_family.COMPUTES.get("clf_curve") == 1  # zero retrains
+    assert lm_family.COMPUTES.get("clf_w") == 1
+
+    docs = load(spark, SF_SMOKE, "documents")
+    d_report, d_w = classifier.perceptron_train(
+        docsq._clf_features(docs),
+        docsq._clf_labels(docs),
+        docsq.CLF_TRAIN_ITERS,
+    )
+    curve, w = lm_family.clf_artifacts(spark, SF_SMOKE)
+    assert _sorted_rows(curve, "iteration") == _sorted_rows(
+        d_report, "iteration"
+    )
+    assert _sorted_rows(w, "bucket") == _sorted_rows(d_w, "bucket")
+
 
 def test_unwritable_store_degrades_to_unpersisted(spark, monkeypatch, tmp_path):
     """Correctness is never hostage to the store disk: with an

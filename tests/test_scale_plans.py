@@ -258,12 +258,11 @@ ALLOWED_BNLJ = {
     # lineage-truncating checkpoints and their per-iteration shape is
     # pinned by the list-based reference test instead
     "d57_bpe_train": 8,
-    # d59's visible plan is the training-curve assembly: one
-    # single-row (mistake stats × weight stats) broadcast per
-    # iteration (CLF_TRAIN_ITERS = 5); the corpus-grain score/grad
-    # passes sit behind the eager weight checkpoints and are pinned
-    # by the numpy-reference trainer test instead (the d57 pattern)
-    "d59_classifier_train": 5,
+    # d59 reads the model family's clf_curve deposit since the r14
+    # review (training lives inside the one-time builder shared with
+    # d60 — the d56/per_doc3 pattern); the per-iteration single-row
+    # broadcasts are pinned by the numpy-reference trainer test
+    "d59_classifier_train": 0,
     # d60 = the single-row percentile-cutoff broadcast (the q11/d26/
     # d54 scalar pattern); the training loop hides behind the eager
     # weight checkpoints

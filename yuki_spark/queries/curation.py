@@ -53,17 +53,25 @@ from .artifact_store import (
 )
 
 
+_FALLBACK_ROOT: "str | None" = None
+
+
 def store_root() -> str:
     root = default_store_root(
         "YUKI_SPARK_PIPE_STORE", "yuki_spark-pipe-family"
     )
     if root is None:
-        # the shared temp root is not exclusively ours: degrade to a
-        # fresh private store (compute-always, never a planted reuse —
-        # the artifact_store integrity rule)
-        import tempfile
+        # the shared temp root is not exclusively ours: degrade to ONE
+        # private per-process store (never a planted reuse — the
+        # artifact_store integrity rule). Cached so repeated calls
+        # reuse the same deposits instead of leaking a directory per
+        # invocation (r14 review).
+        global _FALLBACK_ROOT
+        if _FALLBACK_ROOT is None:
+            import tempfile
 
-        root = tempfile.mkdtemp(prefix="yuki_spark-pipe-")
+            _FALLBACK_ROOT = tempfile.mkdtemp(prefix="yuki_spark-pipe-")
+        root = _FALLBACK_ROOT
     return root
 
 
@@ -372,7 +380,7 @@ def _pl1_oracle() -> str:
     hash, d18's prefix-sum pack, and the d57/d58 unrolled BPE
     train+apply over the curated train shard."""
     from ..functions import sql_portable_hash60
-    from ..operators.text import SQL_PRED_LANG, sql_hits
+    from ..operators.text import SQL_PRED_LANG
 
     _T = text.SQL_TOKS
     hits = ",\n                 ".join(
@@ -398,37 +406,16 @@ def _pl1_oracle() -> str:
           SELECT doc_id, lang, source, text FROM (
             SELECT *, {SQL_PRED_LANG} AS pred_lang FROM lh)
           WHERE pred_lang = lang),
-        gt AS (
-          SELECT doc_id, lang, source, text, {_T} AS toks FROM cur1),
-        gb AS (
-          SELECT *, list_transform(range(1, greatest(len(toks), 1)),
-                                   i -> toks[i] || ' ' || toks[i+1]) AS bg
-          FROM gt),
-        gq AS (
-          SELECT doc_id, lang, source, text,
-                 CAST(len(toks) AS BIGINT) AS nt,
-                 CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
-                   AS BIGINT) AS sl,
-                 {sql_hits('en', 'toks')} AS sw,
-                 CAST(len(bg) AS BIGINT) AS nb,
-                 CAST(len(list_distinct(bg)) AS BIGINT) AS nd
-          FROM gb),
         cur2 AS MATERIALIZED (
-          SELECT doc_id, lang, source, text FROM gq
-          WHERE nt >= {docsq.GOPHER_WC[0]} AND nt <= {docsq.GOPHER_WC[1]}
-            AND sl >= {docsq.GOPHER_MWL[0]} * nt
-            AND sl <= {docsq.GOPHER_MWL[1]} * nt
-            AND sw >= {docsq.GOPHER_MIN_STOP}
-            AND (nb - nd) * 10 <= nb * {docsq.GOPHER_MAX_DUP10}),
+          SELECT doc_id, lang, source, text
+          FROM ({docsq.sql_gopher_flags('doc_id, lang, source, text',
+                                        'cur1')})
+          WHERE {docsq.SQL_GOPHER_PASS}),
         cur3 AS MATERIALIZED (
           SELECT * FROM cur2
           WHERE doc_id NOT IN (SELECT doc FROM dropped)),
         ct_g AS MATERIALIZED (
-          SELECT doc_id,
-                 unnest(list_distinct(list_transform(
-                        range(1, greatest(len(toks) - 1, 1)),
-                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
-          FROM (SELECT doc_id, {_T} AS toks FROM cur3)),
+          {docsq.sql_distinct_trigrams('doc_id', 'cur3')}),
         ct_bench AS (SELECT DISTINCT gram FROM ct_g WHERE doc_id % 17 = 0),
         ct_pd AS (
           SELECT c.doc_id, COUNT(*) AS n_grams,

@@ -1984,20 +1984,21 @@ def d59_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     CLF_TRAIN_ITERS passes is a broadcast join against the
     ≤CLF_FEATURES-row weight table + one doc-grain and one
     bucket-grain hash-agg. Nothing corpus-sized iterates or reaches
-    the driver."""
-    from ..operators import classifier
+    the driver. Since the r14 review the run lives inside the model
+    family's one-time clf_curve/clf_w deposit (queries/lm_family.py):
+    this key and d60 share ONE training run per corpus."""
+    from . import lm_family
 
-    docs = load(spark, sf_dir, "documents")
-    report, _w = classifier.perceptron_train(
-        _clf_features(docs), _clf_labels(docs), CLF_TRAIN_ITERS
-    )
-    return report
+    report, _w = lm_family.clf_artifacts(spark, sf_dir)
+    return report.orderBy("iteration")
 
 
-CLF_KEEP_PCT = 0.25  # keep the top three quarters by learned score —
-# budget-targeted selection (the DCLM/fastText deployment rule: the
-# cutoff is chosen to hit a kept-data budget, not at raw zero), and
-# the same both-branches-live-at-every-catalog guarantee as d54
+CLF_CUT_PCT = 0.25  # the cutoff PERCENTILE of the learned-score
+# distribution: docs at or above it are kept, i.e. the kept fraction
+# is 1 - CLF_CUT_PCT (top three quarters). Budget-targeted selection
+# (the DCLM/fastText deployment rule: the cutoff is chosen to hit a
+# kept-data budget, not at raw zero), with the same
+# both-branches-live-at-every-catalog guarantee as d54
 
 
 def d60_learned_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2005,7 +2006,7 @@ def d60_learned_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame
     closes d59's loop the way d58 closes d57's): re-train the
     perceptron, score every document with the AVERAGED model (the
     batch iterates oscillate on non-separable data; the deployed
-    model is Σ_t w_t — Collins 2002), keep the top CLF_KEEP_PCT-
+    model is Σ_t w_t — Collins 2002), keep the top CLF_CUT_PCT-
     complement by score (exact percentile cutoff broadcast back —
     d54's pattern, quantile_cont-paired; at 1e9+ docs swap in e7's
     KLL approx_percentile), and report per source: doc counts, kept
@@ -2020,20 +2021,23 @@ def d60_learned_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame
     trainer separates a constructed linearly-separable corpus to zero
     mistakes.
 
-    Scale shape: d59's bounded training loop + ONE extra scoring pass
-    (broadcast weight join, doc-grain agg) + a keyed join back to the
-    corpus frame for (source, n_tokens), one single-row percentile
-    broadcast, one source hash-agg."""
+    Scale shape: the model family's clf_w deposit read (training runs
+    ONCE per corpus inside the one-time builder shared with d59 —
+    queries/lm_family.py, the r14 review's double-train finding) +
+    ONE scoring pass (broadcast weight join, doc-grain agg) + a keyed
+    join back to the corpus frame for (source, n_tokens), one
+    single-row percentile broadcast, one source hash-agg."""
     from ..operators import classifier
+    from . import lm_family
 
     docs = load(spark, sf_dir, "documents")
     feat = _clf_features(docs)
     lbl = _clf_labels(docs)
-    _report, w = classifier.perceptron_train(feat, lbl, CLF_TRAIN_ITERS)
+    _curve, w = lm_family.clf_artifacts(spark, sf_dir)
     sc = classifier._scores(feat, lbl, w)
     t = text.with_tokens(docs).select("doc_id", "source", "n_tokens")
     cut = sc.agg(
-        F.expr(f"percentile(score, {CLF_KEEP_PCT}D)").alias("score_cutoff")
+        F.expr(f"percentile(score, {CLF_CUT_PCT}D)").alias("score_cutoff")
     )
     j = t.join(sc, "doc_id").crossJoin(F.broadcast(cut))
     kept = F.col("score") >= F.col("score_cutoff")
@@ -3000,6 +3004,49 @@ _HITS = {l: text.sql_hits(l) for l in ("en", "fr", "de", "es")}
 # block (h/m/b0/b/c/k/agg, ending in agg(doc_id, n_blocks, n_kept,
 # n_links, extracted)) — one source of truth shared by the d51 report
 # twin and the composed curation-pipeline twin (queries/curation.py).
+def sql_gopher_flags(cols: str, src: str) -> str:
+    """Per-row Gopher rule booleans (wc_ok/mwl_ok/stop_ok/rep_ok)
+    over ``src`` (any relation exposing a text column), carrying
+    ``cols`` through — ONE copy of the rule algebra shared by the
+    d23 report twin, the d59/d60 label CTEs, and the pl1 funnel
+    stage (the D51_EXTRACT_CTES discipline: a rule tweak can never
+    desynchronize the twins that claim to mirror each other)."""
+    pre = f"{cols}, " if cols else ""
+    return f"""SELECT {pre}
+                 (nt >= {GOPHER_WC[0]} AND nt <= {GOPHER_WC[1]}) AS wc_ok,
+                 (sl >= {GOPHER_MWL[0]} * nt
+                  AND sl <= {GOPHER_MWL[1]} * nt) AS mwl_ok,
+                 (sw >= {GOPHER_MIN_STOP}) AS stop_ok,
+                 ((nb - nd) * 10 <= nb * {GOPHER_MAX_DUP10}) AS rep_ok
+          FROM (
+          SELECT {pre}
+                 CAST(len(toks) AS BIGINT) AS nt,
+                 CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                   AS BIGINT) AS sl,
+                 {text.sql_hits('en', 'toks')} AS sw,
+                 CAST(len(bg) AS BIGINT) AS nb,
+                 CAST(len(list_distinct(bg)) AS BIGINT) AS nd
+          FROM (SELECT {pre}toks,
+                       list_transform(range(1, greatest(len(toks), 1)),
+                                      i -> toks[i] || ' ' || toks[i+1]) AS bg
+                FROM (SELECT {pre}{text.SQL_TOKS} AS toks FROM {src})))"""
+
+
+SQL_GOPHER_PASS = "wc_ok AND mwl_ok AND stop_ok AND rep_ok"
+
+
+def sql_distinct_trigrams(cols: str, src: str) -> str:
+    """Per-doc DISTINCT token-trigram stream over ``src`` — one copy
+    of the gram rule shared by the d17/d47 contamination twins and
+    the pl1 decontamination stage."""
+    pre = f"{cols}, " if cols else ""
+    return f"""SELECT {pre}
+                 unnest(list_distinct(list_transform(
+                        range(1, greatest(len(toks) - 1, 1)),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+          FROM (SELECT {pre}{text.SQL_TOKS} AS toks FROM {src})"""
+
+
 D51_EXTRACT_CTES = r"""h AS (
           SELECT doc_id,
                  '<html><head><title>doc ' || CAST(doc_id AS VARCHAR)
@@ -3228,7 +3275,6 @@ def _d59_base_ctes() -> str:
     per unrolled iteration — inlining would re-expand the corpus scan
     K times), plus the empty zero-model w0."""
     from ..functions import sql_portable_hash60
-    from ..operators.text import sql_hits
 
     return f"""feat AS MATERIALIZED (
           SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS x
@@ -3237,27 +3283,11 @@ def _d59_base_ctes() -> str:
                 FROM (SELECT doc_id, unnest({text.SQL_TOKS}) AS tok
                       FROM documents))
           GROUP BY doc_id, bucket),
-        lq AS (
-          SELECT doc_id,
-                 CAST(len(toks) AS BIGINT) AS nt,
-                 CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
-                   AS BIGINT) AS sl,
-                 {sql_hits('en', 'toks')} AS sw,
-                 CAST(len(bg) AS BIGINT) AS nb,
-                 CAST(len(list_distinct(bg)) AS BIGINT) AS nd
-          FROM (SELECT doc_id, toks,
-                       list_transform(range(1, greatest(len(toks), 1)),
-                                      i -> toks[i] || ' ' || toks[i+1]) AS bg
-                FROM (SELECT doc_id, {text.SQL_TOKS} AS toks FROM documents))),
         lbl AS MATERIALIZED (
           SELECT doc_id,
-                 CASE WHEN nt >= {GOPHER_WC[0]} AND nt <= {GOPHER_WC[1]}
-                       AND sl >= {GOPHER_MWL[0]} * nt
-                       AND sl <= {GOPHER_MWL[1]} * nt
-                       AND sw >= {GOPHER_MIN_STOP}
-                       AND (nb - nd) * 10 <= nb * {GOPHER_MAX_DUP10}
+                 CASE WHEN {SQL_GOPHER_PASS}
                       THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y
-          FROM lq),
+          FROM ({sql_gopher_flags('doc_id', 'documents')})),
         w0 AS (SELECT CAST(NULL AS BIGINT) AS bucket,
                       CAST(NULL AS BIGINT) AS val
                WHERE FALSE)"""
@@ -3346,7 +3376,7 @@ def _d60_oracle() -> str:
             SELECT f.doc_id, CAST(SUM(f.x * w.val) AS BIGINT) AS score
             FROM feat f JOIN wavg w USING (bucket) GROUP BY f.doc_id) s
           USING (doc_id)),
-        cut AS (SELECT quantile_cont(score, {CLF_KEEP_PCT}) AS score_cutoff
+        cut AS (SELECT quantile_cont(score, {CLF_CUT_PCT}) AS score_cutoff
                 FROM fsc),
         crp AS (
           SELECT doc_id, source, CAST(len({text.SQL_TOKS}) AS BIGINT)
@@ -3749,34 +3779,13 @@ _ORACLE_TEMPLATE = {
         GROUP BY t.source ORDER BY t.source
     """,
     "d23_gopher_filter": f"""
-        WITH t AS (SELECT source, {_T} AS toks FROM documents),
-        b AS (
-          SELECT source, toks,
-                 list_transform(range(1, greatest(len(toks), 1)),
-                                i -> toks[i] || ' ' || toks[i+1]) AS bg
-          FROM t),
-        q AS (
-          SELECT source,
-                 CAST(len(toks) AS BIGINT) AS nt,
-                 CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
-                   AS BIGINT) AS sl,
-                 {text.sql_hits('en', 'toks')} AS sw,
-                 CAST(len(bg) AS BIGINT) AS nb,
-                 CAST(len(list_distinct(bg)) AS BIGINT) AS nd
-          FROM b),
-        f AS (
-          SELECT source,
-                 (nt >= {GOPHER_WC[0]} AND nt <= {GOPHER_WC[1]}) AS wc_ok,
-                 (sl >= {GOPHER_MWL[0]} * nt AND sl <= {GOPHER_MWL[1]} * nt) AS mwl_ok,
-                 (sw >= {GOPHER_MIN_STOP}) AS stop_ok,
-                 ((nb - nd) * 10 <= nb * {GOPHER_MAX_DUP10}) AS rep_ok
-          FROM q)
+        WITH f AS ({sql_gopher_flags('source', 'documents')})
         SELECT source, COUNT(*) AS n_docs,
                CAST(SUM(CASE WHEN wc_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_wc_ok,
                CAST(SUM(CASE WHEN mwl_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_mwl_ok,
                CAST(SUM(CASE WHEN stop_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_ok,
                CAST(SUM(CASE WHEN rep_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_rep_ok,
-               CAST(SUM(CASE WHEN wc_ok AND mwl_ok AND stop_ok AND rep_ok
+               CAST(SUM(CASE WHEN {SQL_GOPHER_PASS}
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
         FROM f GROUP BY source ORDER BY source
     """,
@@ -4039,13 +4048,7 @@ _ORACLE_TEMPLATE = {
         FROM pd GROUP BY source ORDER BY source
     """,
     "d17_contamination": f"""
-        WITH t AS (SELECT doc_id, lang, {_T} AS toks FROM documents),
-        g AS (
-          SELECT doc_id, lang,
-                 unnest(list_distinct(list_transform(
-                        range(1, greatest(len(toks) - 1, 1)),
-                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
-          FROM t),
+        WITH g AS ({sql_distinct_trigrams('doc_id, lang', 'documents')}),
         bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0),
         pd AS (
           SELECT c.doc_id, c.lang, COUNT(*) AS n_grams,
@@ -4061,13 +4064,7 @@ _ORACLE_TEMPLATE = {
         FROM pd GROUP BY lang ORDER BY lang
     """,
     "d47_decontaminate_apply": f"""
-        WITH t AS (SELECT doc_id, lang, {_T} AS toks FROM documents),
-        g AS (
-          SELECT doc_id, lang,
-                 unnest(list_distinct(list_transform(
-                        range(1, greatest(len(toks) - 1, 1)),
-                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
-          FROM t),
+        WITH g AS ({sql_distinct_trigrams('doc_id, lang', 'documents')}),
         bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0),
         pd AS (
           SELECT c.doc_id, COUNT(*) AS n_grams,

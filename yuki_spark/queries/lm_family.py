@@ -1,5 +1,6 @@
-"""Shared, content-addressed artifacts for the LM quality family —
-the language-model analogue of :mod:`.dedup_family` / :mod:`.sim_family`.
+"""Shared, content-addressed artifacts for the MODEL-TRAINING quality
+family (trigram LM + learned classifier) — the analogue of
+:mod:`.dedup_family` / :mod:`.sim_family` for corpus-trained models.
 
 A production perplexity gate trains its LM ONCE per corpus snapshot
 and scores with it many times; before round 14 the d56 report and the
@@ -55,17 +56,17 @@ def store_root() -> str | None:
     return default_store_root("YUKI_SPARK_LM_STORE", "yuki_spark-lm-family")
 
 
-def scored_per_doc3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deposit-or-reuse the trigram-LM per-doc score table for this
-    corpus (the shared train-once artifact behind d56 and d54).
-    Returns the UNORDERED deposit read — consumers' rollups are
-    order-insensitive by construction (DEC-exact sums, per-doc
-    doubles computed before the deposit)."""
+def _artifact(spark, sf_dir: str, name: str, dep_extra, builder):
+    """Deposit-or-reuse one model-training artifact for this corpus.
+    The version folds a code hash of every module a builder executes
+    (the trigram chain's home, the tokenizer, the perceptron trainer,
+    the portable primitives) — any edit invalidates, so the gates can
+    never validate a stale deposit."""
     import importlib
     import sys
 
     from .. import functions as fns
-    from ..catalog import load
+    from ..operators import classifier as clf_mod
     from ..operators import text as text_mod
 
     # the scoring chain lives in queries/docs.py, which imports this
@@ -73,22 +74,83 @@ def scored_per_doc3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sim_family pattern)
     docs_mod = importlib.import_module(__package__ + ".docs")
     version = LM_VERSION + "+" + code_fingerprint(
-        sys.modules[__name__], docs_mod, fns, text_mod
+        sys.modules[__name__], docs_mod, fns, text_mod, clf_mod
     )
     fp = table_fingerprint(sf_dir, "documents", {})
+    return deposit_or_reuse(
+        spark,
+        store_root(),
+        f"lm_family.{name}",
+        version,
+        [fp] + list(dep_extra),
+        builder,
+        COMPUTES,
+        name,
+    )
+
+
+def scored_per_doc3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deposit-or-reuse the trigram-LM per-doc score table for this
+    corpus (the shared train-once artifact behind d56 and d54).
+    Returns the UNORDERED deposit read — consumers' rollups are
+    order-insensitive by construction (DEC-exact sums, per-doc
+    doubles computed before the deposit)."""
+    import importlib
+
+    from ..catalog import load
+    from ..operators import text as text_mod
+
+    docs_mod = importlib.import_module(__package__ + ".docs")
 
     def builder() -> DataFrame:
         t = text_mod.with_tokens(load(spark, sf_dir, "documents"))
         return docs_mod._d56_per_doc(t)
 
-    df, _ = deposit_or_reuse(
-        spark,
-        store_root(),
-        "lm_family.per_doc3",
-        version,
-        [fp],
-        builder,
-        COMPUTES,
-        "per_doc3",
-    )
+    df, _ = _artifact(spark, sf_dir, "per_doc3", [], builder)
     return df
+
+
+def clf_artifacts(spark: SparkSession, sf_dir: str):
+    """Deposit-or-reuse the trained quality classifier: the d59
+    training curve (``clf_curve``) and the Collins-averaged weight
+    table (``clf_w``) — ONE training run feeds both deposits (the
+    curve's builder stashes the averaged model for the weight
+    deposit's builder, so a cold store trains once; both-warm reads
+    train zero times; a half-damaged store falls back to one honest
+    retrain). Returns ``(curve_df, w_df)`` unordered — d59 re-applies
+    its iteration ordering, d60 only joins the weights."""
+    import importlib
+
+    from ..catalog import load
+    from ..operators import classifier
+
+    docs_mod = importlib.import_module(__package__ + ".docs")
+    stash: dict = {}
+
+    def build_curve() -> DataFrame:
+        docs = load(spark, sf_dir, "documents")
+        report, w = classifier.perceptron_train(
+            docs_mod._clf_features(docs),
+            docs_mod._clf_labels(docs),
+            docs_mod.CLF_TRAIN_ITERS,
+        )
+        stash["w"] = w
+        return report
+
+    curve, curve_id = _artifact(spark, sf_dir, "clf_curve", [], build_curve)
+
+    def build_w() -> DataFrame:
+        if "w" in stash:
+            return stash["w"]
+        # curve deposit existed but the weights are missing (partial
+        # store damage): one honest retrain
+        docs = load(spark, sf_dir, "documents")
+        _report, w = classifier.perceptron_train(
+            docs_mod._clf_features(docs),
+            docs_mod._clf_labels(docs),
+            docs_mod.CLF_TRAIN_ITERS,
+        )
+        return w
+
+    w, _ = _artifact(spark, sf_dir, "clf_w", [curve_id], build_w)
+    return curve, w
