@@ -50,9 +50,23 @@ _PRIORITY = [
     "s32_filtered_ann_auto",
     "d57_bpe_train",
     "d58_learned_bpe_budget",
-    # --- slots 11..50: the r11-stamped keys at the staleness bound,
-    # in the order the r13 close recorded (40 of 50; the displaced
-    # tail ten sit below the cap with two-scale prestamp evidence)
+    # --- slots 11..14: r12/r13-stamped keys whose operators were
+    # TOUCHED in r14 (the README evidence-freshness rule: a commit
+    # touching an operator behind a key moves it to the sweep head):
+    # d54/d56 now read the LM family's per_doc3 deposit, d23/d18
+    # share their flag/pack cores with the curation stages, d17's
+    # twin builds from the shared trigram fragment. All four are
+    # hash-pinned unchanged locally (sf0.01 parity this round; d54
+    # also manually sf0.1), but the driver must re-stamp them.
+    "d54_perplexity_filter",
+    "d23_gopher_filter",
+    "d18_sequence_packing",
+    "d17_contamination",
+    # --- slots 15..50: the r11-stamped keys at the staleness bound,
+    # in the order the r13 close recorded (36 of 50; the displaced
+    # tail — ten from the r13 plan + four more displaced by the
+    # touched-key inserts above — sits below the cap with two-scale
+    # prestamp evidence)
     "s25_int8_recall",
     "d49_retraction_impact",
     "s26_hnsw_adaptive",
@@ -89,18 +103,21 @@ _PRIORITY = [
     "e7_value_percentiles_approx",
     "m1_multimodal_meta",
     "m2_resize_framesample",
+    # --- 50-slot cap lands HERE: exactly 50 keys above (4 displaced
+    # r10 + 6 r13-born + 4 r14-touched + 36 r11-stamped). Below the
+    # cap: first the FOURTEEN displaced r11-stamped keys (driver row
+    # r11 + two-scale prestamps — they MUST open the r15 sweep), then
+    # keys born in r14, then the 50 r12-stamped keys (they hit the
+    # staleness bound at r15 and fill r15's remaining slots), then
+    # the r13-stamped keys freshest at the bottom.
+    # --- four r11-stamped keys displaced by the r14 touched-key
+    # inserts (the LAST four of the r13-recorded order; two-scale
+    # prestamp evidence recorded at the r14 close: full sf0.01 parity
+    # sweep + manual sf0.1 bit-exact compare):
     "m3_audio_windows",
     "p1_pii_scan",
     "q23_skyline_parts",
     "s11_knn_graph",
-    # --- 50-slot cap lands HERE: exactly 50 keys above (4 displaced
-    # r10 + 6 r13-born + 40 r11-stamped). Below the cap: first the
-    # ten DISPLACED r11-stamped keys (driver row r11 + two-scale
-    # prestamps — they MUST open the r15 sweep), then keys born in
-    # r14 (each with an _R15_PRESTAMP-style note when the round
-    # closes), then the 50 r12-stamped keys (they hit the staleness
-    # bound at r15 and fill r15's remaining slots), then the 50
-    # r13-stamped keys freshest at the bottom.
     # --- displaced r11-stamped tail (per _R14_PRESTAMP recorded at
     # the r13 close: full 160-key sf0.01 parity sweep + manual sf0.1
     # bit-exact parity, both at the r13 close — two-scale fresh):
@@ -131,24 +148,31 @@ _PRIORITY = [
     # close) + the separable-corpus trainer reference test.
     "d59_classifier_train",
     "d60_learned_classifier_filter",
-    # _R15_PRESTAMP (arithmetic updated at the r14 close): r15's
-    # must-sweep set is the 10 displaced r11-stamped keys above + any
-    # r14-born keys + the 50 r12-stamped keys below = 60+ > 50. The
-    # displaced ten and any r14-born keys take the head slots, the
-    # r12-stamped block fills the rest, and the overflow displaces
-    # the LAST r12-stamped keys in the order below (the stable
-    # TPC-H/set-ops tails: semi_anti_parts, setops_customer_activity,
-    # setops_multiset_except, sql1_revenue_by_nation,
-    # union_dedup_keys, w1_top_customers_per_nation,
-    # w2_running_revenue, w3_moving_avg_events, w4_mom_growth,
-    # w5_rank_distribution), each requiring fresh two-scale prestamp
-    # evidence (full sf0.01 parity sweep + manual sf0.1 compare)
-    # recorded at the r14 close.
+    # _R15_PRESTAMP (arithmetic finalized at the r14 close): r15's
+    # must-sweep set is the FOURTEEN displaced r11-stamped keys above
+    # + the THREE r14-born keys (pl1_curation_pipeline,
+    # d59_classifier_train, d60_learned_classifier_filter — zero
+    # driver rows, the hard constraint) + the 49 r12-stamped keys
+    # below (50 minus d18_sequence_packing, which re-stamps in r14
+    # via the touched-key head slots; d54/d23/d17 were r13-stamped
+    # and likewise re-stamp in r14) = 66 > 50. The displaced fourteen
+    # and the r14-born three take slots 1-17, 33 of the 49
+    # r12-stamped keys fill the rest, and the overflow displaces the
+    # LAST SIXTEEN r12-stamped keys in the order below (the stable
+    # TPC-H/window/set-ops tails: q5_local_supplier,
+    # q6_forecast_revenue, q7_volume_shipping, q8_market_share,
+    # q9_product_profit, rollup_revenue, semi_anti_parts,
+    # setops_customer_activity, setops_multiset_except,
+    # sql1_revenue_by_nation, union_dedup_keys,
+    # w1_top_customers_per_nation, w2_running_revenue,
+    # w3_moving_avg_events, w4_mom_growth, w5_rank_distribution),
+    # each displaced tail requiring fresh two-scale prestamp evidence
+    # (full sf0.01 parity sweep + manual sf0.1 compare) recorded at
+    # the r14 close.
     # --- r12-stamped (hit the bound at r15; ordered so r15's
     # displaced tail is the LAST ten):
     "d52_bigram_lm_perplexity",
     "cube_revenue",
-    "d18_sequence_packing",
     "d28_token_zipf",
     "d30_oov_rate",
     "d45_langid_model",
@@ -200,7 +224,6 @@ _PRIORITY = [
     "s29_filtered_graph_ann",
     "s30_ivf_churn",
     "d53_video_phash_dups",
-    "d54_perplexity_filter",
     "d10_winnow_fingerprint",
     "d11_dedup_clusters",
     "d12_subword_stats",
@@ -208,13 +231,11 @@ _PRIORITY = [
     "d14_stratified_sample",
     "d15_profile",
     "d16_repetition",
-    "d17_contamination",
     "d19_tfidf_top_terms",
     "d1_exact_dedup",
     "d20_dedup_apply",
     "d21_corpus_split",
     "d22_dup_spans",
-    "d23_gopher_filter",
     "d24_weighted_sample",
     "d2_ngram_jaccard_dups",
     "d34_rag_chunking",
