@@ -264,8 +264,9 @@ ALLOWED_BNLJ = {
     # broadcasts are pinned by the numpy-reference trainer test
     "d59_classifier_train": 0,
     # d60 = the single-row percentile-cutoff broadcast (the q11/d26/
-    # d54 scalar pattern); the training loop hides behind the eager
-    # weight checkpoints
+    # d54 scalar pattern); training lives inside the one-time clf_w
+    # deposit builder shared with d59, so d60's visible plan is the
+    # deposit read + one scoring pass
     "d60_learned_classifier_filter": 1,
     # d54's visible plan since r14 is the per_doc3 deposit read + the
     # single-row percentile-cutoff broadcast (the q11/d26 scalar

@@ -39,6 +39,8 @@ rule); the Spark side runs at any sf.
 """
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -54,6 +56,7 @@ from .artifact_store import (
 
 
 _FALLBACK_ROOT: "str | None" = None
+_FALLBACK_LOCK = threading.Lock()
 
 
 def store_root() -> str:
@@ -63,14 +66,16 @@ def store_root() -> str:
     if root is None:
         # the shared temp root is not exclusively ours: degrade to ONE
         # private per-process store (never a planted reuse — the
-        # artifact_store integrity rule). Cached so repeated calls
-        # reuse the same deposits instead of leaking a directory per
-        # invocation (r14 review).
+        # artifact_store integrity rule). Cached UNDER A LOCK so
+        # concurrent first callers (the 8-thread plan-audit pool)
+        # can't each mint a store and orphan the loser's deposits
+        # (r14 review, twice).
         global _FALLBACK_ROOT
-        if _FALLBACK_ROOT is None:
-            import tempfile
+        with _FALLBACK_LOCK:
+            if _FALLBACK_ROOT is None:
+                import tempfile
 
-            _FALLBACK_ROOT = tempfile.mkdtemp(prefix="yuki_spark-pipe-")
+                _FALLBACK_ROOT = tempfile.mkdtemp(prefix="yuki_spark-pipe-")
         root = _FALLBACK_ROOT
     return root
 
@@ -233,6 +238,7 @@ def curation_report(
             .alias("n_learned_tokens"),
         )
     )
+
     def z(c: str):
         return F.coalesce(F.col(c), F.lit(0).cast("bigint")).alias(c)
 

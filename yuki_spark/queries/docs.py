@@ -2003,10 +2003,10 @@ CLF_CUT_PCT = 0.25  # the cutoff PERCENTILE of the learned-score
 
 def d60_learned_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide APPLY of the LEARNED quality classifier (r14 —
-    closes d59's loop the way d58 closes d57's): re-train the
-    perceptron, score every document with the AVERAGED model (the
-    batch iterates oscillate on non-separable data; the deployed
-    model is Σ_t w_t — Collins 2002), keep the top CLF_CUT_PCT-
+    closes d59's loop the way d58 closes d57's): read the deposited
+    AVERAGED model (Σ_t w_t — Collins 2002; the batch iterates
+    oscillate on non-separable data, the average is what deploys),
+    score every document with it, keep the top CLF_CUT_PCT-
     complement by score (exact percentile cutoff broadcast back —
     d54's pattern, quantile_cont-paired; at 1e9+ docs swap in e7's
     KLL approx_percentile), and report per source: doc counts, kept
@@ -3037,8 +3037,10 @@ SQL_GOPHER_PASS = "wc_ok AND mwl_ok AND stop_ok AND rep_ok"
 
 def sql_distinct_trigrams(cols: str, src: str) -> str:
     """Per-doc DISTINCT token-trigram stream over ``src`` — one copy
-    of the gram rule shared by the d17/d47 contamination twins and
-    the pl1 decontamination stage."""
+    of the gram rule shared by the d17/d27/d47 contamination twins
+    and the pl1 decontamination stage (d56's LM stream and d42's
+    source-grain novelty intentionally keep their own non-distinct /
+    differently-grained variants)."""
     pre = f"{cols}, " if cols else ""
     return f"""SELECT {pre}
                  unnest(list_distinct(list_transform(
@@ -4158,13 +4160,7 @@ _ORACLE_TEMPLATE = {
         FROM sc, tot ORDER BY score_ppm DESC, doc_id LIMIT {DSIR_TOP}
     """,
     "d27_bloom_contamination": f"""
-        WITH t AS (SELECT doc_id, lang, {_T} AS toks FROM documents),
-        g AS (
-          SELECT doc_id, lang,
-                 unnest(list_distinct(list_transform(
-                        range(1, greatest(len(toks) - 1, 1)),
-                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
-          FROM t),
+        WITH g AS ({sql_distinct_trigrams('doc_id, lang', 'documents')}),
         bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0),
         c AS (
           SELECT cg.doc_id, cg.lang,

@@ -56,25 +56,17 @@ def store_root() -> str | None:
     return default_store_root("YUKI_SPARK_LM_STORE", "yuki_spark-lm-family")
 
 
-def _artifact(spark, sf_dir: str, name: str, dep_extra, builder):
+def _artifact(spark, sf_dir: str, name: str, dep_extra, builder, modules):
     """Deposit-or-reuse one model-training artifact for this corpus.
-    The version folds a code hash of every module a builder executes
-    (the trigram chain's home, the tokenizer, the perceptron trainer,
-    the portable primitives) — any edit invalidates, so the gates can
-    never validate a stale deposit."""
-    import importlib
+    The version folds a code hash of exactly the ``modules`` the
+    builder executes — any edit there invalidates, so the gates can
+    never validate a stale deposit, while an edit to an UNRELATED
+    trainer doesn't spuriously re-pay a corpus-sized build (r14
+    review: invalidation stays precise per artifact)."""
     import sys
 
-    from .. import functions as fns
-    from ..operators import classifier as clf_mod
-    from ..operators import text as text_mod
-
-    # the scoring chain lives in queries/docs.py, which imports this
-    # module — import by name to avoid the import-time cycle (the
-    # sim_family pattern)
-    docs_mod = importlib.import_module(__package__ + ".docs")
     version = LM_VERSION + "+" + code_fingerprint(
-        sys.modules[__name__], docs_mod, fns, text_mod, clf_mod
+        sys.modules[__name__], *modules
     )
     fp = table_fingerprint(sf_dir, "documents", {})
     return deposit_or_reuse(
@@ -97,16 +89,22 @@ def scored_per_doc3(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles computed before the deposit)."""
     import importlib
 
+    from .. import functions as fns
     from ..catalog import load
     from ..operators import text as text_mod
 
+    # the scoring chain lives in queries/docs.py, which imports this
+    # module — import by name to avoid the import-time cycle (the
+    # sim_family pattern)
     docs_mod = importlib.import_module(__package__ + ".docs")
 
     def builder() -> DataFrame:
         t = text_mod.with_tokens(load(spark, sf_dir, "documents"))
         return docs_mod._d56_per_doc(t)
 
-    df, _ = _artifact(spark, sf_dir, "per_doc3", [], builder)
+    df, _ = _artifact(
+        spark, sf_dir, "per_doc3", [], builder, (docs_mod, fns, text_mod)
+    )
     return df
 
 
@@ -121,36 +119,40 @@ def clf_artifacts(spark: SparkSession, sf_dir: str):
     its iteration ordering, d60 only joins the weights."""
     import importlib
 
+    from .. import functions as fns
     from ..catalog import load
     from ..operators import classifier
+    from ..operators import text as text_mod
 
     docs_mod = importlib.import_module(__package__ + ".docs")
+    mods = (docs_mod, fns, text_mod, classifier)
     stash: dict = {}
 
-    def build_curve() -> DataFrame:
+    def _train():
         docs = load(spark, sf_dir, "documents")
-        report, w = classifier.perceptron_train(
+        return classifier.perceptron_train(
             docs_mod._clf_features(docs),
             docs_mod._clf_labels(docs),
             docs_mod.CLF_TRAIN_ITERS,
         )
+
+    def build_curve() -> DataFrame:
+        report, w = _train()
         stash["w"] = w
         return report
 
-    curve, curve_id = _artifact(spark, sf_dir, "clf_curve", [], build_curve)
+    curve, curve_id = _artifact(
+        spark, sf_dir, "clf_curve", [], build_curve, mods
+    )
 
     def build_w() -> DataFrame:
         if "w" in stash:
             return stash["w"]
-        # curve deposit existed but the weights are missing (partial
-        # store damage): one honest retrain
-        docs = load(spark, sf_dir, "documents")
-        _report, w = classifier.perceptron_train(
-            docs_mod._clf_features(docs),
-            docs_mod._clf_labels(docs),
-            docs_mod.CLF_TRAIN_ITERS,
-        )
+        # the curve deposit was warm (or another thread built it) but
+        # the weights deposit is absent: one honest retrain — the
+        # trainer is deterministic, so the result is identical
+        _report, w = _train()
         return w
 
-    w, _ = _artifact(spark, sf_dir, "clf_w", [curve_id], build_w)
+    w, _ = _artifact(spark, sf_dir, "clf_w", [curve_id], build_w, mods)
     return curve, w
