@@ -148,27 +148,32 @@ _PRIORITY = [
     # close) + the separable-corpus trainer reference test.
     "d59_classifier_train",
     "d60_learned_classifier_filter",
+    # m4 (r14-born): shot-boundary detection over the real container
+    # walk (d53's linear front half, no pair stage — the twin is
+    # likewise uncapped and two-scale). Birth evidence: sf0.01 AND
+    # sf0.1 oracle parity recorded at the r14 close.
+    "m4_video_scene_cuts",
     # _R15_PRESTAMP (arithmetic finalized at the r14 close): r15's
     # must-sweep set is the FOURTEEN displaced r11-stamped keys above
-    # + the THREE r14-born keys (pl1_curation_pipeline,
-    # d59_classifier_train, d60_learned_classifier_filter — zero
-    # driver rows, the hard constraint) + the 49 r12-stamped keys
-    # below (50 minus d18_sequence_packing, which re-stamps in r14
-    # via the touched-key head slots; d54/d23/d17 were r13-stamped
-    # and likewise re-stamp in r14) = 66 > 50. The displaced fourteen
-    # and the r14-born three take slots 1-17, 33 of the 49
-    # r12-stamped keys fill the rest, and the overflow displaces the
-    # LAST SIXTEEN r12-stamped keys in the order below (the stable
-    # TPC-H/window/set-ops tails: q5_local_supplier,
-    # q6_forecast_revenue, q7_volume_shipping, q8_market_share,
-    # q9_product_profit, rollup_revenue, semi_anti_parts,
-    # setops_customer_activity, setops_multiset_except,
-    # sql1_revenue_by_nation, union_dedup_keys,
-    # w1_top_customers_per_nation, w2_running_revenue,
-    # w3_moving_avg_events, w4_mom_growth, w5_rank_distribution),
-    # each displaced tail requiring fresh two-scale prestamp evidence
-    # (full sf0.01 parity sweep + manual sf0.1 compare) recorded at
-    # the r14 close.
+    # + the FOUR r14-born keys (pl1_curation_pipeline,
+    # d59_classifier_train, d60_learned_classifier_filter,
+    # m4_video_scene_cuts — zero driver rows, the hard constraint) +
+    # the 49 r12-stamped keys below (50 minus d18_sequence_packing,
+    # which re-stamps in r14 via the touched-key head slots;
+    # d54/d23/d17 were r13-stamped and likewise re-stamp in r14)
+    # = 67 > 50. The displaced fourteen and the r14-born four take
+    # slots 1-18, 32 of the 49 r12-stamped keys fill the rest, and
+    # the overflow displaces the LAST SEVENTEEN r12-stamped keys in
+    # the order below (the stable TPC-H/window/set-ops tails:
+    # q4_order_priority, q5_local_supplier, q6_forecast_revenue,
+    # q7_volume_shipping, q8_market_share, q9_product_profit,
+    # rollup_revenue, semi_anti_parts, setops_customer_activity,
+    # setops_multiset_except, sql1_revenue_by_nation,
+    # union_dedup_keys, w1_top_customers_per_nation,
+    # w2_running_revenue, w3_moving_avg_events, w4_mom_growth,
+    # w5_rank_distribution), each displaced tail requiring fresh
+    # two-scale prestamp evidence (full sf0.01 parity sweep + manual
+    # sf0.1 compare) recorded at the r14 close.
     # --- r12-stamped (hit the bound at r15; ordered so r15's
     # displaced tail is the LAST ten):
     "d52_bigram_lm_perplexity",

@@ -295,6 +295,11 @@ def main() -> None:
         # training pass is a broadcast weight join + two hash-aggs;
         # token-volume linearity × CLF_TRAIN_ITERS is the 10x watch
         "d60_learned_classifier_filter",
+        # round-14: shot-boundary detection — d53's linear front half
+        # (tokenize + two Arrow passes at frame grain) + an equi step
+        # join; frame-volume linearity is the 10x watch (no pair
+        # stage anywhere)
+        "m4_video_scene_cuts",
     ]
     qs["q1_pricing_summary"](spark, out).write.mode("overwrite").format("noop").save()
     timings = {}

@@ -226,6 +226,91 @@ def d53_video_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+M4_CUT_HAMMING = 9  # a transition is a scene CUT when the adjacent
+# keyframes' dHash distance exceeds this — the measured adjacent-step
+# median at every catalog is 8 (p75 = 10), so both branches are live
+# at every test sf by construction
+
+
+def m4_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection per video (r14 — the SEGMENTATION step
+    a video curation pipeline runs before shot-level dedup/captioning,
+    composing the same real machinery d53 verifies: RIFF/AVI
+    Motion-PNG synth → real container keyframe walk → true PNG decode
+    → per-frame dHash). A scene cut falls between consecutive frames
+    whose hash distance exceeds M4_CUT_HAMMING (the classic
+    threshold-on-frame-difference detector, here on perceptual
+    hashes); per-video report: frame count, cut count, scene count
+    (cuts + 1), the summed and maximum adjacent-frame steps (the
+    motion-energy profile), and the first cut's frame index (−1 for
+    single-scene videos). All integers except nothing — every column
+    exact, so the twin recomputes the frames from the generative rule
+    and replays the detector bit-for-bit.
+
+    Scale shape: d53's linear front half (one tokenize/posexplode
+    pass + two Arrow passes at ≤D53_FRAMES rows/doc) WITHOUT the pair
+    stage — the adjacent-frame self-join is an equi-join on
+    (video, idx+1), so the whole key is linear in corpus frames; the
+    twin is likewise uncapped (no pair family)."""
+    nf = D53_FRAMES
+    docs = load(spark, sf_dir, "documents")
+    video = multimodal.synth_token_video(docs, n_frames=nf)
+    frames = multimodal.frame_sample(video, n_frames=nf)
+    sh = multimodal.dhash56(
+        frames.select(
+            (F.col("doc_id") * nf + F.col("frame_idx")).alias("doc_id"),
+            F.col("frame").alias("media"),
+        )
+    )
+    f = sh.select(
+        F.expr(f"doc_id div {nf}").alias("video"),
+        (F.col("doc_id") % nf).alias("idx"),
+        "sh",
+    ).localCheckpoint(eager=False)  # feeds the step join + frame counts
+    nxt = f.select(
+        "video", (F.col("idx") - 1).alias("idx"), F.col("sh").alias("sh2")
+    )
+    steps = f.join(nxt, ["video", "idx"]).select(
+        "video", "idx", F.expr("bit_count(sh ^ sh2)").alias("step")
+    )
+    cut = F.col("step") > M4_CUT_HAMMING
+    per = steps.groupBy("video").agg(
+        F.sum(F.when(cut, 1).otherwise(0)).cast("bigint").alias("n_cuts"),
+        F.sum("step").cast("bigint").alias("sum_step"),
+        F.max("step").cast("bigint").alias("max_step"),
+        F.min(F.when(cut, F.col("idx"))).cast("bigint").alias("first_cut"),
+    )
+    nfr = f.groupBy("video").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames")
+    )
+    return (
+        nfr.join(per, "video", "left")
+        .select(
+            "video",
+            "n_frames",
+            F.coalesce(F.col("n_cuts"), F.lit(0).cast("bigint")).alias(
+                "n_cuts"
+            ),
+            (
+                F.coalesce(F.col("n_cuts"), F.lit(0).cast("bigint"))
+                + F.lit(1)
+            )
+            .cast("bigint")
+            .alias("n_scenes"),
+            F.coalesce(F.col("sum_step"), F.lit(0).cast("bigint")).alias(
+                "sum_step"
+            ),
+            F.coalesce(F.col("max_step"), F.lit(0).cast("bigint")).alias(
+                "max_step"
+            ),
+            F.coalesce(F.col("first_cut"), F.lit(-1).cast("bigint")).alias(
+                "first_cut"
+            ),
+        )
+        .orderBy("video")
+    )
+
+
 D55_SEGMENTS = multimodal.AUDIO_SEGMENTS  # clip grain — the operator
 # owns the constant so the streaming sidecar shares it (4 positional
 # chunks per clip)
@@ -2972,6 +3057,7 @@ QUERIES = {
     "m1_multimodal_meta": m1_multimodal_meta,
     "m2_resize_framesample": m2_resize_framesample,
     "m3_audio_windows": m3_audio_windows,
+    "m4_video_scene_cuts": m4_video_scene_cuts,
 }
 
 def _sql_bpe_wc(dim: str) -> str:
@@ -3047,6 +3133,52 @@ def sql_distinct_trigrams(cols: str, src: str) -> str:
                         range(1, greatest(len(toks) - 1, 1)),
                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
           FROM (SELECT {pre}{text.SQL_TOKS} AS toks FROM {src})"""
+
+
+def _d53_frame_fp_ctes(where_clause: str) -> str:
+    """The per-FRAME dHash recompute from the generative rule (token
+    sequence → D53_FRAMES positional chunks → distinct-token bucket
+    histogram → 56-bit difference hash), ending in
+    ``fp(doc_id, chunk, sh)`` — one copy shared by the d53 near-dup
+    twin (pairwise, capped) and the m4 scene-cut twin (linear,
+    uncapped). The PNG and container round-trips are lossless
+    (pinned in tests), so the decoded pixels ARE these cells."""
+    return f"""d AS (
+          SELECT doc_id, list_filter({text.SQL_TOKS}, t -> t <> '') AS tk
+          FROM documents {where_clause}),
+        nz AS (
+          SELECT doc_id, tk, len(tk) AS L FROM d WHERE len(tk) > 0),
+        pos AS (
+          SELECT doc_id, L,
+                 CAST(generate_subscripts(tk, 1) - 1 AS BIGINT) AS pos,
+                 unnest(tk) AS tok
+          FROM nz),
+        ck AS (
+          SELECT DISTINCT doc_id, (pos * {D53_FRAMES}) // L AS chunk, tok
+          FROM pos),
+        tk2 AS (
+          SELECT doc_id, chunk,
+                 {sql_portable_hash60('tok')} % {multimodal.DHASH_CELLS} AS cell
+          FROM ck),
+        cc AS (
+          SELECT doc_id, chunk, cell, LEAST(COUNT(*), 255) AS v
+          FROM tk2 GROUP BY doc_id, chunk, cell),
+        fr AS (SELECT DISTINCT doc_id, chunk FROM ck),
+        grid AS (
+          SELECT fr.doc_id, fr.chunk, g.cell, COALESCE(cc.v, 0) AS v
+          FROM fr CROSS JOIN
+            (SELECT unnest(range(0, {multimodal.DHASH_CELLS})) AS cell) g
+          LEFT JOIN cc ON cc.doc_id = fr.doc_id AND cc.chunk = fr.chunk
+                      AND cc.cell = g.cell),
+        fp AS (
+          SELECT l.doc_id, l.chunk,
+                 CAST(COALESCE(SUM(CASE WHEN l.v < r.v
+                   THEN (CAST(1 AS BIGINT) << CAST((l.cell // 8) * 7 + (l.cell % 8) AS INT))
+                   ELSE 0 END), 0) AS BIGINT) AS sh
+          FROM grid l JOIN grid r ON r.doc_id = l.doc_id
+                                 AND r.chunk = l.chunk AND r.cell = l.cell + 1
+          WHERE l.cell % 8 < 7
+          GROUP BY l.doc_id, l.chunk)"""
 
 
 D51_EXTRACT_CTES = r"""h AS (
@@ -4395,43 +4527,39 @@ _ORACLE_TEMPLATE = {
     # tests), then the 56-bit per-frame dHash, all-pairs Hamming <= 1
     # across videos (Spark's 2x28-bit pigeonhole blocking is exact at
     # this radius), and the video-grain containment roll-up.
+    # m4 twin: the shared frame-hash recompute (uncapped — linear, no
+    # pair stage), then the adjacent-frame step join and the same
+    # threshold detector
+    "m4_video_scene_cuts": f"""
+        WITH {_d53_frame_fp_ctes('')},
+        f AS (SELECT doc_id AS video, chunk AS idx, sh FROM fp),
+        steps AS (
+          SELECT a.video, a.idx,
+                 CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS step
+          FROM f a JOIN f b ON b.video = a.video AND b.idx = a.idx + 1),
+        per AS (
+          SELECT video,
+                 CAST(SUM(CASE WHEN step > {M4_CUT_HAMMING} THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_cuts,
+                 CAST(SUM(step) AS BIGINT) AS sum_step,
+                 CAST(MAX(step) AS BIGINT) AS max_step,
+                 CAST(MIN(CASE WHEN step > {M4_CUT_HAMMING} THEN idx END)
+                   AS BIGINT) AS first_cut
+          FROM steps GROUP BY video),
+        nfr AS (
+          SELECT video, CAST(COUNT(*) AS BIGINT) AS n_frames
+          FROM f GROUP BY video)
+        SELECT n.video AS video, n.n_frames AS n_frames,
+               CAST(COALESCE(p.n_cuts, 0) AS BIGINT) AS n_cuts,
+               CAST(COALESCE(p.n_cuts, 0) + 1 AS BIGINT) AS n_scenes,
+               CAST(COALESCE(p.sum_step, 0) AS BIGINT) AS sum_step,
+               CAST(COALESCE(p.max_step, 0) AS BIGINT) AS max_step,
+               CAST(COALESCE(p.first_cut, -1) AS BIGINT) AS first_cut
+        FROM nfr n LEFT JOIN per p USING (video)
+        ORDER BY n.video
+    """,
     "d53_video_phash_dups": f"""
-        WITH d AS (
-          SELECT doc_id, list_filter({_T}, t -> t <> '') AS tk
-          FROM documents WHERE doc_id < {PAIR_CAP}),
-        nz AS (
-          SELECT doc_id, tk, len(tk) AS L FROM d WHERE len(tk) > 0),
-        pos AS (
-          SELECT doc_id, L,
-                 CAST(generate_subscripts(tk, 1) - 1 AS BIGINT) AS pos,
-                 unnest(tk) AS tok
-          FROM nz),
-        ck AS (
-          SELECT DISTINCT doc_id, (pos * {D53_FRAMES}) // L AS chunk, tok
-          FROM pos),
-        tk2 AS (
-          SELECT doc_id, chunk,
-                 {sql_portable_hash60('tok')} % {multimodal.DHASH_CELLS} AS cell
-          FROM ck),
-        cc AS (
-          SELECT doc_id, chunk, cell, LEAST(COUNT(*), 255) AS v
-          FROM tk2 GROUP BY doc_id, chunk, cell),
-        fr AS (SELECT DISTINCT doc_id, chunk FROM ck),
-        grid AS (
-          SELECT fr.doc_id, fr.chunk, g.cell, COALESCE(cc.v, 0) AS v
-          FROM fr CROSS JOIN
-            (SELECT unnest(range(0, {multimodal.DHASH_CELLS})) AS cell) g
-          LEFT JOIN cc ON cc.doc_id = fr.doc_id AND cc.chunk = fr.chunk
-                      AND cc.cell = g.cell),
-        fp AS (
-          SELECT l.doc_id, l.chunk,
-                 CAST(COALESCE(SUM(CASE WHEN l.v < r.v
-                   THEN (CAST(1 AS BIGINT) << CAST((l.cell // 8) * 7 + (l.cell % 8) AS INT))
-                   ELSE 0 END), 0) AS BIGINT) AS sh
-          FROM grid l JOIN grid r ON r.doc_id = l.doc_id
-                                 AND r.chunk = l.chunk AND r.cell = l.cell + 1
-          WHERE l.cell % 8 < 7
-          GROUP BY l.doc_id, l.chunk),
+        WITH {_d53_frame_fp_ctes(f'WHERE doc_id < {PAIR_CAP}')},
         fpairs AS (
           SELECT a.doc_id AS va, a.chunk AS ca, b.doc_id AS vb, b.chunk AS cb
           FROM fp a JOIN fp b ON a.doc_id < b.doc_id
