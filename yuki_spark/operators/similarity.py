@@ -2056,8 +2056,14 @@ def hnsw_descent(
             ),
             9,
         )
+        # the candidate set is nq-bounded (O(nq·(|entry| + beam·k))
+        # rows of two ids) — broadcast it into the corpus-side re-rank
+        # join so the scaled base is SCANNED, never EXCHANGED+SORTED,
+        # per hop. Without the hint the base sits behind a checkpoint
+        # whose size statistic defeats auto-broadcast and every hop
+        # pays a full corpus shuffle (SMJ) at any scale.
         scored = (
-            cand.join(broadcast(q), "qid")
+            broadcast(cand.join(broadcast(q), "qid"))
             .join(cand_side, "cid")
             .withColumn("cosine", cos)
             .select("qid", "cid", "cosine")
@@ -2078,8 +2084,11 @@ def hnsw_descent(
     bm = rerank(entry, beam).localCheckpoint(eager=False)
 
     def expand(beam_df: DataFrame, graph: DataFrame, width: int) -> DataFrame:
+        # beam is nq×beam rows — broadcast it against the n·k edge
+        # deposit so the expansion SCANS the deposit instead of
+        # shuffling it by mid every hop (same rationale as rerank)
         nb = (
-            beam_df.select("qid", F.col("cid").alias("mid"))
+            broadcast(beam_df.select("qid", F.col("cid").alias("mid")))
             .join(
                 graph.select(F.col("qid").alias("mid"), "cid"), "mid"
             )

@@ -432,14 +432,18 @@ def d38_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     thr = F.array([F.lit(t) for t in D38_THRESHOLDS])
     hit = F.filter(thr, lambda t: F.col("jac") >= t.cast("double") / F.lit(100.0))
     e = pairs.select("doc_a", "doc_b", F.explode(hit).alias("thr_pct"))
-    n_pairs = e.groupBy("thr_pct").agg(F.count(F.lit(1)).alias("n_pairs"))
-    n_docs = (
+    # one endpoint explode + ONE aggregation serves both measures:
+    # every pair emits exactly two (thr, doc) rows (doc_a < doc_b, so
+    # never equal), hence n_pairs = count div 2 exactly — this halves
+    # the plan (the deposit-expand subtree used to be duplicated under
+    # an n_pairs branch and an n_docs branch, then re-joined)
+    return (
         e.select("thr_pct", F.explode(F.array("doc_a", "doc_b")).alias("doc"))
         .groupBy("thr_pct")
-        .agg(F.countDistinct("doc").alias("n_docs"))
-    )
-    return (
-        n_pairs.join(n_docs, "thr_pct")
+        .agg(
+            F.expr("count(1) div 2").alias("n_pairs"),
+            F.countDistinct("doc").alias("n_docs"),
+        )
         .select("thr_pct", "n_pairs", "n_docs")
         .orderBy("thr_pct")
     )
