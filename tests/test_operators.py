@@ -3355,3 +3355,76 @@ def test_relabel_after_addition_on_real_corpus(spark):
     )
     want = sorted(tuple(r) for r in dedup.dedup_clusters(pairs).collect())
     assert got == want and len(got) > 0
+
+
+# ---- fused synth→codec→hash passes (r14 optimization round) -------------
+
+
+def test_fused_dhash56_equals_composed(spark):
+    """dhash56_from_sets/_from_docs (one Arrow pass) must match the
+    composed synth_token_png→dhash56 chain row-for-row on the real
+    corpus — the fused path reuses the same per-row helpers, and this
+    pin keeps any future divergence loud."""
+    from yuki_spark.operators import multimodal as mm
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    composed = sorted(
+        tuple(r)
+        for r in mm.dhash56(mm.synth_token_png(docs))
+        .select("doc_id", "sh")
+        .collect()
+    )
+    fused = sorted(
+        tuple(r) for r in mm.dhash56_from_docs(docs).collect()
+    )
+    assert fused == composed and len(fused) > 0
+
+
+def test_fused_video_frame_dhash56_equals_composed(spark):
+    """video_frame_dhash56 (one Arrow pass) ≡ synth_token_video →
+    frame_sample → dhash56 — same container assembly, same real walk,
+    same PNG decode, row-for-row."""
+    from yuki_spark.operators import multimodal as mm
+
+    nf = 4
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    frames = mm.frame_sample(mm.synth_token_video(docs, n_frames=nf), n_frames=nf)
+    composed = sorted(
+        tuple(r)
+        for r in mm.dhash56(
+            frames.select(
+                "doc_id",
+                F.col("frame_idx").alias("fi"),
+                F.col("frame").alias("media"),
+            ).select(
+                (F.col("doc_id") * nf + F.col("fi")).alias("doc_id"), "media"
+            )
+        ).collect()
+    )
+    fused = sorted(
+        (int(r["doc_id"]) * nf + int(r["frame_idx"]), int(r["sh"]))
+        for r in mm.video_frame_dhash56(docs, n_frames=nf).collect()
+    )
+    assert fused == composed and len(fused) > 0
+
+
+def test_fused_audio_fingerprint56_equals_composed(spark):
+    """audio_fingerprint56_from_docs (one Arrow pass) ≡
+    synth_token_wav → audio_fingerprint56 — same WAV pack, same real
+    stdlib decode, same envelope hash, row-for-row."""
+    from yuki_spark.operators import multimodal as mm
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    composed = sorted(
+        tuple(r)
+        for r in mm.audio_fingerprint56(
+            mm.synth_token_wav(docs), n_segments=mm.AUDIO_SEGMENTS
+        ).collect()
+    )
+    fused = sorted(
+        tuple(r)
+        for r in mm.audio_fingerprint56_from_docs(
+            docs, n_segments=mm.AUDIO_SEGMENTS
+        ).collect()
+    )
+    assert fused == composed and len(fused) > 0

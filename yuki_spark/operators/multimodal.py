@@ -329,20 +329,25 @@ def synth_token_png_from_sets(ts: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            medias = []
-            for cl in pdf["cells_src"]:
-                counts = [0] * DHASH_CELLS
-                for c in cl:
-                    counts[int(c)] += 1
-                px = bytes(min(v, 255) for v in counts)
-                medias.append(
-                    codecs.encode_png(
-                        DHASH_GRID_W, DHASH_GRID_H, px, channels=1
-                    )
-                )
+            medias = [_png_of_cells(cl) for cl in pdf["cells_src"]]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": medias})
 
     return src.mapInPandas(run, schema)
+
+
+def _png_of_cells(cl) -> bytes:
+    """The ONE copy of the bucket-histogram → real 8×8 grayscale PNG
+    rule (shared by the composed synth ops and the fused
+    synth→decode→hash passes, so the two paths cannot drift)."""
+    counts = [0] * DHASH_CELLS
+    for c in cl:
+        counts[int(c)] += 1
+    return codecs.encode_png(
+        DHASH_GRID_W,
+        DHASH_GRID_H,
+        bytes(min(v, 255) for v in counts),
+        channels=1,
+    )
 
 
 def synth_token_video(docs: DataFrame, n_frames: int = 4) -> DataFrame:
@@ -372,6 +377,26 @@ def synth_token_video(docs: DataFrame, n_frames: int = 4) -> DataFrame:
     Scale shape: one tokenize + per-row slice/hash projection
     (O(tokens) work, zero exchanges), one Arrow ``mapInPandas`` pass
     at doc grain (payloads ~0.5 KB)."""
+    src = _video_chunks_src(docs, n_frames)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("media", BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            medias = [_avi_of_chunks(chunks) for chunks in pdf["chunks_src"]]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": medias})
+
+    return src.mapInPandas(run, schema)
+
+
+def _video_chunks_src(docs: DataFrame, n_frames: int) -> DataFrame:
+    """The JVM front of :func:`synth_token_video` — tokenize, chunk,
+    bucket-hash, all array-native column algebra (one copy, shared
+    with the fused synth→walk→hash pass)."""
     tk = docs.select(
         "doc_id", F.filter(tokens("text"), lambda t: t != "").alias("tk")
     ).where(F.size("tk") > 0)
@@ -392,37 +417,18 @@ def synth_token_video(docs: DataFrame, n_frames: int = 4) -> DataFrame:
         slices,
         lambda ch: F.transform(ch, lambda t: portable_hash60(t) % DHASH_CELLS),
     )
-    src = tk.select("doc_id", cells.alias("chunks_src"))
-    schema = StructType(
-        [
-            StructField("doc_id", LongType()),
-            StructField("media", BinaryType()),
-        ]
+    return tk.select("doc_id", cells.alias("chunks_src"))
+
+
+def _avi_of_chunks(chunks) -> bytes:
+    """The ONE copy of the per-chunk-histogram → PNG frames → real
+    AVI/Motion-PNG container rule (shared by :func:`synth_token_video`
+    and the fused synth→walk→hash pass). Empty chunks are dropped —
+    a doc shorter than n_frames yields a shorter video."""
+    frames = [_png_of_cells(cl) for cl in chunks if len(cl) > 0]
+    return codecs.encode_avi_mjpeg(
+        frames, DHASH_GRID_W, DHASH_GRID_H, fourcc=b"MPNG"
     )
-    w, h = DHASH_GRID_W, DHASH_GRID_H
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            medias = []
-            for chunks in pdf["chunks_src"]:
-                frames = []
-                for cl in chunks:
-                    if len(cl) == 0:
-                        continue  # empty chunk: doc shorter than n_frames
-                    counts = [0] * DHASH_CELLS
-                    for c in cl:
-                        counts[int(c)] += 1
-                    frames.append(
-                        codecs.encode_png(
-                            w, h, bytes(min(v, 255) for v in counts), channels=1
-                        )
-                    )
-                medias.append(
-                    codecs.encode_avi_mjpeg(frames, w, h, fourcc=b"MPNG")
-                )
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": medias})
-
-    return src.mapInPandas(run, schema)
 
 
 def dhash56(media: DataFrame) -> DataFrame:
@@ -439,29 +445,13 @@ def dhash56(media: DataFrame) -> DataFrame:
     buffer (r11 advice — the hash stays bit-identical to the scalar
     ``px[i] < px[i+1]`` loop it replaces, pinned against golden
     values in tests), so per-row Python work is just the PNG decode."""
-    import numpy as np
-
     schema = StructType(
         [StructField("doc_id", LongType()), StructField("sh", LongType())]
-    )
-    w, h = DHASH_GRID_W, DHASH_GRID_H
-    # bit (r·(w-1) + c) weights for the flattened h×(w-1) compare grid
-    weights = np.left_shift(
-        np.uint64(1), np.arange(h * (w - 1), dtype=np.uint64)
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            outs = []
-            for b in pdf["media"]:
-                pw, ph, ch, px = codecs.decode_png(bytes(b))
-                if (pw, ph, ch) != (w, h, 1):
-                    raise codecs.UnsupportedMediaError(
-                        f"dhash56 wants {w}x{h} grayscale, got {pw}x{ph}x{ch}"
-                    )
-                arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
-                bits = (arr[:, :-1] < arr[:, 1:]).reshape(-1)
-                outs.append(int((bits.astype(np.uint64) * weights).sum()))
+            outs = [_dhash56_of_png(bytes(b)) for b in pdf["media"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -470,6 +460,37 @@ def dhash56(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema)
+
+
+def _dhash56_weights():
+    import numpy as np
+
+    return np.left_shift(
+        np.uint64(1),
+        np.arange(DHASH_GRID_H * (DHASH_GRID_W - 1), dtype=np.uint64),
+    )
+
+
+_DHASH_W = None
+
+
+def _dhash56_of_png(png: bytes) -> int:
+    """The ONE copy of the true-PNG-decode → dHash rule (shared by
+    :func:`dhash56` and the fused synth→decode→hash passes)."""
+    import numpy as np
+
+    global _DHASH_W
+    if _DHASH_W is None:
+        _DHASH_W = _dhash56_weights()
+    w, h = DHASH_GRID_W, DHASH_GRID_H
+    pw, ph, ch, px = codecs.decode_png(png)
+    if (pw, ph, ch) != (w, h, 1):
+        raise codecs.UnsupportedMediaError(
+            f"dhash56 wants {w}x{h} grayscale, got {pw}x{ph}x{ch}"
+        )
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+    bits = (arr[:, :-1] < arr[:, 1:]).reshape(-1)
+    return int((bits.astype(np.uint64) * _DHASH_W).sum())
 
 
 # ---- audio energy-envelope fingerprint near-dup (d55) --------------------
@@ -525,8 +546,26 @@ def synth_token_wav(docs: DataFrame) -> DataFrame:
     Scale shape: one tokenize + per-row hash/slice projection
     (O(tokens · 32) work, zero exchanges), one Arrow ``mapInPandas``
     pass at doc grain (payloads 64 B/token + 44 B header)."""
-    import numpy as np
+    src = _wav_samples_src(docs)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("media", BinaryType()),
+        ]
+    )
 
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            medias = [_wav_of_samples(s) for s in pdf["samples_src"]]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": medias})
+
+    return src.mapInPandas(run, schema)
+
+
+def _wav_samples_src(docs: DataFrame) -> DataFrame:
+    """The JVM front of :func:`synth_token_wav` — tokenize + per-token
+    16-bit hash slices (one copy, shared with the fused
+    synth→decode→fingerprint pass)."""
     tk = docs.select(
         "doc_id", F.filter(tokens("text"), lambda t: t != "").alias("tk")
     ).where(F.size("tk") > 0)
@@ -537,29 +576,17 @@ def synth_token_wav(docs: DataFrame) -> DataFrame:
         f"i -> CAST(shiftright(h, CAST((i * 7) % 45 AS INT)) % 65536"
         f" - 32768 AS INT))))"
     )
-    src = tk.select("doc_id", hs.alias("hs")).select(
+    return tk.select("doc_id", hs.alias("hs")).select(
         "doc_id", samples.alias("samples_src")
     )
-    schema = StructType(
-        [
-            StructField("doc_id", LongType()),
-            StructField("media", BinaryType()),
-        ]
-    )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            medias = []
-            for s in pdf["samples_src"]:
-                pcm = np.asarray(s, dtype="<i2").tobytes()
-                medias.append(
-                    codecs.encode_wav(
-                        pcm, rate=WAV_RATE, channels=1, sampwidth=2
-                    )
-                )
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": medias})
 
-    return src.mapInPandas(run, schema)
+def _wav_of_samples(s) -> bytes:
+    """int16 sample list → real RIFF/PCM WAV container (one copy)."""
+    import numpy as np
+
+    pcm = np.asarray(s, dtype="<i2").tobytes()
+    return codecs.encode_wav(pcm, rate=WAV_RATE, channels=1, sampwidth=2)
 
 
 def audio_fingerprint56(
@@ -583,18 +610,12 @@ def audio_fingerprint56(
     out per clip; the windowing/energy/pack is vectorized numpy over
     the decoded buffer, so per-row Python work is just the WAV
     header parse."""
-    import numpy as np
-
     schema = StructType(
         [
             StructField("doc_id", LongType()),
             StructField("seg", IntegerType()),
             StructField("ah", LongType()),
         ]
-    )
-    nw = AUDIO_WINDOWS
-    weights = np.left_shift(
-        np.int64(1), np.arange(AUDIO_FP_BITS, dtype=np.int64)
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -603,27 +624,10 @@ def audio_fingerprint56(
             out_seg: list[int] = []
             out_ah: list[int] = []
             for doc_id, b in zip(pdf["doc_id"], pdf["media"]):
-                rate, ch, sw, pcm = codecs.decode_wav(bytes(b))
-                if (ch, sw) != (1, 2):
-                    raise codecs.UnsupportedMediaError(
-                        f"audio_fingerprint56 wants mono 16-bit, got "
-                        f"{ch}ch {sw * 8}-bit"
-                    )
-                s = np.abs(np.frombuffer(pcm, dtype="<i2").astype(np.int64))
-                L = len(s)
-                if L == 0:
-                    continue
-                pos = np.arange(L, dtype=np.int64)
-                wg = (pos * (n_segments * nw)) // L
-                energy = np.zeros((n_segments, nw), dtype=np.int64)
-                np.add.at(energy, (wg // nw, wg % nw), s)
-                fps = ((energy[:, :-1] < energy[:, 1:]) * weights).sum(
-                    axis=1
-                )
-                for g in np.unique(wg // nw):
+                for g, ah in _audio_fp56_of_wav(bytes(b), n_segments):
                     out_doc.append(int(doc_id))
-                    out_seg.append(int(g))
-                    out_ah.append(int(fps[g]))
+                    out_seg.append(g)
+                    out_ah.append(ah)
             yield pd.DataFrame(
                 {
                     "doc_id": pd.array(out_doc, dtype="int64"),
@@ -633,3 +637,168 @@ def audio_fingerprint56(
             )
 
     return media.mapInPandas(run, schema)
+
+
+_AUDIO_W = None
+
+
+def _audio_fp56_of_wav(wav: bytes, n_segments: int) -> list[tuple[int, int]]:
+    """The ONE copy of the true-WAV-decode → energy-envelope
+    fingerprint rule: [(seg, ah), ...] per clip (shared by
+    :func:`audio_fingerprint56` and the fused synth→decode→fingerprint
+    pass). Segments with no samples are dropped."""
+    import numpy as np
+
+    global _AUDIO_W
+    if _AUDIO_W is None:
+        _AUDIO_W = np.left_shift(
+            np.int64(1), np.arange(AUDIO_FP_BITS, dtype=np.int64)
+        )
+    nw = AUDIO_WINDOWS
+    rate, ch, sw, pcm = codecs.decode_wav(wav)
+    if (ch, sw) != (1, 2):
+        raise codecs.UnsupportedMediaError(
+            f"audio_fingerprint56 wants mono 16-bit, got "
+            f"{ch}ch {sw * 8}-bit"
+        )
+    s = np.abs(np.frombuffer(pcm, dtype="<i2").astype(np.int64))
+    L = len(s)
+    if L == 0:
+        return []
+    pos = np.arange(L, dtype=np.int64)
+    wg = (pos * (n_segments * nw)) // L
+    energy = np.zeros((n_segments, nw), dtype=np.int64)
+    np.add.at(energy, (wg // nw, wg % nw), s)
+    fps = ((energy[:, :-1] < energy[:, 1:]) * _AUDIO_W).sum(axis=1)
+    return [(int(g), int(fps[g])) for g in np.unique(wg // nw)]
+
+
+# ---- fused synth→codec→hash passes (optimization round r14) --------------
+# Each composed pipeline above is row-wise independent, so chaining its
+# stages inside ONE mapInPandas removes whole JVM↔Python round trips of
+# the media payloads (guide §4: the boundary crossing is the cost you
+# control). The per-row rules are the SAME module-level helpers the
+# composed operators call — the fused paths cannot drift from the
+# composed ones, and tests pin fused ≡ composed row-for-row.
+
+
+def dhash56_from_sets(ts: DataFrame) -> DataFrame:
+    """Fused :func:`synth_token_png_from_sets` → :func:`dhash56`:
+    (doc_id, toks) → (doc_id, sh) in one Arrow pass. The PNG is still
+    REALLY encoded and decoded per row (same codec calls); its bytes
+    just never cross to the JVM and back between the two steps."""
+    buckets = F.transform(
+        F.col("toks"), lambda t: portable_hash60(t) % DHASH_CELLS
+    )
+    src = ts.select("doc_id", buckets.alias("cells_src"))
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("sh", LongType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = [
+                _dhash56_of_png(_png_of_cells(cl)) for cl in pdf["cells_src"]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "sh": pd.array(outs, dtype="int64")}
+            )
+
+    return src.mapInPandas(run, schema)
+
+
+def dhash56_from_docs(docs: DataFrame) -> DataFrame:
+    """Fused :func:`synth_token_png` → :func:`dhash56` over a raw
+    document frame (the :func:`dhash56_from_sets` pass behind the
+    same token-set projection synth_token_png applies)."""
+    return dhash56_from_sets(
+        docs.select(
+            "doc_id",
+            F.array_remove(F.array_distinct(tokens("text")), "").alias(
+                "toks"
+            ),
+        )
+    )
+
+
+def video_frame_dhash56(docs: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Fused :func:`synth_token_video` → :func:`frame_sample` →
+    :func:`dhash56`: (doc_id, text) → (doc_id, frame_idx, sh) in one
+    Arrow pass. The AVI container is still really assembled and
+    really walked (codecs.encode_avi_mjpeg → is_video →
+    decode_video_keyframes), every frame still PNG-decoded — the container
+    and frame bytes just stay inside the Python worker instead of
+    crossing the boundary twice more."""
+    src = _video_chunks_src(docs, n_frames)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("frame_idx", LongType()),
+            StructField("sh", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            outs: list[int] = []
+            for doc_id, chunks in zip(pdf["doc_id"], pdf["chunks_src"]):
+                payload = _avi_of_chunks(chunks)
+                if not codecs.is_video(payload):  # the synth always
+                    raise codecs.UnsupportedMediaError(  # wraps a RIFF
+                        "fused video walk expects an AVI container"
+                    )
+                for i, (_w, _h, png) in enumerate(
+                    codecs.decode_video_keyframes(payload, n_frames)
+                ):
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    outs.append(_dhash56_of_png(png))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int64"),
+                    "sh": pd.array(outs, dtype="int64"),
+                }
+            )
+
+    return src.mapInPandas(run, schema)
+
+
+def audio_fingerprint56_from_docs(
+    docs: DataFrame, n_segments: int = AUDIO_SEGMENTS
+) -> DataFrame:
+    """Fused :func:`synth_token_wav` → :func:`audio_fingerprint56`:
+    (doc_id, text) → (doc_id, seg, ah) in one Arrow pass; the WAV is
+    still really packed and really decoded per row."""
+    src = _wav_samples_src(docs)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("seg", IntegerType()),
+            StructField("ah", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc: list[int] = []
+            out_seg: list[int] = []
+            out_ah: list[int] = []
+            for doc_id, s in zip(pdf["doc_id"], pdf["samples_src"]):
+                for g, ah in _audio_fp56_of_wav(
+                    _wav_of_samples(s), n_segments
+                ):
+                    out_doc.append(int(doc_id))
+                    out_seg.append(g)
+                    out_ah.append(ah)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(out_doc, dtype="int64"),
+                    "seg": pd.array(out_seg, dtype="int32"),
+                    "ah": pd.array(out_ah, dtype="int64"),
+                }
+            )
+
+    return src.mapInPandas(run, schema)

@@ -207,8 +207,11 @@ def artifacts(
             spark,
             "rep_phash6",
             [fp, rts_id],
+            # fused synth→decode→dHash (one Arrow pass — the PNG bytes
+            # stay inside the Python worker; rules identical to the
+            # composed path, pinned in tests)
             lambda: dedup.hamming_pairs_from_hashes(
-                mm.dhash56(mm.synth_token_png_from_sets(rts)),
+                mm.dhash56_from_sets(rts),
                 max_hamming=6,
                 n_chunks=7,
                 chunk_bits=8,

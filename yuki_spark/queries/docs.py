@@ -172,13 +172,12 @@ def d53_video_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned in tests) and replays the roll-up bit-for-bit."""
     nf = D53_FRAMES
     docs = load(spark, sf_dir, "documents")
-    video = multimodal.synth_token_video(docs, n_frames=nf)
-    frames = multimodal.frame_sample(video, n_frames=nf)
-    sh = multimodal.dhash56(
-        frames.select(
-            (F.col("doc_id") * nf + F.col("frame_idx")).alias("doc_id"),
-            F.col("frame").alias("media"),
-        )
+    # fused synth→container-walk→decode→hash (one Arrow pass instead
+    # of three — the media bytes never re-cross the Python boundary;
+    # per-row rules identical by construction, pinned in tests)
+    sh = multimodal.video_frame_dhash56(docs, n_frames=nf).select(
+        (F.col("doc_id") * nf + F.col("frame_idx")).alias("doc_id"),
+        "sh",
     ).localCheckpoint(eager=False)  # feeds pairs + per-video counts
     pairs = dedup.hamming_pairs_from_hashes(
         sh, D53_HAMMING, n_chunks=2, chunk_bits=28
@@ -254,17 +253,10 @@ def m4_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin is likewise uncapped (no pair family)."""
     nf = D53_FRAMES
     docs = load(spark, sf_dir, "documents")
-    video = multimodal.synth_token_video(docs, n_frames=nf)
-    frames = multimodal.frame_sample(video, n_frames=nf)
-    sh = multimodal.dhash56(
-        frames.select(
-            (F.col("doc_id") * nf + F.col("frame_idx")).alias("doc_id"),
-            F.col("frame").alias("media"),
-        )
-    )
-    f = sh.select(
-        F.expr(f"doc_id div {nf}").alias("video"),
-        (F.col("doc_id") % nf).alias("idx"),
+    # fused d53 front half (one Arrow pass; see d53)
+    f = multimodal.video_frame_dhash56(docs, n_frames=nf).select(
+        F.col("doc_id").alias("video"),
+        F.col("frame_idx").alias("idx"),
         "sh",
     ).localCheckpoint(eager=False)  # feeds the step join + frame counts
     nxt = f.select(
@@ -353,8 +345,8 @@ def d55_audio_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     roll-up bit-for-bit."""
     ns = D55_SEGMENTS
     docs = load(spark, sf_dir, "documents")
-    wav = multimodal.synth_token_wav(docs)
-    fps = multimodal.audio_fingerprint56(wav, n_segments=ns)
+    # fused synth→decode→fingerprint (one Arrow pass instead of two)
+    fps = multimodal.audio_fingerprint56_from_docs(docs, n_segments=ns)
     sh = fps.select(
         (F.col("doc_id") * ns + F.col("seg")).alias("doc_id"),
         F.col("ah").alias("sh"),

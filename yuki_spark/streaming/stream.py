@@ -495,9 +495,9 @@ def _dhash_rows(docs: DataFrame) -> DataFrame:
     pass on ingest, maintained ≡ rebuilt row-for-row."""
     from ..operators import multimodal
 
-    return multimodal.dhash56(multimodal.synth_token_png(docs)).select(
-        "doc_id", "sh"
-    )
+    # fused synth→decode→hash (one Arrow pass; rules identical to the
+    # composed path — multimodal's shared per-row helpers)
+    return multimodal.dhash56_from_docs(docs).select("doc_id", "sh")
 
 
 def _audio_rows(docs: DataFrame) -> DataFrame:
@@ -510,9 +510,9 @@ def _audio_rows(docs: DataFrame) -> DataFrame:
     from the deposit grain)."""
     from ..operators import multimodal
 
-    return multimodal.audio_fingerprint56(
-        multimodal.synth_token_wav(docs),
-        n_segments=multimodal.AUDIO_SEGMENTS,
+    # fused synth→decode→fingerprint (one Arrow pass)
+    return multimodal.audio_fingerprint56_from_docs(
+        docs, n_segments=multimodal.AUDIO_SEGMENTS
     )
 
 
