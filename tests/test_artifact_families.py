@@ -244,6 +244,47 @@ def test_lm_family_trains_once_for_both_consumers(spark, monkeypatch, tmp_path):
     assert _sorted_rows(w, "bucket") == _sorted_rows(d_w, "bucket")
 
 
+def test_bpe_learned_trains_once_for_both_consumers(spark, monkeypatch, tmp_path):
+    """The learned-BPE deposits (r14 optimization round): the first of
+    d57/d58 pays the training iterations; the other reads the
+    bpe.merges57 / bpe.learned_vocab deposits and trains zero times —
+    and the deposit-backed artifacts are bit-identical to a direct
+    train+apply run (including the warm-merges path, where the apply's
+    per-rank frames are reconstructed FROM the deposit)."""
+    from yuki_spark.operators import bpe as bpe_mod
+    from yuki_spark.queries import docs as docsq
+
+    monkeypatch.setenv("YUKI_SPARK_DEDUP_STORE", str(tmp_path / "bpestore"))
+    docsq._BPE_COMPUTES.clear()
+
+    d57 = _sorted_rows(docsq.d57_bpe_train(spark, SF_SMOKE), "iteration")
+    assert docsq._BPE_COMPUTES.get("bpe_merges57") == 1
+    assert "bpe_learned_vocab" not in docsq._BPE_COMPUTES  # d57 alone
+    # d58 reuses the merges deposit; its vt builder reconstructs the
+    # per-rank frames FROM the deposit (stash empty in a fresh call)
+    d58 = _sorted_rows(docsq.d58_learned_bpe_budget(spark, SF_SMOKE), "source")
+    assert docsq._BPE_COMPUTES.get("bpe_merges57") == 1  # zero retrains
+    assert docsq._BPE_COMPUTES.get("bpe_learned_vocab") == 1
+    docsq.d58_learned_bpe_budget(spark, SF_SMOKE).collect()
+    assert docsq._BPE_COMPUTES.get("bpe_learned_vocab") == 1
+
+    # direct (deposit-less) twin: train on the capped vocab, apply to
+    # the full distinct vocabulary — the pre-r14 inline chain
+    words = docsq._bpe_corpus_words(spark, SF_SMOKE)
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(docsq.D57_VOCAB)
+    )
+    report, tops = bpe_mod.bpe_train_merge_frames(vocab, docsq.D57_MERGES)
+    assert d57 == _sorted_rows(report, "iteration")
+    vt_direct = bpe_mod.bpe_apply_merge_frames(words.distinct(), tops)
+    _rep, vt = docsq._bpe_learned(spark, SF_SMOKE, need_vt=True)
+    assert _sorted_rows(vt, "word") == _sorted_rows(vt_direct, "word")
+    assert len(d57) > 0 and len(d58) > 0
+
+
 def test_unwritable_store_degrades_to_unpersisted(spark, monkeypatch, tmp_path):
     """Correctness is never hostage to the store disk: with an
     unwritable store root the family queries still produce their

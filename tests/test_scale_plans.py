@@ -252,12 +252,13 @@ ALLOWED_BNLJ = {
     # builder — the s4/s7 checkpoint-hidden pattern, pinned instead by
     # the list-based reference test + oracle parity)
     "d56_trigram_lm_perplexity": 0,
-    # d57's visible plan is the merge-table assembly: one single-row
-    # top-1 × single-row tokens-after broadcast per learned merge
-    # (D57_MERGES = 8); the vocabulary-grain states sit behind
-    # lineage-truncating checkpoints and their per-iteration shape is
-    # pinned by the list-based reference test instead
-    "d57_bpe_train": 8,
+    # d57 reads the learned-BPE merges deposit since the r14
+    # optimization round (training — including its 8 single-row top-1
+    # × tokens-after broadcasts — lives inside the one-time builder
+    # shared with d58, the d56/per_doc3 pattern); the trainer's
+    # per-iteration shape stays pinned by the list-based reference
+    # test + oracle parity
+    "d57_bpe_train": 0,
     # d59 reads the model family's clf_curve deposit since the r14
     # review (training lives inside the one-time builder shared with
     # d60 — the d56/per_doc3 pattern); the per-iteration single-row
