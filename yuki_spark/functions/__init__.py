@@ -96,30 +96,47 @@ def with_plog2(df, col: Column | str, out: str, max_bits: int = PLOG2_MAX_BITS):
     ``__{out}_`` and dropped. ``max_bits`` trims the exponent
     compare/scale chains when the caller's domain is narrower (the
     result is IDENTICAL in-domain — the extra compares are all
-    false — just cheaper); 53 is the exact-double ceiling."""
+    false — just cheaper); 53 is the exact-double ceiling.
+
+    Each step is ONE ``F.expr`` string (r14 opt): composing the
+    53-term exponent sum / 53-arm scale CASE from Column objects cost
+    ~300 py4j round trips ≈ 1.3 s of pure driver time PER CALL
+    (measured — d52 alone paid 5.4 s of its 6.4 s build here); the
+    parsed SQL builds the identical expression trees (same literals,
+    same association order, so the runtime math is bit-identical)."""
     if max_bits > PLOG2_MAX_BITS:
         raise ValueError(f"max_bits={max_bits} > {PLOG2_MAX_BITS} (double-exact ceiling)")
     c = F.col(col) if isinstance(col, str) else col
     p = f"__{out}_"
     work = df.select("*", c.cast("bigint").alias(f"{p}b"))
-    b = F.col(f"{p}b")
-    e = sum((b >= F.lit(1 << k)).cast("int") for k in range(1, max_bits + 1))
-    work = work.select("*", e.alias(f"{p}e"))
-    scale = F.when(F.col(f"{p}e") == 0, F.lit(1.0))
-    for k in range(1, max_bits + 1):
-        scale = scale.when(F.col(f"{p}e") == k, F.lit(2.0 ** -k))
-    work = work.select("*", (b.cast("double") * scale).alias(f"{p}m"))
-    m = F.col(f"{p}m")
-    work = work.select("*", ((m - F.lit(1.0)) / (m + F.lit(1.0))).alias(f"{p}z"))
-    z = F.col(f"{p}z")
-    work = work.select("*", (z * z).alias(f"{p}z2"))
-    z2 = F.col(f"{p}z2")
-    h = F.lit(_ATANH_LEAD)
+    b = f"`{p}b`"
+    e_terms = " + ".join(
+        f"CAST(({b} >= {1 << k}L) AS INT)" for k in range(1, max_bits + 1)
+    )
+    work = work.select("*", F.expr(e_terms).alias(f"{p}e"))
+    e = f"`{p}e`"
+    scale_arms = " ".join(
+        [f"WHEN ({e} = 0) THEN 1.0D"]
+        + [f"WHEN ({e} = {k}) THEN {2.0 ** -k!r}D" for k in range(1, max_bits + 1)]
+    )
+    work = work.select(
+        "*",
+        F.expr(f"CAST({b} AS DOUBLE) * (CASE {scale_arms} END)").alias(f"{p}m"),
+    )
+    m = f"`{p}m`"
+    work = work.select(
+        "*", F.expr(f"({m} - 1.0D) / ({m} + 1.0D)").alias(f"{p}z")
+    )
+    z = f"`{p}z`"
+    work = work.select("*", F.expr(f"({z} * {z})").alias(f"{p}z2"))
+    z2 = f"`{p}z2`"
+    h = f"{_ATANH_LEAD!r}D"
     for cf in _ATANH_COEFFS:
-        h = h * z2 + F.lit(cf)
-    val = F.when(
-        (b >= F.lit(1)) & (b <= F.lit(1 << max_bits)),
-        F.col(f"{p}e").cast("double") + ((z * h) * F.lit(_TWO_OVER_LN2)),
+        h = f"(({h} * {z2}) + {cf!r}D)"
+    val = F.expr(
+        f"CASE WHEN (({b} >= 1L) AND ({b} <= {1 << max_bits}L)) "
+        f"THEN (CAST({e} AS DOUBLE) + (({z} * {h}) * {_TWO_OVER_LN2!r}D)) "
+        f"END"
     )
     return work.select(*df.columns, val.alias(out))
 

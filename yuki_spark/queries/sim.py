@@ -1520,20 +1520,44 @@ def s23_hnsw_beam_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     a neighbor — which is precisely what the curve is for. The
     scaled-vector base is built ONCE (similarity.hnsw_base) and
     shared across the sweep's descents, so the sweep pays one corpus
-    scan + checkpoint, not one per beam width."""
+    scan + checkpoint, not one per beam width.
+
+    The per-beam descents are INDEPENDENT chains over shared prebuilt
+    inputs, so they are constructed and materialized concurrently
+    (s29's ThreadPoolExecutor pattern — guide §2.6 overlap + §7.3
+    planning cost): the dominant cost at test scale is driver-side
+    plan construction/physical planning per descent hop, and the
+    bounded jobs leave the cluster idle. Deposits and the shared base
+    are prebuilt on the main thread (concurrent first-touch of one
+    lazy checkpoint would race — base.count() materializes it)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     nq = ANN_NQ
     exact = _exact20(spark, sf_dir).select("qid", "cid")
     emb = load(spark, sf_dir, "embeddings")
     graphs = [_graph_l1(spark, sf_dir), _graph_nnd2(spark, sf_dir)]
     base = similarity.hnsw_base(emb)
+    base.count()  # materialize the shared checkpoint pre-fan-out
+
+    def one_beam(b: int) -> DataFrame:
+        return (
+            similarity.hnsw_descent(
+                emb, graphs, k=K, n_queries=nq, beam=b,
+                entry_mod=HNSW_L2_MOD, base=base,
+            )
+            .select("qid", "cid")
+            .localCheckpoint(eager=True)
+        )
+
+    with ThreadPoolExecutor(max_workers=len(HNSW_BEAM_SWEEP)) as ex:
+        results = {
+            b: ex.submit(one_beam, b) for b in HNSW_BEAM_SWEEP
+        }
+        results = {b: f.result() for b, f in results.items()}
     out = None
     for b in HNSW_BEAM_SWEEP:
-        res = similarity.hnsw_descent(
-            emb, graphs, k=K, n_queries=nq, beam=b,
-            entry_mod=HNSW_L2_MOD, base=base,
-        ).select("qid", "cid")
         row = (
-            exact.join(res, ["qid", "cid"])
+            exact.join(results[b], ["qid", "cid"])
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
             .select(F.lit(b).cast("bigint").alias("beam"), "n_hits")
         )
