@@ -220,6 +220,7 @@ def _main_body(
         "s22_hnsw_ann",          # level-1 kNN graph deposit
         "s24_hnsw_multilevel",   # level-2 kNN graph deposit (3-level ladder)
         "d56_trigram_lm_perplexity",  # trigram-LM per-doc score deposit (r14)
+        "d52_bigram_lm_perplexity",  # bigram-LM per-doc score deposit (r14 opt)
         "d57_bpe_train",         # learned-BPE merges deposit (r14 opt)
         "d58_learned_bpe_budget",  # learned-vocab apply deposit (r14 opt)
         "pl1_curation_pipeline",  # the composed DAG's report impression (r14)

@@ -890,16 +890,14 @@ def semdedup(emb: DataFrame, threshold: float = 0.3, max_cell: int = 256) -> Dat
     cell_bits = pops.select("cell", eb)
 
     sp = _split_planes(SEMDEDUP_MAX_SPLIT_BITS)
-    sub_bits = [
-        F.when(
-            (F.lit(i) < F.col("eb"))
-            & (int_dot(F.col("sv"), _plane_lit(sp, i)) >= 0),
-            F.lit(1 << i),
-        ).otherwise(F.lit(0))
+    subcell = " + ".join(
+        f"(CASE WHEN (({i} < eb) AND "
+        f"({_int_dot_sql('sv', _plane_sql(sp, i))} >= 0)) "
+        f"THEN {1 << i} ELSE 0 END)"
         for i in range(SEMDEDUP_MAX_SPLIT_BITS)
-    ]
+    )
     refined = assigned.join(cell_bits, "cell").withColumn(
-        "subcell", sum(sub_bits[1:], sub_bits[0]).cast("bigint")
+        "subcell", F.expr(subcell).cast("bigint")
     )
 
     def greedy(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -957,6 +955,24 @@ def _plane_lit(planes: np.ndarray, i: int) -> Column:
     return F.array(*[F.lit(int(v)) for v in planes[i]])
 
 
+# SQL-string fast paths for the per-plane loops (r14 opt): composing
+# a 64-element plane literal + zip_with/aggregate lambdas from Column
+# objects costs ~100 ms of py4j round trips PER PLANE, and the sign/
+# split loops run 8–16 planes per call site (measured: 1.8 s of s7's
+# 3.9 s build). One parsed F.expr builds the identical expression
+# trees — same literals, same fold order, bit-identical results.
+def _plane_sql(planes: np.ndarray, i: int) -> str:
+    return "array(" + ",".join(f"{int(v)}L" for v in planes[i]) + ")"
+
+
+def _int_dot_sql(a: str, b: str) -> str:
+    """SQL twin of :func:`int_dot` (same zip_with/aggregate fold)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
 def _multi_probes(n_planes: int) -> Column:
     """The multi-probe bucket set of a row's sign ``bucket`` column:
     the bucket itself plus every single-bit flip — ONE copy of the
@@ -981,14 +997,12 @@ def _sign_bucketed(emb: DataFrame, n_planes: int) -> DataFrame:
     base = emb.select("vec_id", scaled("embedding").alias("sv")).withColumn(
         "nrm", int_dot(F.col("sv"), F.col("sv"))
     )
-    sign_bits = [
-        F.when(
-            int_dot(F.col("sv"), _plane_lit(planes, i)) >= 0,
-            F.lit(1 << i).cast("bigint"),
-        ).otherwise(F.lit(0).cast("bigint"))
+    bucket = " + ".join(
+        f"(CASE WHEN ({_int_dot_sql('sv', _plane_sql(planes, i))} >= 0) "
+        f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
         for i in range(n_planes)
-    ]
-    return base.withColumn("bucket", sum(sign_bits[1:], sign_bits[0]))
+    )
+    return base.withColumn("bucket", F.expr(bucket))
 
 
 # ANN bucket-skew guard: adaptive_planes bounds EXPECTED populations
@@ -1013,7 +1027,9 @@ def _split_dots(df: DataFrame, vec_col: str) -> DataFrame:
     return df.select(
         "*",
         *[
-            int_dot(F.col(vec_col), _plane_lit(sp, i)).alias(f"__d{i}")
+            F.expr(_int_dot_sql(f"`{vec_col}`", _plane_sql(sp, i))).alias(
+                f"__d{i}"
+            )
             for i in range(ANN_MAX_SPLIT_BITS)
         ],
     )
@@ -1029,14 +1045,14 @@ def _bucket_split_stats(bucketed: DataFrame, max_bucket: int) -> DataFrame:
         F.count(F.lit(1)).alias("pop"),
         *[F.sum(f"__d{i}").alias(f"__s{i}") for i in range(ANN_MAX_SPLIT_BITS)],
     )
-    m = F.floor((F.col("pop") + F.lit(max_bucket) - 1) / F.lit(max_bucket))
-    eb_terms = [
-        F.when(m > F.lit(1 << i), F.lit(1)).otherwise(F.lit(0))
+    m_sql = f"FLOOR(((pop + {max_bucket}) - 1) / {max_bucket})"
+    eb = " + ".join(
+        f"(CASE WHEN ({m_sql} > {1 << i}) THEN 1 ELSE 0 END)"
         for i in range(ANN_MAX_SPLIT_BITS)
-    ]
+    )
     return pops.select(
         "bucket",
-        sum(eb_terms[1:], eb_terms[0]).alias("eb"),
+        F.expr(eb).alias("eb"),
         "pop",
         *[f"__s{i}" for i in range(ANN_MAX_SPLIT_BITS)],
     )
@@ -1062,20 +1078,17 @@ def _with_subkey(df: DataFrame, stats: DataFrame, vec_col: str) -> DataFrame:
         "__eb",
         F.coalesce(F.col("eb"), F.lit(0)),
     )
-    xb = [
-        F.when(
-            (F.lit(i) < F.col("__eb"))
-            & (F.col(f"__d{i}") * F.col("pop") >= F.col(f"__s{i}")),
-            F.lit(1 << i),
-        ).otherwise(F.lit(0))
+    sub = " + ".join(
+        f"(CASE WHEN (({i} < __eb) AND ((__d{i} * pop) >= __s{i})) "
+        f"THEN {1 << i} ELSE 0 END)"
         for i in range(ANN_MAX_SPLIT_BITS)
-    ]
+    )
     drop = (
         ["eb", "__eb", "pop"]
         + [f"__d{i}" for i in range(ANN_MAX_SPLIT_BITS)]
         + [f"__s{i}" for i in range(ANN_MAX_SPLIT_BITS)]
     )
-    return joined.withColumn("sub", sum(xb[1:], xb[0]).cast("int")).drop(*drop)
+    return joined.withColumn("sub", F.expr(sub).cast("int")).drop(*drop)
 
 
 def _skew_guarded_sides(bucketed, q, c, max_bucket):
@@ -2047,15 +2060,18 @@ def hnsw_descent(
 
     collected: list[DataFrame] = []  # scored pools (collect_candidates)
 
+    # one parsed expression for the exact-int re-rank cosine (r14 opt:
+    # the Column-composed int_dot/round chain cost ~15 py4j round
+    # trips per rerank, × ~3 reranks per descent × every descent of a
+    # sweep — the SQL string builds the identical tree)
+    cos_sql = (
+        f"ROUND(CAST({_int_dot_sql('qv', 'cv')} AS DOUBLE) / "
+        f"(SQRT(CAST(qn AS DOUBLE)) * SQRT(CAST(cn AS DOUBLE))), 9)"
+    )
+
     def rerank(cand: DataFrame, width: int) -> DataFrame:
         if keep is not None:
             cand = cand.where(keep)
-        cos = F.round(
-            cosine_from_ints(
-                int_dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")
-            ),
-            9,
-        )
         # the candidate set is nq-bounded (O(nq·(|entry| + beam·k))
         # rows of two ids) — broadcast it into the corpus-side re-rank
         # join so the scaled base is SCANNED, never EXCHANGED+SORTED,
@@ -2065,16 +2081,19 @@ def hnsw_descent(
         scored = (
             broadcast(cand.join(broadcast(q), "qid"))
             .join(cand_side, "cid")
-            .withColumn("cosine", cos)
-            .select("qid", "cid", "cosine")
+            .select("qid", "cid", F.expr(cos_sql).alias("cosine"))
         )
         if collect_candidates:
             collected.append(scored)
         w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col("cid"))
         return (
-            scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+            scored.select(
+                "qid",
+                F.row_number().over(w).cast("bigint").alias("rk"),
+                "cid",
+                "cosine",
+            )
             .where(F.col("rk") <= width)
-            .select("qid", "rk", "cid", "cosine")
         )
 
     entry = hnsw_entry(q, base, entry_mod)

@@ -1528,6 +1528,11 @@ def d27_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     corpus, bench = text.split_ngrams(docs, n=3, eval_mod=17)
+    # bench is consumed THREE times (the filter-sizing count, the
+    # set-bit build, the exact-hit probe side) and its subtree is a
+    # corpus tokenize+explode — checkpoint the small distinct gram
+    # set so that pass runs once (r9 multi-consumer discipline)
+    bench = bench.localCheckpoint(eager=True)
     flagged = sketches.bloom_membership(corpus, bench, "gram")
     exact = flagged.join(
         F.broadcast(bench.withColumn("hit", F.lit(1).cast("bigint"))), "gram", "left"
@@ -1866,7 +1871,10 @@ def d22_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = t.where(F.col("n_tokens") >= SPAN).select(
         "doc_id", "source", F.explode(spans).alias("gram")
     )
-    per_doc = grams.distinct()
+    # the distinct (doc, span) table feeds BOTH the document-frequency
+    # aggregation and the join probe side — checkpoint so the span
+    # explode + distinct runs once, not once per consumer (d37's note)
+    per_doc = grams.distinct().localCheckpoint(eager=False)
     gram_df = per_doc.groupBy("gram").agg(
         F.countDistinct("doc_id").alias("n_docs_g")
     )
@@ -1915,6 +1923,12 @@ def d37_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.where(F.col("n_tokens") >= SPAN)
         .select("doc_id", F.explode(spans).alias("s"))
         .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.gram").alias("gram"))
+        # occ feeds BOTH the owner aggregation and the join probe side;
+        # checkpoint so the tokenize+span-explode pass runs once, not
+        # once per consumer (r9 multi-consumer discipline — storing one
+        # copy of the span table trades a second full corpus explode
+        # for executor-local storage the shuffle already sizes)
+        .localCheckpoint(eager=False)
     )
     owner = occ.groupBy("gram").agg(
         F.min(F.struct(F.col("doc_id"), F.col("pos"))).alias("own")
@@ -2723,9 +2737,14 @@ def d52_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed type-grain joins back to the eval occurrences and doc/
     source hash-aggs. DECIMAL-quantized at type grain before the
     per-doc sum, so both engines sum identical decimals in any
-    order."""
-    t = text.with_tokens(load(spark, sf_dir, "documents"))
-    per_doc = _d52_per_doc(t)
+    order.
+
+    Since r14 the per-doc score table is the lm_family ``per_doc2``
+    deposit (train once per corpus, the d54/d56 discipline one order
+    down); this key reads the deposit and rolls up per source."""
+    from . import lm_family
+
+    per_doc = lm_family.scored_per_doc2(spark, sf_dir)
     # avg is TRANSITION-weighted (Σ quantized bits / Σ transitions):
     # the decimal sums are exact in any order and there is exactly ONE
     # double division per group — re-quantizing the per-doc double

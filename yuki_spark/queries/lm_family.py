@@ -108,6 +108,32 @@ def scored_per_doc3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def scored_per_doc2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deposit-or-reuse the BIGRAM-LM per-doc score table (d52's
+    order-2 chain — ``docs._d52_per_doc``), the same train-once
+    discipline as :func:`scored_per_doc3` one order down (r14 opt:
+    d52 re-ran the full bigram train+score chain inline on every
+    call). Same bit-exact parquet roundtrip argument: sum_bits is
+    DECIMAL, mean_bits is computed per doc BEFORE the deposit, and
+    d52's per-source rollup is order-insensitive on those columns."""
+    import importlib
+
+    from .. import functions as fns
+    from ..catalog import load
+    from ..operators import text as text_mod
+
+    docs_mod = importlib.import_module(__package__ + ".docs")
+
+    def builder() -> DataFrame:
+        t = text_mod.with_tokens(load(spark, sf_dir, "documents"))
+        return docs_mod._d52_per_doc(t)
+
+    df, _ = _artifact(
+        spark, sf_dir, "per_doc2", [], builder, (docs_mod, fns, text_mod)
+    )
+    return df
+
+
 def clf_artifacts(spark: SparkSession, sf_dir: str):
     """Deposit-or-reuse the trained quality classifier: the d59
     training curve (``clf_curve``) and the Collins-averaged weight

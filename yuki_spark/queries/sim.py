@@ -1367,38 +1367,49 @@ def s29_filtered_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         beam_results = {k: f.result() for k, f in bf.items()}
         pools = {k: f.result() for k, f in pf.items()}
 
-    out = None
-    for mod in S29_FILTER_MODS:
-        exact_f = exact_fs[mod]
-        npos = _fann_npos(qcohort, exact_f)
-        for widen in (1, mod):
-            beam_eff = HNSW_BEAM * widen
-            route_res = _fann_route_cut(pools[beam_eff], mod)
-            for strat, res in (
-                ("beam", beam_results[(mod, widen)]),
-                ("route", route_res),
-            ):
-                row = _fann_cell_rows(
-                    npos,
-                    exact_f,
-                    res,
-                    [
-                        F.lit(mod).cast("bigint").alias("filter_mod"),
-                        F.lit(widen).cast("bigint").alias("widen"),
-                        F.lit(beam_eff).cast("bigint").alias("beam"),
-                        F.lit(strat).alias("strategy"),
-                        # the executable POLICY's pick for this cell
-                        # (r13): stamped from the scalar function so
-                        # the twin's in-SQL replay of the formula
-                        # hash-verifies the policy itself
-                        F.lit(
-                            similarity.filtered_ann_strategy(
-                                1.0 / mod, K, beam_eff
-                            )
-                        ).alias("auto_strategy"),
-                    ],
-                )
-                out = row if out is None else out.unionByName(row)
+    npos = {m: _fann_npos(qcohort, exact_fs[m]) for m in S29_FILTER_MODS}
+
+    def one_cell(mod: int, widen: int, strat: str) -> DataFrame:
+        beam_eff = HNSW_BEAM * widen
+        res = (
+            beam_results[(mod, widen)]
+            if strat == "beam"
+            else _fann_route_cut(pools[beam_eff], mod)
+        )
+        return _fann_cell_rows(
+            npos[mod],
+            exact_fs[mod],
+            res,
+            [
+                F.lit(mod).cast("bigint").alias("filter_mod"),
+                F.lit(widen).cast("bigint").alias("widen"),
+                F.lit(beam_eff).cast("bigint").alias("beam"),
+                F.lit(strat).alias("strategy"),
+                # the executable POLICY's pick for this cell
+                # (r13): stamped from the scalar function so
+                # the twin's in-SQL replay of the formula
+                # hash-verifies the policy itself
+                F.lit(
+                    similarity.filtered_ann_strategy(1.0 / mod, K, beam_eff)
+                ).alias("auto_strategy"),
+            ],
+        )
+
+    # the 8 cell rows are independent plan constructions over the
+    # checkpointed chains — build them concurrently too (pure analysis,
+    # no materialization; union in deterministic cell order below)
+    cells = [
+        (mod, widen, strat)
+        for mod in S29_FILTER_MODS
+        for widen in (1, mod)
+        for strat in ("beam", "route")
+    ]
+    with ThreadPoolExecutor(max_workers=len(cells)) as ex:
+        rows = [ex.submit(one_cell, *c) for c in cells]
+        rows = [f.result() for f in rows]
+    out = rows[0]
+    for row in rows[1:]:
+        out = out.unionByName(row)
     return out.orderBy("filter_mod", "widen", "strategy", "qid")
 
 
@@ -1483,8 +1494,9 @@ def s32_filtered_ann_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         beams = {k2: f.result() for k2, f in bf.items()}
         pres = {k2: f.result() for k2, f in prf.items()}
 
-    out = None
-    for m, w, b in cells:
+    npos = {m: _fann_npos(qcohort, exact_fs[m]) for m in mods}
+
+    def one_cell(m: int, w: int, b: int) -> DataFrame:
         strat = choices[(m, w, b)]
         if strat == "pre":
             res = pres[m]
@@ -1492,10 +1504,9 @@ def s32_filtered_ann_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
             res = beams[(m, b)]
         else:
             res = _fann_route_cut(pools[b], m)
-        exact_f = exact_fs[m]
-        row = _fann_cell_rows(
-            _fann_npos(qcohort, exact_f),
-            exact_f,
+        return _fann_cell_rows(
+            npos[m],
+            exact_fs[m],
             res,
             [
                 F.lit(m).cast("bigint").alias("filter_mod"),
@@ -1504,7 +1515,15 @@ def s32_filtered_ann_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(strat).alias("strategy"),
             ],
         )
-        out = row if out is None else out.unionByName(row)
+
+    # cell rows are independent plan constructions over checkpointed
+    # chains — build concurrently, union in deterministic cell order
+    with ThreadPoolExecutor(max_workers=max(len(cells), 1)) as ex:
+        rows = [ex.submit(one_cell, *c) for c in cells]
+        rows = [f.result() for f in rows]
+    out = rows[0]
+    for row in rows[1:]:
+        out = out.unionByName(row)
     return out.orderBy("filter_mod", "widen", "qid")
 
 
