@@ -246,7 +246,10 @@ ALLOWED_BNLJ = {
     # k_active broadcast for the quota
     "s10_cluster_balance": 1,
     "d31_token_surprisal": 1,  # single-row corpus-total (N, log2 N) broadcast
-    "d52_bigram_lm_perplexity": 1,  # same d31 pattern: single-row l2N broadcast
+    # d52 reads the LM family's per_doc2 deposit since the r14
+    # optimization round (its single-row l2N broadcast lives inside
+    # the one-time builder, the d56 pattern)
+    "d52_bigram_lm_perplexity": 0,
     # d56 reads the LM family's per_doc3 deposit since r14 (the whole
     # trigram chain, l2N broadcast included, lives inside the one-time
     # builder — the s4/s7 checkpoint-hidden pattern, pinned instead by
@@ -281,9 +284,10 @@ ALLOWED_BNLJ = {
     # row, but the bucketed doc stream sits behind a lazy checkpoint
     # (tokenize once for both consumers), so the visible plan shows 0
     "d18_sequence_packing": 0,
-    # d45's trained weights join a single-row totals broadcast into
-    # the <=LID_FEATURES-row weight build (r9 trained-weights rewrite)
-    "d45_langid_model": 1,
+    # d45's class totals ride an unpartitioned window over the
+    # <=LID_FEATURES-row bucket table since the r14 optimization round
+    # (the r9 single-row totals broadcast BNLJ is gone)
+    "d45_langid_model": 0,
     "e22_psi_drift": 0,  # densify BNLJ hides behind the grid checkpoint
 }
 

@@ -2130,7 +2130,11 @@ def hnsw_descent(
         pool = collected[0]
         for s in collected[1:]:
             pool = pool.unionByName(s)
-        return pool.distinct().orderBy("qid", "cid")
+        # UNORDERED distinct pairs (r14 opt): every consumer re-ranks
+        # the pool per query (a window) or treats it as a set, so the
+        # former global orderBy was a pure sort+exchange of an
+        # intermediate — dropped
+        return pool.distinct()
     return bm.orderBy("qid", "rk")
 
 

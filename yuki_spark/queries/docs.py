@@ -2319,16 +2319,22 @@ def langid_train_confusion(docs: DataFrame) -> DataFrame:
             ],
             F.count(F.lit(1)).alias("n_all"),
         )
-        # ≤ LID_FEATURES rows, but its SUBTREE is the full train-split
-        # explode — checkpoint so the totals row and the weight join
-        # don't each re-run the corpus pass
-        .localCheckpoint(eager=False)
     )
-    tots = per_bucket.agg(
-        *[F.sum(f"n_{c}").alias(f"t_{c}") for c in LID_CLASSES],
-        F.sum("n_all").alias("t_all"),
+    from pyspark.sql.window import Window
+
+    # class totals via an UNPARTITIONED window over the bucket table
+    # (≤ LID_FEATURES rows at ANY corpus size — type grain, so the
+    # single-partition window is bounded by construction): one pass
+    # over the train explode instead of the r9 checkpoint + separate
+    # totals branch — same integer totals, no checkpoint planning/
+    # codegen at build time, no second corpus pass (r14 opt)
+    wall = Window.partitionBy()
+    wtot = per_bucket.select(
+        "*",
+        *[F.sum(f"n_{c}").over(wall).alias(f"t_{c}") for c in LID_CLASSES],
+        F.sum("n_all").over(wall).alias("t_all"),
     )
-    weights = per_bucket.join(F.broadcast(tots)).select(
+    weights = wtot.select(
         "bucket",
         *[
             F.expr(

@@ -756,11 +756,20 @@ def q23_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     one strict. Distributed two-phase plan in operators/skyline.py
     (per-batch local skyline prune → tiny global resolve; the O(n²)
     NOT EXISTS formulation survives only as the DuckDB twin)."""
+    from ..catalog import table_rows
     from ..operators.skyline import skyline
 
     part = load(spark, sf_dir, "part").select("p_partkey", "p_size", "p_retailprice")
+    # scale-adaptive resolve fan-in (r14 opt): the intermediate tree
+    # level exists to cap the single-task resolve when MANY local-prune
+    # tasks emit candidates; derive it from the catalog row estimate
+    # (the adaptive-LSH discipline) instead of a flat 32 — a tiny input
+    # skips the level (fanout<=1), a 100 TB scan gets the full fan-in.
+    # Any fanout yields the identical skyline (dominance pruning is
+    # safe on any candidate partitioning — operators/skyline.py).
+    fanout = min(64, max(1, table_rows(sf_dir, "part") // 250_000))
     return skyline(
-        part, minimize=("p_retailprice",), maximize=("p_size",)
+        part, minimize=("p_retailprice",), maximize=("p_size",), fanout=fanout
     ).orderBy("p_partkey")
 
 
