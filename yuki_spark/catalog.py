@@ -56,9 +56,93 @@ def table_rows(sf_dir: str, name: str) -> int:
     return total
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# Scan fan-out floors: minimum rows per task when the parquet layout
+# itself cannot split (guide §2.2/§6 — a scan parallelizes at row-group
+# grain, so a table written as one row group runs its whole
+# scan + narrow pipeline + partial aggregation on ONE core no matter
+# how many the cluster has). The floor encodes per-row downstream
+# cost the optimizer cannot see: documents are tokenized (a ~50-token
+# explode plus per-token work) or synthesized/decoded as media by
+# every consumer and embeddings feed 64-dim vector arithmetic, so
+# their rows are ~100x a plain columnar row; events rows carry a
+# JSON props parse. Derived from the 100 MB-1 GB-per-task guidance
+# scaled by bytes-of-work per row, not from any host's core count.
+_ROWS_PER_TASK: dict[str, int] = {
+    "documents": 512,
+    "embeddings": 512,
+    "events": 16384,
+}
+_DEFAULT_ROWS_PER_TASK = 1 << 16
+
+# Which loads fan out when the caller does not say: documents rows
+# are heavy for EVERY consumer (tokenize / media synth+decode), so
+# the fan-out wins across that whole family; for the relational
+# tables the benefit depends on the consumer (a pure aggregation
+# parallelizes its partial-agg, while a join reshuffles by key
+# immediately and the extra exchange is pure overhead — guide §2.4),
+# so those callers opt in per query.
+_FAN_OUT_DEFAULT: dict[str, bool] = {"documents": True}
+
+# (rows, row-group scan units) per resolved path — parquet FOOTER
+# metadata only (the same catalog-statistics surface as table_rows;
+# on a cluster this is the metastore/manifest lookup). Never caches
+# data or results; keyed on the immutable input path.
+_LAYOUT_CACHE: dict[str, tuple[int, int]] = {}
+
+
+def _scan_layout(path: str) -> tuple[int, int]:
+    if path in _LAYOUT_CACHE:
+        return _LAYOUT_CACHE[path]
+    import pyarrow.parquet as pq
+
+    rows, units = 0, 0
+    if not os.path.isdir(path):
+        md = pq.ParquetFile(path).metadata
+        rows, units = md.num_rows, md.num_row_groups
+    else:
+        for dirpath, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    md = pq.ParquetFile(os.path.join(dirpath, f)).metadata
+                    rows += md.num_rows
+                    units += md.num_row_groups
+    _LAYOUT_CACHE[path] = (rows, units)
+    return rows, units
+
+
+def _fan_out(spark: SparkSession, df: DataFrame, path: str, name: str) -> DataFrame:
+    """Scale-adaptive scan fan-out (guide §2.2): when the file layout
+    provides fewer splittable units (row groups) than the work wants
+    tasks, round-robin repartition the scan output so the narrow
+    pipeline above it (tokenize/explode/partial aggregation) uses the
+    cluster. Sized from catalog statistics — ceil(rows / per-table
+    floor), capped at defaultParallelism — so a 100 TB table (whose
+    layout already yields thousands of units) is returned UNCHANGED:
+    the exchange exists only where the data is small enough that it
+    costs microseconds and buys the whole scan stage's parallelism.
+    Filters/pruning still push through a Repartition node, and
+    round-robin placement is deterministic (sortBeforeRepartition),
+    so results are partitioning-invariant."""
+    rows, units = _scan_layout(path)
+    floor = _ROWS_PER_TASK.get(name, _DEFAULT_ROWS_PER_TASK)
+    target = min(
+        spark.sparkContext.defaultParallelism, -(-rows // floor) if rows else 0
+    )
+    if target > units and target >= 2:
+        return df.repartition(target)
+    return df
+
+
+def load(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    fan_out: bool | None = None,
+) -> DataFrame:
     """Load one table. Declarative scan: Catalyst prunes columns and
-    pushes filters into the parquet reader downstream."""
+    pushes filters into the parquet reader downstream. ``fan_out``
+    opts the scan in/out of :func:`_fan_out` (None → the per-table
+    default: on for ``documents``, off otherwise)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     # Spark 4 defaults inferTimestampNTZ=true, so µs-without-tz
@@ -87,6 +171,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # naive µs value as a *UTC* instant regardless of the caller
         # session's timezone
         df = ntz_as_utc_instant(df, "ts")
+    if fan_out is None:
+        fan_out = _FAN_OUT_DEFAULT.get(name, False)
+    if fan_out:
+        return _fan_out(spark, df, table_path(sf_dir, name), name)
     return df
 
 

@@ -1830,7 +1830,9 @@ def d19_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = text.with_tokens(load(spark, sf_dir, "documents")).select(
         "doc_id", "source", F.explode("toks").alias("term")
     )
-    n_total = load(spark, sf_dir, "documents").count()
+    # corpus size from parquet footers (catalog statistics) — a
+    # full-scan count job for one literal is pure waste (guide §5)
+    n_total = table_rows(sf_dir, "documents")
     df_ = toks.groupBy("term").agg(
         F.countDistinct("doc_id").alias("doc_freq")
     )
@@ -3017,7 +3019,11 @@ def d31_token_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrence."""
     from ..functions import DEC, tokens, with_plog2
 
-    docs = load(spark, sf_dir, "documents")
+    # fan_out=False: measured regression with the documents fan-out —
+    # the explode feeds a token-keyed hash agg (shuffled anyway) and
+    # the doc-grain rollup join re-reads the narrow occ side, so the
+    # extra round-robin exchange buys nothing here (guide §2.4)
+    docs = load(spark, sf_dir, "documents", fan_out=False)
     occ = docs.select(
         "doc_id",
         "source",
@@ -3430,7 +3436,19 @@ def _d31_oracle() -> str:
                  CAST(SUM(s_bits) AS DOUBLE) / COUNT(*) AS mean_surprisal
           FROM occ JOIN vv USING (tok) GROUP BY doc_id, source)
         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(SUM(CAST(mean_surprisal AS DECIMAL(18,6))) AS DOUBLE)
+               -- VARCHAR-mediated decimal cast: Spark quantizes a
+               -- DOUBLE via its SHORTEST DECIMAL STRING
+               -- (BigDecimal.valueOf) + HALF_UP, while DuckDB's
+               -- direct double->decimal rounds the exact binary
+               -- value - they disagree when the shortest repr sits
+               -- on the other side of the half-ULP boundary (sf0.1
+               -- doc 4005: 4.9104754999999995 -> Spark .475 /
+               -- direct-cast .476). DuckDB's double->varchar prints
+               -- the same shortest repr, and varchar->decimal
+               -- rounds it HALF_UP - bit-identical to Spark at
+               -- every scale.
+               CAST(SUM(CAST(CAST(mean_surprisal AS VARCHAR)
+                             AS DECIMAL(18,6))) AS DOUBLE)
                  / COUNT(*) AS avg_surprisal,
                MIN(mean_surprisal) AS min_surprisal,
                MAX(mean_surprisal) AS max_surprisal

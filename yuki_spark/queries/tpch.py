@@ -35,7 +35,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Parity: classic TPC-H Q1 shape (filter cutoff adapted to the
     generated date range).
     """
-    li = load(spark, sf_dir, "lineitem")
+    # fan_out: scan-stage exact-decimal partial agg is the whole query;
+    # a layout-starved scan serializes it (catalog._fan_out, guide §2.2)
+    li = load(spark, sf_dir, "lineitem", fan_out=True)
     disc_price = _rev()
     charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
     return (
@@ -409,6 +411,11 @@ def gsets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import sql_dsum
 
     register_all(spark, sf_dir)
+    # grouping-sets Expand + decimal partial agg runs in the scan
+    # stage: fan the lineitem view out (measured win; guide §2.2)
+    load(spark, sf_dir, "lineitem", fan_out=True).createOrReplaceTempView(
+        "lineitem"
+    )
     return spark.sql(f"""
         SELECT l_returnflag, l_linestatus,
                {sql_dsum('l_extendedprice', 'revenue')},
@@ -659,7 +666,9 @@ def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets over returnflag x linestatus (all 4 levels
     of subtotals in one pass — partial aggregation handles the
     expansion map-side)."""
-    li = load(spark, sf_dir, "lineitem")
+    # fan_out: cube's 4x Expand + decimal partial agg rides the scan
+    # stage — parallelize it when the layout cannot (guide §2.2)
+    li = load(spark, sf_dir, "lineitem", fan_out=True)
     return (
         li.cube("l_returnflag", "l_linestatus")
         .agg(dsum(_rev(), "revenue"), F.count(F.lit(1)).alias("n_rows"))
