@@ -131,6 +131,10 @@ def test_real_curation_chain_composed_run(spark, tmp_path, monkeypatch):
     pipe2 = C.build_pipeline(spark, SF_SMOKE)
     out2 = LocalBackend(store, persist={"curation_report"}).run(spark, pipe2)
     assert out2["statuses"]["curation_report"] == "reused"
+    # the steady-state fast path's address computation must never
+    # drift from the backend's: pl1 probes this address INSTEAD of
+    # compiling the upstream stages on the reused path
+    assert C.pipeline_impressions(pipe2) == out2["impressions"]
     assert [
         tuple(r)
         for r in out2["results"]["curation_report"].orderBy("lang").collect()

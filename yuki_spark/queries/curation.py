@@ -349,18 +349,49 @@ def build_pipeline(spark: SparkSession, sf_dir: str):
     return p
 
 
+def pipeline_impressions(pipe) -> dict[str, str]:
+    """The impression address every task of ``pipe`` would get from a
+    plan_hash=False LocalBackend run with no failures: a pure
+    function of (name, version, dep addresses) — identical chain to
+    backends._run_one's ``impression_id(t.name, t.version, dep_ids)``
+    with ``imp_ids`` always populated by topo order. Lets a steady-
+    state caller probe the store for a terminal deposit WITHOUT
+    compiling any stage DataFrame (the skip-if-deposited read path —
+    at test scale the 9 stage compiles, three of them checkpoint
+    physical-planning, cost ~2.5 s per call on the reused path).
+    Address equality with the backend is pinned in
+    tests/test_pipeline_e2e.py."""
+    from ..pipeline.impressions import impression_id
+
+    ids: dict[str, str] = {}
+    for name in pipe.topo_order():
+        t = pipe.tasks[name]
+        ids[name] = impression_id(
+            t.name, t.version, [ids[d] for d in t.deps]
+        )
+    return ids
+
+
 def pl1_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run (or reuse) the composed curation DAG and return the
     deposited report. First call per (corpus, code) executes the
     chain and persists the report impression; later calls read the
     deposit (status ``reused``) — the same cold/steady split the
     dedup/sim/LM family stores give their keys, here through the
-    Pipeline's OWN reuse mechanism (SURVEY §2.1 O5)."""
+    Pipeline's OWN reuse mechanism (SURVEY §2.1 O5). The steady-state
+    read probes the deposit address FIRST (pipeline_impressions) so a
+    reused run never compiles the upstream stages it will not
+    execute; the address chain covers the corpus fingerprint and the
+    code hash of every stage module, so any change falls through to
+    the full backend run exactly as before."""
     from ..pipeline.backends import LocalBackend
     from ..pipeline.impressions import ImpressionStore
 
     store = ImpressionStore(store_root())
     pipe = build_pipeline(spark, sf_dir)
+    imp = pipeline_impressions(pipe)["curation_report"]
+    if store.exists(imp) and not store.is_archived(imp):
+        return store.read(spark, imp).orderBy("lang")
     out = LocalBackend(store, persist={"curation_report"}).run(spark, pipe)
     sink = out["results"].get("curation_report")
     if sink is None:
