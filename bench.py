@@ -310,10 +310,19 @@ def _main_body(
         medians[name] = round(med, 3)
 
     total = round(sum(per_query.values()), 3)
+    # r14-verdict observability items (additions-only): the scaling
+    # block could not tell whether $SPARK_GRAFT_CPUS was honored
+    # (it is — session.py builds local[$SPARK_GRAFT_CPUS]), and the
+    # timed/untimed split was only inferable by summing cold_build_s
+    # by hand. Print both so the driver artifact answers directly.
+    default_parallelism = spark.sparkContext.defaultParallelism
+    total_with_cold = round(total + sum(cold_build_s.values()), 3)
     report = {
         "metric": "headline_suite_total",
         "value": total,
         "unit": "sec",
+        "default_parallelism": default_parallelism,
+        "total_with_cold": total_with_cold,
         "queries": per_query,
         "medians": medians,
         "cold_build_s": cold_build_s,
@@ -369,6 +378,8 @@ def _main_body(
     ab_json = json.dumps(aborted_after)
     head = (
         f'{{"metric":"{report["metric"]}","value":{total},"unit":"sec","sf":{sf},'
+        f'"default_parallelism":{default_parallelism},'
+        f'"total_with_cold":{total_with_cold},'
         f'"cold_build_s":{cold_json},"timed_out":{to_json},'
         f'"aborted_after":{ab_json},'
     )

@@ -16,6 +16,13 @@ import pytest
 
 from yuki_spark.compare import compare
 
+# Slow tier (r14 verdict item 1): a second-scale parity sweep is a
+# robustness gate, not the driver's sf0.01 gate — the heaviest rows
+# (s29 at sf0.001 alone costs ~3 min) belong in the builder's full CI
+# (tools/citest.sh sets YUKI_SPARK_RUN_SLOW=1), not the driver's
+# budget-bounded default run.
+pytestmark = pytest.mark.slow
+
 SF_SMALL = "/root/testdata/sf0.001"
 
 # cheapest queries whose parameters (or twin SQL) derive from the

@@ -1509,6 +1509,7 @@ def test_long_bucket_ids_past_int32_ceiling(spark):
         assert r["cosine"] == exact
 
 
+@pytest.mark.slow  # r14 verdict item 1: stress/equality redundancy tier (full CI via citest)
 def test_neardup_clusters_equals_uncollapsed_form(spark):
     """neardup_clusters (identical-set collapse) returns EXACTLY
     dedup_clusters(jaccard_pairs(...)): same rows on a corpus with
@@ -1545,6 +1546,7 @@ def test_neardup_clusters_equals_uncollapsed_form(spark):
     assert got_r == want_r and len(got_r) > 0
 
 
+@pytest.mark.slow  # r14 verdict item 1: stress/equality redundancy tier (full CI via citest)
 def test_jaccard_pairs_collapsed_equals_uncollapsed(spark):
     """jaccard_pairs_collapsed returns EXACTLY jaccard_pairs' rows
     (including jac values) on a corpus with permuted/duplicated-token
@@ -1917,6 +1919,7 @@ def test_s21_termination_rule(spark, monkeypatch):
     assert got[1]["hits_delta"] == 0
 
 
+@pytest.mark.slow  # r14 verdict item 1: stress/equality redundancy tier (full CI via citest)
 def test_s21_live_recall_non_decreasing(spark):
     """On the real sf0.001 deposits: every reported round keeps or
     improves cohort recall (superset-candidate property), counts are
@@ -1945,6 +1948,7 @@ def test_s21_live_recall_non_decreasing(spark):
 # ---- s22 hierarchical layered-descent ANN (r9) -----------------------------
 
 
+@pytest.mark.slow  # r14 verdict item 1: stress/equality redundancy tier (full CI via citest)
 def test_hnsw_descent_beats_entry_beam_pointwise(spark):
     """Each level re-ranks a superset of the incoming beam under the
     same (cosine desc, cid) total order, so the FINAL top-k cosines
@@ -2882,6 +2886,7 @@ def test_html_extraction_rules(spark):
     assert rep[2]["extracted_md5"] == hashlib.md5(b"").hexdigest()
 
 
+@pytest.mark.slow  # r14 verdict item 1: stress/equality redundancy tier (full CI via citest)
 def test_knn_graph_retract_exact_equality_and_level_repair(spark):
     """Incremental graph maintenance under batch deletion
     (similarity.knn_graph_retract): on an EXACT top-k graph the
@@ -2962,6 +2967,7 @@ def test_knn_graph_retract_exact_equality_and_level_repair(spark):
     assert not any(q in rep_rows for q in removed)
 
 
+@pytest.mark.slow  # r14 verdict item 1: stress/equality redundancy tier (full CI via citest)
 def test_knn_graph_churn_lsh_repair_bounded_and_conservative(spark):
     """repair="lsh" (r12): churn repair candidates come from the s11
     multi-probe sign buckets instead of full-pool broadcasts. With a
@@ -3137,6 +3143,7 @@ def test_knn_graph_lsh_starvation_fallback(spark):
     assert sorted(map(tuple, new_rows)) == sorted(map(tuple, exact_new))
 
 
+@pytest.mark.slow  # r14 verdict item 1: stress/equality redundancy tier (full CI via citest)
 def test_knn_graph_lsh_persisted_bucket_table_equivalence(spark):
     """r12: repair="lsh" with a PERSISTED (vec_id, bucket) table —
     the deposit that amortizes the per-batch plane scan — must equal
@@ -3228,6 +3235,7 @@ def test_knn_graph_retract_raises_on_pool_grain_mismatch(spark):
         similarity.knn_graph_retract(surv, g0, ids, k=k, members=mem).collect()
 
 
+@pytest.mark.slow  # r14 verdict item 1: stress/equality redundancy tier (full CI via citest)
 def test_knn_graph_ingest_exact_equality_and_conservative_merge(spark):
     """Incremental graph maintenance under batch INSERTION
     (similarity.knn_graph_ingest, knn_graph_retract's twin): on an

@@ -1,12 +1,19 @@
 """Property-based tests (hypothesis): operator semantics must hold on
 arbitrary inputs, not just the fixtures. Example counts are small —
-every example is a full Spark job."""
+every example is a full Spark job.
+
+Slow tier (r14 verdict item 1): the whole module is a robustness
+sweep, not a driver-gated correctness gate — it runs in the
+builder's full CI (tools/citest.sh sets YUKI_SPARK_RUN_SLOW=1) and
+skips in the driver's budget-bounded default run."""
 from __future__ import annotations
 
 import pandas as pd
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as hst
+
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from yuki_spark.operators import dedup

@@ -622,6 +622,7 @@ def test_corpus_ingest_dedupes_across_batches(spark, tmp_path):
     assert sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect()) == [1, 3, 11, 21]
 
 
+@pytest.mark.slow  # r14 verdict item 1: stress/equality redundancy tier (full CI via citest)
 def test_corpus_dhash_sidecar_maintained_across_churn(spark, tmp_path):
     """r13: the d50 perceptual-hash deposit is maintained as a SIDE
     deposit of the corpus loops (the _buckets sidecar discipline on
@@ -1426,6 +1427,7 @@ def test_embedding_retract_reverses_ingest_and_readmits(spark, tmp_path):
     ) == scratch_index(surv2)
 
 
+@pytest.mark.slow  # r14 verdict item 1: stress/equality redundancy tier (full CI via citest)
 def test_embedding_retract_maintains_ladder_and_serving_equals_scratch(
     spark, tmp_path
 ):
@@ -1623,6 +1625,7 @@ def test_embedding_retract_maintains_ladder_and_serving_equals_scratch(
     )
 
 
+@pytest.mark.slow  # r14 verdict item 1: stress/equality redundancy tier (full CI via citest)
 def test_corpus_label_ingest_and_retract_maintain_cc_labels(spark, tmp_path):
     """KEEP-ALL near-dup bookkeeping (run_corpus_label_ingest /
     run_corpus_label_retract): documents are never dropped; the pair
@@ -1925,6 +1928,7 @@ def test_embedding_retract_heals_missing_index(spark, tmp_path):
     ) == sorted(tuple(r) for r in sim.nd_bucket_rows(surv, bits).collect())
 
 
+@pytest.mark.slow  # r14 verdict item 1: stress/equality redundancy tier (full CI via citest)
 def test_embedding_retract_lsh_repair_mode_plumbs_through(spark, tmp_path):
     """graph_paths entries accept a 4th repair-mode element (r12):
     "lsh" routes the per-batch deposit maintenance through the s11

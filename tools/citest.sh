@@ -17,6 +17,11 @@ HALF_A=(tests/test_oracle_parity.py tests/test_scale_plans.py
         tests/test_empty_catalog.py tests/test_schema_snapshot.py)
 mapfile -t IGNORES < <(printf -- '--ignore=%s\n' "${HALF_A[@]}")
 
+# The builder's CI runs the FULL suite including the slow tier
+# (stress/property tests conftest skips by default so the driver's
+# budget-bounded single-process run completes — r14 verdict item 1).
+export YUKI_SPARK_RUN_SLOW=1
+
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS_A:-14}" \
   python -m pytest "${HALF_A[@]}" -q -p no:cacheprovider "$@" &
 PID_A=$!

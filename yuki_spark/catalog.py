@@ -86,13 +86,16 @@ _FAN_OUT_DEFAULT: dict[str, bool] = {"documents": True}
 # (rows, row-group scan units) per resolved path — parquet FOOTER
 # metadata only (the same catalog-statistics surface as table_rows;
 # on a cluster this is the metastore/manifest lookup). Never caches
-# data or results; keyed on the immutable input path.
-_LAYOUT_CACHE: dict[str, tuple[int, int]] = {}
+# data or results; keyed on (path, mtime) so an in-process rewrite of
+# the same path (a datagen refresh between phases) re-derives the
+# layout instead of sizing the fan-out from stale stats (r14 ADVICE).
+_LAYOUT_CACHE: dict[tuple[str, float], tuple[int, int]] = {}
 
 
 def _scan_layout(path: str) -> tuple[int, int]:
-    if path in _LAYOUT_CACHE:
-        return _LAYOUT_CACHE[path]
+    key = (path, os.path.getmtime(path))
+    if key in _LAYOUT_CACHE:
+        return _LAYOUT_CACHE[key]
     import pyarrow.parquet as pq
 
     rows, units = 0, 0
@@ -106,7 +109,7 @@ def _scan_layout(path: str) -> tuple[int, int]:
                     md = pq.ParquetFile(os.path.join(dirpath, f)).metadata
                     rows += md.num_rows
                     units += md.num_row_groups
-    _LAYOUT_CACHE[path] = (rows, units)
+    _LAYOUT_CACHE[key] = (rows, units)
     return rows, units
 
 

@@ -37,15 +37,26 @@ from pyspark.sql import DataFrame, SparkSession
 from ..catalog import table_path
 from ..pipeline.impressions import ImpressionStore, impression_id
 
-# RE-ENTRANT: a deposit's builder may itself call deposit_or_reuse for
-# an upstream generation (the NN-descent chain graph → graph_nnd →
-# graph_nnd2 does exactly this when the whole chain is cold — the
-# nested build completes and publishes before the outer builder
-# continues, so same-thread re-entry is safe). A plain Lock deadlocked
-# here the first time a cold chain was entered from the TOP (r10: s22
-# serving graph_nnd2); cross-thread serialization of identical builds
-# is unchanged.
-_build_lock = threading.RLock()
+# PER-ADDRESS build locks (r15: the former single global RLock
+# serialized every in-process build, so a caller overlapping four
+# INDEPENDENT deposit builds from a thread pool — guide §2.6, s6's
+# exact/lsh/ivf/pq cold pass — gained nothing). A lock still
+# serializes concurrent builders of the SAME address (the original
+# duplicate-write hazard); different addresses build concurrently.
+# RE-ENTRANT per address: a builder may itself call deposit_or_reuse
+# for an UPSTREAM artifact (the NN-descent chain graph → graph_nnd →
+# graph_nnd2) — that nested call takes the upstream address's own
+# lock. Deadlock-free across threads because acquisition follows the
+# artifact dependency DAG (acyclic): every thread holding lock(X)
+# only ever waits on locks of X's ancestors, so a wait cycle would
+# require a dependency cycle.
+_build_locks: dict[str, threading.RLock] = {}
+_build_locks_guard = threading.Lock()
+
+
+def _build_lock(imp: str) -> threading.RLock:
+    with _build_locks_guard:
+        return _build_locks.setdefault(imp, threading.RLock())
 
 
 def default_store_root(env_var: str, name: str) -> str | None:
@@ -144,6 +155,38 @@ def table_fingerprint(sf_dir: str, table: str, extra: Any = None) -> str:
     return hashlib.sha256(payload.encode()).hexdigest()[:32]
 
 
+def _auto_compact(spark: SparkSession, store: ImpressionStore, imp_id: str) -> None:
+    """Size-aware compaction of a freshly written family deposit
+    (guide §6 small files; the r14 verdict's deposit-fragmentation
+    item): a deposit built from a fanned-out upstream inherits the
+    builder's task count and lands as many tiny part files — every
+    later read then pays per-file open/footer cost (measured on the
+    r14 driver: the pair deposit written as 11 parts instead of 2
+    cost d38 +0.95 s per query, taxing d36/d22/d39 too). When the
+    WHOLE deposit is small enough that a rewrite is trivially cheap
+    (the cap below — so a corpus-sized build never re-reads itself,
+    and there is no shuffle: compact() is coalesce-only), rewrite it
+    to ~128 MB files at write time: the one-time builder pays
+    milliseconds, every steady-state reader wins. At production
+    scale map-only deposit writes inherit maxPartitionBytes-sized
+    tasks AND exceed the cap, so this is a no-op there; the cap is
+    env-tunable (0 disables). Content-preserving, so the content
+    address and every consumer's rows are unchanged. Best-effort:
+    a compaction failure must never fail the build that already
+    deposited correctly."""
+    cap = int(
+        os.environ.get(
+            "YUKI_SPARK_DEPOSIT_AUTOCOMPACT_MAX_BYTES", str(256 << 20)
+        )
+    )
+    try:
+        files = store.meta(imp_id).get("integrity", {}).get("files", {})
+        if len(files) > 1 and 0 < sum(files.values()) <= cap:
+            store.compact(spark, imp_id)
+    except Exception:  # noqa: BLE001 — layout-only; degrade silently
+        pass
+
+
 def deposit_or_reuse(
     spark: SparkSession,
     root: str | None,
@@ -179,7 +222,7 @@ def deposit_or_reuse(
         store = None
     if store is not None and store.exists(imp):
         return store.read(spark, imp), imp
-    with _build_lock:
+    with _build_lock(imp):
         if store is not None and store.exists(imp):
             return store.read(spark, imp), imp
         df = builder()
@@ -189,6 +232,7 @@ def deposit_or_reuse(
         tmp_id = f"{imp}-tmp{os.getpid()}"
         try:
             store.write(tmp_id, df, meta={"task": key, "deps": dep_ids})
+            _auto_compact(spark, store, tmp_id)
             meta = store.meta(tmp_id)
             meta["impression"] = imp
             with open(os.path.join(store._dir(tmp_id), "meta.json"), "w") as f:

@@ -351,25 +351,18 @@ def build_pipeline(spark: SparkSession, sf_dir: str):
 
 def pipeline_impressions(pipe) -> dict[str, str]:
     """The impression address every task of ``pipe`` would get from a
-    plan_hash=False LocalBackend run with no failures: a pure
-    function of (name, version, dep addresses) — identical chain to
-    backends._run_one's ``impression_id(t.name, t.version, dep_ids)``
-    with ``imp_ids`` always populated by topo order. Lets a steady-
+    plan_hash=False LocalBackend run with no failures. Lets a steady-
     state caller probe the store for a terminal deposit WITHOUT
     compiling any stage DataFrame (the skip-if-deposited read path —
     at test scale the 9 stage compiles, three of them checkpoint
     physical-planning, cost ~2.5 s per call on the reused path).
-    Address equality with the backend is pinned in
-    tests/test_pipeline_e2e.py."""
-    from ..pipeline.impressions import impression_id
 
-    ids: dict[str, str] = {}
-    for name in pipe.topo_order():
-        t = pipe.tasks[name]
-        ids[name] = impression_id(
-            t.name, t.version, [ids[d] for d in t.deps]
-        )
-    return ids
+    Delegates to ``Pipeline.impression_ids`` — the ONE structural
+    address derivation, kept next to the DAG so a future backend
+    addressing change (plan_hash default, failed-dep fallback) cannot
+    silently desynchronize this probe (r14 ADVICE). Address equality
+    with the backend is pinned in tests/test_pipeline_e2e.py."""
+    return pipe.impression_ids()
 
 
 def pl1_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -414,12 +414,33 @@ def s6_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sim_family: exact20/lsh20/ivf20/pq20 — the same tables
     s3/s4/s8 serve) instead of re-running three whole index builds;
     outputs are unchanged (each deposit is the bit-exact result of
-    the direct operator run)."""
+    the direct operator run). The four deposit accessors run from a
+    thread pool (guide §2.6 — concurrent independent jobs): on a
+    cold store each build's bounded jobs leave most of the cluster
+    idle, so overlapping the four independent index passes cuts the
+    one-time build wall-clock roughly in half (the artifact store's
+    per-address build locks serialize same-address builds only); on
+    a warm store the threads are four concurrent deposit reads —
+    each accessor is self-contained (own embeddings load, own plan),
+    no shared lazy checkpoint to first-touch-race."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.sql import functions as F
 
     nq = ANN_NQ
     possible = nq * K
-    exact = _exact20(spark, sf_dir).select("qid", "cid")
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        futs = {
+            name: ex.submit(fn, spark, sf_dir)
+            for name, fn in (
+                ("exact", _exact20),
+                ("ivf", _ivf20),
+                ("lsh", _lsh20),
+                ("pq", _pq20),
+            )
+        }
+        got = {name: f.result() for name, f in futs.items()}
+    exact = got["exact"].select("qid", "cid")
 
     def one(name: str, approx: DataFrame) -> DataFrame:
         return (
@@ -430,9 +451,9 @@ def s6_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     u = (
-        one("ivf", _ivf20(spark, sf_dir))
-        .unionByName(one("lsh", _lsh20(spark, sf_dir)))
-        .unionByName(one("pq", _pq20(spark, sf_dir)))
+        one("ivf", got["ivf"])
+        .unionByName(one("lsh", got["lsh"]))
+        .unionByName(one("pq", got["pq"]))
     )
     return u.select(
         "index",
@@ -519,10 +540,12 @@ def s12_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = exact.join(g, ["qid", "cid"]).groupBy("qid").agg(
         F.count(F.lit(1)).alias("hits")
     )
+    # nq-bounded aggregate behind stat-less chains: broadcast the
+    # coverage side (see _per_vec_recall)
     return (
         exact.select("qid")
         .distinct()
-        .join(inter, "qid", "left")
+        .join(F.broadcast(inter), "qid", "left")
         .select(
             "qid",
             F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("n_hits"),
@@ -563,11 +586,13 @@ def s18_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     rh = exact.join(ref, ["qid", "cid"]).groupBy("qid").agg(
         F.count(F.lit(1)).alias("rh")
     )
+    # nq-bounded aggregates behind stat-less chains: broadcast the
+    # coverage sides (see _per_vec_recall)
     return (
         exact.select("qid")
         .distinct()
-        .join(bh, "qid", "left")
-        .join(rh, "qid", "left")
+        .join(F.broadcast(bh), "qid", "left")
+        .join(F.broadcast(rh), "qid", "left")
         .select(
             "qid",
             F.coalesce(F.col("bh"), F.lit(0)).cast("bigint").alias("base_hits"),
@@ -650,11 +675,13 @@ def s21_nn_descent_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("round") + 1).alias("round"),
         F.col("edges_changed").alias("prev_changed"),
     )
+    # one-row-per-round tables (≤ len(gens) rows) behind stat-less
+    # unions: broadcast the join sides (see _per_vec_recall)
     return (
         hits.where(F.col("round") >= 1)
-        .join(prev, "round")
-        .join(ecs, "round")
-        .join(prev_ec, "round", "left")
+        .join(F.broadcast(prev), "round")
+        .join(F.broadcast(ecs), "round")
+        .join(F.broadcast(prev_ec), "round", "left")
         .where((F.col("round") == 1) | (F.col("prev_changed") > 0))
         .select(
             "round",
@@ -702,14 +729,22 @@ def s22_hnsw_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _per_vec_recall(exact: DataFrame, res: DataFrame) -> DataFrame:
     """Per-query-vector recall@K of ``res`` against the exact truth —
     the reporting tail s22 and s24 share (s12's grain: the oracle
-    binds WHICH vectors lose neighbors)."""
+    binds WHICH vectors lose neighbors).
+
+    The coverage join's right side is an nq-bounded aggregate (≤ one
+    row per query vector at ANY corpus scale) sitting above
+    checkpointed descent chains whose size statistics Catalyst cannot
+    see — without the hint the planner falls back to SortMergeJoin
+    and every recall tail pays an Exchange+Sort pair per side
+    (guide §3.1: hint when the estimate is known-wrong; r15 —
+    measured 2 SMJ in s22/s24's plans, 64 across s29's cells)."""
     inter = exact.join(res, ["qid", "cid"]).groupBy("qid").agg(
         F.count(F.lit(1)).alias("hits")
     )
     return (
         exact.select("qid")
         .distinct()
-        .join(inter, "qid", "left")
+        .join(F.broadcast(inter), "qid", "left")
         .select(
             "qid",
             F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("n_hits"),
@@ -935,8 +970,12 @@ def s30_ivf_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift = similarity.ivf_codebook_drift(
         cents, similarity.ivf_codebook(final_pool), S30_DRIFT_MAX
     )
+    # the drift table is codebook-grain (≤ n_cells rows at ANY corpus
+    # scale) behind stat-less checkpoint reads: broadcast it so the
+    # corpus-sized assignment deposit is never exchanged+sorted for
+    # this join (s31 already does; guide §3.1)
     return (
-        a2.join(drift, "cell")
+        a2.join(F.broadcast(drift), "cell")
         .select("vec_id", "cell", "aff", "drift", "retrain")
         .orderBy("vec_id")
     )
@@ -1084,9 +1123,13 @@ def _fann_npos(qcohort: DataFrame, exact_f: DataFrame) -> DataFrame:
     """Cohort-keyed coverage (n_possible per query; empty tenants
     surface as 0 rather than vanishing — the r11-advice discipline,
     shared by s29/s32)."""
+    # nq-bounded aggregate behind stat-less chains: broadcast the
+    # coverage side (see _per_vec_recall)
     return qcohort.join(
-        exact_f.groupBy("qid").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_possible")
+        F.broadcast(
+            exact_f.groupBy("qid").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_possible")
+            )
         ),
         "qid",
         "left",
@@ -1110,9 +1153,12 @@ def _fann_cell_rows(
     kept = res.groupBy("qid").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_kept")
     )
+    # nq-bounded aggregates behind stat-less chains: broadcast the
+    # coverage sides (see _per_vec_recall) — 8 cells × 2 SMJs was the
+    # bulk of s29's 64-SortMergeJoin plan
     return (
-        npos.join(hits, "qid", "left")
-        .join(kept, "qid", "left")
+        npos.join(F.broadcast(hits), "qid", "left")
+        .join(F.broadcast(kept), "qid", "left")
         .select(
             *lits,
             "qid",
@@ -1222,9 +1268,13 @@ def s28_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     qcohort = base.where(F.col("vec_id") < nq).select(
         F.col("vec_id").alias("qid")
     )
+    # nq-bounded aggregate behind stat-less chains: broadcast the
+    # coverage side (see _per_vec_recall)
     npos = qcohort.join(
-        exact_f.groupBy("qid").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_possible")
+        F.broadcast(
+            exact_f.groupBy("qid").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_possible")
+            )
         ),
         "qid",
         "left",
@@ -1245,10 +1295,12 @@ def s28_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     pk = post.groupBy("qid").agg(
         F.count(F.lit(1)).cast("bigint").alias("post_kept")
     )
+    # nq-bounded aggregates behind stat-less chains: broadcast the
+    # coverage sides (see _per_vec_recall)
     return (
-        npos.join(ph, "qid", "left")
-        .join(sh, "qid", "left")
-        .join(pk, "qid", "left")
+        npos.join(F.broadcast(ph), "qid", "left")
+        .join(F.broadcast(sh), "qid", "left")
+        .join(F.broadcast(pk), "qid", "left")
         .select(
             "qid",
             "n_possible",
@@ -1663,10 +1715,12 @@ def s13_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = exact.join(t, ["qid", "cid"]).groupBy("qid").agg(
         F.count(F.lit(1)).alias("hits")
     )
+    # nq-bounded aggregate behind stat-less chains: broadcast the
+    # coverage side (see _per_vec_recall)
     return (
         exact.select("qid")
         .distinct()
-        .join(inter, "qid", "left")
+        .join(F.broadcast(inter), "qid", "left")
         .select(
             "qid",
             F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("n_hits"),

@@ -412,15 +412,19 @@ def gsets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_all(spark, sf_dir)
     # grouping-sets Expand + decimal partial agg runs in the scan
-    # stage: fan the lineitem view out (measured win; guide §2.2)
+    # stage: fan the lineitem scan out (measured win; guide §2.2) —
+    # under a QUERY-LOCAL view name, so the session-global 'lineitem'
+    # view other spark.sql consumers resolve is never left carrying
+    # this query's extra exchange (r14 ADVICE: the overwrite leaked
+    # the repartition into every later 'lineitem' reader)
     load(spark, sf_dir, "lineitem", fan_out=True).createOrReplaceTempView(
-        "lineitem"
+        "lineitem_fan"
     )
     return spark.sql(f"""
         SELECT l_returnflag, l_linestatus,
                {sql_dsum('l_extendedprice', 'revenue')},
                COUNT(*) AS n_lines
-        FROM lineitem
+        FROM lineitem_fan
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
     """)
