@@ -143,14 +143,27 @@ def jaccard_candidates(ts: DataFrame, threshold: float) -> DataFrame:
         .select(
             "doc_id",
             "set_size",
+            # the doc's whole prefix, ordered by the global rarest-first
+            # rank — carried on every posting row so the join can emit
+            # each pair at its FIRST shared prefix token only (below);
+            # prefixes are short (|d| − ⌈t·|d|⌉ + 1 tokens), so the
+            # payload is a few dozen strings per posting row
+            F.slice(
+                F.transform("ranked", lambda s: s["tok"]), F.lit(1), prefix_len
+            ).alias("pre_toks"),
+        )
+        .select(
+            "doc_id",
+            "set_size",
+            "pre_toks",
             # pos = the token's 1-based rank in the GLOBAL rarest-first
             # order (prefix tokens are exactly the first L ranked ones),
             # feeding PPJoin's positional filter below
-            F.posexplode(
-                F.slice(F.transform("ranked", lambda s: s["tok"]), F.lit(1), prefix_len)
-            ).alias("pos0", "tok"),
+            F.posexplode("pre_toks").alias("pos0", "tok"),
         )
-        .select("doc_id", "set_size", (F.col("pos0") + 1).alias("pos"), "tok")
+        .select(
+            "doc_id", "set_size", "pre_toks", (F.col("pos0") + 1).alias("pos"), "tok"
+        )
     )
     # Asymmetric INDEXING prefix (PPJoin, Xiao et al. '08): for a true
     # pair J ≥ t with |y| ≤ |x|, the required overlap
@@ -178,12 +191,14 @@ def jaccard_candidates(ts: DataFrame, threshold: float) -> DataFrame:
         F.col("doc_id").alias("doc_a"),
         F.col("set_size").alias("size_a"),
         F.col("pos").alias("pos_a"),
+        F.col("pre_toks").alias("pre_a"),
     )
     b = pre.where(F.col("pos") <= short_len).select(
         F.col("tok"),
         F.col("doc_id").alias("doc_b"),
         F.col("set_size").alias("size_b"),
         F.col("pos").alias("pos_b"),
+        F.slice("pre_toks", F.lit(1), short_len).alias("pre_b"),
     )
     # length filter: J ≥ t forces t·|a| ≤ |b| and t·|b| ≤ |a|.
     # Positional filter (PPJoin, Xiao et al. '08): both docs rank
@@ -216,6 +231,30 @@ def jaccard_candidates(ts: DataFrame, threshold: float) -> DataFrame:
         (F.col("size_b") == F.col("size_a"))
         & (F.col("doc_b") < F.col("doc_a"))
     )
+    # FIRST-SHARED-TOKEN emission (guide §2.3 — shuffle fewer bytes by
+    # not emitting duplicates at all): a pair sharing k prefix tokens
+    # used to emit k join rows collapsed by a distinct — the exchange
+    # and hash-agg over the raw join output were the candidate pass's
+    # dominant shuffle (measured sf0.1, t=0.8: 3.8M distinct pairs
+    # from a far larger raw join output). Both prefixes are ordered by
+    # the ONE global rarest-first rank, so the pair's matches arrive
+    # in the same relative order on both sides; this row is the
+    # pair's FIRST match iff no shared token precedes it in BOTH
+    # prefixes — an order-independent emptiness test on the two
+    # before-slices (size of array_intersect == 0; set semantics, no
+    # reliance on intersect output order). Exactly one row per
+    # candidate pair survives, so the distinct disappears. The
+    # dropped rows never reach an exchange — the filter runs inside
+    # the join stage.
+    first_match = (
+        F.size(
+            F.array_intersect(
+                F.slice(F.col("pre_a"), F.lit(1), F.col("pos_a") - 1),
+                F.slice(F.col("pre_b"), F.lit(1), F.col("pos_b") - 1),
+            )
+        )
+        == 0
+    )
     return (
         a.join(b, "tok")
         .where(
@@ -223,12 +262,12 @@ def jaccard_candidates(ts: DataFrame, threshold: float) -> DataFrame:
             & (F.col("size_b").cast("double") >= F.lit(threshold) * F.col("size_a"))
             & (F.col("size_a").cast("double") >= F.lit(threshold) * F.col("size_b"))
             & (ubound >= alpha)
+            & first_match
         )
         .select(
             F.least("doc_a", "doc_b").alias("doc_a"),
             F.greatest("doc_a", "doc_b").alias("doc_b"),
         )
-        .distinct()
     )
 
 
@@ -511,7 +550,35 @@ def minhash_pairs_from(
     compatible ones (measured at sf0.1, t=0.95: 9.6M → 2.2M
     candidates); it never drops a true pair, so LSH recall — and the
     exact-Jaccard oracle — are untouched."""
-    bx = bands.join(ts.select("doc_id", "set_size"), "doc_id")
+    # LEAST-BAND emission (guide §2.3 — don't emit duplicates at all):
+    # a near-dup pair collides in most of its 16 bands, so the band
+    # self-join used to emit one row per shared band and collapse them
+    # with a distinct (measured sf0.1, t=0.95: 6.5M raw join rows →
+    # 1.2M distinct pairs — a 5.3× duplicate factor through the
+    # exchange+hash-agg). Each doc's full band-key vector (16 int64s,
+    # ordered by band) rides the join sides; a collision at band i is
+    # the pair's FIRST shared band iff no earlier band matched — an
+    # order-aligned elementwise test on the two before-slices. Exactly
+    # one row per pair survives, inside the join stage, so the
+    # distinct disappears; candidates and the verified output are
+    # unchanged (the emitted SET is identical).
+    barr = bands.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("band", "bkey"))).alias("bk")
+    ).select(
+        "doc_id", F.transform("bk", lambda s: s["bkey"]).alias("bkeys")
+    )
+    bx = (
+        bands.join(barr, "doc_id")
+        .join(ts.select("doc_id", "set_size"), "doc_id")
+    )
+    earlier_shared = F.exists(
+        F.zip_with(
+            F.slice(F.col("x.bkeys"), F.lit(1), F.col("band")),
+            F.slice(F.col("y.bkeys"), F.lit(1), F.col("band")),
+            lambda p, q: p == q,
+        ),
+        lambda v: v,
+    )
     cand = (
         bx.alias("x")
         .join(bx.alias("y"), ["band", "bkey"])
@@ -525,11 +592,11 @@ def minhash_pairs_from(
                 F.col("x.set_size").cast("double")
                 >= F.lit(threshold) * F.col("y.set_size")
             )
+            & ~earlier_shared
         )
         .select(
             F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
         )
-        .distinct()
     )
     return _verify_pairs(cand, ts, ts, threshold, "doc_a", "doc_b")
 

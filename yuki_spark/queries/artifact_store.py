@@ -155,36 +155,20 @@ def table_fingerprint(sf_dir: str, table: str, extra: Any = None) -> str:
     return hashlib.sha256(payload.encode()).hexdigest()[:32]
 
 
-def _auto_compact(spark: SparkSession, store: ImpressionStore, imp_id: str) -> None:
-    """Size-aware compaction of a freshly written family deposit
-    (guide §6 small files; the r14 verdict's deposit-fragmentation
-    item): a deposit built from a fanned-out upstream inherits the
-    builder's task count and lands as many tiny part files — every
-    later read then pays per-file open/footer cost (measured on the
-    r14 driver: the pair deposit written as 11 parts instead of 2
-    cost d38 +0.95 s per query, taxing d36/d22/d39 too). When the
-    WHOLE deposit is small enough that a rewrite is trivially cheap
-    (the cap below — so a corpus-sized build never re-reads itself,
-    and there is no shuffle: compact() is coalesce-only), rewrite it
-    to ~128 MB files at write time: the one-time builder pays
-    milliseconds, every steady-state reader wins. At production
-    scale map-only deposit writes inherit maxPartitionBytes-sized
-    tasks AND exceed the cap, so this is a no-op there; the cap is
-    env-tunable (0 disables). Content-preserving, so the content
-    address and every consumer's rows are unchanged. Best-effort:
-    a compaction failure must never fail the build that already
-    deposited correctly."""
-    cap = int(
-        os.environ.get(
-            "YUKI_SPARK_DEPOSIT_AUTOCOMPACT_MAX_BYTES", str(256 << 20)
-        )
-    )
-    try:
-        files = store.meta(imp_id).get("integrity", {}).get("files", {})
-        if len(files) > 1 and 0 < sum(files.values()) <= cap:
-            store.compact(spark, imp_id)
-    except Exception:  # noqa: BLE001 — layout-only; degrade silently
-        pass
+# NOTE — write-time deposit compaction was BUILT AND REVERTED in r15
+# after a controlled A/B refuted the r14-verdict hypothesis that the
+# fanned builds' multi-part deposits (11 parts where 2 sufficed) tax
+# their readers. Cold-JVM min-of-3, 2 reps each, compacted-to-one-file
+# vs as-written: d38 3.51 vs 1.03 s, d36 3.56 vs 2.05 s (compaction is
+# a 1.7–3.4x steady LOSS), d39/d22 flat, cold builds +4 s for the
+# rewrite. Cause: a small deposit compacted to one single-row-group
+# file scans as ONE task, serializing every reader's scan-stage
+# pipeline, while the multi-part layout gives readers exactly the
+# parallelism the scan fan-out exists to create — per-file open cost
+# is noise next to that at any size below the 128 MB split grain. At
+# 100 TB deposits exceed split grain and readers parallelize either
+# way; compact() remains available as explicit maintenance for true
+# thousand-file pathologies.
 
 
 def deposit_or_reuse(
@@ -232,7 +216,6 @@ def deposit_or_reuse(
         tmp_id = f"{imp}-tmp{os.getpid()}"
         try:
             store.write(tmp_id, df, meta={"task": key, "deps": dep_ids})
-            _auto_compact(spark, store, tmp_id)
             meta = store.meta(tmp_id)
             meta["impression"] = imp
             with open(os.path.join(store._dir(tmp_id), "meta.json"), "w") as f:

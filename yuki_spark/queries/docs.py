@@ -866,7 +866,12 @@ def d8_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def d10_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    # fan_out=False: reproducible regression under the documents
+    # fan-out (r15 cold-JVM min-of-3 A/B, 2 reps: OFF 1.34/1.44 s vs
+    # ON 1.63/1.60 s) — winnowing re-shuffles by doc_id immediately
+    # (its per-doc window), so the round-robin exchange is pure
+    # overhead here, exactly the d31 pattern (guide §2.4)
+    docs = load(spark, sf_dir, "documents", fan_out=False)
     return text.winnow_fingerprint(docs, k=3, w=4).orderBy("doc_id")
 
 

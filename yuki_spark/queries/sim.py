@@ -495,14 +495,26 @@ def s17_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     (nprobe=3 shares s4's deposit) joined against the deposited exact
     ground truth on (qid, cid) — three tiny joins over nq*k rows; the
     index builds happen at most once per corpus via the store."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.sql import functions as F
 
+    # the sweep's non-shared points (nprobe=1,2; nprobe=3 is s4/s6's
+    # deposit) build serially on a cold store — overlap the
+    # independent index builds exactly like s6 (guide §2.6; the
+    # per-address build locks make concurrent distinct-address
+    # builds real). Warm stores: three concurrent deposit reads.
     exact = _exact20(spark, sf_dir).select("qid", "cid")
     possible = ANN_NQ * K
+    with ThreadPoolExecutor(max_workers=len(IVF_SWEEP)) as ex:
+        points = {
+            np_: ex.submit(_ivf_np, spark, sf_dir, np_) for np_ in IVF_SWEEP
+        }
+        points = {np_: f.result() for np_, f in points.items()}
     curve: DataFrame | None = None
     for np_ in IVF_SWEEP:
         row = (
-            _ivf_np(spark, sf_dir, np_)
+            points[np_]
             .select("qid", "cid")
             .join(exact, ["qid", "cid"])
             .agg(F.count(F.lit(1)).alias("n_hits"))
